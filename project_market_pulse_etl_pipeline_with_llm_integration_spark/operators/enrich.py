@@ -1,0 +1,212 @@
+"""Stage 2 — LLM enrichment (reference ``Main.py:53-124`` + ``188-271``).
+
+The reference loops rows sequentially, calling one chat-completion per
+article with a 0.2 s sleep (≤5 rows/s ceiling, BASELINE.md).  Here the
+whole stage is ONE ``mapInPandas`` operator: each executor task pulls
+Arrow batches (sized to the reference's BATCH_SIZE=100 via
+``spark.sql.execution.arrow.maxRecordsPerBatch``), runs the enrichment
+function per row with a lazily-created per-worker client (mirroring the
+lazy global client at ``Main.py:29-32,92-101``) and per-task rate
+limiting, and emits input columns + the three LLM fields together — the
+reference's left join (O16, ``Main.py:254``) and concat (O17,
+``Main.py:255``) disappear from the plan entirely.
+
+Faithful semantics preserved:
+  * prompt template (``Main.py:76-83``), gpt-3.5-turbo, temperature=0,
+    JSON response mode, single attempt (no retries), ``Main.py:106-111``
+  * JSON parse with "N/A" defaults per field (``Main.py:117-119``)
+  * in-band ``ERROR_API`` sentinel on any failure (``Main.py:87,101,124``)
+  * ``DISABLE_LLM`` env -> deterministic offline triple (``Main.py:86-87``)
+  * ``summary_llm`` -> ``market_impact_summary`` rename (``Main.py:258``)
+  * one driver-side run timestamp stamped on every row — a literal, not
+    per-executor ``current_timestamp()`` (``Main.py:259``)
+
+Scale notes: the global request rate is the per-task delay divided across
+tasks, so ``rate_delay`` is divided by the declared parallelism to keep
+the cluster-wide rate equal to the reference's single-thread contract.
+Transport is injectable (``set_transport``) so tests never touch the
+network.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable, Iterator
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.config import (
+    BATCH_SIZE,
+    CATEGORIES_TO_KEEP,
+    ERROR_SENTINEL,
+    OFFLINE_TRIPLE,
+)
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import exact_sample
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.writers import (
+    write_parquet_timestamped,
+)
+
+# Injectable transport: (prompt) -> raw JSON string from the model.
+# Tests install a deterministic fake; production lazily builds an OpenAI
+# client per worker process.  Kept module-level so each Python worker
+# initializes it at most once (reference's lazy global, Main.py:29-32).
+Transport = Callable[[str], str]
+_transport: Transport | None = None
+
+
+def set_transport(fn: Transport | None) -> None:
+    global _transport
+    _transport = fn
+
+
+def build_prompt(title: str, content: str) -> str:
+    """Prompt template — verbatim semantics of ``Main.py:76-83``."""
+    return (
+        "Analyze the following article and provide THREE data points in JSON format: "
+        "1. The sentiment, choosing ONLY one of: 'Positive', 'Negative', 'Neutral'. "
+        f"2. The CATEGORY, choosing ONLY one from this list: {', '.join(CATEGORIES_TO_KEEP)}. "
+        "3. A concise summary of a maximum of 2 sentences explaining why this could be "
+        "affecting the global markets. "
+        "Ensure the JSON keys are 'sentiment', 'category', and 'summary'."
+        f"\nTitle: {title}\nContent: {content}"
+    )
+
+
+def _default_transport(prompt: str) -> str:
+    """Production transport: one chat-completion (``Main.py:106-111``)."""
+    global _transport
+    from openai import OpenAI  # lazy import mirrors Main.py:95
+
+    client = OpenAI(api_key=os.environ.get("OPENAI_API_KEY", ""))
+
+    def call(p: str) -> str:
+        resp = client.chat.completions.create(
+            model="gpt-3.5-turbo",
+            messages=[{"role": "user", "content": p}],
+            response_format={"type": "json_object"},
+            temperature=0.0,
+        )
+        return resp.choices[0].message.content
+
+    _transport = call  # cache the bound client for subsequent rows
+    return call(prompt)
+
+
+def _llm_disabled() -> bool:
+    return os.environ.get("DISABLE_LLM", "").lower() in ("1", "true", "yes")
+
+
+def enrich_one(
+    title: str,
+    content: str,
+    transport: Transport | None = None,
+    disabled: bool | None = None,
+) -> tuple[str, str, str]:
+    """Enrich a single article -> (sentiment, category, summary).
+
+    Reference ``enriquecer_con_llm_ajustado`` (``Main.py:53-124``):
+    single attempt, errors folded into in-band sentinels.
+    """
+    if disabled if disabled is not None else _llm_disabled():
+        return OFFLINE_TRIPLE
+    prompt = build_prompt(title, content)
+    try:
+        raw = (transport or _transport or _default_transport)(prompt)
+    except Exception:
+        return ERROR_SENTINEL, ERROR_SENTINEL, "Error generating summary."
+    try:
+        out = json.loads(raw)
+        return (
+            out.get("sentiment", "N/A"),
+            out.get("category", "N/A"),
+            out.get("summary", "N/A"),
+        )
+    except Exception:
+        return ERROR_SENTINEL, ERROR_SENTINEL, "Error generating summary."
+
+
+_LLM_FIELDS = [
+    T.StructField("sentiment_llm", T.StringType(), True),
+    T.StructField("category_llm", T.StringType(), True),
+    T.StructField("market_impact_summary", T.StringType(), True),
+]
+
+
+def enrich(
+    df: DataFrame,
+    rate_delay: float = 0.2,
+    run_timestamp: datetime | None = None,
+    parallelism: int | None = None,
+    transport: Transport | None = None,
+) -> DataFrame:
+    """Append LLM columns + run timestamp to ``df`` (needs title/content).
+
+    ``rate_delay`` is the *global* seconds-per-row budget (reference
+    default 0.2, ``Main.py:188``); each task sleeps
+    ``rate_delay * parallelism / 1`` divided evenly so the cluster-wide
+    rate matches.
+    """
+    spark = df.sparkSession
+    tasks = parallelism or spark.sparkContext.defaultParallelism
+    # Each of `tasks` concurrent tasks sleeping `rate_delay` would yield a
+    # global rate of tasks/rate_delay rows/s; dividing by the task count
+    # keeps the cluster-wide rate at the reference's single-threaded
+    # 1/rate_delay rows/s contract.
+    per_task_delay = (rate_delay or 0.0) / max(tasks, 1) if rate_delay else 0.0
+
+    out_schema = T.StructType(list(df.schema.fields) + _LLM_FIELDS)
+
+    # Capture worker-visible state at plan-build time: Spark's Python
+    # workers are separate processes — driver-side os.environ mutations and
+    # module globals (set_transport) do not propagate, so both ride the
+    # serialized closure instead.
+    transport_fn = transport or _transport
+    disabled = _llm_disabled()
+
+    def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            triples = [
+                enrich_one(t, c, transport=transport_fn, disabled=disabled or None)
+                for t, c in zip(pdf["title"].tolist(), pdf["content"].tolist())
+            ]
+            if per_task_delay:
+                time.sleep(per_task_delay * len(pdf))
+            res = pdf.copy()
+            res["sentiment_llm"] = [x[0] for x in triples]
+            res["category_llm"] = [x[1] for x in triples]
+            res["market_impact_summary"] = [x[2] for x in triples]
+            yield res
+
+    run_ts = run_timestamp or datetime.now()
+    return df.mapInPandas(run_batches, schema=out_schema).withColumn(
+        "etl_processing_time", F.lit(run_ts)
+    )
+
+
+def enrich_to_parquet(
+    spark: SparkSession,
+    input_path: str,
+    output_folder: str,
+    sample_size: int | None = None,
+    rate_delay: float = 0.2,
+    single_file: bool = False,
+) -> str | None:
+    """CLI stage entry (reference ``enrich_data_to_s3``, ``Main.py:188-271``)."""
+    try:
+        df = spark.read.parquet(input_path)
+        df = exact_sample(df, sample_size, seed=42)
+        # Mirror the reference's micro-batch granularity at the Arrow layer.
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(BATCH_SIZE))
+        enriched = enrich(df, rate_delay=rate_delay)
+        return write_parquet_timestamped(
+            enriched, output_folder, "final_enriched_data", single_file=single_file
+        )
+    except Exception as exc:
+        print(f"Error in enrich stage: {exc}")
+        return None

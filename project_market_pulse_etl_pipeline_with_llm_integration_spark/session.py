@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Local test/bench runs use ``local[$SPARK_GRAFT_CPUS]`` (one JVM); the same
+builder settings are the ones we would ship on a 1000-executor cluster:
+AQE on (runtime re-plan + skew-join splitting + partition coalescing),
+UTC session timezone (so naive parquet timestamps compare bit-identically
+against external oracles), Arrow transfers for the Pandas-UDF slow path.
+
+``spark.sql.shuffle.partitions`` defaults to the local core count here;
+on a real cluster it should be ~2-3x total executor cores, and AQE
+coalescing makes over-provisioning cheap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "market-pulse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism so the driver's
+    bench harness controls core count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # ANSI off: the reference's semantics are null-on-bad-cast
+        # (pd.to_datetime errors="coerce", Main.py:160); we additionally use
+        # try_* functions so the plans are ANSI-safe either way.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,59 @@
+"""Sources (SURVEY §2 O1/O2).
+
+The reference reads JSONL with ``pd.read_json(path, lines=True)``
+(``Main.py:147``) and parquet with ``pd.read_parquet`` (``Main.py:212``),
+inferring schemas and materializing eagerly.  Here both are lazy Spark
+scans: the JSONL reader pins an explicit StructType (inference at 100 TB
+is an extra full pass and nondeterministic), and the parquet reader gets
+column pruning + predicate pushdown from Catalyst for free — the scan
+only reads the row groups and columns the downstream plan needs.
+
+Paths may be local, ``s3a://``, ``hdfs://`` — anything the Hadoop FS
+layer supports (the reference used s3fs for the same purpose,
+``requirements.txt:7``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.config import (
+    RAW_NEWS_SCHEMA,
+    TESTDATA_TABLES,
+)
+
+
+def read_news_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Schema'd newline-delimited JSON scan (reference ``Main.py:147``).
+
+    Unparseable lines become all-null rows (PERMISSIVE mode) and are then
+    dropped by the clean stage's essential-field filter, matching the
+    reference's defensive posture.
+    """
+    return spark.read.schema(RAW_NEWS_SCHEMA).option("mode", "PERMISSIVE").json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (reference ``Main.py:212``)."""
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load the driver-generated testdata tables (TESTDATA.md) as lazy scans.
+
+    Registers each as a temp view so operators can be expressed in either
+    the DataFrame or SQL API against the same catalog names DuckDB uses.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names or TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p) or "://" in sf_dir:
+            df = spark.read.parquet(p)
+            if register_views:
+                df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,41 @@
+"""Sinks (SURVEY §2 O3).
+
+The reference writes one parquet *file* per run with a wall-clock
+timestamp in the filename to avoid overwrites (``Main.py:172-177``,
+``Main.py:261-266``).  The Spark-native equivalent is a run-timestamped
+output *directory* written in ``error`` mode (never silently clobber),
+with as many part-files as there are partitions — a single file would
+serialize the whole cluster through one writer task at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_timestamped(
+    df: DataFrame,
+    output_folder: str,
+    prefix: str,
+    timestamp: datetime | None = None,
+    partition_by: list[str] | None = None,
+    single_file: bool = False,
+) -> str:
+    """Write ``df`` to ``{output_folder}/{prefix}_{YYYYmmdd_HHMMSS}.parquet``.
+
+    ``partition_by`` produces a hive-partitioned layout (the layout the
+    reference's Athena ``MSCK REPAIR TABLE`` stage expects to discover,
+    ``Main.py:332``).  ``single_file=True`` coalesces to one part-file for
+    small parity outputs only — never for cluster-scale data.
+    """
+    ts = (timestamp or datetime.now()).strftime("%Y%m%d_%H%M%S")
+    final_path = os.path.join(output_folder, f"{prefix}_{ts}.parquet")
+    writer_df = df.coalesce(1) if single_file else df
+    writer = writer_df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(final_path)
+    return final_path

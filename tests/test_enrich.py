@@ -1,0 +1,94 @@
+"""Stage-2 enrichment tests — hermetic (no network): DISABLE_LLM offline
+mode (reference ``Main.py:86-87``) plus an injected fake transport."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pytest
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.config import (
+    CLEAN_COLUMNS,
+    ENRICHED_EXTRA_COLUMNS,
+    OFFLINE_TRIPLE,
+)
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import enrich as E
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.clean import clean_news
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+    read_news_jsonl,
+)
+
+
+@pytest.fixture(autouse=True)
+def _reset_transport():
+    yield
+    E.set_transport(None)
+
+
+def _clean_df(spark, news_jsonl):
+    return clean_news(read_news_jsonl(spark, news_jsonl))
+
+
+def test_offline_mode(spark, news_jsonl, monkeypatch):
+    monkeypatch.setenv("DISABLE_LLM", "1")
+    ts = datetime(2026, 1, 1, 12, 0, 0)
+    out = E.enrich(_clean_df(spark, news_jsonl), rate_delay=0.0, run_timestamp=ts)
+    rows = out.orderBy("id_news").collect()
+    assert out.columns == CLEAN_COLUMNS + ENRICHED_EXTRA_COLUMNS
+    for r in rows:
+        assert (r.sentiment_llm, r.category_llm, r.market_impact_summary) == OFFLINE_TRIPLE
+        assert r.etl_processing_time == ts  # single literal, all rows equal
+
+
+def test_fake_transport_parses_json(spark, news_jsonl, monkeypatch):
+    monkeypatch.delenv("DISABLE_LLM", raising=False)
+
+    def fake(prompt: str) -> str:
+        assert "THREE data points in JSON format" in prompt
+        return json.dumps({"sentiment": "Positive", "category": "TECH", "summary": "ok"})
+
+    E.set_transport(fake)
+    rows = E.enrich(_clean_df(spark, news_jsonl), rate_delay=0.0).collect()
+    assert all(r.sentiment_llm == "Positive" and r.category_llm == "TECH" for r in rows)
+
+
+def test_missing_keys_default_na(spark, news_jsonl, monkeypatch):
+    monkeypatch.delenv("DISABLE_LLM", raising=False)
+    E.set_transport(lambda p: json.dumps({"sentiment": "Neutral"}))
+    r = E.enrich(_clean_df(spark, news_jsonl), rate_delay=0.0).collect()[0]
+    assert (r.sentiment_llm, r.category_llm, r.market_impact_summary) == ("Neutral", "N/A", "N/A")
+
+
+def test_error_sentinels_in_band(spark, news_jsonl, monkeypatch):
+    monkeypatch.delenv("DISABLE_LLM", raising=False)
+
+    def boom(prompt: str) -> str:
+        raise RuntimeError("api down")
+
+    E.set_transport(boom)
+    r = E.enrich(_clean_df(spark, news_jsonl), rate_delay=0.0).collect()[0]
+    assert (r.sentiment_llm, r.category_llm) == ("ERROR_API", "ERROR_API")
+    assert r.market_impact_summary == "Error generating summary."
+
+
+def test_unparseable_json_sentinel(spark, news_jsonl, monkeypatch):
+    monkeypatch.delenv("DISABLE_LLM", raising=False)
+    E.set_transport(lambda p: "this is not json")
+    r = E.enrich(_clean_df(spark, news_jsonl), rate_delay=0.0).collect()[0]
+    assert r.sentiment_llm == "ERROR_API"
+
+
+def test_enrich_to_parquet_roundtrip(spark, news_jsonl, tmp_path, monkeypatch):
+    monkeypatch.setenv("DISABLE_LLM", "1")
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.clean import (
+        extract_and_clean,
+    )
+
+    clean_path = extract_and_clean(spark, news_jsonl, str(tmp_path / "clean"))
+    out = E.enrich_to_parquet(
+        spark, clean_path, str(tmp_path / "enr"), sample_size=3, rate_delay=0.0
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 3  # exact-N sample honored
+    assert set(CLEAN_COLUMNS + ENRICHED_EXTRA_COLUMNS) == set(back.columns)
