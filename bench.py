@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is forced to full materialization through the noop sink
+(``format("noop")``) so the measured time covers the complete physical
+plan — scan, shuffles, UDFs — without driver-side collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+# Representative slice of the operator surface: scan+agg, shuffle joins,
+# global ordering, windows, dedup (exact + LSH), ANN, text, enrichment
+# plumbing, event-stream batch forms.
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_multiway_broadcast",
+    "join_left",
+    "dense_id",
+    "topk",
+    "window_rank",
+    "window_running",
+    "agg_rollup",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_jaccard",
+    "ann_bruteforce",
+    "ann_lsh",
+    "text_stats",
+    "lang_id",
+    "enrich_offline",
+    "tumbling_window",
+    "sessionize",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="market-pulse-bench")
+    queries = entrymod.queries()
+
+    # Warm the JVM/IO path once so measurements reflect steady state.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

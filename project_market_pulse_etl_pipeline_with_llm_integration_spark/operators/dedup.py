@@ -1,0 +1,293 @@
+"""Deduplication operators for LLM training-data pipelines (north-star
+mandate): exact, n-gram Jaccard, MinHash+LSH banding, SimHash.
+
+Scale design (the point of each implementation):
+
+* **Exact** — hash-groupBy on an md5 fingerprint of normalized text.
+  One shuffle keyed by a 128-bit digest (uniform, no skew); survivor =
+  min doc_id per group.  At 100 TB this is the cheapest possible exact
+  dedup: the shuffle payload is (digest, id), never the document body.
+
+* **n-gram Jaccard** — exact pairwise similarity, O(n²) without
+  blocking; provided with a cheap blocking key so candidate pairs stay
+  bounded.  At scale this is the *verify* stage fed by LSH candidates,
+  never run all-pairs.
+
+* **MinHash + LSH** — the scale path: k seeded xxhash64 min-hashes per
+  doc (JVM-side higher-order functions, no UDF), grouped into b bands
+  of r rows; docs sharing any band bucket become candidate pairs
+  (equi-join on the band key — a plain shuffle join, no cross product),
+  then candidates are verified with true token-set Jaccard.  P(candidate)
+  = 1-(1-s^r)^b — with k=32, b=8, r=4 the curve crosses ~0.5 at s≈0.59.
+
+* **SimHash** — 64-bit signature from per-token hash bit-votes,
+  near-dup = Hamming distance ≤ d on 16-bit chunk blocking (a pair
+  within distance d ≤ 3 must share one of 4 chunks — pigeonhole).
+
+All token/shingle math uses ``pyspark.sql.functions`` array algebra
+(array_distinct/array_intersect/transform/aggregate) so it stays in
+codegen; only SimHash's bit-vote accumulation uses a vectorized
+mapInPandas (documented slow path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+    norm_text,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical (normalized) texts; survivor = min id.
+    Returns (keep_id, dup_count) per distinct content."""
+    return (
+        df.withColumn("fp", F.md5(norm_text(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(df).select("fp", "keep_id", "dup_count")
+
+
+# ---------------------------------------------------------------------------
+# Token-set / n-gram Jaccard near-dup (exact pairwise, blocked)
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (distinct).  n=1 degrades to
+    the distinct token set."""
+    toks = tokens(col)
+    if n == 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.6,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """All pairs (a<b) with token-shingle Jaccard >= threshold, joined
+    within blocks.  ``block_col`` defaults to a token-count bucket (docs
+    whose lengths differ wildly can't clear a high Jaccard bar anyway).
+    At 100 TB use minhash_candidate_pairs() to generate candidates and
+    this only as the verifier."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, n).alias("sh"),
+        (block_col if block_col is not None else (F.size(tokens(text_col)) / 16).cast("int")).alias(
+            "blk"
+        ),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("blk").alias("blk")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("blk").alias("blk")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_pairs(df, n=1, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signature(col: Column | str, k: int = 32) -> Column:
+    """k seeded min-hashes of the distinct token set (array<bigint>).
+    Seeding = xxhash64(token, seed_i) with a distinct literal per
+    permutation — all JVM-side, no UDF."""
+    toks = F.array_distinct(tokens(col))
+    mins = [
+        F.array_min(F.transform(toks, lambda t, i=i: F.xxhash64(t, F.lit(i))))
+        for i in range(k)
+    ]
+    return F.array(*mins)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: split the k-wide signature into ``bands`` rows of
+    r=k/bands, hash each band, explode, and self-join on (band_idx,
+    band_hash).  The join is a plain equi-join whose key cardinality is
+    ~n·bands — no cross product anywhere."""
+    r = k // bands
+    sig = df.select(F.col(id_col).alias("id"), minhash_signature(text_col, k).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band_idx"),
+                    F.xxhash64(F.concat_ws(",", F.slice("sig", bi * r + 1, r)), bi).alias(
+                        "band_hash"
+                    ),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    left = banded.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    right = banded.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
+    Output (id_a, id_b, jaccard) with id_a < id_b."""
+    cands = minhash_candidate_pairs(df, text_col, id_col, k, bands)
+    sets_ = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("sh")
+    )
+    a = sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs(df, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc via vectorized numpy bit-votes
+    (mapInPandas — the documented Arrow slow path; the per-row work is
+    64-bit popcount math that has no codegen equivalent)."""
+    import pandas as pd  # local so cloudpickle ships only the closure
+
+    spark_schema = f"{id_col} long, simhash long"
+    toks_df = df.select(
+        F.col(id_col), F.array_distinct(tokens(text_col)).alias("toks")
+    ).withColumn("tok_hashes", F.transform("toks", lambda t: F.xxhash64(t))).select(
+        id_col, "tok_hashes"
+    )
+
+    def compute(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, hashes in zip(pdf[id_col], pdf["tok_hashes"]):
+                arr = np.asarray(hashes, dtype=np.uint64)
+                if arr.size == 0:
+                    ids.append(did)
+                    sigs.append(0)
+                    continue
+                bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+                votes = bits.sum(axis=0) * 2 - arr.size  # +1/-1 votes
+                sig = np.uint64(0)
+                for i in np.nonzero(votes > 0)[0]:
+                    sig |= np.uint64(1) << np.uint64(i)
+                ids.append(did)
+                sigs.append(int(np.int64(sig)))  # reinterpret as signed for LongType
+            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+
+    return toks_df.mapInPandas(compute, schema=spark_schema)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_distance.
+    Blocking: 4 x 16-bit chunks — any pair within distance <= 3 shares at
+    least one exact chunk (pigeonhole), so the join is equi on
+    (chunk_idx, chunk_value); the Hamming check runs only on candidates."""
+    sigs = simhash_signatures(df, text_col, id_col).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk_idx", "c.chunk_val")
+    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "chunk_idx", "chunk_val")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "chunk_idx", "chunk_val")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(df, max_distance=3)

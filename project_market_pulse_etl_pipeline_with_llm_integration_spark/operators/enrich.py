@@ -144,6 +144,7 @@ def enrich(
     run_timestamp: datetime | None = None,
     parallelism: int | None = None,
     transport: Transport | None = None,
+    disabled: bool | None = None,
 ) -> DataFrame:
     """Append LLM columns + run timestamp to ``df`` (needs title/content).
 
@@ -167,12 +168,13 @@ def enrich(
     # module globals (set_transport) do not propagate, so both ride the
     # serialized closure instead.
     transport_fn = transport or _transport
-    disabled = _llm_disabled()
+    if disabled is None:
+        disabled = _llm_disabled()
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             triples = [
-                enrich_one(t, c, transport=transport_fn, disabled=disabled or None)
+                enrich_one(t, c, transport=transport_fn, disabled=disabled)
                 for t, c in zip(pdf["title"].tolist(), pdf["content"].tolist())
             ]
             if per_task_delay:

@@ -1,0 +1,87 @@
+"""Multimodal column plumbing (north-star mandate).
+
+Images/audio/video ride through the engine as opaque ``binary`` columns
+with typed metadata; the expensive decode/feature steps are Pandas UDFs
+over ``mapInPandas`` so each Arrow batch crosses the JVM<->Python
+boundary once.  The media codecs themselves are NOT in this container,
+so the decode step is stubbed (deterministic fake by default,
+``NotImplementedError`` when a real codec is demanded) — the Spark-side
+plumbing (schema, partitioning, UDF signature, Arrow batch shape) is
+real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary payload column + typed metadata —
+    stands in for raw image/audio bytes ingested from object storage."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return (
+        df.withColumn("payload", payload)
+        .withColumn("payload_len", F.octet_length(payload).cast("long"))
+        .withColumn("payload_md5", F.md5(payload))
+        .withColumn("media_type", F.lit("application/octet-stream"))
+    )
+
+
+def decode_stub(payload: bytes, real_codec: bool = False) -> list[float]:
+    """Deterministic fake 'decode + feature-extract' for one media blob.
+
+    A real deployment swaps this for PIL/torchaudio/ffmpeg; those libs
+    are not in this container, so demanding a real codec raises."""
+    if real_codec:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg/torchaudio) are not available in this "
+            "environment; decode_stub provides deterministic fake features"
+        )
+    # 8 bucketed byte-histogram features — stable, content-derived.
+    feats = [0.0] * FEATURE_DIM
+    for b in payload:
+        feats[b % FEATURE_DIM] += 1.0
+    total = max(len(payload), 1)
+    return [round(f / total, 6) for f in feats]
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.  Input columns
+    pass through; appends array<double> ``features`` (FEATURE_DIM-wide).
+    Arrow moves the binary batches; Python touches each blob once."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += ", features array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["features"] = [decode_stub(bytes(p)) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable slice of the multimodal pipeline: binary payload
+    length + md5 (the metadata law an engine must preserve end-to-end)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_binary_payload(df).select("doc_id", "payload_len", "payload_md5", "media_type")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full plumbing incl. the stubbed decode (rows-only check: the fake
+    features are engine-defined, not SQL-expressible)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(with_binary_payload(df).select("doc_id", "payload"))
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+        F.size("features").alias("feature_dim"),
+    )

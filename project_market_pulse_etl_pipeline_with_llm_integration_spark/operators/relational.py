@@ -1,0 +1,392 @@
+"""Relational operator library (SURVEY §2 inventory + §2.2 extensions).
+
+Each function is a named query builder ``(spark, sf_dir) -> DataFrame``
+over the driver's testdata tables (TESTDATA.md), exercising one operator
+family from the SURVEY §2 checklist.  Every computed column is aliased so
+the DuckDB oracle in ``__spark_entry__.oracle_sql`` can produce an
+identical (column-name, value) surface.
+
+Design rules applied throughout (100 TB posture):
+  * dimension tables (region/nation/supplier/customer at TPC-H ratios)
+    are broadcast explicitly where the optimizer might not see sizes;
+  * aggregates run as partial (map-side) + final hash aggregations —
+    free with groupBy;
+  * double aggregates are rounded to pin cross-engine float identity;
+  * no ``collect()`` anywhere — everything stays a lazy plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.ids import with_dense_id
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import exact_sample
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters (O2, O4, O5, O6, O10)
+# ---------------------------------------------------------------------------
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan + rename-projection (O2/O4/O10).  Catalyst prunes the
+    scan to exactly these three columns (check ReadSchema in explain)."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+def q_filter_in_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + not-null predicates (O5/O6) — both push to the scan."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+        .filter(F.col("c_name").isNotNull() & (F.col("c_acctbal") > 0))
+        .select("c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def q_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe string->timestamp cast, null on failure (O7).  Round-trips
+    o_orderdate through a string and re-parses with try_to_timestamp,
+    plus a deliberately invalid parse column that must be all-null."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.try_to_timestamp(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")).alias("reparsed"),
+        F.try_to_timestamp(F.concat(F.lit("not-a-date-"), F.col("o_orderstatus"))).alias(
+            "bad_parse"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / dense ids / top-k / sample (O8, O9, O11)
+# ---------------------------------------------------------------------------
+
+def q_dense_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + dense 1-based id (O8/O9) via the scalable two-phase
+    operator; pinned total order (o_orderdate, o_orderkey)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return with_dense_id(orders, ["o_orderdate", "o_orderkey"], id_col="seq_id")
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with pinned tiebreak — executed as per-partition top-k +
+    merge (TakeOrderedAndProject), never a global sort."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(25)
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def q_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N seeded sample (O11) — row identity is engine-defined
+    (SURVEY §7 risk #2), so the driver check is rows-only (no oracle)."""
+    return exact_sample(_t(spark, sf_dir, "orders"), 500, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# Joins (O16 generalized)
+# ---------------------------------------------------------------------------
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join (O16) customer->orders with per-customer totals;
+    customers without orders keep nulls -> coalesced to 0."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("order_cnt"), F.round(F.sum("o_totalprice"), 2).alias("total_spent")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("order_cnt", F.lit(0)).alias("order_cnt"),
+            F.round(F.coalesce("total_spent", F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+def q_join_multiway_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way inner join lineitem⋈orders⋈customer + small-dim broadcast
+    (nation): revenue by nation and order priority.  The big⋈big join
+    shuffles on orderkey; nation is broadcast — the plan a 100 TB run
+    wants."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("line_cnt"),
+        )
+        .withColumnRenamed("n_name", "nation")
+        .withColumnRenamed("o_orderpriority", "priority")
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having >= 1 'F' order."""
+    f_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(f_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no 'P'-status order."""
+    p_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(p_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: parts priced within a band per size class.
+    Kept deliberately selective so the nested-loop side stays small; the
+    small side is broadcast -> BroadcastNestedLoopJoin, the only sane
+    physical plan for theta joins."""
+    part = _t(spark, sf_dir, "part")
+    # Exact min (not avg) for the band edge: min is order-insensitive, so
+    # the float boundary is bit-identical across engines.
+    bands = F.broadcast(
+        part.groupBy("p_size").agg(F.min("p_retailprice").alias("band_lo"))
+    ).withColumnRenamed("p_size", "band_size")
+    return (
+        part.join(
+            bands,
+            (part.p_size == bands.band_size)
+            & (part.p_retailprice > bands.band_lo)
+            & (part.p_retailprice <= bands.band_lo + 200.0),
+            "inner",
+        )
+        .select("p_partkey", "p_size", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (extension — absent in reference, SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical hash-agg with
+    map-side partials; one shuffle on the 4-ish distinct group keys."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (dedup by full row)."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — expand+two-phase agg in Spark; also a sum."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("cnt"))
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all cross-combinations)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("o_totalprice"), 6).alias("avg_price"))
+    )
+
+
+def q_agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation (same physical shape
+    Spark's pivot lowers to; oracle-friendly column names)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2
+                ).alias("qty_open"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2
+                ).alias("qty_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (extension; O9 is the degenerate global case)
+# ---------------------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number per customer by totalprice desc.
+    Partitioned window -> fully parallel (no global funnel)."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn", "rnk")
+    )
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each customer's order history (gap analysis)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey", 1).over(w).alias("prev_order"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        F.datediff("o_orderdate", F.lag("o_orderdate", 1).over(w)).cast("long").alias(
+            "days_since_prev"
+        ),
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) spend per customer — rows-unbounded frame."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (O17 + extensions)
+# ---------------------------------------------------------------------------
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL accumulate (O17) of two disjoint projections."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", F.lit("high").alias("bucket")
+    )
+    lo = o.filter(F.col("o_totalprice") <= 200000).select(
+        "o_orderkey", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo)
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): custkeys appearing in both O- and F-status
+    orders."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers minus those with a 'P'-status order."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.subtract(o)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (O4 tail: string/date/json/case)
+# ---------------------------------------------------------------------------
+
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery: substring/upper/length/concat/replace."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace(F.col("p_type"), " ", "_").alias("type_snake"),
+    )
+
+
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery: year/month/trunc/datediff vs a fixed epoch."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+    )
+
+
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (the reference's from_json-shaped parse, O13 tail):
+    events.props is a JSON object string -> pull int key 'k'."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_events,
+    )
+
+    return read_events(spark, sf_dir).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + conditional counts per segment."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket",
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high"),
+    )
+    return c.groupBy("c_mktsegment", "bal_bucket").agg(F.count("*").alias("cnt"))
+
+
+def q_literal_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal column append (O18): one driver-side constant on all rows."""
+    return _t(spark, sf_dir, "region").select(
+        "r_regionkey",
+        "r_name",
+        F.lit("run-0001").alias("run_tag"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("stamped_at"),
+    )

@@ -48,6 +48,10 @@ def get_spark(
         # (pd.to_datetime errors="coerce", Main.py:160); we additionally use
         # try_* functions so the plans are ANSI-safe either way.
         .config("spark.sql.ansi.enabled", "false")
+        # The driver's events table stores TIMESTAMP(NANOS) which Spark's
+        # parquet reader rejects; read as long and convert explicitly
+        # (sources.readers.read_events) — micro-precision afterwards.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

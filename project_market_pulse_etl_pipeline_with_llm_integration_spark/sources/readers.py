@@ -40,6 +40,22 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events scan with nanosecond-timestamp normalization.
+
+    The driver's events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark reads only as a raw long (``nanosAsLong``); convert to a
+    micro-precision TimestampType (floor division — matching how
+    ns-capable engines truncate when downcasting)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None, register_views: bool = True
 ) -> dict[str, DataFrame]:

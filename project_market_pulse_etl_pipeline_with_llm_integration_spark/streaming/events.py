@@ -1,0 +1,131 @@
+"""Structured Streaming over event streams (SURVEY §2.2 — absent in the
+reference, mandated extension).
+
+Transformations are defined once and applied to BOTH batch and streaming
+DataFrames (Spark's unified model): the batch forms back the
+``queries()``/oracle checks, the streaming forms run under
+``readStream`` with watermarks for late data.  Tests execute the stream
+with ``trigger(availableNow=True)`` against the driver's events parquet
+and assert stream == batch.
+
+Scale notes: windowed aggregations shuffle on (window, key) — bounded
+state via watermark eviction; sessionization uses ``session_window``
+(native state store) — per-key state, watermark-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+    read_events,
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+# -- shared transformations (batch == streaming) ----------------------------
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts+sums per event_type."""
+    return (
+        events.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window counts (each event lands in width/slide windows)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), "cnt")
+    )
+
+
+def streaming_tumbling_counts(
+    events_stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming form: watermark bounds state + drops data later than
+    ``watermark`` past the max seen event time."""
+    return tumbling_counts(events_stream.withWatermark("ts", watermark), width)
+
+
+def session_windows_stateful(
+    events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows per user (gap-merged, state-store backed)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, path_dir: str, max_files: int = 1) -> DataFrame:
+    """File-source stream over an events parquet directory (each file =
+    one micro-batch with maxFilesPerTrigger)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path_dir)
+    )
+
+
+# -- batch/oracle-checkable forms over the events table ---------------------
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(read_events(spark, sf_dir), "1 hour")
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(read_events(spark, sf_dir), "1 hour", "30 minutes")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) as window algebra — the batch
+    equivalent of session_window, exactly replicable in ANSI SQL:
+    new-session flag via lag, session id via running sum."""
+    events = read_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))) > 1800, 1
+        ).otherwise(F.when(F.lag("ts", 1).over(w).isNull(), 1).otherwise(0)),
+    )
+    with_sid = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
