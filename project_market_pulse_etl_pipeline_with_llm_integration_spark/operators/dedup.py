@@ -128,10 +128,14 @@ def minhash_signature(col: Column | str, k: int = 32) -> Column:
     Seeding = xxhash64(token, seed_i) with a distinct literal per
     permutation — all JVM-side, no UDF."""
     toks = F.array_distinct(tokens(col))
-    mins = [
-        F.array_min(F.transform(toks, lambda t, i=i: F.xxhash64(t, F.lit(i))))
-        for i in range(k)
-    ]
+
+    # NB: the lambda must be unary — F.transform treats a two-parameter
+    # lambda as the (element, index) form, which would silently replace
+    # the permutation seed with the token's array position.
+    def perm_hash(seed: int):
+        return lambda t: F.xxhash64(t, F.lit(seed))
+
+    mins = [F.array_min(F.transform(toks, perm_hash(i))) for i in range(k)]
     return F.array(*mins)
 
 

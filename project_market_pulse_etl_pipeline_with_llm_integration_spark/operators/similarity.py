@@ -100,17 +100,27 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    multi_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: bucket items once, probe the query's bucket
     (equi-join on the bucket id), exact-cosine re-rank inside the bucket.
-    With n_planes=8 a random pair collides with prob (1 - theta/pi)^8;
-    near-identical vectors collide almost surely."""
+    A random pair collides with prob (1 - theta/pi)^n_planes; near-
+    identical vectors collide almost surely.  ``multi_probe=1`` also
+    probes every bucket one sign-flip away from the query's (the classic
+    multi-probe LSH recall boost: n_planes extra probes instead of
+    n_planes extra tables)."""
     bucketed = items.withColumn("bucket", _bucket_expr(F.col(vec_col), dim, n_planes, seed))
-    q_bucketed = queries.withColumn(
-        "bucket", _bucket_expr(F.col(query_vec_col), dim, n_planes, seed)
+    q_exact = queries.withColumn(
+        "bucket0", _bucket_expr(F.col(query_vec_col), dim, n_planes, seed)
+    )
+    probes = [F.col("bucket0")]
+    if multi_probe >= 1:
+        probes += [F.col("bucket0").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    q_bucketed = q_exact.select(
+        query_id_col, query_vec_col, F.explode(F.array(*probes)).alias("bucket")
     )
     cands = bucketed.join(
-        F.broadcast(q_bucketed.select(query_id_col, query_vec_col, "bucket")), "bucket"
+        F.broadcast(q_bucketed), "bucket"
     ).filter(F.col(id_col) != F.col(query_id_col))
     scored = cands.withColumn(
         "cos_sim", F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)

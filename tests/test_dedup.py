@@ -1,0 +1,60 @@
+"""Dedup operator semantics on constructed corpora + recall of the LSH
+paths against the exact pairwise baseline on real testdata."""
+
+from __future__ import annotations
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import dedup
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    df = _docs(
+        spark,
+        ["Hello  World", "hello world", "HELLO\tWORLD ", "different doc entirely"],
+    )
+    out = {r.keep_id: r.dup_count for r in dedup.exact_dedup(df).collect()}
+    assert out == {0: 3, 3: 1}
+
+
+def test_jaccard_pairs_finds_near_identical(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = _docs(spark, [base, base + " ok", "完全 不同 的 文字 something else entirely ok yes"])
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(df, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.9
+    assert all(k == (0, 1) for k in pairs)
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    df = _docs(spark, ["alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon zeta", "one two three four five six"])
+    cands = {(r.id_a, r.id_b) for r in dedup.minhash_candidate_pairs(df).collect()}
+    assert (0, 1) in cands
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH (k=32, b=8, r=4) must recover the overwhelming majority of
+    true pairs at jaccard >= 0.7 on the real documents table."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(docs, threshold=0.7, block_col=F.lit(0)).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in dedup.minhash_dedup_pairs(docs, threshold=0.7).collect()}
+    assert lsh <= exact or not exact  # verify step guarantees no false positives
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"minhash recall too low: {recall}"
+
+
+def test_simhash_identical_distance_zero(spark):
+    df = _docs(spark, ["spark shuffles sort merge join hash", "spark shuffles sort merge join hash", "entirely unrelated words appear here now"])
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(df, max_distance=3).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) not in pairs and (1, 2) not in pairs

@@ -1,0 +1,65 @@
+"""Semantic spot-checks of the relational library at sf0.001 (the full
+oracle comparison runs via tools/check_oracle.py and the driver gate;
+these pin invariants that don't need DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import relational as R
+from tests.conftest import SF_SMALL
+
+
+def test_topk_ordered_and_bounded(spark):
+    rows = R.q_topk(spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    bals = [r.acctbal for r in rows]
+    assert bals == sorted(bals, reverse=True)
+
+
+def test_dense_id_is_dense_and_ordered(spark):
+    df = R.q_dense_id(spark, SF_SMALL)
+    n = df.count()
+    assert df.agg(F.min("seq_id"), F.max("seq_id"), F.countDistinct("seq_id")).first() == (
+        1,
+        n,
+        n,
+    )
+    # seq order must follow the pinned total order
+    sample = df.orderBy("seq_id").limit(100).collect()
+    keys = [(r.o_orderdate, r.o_orderkey) for r in sample]
+    assert keys == sorted(keys)
+
+
+def test_semi_anti_partition_customers(spark):
+    semi = R.q_join_semi(spark, SF_SMALL).count()  # has an 'F' order
+    total = spark.read.parquet(f"{SF_SMALL}/customer.parquet").count()
+    anti_p = R.q_join_anti(spark, SF_SMALL).count()  # lacks a 'P' order
+    p_holders = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert semi <= total
+    assert anti_p == total - p_holders
+
+
+def test_union_all_preserves_cardinality(spark):
+    assert (
+        R.q_union_all(spark, SF_SMALL).count()
+        == spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+    )
+
+
+def test_rollup_has_grand_total(spark):
+    rows = R.q_agg_rollup(spark, SF_SMALL).collect()
+    grand = [r for r in rows if r.l_returnflag is None and r.l_linestatus is None]
+    assert len(grand) == 1
+    assert grand[0].cnt == spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").count()
+
+
+def test_broadcast_join_in_plan(spark):
+    plan = R.q_join_multiway_broadcast(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

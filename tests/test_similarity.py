@@ -1,0 +1,58 @@
+"""Similarity-search semantics: exactness of brute force, recall of the
+LSH path, self-similarity sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+    cosine_similarity,
+)
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import similarity
+from tests.conftest import SF_SMALL
+
+
+def test_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    vals = [r.c for r in df.select(F.round(cosine_similarity(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+    assert vals == [1.0, 0.0, 1.0]
+
+
+def test_bruteforce_topk_shape(spark):
+    out = similarity.q_ann_bruteforce(spark, SF_SMALL)
+    rows = out.collect()
+    assert len(rows) == 30  # 3 queries x k=10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.sim_rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != q for r in rs)
+
+
+def test_lsh_results_subset_of_bucket_and_ranked(spark):
+    rows = similarity.q_ann_lsh(spark, SF_SMALL).collect()
+    assert rows, "LSH should return candidates on sf0.001"
+    assert all(r.sim_rank <= 10 for r in rows)
+
+
+def test_lsh_recall_at_10(spark):
+    """With 4 hyperplanes the top-1 true neighbor should usually share
+    the query's bucket; require recall@10 >= 0.3 overall (the synthetic
+    embeddings are near-orthogonal, so this is a plumbing check, not a
+    quality bar)."""
+    bf = similarity.q_ann_bruteforce(spark, SF_SMALL).collect()
+    lsh = similarity.q_ann_lsh(spark, SF_SMALL).collect()
+    bf_set = {(r.query_id, r.vec_id) for r in bf}
+    lsh_set = {(r.query_id, r.vec_id) for r in lsh}
+    assert len(lsh_set & bf_set) / len(bf_set) >= 0.3
+
+
+def test_near_dup_pairs_symmetric_free(spark):
+    rows = similarity.q_embedding_near_dup(spark, SF_SMALL).collect()
+    assert all(r.id_a < r.id_b for r in rows)
