@@ -337,8 +337,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1"
         ),
         "dedup_jaccard": (
-            "WITH t AS (SELECT doc_id AS id, "
-            f"list_distinct({_TOKS}) AS sh, len({_TOKS}) // 16 AS blk FROM documents) "
+            f"WITH toks AS (SELECT doc_id AS id, {_TOKS} AS tk FROM documents), "
+            "t AS (SELECT id, list_distinct([array_to_string(tk[i:i+2], ' ') "
+            "FOR i IN generate_series(1, greatest(len(tk)-2, 1))]) AS sh, "
+            "len(tk) // 16 AS blk FROM toks) "
             "SELECT a.id AS id_a, b.id AS id_b, "
             "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
             "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "

@@ -44,9 +44,11 @@ def test_minhash_recall_vs_exact(spark):
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     exact = {
         (r.id_a, r.id_b)
-        for r in dedup.jaccard_pairs(docs, threshold=0.7, block_col=F.lit(0)).collect()
+        for r in dedup.jaccard_pairs(docs, n=3, threshold=0.7, block_col=F.lit(0)).collect()
     }
-    lsh = {(r.id_a, r.id_b) for r in dedup.minhash_dedup_pairs(docs, threshold=0.7).collect()}
+    lsh = {
+        (r.id_a, r.id_b) for r in dedup.minhash_dedup_pairs(docs, threshold=0.7, n=3).collect()
+    }
     assert lsh <= exact or not exact  # verify step guarantees no false positives
     if exact:
         recall = len(lsh & exact) / len(exact)
