@@ -110,8 +110,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup": R.q_agg_rollup,
         "agg_cube": R.q_agg_cube,
         "agg_conditional_pivot": R.q_agg_conditional_pivot,
+        "agg_percentile": R.q_agg_percentile,
+        "agg_grouping_sets": R.q_agg_grouping_sets,
+        "agg_approx_distinct": R.q_agg_approx_distinct,  # rows-only: sketch estimates engine-defined
+        "array_agg": R.q_array_agg,
+        "explode_wordcount": R.q_explode_wordcount,
+        "null_handling": R.q_null_handling,
+        "union_distinct": R.q_union_distinct,
         # -- window functions
         "window_rank": R.q_window_rank,
+        "window_distribution": R.q_window_distribution,
         "window_lag_lead": R.q_window_lag_lead,
         "window_running": R.q_window_running,
         # -- set operations (O17 + extensions)
@@ -239,6 +247,38 @@ def oracle_sql() -> dict[str, str]:
             "round(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_open, "
             "round(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_filled "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "agg_percentile": (
+            "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty, "
+            "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "agg_grouping_sets": (
+            "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, "
+            "round(SUM(o_totalprice), 2) AS total FROM orders "
+            "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
+        ),
+        "array_agg": (
+            "SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys, COUNT(*) AS n_lines "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "explode_wordcount": (
+            f"SELECT token, COUNT(*) AS cnt FROM (SELECT unnest({_TOKS}) AS token "
+            "FROM documents) GROUP BY token"
+        ),
+        "null_handling": (
+            "SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_nullable, "
+            "coalesce(nullif(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS seg_filled, "
+            "(c_mktsegment IS NOT DISTINCT FROM 'BUILDING') AS is_building FROM customer"
+        ),
+        "union_distinct": (
+            "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000 "
+            "UNION SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'"
+        ),
+        "window_distribution": (
+            "SELECT c_custkey, c_mktsegment, CAST(ntile(4) OVER w AS BIGINT) AS quartile, "
+            "round(percent_rank() OVER w, 6) AS pct_rank, round(cume_dist() OVER w, 6) AS cume "
+            "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"
         ),
         "window_rank": (
             "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn, rnk FROM ("

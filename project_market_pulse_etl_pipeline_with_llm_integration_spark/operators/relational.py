@@ -251,6 +251,88 @@ def q_agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (continuous quantiles) per group —
+    Spark's percentile == DuckDB's quantile_cont."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+        )
+    )
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): one set per
+    dimension, no combined or grand-total rows."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, "
+        "round(SUM(o_totalprice), 2) AS total FROM orders_gs "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
+    )
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch (approx_count_distinct).  Sketch estimates
+    are engine-defined -> rows-only driver check; the relative-error
+    contract is asserted in tests instead."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+    )
+
+
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-order sorted quantity vector (collect_list
+    -> sort_array for determinism) + array length."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_quantity")).alias("qtys"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UNNEST): classic word count over documents."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+        tokens,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-algebra battery: nullif / coalesce / null-safe predicate."""
+    c = _t(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_or_null.alias("seg_nullable"),
+        F.coalesce(seg_or_null, F.lit("SUPPRESSED")).alias("seg_filled"),
+        F.col("c_mktsegment").eqNullSafe(F.lit("BUILDING")).alias("is_building"),
+    )
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two overlapping key sets."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 250000).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
 # ---------------------------------------------------------------------------
 # Window functions (extension; O9 is the degenerate global case)
 # ---------------------------------------------------------------------------
@@ -279,6 +361,18 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("o_orderdate", F.lag("o_orderdate", 1).over(w)).cast("long").alias(
             "days_since_prev"
         ),
+    )
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile / percent_rank / cume_dist."""
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 

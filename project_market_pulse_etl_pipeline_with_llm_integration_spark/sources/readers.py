@@ -40,6 +40,31 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV scan (format extension beyond the reference's JSONL/parquet).
+    Pass an explicit schema at scale — inference costs a full extra read."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", delimiter)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Generic newline-delimited JSON scan with optional pinned schema."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("mode", "PERMISSIVE").json(path)
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events scan with nanosecond-timestamp normalization.
 

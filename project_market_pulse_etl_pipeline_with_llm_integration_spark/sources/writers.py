@@ -39,3 +39,24 @@ def write_parquet_timestamped(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(final_path)
     return final_path
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> str:
+    """Generic sink: parquet / csv / json (ORC and others pass through to
+    the DataSource registry).  CSV writes a header by default."""
+    writer = df.write.mode(mode)
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+    return path

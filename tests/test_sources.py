@@ -1,0 +1,52 @@
+"""Source/sink format coverage: CSV and JSONL roundtrips with pinned
+schemas, plus the generic write_table sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+    read_csv,
+    read_jsonl,
+)
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.writers import (
+    write_table,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    path = str(tmp_path / "region_csv")
+    write_table(src, path, fmt="csv")
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    assert sorted((r.r_regionkey, r.r_name) for r in back.collect()) == sorted(
+        (r.r_regionkey, r.r_name) for r in src.collect()
+    )
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    path = str(tmp_path / "nation_json")
+    write_table(src, path, fmt="json")
+    back = read_jsonl(spark, path)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    path = str(tmp_path / "cust_part")
+    write_table(src, path, fmt="parquet", partition_by=["c_mktsegment"])
+    back = spark.read.parquet(path).filter(F.col("c_mktsegment") == "BUILDING")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the segment predicate must land in PartitionFilters
+    assert "PartitionFilters: [" in plan
+    assert back.count() == src.filter(F.col("c_mktsegment") == "BUILDING").count()
