@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": R.q_join_semi,
         "join_anti": R.q_join_anti,
         "join_range": R.q_join_range,
+        "join_asof": R.q_join_asof,
         # -- aggregations (SURVEY §2.2 extension)
         "agg_pricing_summary": R.q_agg_pricing_summary,
         "agg_distinct": R.q_agg_distinct,
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": dedup.q_dedup_jaccard,
         "dedup_minhash": dedup.q_dedup_minhash,  # rows-only: xxhash64 sigs are engine-defined
         "dedup_simhash": dedup.q_dedup_simhash,  # rows-only: same
+        "dedup_clusters": dedup.q_dedup_clusters,  # rows-only: iterative algorithm
         # -- similarity search (north-star)
         "ann_bruteforce": similarity.q_ann_bruteforce,
         "ann_lsh": similarity.q_ann_lsh,  # rows-only: bucket fn engine-defined
@@ -218,6 +220,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT p_size AS band_size, MIN(p_retailprice) AS band_lo FROM part "
             "GROUP BY p_size) b ON p.p_size = b.band_size "
             "AND p.p_retailprice > b.band_lo AND p.p_retailprice <= b.band_lo + 200.0"
+        ),
+        "join_asof": (
+            "SELECT c.event_id AS click_id, c.user_id, v.event_id AS asof_view_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+            "ON c.user_id = v.user_id AND c.ts >= v.ts"
         ),
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty, "

@@ -255,6 +255,66 @@ def minhash_dedup_pairs(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id) with
+    cluster_id = min doc id in the component (the survivor).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(log(diameter)) rounds for typical dup clusters (diameter ~1-2).
+    Spark-shaped iteration: each round is two shuffles (edge join +
+    min-agg), the frontier DataFrame is localCheckpoint'ed to cut the
+    lineage, and convergence is detected with a changed-label count —
+    the standard large-graph CC pattern (no driver materialization of
+    nodes or edges)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: minhash pipeline -> connected components.
+    Iterative -> no SQL oracle (rows-only check); correctness pinned by
+    tests against a hand-built graph."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup_pairs(
+        df, threshold=0.6, num_partitions=spark.sparkContext.defaultParallelism
+    )
+    return dup_clusters(pairs)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_dedup_pairs(

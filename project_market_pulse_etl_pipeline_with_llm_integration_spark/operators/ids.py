@@ -51,10 +51,10 @@ def with_dense_id(
         raise ValueError(f"unknown dense-id method: {method!r}")
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(parts, *order_by)
-        .sortWithinPartitions(*order_by)
-        .withColumn(_PID, F.spark_partition_id())
+    # No sortWithinPartitions here: the offset pass only needs counts,
+    # and the row_number window below sorts each pid-group itself.
+    ranged = df.repartitionByRange(parts, *order_by).withColumn(
+        _PID, F.spark_partition_id()
     )
     # Pin the (sampled, hence plan-dependent) range partitioning so the
     # count pass and the output pass see identical partition boundaries.

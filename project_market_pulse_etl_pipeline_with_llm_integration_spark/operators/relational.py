@@ -184,6 +184,42 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time lookup) — an operator Spark lacks
+    natively, composed from union + ignore-nulls last_value window
+    (the scalable pattern: one shuffle on the key, no per-key loops,
+    no nested-loop join).
+
+    Semantics: for every 'click' event, attach the most recent 'view'
+    event of the same user at-or-before the click's timestamp
+    (DuckDB oracle: native ASOF JOIN with >=)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_events,
+    )
+
+    ev = read_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), F.lit(0).alias("tag")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.lit(1).alias("tag")
+    )
+    merged = views.unionByName(clicks.withColumn("view_id", F.lit(None).cast("long")),
+                               allowMissingColumns=True)
+    # at equal ts the view sorts first (tag 0 < 1), matching ASOF >=
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.withColumn("asof_view_id", F.last("view_id", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("tag") == 1)
+        .filter(F.col("asof_view_id").isNotNull())
+        .select("click_id", "user_id", "asof_view_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (extension — absent in reference, SURVEY §2.2)
 # ---------------------------------------------------------------------------

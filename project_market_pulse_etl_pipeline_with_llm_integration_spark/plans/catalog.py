@@ -34,6 +34,26 @@ def index_table(spark: SparkSession, database: str, table: str) -> bool:
     return run_sql(spark, f"MSCK REPAIR TABLE {table}", database)
 
 
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    Two tables bucketed identically on the join key co-locate: repeated
+    joins and aggregations on that key run with ZERO exchange — the
+    decisive layout optimization for hot 100 TB join keys (asserted in
+    tests/test_bucketing.py)."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def register_external_table(
     spark: SparkSession,
     name: str,

@@ -1,0 +1,58 @@
+"""As-of join and connected-components cluster semantics on constructed
+inputs (the real-data oracle check runs via tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+    dup_clusters,
+)
+
+
+def _ts(s: int):
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_join_semantics(spark, tmp_path, monkeypatch):
+    """Each click picks the latest view at-or-before it, per user."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        q_join_asof,
+    )
+
+    rows = [
+        # user 1: view@1, view@5, click@3 -> view@1 ; click@5 -> view@5 (ties: >=)
+        (10, _ts(1), 1, "view", 0.0, "{}"),
+        (11, _ts(5), 1, "view", 0.0, "{}"),
+        (12, _ts(3), 1, "click", 0.0, "{}"),
+        (13, _ts(5), 1, "click", 0.0, "{}"),
+        # user 2: click@2 with no prior view -> dropped
+        (14, _ts(2), 2, "click", 0.0, "{}"),
+        (15, _ts(9), 2, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    out = {r.click_id: r.asof_view_id for r in q_join_asof(spark, sf_dir).collect()}
+    assert out == {12: 10, 13: 11}
+
+
+def test_dup_clusters_components(spark):
+    """Chain 1-2-3, pair 10-11, singleton edgeless nodes excluded."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (10, 11, 0.95)], "id_a long, id_b long, jaccard double"
+    )
+    out = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(12)], "id_a long, id_b long, jaccard double"
+    )
+    out = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 13

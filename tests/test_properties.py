@@ -1,0 +1,63 @@
+"""Property-based tests (hypothesis) for operator invariants that must
+hold on arbitrary inputs, not just the driver's tables."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import dedup
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.ids import (
+    with_dense_id,
+)
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+words = st.sampled_from(["spark", "join", "scan", "sort", "hash", "agg", "row", "col"])
+texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+
+@_slow
+@given(st.lists(st.integers(min_value=-(10**6), max_value=10**6), min_size=1, max_size=300))
+def test_dense_id_is_permutation(spark, values):
+    df = spark.createDataFrame([(v, i) for i, v in enumerate(values)], "v long, tie long")
+    out = with_dense_id(df, ["v", "tie"], id_col="rid", num_partitions=4).collect()
+    ids = sorted(r.rid for r in out)
+    assert ids == list(range(1, len(values) + 1))
+    # id order == (v, tie) order
+    by_id = sorted(out, key=lambda r: r.rid)
+    assert [(r.v, r.tie) for r in by_id] == sorted((r.v, r.tie) for r in out)
+
+
+@_slow
+@given(st.lists(texts, min_size=2, max_size=12))
+def test_jaccard_pairs_bounds_and_orientation(spark, docs):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    rows = dedup.jaccard_pairs(df, n=1, threshold=0.0, block_col=F.lit(0)).collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0.0 <= r.jaccard <= 1.0
+    # identical docs must appear with jaccard 1.0
+    for i, a in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            if a == docs[j] and a.strip():
+                assert any(
+                    r.id_a == i and r.id_b == j and r.jaccard == 1.0 for r in rows
+                ), (i, j)
+
+
+@_slow
+@given(st.lists(texts.filter(lambda t: t.strip()), min_size=1, max_size=10))
+def test_exact_dedup_partitions_ids(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    rows = dedup.exact_dedup(df).collect()
+    # dup counts cover every row exactly once; keep_ids are minimal
+    assert sum(r.dup_count for r in rows) == len(docs)
+    for r in rows:
+        assert docs[r.keep_id] is not None
