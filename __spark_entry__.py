@@ -26,6 +26,7 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators impo
     relational as R,
     similarity,
     text,
+    udfs,
 )
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.enrich import (  # noqa: E402
     build_prompt,
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti": R.q_join_anti,
         "join_range": R.q_join_range,
         "join_asof": R.q_join_asof,
+        "join_outer": R.q_join_outer,
         # -- aggregations (SURVEY §2.2 extension)
         "agg_pricing_summary": R.q_agg_pricing_summary,
         "agg_distinct": R.q_agg_distinct,
@@ -121,18 +123,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- window functions
         "window_rank": R.q_window_rank,
         "window_distribution": R.q_window_distribution,
+        "window_range_frame": R.q_window_range_frame,
         "window_lag_lead": R.q_window_lag_lead,
         "window_running": R.q_window_running,
         # -- set operations (O17 + extensions)
         "union_all": R.q_union_all,
         "intersect": R.q_intersect,
+        "intersect_all": R.q_intersect_all,
         "except": R.q_except,
         # -- scalar functions (string/date/json/case/literal; O18)
         "scalar_string": R.q_scalar_string,
         "scalar_date": R.q_scalar_date,
         "scalar_json": R.q_scalar_json,
+        "scalar_math": R.q_scalar_math,
+        "map_ops": R.q_map_ops,
         "case_when": R.q_case_when,
         "literal_stamp": R.q_literal_stamp,
+        # -- python UDF taxonomy (grouped-map, UDAF, UDTF)
+        "grouped_zscore": udfs.q_grouped_zscore,
+        "pandas_udaf": udfs.q_pandas_udaf,
+        "udtf_split": udfs.q_udtf_split,
         # -- enrichment engine (O13/O14/O15/O18)
         "enrich_offline": q_enrich_offline,
         # -- text analysis (north-star)
@@ -221,6 +231,14 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY p_size) b ON p.p_size = b.band_size "
             "AND p.p_retailprice > b.band_lo AND p.p_retailprice <= b.band_lo + 200.0"
         ),
+        "join_outer": (
+            "SELECT COALESCE(o.status, l.status) AS status, "
+            "COALESCE(o.n_orders, 0) AS n_orders, COALESCE(l.n_lines, 0) AS n_lines FROM "
+            "(SELECT o_orderstatus AS status, COUNT(*) AS n_orders FROM orders GROUP BY 1) o "
+            "FULL OUTER JOIN "
+            "(SELECT l_returnflag AS status, COUNT(*) AS n_lines FROM lineitem GROUP BY 1) l "
+            "ON o.status = l.status"
+        ),
         "join_asof": (
             "SELECT c.event_id AS click_id, c.user_id, v.event_id AS asof_view_id "
             "FROM (SELECT * FROM events WHERE event_type = 'click') c "
@@ -287,6 +305,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_mktsegment, CAST(ntile(4) OVER w AS BIGINT) AS quartile, "
             "round(percent_rank() OVER w, 6) AS pct_rank, round(cume_dist() OVER w, 6) AS cume "
             "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"
+        ),
+        "window_range_frame": (
+            "SELECT o_custkey, o_orderkey, CAST(date_diff('day', DATE '1990-01-01', "
+            "CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no, round(SUM(o_totalprice) OVER ("
+            "PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1990-01-01', "
+            "CAST(o_orderdate AS DATE)) RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) "
+            "AS spend_30d FROM orders"
+        ),
+        "intersect_all": (
+            "SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O' "
+            "INTERSECT ALL SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        "scalar_math": (
+            "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice), 6) AS sqrt_price, "
+            "round(ln(l_quantity + 1), 6) AS ln_qty, round(exp(l_discount), 6) AS exp_disc, "
+            "round(power(l_quantity, 2), 2) AS qty_sq, abs(l_quantity - 25) AS qty_dev, "
+            "CAST(ceil(l_tax) AS BIGINT) AS tax_ceil, "
+            "CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, "
+            "l_orderkey % 7 AS key_mod7 FROM lineitem"
+        ),
+        "map_ops": (
+            "SELECT event_id, event_type AS etype, CAST(user_id AS VARCHAR) AS uid_str, "
+            "['etype', 'uid'] AS keys, TRUE AS has_etype FROM events"
+        ),
+        "grouped_zscore": (
+            "SELECT c_mktsegment, c_custkey AS id, round((c_acctbal - AVG(c_acctbal) OVER w) / "
+            "STDDEV_SAMP(c_acctbal) OVER w, 4) AS z FROM customer "
+            "WINDOW w AS (PARTITION BY c_mktsegment)"
+        ),
+        "pandas_udaf": (
+            "SELECT l_returnflag, round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) "
+            "AS wavg_price FROM lineitem GROUP BY l_returnflag"
+        ),
+        "udtf_split": (
+            "SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word FROM part"
         ),
         "window_rank": (
             "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn, rnk FROM ("

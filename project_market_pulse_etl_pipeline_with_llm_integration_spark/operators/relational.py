@@ -184,6 +184,26 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-status order counts vs per-status lineitem
+    return counts (disjoint status domains exercise both null sides)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("status"))
+        .agg(F.count("*").alias("n_lines"))
+    )
+    return o.join(l, "status", "full_outer").select(
+        "status",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+    )
+
+
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (point-in-time lookup) — an operator Spark lacks
     natively, composed from union + ignore-nulls last_value window
@@ -412,6 +432,22 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-based window frame: trailing-30-day spend per customer.
+    Range frames are tie-insensitive (same-day orders aggregate
+    identically regardless of intra-day order)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "day_no", F.datediff("o_orderdate", F.lit("1990-01-01").cast("date")).cast("long")
+    )
+    w = W.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running (cumulative) spend per customer — rows-unbounded frame."""
     w = (
@@ -463,6 +499,51 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Scalar functions (O4 tail: string/date/json/case)
 # ---------------------------------------------------------------------------
+
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiplicity-preserving: min of the two counts)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)
+
+
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery: sqrt/ln/exp/power/abs/ceil/floor/mod."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("l_quantity") + 1), 6).alias("ln_qty"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.pow("l_quantity", 2), 2).alias("qty_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.ceil("l_tax").alias("tax_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.pmod("l_orderkey", F.lit(7)).alias("key_mod7"),
+    )
+
+
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column algebra: create_map / element_at / map_keys /
+    map_contains_key (values verified against their scalar origins)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_events,
+    )
+
+    ev = read_events(spark, sf_dir)
+    m = F.create_map(
+        F.lit("etype"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "etype").alias("etype"),
+        F.element_at(m, "uid").alias("uid_str"),
+        F.map_keys(m).alias("keys"),
+        F.map_contains_key(m, "etype").alias("has_etype"),
+    )
+
 
 def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String function battery: substring/upper/length/concat/replace."""

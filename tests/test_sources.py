@@ -41,6 +41,14 @@ def test_jsonl_roundtrip(spark, tmp_path):
     assert set(back.columns) == set(src.columns)
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMALL}/supplier.parquet")
+    path = str(tmp_path / "supplier_orc")
+    write_table(src, path, fmt="orc")
+    back = spark.read.orc(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     src = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
     path = str(tmp_path / "cust_part")
