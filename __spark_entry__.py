@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup.q_dedup_minhash,  # rows-only: xxhash64 sigs are engine-defined
         "dedup_simhash": dedup.q_dedup_simhash,  # rows-only: same
         "dedup_clusters": dedup.q_dedup_clusters,  # rows-only: iterative algorithm
+        "dedup_corpus": dedup.q_dedup_corpus,  # rows-only: downstream of clusters
         # -- similarity search (north-star)
         "ann_bruteforce": similarity.q_ann_bruteforce,
         "ann_lsh": similarity.q_ann_lsh,  # rows-only: bucket fn engine-defined

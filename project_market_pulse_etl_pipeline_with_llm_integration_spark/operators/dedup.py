@@ -315,6 +315,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+def dedup_corpus(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """End-to-end near-dup removal: resolve pair clusters, drop every
+    doc that is not its cluster's survivor (min id).  Docs in no cluster
+    pass through untouched — an anti-join against the non-survivor set,
+    so the full corpus never shuffles by content."""
+    labels = dup_clusters(pairs)
+    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated documents table (minhash pairs -> clusters ->
+    survivors only).  Iterative -> rows-only check."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup_pairs(
+        df, threshold=0.6, num_partitions=spark.sparkContext.defaultParallelism
+    )
+    return dedup_corpus(df, pairs).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_dedup_pairs(

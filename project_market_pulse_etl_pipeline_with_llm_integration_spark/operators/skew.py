@@ -1,0 +1,79 @@
+"""Skew mitigation: salted joins and two-phase aggregations.
+
+AQE's skew-join splitting handles moderate skew automatically (enabled
+in the session factory); explicit salting is the tool for pathological
+hot keys — a handful of keys carrying a large fraction of a 100 TB
+table, where one reducer would otherwise receive the whole hot key.
+
+* ``salted_join``: append a random salt in [0, S) to the skewed (big)
+  side and replicate the small side S times (explode over the salt
+  domain); the join key becomes (key, salt), spreading each hot key
+  over S reducers.  Replication multiplies the small side by S — use
+  only when the small side is genuinely small (it is usually also
+  broadcast-able, but salting matters when the small side exceeds the
+  broadcast threshold while a few big-side keys are hot).
+
+* ``salted_agg``: two-phase aggregation — partial aggregate on
+  (key, salt), then final aggregate on key.  Works for any algebraic
+  aggregate (sum/count/min/max); map-side combine usually makes this
+  unnecessary, but it is decisive when a single group dominates AND
+  the aggregation is memory-heavy (e.g. collect_list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__mp_salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join robust to hot keys on the big side.  Result columns =
+    big's ++ small's (minus the duplicated key), like a plain join."""
+    salted_big = big.withColumn(
+        _SALT, (F.rand(seed) * salt_buckets).cast("int")
+    )
+    replicated_small = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    cond = (F.col(f"__big.{big_key}") == F.col(f"__small.{small_key}")) & (
+        F.col(f"__big.{_SALT}") == F.col(f"__small.{_SALT}")
+    )
+    out = (
+        salted_big.alias("__big")
+        .join(replicated_small.alias("__small"), cond, how)
+        .drop(_SALT)
+    )
+    return out.drop(F.col(f"__small.{small_key}")) if big_key == small_key else out
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    agg_col: str,
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-phase sum/count under skew: partial on (key, salt), final on
+    key.  Returns (key, total, cnt)."""
+    salted = df.withColumn(_SALT, (F.rand(seed) * salt_buckets).cast("int"))
+    partial = salted.groupBy(key, _SALT).agg(
+        F.sum(agg_col).alias("_psum"), F.count("*").alias("_pcnt")
+    )
+    return partial.groupBy(key).agg(
+        F.round(F.sum("_psum"), 2).alias("total"), F.sum("_pcnt").alias("cnt")
+    )
+
+
+def salt_column(n_buckets: int, seed: int = 42) -> Column:
+    """The salt expression itself, for custom compositions."""
+    return (F.rand(seed) * n_buckets).cast("int")
