@@ -32,6 +32,9 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.enri
     build_prompt,
     enrich,
 )
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.session import (  # noqa: E402
+    ensure_engine_confs,
+)
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.streaming import (  # noqa: E402
     events as streaming_events,
 )
@@ -85,10 +88,27 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: revenue by nation x order priority —
     the 3-way shuffle join + broadcast dim + hash agg slice of the
     engine (driver checks rows > 0)."""
-    return R.q_join_multiway_broadcast(spark, _SF_SMALL)
+    return R.q_join_multiway_broadcast(ensure_engine_confs(spark), _SF_SMALL)
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin required runtime confs even when the caller's SparkSession
+    was not built by our factory (the driver harness brings its own)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(ensure_engine_confs(spark), sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        name: _wrap(fn) for name, fn in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- scans / projections / filters / casts (O2, O4-O7, O10)
         "scan_project": R.q_scan_project,

@@ -18,6 +18,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Set the runtime-settable SQL confs the engine's plans rely on.
+
+    The driver/verify harness may hand us a SparkSession built without
+    our factory; these three are required for correct semantics (the
+    rest of the factory settings are performance-only):
+      - nanosAsLong: the events table stores TIMESTAMP(NANOS), which the
+        parquet reader otherwise rejects outright
+      - UTC session timezone: window/date_trunc alignment must match the
+        timezone-naive oracle engine
+      - ANSI off: reference semantics are null-on-bad-cast
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in some deployments; plans degrade loudly
+    return spark
+
+
 def get_spark(
     app_name: str = "market-pulse-spark",
     master: str | None = None,
