@@ -113,7 +113,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- scans / projections / filters / casts (O2, O4-O7, O10)
         "scan_project": R.q_scan_project,
         "filter_in_notnull": R.q_filter_in_notnull,
+        "filter_like_regex": R.q_filter_like_regex,
         "safe_cast": R.q_safe_cast,
+        "scalar_subquery": R.q_scalar_subquery,
+        "timeseries_gapfill": R.q_timeseries_gapfill,
         # -- sort / dense id / top-k / sampling (O8, O9, O11)
         "dense_id": R.q_dense_id,
         "topk": R.q_topk,
@@ -184,6 +187,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- multimodal plumbing (north-star)
         "multimodal_metadata": multimodal.q_multimodal_metadata,
         "multimodal_features": multimodal.q_multimodal_features,  # rows-only: stub features
+        "multimodal_frames": multimodal.q_multimodal_frames,
         # -- event streams (batch forms of the streaming ops)
         "tumbling_window": streaming_events.q_tumbling_window,
         "sliding_window": streaming_events.q_sliding_window,
@@ -209,6 +213,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS acctbal "
             "FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY','AUTOMOBILE') "
             "AND c_name IS NOT NULL AND c_acctbal > 0"
+        ),
+        "filter_like_regex": (
+            "SELECT p_partkey, p_type, regexp_extract(p_name, '([a-z]+)', 1) AS first_word, "
+            "regexp_matches(p_name, 'o') AS has_o FROM part WHERE p_type LIKE '%ED%'"
+        ),
+        "scalar_subquery": (
+            "SELECT p_partkey, round(p_retailprice, 2) AS price FROM part "
+            "WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)"
+        ),
+        "timeseries_gapfill": (
+            "WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 "
+            "FROM events), "
+            "days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) "
+            "AS day FROM bounds), "
+            "types AS (SELECT DISTINCT event_type FROM events), "
+            "counts AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT d.day, t.event_type, COALESCE(c.cnt, 0) AS cnt FROM days d "
+            "CROSS JOIN types t LEFT JOIN counts c ON d.day = c.day "
+            "AND t.event_type = c.event_type"
+        ),
+        "multimodal_frames": (
+            "WITH m AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS blen, "
+            "least(CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT), 8) AS n "
+            "FROM documents) "
+            "SELECT doc_id, n AS n_frames, "
+            "CAST(least(blen, 256) AS BIGINT) AS first_frame_len, "
+            "CAST(CASE WHEN blen = 0 THEN 0 WHEN blen >= 8 * 256 THEN 256 "
+            "ELSE blen - (n - 1) * 256 END AS BIGINT) AS last_frame_len FROM m"
         ),
         "safe_cast": (
             "SELECT o_orderkey, "

@@ -67,6 +67,56 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame_bytes: int = 256,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame sampling over opaque media blobs: slice each payload into
+    fixed-size frames, keeping at most ``max_frames`` — the video
+    frame-sample / audio chunking pattern.  Real codecs would decode
+    before slicing (stubbed here, see decode_stub); the Arrow plumbing
+    and frame-boundary math are real."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += ", frames array<binary>, n_frames bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            all_frames, counts = [], []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                n = min((len(b) + frame_bytes - 1) // frame_bytes, max_frames)
+                frames = [b[i * frame_bytes : (i + 1) * frame_bytes] for i in range(n)]
+                all_frames.append(frames)
+                counts.append(n)
+            pdf["frames"] = all_frames
+            pdf["n_frames"] = counts
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling slice with an arithmetic oracle: frame counts and
+    first/last frame byte lengths are pure functions of payload size."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    framed = sample_frames(with_binary_payload(df).select("doc_id", "payload"))
+    first_len = F.when(
+        F.col("n_frames") > 0, F.octet_length(F.element_at("frames", 1))
+    ).otherwise(0)
+    last_len = F.when(
+        F.col("n_frames") > 0, F.octet_length(F.element_at("frames", -1))
+    ).otherwise(0)
+    return framed.select(
+        "doc_id",
+        "n_frames",
+        first_len.cast("long").alias("first_frame_len"),
+        last_len.cast("long").alias("last_frame_len"),
+    )
+
+
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable slice of the multimodal pipeline: binary payload
     length + md5 (the metadata law an engine must preserve end-to-end)."""

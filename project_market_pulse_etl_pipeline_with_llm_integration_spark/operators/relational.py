@@ -582,6 +582,55 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / regex predicates + regexp_extract (absent in the
+    reference, SURVEY §2.2 extension)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("%ED%"))
+        .select(
+            "p_partkey",
+            "p_type",
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+            F.col("p_name").rlike("o").alias("has_o"),
+        )
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts priced above the global
+    average (SQL API; Catalyst plans the subquery as a broadcast)."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_sq")
+    return spark.sql(
+        "SELECT p_partkey, round(p_retailprice, 2) AS price FROM part_sq "
+        "WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part_sq)"
+    )
+
+
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: daily event counts per type with
+    zero-filled missing days — sequence+explode builds the calendar
+    spine, cross join with the type dimension, left join the counts.
+    The spine is tiny (days x types), so both joins broadcast."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_events,
+    )
+
+    ev = read_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(types)
+    counts = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    return grid.join(counts, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+
+
 def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN bucketing + conditional counts per segment."""
     c = _t(spark, sf_dir, "customer").withColumn(
