@@ -136,6 +136,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup": R.q_agg_rollup,
         "agg_cube": R.q_agg_cube,
         "agg_conditional_pivot": R.q_agg_conditional_pivot,
+        "agg_stats": R.q_agg_stats,
         "agg_percentile": R.q_agg_percentile,
         "agg_grouping_sets": R.q_agg_grouping_sets,
         "agg_approx_distinct": R.q_agg_approx_distinct,  # rows-only: sketch estimates engine-defined
@@ -327,6 +328,15 @@ def oracle_sql() -> dict[str, str]:
             "round(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_open, "
             "round(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_filled "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "agg_stats": (
+            "SELECT l_linestatus, round(stddev_samp(l_quantity), 6) AS sd_qty, "
+            "round(var_samp(l_discount), 6) AS var_disc, "
+            "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
+            "round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price, "
+            "arg_min(l_orderkey, l_extendedprice) AS cheapest_order, "
+            "arg_max(l_orderkey, l_extendedprice) AS priciest_order "
+            "FROM lineitem GROUP BY l_linestatus"
         ),
         "agg_percentile": (
             "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty, "

@@ -307,6 +307,23 @@ def q_agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance (sample), correlation,
+    covariance, and argmin/argmax (min_by/max_by)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+            F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+            F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+        )
+    )
+
+
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (continuous quantiles) per group —
     Spark's percentile == DuckDB's quantile_cont."""
