@@ -63,3 +63,20 @@ def test_rollup_has_grand_total(spark):
 def test_broadcast_join_in_plan(spark):
     plan = R.q_join_multiway_broadcast(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_filters_push_to_scan(spark):
+    plan = (
+        R.q_filter_in_notnull(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "In(c_mktsegment" in plan
+
+
+def test_scan_prunes_columns(spark):
+    plan = R.q_scan_project(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    # customer has 5 columns; the projection needs 3 — the scan must not
+    # read the other two
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
