@@ -129,6 +129,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range": R.q_join_range,
         "join_asof": R.q_join_asof,
         "join_outer": R.q_join_outer,
+        "join_cross": R.q_cross_join,
+        # -- TPC-H-shaped benchmark queries
+        "tpch_q3": R.q_tpch_q3,
+        "tpch_q5": R.q_tpch_q5,
+        "tpch_q10": R.q_tpch_q10,
         # -- aggregations (SURVEY §2.2 extension)
         "agg_pricing_summary": R.q_agg_pricing_summary,
         "agg_distinct": R.q_agg_distinct,
@@ -293,6 +298,41 @@ def oracle_sql() -> dict[str, str]:
             "FULL OUTER JOIN "
             "(SELECT l_returnflag AS status, COUNT(*) AS n_lines FROM lineitem GROUP BY 1) l "
             "ON o.status = l.status"
+        ),
+        "join_cross": (
+            "SELECT r_name, o_orderstatus FROM region CROSS JOIN "
+            "(SELECT DISTINCT o_orderstatus FROM orders) s"
+        ),
+        "tpch_q3": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "AND l_shipdate > TIMESTAMP '1997-01-01' GROUP BY 1, 2, 3 "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "tpch_q5": (
+            "SELECT n_name AS nation, round(SUM(l_extendedprice * (1 - l_discount)), 2) "
+            "AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_nationkey = s_nationkey AND r_name IN ('ASIA', 'AMERICA', 'EUROPE') "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1"
+        ),
+        "tpch_q10": (
+            "SELECT c_custkey, c_name, n_name AS nation, "
+            "round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "round(MAX(c_acctbal), 2) AS acctbal "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1, 2, 3 "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
         "join_asof": (
             "SELECT c.event_id AS click_id, c.user_id, v.event_id AS asof_view_id "

@@ -26,6 +26,9 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.session import
 # plumbing, event-stream batch forms.
 HEADLINE = [
     "agg_pricing_summary",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
     "join_multiway_broadcast",
     "join_left",
     "dense_id",

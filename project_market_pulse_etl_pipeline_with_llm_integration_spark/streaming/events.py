@@ -85,6 +85,14 @@ def session_windows_stateful(
     )
 
 
+def dedup_events_stream(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once dedup on event_id: watermark bounds the
+    dedup state (ids older than the watermark are evicted) — the
+    streaming half of the dedup story for continuously ingested
+    training data."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
 def read_events_stream(spark: SparkSession, path_dir: str, max_files: int = 1) -> DataFrame:
     """File-source stream over an events parquet directory (each file =
     one micro-batch with maxFilesPerTrigger)."""

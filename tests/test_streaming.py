@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import shutil
 
+from pyspark.sql import functions as F
+
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
     read_events,
 )
@@ -42,6 +44,48 @@ def test_streaming_tumbling_equals_batch(spark, tmp_path):
         for r in SE.tumbling_counts(spark.read.parquet(src), "1 hour").collect()
     }
     assert got == want
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
+    """Replay the same events twice (two file copies) -> streaming dedup
+    on event_id keeps exactly one of each."""
+    src = str(tmp_path / "dup_src")
+    ev = read_events(spark, SF_SMALL).filter("user_id < 40").coalesce(1)
+    ev.write.parquet(src)
+    ev.write.mode("append").parquet(src)  # exact duplicates, second file
+    stream = SE.read_events_stream(spark, src, max_files=1)
+    q = (
+        SE.dedup_events_stream(stream, watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) c, count(distinct event_id) d from dedup_out").first()
+    want = ev.count()
+    assert (got.c, got.d) == (want, want)
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_foreachbatch_sink_writes_all_batches(spark, tmp_path):
+    """foreachBatch custom sink: per-micro-batch parquet appends land
+    every input row exactly once."""
+    src = str(tmp_path / "fb_src")
+    out = str(tmp_path / "fb_out")
+    read_events(spark, SF_SMALL).repartition(3).write.parquet(src)
+
+    def write_batch(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    stream = SE.read_events_stream(spark, src, max_files=1)
+    q = stream.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == spark.read.parquet(src).count()
+    assert back.select("batch_id").distinct().count() >= 2  # really micro-batched
     shutil.rmtree(src, ignore_errors=True)
 
 
