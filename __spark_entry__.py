@@ -50,15 +50,23 @@ _ENRICH_TS = datetime(2026, 1, 1, 0, 0, 0)
 _PROMPT_BASE = len(build_prompt("", ""))
 
 
-def _deterministic_transport(prompt: str) -> str:
+def _make_deterministic_transport():
     """Hermetic stand-in for the LLM: a pure function of the prompt, so
     the whole enrichment plumbing (prompt build -> transport -> JSON
-    parse -> field defaults) runs for real and stays oracle-checkable."""
-    n = len(prompt)
-    sentiments = ["Positive", "Negative", "Neutral"]
-    return json.dumps(
-        {"sentiment": sentiments[n % 3], "category": "TECH", "summary": f"len {n}"}
-    )
+    parse -> field defaults) runs for real and stays oracle-checkable.
+    Returned as a nested closure so cloudpickle ships it BY VALUE —
+    workers never need to import this module."""
+
+    def transport(prompt: str) -> str:
+        import json as _json
+
+        n = len(prompt)
+        sentiments = ["Positive", "Negative", "Neutral"]
+        return _json.dumps(
+            {"sentiment": sentiments[n % 3], "category": "TECH", "summary": f"len {n}"}
+        )
+
+    return transport
 
 
 def q_enrich_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +84,7 @@ def q_enrich_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         rate_delay=0.0,
         run_timestamp=_ENRICH_TS,
-        transport=_deterministic_transport,
+        transport=_make_deterministic_transport(),
         disabled=False,
     )
     return out.select(

@@ -14,8 +14,37 @@ coalescing makes over-provisioning cheap.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PKG_ZIP: str | None = None
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers even when
+    the driver process was launched from a different cwd (mapInPandas
+    closures reference package functions by module path).  Zips the
+    package once per process and registers it via addPyFile."""
+    global _PKG_ZIP
+    try:
+        if _PKG_ZIP is None:
+            pkg_dir = os.path.dirname(os.path.abspath(__file__))
+            pkg_name = os.path.basename(pkg_dir)
+            zip_path = os.path.join("/tmp", f"{pkg_name}_shipped.zip")
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            rel = os.path.join(
+                                pkg_name, os.path.relpath(full, pkg_dir)
+                            )
+                            zf.write(full, rel)
+            _PKG_ZIP = zip_path
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass  # already added, or a deployment where addPyFile is restricted
 
 
 def ensure_engine_confs(spark: SparkSession) -> SparkSession:
@@ -39,6 +68,7 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable in some deployments; plans degrade loudly
+    _ship_package(spark)
     return spark
 
 
