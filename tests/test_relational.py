@@ -65,6 +65,23 @@ def test_broadcast_join_in_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_approx_count_distinct_error_bound(spark):
+    """The HLL sketch is rows-only-checked by the driver; pin its
+    accuracy contract here: within 3x the configured rsd of exact."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r.d
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    approx = {r.l_returnflag: r.approx_parts for r in R.q_agg_approx_distinct(spark, SF_SMALL).collect()}
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(3 * 0.02 * ex, 2), (k, approx[k], ex)
+
+
 def test_filters_push_to_scan(spark):
     plan = (
         R.q_filter_in_notnull(spark, SF_SMALL)
