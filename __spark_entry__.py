@@ -141,6 +141,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- TPC-H-shaped benchmark queries
         "tpch_q3": R.q_tpch_q3,
         "tpch_q5": R.q_tpch_q5,
+        "tpch_q6": R.q_tpch_q6,
         "tpch_q10": R.q_tpch_q10,
         # -- aggregations (SURVEY §2.2 extension)
         "agg_pricing_summary": R.q_agg_pricing_summary,
@@ -330,6 +331,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_nationkey = s_nationkey AND r_name IN ('ASIA', 'AMERICA', 'EUROPE') "
             "AND o_orderdate >= TIMESTAMP '1996-01-01' "
             "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1"
+        ),
+        "tpch_q6": (
+            "SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue, "
+            "COUNT(*) AS n_lines FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount >= 0.02 AND l_discount <= 0.09 AND l_quantity < 24"
         ),
         "tpch_q10": (
             "SELECT c_custkey, c_name, n_name AS nation, "
