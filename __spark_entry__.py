@@ -404,8 +404,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
         ),
         "array_agg": (
-            "SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys, COUNT(*) AS n_lines "
-            "FROM lineitem GROUP BY l_orderkey"
+            "SELECT l_orderkey, array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), "
+            "',') AS qtys, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey"
         ),
         "explode_wordcount": (
             f"SELECT token, COUNT(*) AS cnt FROM (SELECT unnest({_TOKS}) AS token "
@@ -446,7 +446,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "map_ops": (
             "SELECT event_id, event_type AS etype, CAST(user_id AS VARCHAR) AS uid_str, "
-            "['etype', 'uid'] AS keys, TRUE AS has_etype FROM events"
+            "'etype,uid' AS keys, TRUE AS has_etype FROM events"
         ),
         "grouped_zscore": (
             "SELECT c_mktsegment, c_custkey AS id, round((c_acctbal - AVG(c_acctbal) OVER w) / "

@@ -21,11 +21,10 @@ Faithful semantics preserved:
   * one driver-side run timestamp stamped on every row — a literal, not
     per-executor ``current_timestamp()`` (``Main.py:259``)
 
-Scale notes: the global request rate is the per-task delay divided across
-tasks, so ``rate_delay`` is divided by the declared parallelism to keep
-the cluster-wide rate equal to the reference's single-thread contract.
-Transport is injectable (``set_transport``) so tests never touch the
-network.
+Scale notes: concurrent task rates ADD, so each of N tasks sleeps
+``N * rate_delay`` per row — the sum stays at the reference's
+single-thread ``1/rate_delay`` rows/s budget.  Transport is injectable
+(``set_transport``) so tests never touch the network.
 """
 
 from __future__ import annotations
@@ -149,17 +148,18 @@ def enrich(
     """Append LLM columns + run timestamp to ``df`` (needs title/content).
 
     ``rate_delay`` is the *global* seconds-per-row budget (reference
-    default 0.2, ``Main.py:188``); each task sleeps
-    ``rate_delay * parallelism / 1`` divided evenly so the cluster-wide
-    rate matches.
+    default 0.2, ``Main.py:188``): the cluster-wide rate must stay at
+    the reference's single-threaded 1/rate_delay rows/s contract.
     """
     spark = df.sparkSession
     tasks = parallelism or spark.sparkContext.defaultParallelism
-    # Each of `tasks` concurrent tasks sleeping `rate_delay` would yield a
-    # global rate of tasks/rate_delay rows/s; dividing by the task count
-    # keeps the cluster-wide rate at the reference's single-threaded
-    # 1/rate_delay rows/s contract.
-    per_task_delay = (rate_delay or 0.0) / max(tasks, 1) if rate_delay else 0.0
+    # N concurrent tasks each emitting at 1/(N*rate_delay) rows/s sum to
+    # the global 1/rate_delay contract, so each task sleeps N*rate_delay
+    # per row.  (Dividing instead would compound to N^2/rate_delay.)
+    # When tasks queue rather than run concurrently the aggregate rate
+    # undershoots the budget — the safe direction for an external API;
+    # a shared token bucket would be exact but needs cross-task state.
+    per_task_delay = (rate_delay or 0.0) * max(tasks, 1) if rate_delay else 0.0
 
     out_schema = T.StructType(list(df.schema.fields) + _LLM_FIELDS)
 

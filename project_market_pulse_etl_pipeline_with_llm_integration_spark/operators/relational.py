@@ -465,12 +465,17 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-order sorted quantity vector (collect_list
-    -> sort_array for determinism) + array length."""
+    -> sort_array for determinism) + array length.  The query surface
+    serializes the array to a CSV string because the driver's pandas
+    canonicalizer cannot sort list-typed cells; the underlying operator
+    stays array-typed (quantities are integral, so a bigint cast is
+    value-preserving on both engines)."""
+    qtys = F.sort_array(F.collect_list(F.col("l_quantity").cast("bigint")))
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_quantity")).alias("qtys"),
+            F.array_join(F.transform(qtys, lambda x: x.cast("string")), ",").alias("qtys"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -661,7 +666,8 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(m, "etype").alias("etype"),
         F.element_at(m, "uid").alias("uid_str"),
-        F.map_keys(m).alias("keys"),
+        # CSV-joined keys: the driver canonicalizer can't hash list cells.
+        F.array_join(F.map_keys(m), ",").alias("keys"),
         F.map_contains_key(m, "etype").alias("has_etype"),
     )
 

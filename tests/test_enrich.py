@@ -79,6 +79,34 @@ def test_unparseable_json_sentinel(spark, news_jsonl, monkeypatch):
     assert r.sentiment_llm == "ERROR_API"
 
 
+def test_rate_limiter_global_budget(spark, news_jsonl, monkeypatch):
+    """Concurrent task rates ADD, so the wall-clock floor for N rows is
+    N*rate_delay regardless of parallelism: each of T tasks must sleep
+    T*rate_delay per row (the inverted division would finish T^2x too
+    fast and hammer the real API at T^2/rate_delay rows/s)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    monkeypatch.setenv("DISABLE_LLM", "1")
+    df = (
+        spark.range(40)
+        .select(
+            F.concat(F.lit("t-"), F.col("id")).alias("title"),
+            F.concat(F.lit("c-"), F.col("id")).alias("content"),
+        )
+        .repartition(4)
+    )
+    rate = 0.08  # global budget: 40 rows * 0.08 s/row = 3.2 s floor
+    t0 = time.monotonic()
+    n = E.enrich(df, rate_delay=rate, parallelism=4).count()
+    elapsed = time.monotonic() - t0
+    assert n == 40
+    # 20% scheduling slack; the buggy divide-by-tasks math would sleep
+    # only 0.2 s total and fail this floor by an order of magnitude.
+    assert elapsed >= n * rate * 0.8
+
+
 def test_enrich_to_parquet_roundtrip(spark, news_jsonl, tmp_path, monkeypatch):
     monkeypatch.setenv("DISABLE_LLM", "1")
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.clean import (
