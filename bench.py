@@ -26,9 +26,13 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.session import
 # plumbing, event-stream batch forms.
 HEADLINE = [
     "agg_pricing_summary",
+    "tpch_q1",
     "tpch_q3",
     "tpch_q5",
     "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "salted_agg",
     "join_multiway_broadcast",
     "join_left",
     "dense_id",

@@ -404,6 +404,66 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1, exact): the full 8-aggregate
+    form incl. sum_charge (price*(1-disc)*(1+tax)) and avg_price.
+    One scan with the shipdate predicate pushed down, one hash agg on a
+    2-value x 2-value key — map-side partial aggregation collapses the
+    shuffle to ~|groups| x partitions rows regardless of input size."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority (TPC-H Q12 shape): big-join then
+    conditional aggregation on the join output.  The synthetic lineitem
+    has no l_shipmode/commitdate, so l_returnflag stands in as the
+    grouping dimension; the topology (lineitem shuffle-joins orders on
+    orderkey, CASE-counts by o_orderpriority class) is Q12's."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14): % of revenue from PROMO parts in
+    one month.  part is broadcast (dim side), lineitem's date predicate
+    is pushed to the scan; the ratio-of-sums is computed in one agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc_price).otherwise(0.0)
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.round(100.0 * F.sum(promo) / F.sum(disc_price), 4).alias("promo_revenue")
+    )
+
+
 def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit cross join (small x small): region x order-status grid."""
     r = _t(spark, sf_dir, "region").select("r_name")

@@ -22,7 +22,7 @@ table, where one reducer would otherwise receive the whole hot key.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SALT = "__mp_salt"
@@ -77,3 +77,15 @@ def salted_agg(
 def salt_column(n_buckets: int, seed: int = 42) -> Column:
     """The salt expression itself, for custom compositions."""
     return (F.rand(seed) * n_buckets).cast("int")
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over events.user_id (the driver's
+    skewable key), result identical to a plain groupBy — which is
+    exactly what the DuckDB oracle computes, so the correctness gate
+    proves salting is semantics-preserving."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_events,
+    )
+
+    return salted_agg(read_events(spark, sf_dir), "user_id", "value", salt_buckets=8)
