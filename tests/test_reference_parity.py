@@ -20,6 +20,9 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.reader
 )
 
 REFERENCE_JSONL = "/root/reference/News_Category_Dataset_v3.json"
+GOLDEN_ENRICHED = (
+    "/root/reference/local_enriched_output/final_enriched_data_20251203_210522.parquet"
+)
 
 
 @pytest.mark.skipif(not os.path.exists(REFERENCE_JSONL), reason="reference dataset absent")
@@ -47,3 +50,68 @@ def test_clean_stage_matches_pandas_contract(spark):
         assert row.content == exp.content
         assert row.category == exp.category
         assert pd.Timestamp(row.publish_date) == exp.publish_date
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_ENRICHED), reason="golden artifact absent")
+def test_enriched_output_matches_golden_artifact(spark, tmp_path, monkeypatch):
+    """The committed 500-row enriched parquet is the reference's de-facto
+    end-to-end golden file (SURVEY §5).  The engine's enriched output
+    must match its schema and column ORDER exactly (timestamp ns->us is
+    the one documented delta, SURVEY §7 risk 4), and out-of-domain
+    ``category_llm`` values must pass through unvalidated — the golden
+    artifact itself proves the reference never checks the LLM's answer
+    against the prompt-constrained domain (SURVEY §1.2, §7 risk 5)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.config import (
+        CATEGORIES_TO_KEEP,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import enrich as E
+
+    golden = pq.read_table(GOLDEN_ENRICHED)
+
+    # The golden artifact exhibits out-of-domain category_llm leakage.
+    golden_cats = set(golden.column("category_llm").to_pylist())
+    assert golden_cats - set(CATEGORIES_TO_KEEP), "golden artifact lost its leaked categories"
+
+    monkeypatch.delenv("DISABLE_LLM", raising=False)
+    # Transport replaying the leak: answers outside the prompt domain.
+    leaked = sorted(golden_cats - set(CATEGORIES_TO_KEEP))
+
+    def fake(prompt: str) -> str:
+        return json.dumps(
+            {"sentiment": "Positive", "category": leaked[len(prompt) % len(leaked)],
+             "summary": "s"}
+        )
+
+    cleaned = clean_news(read_news_jsonl(spark, REFERENCE_JSONL))
+    out = E.enrich(cleaned, rate_delay=0.0, transport=fake, disabled=False)
+
+    # 1. Column names AND order match the committed artifact exactly.
+    assert out.columns == golden.schema.names
+
+    # 2. Arrow-level type parity after a real parquet round-trip,
+    #    modulo the documented timestamp-precision delta.
+    out_path = str(tmp_path / "golden_parity")
+    out.write.parquet(out_path)
+    ours = pq.read_table(out_path)
+    for name in golden.schema.names:
+        g_t = golden.schema.field(name).type
+        o_t = ours.schema.field(name).type
+        if str(g_t).startswith("timestamp"):
+            assert str(o_t).startswith("timestamp"), (name, g_t, o_t)
+        else:
+            assert g_t == o_t, (name, g_t, o_t)
+
+    # 3. Out-of-domain categories preserved verbatim — no validation.
+    got_cats = {r.category_llm for r in out.select("category_llm").distinct().collect()}
+    assert got_cats <= set(leaked)
+    assert not (got_cats & set(CATEGORIES_TO_KEEP))
+
+    # 4. Golden sentiment domain is the prompt-constrained triple; our
+    #    engine likewise passes the transport's value through untouched.
+    assert set(golden.column("sentiment_llm").to_pylist()) <= {
+        "Positive", "Negative", "Neutral"
+    }
