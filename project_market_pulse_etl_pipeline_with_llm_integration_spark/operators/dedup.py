@@ -157,51 +157,59 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LONG_MAX = (1 << 63) - 1
 
 
-def minhash_signature(col: Column | str, k: int = 32, n: int = 3) -> Column:
-    """k seeded min-hashes of the distinct n-gram shingle set
-    (array<bigint>), computed in ONE pass over the shingles:
+def minhash_signature_from_hashes(sh: Column, k: int = 32) -> Column:
+    """k seeded min-hashes folded from an already-hashed shingle set
+    (array<bigint>), in ONE pass:
 
-        base(s)  = xxhash64(s)            # string hashed once
         h_i(s)   = xxhash64(base(s), i)   # k cheap long-mixes
         sig[i]   = min over s of h_i(s)   # elementwise-min fold
 
-    vs the naive k×array_min formulation this hashes each shingle string
-    once instead of k times (the strings dominate the cost).  All JVM-
-    side higher-order functions — no UDF.  Empty input yields a
+    All JVM-side higher-order functions — no UDF.  Empty input yields a
     LONG_MAX-filled signature.
 
     NB: every lambda here is unary on purpose — F.transform/F.zip_with
     treat a two-parameter lambda as the (element, index) form, which
     would silently replace a closed-over seed with the array position.
     """
-    base = F.transform(shingles(col, n), lambda s: F.xxhash64(s))
     init = F.array(*[F.lit(_LONG_MAX).cast("long")] * k)
 
     def perm_hashes(h: Column) -> Column:
         return F.array(*[F.xxhash64(h, F.lit(i)) for i in range(k)])
 
     return F.aggregate(
-        base, init, lambda acc, h: F.zip_with(acc, perm_hashes(h), lambda a, b: F.least(a, b))
+        sh, init, lambda acc, h: F.zip_with(acc, perm_hashes(h), lambda a, b: F.least(a, b))
     )
 
 
-def minhash_candidate_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 32,
-    bands: int = 8,
-    n: int = 3,
-    num_partitions: int | None = None,
+def minhash_signature(col: Column | str, k: int = 32, n: int = 3) -> Column:
+    """k seeded min-hashes of the distinct n-gram shingle set: the
+    shingle string is hashed once (xxhash64) and the k permutations are
+    cheap long-mixes of that base hash — vs the naive k×array_min
+    formulation this hashes each string once instead of k times (the
+    strings dominate the cost)."""
+    return minhash_signature_from_hashes(
+        F.transform(shingles(col, n), lambda s: F.xxhash64(s)), k
+    )
+
+
+def _hashed_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """LSH banding: split the k-wide signature into ``bands`` rows of
-    r=k/bands, hash each band, explode, and self-join on (band_idx,
-    band_hash).  The join is a plain equi-join whose key cardinality is
-    ~n·bands — no cross product anywhere."""
-    if num_partitions:
-        df = df.repartition(num_partitions)
+    """(id, sh) — each doc's distinct shingle set hashed to longs.  The
+    shingling+hash pass is the CPU-dominant cost of the minhash
+    pipeline, so callers that need it twice (signature + verify) should
+    compute this frame ONCE and share it."""
+    return df.select(F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"))
+
+
+def _candidates_from_hashed(hashed: DataFrame, k: int, bands: int) -> DataFrame:
+    """LSH banding over precomputed (id, sh): fold the signature from
+    the hashed shingles, split into ``bands`` rows of r=k/bands, hash
+    each band, explode, and self-join on (band_idx, band_hash).  The
+    join is a plain equi-join whose key cardinality is ~n·bands — no
+    cross product anywhere."""
     r = k // bands
-    sig = df.select(F.col(id_col).alias("id"), minhash_signature(text_col, k, n).alias("sig"))
+    sig = hashed.select("id", minhash_signature_from_hashes(F.col("sh"), k).alias("sig"))
     banded = sig.select(
         "id",
         F.explode(
@@ -226,6 +234,21 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """LSH-banding candidate pairs (id_a, id_b) straight from text."""
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    return _candidates_from_hashed(_hashed_shingle_sets(df, text_col, id_col, n), k, bands)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -237,13 +260,22 @@ def minhash_dedup_pairs(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
-    Output (id_a, id_b, jaccard) with id_a < id_b."""
+    Output (id_a, id_b, jaccard) with id_a < id_b.
+
+    The hashed shingle sets feed BOTH the signature fold and the verify
+    join, so they are computed once and pinned with a lazy
+    ``localCheckpoint`` — first materialization runs the shingling pass
+    a single time and both consumers read the stored blocks.  (localCheckpoint
+    rather than ``persist``: checkpointed RDD blocks are released by the
+    context cleaner when the plan is garbage-collected, while
+    ``DataFrame.persist`` stays pinned in the CacheManager until an
+    explicit unpersist — a leak for one-shot pipeline calls like this.)"""
     if num_partitions:
         df = df.repartition(num_partitions)
-    cands = minhash_candidate_pairs(df, text_col, id_col, k, bands, n)
-    sets_ = df.select(F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"))
-    a = sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    hashed = _hashed_shingle_sets(df, text_col, id_col, n).localCheckpoint(eager=False)
+    cands = _candidates_from_hashed(hashed, k, bands)
+    a = hashed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = hashed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -259,14 +291,18 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id) with
     cluster_id = min doc id in the component (the survivor).
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(log(diameter)) rounds for typical dup clusters (diameter ~1-2).
-    Spark-shaped iteration: each round is two shuffles (edge join +
-    min-agg), the frontier DataFrame is localCheckpoint'ed to cut the
-    lineage, and convergence is detected with a changed-label count —
-    the standard large-graph CC pattern (no driver materialization of
-    nodes or edges)."""
+    Min-label propagation with path-halving pointer jumps: each round a
+    node (1) adopts the smallest label among itself and its neighbors
+    (one graph hop), then (2) adopts its current label's label (a
+    pointer jump that doubles the effective propagation distance).  The
+    combination converges in O(log diameter) rounds even for chain-
+    shaped components — plain one-hop propagation is O(diameter) and
+    silently mislabels chains longer than the iteration cap.
+    Spark-shaped iteration: each round is three shuffles (edge join +
+    min-agg + label self-join), the frontier is localCheckpoint'ed to
+    cut lineage, and convergence is detected with a changed-label
+    count; raises if the cap is hit with labels still moving (a wrong
+    silent answer is worse than a loud stop)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -278,22 +314,35 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint()
     )
+    n_changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        hopped = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            "id",
+            F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
+                "cluster_id"
+            ),
+        )
+        # Pointer jump (path halving): follow my label to ITS label.
+        # Labels only ever decrease, so least() keeps monotonicity.
+        parent = hopped.select(
+            F.col("id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
+        jumped = hopped.join(parent, hopped.cluster_id == parent.p_id, "left").select(
+            "id",
+            F.least(F.col("cluster_id"), F.coalesce("p_label", F.col("cluster_id"))).alias(
+                "cluster_id"
+            ),
+        )
+        prev = labels.select(F.col("id").alias("o_id"), F.col("cluster_id").alias("o_label"))
         updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            jumped.join(prev, jumped.id == prev.o_id)
             .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id")).alias(
-                    "changed"
-                ),
+                "id", "cluster_id", (F.col("cluster_id") < F.col("o_label")).alias("changed")
             )
             .localCheckpoint()
         )
@@ -301,6 +350,12 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    if n_changed:
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iterations} rounds "
+            f"({n_changed} labels still changing) — raise max_iterations; "
+            "with pointer jumping the need grows ~log2(component diameter)"
+        )
     return labels
 
 

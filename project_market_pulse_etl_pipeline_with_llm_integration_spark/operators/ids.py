@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 _PID = "__mp_pid"
 
@@ -58,7 +57,13 @@ def with_dense_id(
     )
     # Pin the (sampled, hence plan-dependent) range partitioning so the
     # count pass and the output pass see identical partition boundaries.
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint rather than persist: it equally freezes the
+    # boundaries (lineage is truncated at the stored blocks), but the
+    # blocks are released by the context cleaner once the output plan is
+    # garbage-collected — persist would stay pinned in the CacheManager
+    # until an explicit unpersist, leaking across repeated calls in a
+    # long-lived session.
+    ranged = ranged.localCheckpoint(eager=True)
     counts = {r[_PID]: r["cnt"] for r in ranged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()}
     offsets: dict[int, int] = {}
     running = 0

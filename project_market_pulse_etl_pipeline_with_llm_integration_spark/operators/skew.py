@@ -38,7 +38,17 @@ def salted_join(
     seed: int = 42,
 ) -> DataFrame:
     """Equi-join robust to hot keys on the big side.  Result columns =
-    big's ++ small's (minus the duplicated key), like a plain join."""
+    big's ++ small's (minus the duplicated key), like a plain join.
+
+    Only ``inner`` and ``left`` (outer on the BIG side) are supported:
+    the small side is replicated ``salt_buckets`` times, so a right/full
+    outer join would emit every unmatched small-side row once per salt
+    replica — silently wrong multiplicity."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}): the "
+            "replicated small side would duplicate unmatched rows in right/full joins"
+        )
     salted_big = big.withColumn(
         _SALT, (F.rand(seed) * salt_buckets).cast("int")
     )

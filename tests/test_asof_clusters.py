@@ -48,11 +48,25 @@ def test_dup_clusters_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_dup_clusters_long_chain_converges(spark):
-    """A 12-node path graph needs multiple propagation rounds."""
+def test_dup_clusters_long_chain_converges_logarithmically(spark):
+    """A 40-node path graph converges within ~log2(diameter) rounds via
+    pointer jumping — one-hop propagation would need 40 rounds and the
+    old cap of 20 would have returned silently-wrong labels."""
     pairs = spark.createDataFrame(
-        [(i, i + 1, 1.0) for i in range(12)], "id_a long, id_b long, jaccard double"
+        [(i, i + 1, 1.0) for i in range(40)], "id_a long, id_b long, jaccard double"
     )
-    out = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    out = {r.id: r.cluster_id for r in dup_clusters(pairs, max_iterations=10).collect()}
     assert set(out.values()) == {0}
-    assert len(out) == 13
+    assert len(out) == 41
+
+
+def test_dup_clusters_raises_on_nonconvergence(spark):
+    """Hitting the iteration cap with labels still moving must be loud,
+    not a silently-unconverged labeling."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(40)], "id_a long, id_b long, jaccard double"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iterations=1)

@@ -62,3 +62,19 @@ def test_dedup_corpus_removes_only_losers(spark):
     )
     kept = sorted(r.doc_id for r in dedup_corpus(docs, pairs).collect())
     assert kept == [0, 1, 4]  # survivors: 0 (cluster {0,3,5}), 1 (cluster {1,2}), 4 (untouched)
+
+
+def test_salted_join_rejects_outer_how(spark):
+    """right/full joins would emit unmatched small-side rows once per
+    salt replica — the API refuses rather than silently duplicating."""
+    import pytest
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.skew import (
+        salted_join,
+    )
+
+    big = _skewed(spark, n=100)
+    small = spark.range(10).select(F.col("id").alias("k"))
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(big, small, "k", "k", how=how)
