@@ -595,6 +595,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1"
         ),
         "dedup_jaccard": (
+            # |blk_a - blk_b| <= 1 == the engine's own-bucket+successor
+            # emission: adjacent length buckets always meet
             f"WITH toks AS (SELECT doc_id AS id, {_TOKS} AS tk FROM documents), "
             "t AS (SELECT id, list_distinct([array_to_string(tk[i:i+2], ' ') "
             "FOR i IN generate_series(1, greatest(len(tk)-2, 1))]) AS sh, "
@@ -602,7 +604,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.id AS id_a, b.id AS id_b, "
             "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
             "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "
-            "FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id "
+            "FROM t a JOIN t b ON abs(a.blk - b.blk) <= 1 AND a.id < b.id "
             "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
             "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6"
         ),

@@ -95,6 +95,9 @@ def shingle_hashes(col: Column | str, n: int = 3) -> Column:
     return F.transform(shingles(col, n), lambda s: F.xxhash64(s))
 
 
+_JACCARD_BLOCK_WIDTH = 16
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -103,12 +106,28 @@ def jaccard_pairs(
     threshold: float = 0.6,
     block_col: Column | None = None,
     num_partitions: int | None = None,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """All pairs (a<b) with token-shingle Jaccard >= threshold, joined
-    within blocks.  ``block_col`` defaults to a token-count bucket (docs
-    whose lengths differ wildly can't clear a high Jaccard bar anyway).
-    At 100 TB use minhash_candidate_pairs() to generate candidates and
-    this only as the verifier.
+    within blocks.
+
+    Default blocking + its RECALL CONTRACT: docs are keyed by a
+    token-count bucket of width 16 and each doc is emitted into its own
+    AND the next bucket, so any pair whose token counts differ by less
+    than one bucket width is guaranteed to meet (boundary-straddling
+    lengths like 15 vs 16 included).  Pairs with a larger length gap can
+    still clear ``threshold`` (max attainable jaccard of sets sized
+    s<=l is s/l) and are NOT guaranteed; for t=0.6 that means docs
+    longer than ~40 tokens are fully covered, shorter docs may miss
+    pairs with >16-token gaps.  Pass an explicit ``block_col`` (or
+    ``F.lit(0)`` for exact all-pairs) when that tail matters; at 100 TB
+    use minhash_candidate_pairs() to generate candidates and this only
+    as the verifier.
+
+    ``max_block_size`` guards against degenerate blocking (e.g. a
+    length-uniform corpus collapsing into one bucket, which silently
+    turns the "blocked" join into all-pairs): when set, raises if any
+    block exceeds the cap.
 
     ``num_partitions`` spreads the CPU-bound shingle/intersect work when
     the input's scan partitioning is coarser than the core count (small
@@ -116,13 +135,26 @@ def jaccard_pairs(
     partitioned."""
     if num_partitions:
         df = df.repartition(num_partitions)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(text_col, n).alias("sh"),
-        (block_col if block_col is not None else (F.size(tokens(text_col)) / 16).cast("int")).alias(
-            "blk"
-        ),
-    )
+    if block_col is not None:
+        base = df.select(
+            F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"),
+            block_col.alias("blk"),
+        )
+    else:
+        # own bucket + successor: adjacent lengths always share a block
+        bucket = (F.size(tokens(text_col)) / _JACCARD_BLOCK_WIDTH).cast("int")
+        base = df.select(
+            F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"),
+            F.explode(F.array(bucket, bucket + 1)).alias("blk"),
+        )
+    if max_block_size is not None:
+        worst = base.groupBy("blk").count().agg(F.max("count").alias("mx")).collect()[0]["mx"]
+        if worst and worst > max_block_size:
+            raise RuntimeError(
+                f"jaccard_pairs: largest block holds {worst} docs (> cap "
+                f"{max_block_size}) — blocking degenerated toward all-pairs; "
+                "supply a sharper block_col or use minhash_candidate_pairs()"
+            )
     a = base.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("blk").alias("blk")
     )
@@ -134,6 +166,9 @@ def jaccard_pairs(
     return (
         a.join(b, ["blk"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # a pair can meet in two buckets when both docs emitted the same
+        # two keys — dedup BEFORE the quadratic set-intersection math
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

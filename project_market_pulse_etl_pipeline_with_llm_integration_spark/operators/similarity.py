@@ -58,6 +58,22 @@ def brute_force_topk(
     )
 
 
+def planes_for(n_items: int, target_bucket_size: int = 1024) -> int:
+    """Hyperplane count sized to the corpus: 2^planes buckets with
+    ~n/2^planes expected items per bucket, so
+
+        planes = ceil(log2(n_items / target_bucket_size))
+
+    A FIXED plane count is a skew bomb at scale — 4 planes is 16 buckets
+    whether the corpus is 2k rows or 2B, and a 16-bucket self-join at
+    100 TB concentrates ~6% of the corpus per reducer.  Deriving from
+    corpus size keeps per-bucket work constant as data grows; recall
+    lost to narrower buckets is recovered with multi-probe."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(n_items / max(target_bucket_size, 1), 2.0))))
+
+
 def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component list in [-1, 1],
     derived from (seed, plane_idx, component) via a splitmix-style hash —
@@ -94,13 +110,14 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     multi_probe: int = 1,
+    target_bucket_size: int = 1024,
 ) -> DataFrame:
     """Approximate top-k: bucket items once, probe the query's bucket
     (equi-join on the bucket id), exact-cosine re-rank inside the bucket.
@@ -108,7 +125,13 @@ def lsh_topk(
     identical vectors collide almost surely.  ``multi_probe=1`` also
     probes every bucket one sign-flip away from the query's (the classic
     multi-probe LSH recall boost: n_planes extra probes instead of
-    n_planes extra tables)."""
+    n_planes extra tables).
+
+    ``n_planes=None`` derives the plane count from the corpus size via
+    ``planes_for`` (one metadata-only count job) so per-bucket work
+    stays ~``target_bucket_size`` as the corpus grows — see SCALE.md."""
+    if n_planes is None:
+        n_planes = planes_for(items.count(), target_bucket_size)
     bucketed = items.withColumn("bucket", _bucket_expr(F.col(vec_col), dim, n_planes, seed))
     q_exact = queries.withColumn(
         "bucket0", _bucket_expr(F.col(query_vec_col), dim, n_planes, seed)
@@ -137,13 +160,19 @@ def embedding_near_dup_pairs(
     items: DataFrame,
     threshold: float = 0.95,
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_size: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH self-join (same bucket)
-    then exact cosine filter — the embedding analogue of minhash dedup."""
+    then exact cosine filter — the embedding analogue of minhash dedup.
+    ``n_planes=None`` sizes the bucket count to the corpus
+    (``planes_for``) so the self-join's per-bucket quadratic term stays
+    bounded as data grows — see SCALE.md."""
+    if n_planes is None:
+        n_planes = planes_for(items.count(), target_bucket_size)
     bucketed = items.select(F.col(id_col), F.col(vec_col)).withColumn(
         "bucket", _bucket_expr(F.col(vec_col), dim, n_planes, seed)
     )
@@ -181,14 +210,20 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 4 hyperplanes -> 16 buckets: ~n/16 candidates per query, good
-    # recall on the near-orthogonal synthetic embeddings.
+    # Corpus-derived plane count (planes_for): 2k vectors / target 128
+    # -> 4 planes / 16 buckets at sf0.01, 8 planes / 256 buckets at
+    # sf0.1 — per-bucket candidate work stays ~constant across sf.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb, _query_vectors(spark, sf_dir, 3), k=10, n_planes=4)
+    return lsh_topk(
+        emb, _query_vectors(spark, sf_dir, 3), k=10, n_planes=None, target_bucket_size=128
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthetic embeddings are near-orthogonal (max pairwise cosine
-    # ~0.51 at sf0.01), so the "near-dup" bar is data-calibrated.
+    # ~0.51 at sf0.01), so the "near-dup" bar is data-calibrated; the
+    # bucket count is corpus-derived like q_ann_lsh.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(emb, threshold=0.35, n_planes=4)
+    return embedding_near_dup_pairs(
+        emb, threshold=0.35, n_planes=None, target_bucket_size=128
+    )

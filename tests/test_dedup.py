@@ -60,3 +60,25 @@ def test_simhash_identical_distance_zero(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(df, max_distance=3).collect()}
     assert pairs.get((0, 1)) == 0
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_jaccard_boundary_straddling_lengths_meet(spark):
+    """Near-identical docs whose token counts straddle a bucket boundary
+    (15 vs 16 tokens here) must still be compared — each doc is emitted
+    into its own AND the successor bucket."""
+    base = [f"w{i}" for i in range(15)]
+    a = " ".join(base)                      # 15 tokens -> bucket 0
+    b = " ".join(base + ["extra"])          # 16 tokens -> bucket 1
+    df = _docs(spark, [a, b])
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(df, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.9
+
+
+def test_jaccard_max_block_size_guard(spark):
+    """A length-uniform corpus collapses into one bucket; the guard must
+    refuse instead of silently running all-pairs."""
+    import pytest
+
+    df = _docs(spark, [f"a b c d e unique{i}" for i in range(50)])
+    with pytest.raises(RuntimeError, match="block"):
+        dedup.jaccard_pairs(df, max_block_size=20).collect()
