@@ -138,14 +138,14 @@ def jaccard_pairs(
     if block_col is not None:
         base = df.select(
             F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"),
-            block_col.alias("blk"),
+            block_col.alias("blk"), block_col.alias("home"),
         )
     else:
         # own bucket + successor: adjacent lengths always share a block
         bucket = (F.size(tokens(text_col)) / _JACCARD_BLOCK_WIDTH).cast("int")
         base = df.select(
             F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"),
-            F.explode(F.array(bucket, bucket + 1)).alias("blk"),
+            F.explode(F.array(bucket, bucket + 1)).alias("blk"), bucket.alias("home"),
         )
     if max_block_size is not None:
         worst = base.groupBy("blk").count().agg(F.max("count").alias("mx")).collect()[0]["mx"]
@@ -156,19 +156,30 @@ def jaccard_pairs(
                 "supply a sharper block_col or use minhash_candidate_pairs()"
             )
     a = base.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("blk").alias("blk")
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+        F.col("blk").alias("blk"), F.col("home").alias("home_a"),
     )
     b = base.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("blk").alias("blk")
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("blk").alias("blk"), F.col("home").alias("home_b"),
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         a.join(b, ["blk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # a pair can meet in two buckets when both docs emitted the same
-        # two keys — dedup BEFORE the quadratic set-intersection math
-        .dropDuplicates(["id_a", "id_b"])
+        # same-home pairs meet in BOTH emitted buckets; keeping only the
+        # meeting at greatest(home_a, home_b) makes each pair survive in
+        # exactly one bucket — a cheap pre-intersect filter instead of a
+        # dropDuplicates shuffle of the fat shingle-array payloads
+        .filter(F.col("blk") == F.greatest("home_a", "home_b"))
+        # size-ratio prune: J(A,B) = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|),
+        # so pairs failing min >= t*max can never clear the threshold —
+        # array lengths are O(1) to read vs the O(n log n) intersection
+        .filter(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
