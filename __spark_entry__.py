@@ -214,6 +214,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_json": R.q_scalar_json,
         "scalar_math": R.q_scalar_math,
         "case_when": R.q_case_when,
+        "token_counts": text.q_token_counts,
+        "quality_signals": text.q_quality_signals,
+        "winnow_fingerprint": text.q_winnow_fingerprint,
     }
 
 
@@ -590,6 +593,38 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'de' END AS pred_lang FROM h"
         ),
         "fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "token_counts": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            f"len({_TOKS}) END AS BIGINT) AS ws_tokens, "
+            "CAST(len(regexp_extract_all(text, "
+            "'''[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9\\s]+')) AS BIGINT) "
+            "AS bpe_tokens FROM documents"
+        ),
+        "quality_signals": (
+            f"WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents), "
+            "s AS (SELECT doc_id, "
+            "(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) "
+            "/ CAST(greatest(length(text), 1) AS DOUBLE) AS pr, "
+            f"len(list_filter(tk, x -> list_contains({_EN}, x))) "
+            "/ CAST(greatest(len(tk), 1) AS DOUBLE) AS sr, "
+            "least(len(tk), 64) / 64.0 AS ls, "
+            "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) "
+            "ELSE 0.0 END AS dv FROM t) "
+            "SELECT doc_id, round(pr, 6) AS punct_ratio, round(sr, 6) AS stop_ratio, "
+            "round(0.35 * ls + 0.35 * dv + 0.15 * (1 - least(4 * pr, 1.0)) "
+            "+ 0.15 * least(3 * sr, 1.0), 6) AS quality_full FROM s"
+        ),
+        "winnow_fingerprint": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            "g AS (SELECT doc_id, [array_to_string(tk[i:i+2], ' ') "
+            "FOR i IN generate_series(1, greatest(len(tk)-2, 1))] AS grams FROM t), "
+            "h AS (SELECT doc_id, list_transform(grams, s -> md5(s)) AS hs FROM g), "
+            "w AS (SELECT doc_id, list_distinct([list_min(hs[i:i+3]) "
+            "FOR i IN generate_series(1, greatest(len(hs)-3, 1))]) AS fps FROM h) "
+            "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints, "
+            "md5(array_to_string(list_sort(fps), ',')) AS winnow_digest FROM w"
+        ),
         "dedup_exact": (
             f"SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count "
             "FROM documents GROUP BY 1"

@@ -11,7 +11,7 @@ oracle replicates it exactly (see ``__spark_entry__.oracle_sql``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
@@ -92,6 +92,101 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm_text(text_col)))
 
 
+# BPE-style pre-tokenizer split (GPT-2 shaped, lookahead-free so the
+# same pattern runs under both Java regex and RE2/DuckDB): contraction
+# suffixes, space-prefixed letter runs, short digit groups, punctuation
+# runs.  Whitespace itself produces no token.
+BPE_SPLIT_RE = r"'[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9\s]+"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting both ways a data pipeline needs it: cheap
+    whitespace tokens (dedup/stats) and a BPE-ish subword-boundary count
+    (LLM cost/length estimation).  Both are single regex passes in
+    whole-stage codegen."""
+    return df.withColumn("ws_tokens", token_count(text_col)).withColumn(
+        "bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), F.lit(0))).cast(
+            "long"
+        ),
+    )
+
+
+def with_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring from length + punctuation + stopword signals (the
+    C4/Gopher-shaped filter family, kept linear and oracle-replicable):
+
+        punct_ratio  = punctuation chars / chars
+        stop_ratio   = EN-stopword occurrences / tokens
+        length_score = least(n_tokens, 64) / 64
+        diversity    = distinct tokens / tokens
+        quality_full = 0.35*length + 0.35*diversity
+                     + 0.15*(1 - least(4*punct_ratio, 1))   # punct-heavy docs
+                     + 0.15*least(3*stop_ratio, 1)          # natural text has stopwords
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = token_count(text_col)
+    chars = F.greatest(F.length(c), F.lit(1))
+    punct_chars = F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+    punct_ratio = punct_chars / chars
+    stop_arr = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
+    length_score = F.least(n_tok, F.lit(64)) / F.lit(64.0)
+    diversity = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(0.0)
+    return (
+        df.withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn(
+            "quality_full",
+            F.round(
+                0.35 * length_score
+                + 0.35 * diversity
+                + 0.15 * (1 - F.least(4 * punct_ratio, F.lit(1.0)))
+                + 0.15 * F.least(3 * stop_ratio, F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+
+
+def _positional_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams in document order (NOT deduplicated — winnowing
+    needs positional windows)."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def with_winnow_fingerprint(
+    df: DataFrame, text_col: str = "text", n: int = 3, w: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprint by winnowing (Schleimer et al.,
+    SIGMOD'03): hash every positional word n-gram, keep the minimum of
+    each sliding window of ``w`` hashes, dedup — the selected set is
+    guaranteed to overlap for documents sharing any run of >= n+w-1
+    tokens, which is what plagiarism/near-copy detection needs and a
+    single whole-document hash cannot give.  Emits the fingerprint count
+    and an order-insensitive digest of the set.
+
+    Hashes are md5 hex strings (window min = lexicographic min) so the
+    DuckDB oracle reproduces the selection bit-for-bit; swap in
+    ``xxhash64`` for cheaper engine-internal runs."""
+    grams = _positional_shingles(text_col, n)
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(hashes) - w, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+    )
+    fps = F.array_distinct(wins)
+    return df.withColumn("n_fingerprints", F.size(fps).cast("long")).withColumn(
+        "winnow_digest", F.md5(F.array_join(F.sort_array(fps), ","))
+    )
+
+
 # -- queries() entries -------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,3 +209,20 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return with_fingerprint(df).select("doc_id", "fingerprint")
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_token_counts(df).select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_quality_signals(df).select(
+        "doc_id", "punct_ratio", "stop_ratio", "quality_full"
+    )
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_winnow_fingerprint(df).select("doc_id", "n_fingerprints", "winnow_digest")

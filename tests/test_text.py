@@ -47,3 +47,62 @@ def test_fingerprint_whitespace_case_invariant(spark):
     df = _docs(spark, ["Hello   World", "hello world", "hello worlds"])
     rows = {r.doc_id: r.fingerprint for r in text.with_fingerprint(df).collect()}
     assert rows[0] == rows[1] != rows[2]
+
+
+def test_bpe_token_counts(spark):
+    """BPE-ish split: contractions, space-prefixed words, digit groups
+    capped at 3, punctuation runs — each its own token."""
+    df = _docs(spark, ["don't stop", "abc 12345!!", ""])
+    rows = {r.doc_id: r for r in text.with_token_counts(df).collect()}
+    # don / 't / ' stop' -> 3 bpe tokens vs 2 ws tokens
+    assert rows[0].ws_tokens == 2 and rows[0].bpe_tokens == 3
+    # 'abc' / ' 123' / '45' / '!!' -> 4 bpe tokens vs 2 ws tokens
+    assert rows[1].ws_tokens == 2 and rows[1].bpe_tokens == 4
+    assert rows[2].ws_tokens == 0 and rows[2].bpe_tokens == 0
+
+
+def test_quality_signals_ranges_and_ordering(spark):
+    """Punctuation-heavy docs score below natural text; ratios in [0,1]."""
+    natural = "the cat and the dog ran to a tree in the park of things"
+    punct = "!!! ??? *** ### @@@ %%% ^^^ &&& ((( )))"
+    rows = {
+        r.doc_id: r
+        for r in text.with_quality_signals(_docs(spark, [natural, punct])).collect()
+    }
+    for r in rows.values():
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stop_ratio <= 1.0
+        assert 0.0 <= r.quality_full <= 1.0
+    assert rows[0].quality_full > rows[1].quality_full
+    assert rows[1].punct_ratio > 0.5 and rows[0].punct_ratio == 0.0
+    assert rows[0].stop_ratio > 0.3 and rows[1].stop_ratio == 0.0
+
+
+def test_winnow_fingerprints_detect_shared_runs(spark):
+    """Docs sharing a run of >= n+w-1 tokens must share a fingerprint;
+    disjoint docs share none; identical docs have identical digests."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens > 3+4-1
+    a = "intro words here " + shared
+    b = shared + " totally different tail words"
+    c = "nothing in common with those documents at all whatsoever"
+    out = text.with_winnow_fingerprint(_docs(spark, [a, b, a, c]))
+    from pyspark.sql import functions as F
+
+    # recompute raw fingerprint sets for overlap checks
+    grams = text._positional_shingles("text", 3)
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(hashes) - 4, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i + 1, 4)),
+    )
+    sets_ = {
+        r.doc_id: set(r.fps)
+        for r in _docs(spark, [a, b, a, c])
+        .select("doc_id", F.array_distinct(wins).alias("fps"))
+        .collect()
+    }
+    assert sets_[0] & sets_[1], "shared 8-token run must yield a common fingerprint"
+    assert not (sets_[0] & sets_[3])
+    digests = {r.doc_id: r.winnow_digest for r in out.collect()}
+    assert digests[0] == digests[2]
+    assert digests[0] != digests[3]
