@@ -217,6 +217,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": text.q_token_counts,
         "quality_signals": text.q_quality_signals,
         "winnow_fingerprint": text.q_winnow_fingerprint,
+        "ann_ivf": similarity.q_ann_ivf,  # rows-only: k-means centroids engine-defined
     }
 
 

@@ -191,6 +191,146 @@ def embedding_near_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed re-rank
+# ---------------------------------------------------------------------------
+
+def _dot_lit(vec_col: Column, vals: list[float]) -> Column:
+    """Dot product of a vector column with a driver-side literal vector
+    (JVM-side fold; the literal rides the serialized plan — KBs)."""
+    arr = F.array(*[F.lit(float(v)) for v in vals])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _unit(vec_col: Column) -> Column:
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.transform(vec_col, lambda x: x.cast("double") / norm)
+
+
+def _nearest_centroid(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """argmax over centroid dot products (vectors pre-normalized, so
+    max dot == min angle == spherical-k-means assignment)."""
+    dots = F.array(*[_dot_lit(vec_col, c) for c in centroids])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_train(
+    items: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer, Spark-shaped:
+
+    * assignment is fully distributed (argmax of centroid dots, pure
+      column algebra in codegen — centroids ride the plan as literals);
+    * the update step aggregates per-(cluster, dimension) means via
+      ``posexplode`` + hash agg — one shuffle of n·dim skinny rows;
+    * ONLY k×dim centroid floats ever reach the driver (KBs at any
+      corpus size) — the legitimate driver-side state of IVF.
+
+    Init is a deterministic hash-ordered sample (TakeOrdered, no global
+    sort).  Empty clusters keep their previous centroid."""
+    norm = items.select(F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("v"))
+    cents = [
+        [float(x) for x in r["v"]]
+        for r in norm.orderBy(F.xxhash64(F.col("id"), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    ]
+    for _ in range(iters):
+        assigned = norm.withColumn("c", _nearest_centroid(F.col("v"), cents))
+        means = (
+            assigned.select("c", F.posexplode("v").alias("pos", "val"))
+            .groupBy("c", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["c"], {})[r["pos"]] = r["m"]
+        new_cents = []
+        for ci, old in enumerate(cents):
+            dims = by_cluster.get(ci)
+            if not dims:
+                new_cents.append(old)  # empty cluster: keep centroid
+                continue
+            vec = [dims[p] for p in range(len(old))]
+            n2 = sum(x * x for x in vec) ** 0.5 or 1.0
+            new_cents.append([x / n2 for x in vec])
+        cents = new_cents
+    return cents
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: train the coarse quantizer, bucket items by nearest
+    centroid (one distributed pass), probe each query's ``nprobe``
+    nearest centroids, exact-cosine re-rank inside the probed buckets.
+    Candidates ~ nprobe/n_centroids of the corpus per query — the
+    classic recall/cost dial (vs LSH's plane count).  The training pass
+    is what LSH avoids; in exchange IVF adapts to the data
+    distribution."""
+    cents = ivf_train(items, n_centroids, iters, vec_col, id_col, seed)
+    bucketed = items.withColumn("c", _nearest_centroid(_unit(F.col(vec_col)), cents))
+    # per-query probe list: top-nprobe centroids by dot product
+    qd = queries.withColumn(
+        "probes",
+        F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.struct(
+                                _dot_lit(_unit(F.col(query_vec_col)), c).alias("d"),
+                                F.lit(ci).alias("c"),
+                            )
+                            for ci, c in enumerate(cents)
+                        ]
+                    )
+                )
+            ),
+            1,
+            nprobe,
+        ),
+    ).select(
+        query_id_col, query_vec_col, F.explode(F.transform("probes", lambda s: s.c)).alias("c")
+    )
+    cands = bucketed.join(F.broadcast(qd), "c").filter(F.col(id_col) != F.col(query_id_col))
+    scored = cands.withColumn(
+        "cos_sim", F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "sim_rank")
+    )
+
+
 # -- queries() entries -------------------------------------------------------
 
 def _query_vectors(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
@@ -216,6 +356,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_topk(
         emb, _query_vectors(spark, sf_dir, 3), k=10, n_planes=None, target_bucket_size=128
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: centroids are engine-defined; recall vs brute
+    # force is pinned in tests/test_similarity.py.  Modest quantizer
+    # (8 cells, 2 Lloyd iters): each iteration plants k*dim centroid
+    # literals into a fresh plan, and codegen/analysis of those trees —
+    # not the data — dominates at test scale.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(
+        emb, _query_vectors(spark, sf_dir, 3), k=10, n_centroids=8, nprobe=3, iters=2
     )
 
 

@@ -56,3 +56,24 @@ def test_lsh_recall_at_10(spark):
 def test_near_dup_pairs_symmetric_free(spark):
     rows = similarity.q_embedding_near_dup(spark, SF_SMALL).collect()
     assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=6/16 must recover a solid fraction of the true
+    top-10 on the synthetic embeddings, and obey the output contract
+    (<= k ranked results per query, self excluded)."""
+    bf = similarity.q_ann_bruteforce(spark, SF_SMALL).collect()
+    ivf = similarity.q_ann_ivf(spark, SF_SMALL).collect()
+    assert all(r.sim_rank <= 10 and r.vec_id != r.query_id for r in ivf)
+    bf_set = {(r.query_id, r.vec_id) for r in bf}
+    ivf_set = {(r.query_id, r.vec_id) for r in ivf}
+    assert len(ivf_set & bf_set) / len(bf_set) >= 0.3
+
+
+def test_ivf_train_centroids_unit_norm(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cents = similarity.ivf_train(emb, n_centroids=4, iters=2)
+    assert len(cents) == 4
+    for c in cents:
+        norm = sum(x * x for x in c) ** 0.5
+        assert abs(norm - 1.0) < 1e-6
