@@ -218,6 +218,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": text.q_quality_signals,
         "winnow_fingerprint": text.q_winnow_fingerprint,
         "ann_ivf": similarity.q_ann_ivf,  # rows-only: k-means centroids engine-defined
+        "multimodal_resize": multimodal.q_multimodal_resize,
     }
 
 
@@ -659,6 +660,15 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_metadata": (
             "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len, "
             "md5(text) AS payload_md5, 'application/octet-stream' AS media_type FROM documents"
+        ),
+        "multimodal_resize": (
+            # stride = ceil(len/64), resized_len = ceil(len/stride)
+            # (python b[::stride] keeps ceil(len/stride) bytes)
+            "WITH m AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS blen FROM documents), "
+            "s AS (SELECT doc_id, blen, greatest((blen + 63) // 64, 1) AS stride FROM m) "
+            "SELECT doc_id, CAST(stride AS BIGINT) AS stride, "
+            "CAST(CASE WHEN blen = 0 THEN 0 ELSE (blen + stride - 1) // stride END AS BIGINT) "
+            "AS resized_len FROM s"
         ),
         "tumbling_window": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS cnt, "

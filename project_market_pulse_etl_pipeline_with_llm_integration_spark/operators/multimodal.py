@@ -98,6 +98,46 @@ def sample_frames(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def resize_payload(
+    df: DataFrame, payload_col: str = "payload", target_bytes: int = 64
+) -> DataFrame:
+    """'Resize' over opaque media blobs: deterministic stride resampling
+    down to <= ``target_bytes`` (keep every stride-th byte, stride =
+    ceil(len/target)) — the image-resize / audio-downsample pattern with
+    the codec swapped for byte arithmetic (see decode_stub).  Appends
+    ``resized`` (binary), ``stride`` and ``resized_len``; the length law
+    resized_len = ceil(len/stride) is SQL-checkable, the bytes are
+    pinned by pytest."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += ", resized binary, stride bigint, resized_len bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            resized, strides, lens = [], [], []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                stride = max((len(b) + target_bytes - 1) // target_bytes, 1)
+                r = b[::stride]
+                resized.append(r)
+                strides.append(stride)
+                lens.append(len(r))
+            pdf["resized"] = resized
+            pdf["stride"] = strides
+            pdf["resized_len"] = lens
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize slice with an arithmetic oracle: stride and resized length
+    are pure functions of payload size and the target."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    resized = resize_payload(with_binary_payload(df).select("doc_id", "payload"))
+    return resized.select("doc_id", "stride", "resized_len")
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling slice with an arithmetic oracle: frame counts and
     first/last frame byte lengths are pure functions of payload size."""

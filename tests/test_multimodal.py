@@ -31,3 +31,30 @@ def test_decode_stub_deterministic_and_gated(spark):
     assert multimodal.decode_stub(b"abc") == multimodal.decode_stub(b"abc")
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"abc", real_codec=True)
+
+
+def test_resize_stride_sampling_bytes(spark):
+    """Resized payload must be exactly b[::stride] with stride
+    = ceil(len/target)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.multimodal import (
+        resize_payload,
+        with_binary_payload,
+    )
+
+    texts = ["x" * 300, "short", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in resize_payload(
+            with_binary_payload(df).select("doc_id", "payload"), target_bytes=64
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        b = t.encode()
+        stride = max((len(b) + 63) // 64, 1)
+        assert bytes(out[i].resized) == b[::stride]
+        assert out[i].stride == stride
+        assert out[i].resized_len == len(b[::stride])
+        assert out[i].resized_len <= 64
