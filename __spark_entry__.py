@@ -177,6 +177,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": multimodal.q_multimodal_metadata,
         "multimodal_features": multimodal.q_multimodal_features,  # rows-only: stub features
         "multimodal_frames": multimodal.q_multimodal_frames,
+        "multimodal_resize": multimodal.q_multimodal_resize,
         # -- event streams (batch forms of the streaming ops)
         "tumbling_window": streaming_events.q_tumbling_window,
         "sliding_window": streaming_events.q_sliding_window,
@@ -184,8 +185,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- python UDF taxonomy (grouped-map, UDAF, UDTF)
         "grouped_zscore": udfs.q_grouped_zscore,
         "pandas_udaf": udfs.q_pandas_udaf,
-        "udtf_split": udfs.q_udtf_split,
         # ------- entry 51+: cheap batteries (tail; replica-gate covered)
+        "udtf_split": udfs.q_udtf_split,
         "filter_like_regex": R.q_filter_like_regex,
         "scalar_subquery": R.q_scalar_subquery,
         "timeseries_gapfill": R.q_timeseries_gapfill,
@@ -218,7 +219,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": text.q_quality_signals,
         "winnow_fingerprint": text.q_winnow_fingerprint,
         "ann_ivf": similarity.q_ann_ivf,  # rows-only: k-means centroids engine-defined
-        "multimodal_resize": multimodal.q_multimodal_resize,
     }
 
 
