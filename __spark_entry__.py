@@ -182,10 +182,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": streaming_events.q_tumbling_window,
         "sliding_window": streaming_events.q_sliding_window,
         "sessionize": streaming_events.q_sessionize,
+        "stream_join": streaming_events.q_stream_join,
         # -- python UDF taxonomy (grouped-map, UDAF, UDTF)
         "grouped_zscore": udfs.q_grouped_zscore,
-        "pandas_udaf": udfs.q_pandas_udaf,
         # ------- entry 51+: cheap batteries (tail; replica-gate covered)
+        "pandas_udaf": udfs.q_pandas_udaf,
         "udtf_split": udfs.q_udtf_split,
         "filter_like_regex": R.q_filter_like_regex,
         "scalar_subquery": R.q_scalar_subquery,
@@ -679,6 +680,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events UNION ALL SELECT time_bucket(INTERVAL '30 minutes', ts) - "
             "INTERVAL '30 minutes' AS window_start FROM events) "
             "SELECT window_start, COUNT(*) AS cnt FROM starts GROUP BY 1"
+        ),
+        "stream_join": (
+            "SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+            "ON c.user_id = v.user_id AND c.ts >= v.ts "
+            "AND c.ts <= v.ts + INTERVAL 30 MINUTE"
         ),
         "sessionize": (
             "WITH flagged AS (SELECT user_id, ts, event_id, "

@@ -85,6 +85,42 @@ def session_windows_stateful(
     )
 
 
+def attribute_clicks(
+    clicks: DataFrame,
+    views: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join (ad-attribution shape): each click joins
+    every view by the same user in the preceding ``max_delay``.  The
+    SAME code runs batch and streaming (unified model); on streaming
+    inputs both sides get watermarks, and the time-range predicate is
+    what lets Spark bound the join state — views older than
+    watermark+max_delay are evicted, so state stays proportional to the
+    recent window, not the stream history.  Without the range condition
+    a stream-stream inner join must buffer both streams forever."""
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("ts", watermark)
+    if views.isStreaming:
+        views = views.withWatermark("ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    cond = (
+        (c.user_id == v.view_user)
+        & (c.click_ts >= v.view_ts)
+        & (c.click_ts <= v.view_ts + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return c.join(v, cond).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+
+
 def dedup_events_stream(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exactly-once dedup on event_id: watermark bounds the
     dedup state (ids older than the watermark are evicted) — the
@@ -111,6 +147,18 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(read_events(spark, sf_dir), "1 hour", "30 minutes")
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream attribution join (oracle = plain
+    range join in SQL); the streaming execution of the identical
+    transformation is pinned in tests/test_streaming.py."""
+    events = read_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click")
+    views = events.filter(F.col("event_type") == "view")
+    return attribute_clicks(clicks, views, "30 minutes").select(
+        "click_id", "view_id", "user_id"
+    )
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,3 +107,34 @@ def test_streaming_session_window_runs(spark, tmp_path):
     assert all(r.session_start <= r.session_end and r.n_events > 0 for r in rows)
     # total events across sessions == input rows
     assert sum(r.n_events for r in rows) == spark.read.parquet(src).count()
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """The watermarked stream-stream attribution join must produce the
+    same pairs as its batch form when the whole input is replayed."""
+    src = _events_dir(spark, tmp_path)
+    batch = spark.read.parquet(src)
+    want = {
+        (r.click_id, r.view_id)
+        for r in SE.attribute_clicks(
+            batch.filter("event_type = 'click'"),
+            batch.filter("event_type = 'view'"),
+            "30 minutes",
+        ).collect()
+    }
+    clicks = SE.read_events_stream(spark, src, max_files=2).filter("event_type = 'click'")
+    views = SE.read_events_stream(spark, src, max_files=2).filter("event_type = 'view'")
+    q = (
+        SE.attribute_clicks(clicks, views, "30 minutes", watermark="100 days")
+        .writeStream.format("memory")
+        .queryName("attrib_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.click_id, r.view_id) for r in spark.sql("select * from attrib_out").collect()
+    }
+    assert got == want and want
+    shutil.rmtree(src, ignore_errors=True)
