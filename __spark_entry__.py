@@ -131,7 +131,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "safe_cast": R.q_safe_cast,
         "dense_id": R.q_dense_id,
         "topk": R.q_topk,
-        "exact_sample": R.q_exact_sample,  # rows-only: seeded row identity is engine-defined
         "join_left": R.q_join_left,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
@@ -139,11 +138,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- TPC-H-shaped benchmark queries
         "tpch_q1": R.q_tpch_q1,
         "tpch_q3": R.q_tpch_q3,
+        "tpch_q4": R.q_tpch_q4,
         "tpch_q5": R.q_tpch_q5,
         "tpch_q6": R.q_tpch_q6,
         "tpch_q10": R.q_tpch_q10,
         "tpch_q12": R.q_tpch_q12,
         "tpch_q14": R.q_tpch_q14,
+        "tpch_q18": R.q_tpch_q18,
         "agg_pricing_summary": R.q_agg_pricing_summary,
         # -- join taxonomy (O16 generalized)
         "join_multiway_broadcast": R.q_join_multiway_broadcast,
@@ -152,7 +153,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range": R.q_join_range,
         "join_asof": R.q_join_asof,
         "join_outer": R.q_join_outer,
-        "join_cross": R.q_cross_join,
         "salted_agg": skew.q_salted_agg,
         # -- formerly driver-err rows (arrays now serialized for canon)
         "array_agg": R.q_array_agg,
@@ -188,6 +188,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------- entry 51+: cheap batteries (tail; replica-gate covered)
         "pandas_udaf": udfs.q_pandas_udaf,
         "udtf_split": udfs.q_udtf_split,
+        "exact_sample": R.q_exact_sample,  # rows-only: seeded row identity is engine-defined
+        "join_cross": R.q_cross_join,
         "filter_like_regex": R.q_filter_like_regex,
         "scalar_subquery": R.q_scalar_subquery,
         "timeseries_gapfill": R.q_timeseries_gapfill,
@@ -360,6 +362,20 @@ def oracle_sql() -> dict[str, str]:
             "round(AVG(l_discount), 6) AS avg_disc, COUNT(*) AS count_order FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q4": (
+            "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_returnflag = 'R') GROUP BY o_orderpriority"
+        ),
+        "tpch_q18": (
+            "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
+            "round(o_totalprice, 2) AS price, total_qty FROM orders "
+            "JOIN (SELECT l_orderkey, round(SUM(l_quantity), 2) AS total_qty FROM lineitem "
+            "GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) t ON o_orderkey = t.l_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY price DESC, o_orderkey LIMIT 20"
         ),
         "tpch_q12": (
             "SELECT l_returnflag, "

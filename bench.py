@@ -28,10 +28,12 @@ HEADLINE = [
     "agg_pricing_summary",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q10",
     "tpch_q12",
     "tpch_q14",
+    "tpch_q18",
     "salted_agg",
     "join_multiway_broadcast",
     "join_left",

@@ -464,6 +464,53 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): semi-join-then-agg —
+    count orders having at least one returned lineitem, by priority.
+    The semi-join deduplicates lineitem matches BEFORE the aggregation
+    (an inner join would overcount), and Spark's left-semi build keeps
+    only the key column from the probe side."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customer (TPC-H Q18 shape): HAVING-filtered agg
+    subquery (orders whose total quantity clears a threshold) joined
+    back to orders+customer, top-k by price.  The heavy agg runs FIRST
+    and its tiny survivor set drives the joins — broadcast after AQE
+    sees the post-HAVING cardinality."""
+    big_orders = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("price"),
+            "total_qty",
+        )
+        .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
 def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit cross join (small x small): region x order-status grid."""
     r = _t(spark, sf_dir, "region").select("r_name")
