@@ -97,3 +97,15 @@ def test_scan_prunes_columns(spark):
     # customer has 5 columns; the projection needs 3 — the scan must not
     # read the other two
     assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
+
+
+def test_tpch_plans_pushdown_broadcast_semi(spark):
+    """Plan shapes for the round-2 TPC-H queries: Q1's shipdate predicate
+    reaches the parquet scan, Q14 broadcasts the part dim, Q4 executes a
+    genuine left-semi build."""
+    q1 = R.q_tpch_q1(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in q1 and "l_shipdate" in q1
+    q14 = R.q_tpch_q14(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in q14
+    q4 = R.q_tpch_q4(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in q4
