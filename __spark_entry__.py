@@ -188,6 +188,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------- entry 51+: cheap batteries (tail; replica-gate covered)
         "pandas_udaf": udfs.q_pandas_udaf,
         "udtf_split": udfs.q_udtf_split,
+        "scalar_pandas_udf": udfs.q_scalar_pandas_udf,
         "exact_sample": R.q_exact_sample,  # rows-only: seeded row identity is engine-defined
         "join_cross": R.q_cross_join,
         "filter_like_regex": R.q_filter_like_regex,
@@ -516,6 +517,10 @@ def oracle_sql() -> dict[str, str]:
         "pandas_udaf": (
             "SELECT l_returnflag, round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) "
             "AS wavg_price FROM lineitem GROUP BY l_returnflag"
+        ),
+        "scalar_pandas_udf": (
+            "SELECT l_orderkey, l_linenumber, "
+            "round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge FROM lineitem"
         ),
         "udtf_split": (
             "SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word FROM part"

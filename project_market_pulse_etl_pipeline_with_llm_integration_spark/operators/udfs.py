@@ -58,6 +58,29 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scalar vectorized pandas UDF (Series -> Series): one Arrow batch in,
+# one out — the 10-100x-over-row-at-a-time path for logic that truly
+# needs Python.  (This particular formula is expressible as built-ins;
+# it exists to pin the scalar-UDF surface with an exact SQL oracle.)
+@F.pandas_udf(T.DoubleType())
+def _charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    return price * (1.0 - disc) * (1.0 + tax)
+
+
+def q_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H charge formula through the scalar Arrow-vectorized UDF.
+    Rounded to 6 decimals: the true product of 2-decimal inputs has at
+    most 6 decimal digits, so round-to-6 never sits on a tie boundary —
+    rounding to 2 would split engines on .005 products (Spark rounds
+    the shortest-decimal rendering, DuckDB the raw binary double)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(_charge("l_extendedprice", "l_discount", "l_tax"), 6).alias("charge"),
+    )
+
+
 def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function): explode part type strings into
     (p_partkey, word) rows via a lateral join — the user-defined
