@@ -65,6 +65,29 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.option("mode", "PERMISSIVE").json(path)
 
 
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    """Generic source, symmetric with ``writers.write_table``: parquet /
+    csv / json / orc (and anything else in the DataSource registry).
+    CSV assumes a header by default (matching the writer); pass an
+    explicit schema at scale — inference costs a full extra read."""
+    reader = spark.read
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+        if schema is None and "inferSchema" not in options:
+            options["inferSchema"] = "true"
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events scan with nanosecond-timestamp normalization.
 

@@ -58,3 +58,23 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # partition pruning: the segment predicate must land in PartitionFilters
     assert "PartitionFilters: [" in plan
     assert back.count() == src.filter(F.col("c_mktsegment") == "BUILDING").count()
+
+
+def test_read_table_all_formats_roundtrip(spark, tmp_path):
+    """read_table must be the exact inverse of write_table for every
+    registered format (csv goes through header+inferSchema)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_table,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.writers import (
+        write_table,
+    )
+
+    src = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    want = sorted((r.r_regionkey, r.r_name) for r in src.collect())
+    for fmt in ("parquet", "csv", "json", "orc"):
+        path = str(tmp_path / f"rt_{fmt}")
+        write_table(src, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt)
+        got = sorted((int(r.r_regionkey), r.r_name) for r in back.collect())
+        assert got == want, fmt
