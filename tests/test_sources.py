@@ -78,3 +78,33 @@ def test_read_table_all_formats_roundtrip(spark, tmp_path):
         back = read_table(spark, path, fmt=fmt)
         got = sorted((int(r.r_regionkey), r.r_name) for r in back.collect())
         assert got == want, fmt
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """With partitionOverwriteMode=dynamic, overwriting a partitioned
+    layout replaces ONLY the partitions present in the new data — the
+    incremental-reload semantics a daily pipeline needs (static mode
+    would wipe every other partition)."""
+    path = str(tmp_path / "dyn_part")
+    src = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    write_table(src, path, fmt="parquet", partition_by=["c_mktsegment"])
+    before = spark.read.parquet(path).count()
+
+    patch = (
+        src.filter(F.col("c_mktsegment") == "BUILDING")
+        .withColumn("c_name", F.upper(F.col("c_name")))
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_table(patch, path, fmt="parquet", mode="overwrite",
+                    partition_by=["c_mktsegment"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    back = spark.read.parquet(path)
+    assert back.count() == before  # untouched partitions survived
+    bldg = back.filter(F.col("c_mktsegment") == "BUILDING")
+    assert all(r.c_name == r.c_name.upper() for r in bldg.collect())
+    other = back.filter(F.col("c_mktsegment") != "BUILDING")
+    assert any(r.c_name != r.c_name.upper() for r in other.collect())
