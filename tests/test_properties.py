@@ -61,3 +61,33 @@ def test_exact_dedup_partitions_ids(spark, docs):
     assert sum(r.dup_count for r in rows) == len(docs)
     for r in rows:
         assert docs[r.keep_id] is not None
+
+
+@_slow
+@given(
+    st.lists(words, min_size=7, max_size=10).map(" ".join),  # shared run >= n+w-1 = 6
+    st.lists(words, min_size=0, max_size=5).map(" ".join),
+    st.lists(words, min_size=0, max_size=5).map(" ".join),
+)
+def test_winnowing_shared_run_guarantee(spark, shared, prefix, suffix):
+    """Schleimer et al. guarantee: two docs sharing any run of at least
+    n+w-1 tokens (n=3-gram, w=4 window => 6) select at least one common
+    fingerprint, regardless of what surrounds the run."""
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import text
+
+    a = (prefix + " " + shared).strip()
+    b = (shared + " " + suffix).strip()
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    grams = text._positional_shingles("text", 3)
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(hashes) - 4, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i + 1, 4)),
+    )
+    sets_ = {
+        r.doc_id: set(r.fps)
+        for r in df.select("doc_id", F.array_distinct(wins).alias("fps")).collect()
+    }
+    assert sets_[0] & sets_[1], (a, b)
