@@ -635,9 +635,10 @@ def oracle_sql() -> dict[str, str]:
             "least(len(tk), 64) / 64.0 AS ls, "
             "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) "
             "ELSE 0.0 END AS dv FROM t) "
-            "SELECT doc_id, round(pr, 6) AS punct_ratio, round(sr, 6) AS stop_ratio, "
-            "round(0.35 * ls + 0.35 * dv + 0.15 * (1 - least(4 * pr, 1.0)) "
-            "+ 0.15 * least(3 * sr, 1.0), 6) AS quality_full FROM s"
+            "SELECT doc_id, floor(pr * 1e6) / 1e6 AS punct_ratio, "
+            "floor(sr * 1e6) / 1e6 AS stop_ratio, "
+            "floor((0.35 * ls + 0.35 * dv + 0.15 * (1 - least(4 * pr, 1.0)) "
+            "+ 0.15 * least(3 * sr, 1.0)) * 1e6) / 1e6 AS quality_full FROM s"
         ),
         "winnow_fingerprint": (
             f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "

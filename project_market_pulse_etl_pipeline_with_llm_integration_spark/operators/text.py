@@ -135,17 +135,25 @@ def with_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
     length_score = F.least(n_tok, F.lit(64)) / F.lit(64.0)
     diversity = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(0.0)
+
+    def _trunc6(c):
+        # floor-scale, NOT round: the score mixes terminating decimals
+        # (n/64 etc.), so exact ....5 ties at the 7th digit occur and
+        # Spark (rounds the shortest-decimal rendering) disagrees with
+        # engines that round the binary double.  floor of the identical
+        # double is bit-deterministic everywhere.
+        return F.floor(c * 1e6) / 1e6
+
     return (
-        df.withColumn("punct_ratio", F.round(punct_ratio, 6))
-        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        df.withColumn("punct_ratio", _trunc6(punct_ratio))
+        .withColumn("stop_ratio", _trunc6(stop_ratio))
         .withColumn(
             "quality_full",
-            F.round(
+            _trunc6(
                 0.35 * length_score
                 + 0.35 * diversity
                 + 0.15 * (1 - F.least(4 * punct_ratio, F.lit(1.0)))
-                + 0.15 * F.least(3 * stop_ratio, F.lit(1.0)),
-                6,
+                + 0.15 * F.least(3 * stop_ratio, F.lit(1.0))
             ),
         )
     )
