@@ -592,15 +592,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens, "
             "CAST(length(text) AS BIGINT) AS n_chars_calc, "
             f"CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens, "
-            f"round(CASE WHEN len({_TOKS}) > 0 THEN "
-            f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) ELSE 0.0 END, 6) "
-            "AS distinct_ratio FROM documents"
+            f"floor((CASE WHEN len({_TOKS}) > 0 THEN "
+            f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) ELSE 0.0 END) * 1e6) "
+            "/ 1e6 AS distinct_ratio FROM documents"
         ),
         "quality_score": (
-            f"SELECT doc_id, round(0.5 * (least(len({_TOKS}), 64) / 64.0) + "
+            f"SELECT doc_id, floor((0.5 * (least(len({_TOKS}), 64) / 64.0) + "
             f"0.5 * (CASE WHEN len({_TOKS}) > 0 THEN "
-            f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) ELSE 0.0 END), 6) "
-            "AS quality_score FROM documents"
+            f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) ELSE 0.0 END)) * 1e6) "
+            "/ 1e6 AS quality_score FROM documents"
         ),
         "lang_id": (
             "WITH t AS (SELECT doc_id, list_distinct(" + _TOKS + ") AS toks FROM documents), "

@@ -32,19 +32,18 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token count, char count, distinct-token ratio, mean token length."""
+    """Token count, char count, distinct-token ratio, mean token length.
+    The ratio is floor-scaled, not rounded: k/n with n a power-of-2x5
+    (e.g. 128 tokens) terminates with 7+ digits and a trailing 5, where
+    Spark's decimal-rendering round and binary-value rounds disagree."""
     toks = tokens(text_col)
     n_tok = token_count(text_col)
+    ratio = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(0.0)
     return (
         df.withColumn("n_tokens", n_tok)
         .withColumn("n_chars_calc", F.length(text_col).cast("long"))
         .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)).cast("long"))
-        .withColumn(
-            "distinct_ratio",
-            F.round(
-                F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(0.0), 6
-            ),
-        )
+        .withColumn("distinct_ratio", F.floor(ratio * 1e6) / 1e6)
     )
 
 
@@ -55,13 +54,18 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
         length_score   = least(n_tokens, 64) / 64
         diversity      = n_distinct_tokens / n_tokens   (0 if empty)
-        quality_score  = round(0.5*length_score + 0.5*diversity, 6)
+        quality_score  = floor((0.5*length_score + 0.5*diversity) * 1e6) / 1e6
+
+    (floor-scaled, not rounded: the n/64 term makes exact 7th-digit
+    ties possible, where engines' double-rounding rules split.)
     """
     toks = tokens(text_col)
     n_tok = token_count(text_col)
     diversity = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(0.0)
     length_score = F.least(n_tok, F.lit(64)) / F.lit(64.0)
-    return df.withColumn("quality_score", F.round(0.5 * length_score + 0.5 * diversity, 6))
+    return df.withColumn(
+        "quality_score", F.floor((0.5 * length_score + 0.5 * diversity) * 1e6) / 1e6
+    )
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
