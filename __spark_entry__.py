@@ -191,6 +191,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_pandas_udf": udfs.q_scalar_pandas_udf,
         "exact_sample": R.q_exact_sample,  # rows-only: seeded row identity is engine-defined
         "join_cross": R.q_cross_join,
+        "tpch_q19": R.q_tpch_q19,
+        "join_null_safe": R.q_join_null_safe,
         "filter_like_regex": R.q_filter_like_regex,
         "scalar_subquery": R.q_scalar_subquery,
         "timeseries_gapfill": R.q_timeseries_gapfill,
@@ -398,6 +400,18 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": (
             "SELECT user_id, round(SUM(value), 2) AS total, COUNT(*) AS cnt "
             "FROM events GROUP BY user_id"
+        ),
+        "tpch_q19": (
+            "SELECT round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "COUNT(*) AS n_lines FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 15) "
+            "OR (p_brand = 'Brand#3' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 30)"
+        ),
+        "join_null_safe": (
+            "WITH l AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders), "
+            "r AS (SELECT DISTINCT nullif(o_orderstatus, 'P') AS k, "
+            "'grp-' || coalesce(nullif(o_orderstatus, 'P'), 'null') AS tag FROM orders) "
+            "SELECT l.o_orderkey, r.tag FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k"
         ),
         "tpch_q10": (
             "SELECT c_custkey, c_name, n_name AS nation, "

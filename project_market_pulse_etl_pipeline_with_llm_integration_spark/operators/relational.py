@@ -511,6 +511,62 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 shape): disjunction of conjunctive
+    brand/size/quantity predicates spanning BOTH join sides.  Catalyst
+    must split the OR into per-side pushable conjuncts (brand/size reach
+    the part scan, quantity the lineitem scan) while the cross-side
+    residual evaluates on the join output — the classic disjunctive-
+    pushdown stress test."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    case1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size") <= 10)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 15)
+    )
+    case2 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size") <= 25)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 30)
+    )
+    return joined.filter(case1 | case2).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): rows whose keys are BOTH null match
+    each other, unlike ordinary equality where null never joins.
+    Exercised over a derived nullable key."""
+    orders = _t(spark, sf_dir, "orders")
+    left = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("k"),
+    )
+    right = (
+        orders.select(
+            F.when(F.col("o_orderstatus") == "P", None)
+            .otherwise(F.col("o_orderstatus"))
+            .alias("k")
+        )
+        .distinct()
+        .withColumn("tag", F.concat(F.lit("grp-"), F.coalesce(F.col("k"), F.lit("null"))))
+    )
+    return (
+        left.join(right, left.k.eqNullSafe(right.k))
+        .select("o_orderkey", "tag")
+    )
+
+
 def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit cross join (small x small): region x order-status grid."""
     r = _t(spark, sf_dir, "region").select("r_name")
