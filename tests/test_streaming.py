@@ -138,3 +138,35 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     }
     assert got == want and want
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_static_join_enriches_every_event(spark, tmp_path):
+    """Stream-static join: a streaming fact joined to a static dimension
+    needs no watermark (the static side is re-read per micro-batch) and
+    must enrich every event exactly once."""
+    src = _events_dir(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "impression"), ("purchase", "conversion")],
+        "event_type string, event_class string",
+    )
+    stream = SE.read_events_stream(spark, src, max_files=2)
+    q = (
+        stream.join(dim, "event_type", "left")
+        .select("event_id", "event_type", "event_class")
+        .writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select count(*) n, count(event_class) classified from enriched_out"
+    ).first()
+    batch = spark.read.parquet(src)
+    want_n = batch.count()
+    want_classified = batch.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).count()
+    assert (got.n, got.classified) == (want_n, want_classified)
+    shutil.rmtree(src, ignore_errors=True)
