@@ -192,6 +192,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_sample": R.q_exact_sample,  # rows-only: seeded row identity is engine-defined
         "join_cross": R.q_cross_join,
         "tpch_q19": R.q_tpch_q19,
+        "tpch_q7": R.q_tpch_q7,
+        "tpch_q8": R.q_tpch_q8,
         "join_null_safe": R.q_join_null_safe,
         "filter_like_regex": R.q_filter_like_regex,
         "scalar_subquery": R.q_scalar_subquery,
@@ -292,12 +294,13 @@ def oracle_sql() -> dict[str, str]:
         "join_left": (
             "SELECT c.c_custkey, c.c_mktsegment, COALESCE(o.order_cnt, 0) AS order_cnt, "
             "round(COALESCE(o.total_spent, 0), 2) AS total_spent FROM customer c LEFT JOIN ("
-            "SELECT o_custkey, COUNT(*) AS order_cnt, round(SUM(o_totalprice), 2) AS total_spent "
+            "SELECT o_custkey, COUNT(*) AS order_cnt, CAST(round(SUM(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE) AS total_spent "
             "FROM orders GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey"
         ),
         "join_multiway_broadcast": (
             "SELECT n.n_name AS nation, o.o_orderpriority AS priority, "
-            "round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+            "CAST(round(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6))), 2) "
+            "AS DOUBLE) AS revenue, "
             "COUNT(*) AS line_cnt FROM lineitem l "
             "JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "JOIN customer c ON o.o_custkey = c.c_custkey "
@@ -332,7 +335,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tpch_q3": (
             "SELECT l_orderkey, o_orderdate, o_orderpriority, "
-            "round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01' "
@@ -351,16 +354,16 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1"
         ),
         "tpch_q6": (
-            "SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue, "
+            "SELECT CAST(round(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue, "
             "COUNT(*) AS n_lines FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
             "AND l_discount >= 0.02 AND l_discount <= 0.09 AND l_quantity < 24"
         ),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty, "
-            "round(SUM(l_extendedprice), 2) AS sum_base_price, "
-            "round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
-            "round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+            "CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_base_price, "
+            "CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_disc_price, "
+            "CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_charge, "
             "round(AVG(l_quantity), 6) AS avg_qty, round(AVG(l_extendedprice), 6) AS avg_price, "
             "round(AVG(l_discount), 6) AS avg_disc, COUNT(*) AS count_order FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
@@ -391,21 +394,53 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_returnflag"
         ),
         "tpch_q14": (
-            "SELECT round(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN "
-            "l_extendedprice * (1 - l_discount) ELSE 0.0 END) / "
-            "SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+            "SELECT round(100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN "
+            "l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(20,6))) AS DOUBLE) / "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 4) "
+            "AS promo_revenue "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'"
         ),
         "salted_agg": (
-            "SELECT user_id, round(SUM(value), 2) AS total, COUNT(*) AS cnt "
+            "SELECT user_id, CAST(round(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS total, COUNT(*) AS cnt "
             "FROM events GROUP BY user_id"
         ),
         "tpch_q19": (
-            "SELECT round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "SELECT CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue, "
             "COUNT(*) AS n_lines FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 15) "
             "OR (p_brand = 'Brand#3' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 30)"
+        ),
+        "tpch_q7": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INT) AS yr, "
+            "CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND n1.n_name IN ('NATION_0', 'NATION_1', 'NATION_2') "
+            "AND n2.n_name IN ('NATION_3', 'NATION_4', 'NATION_5') "
+            "GROUP BY 1, 2, 3"
+        ),
+        "tpch_q8": (
+            "SELECT CAST(year(o_orderdate) AS INT) AS yr, "
+            "round(CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_3' THEN "
+            "l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(20,6))) AS DOUBLE) / "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 6) "
+            "AS mkt_share "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation nc ON c_nationkey = nc.n_nationkey "
+            "JOIN region ON nc.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ns ON s_nationkey = ns.n_nationkey "
+            "WHERE p_type LIKE 'STANDARD%' AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1"
         ),
         "join_null_safe": (
             "WITH l AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders), "
@@ -415,7 +450,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tpch_q10": (
             "SELECT c_custkey, c_name, n_name AS nation, "
-            "round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue, "
             "round(MAX(c_acctbal), 2) AS acctbal "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
@@ -432,8 +467,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty, "
-            "round(SUM(l_extendedprice), 2) AS sum_base_price, "
-            "round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_base_price, "
+            "CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_disc_price, "
             "round(AVG(l_quantity), 6) AS avg_qty, round(AVG(l_discount), 6) AS avg_disc, "
             "COUNT(*) AS count_order FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
@@ -442,7 +477,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
         "agg_count_distinct": (
             "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, "
-            "round(SUM(o_totalprice), 2) AS total FROM orders GROUP BY o_orderstatus"
+            "CAST(round(SUM(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE) AS total FROM orders GROUP BY o_orderstatus"
         ),
         "agg_rollup": (
             "SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty, "
@@ -502,10 +537,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "window_range_frame": (
             "SELECT o_custkey, o_orderkey, CAST(date_diff('day', DATE '1990-01-01', "
-            "CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no, round(SUM(o_totalprice) OVER ("
+            "CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no, "
+            "CAST(round(SUM(CAST(o_totalprice AS DECIMAL(20,6))) OVER ("
             "PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1990-01-01', "
             "CAST(o_orderdate AS DATE)) RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) "
-            "AS spend_30d FROM orders"
+            "AS DOUBLE) AS spend_30d FROM orders"
         ),
         "intersect_all": (
             "SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O' "
@@ -554,9 +590,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
         ),
         "window_running": (
-            "SELECT o_custkey, o_orderkey, round(SUM(o_totalprice) OVER ("
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(round(SUM(CAST(o_totalprice AS DECIMAL(20,6))) OVER ("
             "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend FROM orders"
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) "
+            "AS running_spend FROM orders"
         ),
         "union_all": (
             "SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 200000 "
@@ -709,7 +747,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tumbling_window": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS cnt, "
-            "round(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2"
+            "CAST(round(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2"
         ),
         "sliding_window": (
             "WITH starts AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start "

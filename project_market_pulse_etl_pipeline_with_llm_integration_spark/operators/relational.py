@@ -17,7 +17,7 @@ Design rules applied throughout (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.ids import with_dense_id
@@ -26,6 +26,18 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.samp
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def money_sum(expr: Column, scale: int = 2) -> Column:
+    """Order-insensitive money aggregation: accumulate in DECIMAL
+    (exact, associative) and round/cast only at the end.  Summing
+    DOUBLEs is order-dependent (error ~ n·ulp), so two engines summing
+    the same group in different orders can disagree by a penny whenever
+    the sum lands within an ulp of a .005 rounding boundary — observed
+    live on a tpch_q7 revenue group.  The products being cast are
+    exact few-decimal values, so the double→decimal cast itself has no
+    tie to round."""
+    return F.round(F.sum(expr.cast("decimal(20,6)")), scale).cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +114,7 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers without orders keep nulls -> coalesced to 0."""
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.count("*").alias("order_cnt"), F.round(F.sum("o_totalprice"), 2).alias("total_spent")
+        F.count("*").alias("order_cnt"), money_sum(F.col("o_totalprice")).alias("total_spent")
     )
     return (
         _t(spark, sf_dir, "customer")
@@ -131,9 +143,7 @@ def q_join_multiway_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("*").alias("line_cnt"),
         )
         .withColumnRenamed("n_name", "nation")
@@ -250,10 +260,8 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
+        money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count("*").alias("count_order"),
@@ -272,7 +280,7 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            money_sum(F.col("o_totalprice")).alias("total"),
         )
     )
 
@@ -323,9 +331,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -354,9 +360,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .withColumnRenamed("n_name", "nation")
     )
@@ -373,7 +377,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
 
@@ -393,9 +397,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.round(F.max("c_acctbal"), 2).alias("acctbal"),
         )
         .withColumnRenamed("n_name", "nation")
@@ -416,9 +418,9 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -459,8 +461,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), disc_price).otherwise(0.0)
+    promo_sum = F.sum(promo.cast("decimal(20,6)")).cast("double")
+    total_sum = F.sum(disc_price.cast("decimal(20,6)")).cast("double")
     return li.join(part, li.l_partkey == part.p_partkey).agg(
-        F.round(100.0 * F.sum(promo) / F.sum(disc_price), 4).alias("promo_revenue")
+        F.round(100.0 * promo_sum / total_sum, 4).alias("promo_revenue")
     )
 
 
@@ -511,6 +515,94 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (TPC-H Q7 shape): revenue between two nation
+    PAIRS by year — the double-dimension-join topology (nation joined
+    twice under different roles).  Both nation copies broadcast; the
+    pair predicate runs after both joins; the big lineitem⋈orders
+    shuffle keys on orderkey."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    # a band of nation pairs rather than one symmetric pair, so the
+    # query has non-trivial output even at the smallest scale factors
+    pair = F.col("supp_nation").isin("NATION_0", "NATION_1", "NATION_2") & F.col(
+        "cust_nation"
+    ).isin("NATION_3", "NATION_4", "NATION_5")
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): a 6-way join feeding a
+    ratio-of-conditional-sums per year — the share of one supplier
+    nation (NATION_3) in a region's order volume for one part type family."""
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type").startswith("STANDARD"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n_cust = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+        )
+    )
+    n_supp = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target_volume = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .join(region, F.col("cn_region") == region.r_regionkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(target_volume.cast("decimal(20,6)")).cast("double")
+                / F.sum(volume.cast("decimal(20,6)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discounted revenue (TPC-H Q19 shape): disjunction of conjunctive
     brand/size/quantity predicates spanning BOTH join sides.  Catalyst
@@ -534,9 +626,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") <= 30)
     )
     return joined.filter(case1 | case2).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
 
@@ -733,7 +823,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "day_no",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")).over(w), 2).cast("double").alias("spend_30d"),
     )
 
 
@@ -745,7 +835,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return _t(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend")
+        "o_custkey", "o_orderkey", F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")).over(w), 2).cast("double").alias("running_spend")
     )
 
 

@@ -76,11 +76,16 @@ def salted_agg(
     """Two-phase sum/count under skew: partial on (key, salt), final on
     key.  Returns (key, total, cnt)."""
     salted = df.withColumn(_SALT, (F.rand(seed) * salt_buckets).cast("int"))
+    # partials accumulate in DECIMAL so the two-phase sum is exactly
+    # associative — a double partial-sum would round differently than
+    # the plain one-shot groupBy the oracle computes
     partial = salted.groupBy(key, _SALT).agg(
-        F.sum(agg_col).alias("_psum"), F.count("*").alias("_pcnt")
+        F.sum(F.col(agg_col).cast("decimal(20,6)")).alias("_psum"),
+        F.count("*").alias("_pcnt"),
     )
     return partial.groupBy(key).agg(
-        F.round(F.sum("_psum"), 2).alias("total"), F.sum("_pcnt").alias("cnt")
+        F.round(F.sum("_psum"), 2).cast("double").alias("total"),
+        F.sum("_pcnt").alias("cnt"),
     )
 
 

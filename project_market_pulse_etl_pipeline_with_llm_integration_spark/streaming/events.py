@@ -41,7 +41,10 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """Tumbling-window counts+sums per event_type."""
     return (
         events.groupBy(F.window("ts", width).alias("win"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2).cast("double").alias("sum_value"),
+        )
         .select(
             F.col("win.start").alias("window_start"),
             "event_type",
