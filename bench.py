@@ -30,6 +30,7 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
+    "tpch_q7",
     "tpch_q10",
     "tpch_q12",
     "tpch_q14",
