@@ -195,6 +195,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": R.q_tpch_q7,
         "tpch_q8": R.q_tpch_q8,
         "join_null_safe": R.q_join_null_safe,
+        "unpivot": R.q_unpivot,
         "filter_like_regex": R.q_filter_like_regex,
         "scalar_subquery": R.q_scalar_subquery,
         "timeseries_gapfill": R.q_timeseries_gapfill,
@@ -207,6 +208,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentile": R.q_agg_percentile,
         "agg_grouping_sets": R.q_agg_grouping_sets,
         "agg_approx_distinct": R.q_agg_approx_distinct,  # rows-only: sketch estimates engine-defined
+        "agg_approx_percentile": R.q_agg_approx_percentile,  # rows-only: quantile sketch engine-defined
         "explode_wordcount": R.q_explode_wordcount,
         "null_handling": R.q_null_handling,
         "union_distinct": R.q_union_distinct,
@@ -441,6 +443,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE p_type LIKE 'STANDARD%' AND r_name = 'ASIA' "
             "AND o_orderdate >= TIMESTAMP '1995-01-01' "
             "AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1"
+        ),
+        "unpivot": (
+            # UNION-ALL rendering of UNPIVOT — engine-portable
+            "WITH wide AS (SELECT l_returnflag, "
+            "round(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) "
+            "AS qty_open, "
+            "round(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) "
+            "AS qty_filled FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, 'qty_open' AS bucket, qty_open AS qty FROM wide "
+            "UNION ALL SELECT l_returnflag, 'qty_filled' AS bucket, qty_filled AS qty FROM wide"
         ),
         "join_null_safe": (
             "WITH l AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders), "

@@ -315,6 +315,20 @@ def q_agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native UNPIVOT (wide -> long): melt the conditional-pivot output
+    back into (group, bucket, qty) rows — the inverse reshaping
+    operator.  Spark's unpivot is a zero-shuffle narrow transform over
+    the already-aggregated frame."""
+    wide = q_agg_conditional_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_open", "qty_filled"],
+        variableColumnName="bucket",
+        valueColumnName="qty",
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped benchmark queries (dates adapted to the synthetic range
 # 1995-2001; partsupp-free subset of the classic suite)
@@ -713,6 +727,22 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+    )
+
+
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile via the KLL-style quantile sketch
+    (percentile_approx) — mergeable partials, bounded memory, the
+    100 TB path for quantiles.  Sketch outputs are engine-defined ->
+    rows-only driver check; the rank-error contract vs the exact
+    percentile is pinned in tests."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_price_approx"),
+            F.percentile_approx("l_extendedprice", 0.9, 1000).alias("p90_price_approx"),
+        )
     )
 
 

@@ -109,3 +109,25 @@ def test_tpch_plans_pushdown_broadcast_semi(spark):
     assert "BroadcastHashJoin" in q14
     q4 = R.q_tpch_q4(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in q4
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """The quantile sketch is rows-only-checked by the driver; pin its
+    accuracy here: with accuracy=1000 the rank error is ~1/1000, so the
+    approx p50/p90 must land within +-2% rank of the exact quantiles."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    approx = {r.l_returnflag: r for r in R.q_agg_approx_percentile(spark, SF_SMALL).collect()}
+    for flag, row in approx.items():
+        vals = sorted(
+            r.l_extendedprice
+            for r in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, got in ((0.5, row.p50_price_approx), (0.9, row.p90_price_approx)):
+            lo = vals[max(int((q - 0.02) * n), 0)]
+            hi = vals[min(int((q + 0.02) * n), n - 1)]
+            assert lo <= got <= hi, (flag, q, got, lo, hi)
