@@ -196,6 +196,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": R.q_tpch_q8,
         "join_null_safe": R.q_join_null_safe,
         "unpivot": R.q_unpivot,
+        "sql_passthrough": R.q_sql_passthrough,
         "filter_like_regex": R.q_filter_like_regex,
         "scalar_subquery": R.q_scalar_subquery,
         "timeseries_gapfill": R.q_timeseries_gapfill,
@@ -444,6 +445,8 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate >= TIMESTAMP '1995-01-01' "
             "AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1"
         ),
+        # the literal passthrough text — same string executed by Spark
+        "sql_passthrough": R.SQL_PASSTHROUGH_TEXT,
         "unpivot": (
             # UNION-ALL rendering of UNPIVOT — engine-portable
             "WITH wide AS (SELECT l_returnflag, "

@@ -315,6 +315,21 @@ def q_agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL passthrough (SURVEY §2 O19, ``Main.py:277-321``): the engine
+    executes raw SQL text over catalog-registered tables — here the
+    statement is written in the dialect subset both Spark and DuckDB
+    parse identically, so the oracle runs the very same string."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_PASSTHROUGH_TEXT)
+
+
+SQL_PASSTHROUGH_TEXT = (
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt "
+    "FROM orders GROUP BY o_orderstatus, o_orderpriority"
+)
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native UNPIVOT (wide -> long): melt the conditional-pivot output
     back into (group, bucket, qty) rows — the inverse reshaping

@@ -108,3 +108,18 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     assert all(r.c_name == r.c_name.upper() for r in bldg.collect())
     other = back.filter(F.col("c_mktsegment") != "BUILDING")
     assert any(r.c_name != r.c_name.upper() for r in other.collect())
+
+
+def test_merge_schema_reads_evolved_layout(spark, tmp_path):
+    """Schema evolution: a parquet dir whose later files add a column
+    must be readable with mergeSchema — old rows surface NULL for the
+    new column, new rows keep it."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    rows = {r.id: r for r in back.collect()}
+    assert set(back.columns) == {"id", "name", "score"}
+    assert rows[1].score is None and rows[2].score == 9.5
