@@ -41,6 +41,33 @@ def write_parquet_timestamped(
     return final_path
 
 
+def compact_parquet_dir(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_mb)`` files.  Streaming sinks and
+    per-batch appends accumulate thousands of tiny files; at scan time
+    each costs a task and a round of footer reads, so periodic
+    compaction to ~HDFS-block-sized files is routine warehouse
+    maintenance.  Sizes come from the Hadoop FileSystem API, so any
+    scheme the cluster mounts (file://, hdfs://, s3a://) works.
+    Returns the partition count written."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_dir)
+    total_bytes = path.getFileSystem(hconf).getContentSummary(path).getLength()
+    n = max(1, -(-int(total_bytes) // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    # repartition (round-robin shuffle), not coalesce: coalesce(n) chains
+    # upstream tasks onto n slots, losing read parallelism and producing
+    # skewed outputs when input files vary in size
+    df.repartition(n).write.mode("error").parquet(dst_dir)
+    return n
+
+
 def write_table(
     df: DataFrame,
     path: str,

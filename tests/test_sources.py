@@ -123,3 +123,24 @@ def test_merge_schema_reads_evolved_layout(spark, tmp_path):
     rows = {r.id: r for r in back.collect()}
     assert set(back.columns) == {"id", "name", "score"}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_compact_parquet_dir_reduces_files(spark, tmp_path):
+    """Compaction must cut the file count to the byte-derived target and
+    preserve the data exactly."""
+    import glob
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.writers import (
+        compact_parquet_dir,
+    )
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "few")
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet").repartition(24).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 24
+    n = compact_parquet_dir(spark, src, dst, target_mb=128)
+    assert n == 1  # tiny table -> single target file
+    assert len(glob.glob(f"{dst}/part-*")) == 1
+    a = sorted(r.o_orderkey for r in spark.read.parquet(src).collect())
+    b = sorted(r.o_orderkey for r in spark.read.parquet(dst).collect())
+    assert a == b
