@@ -91,3 +91,31 @@ def test_winnowing_shared_run_guarantee(spark, shared, prefix, suffix):
         for r in df.select("doc_id", F.array_distinct(wins).alias("fps")).collect()
     }
     assert sets_[0] & sets_[1], (a, b)
+
+
+@_slow
+@given(
+    st.lists(
+        st.integers(min_value=-(10**7), max_value=10**7).map(lambda c: c / 100.0),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_money_sum_is_partition_invariant(spark, cents):
+    """money_sum's reason to exist: DECIMAL accumulation gives the SAME
+    bits no matter how the data is partitioned, where double summation
+    drifts with the reduction tree."""
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        money_sum,
+    )
+
+    df = spark.createDataFrame([(v,) for v in cents], "v double")
+    outs = {
+        df.repartition(p).agg(money_sum(F.col("v")).alias("s")).collect()[0].s
+        for p in (1, 7, 32)
+    }
+    assert len(outs) == 1
+    # and it equals the exact integer-cents total
+    assert outs.pop() == round(sum(int(round(v * 100)) for v in cents) / 100.0, 2)
