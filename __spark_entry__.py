@@ -197,6 +197,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_null_safe": R.q_join_null_safe,
         "unpivot": R.q_unpivot,
         "sql_passthrough": R.q_sql_passthrough,
+        "tpch_q15": R.q_tpch_q15,
+        "tpch_q22": R.q_tpch_q22,
+        "window_first_last": R.q_window_first_last,
+        "array_ops": R.q_array_ops,
+        "struct_ops": R.q_struct_ops,
         "filter_like_regex": R.q_filter_like_regex,
         "scalar_subquery": R.q_scalar_subquery,
         "timeseries_gapfill": R.q_timeseries_gapfill,
@@ -447,6 +452,51 @@ def oracle_sql() -> dict[str, str]:
         ),
         # the literal passthrough text — same string executed by Spark
         "sql_passthrough": R.SQL_PASSTHROUGH_TEXT,
+        "tpch_q15": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2) "
+            "AS DOUBLE) AS total_rev FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_rev FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE total_rev = (SELECT max(total_rev) FROM rev)"
+        ),
+        "tpch_q22": (
+            "WITH t AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS pos_sum, "
+            "COUNT(*) AS pos_cnt FROM customer WHERE c_acctbal > 0) "
+            "SELECT c_mktsegment, COUNT(*) AS numcust, "
+            "CAST(round(SUM(CAST(c_acctbal AS DECIMAL(20,6))), 2) AS DOUBLE) AS totacctbal "
+            "FROM customer, t "
+            "WHERE CAST(c_acctbal AS DECIMAL(20,6)) * pos_cnt > pos_sum "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '1999-01-01') "
+            "GROUP BY c_mktsegment"
+        ),
+        "window_first_last": (
+            "SELECT o_custkey, o_orderkey, "
+            "first_value(o_orderkey) OVER w AS first_order, "
+            "last_value(o_orderkey) OVER w AS last_order, "
+            "nth_value(o_orderkey, 2) OVER w AS second_order FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ),
+        "array_ops": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(len(generate_series(1, l_linenumber)) AS INT) AS seq_len, "
+            "array_to_string(list_reverse(generate_series(1, l_linenumber)), ',') AS rev_csv, "
+            "array_to_string(generate_series(1, l_linenumber)[1:2], ',') AS first2_csv, "
+            "list_contains(generate_series(1, l_linenumber), 3) AS has_3, "
+            "CAST(coalesce(list_position(generate_series(1, l_linenumber), 2), 0) AS BIGINT) "
+            "AS pos_of_2, "
+            "array_to_string(list_sort(list_distinct(list_concat("
+            "generate_series(1, l_linenumber), [9, 1]))), ',') AS union_csv "
+            "FROM lineitem WHERE l_linenumber <= 4"
+        ),
+        "struct_ops": (
+            "SELECT o_orderkey, o_orderstatus AS st_status, o_orderpriority AS st_prio, "
+            "to_json(struct_pack(status := o_orderstatus, prio := o_orderpriority)) AS st_json "
+            "FROM orders"
+        ),
         "unpivot": (
             # UNION-ALL rendering of UNPIVOT — engine-portable
             "WITH wide AS (SELECT l_returnflag, "

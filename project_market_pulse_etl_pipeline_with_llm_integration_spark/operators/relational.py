@@ -315,6 +315,112 @@ def q_agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): argmax over an aggregate — rank
+    suppliers by summed revenue, keep the maximum (with ties).  The
+    classic view+max topology expressed as agg -> window max -> filter;
+    the window is global but runs over the tiny aggregated frame, not
+    the fact table."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        rev.withColumn("mx", F.max("total_rev").over(W.partitionBy()))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape): scalar-subquery
+    threshold + anti-join + aggregation.  Customers with above-average
+    positive balance and no RECENT orders, counted per market segment —
+    the reference schema has no phone column, so mktsegment stands in
+    for the country-code dimension, and 'recent' stands in for Q22's
+    7-year dormancy window."""
+    cust = _t(spark, sf_dir, "customer")
+    # above-average test WITHOUT a float division: bal > sum/cnt is
+    # evaluated as bal*cnt > sum over exact decimals, so the threshold
+    # is bit-identical however either engine orders its summation
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(20,6)")).alias("pos_sum"),
+        F.count("*").alias("pos_cnt"),
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(thresh))
+        .filter(
+            F.col("c_acctbal").cast("decimal(20,6)") * F.col("pos_cnt") > F.col("pos_sum")
+        )
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            money_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a partitioned frame —
+    the value-navigation window family (complements rank/lag/lead)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(full).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_order"),
+    )
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over synthesized per-row arrays:
+    sequence/slice/reverse/contains/union/position — all codegen HOFs."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 4)
+    seq = F.sequence(F.lit(1), F.col("l_linenumber"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(seq).alias("seq_len"),
+        F.array_join(F.reverse(seq), ",").alias("rev_csv"),
+        F.array_join(F.slice(seq, 1, 2), ",").alias("first2_csv"),
+        F.array_contains(seq, 3).alias("has_3"),
+        F.array_position(seq, 2).cast("long").alias("pos_of_2"),
+        # sorted before joining: array_union's first-occurrence order is
+        # engine-specific, the sorted set is not
+        F.array_join(
+            F.sort_array(F.array_union(seq, F.array(F.lit(9), F.lit(1)))), ","
+        ).alias("union_csv"),
+    )
+
+
+def q_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction, field access, and JSON serialization —
+    nested-type plumbing the reference's flat schema never needed."""
+    o = _t(spark, sf_dir, "orders")
+    st = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    return o.select(
+        "o_orderkey",
+        st.getField("status").alias("st_status"),
+        st.getField("prio").alias("st_prio"),
+        F.to_json(st).alias("st_json"),
+    )
+
+
 def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL passthrough (SURVEY §2 O19, ``Main.py:277-321``): the engine
     executes raw SQL text over catalog-registered tables — here the
