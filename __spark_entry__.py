@@ -202,6 +202,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_last": R.q_window_first_last,
         "array_ops": R.q_array_ops,
         "struct_ops": R.q_struct_ops,
+        "lang_id_ngram": text.q_lang_id_ngram,
+        "embedding_quantize": similarity.q_embedding_quantize,
         "filter_like_regex": R.q_filter_like_regex,
         "scalar_subquery": R.q_scalar_subquery,
         "timeseries_gapfill": R.q_timeseries_gapfill,
@@ -734,6 +736,35 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'de' END AS pred_lang FROM h"
         ),
         "fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "lang_id_ngram": (
+            f"WITH g AS (SELECT doc_id, list_distinct([substr({_NORM}, i, 3) "
+            f"FOR i IN generate_series(1, greatest(length({_NORM}) - 2, 1))]) AS tri "
+            "FROM documents), h AS (SELECT doc_id, "
+            "CAST(len(list_intersect(tri, ['the','ing','and','ion',' th','he '])) AS BIGINT) AS tri_en, "
+            "CAST(len(list_intersect(tri, ['que',' de','los','ión','la ',' es'])) AS BIGINT) AS tri_es, "
+            "CAST(len(list_intersect(tri, ['les',' le','ent','ion',' de','es '])) AS BIGINT) AS tri_fr, "
+            "CAST(len(list_intersect(tri, ['der','die','und','sch','ein','cht'])) AS BIGINT) AS tri_de "
+            "FROM g) SELECT doc_id, tri_en, tri_es, tri_fr, tri_de, "
+            "CASE WHEN greatest(tri_en, tri_es, tri_fr, tri_de) = 0 THEN 'und' "
+            "WHEN tri_en = greatest(tri_en, tri_es, tri_fr, tri_de) THEN 'en' "
+            "WHEN tri_es = greatest(tri_en, tri_es, tri_fr, tri_de) THEN 'es' "
+            "WHEN tri_fr = greatest(tri_en, tri_es, tri_fr, tri_de) THEN 'fr' "
+            "ELSE 'de' END AS pred_lang_ngram FROM h"
+        ),
+        "embedding_quantize": (
+            "WITH q AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
+            "list_transform(embedding, x -> CAST(round(greatest(least(CAST(x AS DOUBLE), 1.0), "
+            "-1.0) * 127.0) AS INT)) AS qv FROM embeddings), "
+            "d AS (SELECT vec_id, v, list_transform(qv, x -> CAST(x AS DOUBLE) / 127.0) AS dv "
+            "FROM q), e AS (SELECT vec_id, v, dv, "
+            "list_max([abs(v[i] - dv[i]) FOR i IN generate_series(1, len(v))]) AS max_err "
+            "FROM d) SELECT vec_id, "
+            "CAST(floor(max_err * 1e6) AS BIGINT) AS max_err_1e6, "
+            "CAST(floor(list_dot_product(v, dv) / "
+            "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dv, dv))) * 1e4) AS BIGINT) "
+            "AS self_cos_1e4 FROM e"
+        ),
         "token_counts": (
             "SELECT doc_id, "
             "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "

@@ -191,6 +191,46 @@ def embedding_near_dup_pairs(
     )
 
 
+def quantize_embedding(vec_col: Column, clip: float = 1.0) -> Column:
+    """Symmetric int8 quantization: clamp to [-clip, clip], scale to
+    [-127, 127], round — 4x smaller than float32 (8x vs float64), the
+    standard storage/transfer trade for 100 TB embedding tables.
+    Dequantize with ``x * clip / 127``.  Pure column algebra."""
+    return F.transform(
+        vec_col,
+        lambda x: F.round(
+            F.greatest(F.least(x.cast("double"), F.lit(clip)), F.lit(-clip))
+            * (127.0 / clip)
+        ).cast("int"),
+    )
+
+
+def dequantize_embedding(qvec_col: Column, clip: float = 1.0) -> Column:
+    return F.transform(qvec_col, lambda q: q.cast("double") * (clip / 127.0))
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization round-trip quality surface: per-vector max absolute
+    reconstruction error and the quantized-vs-exact cosine of each
+    vector against itself-dequantized (should stay ~1).  Error bound:
+    half a quantization step = clip/254 per component."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embedding(F.col("embedding"))
+    deq = dequantize_embedding(q)
+    err = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        deq,
+        lambda a, b: F.abs(a - b),
+    )
+    return emb.select(
+        "vec_id",
+        F.floor(F.array_max(err) * 1e6).cast("long").alias("max_err_1e6"),
+        F.floor(cosine_similarity(F.col("embedding"), deq) * 1e4).cast("long").alias(
+            "self_cos_1e4"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means coarse quantizer + probed re-rank
 # ---------------------------------------------------------------------------

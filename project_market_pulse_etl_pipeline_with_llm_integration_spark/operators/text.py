@@ -96,6 +96,43 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm_text(text_col)))
 
 
+# Character-trigram marker profiles per language (the n-gram analogue
+# of LANG_MARKERS: real systems learn thousands per language from a
+# corpus; six keep the operator hermetic and oracle-checkable).
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": ["the", "ing", "and", "ion", " th", "he "],
+    "es": ["que", " de", "los", "ión", "la ", " es"],
+    "fr": ["les", " le", "ent", "ion", " de", "es "],
+    "de": ["der", "die", "und", "sch", "ein", "cht"],
+}
+
+
+def with_lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-n-gram language ID: slide a 3-char window over the
+    normalized text, score each language by how many of its marker
+    trigrams appear, argmax with 'und' fallback.  Pure column algebra
+    (transform over a char-index sequence), zero Python."""
+    norm = norm_text(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(1))),
+            lambda i: norm.substr(i, F.lit(3)),
+        )
+    )
+    out = df
+    for lang, marks in LANG_TRIGRAMS.items():
+        lit_arr = F.array(*[F.lit(m) for m in marks])
+        out = out.withColumn(
+            f"tri_{lang}", F.size(F.array_intersect(grams, lit_arr)).cast("long")
+        )
+    hit_cols = [F.col(f"tri_{lang}") for lang in LANG_TRIGRAMS]
+    best = F.greatest(*hit_cols)
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_TRIGRAMS)):
+        pred = F.when(F.col(f"tri_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang_ngram", F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
 # BPE-style pre-tokenizer split (GPT-2 shaped, lookahead-free so the
 # same pattern runs under both Java regex and RE2/DuckDB): contraction
 # suffixes, space-prefixed letter runs, short digit groups, punctuation
@@ -221,6 +258,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return with_fingerprint(df).select("doc_id", "fingerprint")
+
+
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_lang_id_ngram(df).select(
+        "doc_id", "tri_en", "tri_es", "tri_fr", "tri_de", "pred_lang_ngram"
+    )
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -77,3 +77,13 @@ def test_ivf_train_centroids_unit_norm(spark):
     for c in cents:
         norm = sum(x * x for x in c) ** 0.5
         assert abs(norm - 1.0) < 1e-6
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """int8 round-trip error is bounded by half a quantization step
+    (clip/254) per component, and self-cosine stays ~1."""
+    rows = similarity.q_embedding_quantize(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.max_err_1e6 <= int(1e6 / 254) + 1
+        assert r.self_cos_1e4 >= 9990
