@@ -241,6 +241,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
+# Blank-doc-safe token count: DuckDB's split of '' yields [''] (len 1),
+# the engine's token_count yields 0 — every oracle term dividing or
+# scaling by token count must use this guarded form.
+_NTOK = f"(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END)"
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _EN = "['the','and','of','to','a','in']"
 _ES = "['el','la','de','y','que','los']"
@@ -708,17 +712,17 @@ def oracle_sql() -> dict[str, str]:
             "TIMESTAMP '2026-01-01 00:00:00' AS etl_processing_time FROM documents"
         ),
         "text_stats": (
-            f"SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens, "
+            f"SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens, "
             "CAST(length(text) AS BIGINT) AS n_chars_calc, "
             f"CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens, "
-            f"floor((CASE WHEN len({_TOKS}) > 0 THEN "
-            f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) ELSE 0.0 END) * 1e6) "
+            f"floor((CASE WHEN {_NTOK} > 0 THEN "
+            f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / {_NTOK} ELSE 0.0 END) * 1e6) "
             "/ 1e6 AS distinct_ratio FROM documents"
         ),
         "quality_score": (
-            f"SELECT doc_id, floor((0.5 * (least(len({_TOKS}), 64) / 64.0) + "
-            f"0.5 * (CASE WHEN len({_TOKS}) > 0 THEN "
-            f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) ELSE 0.0 END)) * 1e6) "
+            f"SELECT doc_id, floor((0.5 * (least({_NTOK}, 64) / 64.0) + "
+            f"0.5 * (CASE WHEN {_NTOK} > 0 THEN "
+            f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / {_NTOK} ELSE 0.0 END)) * 1e6) "
             "/ 1e6 AS quality_score FROM documents"
         ),
         "lang_id": (
@@ -780,8 +784,9 @@ def oracle_sql() -> dict[str, str]:
             "/ CAST(greatest(length(text), 1) AS DOUBLE) AS pr, "
             f"len(list_filter(tk, x -> list_contains({_EN}, x))) "
             "/ CAST(greatest(len(tk), 1) AS DOUBLE) AS sr, "
-            "least(len(tk), 64) / 64.0 AS ls, "
-            "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) "
+            "CASE WHEN trim(text) = '' THEN 0.0 ELSE least(len(tk), 64) / 64.0 END AS ls, "
+            "CASE WHEN trim(text) <> '' AND len(tk) > 0 THEN "
+            "CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) "
             "ELSE 0.0 END AS dv FROM t) "
             "SELECT doc_id, floor(pr * 1e6) / 1e6 AS punct_ratio, "
             "floor(sr * 1e6) / 1e6 AS stop_ratio, "

@@ -36,7 +36,13 @@ def money_sum(expr: Column, scale: int = 2) -> Column:
     the sum lands within an ulp of a .005 rounding boundary — observed
     live on a tpch_q7 revenue group.  The products being cast are
     exact few-decimal values, so the double→decimal cast itself has no
-    tie to round."""
+    tie to round.
+
+    DOMAIN: each addend must satisfy |x| < 1e14 (DECIMAL(20,6) holds 14
+    integer digits).  With ANSI mode off, an out-of-domain addend casts
+    to NULL and silently drops from the sum — callers outside the
+    money/price domain (TPC-H prices top out ~1e5) must widen the
+    decimal or enable spark.sql.ansi.enabled to fail loudly instead."""
     return F.round(F.sum(expr.cast("decimal(20,6)")), scale).cast("double")
 
 
@@ -629,8 +635,12 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     big_orders = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .filter(F.col("total_qty") > 150)
+        # HAVING filters the RAW sum (oracle semantics); rounding happens
+        # only in the projection — filtering the rounded value would
+        # diverge for fractional sums in (150, 150.005)
+        .agg(F.sum("l_quantity").alias("qty_raw"))
+        .filter(F.col("qty_raw") > 150)
+        .select("l_orderkey", F.round(F.col("qty_raw"), 2).alias("total_qty"))
     )
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")

@@ -206,7 +206,12 @@ def quantize_embedding(vec_col: Column, clip: float = 1.0) -> Column:
 
 
 def dequantize_embedding(qvec_col: Column, clip: float = 1.0) -> Column:
-    return F.transform(qvec_col, lambda q: q.cast("double") * (clip / 127.0))
+    # DIVIDE by the scale (not multiply by a precomputed reciprocal):
+    # q/(127/clip) and q*(clip/127) differ by 1 ulp for some q, and the
+    # floor-scaled quantize surfaces can flip a digit when the scaled
+    # value sits exactly on an integer boundary — the oracle divides, so
+    # the engine must too.
+    return F.transform(qvec_col, lambda q: q.cast("double") / F.lit(127.0 / clip))
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
