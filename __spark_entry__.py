@@ -118,13 +118,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness gate checked exactly the
-    # first 50 entries in round 1, so the reference-operator surfaces,
-    # the TPC-H suite, and every north-star component (dedup/ANN/text/
-    # multimodal/streaming/UDF taxonomy) sit in the first 50; the
-    # individually-cheap scalar/window/set-op batteries form the tail
-    # (all tail entries remain covered by tools/check_oracle.py + pytest).
+    # ORDER MATTERS: the driver's correctness gate checks exactly the
+    # FIRST 50 entries each round.  Round-3 window = the entries that
+    # have never had a driver-green row: the round-3 additions (tpch
+    # q13/q17/q21, ann_recall), the 21 entries the round-2 window missed
+    # (VERDICT r2 item 1), and 25 entries last driver-checked in round 1.
+    # Entries with green rows in CORRECTNESS_r01/r02 form the tail; every
+    # entry stays covered by tools/check_oracle.py + pytest regardless
+    # of position.
     return {
+        # ------- round-3 additions
+        "tpch_q13": R.q_tpch_q13,
+        "tpch_q17": R.q_tpch_q17,
+        "tpch_q21": R.q_tpch_q21,
+        "ann_recall": similarity.q_ann_recall,
+        # ------- the 21 entries never driver-checked before round 3
+        "tpch_q7": R.q_tpch_q7,
+        "tpch_q8": R.q_tpch_q8,
+        "tpch_q15": R.q_tpch_q15,
+        "tpch_q19": R.q_tpch_q19,
+        "tpch_q22": R.q_tpch_q22,
+        "window_first_last": R.q_window_first_last,
+        "array_ops": R.q_array_ops,
+        "struct_ops": R.q_struct_ops,
+        "sql_passthrough": R.q_sql_passthrough,
+        "unpivot": R.q_unpivot,
+        "join_null_safe": R.q_join_null_safe,
+        "pandas_udaf": udfs.q_pandas_udaf,
+        "udtf_split": udfs.q_udtf_split,
+        "scalar_pandas_udf": udfs.q_scalar_pandas_udf,
+        "lang_id_ngram": text.q_lang_id_ngram,
+        "embedding_quantize": similarity.q_embedding_quantize,
+        "token_counts": text.q_token_counts,
+        "quality_signals": text.q_quality_signals,
+        "winnow_fingerprint": text.q_winnow_fingerprint,
+        "agg_approx_percentile": R.q_agg_approx_percentile,  # rows-only: quantile sketch engine-defined
+        "ann_ivf": similarity.q_ann_ivf,  # rows-only: k-means centroids engine-defined
+        # ------- last driver-checked in round 1 (fresh green this round)
+        "exact_sample": R.q_exact_sample,  # rows-only: seeded row identity is engine-defined
+        "join_cross": R.q_cross_join,
+        "filter_like_regex": R.q_filter_like_regex,
+        "scalar_subquery": R.q_scalar_subquery,
+        "timeseries_gapfill": R.q_timeseries_gapfill,
+        "agg_distinct": R.q_agg_distinct,
+        "agg_count_distinct": R.q_agg_count_distinct,
+        "agg_rollup": R.q_agg_rollup,
+        "agg_cube": R.q_agg_cube,
+        "agg_conditional_pivot": R.q_agg_conditional_pivot,
+        "agg_stats": R.q_agg_stats,
+        "agg_percentile": R.q_agg_percentile,
+        "agg_grouping_sets": R.q_agg_grouping_sets,
+        "agg_approx_distinct": R.q_agg_approx_distinct,  # rows-only: sketch estimates engine-defined
+        "explode_wordcount": R.q_explode_wordcount,
+        "null_handling": R.q_null_handling,
+        "window_rank": R.q_window_rank,
+        "window_distribution": R.q_window_distribution,
+        "window_range_frame": R.q_window_range_frame,
+        "window_lag_lead": R.q_window_lag_lead,
+        "window_running": R.q_window_running,
+        "scalar_string": R.q_scalar_string,
+        "scalar_date": R.q_scalar_date,
+        "scalar_json": R.q_scalar_json,
+        "scalar_math": R.q_scalar_math,
+        # ------- entry 51+: driver-green in r1/r2 (CORRECTNESS_r01/r02)
+        "case_when": R.q_case_when,
+        "union_distinct": R.q_union_distinct,
+        "intersect": R.q_intersect,
+        "intersect_all": R.q_intersect_all,
+        "except": R.q_except,
         # -- reference operator surfaces (O2, O4-O11, O13-O18)
         "scan_project": R.q_scan_project,
         "filter_in_notnull": R.q_filter_in_notnull,
@@ -154,7 +215,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof": R.q_join_asof,
         "join_outer": R.q_join_outer,
         "salted_agg": skew.q_salted_agg,
-        # -- formerly driver-err rows (arrays now serialized for canon)
         "array_agg": R.q_array_agg,
         "map_ops": R.q_map_ops,
         # -- text analysis (north-star)
@@ -183,60 +243,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": streaming_events.q_sliding_window,
         "sessionize": streaming_events.q_sessionize,
         "stream_join": streaming_events.q_stream_join,
-        # -- python UDF taxonomy (grouped-map, UDAF, UDTF)
+        # -- python UDF taxonomy (grouped-map)
         "grouped_zscore": udfs.q_grouped_zscore,
-        # ------- entry 51+: cheap batteries (tail; replica-gate covered)
-        "pandas_udaf": udfs.q_pandas_udaf,
-        "udtf_split": udfs.q_udtf_split,
-        "scalar_pandas_udf": udfs.q_scalar_pandas_udf,
-        "exact_sample": R.q_exact_sample,  # rows-only: seeded row identity is engine-defined
-        "join_cross": R.q_cross_join,
-        "tpch_q19": R.q_tpch_q19,
-        "tpch_q7": R.q_tpch_q7,
-        "tpch_q8": R.q_tpch_q8,
-        "join_null_safe": R.q_join_null_safe,
-        "unpivot": R.q_unpivot,
-        "sql_passthrough": R.q_sql_passthrough,
-        "tpch_q15": R.q_tpch_q15,
-        "tpch_q22": R.q_tpch_q22,
-        "window_first_last": R.q_window_first_last,
-        "array_ops": R.q_array_ops,
-        "struct_ops": R.q_struct_ops,
-        "lang_id_ngram": text.q_lang_id_ngram,
-        "embedding_quantize": similarity.q_embedding_quantize,
-        "filter_like_regex": R.q_filter_like_regex,
-        "scalar_subquery": R.q_scalar_subquery,
-        "timeseries_gapfill": R.q_timeseries_gapfill,
-        "agg_distinct": R.q_agg_distinct,
-        "agg_count_distinct": R.q_agg_count_distinct,
-        "agg_rollup": R.q_agg_rollup,
-        "agg_cube": R.q_agg_cube,
-        "agg_conditional_pivot": R.q_agg_conditional_pivot,
-        "agg_stats": R.q_agg_stats,
-        "agg_percentile": R.q_agg_percentile,
-        "agg_grouping_sets": R.q_agg_grouping_sets,
-        "agg_approx_distinct": R.q_agg_approx_distinct,  # rows-only: sketch estimates engine-defined
-        "agg_approx_percentile": R.q_agg_approx_percentile,  # rows-only: quantile sketch engine-defined
-        "explode_wordcount": R.q_explode_wordcount,
-        "null_handling": R.q_null_handling,
-        "union_distinct": R.q_union_distinct,
-        "window_rank": R.q_window_rank,
-        "window_distribution": R.q_window_distribution,
-        "window_range_frame": R.q_window_range_frame,
-        "window_lag_lead": R.q_window_lag_lead,
-        "window_running": R.q_window_running,
-        "intersect": R.q_intersect,
-        "intersect_all": R.q_intersect_all,
-        "except": R.q_except,
-        "scalar_string": R.q_scalar_string,
-        "scalar_date": R.q_scalar_date,
-        "scalar_json": R.q_scalar_json,
-        "scalar_math": R.q_scalar_math,
-        "case_when": R.q_case_when,
-        "token_counts": text.q_token_counts,
-        "quality_signals": text.q_quality_signals,
-        "winnow_fingerprint": text.q_winnow_fingerprint,
-        "ann_ivf": similarity.q_ann_ivf,  # rows-only: k-means centroids engine-defined
     }
 
 
@@ -455,6 +463,49 @@ def oracle_sql() -> dict[str, str]:
             "WHERE p_type LIKE 'STANDARD%' AND r_name = 'ASIA' "
             "AND o_orderdate >= TIMESTAMP '1995-01-01' "
             "AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1"
+        ),
+        "tpch_q13": (
+            "SELECT c_count, COUNT(*) AS custdist FROM ("
+            "SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer "
+            "LEFT JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) t "
+            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "tpch_q17": (
+            # correlated scalar subquery, decorrelated identically to the
+            # engine; the 0.2*avg threshold is evaluated in exact integer
+            # -valued-double arithmetic (5*qty*cnt < sum)
+            "WITH pf AS (SELECT p_partkey FROM part "
+            "WHERE p_brand = 'Brand#1' AND p_size <= 15), "
+            "lf AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem "
+            "WHERE l_partkey IN (SELECT p_partkey FROM pf)), "
+            "pa AS (SELECT l_partkey AS pk, SUM(l_quantity) AS sum_qty, "
+            "COUNT(*) AS cnt_qty FROM lf GROUP BY l_partkey) "
+            "SELECT CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) / 7.0, 2) "
+            "AS DOUBLE) AS avg_yearly, COUNT(*) AS n_small_lines "
+            "FROM lf JOIN pa ON l_partkey = pk "
+            "WHERE 5.0 * l_quantity * cnt_qty < sum_qty"
+        ),
+        "tpch_q21": (
+            "SELECT s_name, COUNT(*) AS numwait FROM lineitem l1 "
+            "JOIN orders ON l1.l_orderkey = o_orderkey "
+            "JOIN supplier ON l1.l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+            "AND n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4') "
+            "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+            "AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+            "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+        ),
+        # recall threshold booleans are constants when the engine's ANN
+        # stack meets its contract — the oracle pins them
+        "ann_recall": (
+            "SELECT 'ivf' AS method, CAST(3 AS INT) AS n_queries, CAST(10 AS INT) AS k, "
+            "TRUE AS recall_ok UNION ALL "
+            "SELECT 'lsh' AS method, CAST(3 AS INT) AS n_queries, CAST(10 AS INT) AS k, "
+            "TRUE AS recall_ok"
         ),
         # the literal passthrough text — same string executed by Spark
         "sql_passthrough": R.SQL_PASSTHROUGH_TEXT,

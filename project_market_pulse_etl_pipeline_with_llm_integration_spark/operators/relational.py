@@ -376,6 +376,119 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): filtered
+    LEFT join then a two-level aggregation — per-customer order counts,
+    then the histogram of those counts.  The left join preserves
+    zero-order customers (c_count = 0 bucket); COUNT(o_orderkey) counts
+    only matched rows.  Both aggs shuffle on small keys (custkey then
+    the tiny count domain); the reference schema has no o_comment, so
+    the classic NOT LIKE filter is stood in by an order-priority
+    predicate pushed into the join condition (NOT the WHERE — the
+    distinction is the whole point of Q13)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): CORRELATED scalar
+    subquery — each lineitem row compares against the average quantity
+    of ITS OWN part.  Expressed as the decorrelated plan Catalyst itself
+    produces for correlated scalar subqueries: per-part aggregate joined
+    back on the correlation key.  The part filter is applied BEFORE the
+    per-part aggregate via a broadcast semi join, so the heavy agg runs
+    only over the ~1/25 of lineitem that can survive (at 100 TB this
+    ordering is the difference between aggregating 100 TB and 4 TB).
+
+    Exactness: the predicate l_quantity < 0.2*avg(l_quantity) is
+    evaluated as 5*l_quantity*cnt < sum — quantities are integral, so
+    both sides are exactly-representable doubles and the comparison is
+    bit-identical across engines (a raw 0.2*sum/cnt double would be
+    order-of-summation dependent).  Reference anchor: SURVEY §2.2
+    joins/aggregations extension mandate (subquery family).
+    """
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    li_f = li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey, "left_semi")
+    per_part = li_f.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("cnt_qty")
+    )
+    return (
+        li_f.join(per_part.withColumnRenamed("l_partkey", "pk"), F.col("l_partkey") == F.col("pk"))
+        .filter(F.lit(5.0) * F.col("l_quantity") * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(20,6)")) / 7.0, 2
+            ).cast("double").alias("avg_yearly"),
+            F.count("*").alias("n_small_lines"),
+        )
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape): the
+    multi-EXISTS chain — lineitems that are the ONLY "late" supplier in
+    a multi-supplier order.  EXISTS(another supplier in the order) is a
+    left-semi join, NOT EXISTS(another LATE supplier) a left-anti join,
+    both keyed on l_orderkey with the supplier-inequality as a residual
+    condition — Catalyst runs them as ExistenceJoins on the equi key, so
+    no cross product; the two passes over lineitem reuse the same
+    shuffle key (orderkey).  The schema has no receipt/commit dates, so
+    "late" is stood in by l_returnflag = 'R'."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    late = li.filter(F.col("l_returnflag") == "R")
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = late.join(orders_f, late.l_orderkey == orders_f.o_orderkey, "left_semi")
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    exists_other = (F.col("l_orderkey") == F.col("r_orderkey")) & (
+        F.col("l_suppkey") != F.col("r_suppkey")
+    )
+    waiting = l1.join(l2, exists_other, "left_semi").join(l3, exists_other, "left_anti")
+    supplier = F.broadcast(
+        _t(spark, sf_dir, "supplier").join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).filter(
+            F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4")
+        ).select("s_suppkey", "s_name")
+    )
+    return (
+        waiting.join(supplier, waiting.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
 def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value / nth_value over a partitioned frame —
     the value-navigation window family (complements rank/lag/lead)."""

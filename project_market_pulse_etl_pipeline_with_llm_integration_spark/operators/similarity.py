@@ -416,6 +416,43 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN quality contract: recall@10 of the two
+    approximate retrievers (hyperplane LSH, IVF) against the exact
+    brute-force top-10, reduced to one row per method with a
+    recall >= 0.4 threshold boolean.  Everything upstream is
+    deterministic (fixed seeds, fixed data), so the boolean is a hard
+    oracle-checkable signal — this promotes the pytest-only recall
+    tests (tests/test_similarity.py) into the driver's correctness
+    gate.  Measured at sf0.01: lsh 0.77, ivf 0.57."""
+    n_queries, k, bar = 3, 10, 0.4
+    truth = (
+        q_ann_bruteforce(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    approx = (
+        q_ann_lsh(spark, sf_dir)
+        .select(F.lit("lsh").alias("method"), "query_id", "vec_id")
+        .unionByName(
+            q_ann_ivf(spark, sf_dir).select(
+                F.lit("ivf").alias("method"), "query_id", "vec_id"
+            )
+        )
+    )
+    return (
+        approx.join(truth, ["query_id", "vec_id"], "left")
+        .groupBy("method")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        .select(
+            "method",
+            F.lit(n_queries).cast("int").alias("n_queries"),
+            F.lit(k).cast("int").alias("k"),
+            (F.col("hits") >= F.lit(bar) * F.lit(n_queries * k)).alias("recall_ok"),
+        )
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.51 at sf0.01), so the "near-dup" bar is data-calibrated; the

@@ -131,3 +131,59 @@ def test_approx_percentile_rank_error_bound(spark):
             lo = vals[max(int((q - 0.02) * n), 0)]
             hi = vals[min(int((q + 0.02) * n), n - 1)]
             assert lo <= got <= hi, (flag, q, got, lo, hi)
+
+
+def test_tpch_q13_histogram_partitions_customers(spark):
+    """Q13 invariant: the count histogram is a partition of the customer
+    table — custdist sums to the total customer count (left join keeps
+    zero-order customers)."""
+    rows = R.q_tpch_q13(spark, SF_SMALL).collect()
+    total = spark.read.parquet(f"{SF_SMALL}/customer.parquet").count()
+    assert sum(r.custdist for r in rows) == total
+    # ordered by custdist desc (tie: c_count desc)
+    pairs = [(r.custdist, r.c_count) for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+
+
+def test_tpch_q17_matches_pandas_recompute(spark):
+    """Q17's decorrelated plan must equal the naive correlated-subquery
+    semantics — recomputed independently in pandas at sf0.001."""
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    pf = part[(part.p_brand == "Brand#1") & (part.p_size <= 15)].p_partkey
+    lf = li[li.l_partkey.isin(set(pf))]
+    g = lf.groupby("l_partkey").l_quantity.agg(["sum", "count"])
+    m = lf.merge(g, left_on="l_partkey", right_index=True)
+    small = m[5.0 * m.l_quantity * m["count"] < m["sum"]]
+    row = R.q_tpch_q17(spark, SF_SMALL).collect()[0]
+    assert row.n_small_lines == len(small)
+    if len(small):
+        assert row.avg_yearly == round(float(small.l_extendedprice.sum()) / 7.0, 2)
+
+
+def test_tpch_q21_matches_pandas_recompute(spark):
+    """Q21's semi/anti-join chain == 'only late supplier in a
+    multi-supplier F-order', recomputed row-by-row in pandas."""
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    supp = pd.read_parquet(f"{SF_SMALL}/supplier.parquet")
+    nation = pd.read_parquet(f"{SF_SMALL}/nation.parquet")
+    f_orders = set(orders[orders.o_orderstatus == "F"].o_orderkey)
+    supps = li.groupby("l_orderkey").l_suppkey.apply(set)
+    late = li[li.l_returnflag == "R"].groupby("l_orderkey").l_suppkey.apply(set)
+    sn = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    keep_supp = sn[sn.n_name.isin([f"NATION_{i}" for i in range(5)])]
+    name_of = dict(zip(keep_supp.s_suppkey, keep_supp.s_name))
+    counts: dict[str, int] = {}
+    lr = li[li.l_returnflag == "R"]
+    for _, r in lr.iterrows():
+        ok = r.l_orderkey in f_orders and r.l_suppkey in name_of
+        ok = ok and len(supps[r.l_orderkey]) > 1 and late[r.l_orderkey] == {r.l_suppkey}
+        if ok:
+            counts[name_of[r.l_suppkey]] = counts.get(name_of[r.l_suppkey], 0) + 1
+    got = {r.s_name: r.numwait for r in R.q_tpch_q21(spark, SF_SMALL).collect()}
+    assert got == counts

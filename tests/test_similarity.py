@@ -87,3 +87,16 @@ def test_quantize_roundtrip_error_bound(spark):
     for r in rows:
         assert r.max_err_1e6 <= int(1e6 / 254) + 1
         assert r.self_cos_1e4 >= 9990
+
+
+def test_ann_recall_contract(spark):
+    """The driver-visible recall surface: both approximate retrievers
+    must clear the 0.4 recall@10 bar against brute force."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import q_ann_recall
+    from tests.conftest import SF_SMALL
+
+    rows = {r.method: r for r in q_ann_recall(spark, SF_SMALL).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert r.recall_ok, r
+        assert (r.n_queries, r.k) == (3, 10)
