@@ -98,6 +98,18 @@ def shingle_hashes(col: Column | str, n: int = 3) -> Column:
 _JACCARD_BLOCK_WIDTH = 16
 
 
+def _prefix_len(sz: Column, threshold: float) -> Column:
+    """Prefix-filter length |X| - ceil(t*|X|) + 1 (ppjoin family —
+    Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): if J(A,B) >= t then
+    |A∩B| >= ceil(t*max(|A|,|B|)), and a counting argument shows at
+    least one common element must land in the first
+    |X| - ceil(t*|X|) + 1 SORTED hashes of BOTH sets.  The epsilon keeps
+    the float product from rounding UP past the exact t*|X| (a
+    too-short prefix can lose pairs; one-too-long only adds
+    candidates)."""
+    return (sz - F.ceil(F.lit(threshold) * sz - F.lit(1e-9)) + 1).cast("int")
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -107,6 +119,7 @@ def jaccard_pairs(
     block_col: Column | None = None,
     num_partitions: int | None = None,
     max_block_size: int | None = None,
+    strategy: str = "blocked",
 ) -> DataFrame:
     """All pairs (a<b) with token-shingle Jaccard >= threshold, joined
     within blocks.
@@ -132,19 +145,41 @@ def jaccard_pairs(
     ``num_partitions`` spreads the CPU-bound shingle/intersect work when
     the input's scan partitioning is coarser than the core count (small
     single-file inputs); leave None when the source is already well
-    partitioned."""
+    partitioned.
+
+    Two physical strategies, IDENTICAL output (pinned by test):
+
+    * ``"blocked"`` (default) — one equi-join on the block key carrying
+      the shingle arrays, then per-pair verification.  Verification is
+      two-tier: an O(prefix) ``arrays_overlap`` on the sorted-hash
+      prefixes (an exactness-preserving necessary condition — see
+      ``_prefix_len``) rejects ~90% of block pairs before the O(m+n)
+      full intersection runs.  Cheapest while blocks fit comfortably in
+      a task (the common case with length bucketing); cost grows with
+      the within-block pair count.
+
+    * ``"indexed"`` — the prefix hashes themselves become join keys:
+      explode each doc's prefix, equi-join skinny (id, size, hash) rows
+      on (block, prefix_hash), dedup candidate pairs, then attach the
+      arrays and verify.  The within-block quadratic term collapses to
+      ~(true near-dups + shared-prefix noise); this is the 100 TB
+      regime where blocks hold 10^5+ docs and enumerating block pairs —
+      even to reject them cheaply — is itself the bottleneck.  Costs ~3
+      extra shuffles, so it loses at small scale."""
     if num_partitions:
         df = df.repartition(num_partitions)
     if block_col is not None:
         base = df.select(
-            F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"),
+            F.col(id_col).alias("id"),
+            F.array_sort(shingle_hashes(text_col, n)).alias("sh"),
             block_col.alias("blk"), block_col.alias("home"),
         )
     else:
         # own bucket + successor: adjacent lengths always share a block
         bucket = (F.size(tokens(text_col)) / _JACCARD_BLOCK_WIDTH).cast("int")
         base = df.select(
-            F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"),
+            F.col(id_col).alias("id"),
+            F.array_sort(shingle_hashes(text_col, n)).alias("sh"),
             F.explode(F.array(bucket, bucket + 1)).alias("blk"), bucket.alias("home"),
         )
     if max_block_size is not None:
@@ -155,6 +190,10 @@ def jaccard_pairs(
                 f"{max_block_size}) — blocking degenerated toward all-pairs; "
                 "supply a sharper block_col or use minhash_candidate_pairs()"
             )
+    if strategy == "indexed":
+        return _jaccard_pairs_indexed(base, threshold)
+    if strategy != "blocked":
+        raise ValueError(f"jaccard_pairs: unknown strategy {strategy!r}")
     a = base.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
         F.col("blk").alias("blk"), F.col("home").alias("home_a"),
@@ -162,6 +201,10 @@ def jaccard_pairs(
     b = base.select(
         F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
         F.col("blk").alias("blk"), F.col("home").alias("home_b"),
+    )
+    prefix_hit = F.arrays_overlap(
+        F.slice("sh_a", 1, _prefix_len(F.size("sh_a"), threshold)),
+        F.slice("sh_b", 1, _prefix_len(F.size("sh_b"), threshold)),
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -180,6 +223,56 @@ def jaccard_pairs(
             F.least(F.size("sh_a"), F.size("sh_b"))
             >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
         )
+        # tier-1 verify: O(prefix) overlap check (lossless, see above)
+        .filter(prefix_hit)
+        # tier-2 verify: the full O(m+n) intersection on survivors
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _jaccard_pairs_indexed(base: DataFrame, threshold: float) -> DataFrame:
+    """The "indexed" strategy body: skinny prefix-hash equi-join for the
+    huge-block regime (see jaccard_pairs docstring).  ``base`` carries
+    (id, sorted sh, blk, home) with bucket duplication already applied;
+    the shingle pass is shared across the three consumers via a lazy
+    localCheckpoint."""
+    sets = base.localCheckpoint(eager=False)
+    sz = F.size("sh")
+    pref = sets.select(
+        "id", "blk", "home", sz.alias("sz"),
+        F.explode(F.slice("sh", 1, _prefix_len(sz, threshold))).alias("ptok"),
+    )
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("home").alias("home_a"),
+        F.col("sz").alias("sz_a"), "ptok", "blk",
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("home").alias("home_b"),
+        F.col("sz").alias("sz_b"), "ptok", "blk",
+    )
+    cands = (
+        a.join(b, ["blk", "ptok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("blk") == F.greatest("home_a", "home_b"))
+        .filter(
+            F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()  # a pair can share several prefix hashes
+    )
+    # one row per doc for the attach (default blocking emitted each doc
+    # into two buckets; keep the home emission — cheaper than a
+    # dropDuplicates shuffle of the fat arrays)
+    docs = sets.filter(F.col("blk") == F.col("home"))
+    va = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    vb = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

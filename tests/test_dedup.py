@@ -82,3 +82,20 @@ def test_jaccard_max_block_size_guard(spark):
     df = _docs(spark, [f"a b c d e unique{i}" for i in range(50)])
     with pytest.raises(RuntimeError, match="block"):
         dedup.jaccard_pairs(df, max_block_size=20).collect()
+
+
+def test_jaccard_strategies_identical_output(spark):
+    """The "blocked" (default) and "indexed" physical strategies are two
+    plans for the SAME operator — outputs must match pair-for-pair on
+    the real documents table."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    blocked = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, n=3, threshold=0.6).collect()
+    }
+    indexed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, n=3, threshold=0.6, strategy="indexed").collect()
+    }
+    assert blocked == indexed
+    assert len(blocked) > 0
