@@ -33,8 +33,11 @@ HEADLINE = [
     "tpch_q7",
     "tpch_q10",
     "tpch_q12",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q17",
     "tpch_q18",
+    "tpch_q21",
     "salted_agg",
     "join_multiway_broadcast",
     "join_left",
@@ -67,13 +70,15 @@ def main() -> int:
         "overwrite"
     ).save()
 
-    # best-of-2 per query: first run pays page-cache/JIT/codegen warmup
-    # and host noise; the min is the steady-state cost of the plan.
+    # min-of-3 per query: the first run pays page-cache/JIT/codegen
+    # warmup and this host's large scheduling noise (observed 2-10x
+    # outliers on identical plans); the min is the steady-state cost of
+    # the plan, which is what round-over-round comparisons need.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
