@@ -585,14 +585,25 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_distance: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_distance.
     Blocking: 4 x 16-bit chunks — any pair within distance <= 3 shares at
     least one exact chunk (pigeonhole), so the join is equi on
-    (chunk_idx, chunk_value); the Hamming check runs only on candidates."""
+    (chunk_idx, chunk_value); the Hamming check runs only on candidates.
+
+    ``max_bucket_size`` mirrors ``jaccard_pairs.max_block_size``: a
+    degenerate corpus (e.g. many empty/near-empty docs all hashing to
+    simhash 0) collapses a chunk bucket and silently turns the blocked
+    join quadratic — when set, raises if any (chunk_idx, chunk_val)
+    bucket exceeds the cap.  The signature pass is pinned with a lazy
+    localCheckpoint when the guard runs so the mapInPandas doesn't
+    execute twice."""
     sigs = simhash_signatures(df, text_col, id_col).select(
         F.col(id_col).alias("id"), "simhash"
     )
+    if max_bucket_size is not None:
+        sigs = sigs.localCheckpoint(eager=False)
     chunks = sigs.select(
         "id",
         "simhash",
@@ -610,6 +621,20 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("id", "simhash", "c.chunk_idx", "c.chunk_val")
+    if max_bucket_size is not None:
+        worst = (
+            chunks.groupBy("chunk_idx", "chunk_val")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if worst and worst > max_bucket_size:
+            raise RuntimeError(
+                f"simhash_pairs: largest chunk bucket holds {worst} docs (> cap "
+                f"{max_bucket_size}) — chunk blocking degenerated toward "
+                "all-pairs (uniform/empty texts?); dedup exact-empty docs "
+                "first or raise max_distance-aware bucketing"
+            )
     a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "chunk_idx", "chunk_val")
     b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "chunk_idx", "chunk_val")
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

@@ -99,3 +99,19 @@ def test_jaccard_strategies_identical_output(spark):
     }
     assert blocked == indexed
     assert len(blocked) > 0
+
+
+def test_simhash_hot_bucket_guard(spark):
+    """A degenerate corpus (identical texts -> identical simhash -> one
+    chunk bucket holds everything) must raise loudly instead of silently
+    going quadratic."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, "same words every time") for i in range(40)], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="chunk bucket"):
+        dedup.simhash_pairs(df, max_bucket_size=20).collect()
+    # under the cap: runs fine on a diverse corpus
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(50)
+    dedup.simhash_pairs(docs, max_bucket_size=50).collect()

@@ -187,3 +187,21 @@ def test_tpch_q21_matches_pandas_recompute(spark):
             counts[name_of[r.l_suppkey]] = counts.get(name_of[r.l_suppkey], 0) + 1
     got = {r.s_name: r.numwait for r in R.q_tpch_q21(spark, SF_SMALL).collect()}
     assert got == counts
+
+
+def test_dense_id_methods_identical(spark):
+    """All three physical plans for dense ids (global window, pinned
+    range-repartition offsets, driver-sampled boundary buckets) must
+    produce the SAME id for every row."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.ids import with_dense_id
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    keys = ["o_orderdate", "o_orderkey"]
+    by_m = {
+        m: {
+            r.o_orderkey: r.seq
+            for r in with_dense_id(orders, keys, id_col="seq", method=m).collect()
+        }
+        for m in ("window", "offsets", "boundaries")
+    }
+    assert by_m["window"] == by_m["offsets"] == by_m["boundaries"]

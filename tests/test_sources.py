@@ -144,3 +144,20 @@ def test_compact_parquet_dir_reduces_files(spark, tmp_path):
     a = sorted(r.o_orderkey for r in spark.read.parquet(src).collect())
     b = sorted(r.o_orderkey for r in spark.read.parquet(dst).collect())
     assert a == b
+
+
+def test_scheme_prefixed_uri_roundtrip(spark, tmp_path):
+    """Object-store parity (reference reads/writes s3:// via s3fs,
+    Main.py:139): the engine takes any Hadoop FileSystem URI — pin the
+    non-bare-path contract end-to-end with an explicit file:// scheme
+    on both the write and the read."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import read_table
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.writers import write_table
+
+    df = spark.read.parquet(f"file://{SF_SMALL}/region.parquet")
+    out = f"file://{tmp_path}/uri_roundtrip"
+    write_table(df, out, fmt="parquet")
+    back = read_table(spark, out, fmt="parquet")
+    assert sorted(r.r_name for r in back.collect()) == sorted(
+        r.r_name for r in df.collect()
+    )
