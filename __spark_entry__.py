@@ -132,6 +132,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": R.q_tpch_q17,
         "tpch_q21": R.q_tpch_q21,
         "ann_recall": similarity.q_ann_recall,
+        "pii_scrub": text.q_pii_scrub,
+        "corpus_filter": text.q_corpus_filter,
+        "hash_sample": R.q_hash_sample,
+        "pivot_dynamic": R.q_pivot_dynamic,
+        "salted_join": skew.q_salted_join,
+        "embedding_centroids": similarity.q_embedding_centroids,
         # ------- the 21 entries never driver-checked before round 3
         "tpch_q7": R.q_tpch_q7,
         "tpch_q8": R.q_tpch_q8,
@@ -174,13 +180,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": R.q_window_rank,
         "window_distribution": R.q_window_distribution,
         "window_range_frame": R.q_window_range_frame,
+        # ------- entry 51+: driver-green in r1/r2 (CORRECTNESS_r01/r02)
         "window_lag_lead": R.q_window_lag_lead,
         "window_running": R.q_window_running,
         "scalar_string": R.q_scalar_string,
         "scalar_date": R.q_scalar_date,
         "scalar_json": R.q_scalar_json,
         "scalar_math": R.q_scalar_math,
-        # ------- entry 51+: driver-green in r1/r2 (CORRECTNESS_r01/r02)
         "case_when": R.q_case_when,
         "union_distinct": R.q_union_distinct,
         "intersect": R.q_intersect,
@@ -506,6 +512,57 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS recall_ok UNION ALL "
             "SELECT 'lsh' AS method, CAST(3 AS INT) AS n_queries, CAST(10 AS INT) AS k, "
             "TRUE AS recall_ok"
+        ),
+        "pii_scrub": (
+            f"WITH s1 AS (SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(text, '{text.PII_EMAIL_RE}')) AS BIGINT) "
+            "AS n_emails, "
+            f"regexp_replace(text, '{text.PII_EMAIL_RE}', '[EMAIL]', 'g') AS t1 "
+            "FROM documents), "
+            "s2 AS (SELECT doc_id, n_emails, "
+            f"CAST(len(regexp_extract_all(t1, '{text.PII_PHONE_RE}')) AS BIGINT) "
+            "AS n_phones, "
+            f"regexp_replace(t1, '{text.PII_PHONE_RE}', '[PHONE]', 'g') AS t2 FROM s1) "
+            "SELECT doc_id, n_emails, n_phones, "
+            f"CAST(len(regexp_extract_all(t2, '{text.PII_LONGNUM_RE}')) AS BIGINT) "
+            "AS n_longnums, "
+            f"regexp_replace(t2, '{text.PII_LONGNUM_RE}', '[ID]', 'g') AS scrubbed "
+            "FROM s2"
+        ),
+        "corpus_filter": (
+            f"WITH q AS (SELECT doc_id, floor((0.5 * (least({_NTOK}, 64) / 64.0) + "
+            f"0.5 * (CASE WHEN {_NTOK} > 0 THEN "
+            f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / {_NTOK} ELSE 0.0 END)) * 1e6) "
+            f"/ 1e6 AS qs, {_NTOK} AS ntok FROM documents), "
+            "r AS (SELECT doc_id, CASE WHEN ntok < 5 THEN 'too_short' "
+            "WHEN ntok > 1000 THEN 'too_long' "
+            "WHEN qs < 0.2 THEN 'low_quality' ELSE 'keep' END AS admit_reason FROM q) "
+            "SELECT doc_id, admit_reason = 'keep' AS keep, admit_reason FROM r"
+        ),
+        "hash_sample": (
+            "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders "
+            "WHERE md5(CAST(o_orderkey AS VARCHAR)) < '29'"
+        ),
+        "pivot_dynamic": (
+            "SELECT l_linestatus, "
+            "round(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a, "
+            "round(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n, "
+            "round(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r "
+            "FROM lineitem GROUP BY l_linestatus"
+        ),
+        "salted_join": (
+            "SELECT event_id, user_id, c_mktsegment FROM events "
+            "JOIN customer ON user_id = c_custkey"
+        ),
+        "embedding_centroids": (
+            "WITH q AS (SELECT vec_id % 4 AS grp, "
+            "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) "
+            "AS qv FROM embeddings), "
+            "e AS (SELECT grp, unnest(qv) AS v, "
+            "unnest(generate_series(1, len(qv))) AS i FROM q) "
+            "SELECT grp, CAST(i - 1 AS BIGINT) AS pos, "
+            "round(CAST(SUM(v) AS BIGINT) / (COUNT(*) * 1000000.0), 6) AS centroid "
+            "FROM e GROUP BY 1, 2"
         ),
         # the literal passthrough text — same string executed by Spark
         "sql_passthrough": R.SQL_PASSTHROUGH_TEXT,

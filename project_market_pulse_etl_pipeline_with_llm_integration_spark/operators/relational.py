@@ -489,6 +489,45 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — the reproducible alternative to
+    seeded random sampling for corpus curation: keep rows whose md5(key)
+    falls below a hex threshold (here 0x29/256 ~ 16%).  Unlike rand(),
+    the same row is in or out on ANY engine, cluster size, or run —
+    which is why data pipelines version their samples this way — and the
+    filter is a narrow map that pushes membership decisions to the scan
+    side with zero shuffle and no RNG state."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.md5(F.col("o_orderkey").cast("string")) < "29")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice"), 2).alias("price"),
+        )
+    )
+
+
+def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DataFrame.pivot (the reshaping operator proper, vs the
+    manual conditional-agg rendering in agg_conditional_pivot): one
+    shuffle on the groupBy key; the pivot values are pinned explicitly
+    so the plan skips the extra distinct-values job AND stays
+    deterministic in column order."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        )
+    )
+
+
 def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value / nth_value over a partitioned frame —
     the value-navigation window family (complements rank/lag/lead)."""

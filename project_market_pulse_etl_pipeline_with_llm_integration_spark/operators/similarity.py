@@ -416,6 +416,35 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroids (the building block of IVF
+    training, cluster labeling, and class-prototype dedup) as a
+    first-class oracle-checked surface: posexplode to skinny
+    (group, dim, value) rows, hash-agg a per-dimension mean — ONE
+    shuffle of n*dim scalar rows, no vectors ever concentrate anywhere.
+
+    Cross-engine determinism: double summation is order-dependent, so
+    components are floor-scaled to 1e-6 integers first; the integer sum
+    is exact under any aggregation tree and the final division is a
+    single deterministic double op (the money_sum trick, embedding
+    flavor)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    quantized = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1e6).cast("long")
+    )
+    ex = emb.select(
+        (F.col("vec_id") % 4).alias("grp"),
+        F.posexplode(quantized).alias("pos", "v"),
+    )
+    return (
+        ex.groupBy("grp", "pos")
+        .agg(
+            F.round(F.sum("v") / (F.count("*") * F.lit(1000000.0)), 6).alias("centroid")
+        )
+        .select("grp", F.col("pos").cast("long").alias("pos"), "centroid")
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible ANN quality contract: recall@10 of the two
     approximate retrievers (hyperplane LSH, IVF) against the exact

@@ -94,6 +94,23 @@ def salt_column(n_buckets: int, seed: int = 42) -> Column:
     return (F.rand(seed) * n_buckets).cast("int")
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join surface: events (big, skewable user_id) joined
+    to customer (small) through the (key, salt) spreading — the result
+    is identical to the plain join the DuckDB oracle computes, so the
+    gate proves the salt+replicate rewrite is semantics-preserving."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_events,
+    )
+
+    events = read_events(spark, sf_dir).select("event_id", "user_id")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = salted_join(events, cust, "user_id", "c_custkey", salt_buckets=8)
+    return out.select("event_id", "user_id", "c_mktsegment")
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over events.user_id (the driver's
     skewable key), result identical to a plain groupBy — which is

@@ -236,6 +236,66 @@ def with_winnow_fingerprint(
     )
 
 
+# PII patterns, deliberately lookahead-free so the identical strings run
+# under Java regex (Spark) and RE2 (DuckDB).  Order matters: emails are
+# masked before digit runs so the local part's digits don't double-mask.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# phones must contain a separator after the leading digit group, so a
+# bare long digit run falls through to the [ID] class instead
+PII_PHONE_RE = r"\+?[0-9]{1,4}[\- ()]+[0-9][0-9\- ()]{4,}[0-9]"
+PII_LONGNUM_RE = r"[0-9]{9,}"
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora (the standard pre-training
+    scrub pass): mask emails, phone-shaped number runs, and long digit
+    sequences (account/ID numbers) with typed placeholders, and count
+    each hit so downstream filters can drop PII-dense documents.  Pure
+    regexp column algebra — single codegen pass per pattern, no Python,
+    no shuffle; at 100 TB this is a narrow map over the corpus."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0))).cast("long")
+    after_email = F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]")
+    n_phones = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_PHONE_RE), F.lit(0))
+    ).cast("long")
+    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "[PHONE]")
+    n_longnums = F.size(
+        F.regexp_extract_all(after_phone, F.lit(PII_LONGNUM_RE), F.lit(0))
+    ).cast("long")
+    scrubbed = F.regexp_replace(after_phone, PII_LONGNUM_RE, "[ID]")
+    return (
+        df.withColumn("n_emails", n_emails)
+        .withColumn("n_phones", n_phones)
+        .withColumn("n_longnums", n_longnums)
+        .withColumn("scrubbed", scrubbed)
+    )
+
+
+def with_corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 1000,
+    min_quality: float = 0.2,
+) -> DataFrame:
+    """C4/Gopher-style corpus admission filter: compose the token-count,
+    quality and language signals into a keep/drop verdict with the FIRST
+    failing rule as the reason (so corpus curation is auditable).  Rules:
+    too_short | too_long | low_quality | keep.  Composition of existing
+    narrow operators — still zero-shuffle, zero-Python."""
+    out = with_quality_score(with_text_stats(df, text_col), text_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("keep"))
+    )
+    return out.withColumn("admit_reason", reason).withColumn(
+        "keep", F.col("admit_reason") == "keep"
+    )
+
+
 # -- queries() entries -------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,3 +342,15 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return with_winnow_fingerprint(df).select("doc_id", "n_fingerprints", "winnow_digest")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_pii_scrub(df).select(
+        "doc_id", "n_emails", "n_phones", "n_longnums", "scrubbed"
+    )
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_corpus_filter(df).select("doc_id", "keep", "admit_reason")

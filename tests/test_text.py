@@ -106,3 +106,44 @@ def test_winnow_fingerprints_detect_shared_runs(spark):
     digests = {r.doc_id: r.winnow_digest for r in out.collect()}
     assert digests[0] == digests[2]
     assert digests[0] != digests[3]
+
+
+def test_pii_scrub_masks_planted_pii(spark):
+    """The corpus may carry no real PII, so the oracle row alone is a
+    weak signal — plant every pattern class and pin the masking."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import with_pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk for details"),
+            (2, "call +1 (555) 123-4567 now"),
+            (3, "account 123456789012 was closed"),
+            (4, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in with_pii_scrub(df).collect()}
+    assert rows[1].n_emails == 1 and "[EMAIL]" in rows[1].scrubbed
+    assert "bob.smith" not in rows[1].scrubbed
+    assert rows[2].n_phones == 1 and "[PHONE]" in rows[2].scrubbed
+    assert rows[3].n_longnums == 1 and "[ID]" in rows[3].scrubbed
+    assert rows[4].scrubbed == rows[4].text
+    assert (rows[4].n_emails, rows[4].n_phones, rows[4].n_longnums) == (0, 0, 0)
+
+
+def test_corpus_filter_reasons(spark):
+    """Admission rules fire in order with the FIRST failing reason."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import with_corpus_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "too short"),
+            (2, " ".join(f"w{i}" for i in range(40))),
+            (3, "a a a a a a a a a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.admit_reason for r in with_corpus_filter(df).collect()}
+    assert rows[1] == "too_short"
+    assert rows[2] == "keep"
+    assert rows[3] == "low_quality"
