@@ -138,6 +138,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_dynamic": R.q_pivot_dynamic,
         "salted_join": skew.q_salted_join,
         "embedding_centroids": similarity.q_embedding_centroids,
+        "ngram_topk": text.q_ngram_topk,
+        "doc_length_histogram": text.q_doc_length_histogram,
+        "tfidf_topterms": text.q_tfidf_topterms,
+        "stream_dedup": streaming_events.q_stream_dedup,
         # ------- the 21 entries never driver-checked before round 3
         "tpch_q7": R.q_tpch_q7,
         "tpch_q8": R.q_tpch_q8,
@@ -176,11 +180,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_grouping_sets": R.q_agg_grouping_sets,
         "agg_approx_distinct": R.q_agg_approx_distinct,  # rows-only: sketch estimates engine-defined
         "explode_wordcount": R.q_explode_wordcount,
+        # ------- entry 51+: driver-green in r1/r2 (CORRECTNESS_r01/r02)
         "null_handling": R.q_null_handling,
         "window_rank": R.q_window_rank,
         "window_distribution": R.q_window_distribution,
         "window_range_frame": R.q_window_range_frame,
-        # ------- entry 51+: driver-green in r1/r2 (CORRECTNESS_r01/r02)
         "window_lag_lead": R.q_window_lag_lead,
         "window_running": R.q_window_running,
         "scalar_string": R.q_scalar_string,
@@ -553,6 +557,41 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": (
             "SELECT event_id, user_id, c_mktsegment FROM events "
             "JOIN customer ON user_id = c_custkey"
+        ),
+        "ngram_topk": (
+            "WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS tk FROM documents), "
+            "g AS (SELECT unnest([array_to_string(tk[i:i+2], ' ') "
+            "FOR i IN generate_series(1, greatest(len(tk)-2, 1))]) AS gram FROM t) "
+            "SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram "
+            "ORDER BY cnt DESC, gram LIMIT 25"
+        ),
+        "doc_length_histogram": (
+            # independent integer arithmetic cross-checks width_bucket
+            f"WITH t AS (SELECT {_NTOK} AS ntok FROM documents) "
+            "SELECT CAST(CASE WHEN ntok >= 128 THEN 17 WHEN ntok < 0 THEN 0 "
+            "ELSE 1 + ntok // 8 END AS BIGINT) AS len_bucket, "
+            "COUNT(*) AS n_docs, CAST(MIN(ntok) AS BIGINT) AS min_tokens, "
+            "CAST(MAX(ntok) AS BIGINT) AS max_tokens FROM t GROUP BY 1"
+        ),
+        "tfidf_topterms": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) "
+            "AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2), "
+            "dfq AS (SELECT token, COUNT(*) AS df FROM "
+            "(SELECT DISTINCT doc_id, token FROM tok) GROUP BY token), "
+            "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "s AS (SELECT doc_id, token, tf, df, "
+            "CAST(floor(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) * 1e6) AS BIGINT) "
+            "AS score_1e6 FROM tf JOIN dfq USING (token) CROSS JOIN n) "
+            "SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, "
+            "score_1e6, CAST(row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score_1e6 DESC, token) AS BIGINT) AS term_rank "
+            "FROM s QUALIFY term_rank <= 3"
+        ),
+        "stream_dedup": (
+            "SELECT event_id, user_id, event_type, ts FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id, event_type, "
+            "date_trunc('minute', ts) ORDER BY ts, event_id) = 1"
         ),
         "embedding_centroids": (
             "WITH q AS (SELECT vec_id % 4 AS grp, "

@@ -344,6 +344,83 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_winnow_fingerprint(df).select("doc_id", "n_fingerprints", "winnow_digest")
 
 
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency ranking (the classic corpus
+    analysis / contamination-check primitive): explode positional word
+    trigrams (duplicates kept — true frequency, not document
+    frequency), hash-agg counts, top-25 with a total-order tiebreak.
+    The explode→agg is one shuffle of skinny (gram) rows; top-k is
+    TakeOrdered, never a global sort."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.explode(_positional_shingles("text", 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "gram")
+        .limit(25)
+    )
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram via width_bucket (16 buckets over
+    [0, 128)): the one-pass corpus length profile every curation run
+    starts with.  The oracle recomputes the bucket with independent
+    integer arithmetic, so the gate cross-checks Spark's width_bucket
+    against first principles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tok = token_count("text")
+    bucket = F.width_bucket(
+        n_tok.cast("double"), F.lit(0.0), F.lit(128.0), F.lit(16)
+    ).cast("long")
+    return (
+        docs.select(bucket.alias("len_bucket"), n_tok.alias("n_tokens"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic keyword-extraction
+    pass.  tf and df are exact integer aggregates; idf = ln((N+1)/(df+1))
+    is computed on those exact integers, and the score is floor-scaled
+    to 1e-6 so rank order (score desc, token) is engine-stable.  Plan
+    shape: one explode→agg for tf, a distinct→agg for df (both skinny
+    shuffles), broadcast of the scalar N, window top-k per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window as W
+
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_1e6",
+            F.floor(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("score_1e6").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "score_1e6", "term_rank")
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return with_pii_scrub(df).select(

@@ -124,6 +124,33 @@ def attribute_clicks(
     return c.join(v, cond).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
 
 
+def dedup_events_batch(events: DataFrame) -> DataFrame:
+    """Batch form of at-least-once ingestion dedup: collapse events that
+    share (user_id, event_type, minute) to the earliest occurrence —
+    the deterministic-batch analogue of
+    ``dropDuplicatesWithinWatermark`` on a composite key (the streaming
+    half is ``dedup_events_stream``; state there is watermark-bounded,
+    here the window partition IS the bound).  One shuffle on the
+    composite key."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(
+        "user_id", "event_type", F.date_trunc("minute", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible batch form of the ingestion-dedup operator."""
+    return dedup_events_batch(read_events(spark, sf_dir)).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+
 def dedup_events_stream(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exactly-once dedup on event_id: watermark bounds the
     dedup state (ids older than the watermark are evicted) — the
