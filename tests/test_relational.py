@@ -205,3 +205,20 @@ def test_dense_id_methods_identical(spark):
         for m in ("window", "offsets", "boundaries")
     }
     assert by_m["window"] == by_m["offsets"] == by_m["boundaries"]
+
+
+def test_round3_tpch_plans(spark):
+    """Physical-plan contracts for the round-3 shapes: Q13 pushes the
+    ON-clause predicate into the orders scan and keeps the left join;
+    Q17 pre-filters lineitem through a broadcast semi join BEFORE the
+    per-part aggregate; Q21 executes the EXISTS/NOT-EXISTS chain as
+    semi+anti joins (never a cartesian)."""
+    q13 = R.q_tpch_q13(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in q13
+    assert "LeftOuter" in q13
+    q17 = R.q_tpch_q17(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in q17 and "BroadcastHashJoin" in q17
+    q21 = R.q_tpch_q21(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    for plan in (q13, q17, q21):
+        assert "CartesianProduct" not in plan
