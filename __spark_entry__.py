@@ -142,6 +142,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_histogram": text.q_doc_length_histogram,
         "tfidf_topterms": text.q_tfidf_topterms,
         "stream_dedup": streaming_events.q_stream_dedup,
+        "merge_upsert": R.q_merge_upsert,
+        "snapshot_diff": R.q_snapshot_diff,
         # ------- the 21 entries never driver-checked before round 3
         "tpch_q7": R.q_tpch_q7,
         "tpch_q8": R.q_tpch_q8,
@@ -178,9 +180,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats": R.q_agg_stats,
         "agg_percentile": R.q_agg_percentile,
         "agg_grouping_sets": R.q_agg_grouping_sets,
+        # ------- entry 51+: driver-green in r1/r2 (CORRECTNESS_r01/r02)
         "agg_approx_distinct": R.q_agg_approx_distinct,  # rows-only: sketch estimates engine-defined
         "explode_wordcount": R.q_explode_wordcount,
-        # ------- entry 51+: driver-green in r1/r2 (CORRECTNESS_r01/r02)
         "null_handling": R.q_null_handling,
         "window_rank": R.q_window_rank,
         "window_distribution": R.q_window_distribution,
@@ -592,6 +594,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type, ts FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id, event_type, "
             "date_trunc('minute', ts) ORDER BY ts, event_id) = 1"
+        ),
+        "merge_upsert": (
+            "WITH base AS (SELECT c_custkey, c_name, c_mktsegment, "
+            "round(c_acctbal, 2) AS acctbal FROM customer), "
+            "upd AS (SELECT c_custkey, c_name, 'UPGRADED' AS c_mktsegment, "
+            "round(acctbal + 100.0, 2) AS acctbal FROM base WHERE c_custkey % 5 = 0 "
+            "UNION ALL SELECT c_custkey + 10000000, 'new-' || c_name, 'FRESH', 0.0 "
+            "FROM base WHERE c_custkey % 100 = 0) "
+            "SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey, "
+            "coalesce(u.c_name, b.c_name) AS c_name, "
+            "coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment, "
+            "coalesce(u.acctbal, b.acctbal) AS acctbal "
+            "FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey"
+        ),
+        "snapshot_diff": (
+            "WITH old AS (SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) "
+            "AS acctbal FROM customer), "
+            "new AS (SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN 'MOVED' "
+            "ELSE c_mktsegment END AS c_mktsegment, acctbal FROM old "
+            "WHERE c_custkey % 10 <> 0) "
+            "SELECT * FROM (SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey, "
+            "CASE WHEN o.c_custkey IS NULL THEN 'added' "
+            "WHEN n.c_custkey IS NULL THEN 'removed' "
+            "WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment "
+            "OR o.acctbal IS DISTINCT FROM n.acctbal THEN 'changed' "
+            "ELSE 'same' END AS change_type "
+            "FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey) "
+            "WHERE change_type <> 'same'"
         ),
         "embedding_centroids": (
             "WITH q AS (SELECT vec_id % 4 AS grp, "

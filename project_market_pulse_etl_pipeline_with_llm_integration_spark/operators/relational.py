@@ -528,6 +528,112 @@ def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """SCD-1 MERGE (upsert) without a table format: full-outer join on
+    the key; matched keys take the update row, unmatched base rows pass
+    through, new keys insert.  This join is exactly what Delta/Iceberg
+    MERGE compiles to minus the transaction log — expressed directly so
+    the engine covers the pattern on plain parquet.  One shuffle on the
+    merge key for each side; at 100 TB the base side should be bucketed
+    on the key so repeated merges skip its shuffle (see SCALE.md,
+    bucketing)."""
+    cols = base.columns
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__b.{k}").eqNullSafe(F.col(f"__u.{k}"))
+        cond = c if cond is None else (cond & c)
+    return (
+        base.alias("__b")
+        .join(updates.alias("__u"), cond, "full_outer")
+        .select(
+            *[
+                F.coalesce(F.col(f"__u.{c}"), F.col(f"__b.{c}")).alias(c)
+                for c in cols
+            ]
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """CDC between two snapshots of the same table: emit one row per key
+    that was added, removed, or changed (same key, different compare
+    columns) — unchanged keys are filtered out before anything leaves
+    the join, so the output is proportional to the churn, not the table.
+    The standard full-outer-join diff that feeds incremental pipelines
+    when no changelog exists."""
+    o = old.select(*key_cols, *compare_cols).alias("__o")
+    n = new.select(*key_cols, *compare_cols).alias("__n")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
+        cond = c if cond is None else (cond & c)
+    old_missing = F.col(f"__o.{key_cols[0]}").isNull()
+    new_missing = F.col(f"__n.{key_cols[0]}").isNull()
+    changed = None
+    for c in compare_cols:
+        d = ~F.col(f"__o.{c}").eqNullSafe(F.col(f"__n.{c}"))
+        changed = d if changed is None else (changed | d)
+    change_type = (
+        F.when(old_missing, F.lit("added"))
+        .when(new_missing, F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    keys = [
+        F.coalesce(F.col(f"__n.{k}"), F.col(f"__o.{k}")).alias(k) for k in key_cols
+    ]
+    return (
+        o.join(n, cond, "full_outer")
+        .select(*keys, change_type.alias("change_type"))
+        .filter(F.col("change_type") != "same")
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface for MERGE: deterministic updates (every 5th
+    customer upgraded) + inserts (synthetic keys above the domain)
+    against the customer base."""
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    updates = (
+        base.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_mktsegment", F.lit("UPGRADED"))
+        .withColumn("acctbal", F.round(F.col("acctbal") + 100.0, 2))
+    ).unionByName(
+        base.filter(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+            F.lit("FRESH").alias("c_mktsegment"),
+            F.lit(0.0).alias("acctbal"),
+        )
+    )
+    return merge_upsert(base, updates, ["c_custkey"])
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface for snapshot CDC: new snapshot drops every 10th
+    customer and re-segments every 3rd — diff must emit exactly the
+    churn."""
+    old = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    new = (
+        old.filter(F.col("c_custkey") % 10 != 0)
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+    )
+    return snapshot_diff(old, new, ["c_custkey"], ["c_mktsegment", "acctbal"])
+
+
 def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value / nth_value over a partitioned frame —
     the value-navigation window family (complements rank/lag/lead)."""

@@ -222,3 +222,25 @@ def test_round3_tpch_plans(spark):
     assert "LeftSemi" in q21 and "LeftAnti" in q21
     for plan in (q13, q17, q21):
         assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE: untouched rows pass through, matched keys take the update,
+    new keys insert — cardinality is base + inserts."""
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    upd = spark.createDataFrame([(2, "B"), (9, "Z")], "k long, v string")
+    got = {r.k: r.v for r in R.merge_upsert(base, upd, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 9: "Z"}
+
+
+def test_snapshot_diff_emits_exact_churn(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k long, v string, x double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, "d", 4.0)], "k long, v string, x double"
+    )
+    got = {r.k: r.change_type for r in R.snapshot_diff(old, new, ["k"], ["v", "x"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
