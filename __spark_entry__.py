@@ -144,6 +144,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": streaming_events.q_stream_dedup,
         "merge_upsert": R.q_merge_upsert,
         "snapshot_diff": R.q_snapshot_diff,
+        "timeseries_locf": R.q_timeseries_locf,
         # ------- the 21 entries never driver-checked before round 3
         "tpch_q7": R.q_tpch_q7,
         "tpch_q8": R.q_tpch_q8,
@@ -179,8 +180,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_conditional_pivot": R.q_agg_conditional_pivot,
         "agg_stats": R.q_agg_stats,
         "agg_percentile": R.q_agg_percentile,
-        "agg_grouping_sets": R.q_agg_grouping_sets,
         # ------- entry 51+: driver-green in r1/r2 (CORRECTNESS_r01/r02)
+        "agg_grouping_sets": R.q_agg_grouping_sets,
         "agg_approx_distinct": R.q_agg_approx_distinct,  # rows-only: sketch estimates engine-defined
         "explode_wordcount": R.q_explode_wordcount,
         "null_handling": R.q_null_handling,
@@ -594,6 +595,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type, ts FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id, event_type, "
             "date_trunc('minute', ts) ORDER BY ts, event_id) = 1"
+        ),
+        "timeseries_locf": (
+            "WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, "
+            "max(CAST(ts AS DATE)) AS d1 FROM events), "
+            "days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) "
+            "AS DATE) AS day FROM bounds), "
+            "types AS (SELECT DISTINCT event_type FROM events), "
+            "daily AS (SELECT CAST(ts AS DATE) AS day, event_type, "
+            "CAST(round(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS day_value "
+            "FROM events GROUP BY 1, 2), "
+            "grid AS (SELECT d.day, t.event_type, dv.day_value FROM days d "
+            "CROSS JOIN types t LEFT JOIN daily dv ON d.day = dv.day "
+            "AND t.event_type = dv.event_type) "
+            "SELECT day, event_type, last_value(day_value IGNORE NULLS) OVER ("
+            "PARTITION BY event_type ORDER BY day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value FROM grid"
         ),
         "merge_upsert": (
             "WITH base AS (SELECT c_custkey, c_name, c_mktsegment, "

@@ -1430,6 +1430,42 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation (the other standard
+    gap policy next to gapfill's zero-fill): build the same daily
+    calendar spine per event type, then fill missing days with
+    last(value, ignorenulls) over an unbounded-preceding frame —
+    windowed per type, so no global sort; days before the first
+    observation stay NULL (locf has nothing to carry)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_events,
+    )
+
+    ev = read_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(types)
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        money_sum(F.col("value")).alias("day_value")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
+
+
 def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN bucketing + conditional counts per segment."""
     c = _t(spark, sf_dir, "customer").withColumn(
