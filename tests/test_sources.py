@@ -161,3 +161,32 @@ def test_scheme_prefixed_uri_roundtrip(spark, tmp_path):
     assert sorted(r.r_name for r in back.collect()) == sorted(
         r.r_name for r in df.collect()
     )
+
+
+def test_csv_malformed_row_handling(spark, tmp_path):
+    """Ingestion robustness: PERMISSIVE mode quarantines malformed rows
+    into the corrupt-record column instead of failing the 100 TB job;
+    DROPMALFORMED silently drops them. Both contracts pinned."""
+    p = tmp_path / "mixed.csv"
+    p.write_text("k,v\n1,alpha\nnot_an_int,beta\n3,gamma\n")
+    schema = "k INT, v STRING, _corrupt_record STRING"
+    permissive = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(str(p))
+        .cache()
+    )
+    rows = permissive.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0].k is None
+    dropped = (
+        spark.read.option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .schema("k INT, v STRING")
+        .csv(str(p))
+    )
+    assert sorted(r.k for r in dropped.collect()) == [1, 3]
+    permissive.unpersist()
