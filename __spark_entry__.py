@@ -24,6 +24,7 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators impo
     dedup,
     multimodal,
     relational as R,
+    sample as sampling,
     similarity,
     skew,
     text,
@@ -128,6 +129,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of position.
     return {
         # ------- round-3 additions
+        "text_chunk": text.q_text_chunk,
+        "repetition_signals": text.q_repetition_signals,
+        "decontaminate": dedup.q_decontaminate,
+        "stratified_sample": sampling.q_stratified_sample,
         "tpch_q13": R.q_tpch_q13,
         "tpch_q17": R.q_tpch_q17,
         "tpch_q21": R.q_tpch_q21,
@@ -276,6 +281,50 @@ _PLEN = f"({_PROMPT_BASE} + length('doc-' || CAST(doc_id AS VARCHAR)) + length(t
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_chunk": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, {_NTOK} AS ntok FROM documents), "
+            "c AS (SELECT doc_id, tk, "
+            "1 + (greatest(ntok - 32, 0) + 23) // 24 AS nch FROM t WHERE ntok > 0), "
+            "e AS (SELECT doc_id, tk, unnest(generate_series(0, nch - 1)) AS i FROM c) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+            "array_to_string(tk[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text, "
+            "CAST(len(tk[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS n_chunk_tokens FROM e"
+        ),
+        "repetition_signals": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, {_NTOK} AS ntok FROM documents), "
+            "tc AS (SELECT doc_id, max(c) AS top_cnt FROM ("
+            "SELECT doc_id, tok, COUNT(*) AS c FROM ("
+            "SELECT doc_id, unnest(tk) AS tok FROM t WHERE ntok > 0) GROUP BY 1, 2"
+            ") GROUP BY 1), "
+            "bg AS (SELECT doc_id, ntok, CASE WHEN ntok >= 2 THEN "
+            "(ntok - 1) - len(list_distinct([array_to_string(tk[i:i+1], ' ') "
+            "FOR i IN generate_series(1, ntok - 1)])) ELSE 0 END AS dup_bg FROM t) "
+            "SELECT bg.doc_id, CAST(bg.ntok AS BIGINT) AS n_tokens, "
+            "CAST(CASE WHEN bg.ntok > 0 THEN floor(tc.top_cnt * 1e6 / bg.ntok) "
+            "ELSE 0 END AS BIGINT) AS top_token_share_1e6, "
+            "CAST(CASE WHEN bg.ntok >= 2 THEN floor(bg.dup_bg * 1e6 / (bg.ntok - 1)) "
+            "ELSE 0 END AS BIGINT) AS dup_bigram_share_1e6 "
+            "FROM bg LEFT JOIN tc ON bg.doc_id = tc.doc_id"
+        ),
+        "decontaminate": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, "
+            "md5(CAST(doc_id AS VARCHAR)) < '20' AS is_bench FROM documents), "
+            "g AS (SELECT doc_id, is_bench, unnest([array_to_string(tk[i:i+4], ' ') "
+            "FOR i IN generate_series(1, greatest(len(tk) - 4, 1))]) AS gram FROM t), "
+            "bench AS (SELECT DISTINCT gram FROM g WHERE is_bench), "
+            "cand AS (SELECT DISTINCT doc_id, gram FROM g WHERE NOT is_bench), "
+            "hits AS (SELECT doc_id, COUNT(*) AS n FROM cand "
+            "JOIN bench USING (gram) GROUP BY 1) "
+            "SELECT t.doc_id, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_shared_ngrams, "
+            "coalesce(hits.n, 0) > 0 AS contaminated "
+            "FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id WHERE NOT t.is_bench"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM ("
+            "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+            "WHERE rn <= 40"
+        ),
         "scan_project": (
             "SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment FROM customer"
         ),

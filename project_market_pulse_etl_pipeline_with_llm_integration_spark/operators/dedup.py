@@ -652,3 +652,61 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         df.repartition(spark.sparkContext.defaultParallelism), max_distance=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Training-set decontamination: flag corpus documents that share
+    any word ``n``-gram with a held-out benchmark/eval set (the
+    GPT-3/PaLM-style n-gram overlap check).  Returns one row per corpus
+    document with the count of distinct shared n-grams and a
+    ``contaminated`` verdict; callers anti-join or filter on it.
+
+    Scale shape: the benchmark side is an eval suite — thousands of
+    documents, not the corpus — so its distinct n-gram set is tiny and
+    is broadcast; the corpus side is a narrow explode -> broadcast-hash
+    semi-match -> groupBy(id), i.e. ONE shuffle keyed by doc id with
+    map-side combine, and the corpus text never shuffles.  Documents
+    shorter than ``n`` tokens contribute their whole token run as a
+    single gram (same convention both engines).
+    """
+    def grams(df: DataFrame) -> Column:
+        toks = tokens(text_col)
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+
+    bench_grams = (
+        benchmark.select(F.explode(grams(benchmark)).alias("gram")).distinct()
+    )
+    hits = (
+        corpus.select(F.col(id_col), F.explode_outer(F.array_distinct(grams(corpus))).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .withColumn("n_shared_ngrams", F.coalesce("n_shared_ngrams", F.lit(0)).cast("long"))
+        .withColumn("contaminated", F.col("n_shared_ngrams") > 0)
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus/benchmark split via md5 hash-sampling (the
+    same reproducible-membership trick as ``hash_sample``): docs whose
+    md5(doc_id) < '20' (~1/8) play the benchmark, the rest the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_bench = F.md5(F.col("doc_id").cast("string")) < "20"
+    return decontaminate(docs.filter(~is_bench), docs.filter(is_bench))

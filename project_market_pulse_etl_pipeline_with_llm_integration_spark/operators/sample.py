@@ -30,3 +30,41 @@ def exact_sample(df: DataFrame, n: int | None, seed: int = 42) -> DataFrame:
         return df
     n = int(n)
     return df.orderBy(F.rand(seed)).limit(n)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic exact-N-per-stratum sample: rank rows inside each
+    stratum by ``md5(key)`` (a uniform, engine-independent pseudo-random
+    order — the hash_sample trick applied per group) and keep the first
+    ``n_per_stratum``.  Unlike ``sampleBy`` (fraction-based, RNG-state
+    dependent) the same rows are selected on any engine, cluster size,
+    or run — which is what corpus-curation pipelines need to version
+    their per-language / per-source quotas.
+
+    Scale shape: one shuffle keyed by the stratum column + a bounded
+    per-group sort.  Skewed strata cost what their size costs; for
+    pathological single-stratum corpora rank with a composite
+    (stratum, salt) key first and re-rank the n*salts survivors.
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.md5(F.col(key_col).cast("string")), F.col(key_col)]
+    w = W.partitionBy(strata_col).orderBy(*order)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def q_stratified_sample(spark, sf_dir: str):
+    """40 documents per language, deterministically chosen — the
+    reproducible per-stratum quota draw."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, "lang", 40, "doc_id").select(
+        "doc_id", "lang", "sample_rank"
+    )

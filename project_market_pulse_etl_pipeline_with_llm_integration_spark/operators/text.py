@@ -296,6 +296,99 @@ def with_corpus_filter(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding token-window chunking — the standard pre-tokenization
+    splitter for LLM training/RAG pipelines: cut each document into
+    ``window``-token chunks every ``stride`` tokens (overlap =
+    window - stride), with the final chunk covering the tail.
+
+    chunk count = 1 + ceil(max(n_tokens - window, 0) / stride); blank
+    documents produce no chunks.  Implemented as posexplode over a
+    per-row index sequence + ``slice`` — a narrow transform followed by
+    a generate, no shuffle at all, so at 100 TB the chunker runs at
+    scan speed and output partitioning inherits input partitioning.
+    """
+    toks = tokens(text_col)
+    n_tok = token_count(text_col)
+    n_chunks = (
+        F.floor((F.greatest(n_tok - window, F.lit(0)) + (stride - 1)) / stride)
+        + 1
+    ).cast("int")
+    base = (
+        df.withColumn("__toks", toks)
+        .withColumn("__ntok", n_tok)
+        .filter(F.col("__ntok") > 0)
+        .withColumn("__nch", n_chunks)
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.col("__nch") - 1))
+    piece = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, window)
+    return (
+        base.withColumn("chunk_idx", idx)
+        .withColumn("chunk_text", F.concat_ws(" ", piece))
+        .withColumn("n_chunk_tokens", F.size(piece).cast("long"))
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+        .drop("__toks", "__ntok", "__nch")
+    )
+
+
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    share of the document taken by its single most frequent token, and
+    the share of duplicated word bigrams.  High values flag boilerplate
+    and keyboard-mash documents that length/quality filters miss.
+
+    Scale shape: the top-token count uses explode -> two keyed
+    aggregations on (doc_id, token) then doc_id — partial (map-side)
+    combine applies, and the only shuffle is by doc_id; the bigram term
+    is pure per-row array algebra (array_distinct over n-1 bigrams,
+    linear per document).  Shares are emitted as exact floor-scaled
+    integers (``*_1e6``) — integer arithmetic on both engines, so the
+    oracle comparison has no float-tie risk at all.
+    """
+    toks = tokens(text_col)
+    n_tok = token_count(text_col)
+    tok_rows = (
+        df.select("doc_id", F.explode(toks).alias("__tok"))
+        .groupBy("doc_id", "__tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("__top_cnt"))
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    n_bigrams = F.greatest(n_tok - 1, F.lit(0))
+    n_dup_bigrams = F.when(
+        n_tok >= 2, n_bigrams - F.size(F.array_distinct(bigrams))
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .join(tok_rows, "doc_id", "left")
+        .withColumn(
+            "top_token_share_1e6",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor(F.col("__top_cnt") * 1e6 / F.col("n_tokens")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "dup_bigram_share_1e6",
+            F.when(n_bigrams > 0, F.floor(n_dup_bigrams * 1e6 / n_bigrams))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("__top_cnt")
+    )
+
+
 # -- queries() entries -------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,3 +524,17 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return with_corpus_filter(df).select("doc_id", "keep", "admit_reason")
+
+
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(df).select(
+        "doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens"
+    )
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_repetition_signals(df).select(
+        "doc_id", "n_tokens", "top_token_share_1e6", "dup_bigram_share_1e6"
+    )

@@ -115,3 +115,28 @@ def test_simhash_hot_bucket_guard(spark):
     # under the cap: runs fine on a diverse corpus
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(50)
     dedup.simhash_pairs(docs, max_bucket_size=50).collect()
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A corpus doc sharing a >=5-token run with the benchmark is
+    flagged; disjoint docs are not; counts are distinct shared grams."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains "quick brown fox jumps over" (one shared 5-gram)
+            (1, "said the quick brown fox jumps over everything"),
+            (2, "completely different words appear in this document"),
+            # short doc, whole-doc gram not in benchmark
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in decontaminate(corpus, bench).collect()}
+    assert rows[1].contaminated and rows[1].n_shared_ngrams >= 1
+    assert not rows[2].contaminated and rows[2].n_shared_ngrams == 0
+    assert not rows[3].contaminated

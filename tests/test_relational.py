@@ -244,3 +244,24 @@ def test_snapshot_diff_emits_exact_churn(spark):
     )
     got = {r.k: r.change_type for r in R.snapshot_diff(old, new, ["k"], ["v", "x"]).collect()}
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    """Exactly n rows per stratum (or the whole stratum when smaller),
+    identical selection across runs, ranks are 1..n."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import stratified_sample
+
+    rows = [(i, "big" if i % 10 else "rare") for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "k long, grp string")
+    out = stratified_sample(df, "grp", 5, "k")
+    got = out.groupBy("grp").count().collect()
+    counts = {r.grp: r["count"] for r in got}
+    assert counts == {"big": 5, "rare": 5}
+    a = sorted((r.grp, r.k, r.sample_rank) for r in out.collect())
+    b = sorted(
+        (r.grp, r.k, r.sample_rank)
+        for r in stratified_sample(df, "grp", 5, "k").collect()
+    )
+    assert a == b
+    tiny = spark.createDataFrame([(1, "solo"), (2, "solo")], "k long, grp string")
+    assert stratified_sample(tiny, "grp", 5, "k").count() == 2

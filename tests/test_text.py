@@ -147,3 +147,64 @@ def test_corpus_filter_reasons(spark):
     assert rows[1] == "too_short"
     assert rows[2] == "keep"
     assert rows[3] == "low_quality"
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries: W=32/S=24 on a 50-token doc -> chunks at 0 and
+    24 (second covers the 26-token tail); short and blank docs."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import chunk_documents
+
+    long_doc = " ".join(f"t{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, "just five little words here"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(df).select("doc_id", "chunk_idx", "n_chunk_tokens").collect()
+    )
+    assert [(r.doc_id, r.chunk_idx, r.n_chunk_tokens) for r in rows] == [
+        (1, 0, 32),
+        (1, 1, 26),
+        (2, 0, 5),
+    ]
+    texts = {
+        (r.doc_id, r.chunk_idx): r.chunk_text for r in chunk_documents(df).collect()
+    }
+    assert texts[(1, 0)].split() == [f"t{i}" for i in range(32)]
+    assert texts[(1, 1)].split() == [f"t{i}" for i in range(24, 50)]
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Every token position lands in at least one chunk (stride <= window)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import chunk_documents
+
+    for n in (1, 23, 24, 31, 32, 33, 56, 57, 100):
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(n)))], "doc_id long, text string"
+        )
+        seen = set()
+        for r in chunk_documents(df).collect():
+            seen.update(r.chunk_text.split())
+        assert seen == {f"t{i}" for i in range(n)}, n
+
+
+def test_repetition_signals(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import with_repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),      # top share 1.0, all bigrams dup
+            (2, "all words here distinct"),  # no repetition
+            (3, "one"),                      # single token: no bigrams
+            (4, ""),                         # blank
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in with_repetition_signals(df).collect()}
+    assert rows[1].top_token_share_1e6 == 1_000_000
+    assert rows[1].dup_bigram_share_1e6 == 666_666  # 3 bigrams, 1 distinct
+    assert rows[2].top_token_share_1e6 == 250_000
+    assert rows[2].dup_bigram_share_1e6 == 0
+    assert rows[3].top_token_share_1e6 == 1_000_000
+    assert rows[3].dup_bigram_share_1e6 == 0
+    assert rows[4].top_token_share_1e6 == 0 and rows[4].n_tokens == 0
