@@ -150,6 +150,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": R.q_merge_upsert,
         "snapshot_diff": R.q_snapshot_diff,
         "timeseries_locf": R.q_timeseries_locf,
+        "dq_expectations": R.q_dq_expectations,
+        "funnel": R.q_funnel,
+        "heavy_hitters": R.q_heavy_hitters,
+        "window_share": R.q_window_share,
+        "skyline_pareto": R.q_skyline_pareto,
+        "dedup_editdistance": dedup.q_dedup_editdistance,
         # ------- the 21 entries never driver-checked before round 3
         "tpch_q7": R.q_tpch_q7,
         "tpch_q8": R.q_tpch_q8,
@@ -660,6 +666,55 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, event_type, last_value(day_value IGNORE NULLS) OVER ("
             "PARTITION BY event_type ORDER BY day "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value FROM grid"
+        ),
+        "dq_expectations": (
+            "SELECT 'orders_custkey_fk' AS check_name, count(*) AS violations, "
+            "count(*) = 0 AS passed FROM orders o LEFT JOIN customer c "
+            "ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL "
+            "UNION ALL SELECT 'customer_custkey_unique', count(*), count(*) = 0 FROM "
+            "(SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1) "
+            "UNION ALL SELECT 'lineitem_qty_domain', count(*), count(*) = 0 "
+            "FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50 "
+            "UNION ALL SELECT 'events_no_error_type', count(*), count(*) = 0 "
+            "FROM events WHERE event_type = 'error'"
+        ),
+        "funnel": (
+            "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN v USING (user_id) WHERE e.event_type = 'click' AND e.ts > v.t1 "
+            "GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN c USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > c.t2 "
+            "GROUP BY e.user_id) "
+            "SELECT 1 AS step, 'view' AS stage, count(*) AS users FROM v "
+            "UNION ALL SELECT 2, 'click', count(*) FROM c "
+            "UNION ALL SELECT 3, 'purchase', count(*) FROM p"
+        ),
+        "heavy_hitters": (
+            "WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1), "
+            "t AS (SELECT count(*) AS total FROM events) "
+            "SELECT user_id, cnt, CAST(cnt AS DOUBLE) / total AS share "
+            "FROM c CROSS JOIN t WHERE cnt * 1000 > total * 8"
+        ),
+        "window_share": (
+            "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price, "
+            "o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) "
+            "OVER (PARTITION BY o_custkey) AS DOUBLE) AS share FROM orders"
+        ),
+        "skyline_pareto": (
+            "WITH d AS (SELECT DISTINCT p_retailprice AS price, p_size AS size "
+            "FROM part) SELECT price, size FROM d p WHERE NOT EXISTS ("
+            "SELECT 1 FROM d q WHERE q.price <= p.price AND q.size >= p.size "
+            "AND (q.price < p.price OR q.size > p.size))"
+        ),
+        "dedup_editdistance": (
+            "WITH d AS (SELECT doc_id, substr(text, 1, 48) AS pre, "
+            "CAST(floor(len(text) / 32) AS BIGINT) AS blk FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist "
+            "FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id "
+            "WHERE levenshtein(a.pre, b.pre) <= 12"
         ),
         "merge_upsert": (
             "WITH base AS (SELECT c_custkey, c_name, c_mktsegment, "

@@ -710,3 +710,69 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     is_bench = F.md5(F.col("doc_id").cast("string")) < "20"
     return decontaminate(docs.filter(~is_bench), docs.filter(is_bench))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup
+# ---------------------------------------------------------------------------
+
+def editdistance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_chars: int = 48,
+    block_chars: int = 32,
+    max_dist: int = 12,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """All pairs (a<b) in the same length band whose ``prefix_chars``-char
+    prefixes are within Levenshtein distance ``max_dist`` — the
+    edit-distance flavor of near-dup detection (catches char-level edits
+    that token-set Jaccard is blind to, e.g. typo noise inside words).
+
+    CONTRACT: candidate generation is blocked by
+    ``floor(length(text) / block_chars)`` — only same-band pairs are
+    compared (an intentional, documented recall bound like
+    ``jaccard_pairs``; near-identical docs have near-identical lengths).
+    The distance itself is computed on a fixed-length prefix, so the
+    per-pair cost is a constant O(prefix_chars^2) in JVM codegen
+    (``levenshtein``), never O(doc^2).
+
+    100 TB posture: one equi-join on the band key carrying only
+    (id, prefix) — bodies never shuffle; the within-band quadratic term
+    is bounded by ``max_block_size`` (raises loudly on degenerate
+    length-uniform corpora, mirroring ``jaccard_pairs``)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("pre"),
+        F.floor(F.length(text_col) / block_chars).alias("blk"),
+    )
+    if max_block_size is not None:
+        worst = base.groupBy("blk").count().agg(F.max("count").alias("mx")).collect()[0]["mx"]
+        if worst and worst > max_block_size:
+            raise RuntimeError(
+                f"editdistance_pairs: largest length band holds {worst} docs "
+                f"(> cap {max_block_size}) — banding degenerated toward "
+                "all-pairs; narrow block_chars or pre-bucket by a content key"
+            )
+    a = base.select(F.col("id").alias("id_a"), F.col("pre").alias("pre_a"), "blk")
+    b = base.select(F.col("id").alias("id_b"), F.col("pre").alias("pre_b"), "blk")
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length-delta prune: |len(a)-len(b)| is a Levenshtein lower
+        # bound — O(1) to read vs the O(p^2) DP
+        .filter(
+            F.abs(F.length("pre_a") - F.length("pre_b")) <= F.lit(max_dist)
+        )
+        .withColumn("dist", F.levenshtein("pre_a", "pre_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over documents (48-char prefixes,
+    32-char length bands, distance <= 12)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return editdistance_pairs(docs, max_block_size=20_000)

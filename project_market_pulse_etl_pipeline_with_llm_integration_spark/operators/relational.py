@@ -1485,3 +1485,164 @@ def q_literal_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("run-0001").alias("run_tag"),
         F.lit("2026-01-01 00:00:00").cast("timestamp").alias("stamped_at"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations, funnel, heavy hitters, ratio-to-report, skyline
+# ---------------------------------------------------------------------------
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit: each expectation is an independent
+    scan+aggregate (or anti-join) producing one (check_name, violations,
+    passed) row; the union of single-row aggregates is driver-cheap and
+    every check parallelizes over its own table.  Includes a check that
+    FAILS on this corpus (error events present) so both verdict branches
+    are exercised."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+
+    def check(name: str, violations: DataFrame) -> DataFrame:
+        return violations.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+
+    fk = check(
+        "orders_custkey_fk",
+        orders.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+        ).agg(F.count("*").alias("violations")),
+    )
+    uniq = check(
+        "customer_custkey_unique",
+        customer.groupBy("c_custkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("violations")),
+    )
+    domain = check(
+        "lineitem_qty_domain",
+        lineitem.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).agg(
+            F.count("*").alias("violations")
+        ),
+    )
+    dead_letter = check(
+        "events_no_error_type",
+        events.filter(F.col("event_type") == "error").agg(F.count("*").alias("violations")),
+    )
+    return fk.unionByName(uniq).unionByName(domain).unionByName(dead_letter)
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users whose
+    first 'view' precedes a later 'click' precedes a later 'purchase'.
+    Each stage is a conditional min-aggregate keyed by user_id joined
+    back to the (filtered) stream — three shuffles on the same key, so
+    AQE/co-partitioning reuses the exchange; no window over the full
+    stream and no per-user event collection."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(step: int, name: str, users: DataFrame) -> DataFrame:
+        return users.agg(F.count("*").alias("users")).select(
+            F.lit(step).alias("step"), F.lit(name).alias("stage"), "users"
+        )
+
+    return (
+        stage(1, "view", v)
+        .unionByName(stage(2, "click", c))
+        .unionByName(stage(3, "purchase", p))
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: users holding > 0.8% of all events.  Two
+    aggregations (per-key counts + a global count broadcast back); the
+    threshold test uses integer cross-multiplication so no float enters
+    the predicate.  At 100 TB this is the exact verifier downstream of a
+    count-min/approx_top_k sketch pre-filter."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    total = ev.agg(F.count("*").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") * 1000 > F.col("total") * 8)
+        .select(
+            "user_id",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+        )
+    )
+
+
+def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report window: each order's share of its customer's
+    lifetime spend.  The per-partition total accumulates in DECIMAL
+    (money_sum discipline — window sums in double are
+    partition-order-dependent) and only the final ratio is a double."""
+    w = W.partitionBy("o_custkey")
+    tot = F.sum(F.col("o_totalprice").cast("decimal(20,6)")).over(w)
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        (F.col("o_totalprice") / tot.cast("double")).alias("share"),
+    )
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts where no other part is both
+    cheaper-or-equal and larger-or-equal (strict somewhere) on
+    (p_retailprice, p_size).  Physical plan is the O(n log n) sort-based
+    skyline, NOT the naive quadratic NOT-EXISTS self-join: sort by
+    (price asc, size desc); a point survives iff its size strictly
+    exceeds the running max size of all strictly-better-sorted points.
+
+    Two-phase for scale: phase 1 prunes partition-locally (same window
+    keyed by the physical partition id — dominated points stay dominated
+    globally, so the survivor set is a superset of the true skyline and
+    the result is deterministic regardless of partition assignment);
+    phase 2 runs the exact single-partition pass over the tiny survivor
+    set.  The full table is never globally sorted."""
+    d = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_retailprice").alias("price"), F.col("p_size").alias("size"))
+        .distinct()
+    )
+    order = [F.col("price").asc(), F.col("size").desc()]
+    frame = (W.unboundedPreceding, -1)
+
+    local = W.partitionBy("pid").orderBy(*order).rowsBetween(*frame)
+    pruned = (
+        d.withColumn("pid", F.spark_partition_id())
+        .withColumn("mx", F.max("size").over(local))
+        .filter(F.col("mx").isNull() | (F.col("size") > F.col("mx")))
+        .drop("pid", "mx")
+    )
+    glob = W.orderBy(*order).rowsBetween(*frame)
+    return (
+        pruned.withColumn("mx", F.max("size").over(glob))
+        .filter(F.col("mx").isNull() | (F.col("size") > F.col("mx")))
+        .select("price", "size")
+    )

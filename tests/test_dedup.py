@@ -140,3 +140,32 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert rows[1].contaminated and rows[1].n_shared_ngrams >= 1
     assert not rows[2].contaminated and rows[2].n_shared_ngrams == 0
     assert not rows[3].contaminated
+
+
+def test_editdistance_finds_planted_typos(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import editdistance_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brwon fox jmups over the lazy dog again and again"),  # 4 edits
+        (3, "a completely different document about spark shuffles and joins"),
+        (4, "zz"),  # short doc, different length band
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]) for r in editdistance_pairs(df, max_dist=6).collect()}
+    assert (1, 2) in got
+    assert all(p in {(1, 2), (1, 3), (2, 3)} for p in got)
+    # the unrelated same-band doc must NOT pair with the near-dups
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_editdistance_block_guard(spark):
+    import pytest
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import editdistance_pairs
+
+    df = spark.createDataFrame(
+        [(i, "same length text padded here!") for i in range(50)], ["doc_id", "text"]
+    )
+    with pytest.raises(RuntimeError, match="length band"):
+        editdistance_pairs(df, max_block_size=10).collect()

@@ -265,3 +265,71 @@ def test_stratified_sample_exact_quota_and_determinism(spark):
     assert a == b
     tiny = spark.createDataFrame([(1, "solo"), (2, "solo")], "k long, grp string")
     assert stratified_sample(tiny, "grp", 5, "k").count() == 2
+
+
+def test_dq_expectations_verdicts(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import relational as R
+
+    rows = {r["check_name"]: r for r in R.q_dq_expectations(spark, SF_SMALL).collect()}
+    assert set(rows) == {
+        "orders_custkey_fk", "customer_custkey_unique",
+        "lineitem_qty_domain", "events_no_error_type",
+    }
+    # referential/uniqueness/domain checks hold on the synthetic star
+    for name in ("orders_custkey_fk", "customer_custkey_unique", "lineitem_qty_domain"):
+        assert rows[name]["violations"] == 0 and rows[name]["passed"]
+    # the dead-letter expectation genuinely fails (error events exist)
+    assert rows["events_no_error_type"]["violations"] > 0
+    assert not rows["events_no_error_type"]["passed"]
+
+
+def test_funnel_monotone_and_ordered(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import relational as R
+
+    out = {r["step"]: r for r in R.q_funnel(spark, SF_SMALL).collect()}
+    assert [out[i]["stage"] for i in (1, 2, 3)] == ["view", "click", "purchase"]
+    # each stage requires the previous one strictly earlier -> counts shrink
+    assert out[1]["users"] >= out[2]["users"] >= out[3]["users"] > 0
+
+
+def test_heavy_hitters_threshold_exact(spark):
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import relational as R
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    total = ev.count()
+    by_user = {r["user_id"]: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    got = {r["user_id"]: r for r in R.q_heavy_hitters(spark, SF_SMALL).collect()}
+    expect = {u for u, c in by_user.items() if c * 1000 > total * 8}
+    assert set(got) == expect
+    for u, r in got.items():
+        assert r["cnt"] == by_user[u]
+        assert abs(r["share"] - by_user[u] / total) < 1e-12
+
+
+def test_window_share_sums_to_one(spark):
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import relational as R
+
+    out = R.q_window_share(spark, SF_SMALL)
+    sums = out.groupBy("o_custkey").agg(F.sum("share").alias("s")).collect()
+    assert sums and all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+
+
+def test_skyline_pareto_matches_bruteforce(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import relational as R
+
+    pts = [(r["price"], r["size"]) for r in (
+        spark.read.parquet(f"{SF_SMALL}/part.parquet")
+        .selectExpr("p_retailprice AS price", "p_size AS size").distinct().collect()
+    )]
+    brute = {
+        (p, s) for (p, s) in pts
+        if not any(
+            (q <= p and t >= s and (q < p or t > s)) for (q, t) in pts
+        )
+    }
+    got = {(r["price"], r["size"]) for r in R.q_skyline_pareto(spark, SF_SMALL).collect()}
+    assert got == brute and got
