@@ -182,6 +182,13 @@ def jaccard_pairs(
             F.array_sort(shingle_hashes(text_col, n)).alias("sh"),
             F.explode(F.array(bucket, bucket + 1)).alias("blk"), bucket.alias("home"),
         )
+    # Share the shingle pass between the two self-join sides (and the
+    # guard): without this the tokenize->shingle->hash->sort pipeline
+    # runs once PER SIDE — measured 1.9s -> 1.6s steady-state and 45s ->
+    # 4s cold at sf0.1 (the duplicated codegen was also what JIT warmed
+    # so slowly).  Same pattern the indexed strategy and minhash use; on
+    # a cluster this is a bounded (id, hashes, band) spill, never bodies.
+    base = base.localCheckpoint(eager=False)
     if max_block_size is not None:
         worst = base.groupBy("blk").count().agg(F.max("count").alias("mx")).collect()[0]["mx"]
         if worst and worst > max_block_size:
@@ -235,10 +242,9 @@ def jaccard_pairs(
 def _jaccard_pairs_indexed(base: DataFrame, threshold: float) -> DataFrame:
     """The "indexed" strategy body: skinny prefix-hash equi-join for the
     huge-block regime (see jaccard_pairs docstring).  ``base`` carries
-    (id, sorted sh, blk, home) with bucket duplication already applied;
-    the shingle pass is shared across the three consumers via a lazy
-    localCheckpoint."""
-    sets = base.localCheckpoint(eager=False)
+    (id, sorted sh, blk, home) with bucket duplication already applied
+    and the shingle pass already checkpoint-shared by the caller."""
+    sets = base
     sz = F.size("sh")
     pref = sets.select(
         "id", "blk", "home", sz.alias("sz"),
