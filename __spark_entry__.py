@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (  # noqa: E402
+    analytics,
     dedup,
     multimodal,
     relational as R,
@@ -176,6 +177,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": text.q_token_counts,
         "quality_signals": text.q_quality_signals,
         "winnow_fingerprint": text.q_winnow_fingerprint,
+        "cohort_retention": analytics.q_cohort_retention,
+        "time_rollup": analytics.q_time_rollup,
+        "streaks": analytics.q_streaks,
+        "grouped_median": analytics.q_grouped_median,
+        # rows-only pair sits at the window edge: a driver row for these
+        # carries row-count only, so they cede their slots to
+        # oracle-backed entries when the first-50 window is full
         "agg_approx_percentile": R.q_agg_approx_percentile,  # rows-only: quantile sketch engine-defined
         "ann_ivf": similarity.q_ann_ivf,  # rows-only: k-means centroids engine-defined
         # ------- last driver-checked in round 1 (fresh green this round)
@@ -666,6 +674,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, event_type, last_value(day_value IGNORE NULLS) OVER ("
             "PARTITION BY event_type ORDER BY day "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value FROM grid"
+        ),
+        "cohort_retention": (
+            "WITH ev AS (SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) "
+            "AS wk FROM events), "
+            "f AS (SELECT u, min(wk) AS cohort_week FROM ev GROUP BY 1) "
+            "SELECT cohort_week, CAST((wk - cohort_week) // 7 AS INTEGER) AS week_offset, "
+            "count(DISTINCT u) AS active_users FROM ev JOIN f USING (u) GROUP BY 1, 2"
+        ),
+        "time_rollup": (
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "date_trunc('hour', ts) AS hr, date_trunc('minute', ts) AS mi, "
+            "count(*) AS n_events, "
+            "CAST(round(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY ROLLUP(day, hr, mi)"
+        ),
+        "streaks": (
+            "WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) "
+            "AS day FROM events), "
+            "r AS (SELECT user_id, day - CAST(row_number() OVER ("
+            "PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor FROM d), "
+            "runs AS (SELECT user_id, anchor, count(*) AS run_len FROM r GROUP BY 1, 2) "
+            "SELECT user_id, CAST(max(run_len) AS BIGINT) AS longest_streak, "
+            "CAST(sum(run_len) AS BIGINT) AS active_days FROM runs GROUP BY 1"
+        ),
+        "grouped_median": (
+            "WITH r AS (SELECT event_type, value, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY value) AS rn, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM events) "
+            "SELECT event_type, value AS median_value FROM r "
+            "WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)"
         ),
         "dq_expectations": (
             "SELECT 'orders_custkey_fk' AS check_name, count(*) AS violations, "

@@ -1,0 +1,119 @@
+"""Event-analytics operators (SURVEY §2.2 extension families): cohort
+retention, multi-granularity time rollups, gaps-and-islands streaks,
+exact grouped medians.
+
+All pure DataFrame column algebra — no UDFs, no collects.  Shuffle
+discipline per operator is documented inline; the common theme is that
+every output here is a small aggregate of a large input, so the plans
+are one or two key-partitioned exchanges with map-side partial
+aggregation, which is exactly what a 1000-executor cluster wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+    money_sum,
+)
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+    read_events,
+)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention triangle: users are cohorted by the week
+    of their first event; each (cohort_week, week_offset) cell counts
+    the distinct cohort members active that many weeks later.
+
+    Plan: one groupBy(user) for first-event week, join back (both sides
+    hash-partitioned on user — AQE reuses the exchange), then one
+    count-distinct agg on the (cohort, offset) pair.  The user-keyed
+    join never broadcasts a big side and the final agg output is
+    O(weeks²), trivially small at any corpus size."""
+    wk = F.to_date(F.date_trunc("week", F.col(ts_col)))
+    ev = events.select(F.col(user_col).alias("u"), wk.alias("wk"))
+    first = ev.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    return (
+        ev.join(first, "u")
+        .select(
+            "u",
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("u").alias("active_users"))
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(read_events(spark, sf_dir))
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: minute, hour, day and
+    grand totals of the event stream in ONE pass — ROLLUP(day, hr, mi)
+    shares a single shuffle across all four grains instead of running
+    four separate aggregations over the raw table (at 100 TB the raw
+    scan dominates, so 4x fewer scans is the whole game).  Money sums
+    accumulate in DECIMAL (money_sum) so every grain is order-exact."""
+    ev = read_events(spark, sf_dir).select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.date_trunc("minute", "ts").alias("mi"),
+        "value",
+    )
+    return ev.rollup("day", "hr", "mi").agg(
+        F.count("*").alias("n_events"),
+        money_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+def streaks(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active DAYS per
+    user.  The classic O(n) trick — day minus row_number is constant
+    within a consecutive run — needs only user-keyed windows and aggs:
+    no self-join, no iteration, and every shuffle is on user_id so the
+    whole chain is one exchange reused by AQE."""
+    d = events.select(
+        F.col(user_col).alias("user_id"),
+        F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    runs = d.withColumn("anchor", F.date_sub("day", F.row_number().over(w)))
+    per_run = runs.groupBy("user_id", "anchor").agg(F.count("*").alias("run_len"))
+    return per_run.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.sum("run_len").alias("active_days"),
+    )
+
+
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaks(read_events(spark, sf_dir))
+
+
+def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median with percentile_disc semantics (the value
+    AT position ceil(n/2) of the sorted group — no interpolation, so the
+    result is an actual data value and cross-engine float-exact).  The
+    sort is per-group (window partitioned by event_type), never global;
+    for the approximate single-pass variant at scale see
+    agg_approx_percentile."""
+    ev = read_events(spark, sf_dir).select("event_type", "value")
+    w = W.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") * 0.5)
+    ).select("event_type", F.col("value").alias("median_value"))

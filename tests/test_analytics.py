@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+from datetime import date, datetime
+
+from conftest import SF_SMALL
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import analytics
+
+
+def test_streaks_hand_case(spark):
+    rows = [(1, datetime(2026, 1, d, 12, 0)) for d in (1, 2, 3, 7, 8)]
+    rows.append((2, datetime(2026, 1, 5, 9, 30)))
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        r["user_id"]: (r["longest_streak"], r["active_days"])
+        for r in analytics.streaks(df).collect()
+    }
+    assert out[1] == (3, 5)
+    assert out[2] == (1, 1)
+
+
+def test_cohort_offset_zero_counts_whole_cohort(spark):
+    out = analytics.q_cohort_retention(spark, SF_SMALL).collect()
+    cells = {(r["cohort_week"], r["week_offset"]): r["active_users"] for r in out}
+    # offset-0 cell is every cohort member's first week, so per cohort it
+    # must be the max over that cohort's row
+    for (cw, off), n in cells.items():
+        assert n <= cells[(cw, 0)]
+        assert off >= 0
+
+
+def test_time_rollup_grand_total(spark):
+    out = analytics.q_time_rollup(spark, SF_SMALL)
+    total = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    grand = [
+        r
+        for r in out.collect()
+        if r["day"] is None and r["hr"] is None and r["mi"] is None
+    ]
+    assert len(grand) == 1 and grand[0]["n_events"] == total
+
+
+def test_grouped_median_hand_case(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("a", 5.0), ("b", 2.0), ("b", 4.0)],
+        ["event_type", "value"],
+    )
+    w = W.partitionBy("event_type").orderBy("value")
+    ranked = df.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    out = {
+        r["event_type"]: r["value"]
+        for r in ranked.filter(F.col("rn") == F.ceil(F.col("n") * 0.5)).collect()
+    }
+    # odd group -> true middle; even group -> lower median (disc semantics)
+    assert out == {"a": 5.0, "b": 2.0}
