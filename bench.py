@@ -49,6 +49,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_jaccard",
+    "dedup_editdistance",
+    "cohort_retention",
+    "time_rollup",
+    "funnel",
     "ann_bruteforce",
     "ann_lsh",
     "text_stats",

@@ -61,3 +61,29 @@ def test_grouped_median_hand_case(spark):
     }
     # odd group -> true middle; even group -> lower median (disc semantics)
     assert out == {"a": 5.0, "b": 2.0}
+
+
+def test_analytics_plans_prune_and_avoid_cartesian(spark):
+    """Plan contracts: scans read only the needed columns and no
+    accidental CartesianProduct appears (heavy_hitters' 1-row
+    BroadcastNestedLoopJoin total attach is the one sanctioned NL)."""
+    import re
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    expected_reads = {
+        "cohort_retention": {"ts", "user_id"},
+        "time_rollup": {"ts", "value"},
+        "streaks": {"ts", "user_id"},
+        "grouped_median": {"event_type", "value"},
+    }
+    for name, cols in expected_reads.items():
+        plan = qs[name](spark, SF_SMALL)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        read = set()
+        for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+            read |= {c.split(":")[0] for c in s.split(",") if c}
+        assert read <= cols, f"{name} reads extra columns: {read - cols}"
+        assert "CartesianProduct" not in plan, name
