@@ -186,6 +186,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed entries when the first-50 window is full
         "agg_approx_percentile": R.q_agg_approx_percentile,  # rows-only: quantile sketch engine-defined
         "ann_ivf": similarity.q_ann_ivf,  # rows-only: k-means centroids engine-defined
+        "zorder_layout": R.q_zorder_layout,
         # ------- last driver-checked in round 1 (fresh green this round)
         "exact_sample": R.q_exact_sample,  # rows-only: seeded row identity is engine-defined
         "join_cross": R.q_cross_join,
@@ -674,6 +675,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, event_type, last_value(day_value IGNORE NULLS) OVER ("
             "PARTITION BY event_type ORDER BY day "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value FROM grid"
+        ),
+        "zorder_layout": (
+            "SELECT o_orderkey, o_custkey, CAST("
+            + " + ".join(
+                f"(((o_custkey % 256) // {1 << i}) % 2) * {1 << (2 * i)}"
+                f" + (((o_orderkey % 256) // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+                for i in range(8)
+            )
+            + " AS BIGINT) AS zval, CAST(floor(("
+            + " + ".join(
+                f"(((o_custkey % 256) // {1 << i}) % 2) * {1 << (2 * i)}"
+                f" + (((o_orderkey % 256) // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+                for i in range(8)
+            )
+            + ") / 1024) AS BIGINT) AS layout_bucket FROM orders"
         ),
         "cohort_retention": (
             "WITH ev AS (SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) "

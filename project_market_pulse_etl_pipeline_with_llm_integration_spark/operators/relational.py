@@ -1646,3 +1646,37 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mx").isNull() | (F.col("size") > F.col("mx")))
         .select("price", "size")
     )
+
+
+def zorder_value(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton/Z-order interleave of the low ``bits`` bits of two keys —
+    the standard lakehouse multi-column clustering value: sorting (or
+    repartitionByRange-ing) by it keeps rows that are close in BOTH key
+    dimensions inside the same files, so scans filtering on either key
+    prune most files.  Pure integer column algebra (shifts/masks fold
+    into one codegen projection); for production layouts raise ``bits``
+    and feed range-bucketed (not raw) key values."""
+    import functools
+
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return functools.reduce(lambda a, b: a + b, terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering mapping for orders on (custkey, orderkey):
+    the z-value plus its range bucket (the file a range-partitioned
+    writer would place the row in)."""
+    o = _t(spark, sf_dir, "orders")
+    z = zorder_value(
+        F.col("o_custkey").bitwiseAND(F.lit(255)),
+        F.col("o_orderkey").bitwiseAND(F.lit(255)),
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        z.cast("long").alias("zval"),
+        F.floor(z / 1024).cast("long").alias("layout_bucket"),
+    )

@@ -169,3 +169,48 @@ def test_editdistance_block_guard(spark):
     )
     with pytest.raises(RuntimeError, match="length band"):
         editdistance_pairs(df, max_block_size=10).collect()
+
+
+def test_editdistance_matches_bruteforce_random_corpus(spark):
+    """Seeded random corpus: the blocked operator must agree exactly
+    with a driver-side brute-force recompute of its contract (same-band
+    pairs within threshold)."""
+    import random
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+        editdistance_pairs,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcdef "
+    docs = []
+    for i in range(120):
+        n = rng.randint(20, 120)
+        docs.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    # plant mutated near-dups
+    for i in range(120, 140):
+        base_id = rng.randrange(120)
+        s = list(docs[base_id][1])
+        for _ in range(rng.randint(1, 4)):
+            s[rng.randrange(len(s))] = rng.choice(alphabet)
+        docs.append((i, "".join(s)))
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expect = set()
+    for ia, ta in docs:
+        for ib, tb in docs:
+            if ia < ib and len(ta) // 32 == len(tb) // 32:
+                if lev(ta[:48], tb[:48]) <= 12:
+                    expect.add((ia, ib))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]) for r in editdistance_pairs(df).collect()}
+    assert got == expect and expect

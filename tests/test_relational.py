@@ -333,3 +333,47 @@ def test_skyline_pareto_matches_bruteforce(spark):
     }
     got = {(r["price"], r["size"]) for r in R.q_skyline_pareto(spark, SF_SMALL).collect()}
     assert got == brute and got
+
+
+def test_zorder_interleave_hand_values(spark):
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        zorder_value,
+    )
+
+    df = spark.createDataFrame(
+        [(0b11, 0b00), (0b00, 0b11), (0b10, 0b01), (255, 255)], ["x", "y"]
+    )
+    out = [
+        r["z"]
+        for r in df.select(
+            zorder_value(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+    # x bits land at even positions, y bits at odd positions
+    assert out == [0b0101, 0b1010, 0b0110, 0xFFFF]
+
+
+def test_zorder_layout_locality(spark):
+    """Rows sharing a layout bucket must be close in BOTH key
+    dimensions: the per-bucket spread of each 8-bit key component is
+    far below the full 256 range (the property that makes scans on
+    either key prune files)."""
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import relational as R
+
+    out = R.q_zorder_layout(spark, SF_SMALL)
+    spread = (
+        out.withColumn("cx", F.col("o_custkey").bitwiseAND(F.lit(255)))
+        .withColumn("cy", F.col("o_orderkey").bitwiseAND(F.lit(255)))
+        .groupBy("layout_bucket")
+        .agg(
+            (F.max("cx") - F.min("cx")).alias("sx"),
+            (F.max("cy") - F.min("cy")).alias("sy"),
+        )
+        .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+        .collect()[0]
+    )
+    assert spread["ax"] < 96 and spread["ay"] < 96
