@@ -187,6 +187,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_approx_percentile": R.q_agg_approx_percentile,  # rows-only: quantile sketch engine-defined
         "ann_ivf": similarity.q_ann_ivf,  # rows-only: k-means centroids engine-defined
         "zorder_layout": R.q_zorder_layout,
+        "weighted_sample": sampling.q_weighted_sample,
+        "sequence_pack": text.q_sequence_pack,
         # ------- last driver-checked in round 1 (fresh green this round)
         "exact_sample": R.q_exact_sample,  # rows-only: seeded row identity is engine-defined
         "join_cross": R.q_cross_join,
@@ -675,6 +677,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, event_type, last_value(day_value IGNORE NULLS) OVER ("
             "PARTITION BY event_type ORDER BY day "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value FROM grid"
+        ),
+        "weighted_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE (doc_id * 2654435761) % 1000000 < n_chars * 800"
+        ),
+        "sequence_pack": (
+            f"WITH t AS (SELECT doc_id, source, CAST({_NTOK} AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, source, n_tokens, SUM(n_tokens) OVER ("
+            "PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cum FROM t) "
+            "SELECT doc_id, source, n_tokens, "
+            "CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id FROM c"
         ),
         "zorder_layout": (
             "SELECT o_orderkey, o_custkey, CAST("

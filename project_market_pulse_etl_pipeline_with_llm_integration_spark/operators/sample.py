@@ -68,3 +68,35 @@ def q_stratified_sample(spark, sf_dir: str):
     return stratified_sample(docs, "lang", 40, "doc_id").select(
         "doc_id", "lang", "sample_rank"
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    key_col: str,
+    rate_per_unit_ppm: int,
+) -> DataFrame:
+    """Deterministic weight-proportional membership: row i is kept iff
+
+        mhash(key_i) % 1_000_000  <  weight_i * rate_per_unit_ppm
+
+    where ``mhash`` is a Knuth multiplicative hash — a uniform,
+    engine-independent pseudo-random value computed with integer
+    arithmetic only, so the SAME rows are selected on any engine or
+    cluster size (the hash_sample reproducibility property, extended to
+    per-row inclusion probabilities).  P(keep_i) = min(1, w_i * rate);
+    corpus-curation pipelines use this to oversample long / high-quality
+    documents in a versioned, replayable way.
+
+    Zero shuffle: the membership test is a narrow scan-side filter."""
+    u = (F.col(key_col).cast("long") * F.lit(2654435761)) % F.lit(1_000_000)
+    return df.filter(u < F.col(weight_col).cast("long") * rate_per_unit_ppm)
+
+
+def q_weighted_sample(spark, sf_dir: str):
+    """Length-proportional document sample: p(keep) = n_chars * 800ppm
+    (a 48-char doc ~ 3.8%, a 553-char doc ~ 44%)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs, "n_chars", "doc_id", 800).select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -11,7 +11,7 @@ oracle replicates it exactly (see ``__spark_entry__.oracle_sql``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
@@ -537,4 +537,44 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return with_repetition_signals(df).select(
         "doc_id", "n_tokens", "top_token_share_1e6", "dup_bigram_share_1e6"
+    )
+
+
+def sequence_pack(
+    df: DataFrame,
+    budget_tokens: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget sequence packing: assign each document to a training
+    pack of ~``budget_tokens`` whitespace tokens, filling packs in
+    deterministic id order WITHIN each shard.  pack_id is the running
+    token count's budget quotient — the streaming one-pass packing used
+    when documents arrive pre-sharded (first-fit bin packing needs
+    sequential state; the quotient rule is its order-preserving
+    approximation and is exactly replayable in ANSI SQL).
+
+    Scale shape: one window per shard (no global sort — shards pack in
+    parallel), all integer arithmetic.  Oversized documents (> budget)
+    own their pack(s) by construction."""
+    n_tok = token_count(text_col)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.floor((cum - n_tok) / budget_tokens).cast("long").alias("pack_id"),
+    )
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~256-token training sequences per source."""
+    return sequence_pack(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), 256
     )

@@ -208,3 +208,55 @@ def test_repetition_signals(spark):
     assert rows[3].top_token_share_1e6 == 1_000_000
     assert rows[3].dup_bigram_share_1e6 == 0
     assert rows[4].top_token_share_1e6 == 0 and rows[4].n_tokens == 0
+
+
+def test_sequence_pack_budget_law(spark):
+    """Every pack except a shard's last must end because the NEXT doc
+    crossed the budget: pack token sums exceed budget only via their
+    final (boundary) document, and oversized docs own their packs."""
+    from conftest import SF_SMALL
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        sequence_pack,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = sequence_pack(docs, 256)
+    # pack ids are dense-ish nonneg and per-(shard,pack) sums stay under
+    # budget + the largest member (quotient-rule packing invariant)
+    agg = (
+        out.groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert agg
+    for r in agg:
+        assert r["pack_id"] >= 0
+        assert r["tok"] < 256 + r["mx"]
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    """Inclusion rate must increase with the weight column: the long-doc
+    half of the corpus is kept strictly more often than the short half."""
+    from conftest import SF_SMALL
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import (
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    med = docs.approxQuantile("n_chars", [0.5], 0.0)[0]
+    kept = weighted_sample(docs, "n_chars", "doc_id", 800)
+    def rate(df, pred):
+        n = df.filter(pred).count()
+        k = kept.filter(pred).count()
+        return k / n
+    lo = rate(docs, F.col("n_chars") < med)
+    hi = rate(docs, F.col("n_chars") >= med)
+    assert hi > lo
+    # and determinism: same membership on a second evaluation
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {r["doc_id"] for r in weighted_sample(docs, "n_chars", "doc_id", 800).collect()}
+    assert a == b
