@@ -248,6 +248,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti": R.q_join_anti,
         "join_range": R.q_join_range,
         "join_asof": R.q_join_asof,
+        "join_asof_fwd": R.q_join_asof_fwd,
         "join_outer": R.q_join_outer,
         "salted_agg": skew.q_salted_agg,
         "array_agg": R.q_array_agg,
@@ -902,6 +903,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'click') c "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
             "ON c.user_id = v.user_id AND c.ts >= v.ts"
+        ),
+        "join_asof_fwd": (
+            "SELECT c.event_id AS click_id, c.user_id, v.event_id AS next_view_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+            "ON c.user_id = v.user_id AND c.ts <= v.ts"
         ),
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty, "

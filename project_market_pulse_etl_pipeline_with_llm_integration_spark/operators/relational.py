@@ -256,6 +256,41 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every 'click', the EARLIEST 'view' of the
+    same user at-or-after the click — the mirror of q_join_asof with a
+    following frame + ignore-nulls first (reaction lookups: "what did
+    the user see next").  Same scale shape: one user-keyed shuffle."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_events,
+    )
+
+    ev = read_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), F.lit(1).alias("tag")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.lit(0).alias("tag")
+    )
+    merged = views.unionByName(clicks.withColumn("view_id", F.lit(None).cast("long")),
+                               allowMissingColumns=True)
+    # at equal ts the click sorts first (tag 0 < 1) so an equal-ts view
+    # is still "at-or-after" — matching ASOF <= semantics
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = merged.withColumn(
+        "next_view_id", F.first("view_id", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("tag") == 0)
+        .filter(F.col("next_view_id").isNotNull())
+        .select("click_id", "user_id", "next_view_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (extension — absent in reference, SURVEY §2.2)
 # ---------------------------------------------------------------------------
