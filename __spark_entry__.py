@@ -681,7 +681,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "weighted_sample": (
             "SELECT doc_id, lang, n_chars FROM documents "
-            "WHERE (doc_id * 2654435761) % 1000000 < n_chars * 800"
+            "WHERE ((doc_id % 1000000) * 435761) % 1000000 < n_chars * 800"
         ),
         "sequence_pack": (
             f"WITH t AS (SELECT doc_id, source, CAST({_NTOK} AS BIGINT) "
@@ -733,7 +733,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median": (
             "WITH r AS (SELECT event_type, value, row_number() OVER ("
             "PARTITION BY event_type ORDER BY value) AS rn, "
-            "count(*) OVER (PARTITION BY event_type) AS n FROM events) "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM events "
+            "WHERE value IS NOT NULL) "
             "SELECT event_type, value AS median_value FROM r "
             "WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)"
         ),
@@ -780,10 +781,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_editdistance": (
             "WITH d AS (SELECT doc_id, substr(text, 1, 48) AS pre, "
-            "CAST(floor(len(text) / 32) AS BIGINT) AS blk FROM documents) "
+            "CAST(floor(len(text) / 32) AS BIGINT) AS blk, "
+            "regexp_extract(text, '^\\s*(\\S+)', 1) AS tok FROM documents) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist "
-            "FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id "
+            "FROM d a JOIN d b ON a.blk = b.blk AND a.tok = b.tok "
+            "AND a.doc_id < b.doc_id "
             "WHERE levenshtein(a.pre, b.pre) <= 12"
         ),
         "merge_upsert": (
@@ -898,17 +901,33 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1, 2, 3 "
             "ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
+        # both as-of oracles avoid native ASOF JOIN deliberately: ASOF
+        # leaves equal-ts ties implementation-defined, the engine pins
+        # them via a view_id tie-break — the oracle mirrors that with
+        # max-ts-then-max-id (backward) / min-ts-then-min-id (forward)
         "join_asof": (
-            "SELECT c.event_id AS click_id, c.user_id, v.event_id AS asof_view_id "
-            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
-            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
-            "ON c.user_id = v.user_id AND c.ts >= v.ts"
+            "WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events "
+            "WHERE event_type = 'view'), "
+            "c AS (SELECT user_id, ts, event_id AS click_id FROM events "
+            "WHERE event_type = 'click'), "
+            "j AS (SELECT c.click_id, c.user_id, v.ts AS vts, v.view_id "
+            "FROM c JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts), "
+            "m AS (SELECT click_id, user_id, max(vts) AS mts FROM j GROUP BY 1, 2) "
+            "SELECT m.click_id, m.user_id, max(j.view_id) AS asof_view_id "
+            "FROM m JOIN j ON j.click_id = m.click_id AND j.vts = m.mts "
+            "GROUP BY 1, 2"
         ),
         "join_asof_fwd": (
-            "SELECT c.event_id AS click_id, c.user_id, v.event_id AS next_view_id "
-            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
-            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
-            "ON c.user_id = v.user_id AND c.ts <= v.ts"
+            "WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events "
+            "WHERE event_type = 'view'), "
+            "c AS (SELECT user_id, ts, event_id AS click_id FROM events "
+            "WHERE event_type = 'click'), "
+            "j AS (SELECT c.click_id, c.user_id, v.ts AS vts, v.view_id "
+            "FROM c JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts), "
+            "m AS (SELECT click_id, user_id, min(vts) AS mts FROM j GROUP BY 1, 2) "
+            "SELECT m.click_id, m.user_id, min(j.view_id) AS next_view_id "
+            "FROM m JOIN j ON j.click_id = m.click_id AND j.vts = m.mts "
+            "GROUP BY 1, 2"
         ),
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty, "

@@ -105,8 +105,15 @@ def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is an actual data value and cross-engine float-exact).  The
     sort is per-group (window partitioned by event_type), never global;
     for the approximate single-pass variant at scale see
-    agg_approx_percentile."""
-    ev = read_events(spark, sf_dir).select("event_type", "value")
+    agg_approx_percentile.  NULL values are filtered before ranking —
+    engines disagree on NULL sort position (Spark ascending default is
+    NULLS FIRST, others NULLS LAST), and a median over values should
+    ignore NULLs anyway (percentile functions do)."""
+    ev = (
+        read_events(spark, sf_dir)
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
     w = W.partitionBy("event_type").orderBy("value")
     ranked = ev.select(
         "event_type",

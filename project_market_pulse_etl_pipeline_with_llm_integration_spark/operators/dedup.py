@@ -731,43 +731,56 @@ def editdistance_pairs(
     max_dist: int = 12,
     max_block_size: int | None = None,
 ) -> DataFrame:
-    """All pairs (a<b) in the same length band whose ``prefix_chars``-char
+    """All pairs (a<b) in the same block whose ``prefix_chars``-char
     prefixes are within Levenshtein distance ``max_dist`` — the
     edit-distance flavor of near-dup detection (catches char-level edits
     that token-set Jaccard is blind to, e.g. typo noise inside words).
 
-    CONTRACT: candidate generation is blocked by
-    ``floor(length(text) / block_chars)`` — only same-band pairs are
-    compared (an intentional, documented recall bound like
-    ``jaccard_pairs``; near-identical docs have near-identical lengths).
-    The distance itself is computed on a fixed-length prefix, so the
-    per-pair cost is a constant O(prefix_chars^2) in JVM codegen
-    (``levenshtein``), never O(doc^2).
+    CONTRACT: candidate generation is blocked by the COMPOSITE key
+    ``(floor(length(text) / block_chars), first_token(text))`` — only
+    pairs in the same length band that share their first whitespace
+    token are compared.  Both components are documented recall bounds
+    (like ``jaccard_pairs``'s banding): near-identical docs have
+    near-identical lengths, and typo-class edits rarely hit the very
+    first token.  The distance itself is computed on a fixed-length
+    prefix in threshold mode, so the per-pair cost is O(max_dist ·
+    prefix_chars) in JVM codegen (``levenshtein`` with the threshold
+    argument), never O(doc²).
 
-    100 TB posture: one equi-join on the band key carrying only
-    (id, prefix) — bodies never shuffle; the within-band quadratic term
-    is bounded by ``max_block_size`` (raises loudly on degenerate
-    length-uniform corpora, mirroring ``jaccard_pairs``).  The DP runs
-    in threshold mode (early exit past ``max_dist``): O(d·p) per pair
-    instead of O(p²) — measured 26s -> 3.4s on the sf0.1 pair volume —
-    and the shingle table is checkpoint-shared across both join sides."""
+    100 TB posture: one equi-join on the composite block key carrying
+    only (id, prefix) — bodies never shuffle.  The content component is
+    what makes blocking survive scale: a pure length band degenerates
+    (every 32-char band at corpus scale exceeds any cap and the guard
+    can only refuse), while band × first-token keeps bucket cardinality
+    growing WITH the corpus so bucket SIZE stays bounded by the true
+    near-dup cluster sizes plus the frequency of the hottest first
+    token within one band — ``max_block_size`` still raises loudly on
+    that residual skew (a corpus where millions of same-length docs
+    open with the same word needs a second content key, e.g. a simhash
+    chunk per ``simhash_pairs``).  The (id, prefix, block-key)
+    projection is checkpoint-shared across both join sides."""
+    first_tok = F.regexp_extract(F.col(text_col), r"^\s*(\S+)", 1)
     base = df.select(
         F.col(id_col).alias("id"),
         F.substring(F.col(text_col), 1, prefix_chars).alias("pre"),
         F.floor(F.length(text_col) / block_chars).alias("blk"),
+        first_tok.alias("tok"),
     ).localCheckpoint(eager=False)
     if max_block_size is not None:
-        worst = base.groupBy("blk").count().agg(F.max("count").alias("mx")).collect()[0]["mx"]
+        worst = (
+            base.groupBy("blk", "tok").count().agg(F.max("count").alias("mx")).collect()[0]["mx"]
+        )
         if worst and worst > max_block_size:
             raise RuntimeError(
-                f"editdistance_pairs: largest length band holds {worst} docs "
-                f"(> cap {max_block_size}) — banding degenerated toward "
-                "all-pairs; narrow block_chars or pre-bucket by a content key"
+                f"editdistance_pairs: largest (band, first-token) block holds "
+                f"{worst} docs (> cap {max_block_size}) — blocking degenerated "
+                "toward all-pairs; narrow block_chars or add a second content "
+                "key (e.g. a simhash chunk)"
             )
-    a = base.select(F.col("id").alias("id_a"), F.col("pre").alias("pre_a"), "blk")
-    b = base.select(F.col("id").alias("id_b"), F.col("pre").alias("pre_b"), "blk")
+    a = base.select(F.col("id").alias("id_a"), F.col("pre").alias("pre_a"), "blk", "tok")
+    b = base.select(F.col("id").alias("id_b"), F.col("pre").alias("pre_b"), "blk", "tok")
     return (
-        a.join(b, ["blk"])
+        a.join(b, ["blk", "tok"])
         .filter(F.col("id_a") < F.col("id_b"))
         # length-delta prune: |len(a)-len(b)| is a Levenshtein lower
         # bound — O(1) to read vs the O(p^2) DP
@@ -783,6 +796,6 @@ def editdistance_pairs(
 
 def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs over documents (48-char prefixes,
-    32-char length bands, distance <= 12)."""
+    32-char length bands × first-token blocking, distance <= 12)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return editdistance_pairs(docs, max_block_size=20_000)

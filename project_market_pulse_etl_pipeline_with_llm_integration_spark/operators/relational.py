@@ -242,10 +242,13 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = views.unionByName(clicks.withColumn("view_id", F.lit(None).cast("long")),
                                allowMissingColumns=True)
-    # at equal ts the view sorts first (tag 0 < 1), matching ASOF >=
+    # at equal ts the view sorts first (tag 0 < 1), matching ASOF >=;
+    # view_id breaks ties between equal-ts views (pick the MAX id, the
+    # last in ascending order) so the match is deterministic on any
+    # engine — ASOF itself leaves equal-ts ties implementation-defined
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "tag")
+        .orderBy("ts", "tag", "view_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = merged.withColumn("asof_view_id", F.last("view_id", ignorenulls=True).over(w))
@@ -275,10 +278,12 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = views.unionByName(clicks.withColumn("view_id", F.lit(None).cast("long")),
                                allowMissingColumns=True)
     # at equal ts the click sorts first (tag 0 < 1) so an equal-ts view
-    # is still "at-or-after" — matching ASOF <= semantics
+    # is still "at-or-after" — matching ASOF <= semantics; view_id
+    # breaks ties between equal-ts views (pick the MIN id) so the match
+    # is deterministic on any engine
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "tag")
+        .orderBy("ts", "tag", "view_id")
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     carried = merged.withColumn(

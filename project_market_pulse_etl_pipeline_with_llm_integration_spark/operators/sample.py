@@ -88,8 +88,18 @@ def weighted_sample(
     corpus-curation pipelines use this to oversample long / high-quality
     documents in a versioned, replayable way.
 
+    The key is reduced mod 1e6 BEFORE the multiply: (k*A) mod M ==
+    ((k mod M)·(A mod M)) mod M, so the residue is identical but the
+    intermediate stays <= 999_999 * 435_761 ~= 4.4e11 — no BIGINT
+    overflow at any key magnitude.  The naive k*2654435761 form wraps
+    silently in Spark (ansi off) but raises in engines with checked
+    arithmetic once keys exceed ~3.4e9, i.e. exactly at large-corpus
+    scale.
+
     Zero shuffle: the membership test is a narrow scan-side filter."""
-    u = (F.col(key_col).cast("long") * F.lit(2654435761)) % F.lit(1_000_000)
+    u = (
+        (F.col(key_col).cast("long") % F.lit(1_000_000)) * F.lit(435_761)
+    ) % F.lit(1_000_000)
     return df.filter(u < F.col(weight_col).cast("long") * rate_per_unit_ppm)
 
 

@@ -556,8 +556,12 @@ def sequence_pack(
     approximation and is exactly replayable in ANSI SQL).
 
     Scale shape: one window per shard (no global sort — shards pack in
-    parallel), all integer arithmetic.  Oversized documents (> budget)
-    own their pack(s) by construction."""
+    parallel), all integer arithmetic.  Invariant: a pack's token sum
+    can exceed the budget only via its final document — an oversized
+    document (> budget) may still SHARE its first pack_id with the
+    small documents that preceded it mid-pack (its start offset, not
+    its size, picks the pack), so downstream consumers must split, not
+    assume one-doc packs."""
     n_tok = token_count(text_col)
     w = (
         Window.partitionBy(shard_col)

@@ -167,15 +167,16 @@ def test_editdistance_block_guard(spark):
     df = spark.createDataFrame(
         [(i, "same length text padded here!") for i in range(50)], ["doc_id", "text"]
     )
-    with pytest.raises(RuntimeError, match="length band"):
+    with pytest.raises(RuntimeError, match="first-token"):
         editdistance_pairs(df, max_block_size=10).collect()
 
 
 def test_editdistance_matches_bruteforce_random_corpus(spark):
     """Seeded random corpus: the blocked operator must agree exactly
-    with a driver-side brute-force recompute of its contract (same-band
-    pairs within threshold)."""
+    with a driver-side brute-force recompute of its contract (same
+    length band + same first token, pairs within threshold)."""
     import random
+    import re
 
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
         editdistance_pairs,
@@ -204,10 +205,14 @@ def test_editdistance_matches_bruteforce_random_corpus(spark):
             prev = cur
         return prev[-1]
 
+    def ftok(s: str) -> str:
+        m = re.match(r"^\s*(\S+)", s)
+        return m.group(1) if m else ""
+
     expect = set()
     for ia, ta in docs:
         for ib, tb in docs:
-            if ia < ib and len(ta) // 32 == len(tb) // 32:
+            if ia < ib and len(ta) // 32 == len(tb) // 32 and ftok(ta) == ftok(tb):
                 if lev(ta[:48], tb[:48]) <= 12:
                     expect.add((ia, ib))
 
