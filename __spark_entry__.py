@@ -121,15 +121,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks exactly the
-    # FIRST 50 entries each round.  Round-3 window = the entries that
-    # have never had a driver-green row: the round-3 additions (tpch
-    # q13/q17/q21, ann_recall), the 21 entries the round-2 window missed
-    # (VERDICT r2 item 1), and 25 entries last driver-checked in round 1.
-    # Entries with green rows in CORRECTNESS_r01/r02 form the tail; every
-    # entry stays covered by tools/check_oracle.py + pytest regardless
-    # of position.
+    # FIRST 50 entries each round.  Round-4 window = the 3 new invariant
+    # rows (minhash_quality / sample_invariants / percentile_error_bound
+    # -- the ann_recall pattern applied to the remaining rows-only
+    # families), the 6 entries no driver window had ever seen (VERDICT
+    # r3 item 1), the 4 entries whose semantics changed this round
+    # (editdistance re-block, as-of tie-breaks, median null filter,
+    # vectorized simhash), the 30 entries last driver-checked in round
+    # 1, and the 3 bench-regression joins/aggs from VERDICT r3 item 3.
+    # Tail = entries green in r2/r3 (freshest last); every entry stays
+    # covered by tools/check_oracle.py + pytest regardless of position.
     return {
-        # ------- round-3 additions
+        "minhash_quality": dedup.q_minhash_quality,
+        "sample_invariants": sampling.q_sample_invariants,
+        "percentile_error_bound": R.q_percentile_error_bound,
+        "join_asof_fwd": R.q_join_asof_fwd,
+        "sequence_pack": text.q_sequence_pack,
+        "weighted_sample": sampling.q_weighted_sample,
+        "zorder_layout": R.q_zorder_layout,
+        "ann_ivf": similarity.q_ann_ivf,
+        "agg_approx_percentile": R.q_agg_approx_percentile,
+        "dedup_editdistance": dedup.q_dedup_editdistance,
+        "join_asof": R.q_join_asof,
+        "grouped_median": analytics.q_grouped_median,
+        "dedup_simhash": dedup.q_dedup_simhash,
+        "agg_approx_distinct": R.q_agg_approx_distinct,
+        "agg_conditional_pivot": R.q_agg_conditional_pivot,
+        "agg_count_distinct": R.q_agg_count_distinct,
+        "agg_cube": R.q_agg_cube,
+        "agg_distinct": R.q_agg_distinct,
+        "agg_grouping_sets": R.q_agg_grouping_sets,
+        "agg_percentile": R.q_agg_percentile,
+        "agg_rollup": R.q_agg_rollup,
+        "agg_stats": R.q_agg_stats,
+        "case_when": R.q_case_when,
+        "exact_sample": R.q_exact_sample,
+        "except": R.q_except,
+        "explode_wordcount": R.q_explode_wordcount,
+        "filter_like_regex": R.q_filter_like_regex,
+        "intersect": R.q_intersect,
+        "intersect_all": R.q_intersect_all,
+        "join_cross": R.q_cross_join,
+        "null_handling": R.q_null_handling,
+        "scalar_date": R.q_scalar_date,
+        "scalar_json": R.q_scalar_json,
+        "scalar_math": R.q_scalar_math,
+        "scalar_string": R.q_scalar_string,
+        "scalar_subquery": R.q_scalar_subquery,
+        "timeseries_gapfill": R.q_timeseries_gapfill,
+        "union_distinct": R.q_union_distinct,
+        "window_distribution": R.q_window_distribution,
+        "window_lag_lead": R.q_window_lag_lead,
+        "window_range_frame": R.q_window_range_frame,
+        "window_rank": R.q_window_rank,
+        "window_running": R.q_window_running,
+        "join_left": R.q_join_left,
+        "join_multiway_broadcast": R.q_join_multiway_broadcast,
+        "tpch_q1": R.q_tpch_q1,
+        # ------- entry 47+: below the 50-entry driver window
+        "scan_project": R.q_scan_project,
+        "filter_in_notnull": R.q_filter_in_notnull,
+        "safe_cast": R.q_safe_cast,
+        "dense_id": R.q_dense_id,
+        "topk": R.q_topk,
+        "union_all": R.q_union_all,
+        "literal_stamp": R.q_literal_stamp,
+        "enrich_offline": q_enrich_offline,
+        "tpch_q3": R.q_tpch_q3,
+        "tpch_q4": R.q_tpch_q4,
+        "tpch_q5": R.q_tpch_q5,
+        "tpch_q6": R.q_tpch_q6,
+        "tpch_q10": R.q_tpch_q10,
+        "tpch_q12": R.q_tpch_q12,
+        "tpch_q14": R.q_tpch_q14,
+        "tpch_q18": R.q_tpch_q18,
+        "agg_pricing_summary": R.q_agg_pricing_summary,
+        "join_semi": R.q_join_semi,
+        "join_anti": R.q_join_anti,
+        "join_range": R.q_join_range,
+        "join_outer": R.q_join_outer,
+        "salted_agg": skew.q_salted_agg,
+        "array_agg": R.q_array_agg,
+        "map_ops": R.q_map_ops,
+        "text_stats": text.q_text_stats,
+        "quality_score": text.q_quality_score,
+        "lang_id": text.q_lang_id,
+        "fingerprint": text.q_fingerprint,
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_jaccard": dedup.q_dedup_jaccard,
+        "dedup_minhash": dedup.q_dedup_minhash,
+        "dedup_clusters": dedup.q_dedup_clusters,
+        "dedup_corpus": dedup.q_dedup_corpus,
+        "ann_bruteforce": similarity.q_ann_bruteforce,
+        "ann_lsh": similarity.q_ann_lsh,
+        "embedding_near_dup": similarity.q_embedding_near_dup,
+        "multimodal_metadata": multimodal.q_multimodal_metadata,
+        "multimodal_features": multimodal.q_multimodal_features,
+        "multimodal_frames": multimodal.q_multimodal_frames,
+        "multimodal_resize": multimodal.q_multimodal_resize,
+        "tumbling_window": streaming_events.q_tumbling_window,
+        "sliding_window": streaming_events.q_sliding_window,
+        "sessionize": streaming_events.q_sessionize,
+        "stream_join": streaming_events.q_stream_join,
+        "grouped_zscore": udfs.q_grouped_zscore,
         "text_chunk": text.q_text_chunk,
         "repetition_signals": text.q_repetition_signals,
         "decontaminate": dedup.q_decontaminate,
@@ -156,8 +250,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": R.q_heavy_hitters,
         "window_share": R.q_window_share,
         "skyline_pareto": R.q_skyline_pareto,
-        "dedup_editdistance": dedup.q_dedup_editdistance,
-        # ------- the 21 entries never driver-checked before round 3
         "tpch_q7": R.q_tpch_q7,
         "tpch_q8": R.q_tpch_q8,
         "tpch_q15": R.q_tpch_q15,
@@ -180,107 +272,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": analytics.q_cohort_retention,
         "time_rollup": analytics.q_time_rollup,
         "streaks": analytics.q_streaks,
-        "grouped_median": analytics.q_grouped_median,
-        # rows-only pair sits at the window edge: a driver row for these
-        # carries row-count only, so they cede their slots to
-        # oracle-backed entries when the first-50 window is full
-        "agg_approx_percentile": R.q_agg_approx_percentile,  # rows-only: quantile sketch engine-defined
-        "ann_ivf": similarity.q_ann_ivf,  # rows-only: k-means centroids engine-defined
-        "zorder_layout": R.q_zorder_layout,
-        "weighted_sample": sampling.q_weighted_sample,
-        "sequence_pack": text.q_sequence_pack,
-        # ------- last driver-checked in round 1 (fresh green this round)
-        "exact_sample": R.q_exact_sample,  # rows-only: seeded row identity is engine-defined
-        "join_cross": R.q_cross_join,
-        "filter_like_regex": R.q_filter_like_regex,
-        "scalar_subquery": R.q_scalar_subquery,
-        "timeseries_gapfill": R.q_timeseries_gapfill,
-        "agg_distinct": R.q_agg_distinct,
-        "agg_count_distinct": R.q_agg_count_distinct,
-        "agg_rollup": R.q_agg_rollup,
-        "agg_cube": R.q_agg_cube,
-        "agg_conditional_pivot": R.q_agg_conditional_pivot,
-        "agg_stats": R.q_agg_stats,
-        "agg_percentile": R.q_agg_percentile,
-        # ------- entry 51+: driver-green in r1/r2 (CORRECTNESS_r01/r02)
-        "agg_grouping_sets": R.q_agg_grouping_sets,
-        "agg_approx_distinct": R.q_agg_approx_distinct,  # rows-only: sketch estimates engine-defined
-        "explode_wordcount": R.q_explode_wordcount,
-        "null_handling": R.q_null_handling,
-        "window_rank": R.q_window_rank,
-        "window_distribution": R.q_window_distribution,
-        "window_range_frame": R.q_window_range_frame,
-        "window_lag_lead": R.q_window_lag_lead,
-        "window_running": R.q_window_running,
-        "scalar_string": R.q_scalar_string,
-        "scalar_date": R.q_scalar_date,
-        "scalar_json": R.q_scalar_json,
-        "scalar_math": R.q_scalar_math,
-        "case_when": R.q_case_when,
-        "union_distinct": R.q_union_distinct,
-        "intersect": R.q_intersect,
-        "intersect_all": R.q_intersect_all,
-        "except": R.q_except,
-        # -- reference operator surfaces (O2, O4-O11, O13-O18)
-        "scan_project": R.q_scan_project,
-        "filter_in_notnull": R.q_filter_in_notnull,
-        "safe_cast": R.q_safe_cast,
-        "dense_id": R.q_dense_id,
-        "topk": R.q_topk,
-        "join_left": R.q_join_left,
-        "union_all": R.q_union_all,
-        "literal_stamp": R.q_literal_stamp,
-        "enrich_offline": q_enrich_offline,
-        # -- TPC-H-shaped benchmark queries
-        "tpch_q1": R.q_tpch_q1,
-        "tpch_q3": R.q_tpch_q3,
-        "tpch_q4": R.q_tpch_q4,
-        "tpch_q5": R.q_tpch_q5,
-        "tpch_q6": R.q_tpch_q6,
-        "tpch_q10": R.q_tpch_q10,
-        "tpch_q12": R.q_tpch_q12,
-        "tpch_q14": R.q_tpch_q14,
-        "tpch_q18": R.q_tpch_q18,
-        "agg_pricing_summary": R.q_agg_pricing_summary,
-        # -- join taxonomy (O16 generalized)
-        "join_multiway_broadcast": R.q_join_multiway_broadcast,
-        "join_semi": R.q_join_semi,
-        "join_anti": R.q_join_anti,
-        "join_range": R.q_join_range,
-        "join_asof": R.q_join_asof,
-        "join_asof_fwd": R.q_join_asof_fwd,
-        "join_outer": R.q_join_outer,
-        "salted_agg": skew.q_salted_agg,
-        "array_agg": R.q_array_agg,
-        "map_ops": R.q_map_ops,
-        # -- text analysis (north-star)
-        "text_stats": text.q_text_stats,
-        "quality_score": text.q_quality_score,
-        "lang_id": text.q_lang_id,
-        "fingerprint": text.q_fingerprint,
-        # -- dedup (north-star)
-        "dedup_exact": dedup.q_dedup_exact,
-        "dedup_jaccard": dedup.q_dedup_jaccard,
-        "dedup_minhash": dedup.q_dedup_minhash,  # rows-only: xxhash64 sigs are engine-defined
-        "dedup_simhash": dedup.q_dedup_simhash,  # rows-only: same
-        "dedup_clusters": dedup.q_dedup_clusters,  # rows-only: iterative algorithm
-        "dedup_corpus": dedup.q_dedup_corpus,  # rows-only: downstream of clusters
-        # -- similarity search (north-star)
-        "ann_bruteforce": similarity.q_ann_bruteforce,
-        "ann_lsh": similarity.q_ann_lsh,  # rows-only: bucket fn engine-defined
-        "embedding_near_dup": similarity.q_embedding_near_dup,  # rows-only
-        # -- multimodal plumbing (north-star)
-        "multimodal_metadata": multimodal.q_multimodal_metadata,
-        "multimodal_features": multimodal.q_multimodal_features,  # rows-only: stub features
-        "multimodal_frames": multimodal.q_multimodal_frames,
-        "multimodal_resize": multimodal.q_multimodal_resize,
-        # -- event streams (batch forms of the streaming ops)
-        "tumbling_window": streaming_events.q_tumbling_window,
-        "sliding_window": streaming_events.q_sliding_window,
-        "sessionize": streaming_events.q_sessionize,
-        "stream_join": streaming_events.q_stream_join,
-        # -- python UDF taxonomy (grouped-map)
-        "grouped_zscore": udfs.q_grouped_zscore,
     }
 
 
@@ -586,6 +577,19 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS recall_ok UNION ALL "
             "SELECT 'lsh' AS method, CAST(3 AS INT) AS n_queries, CAST(10 AS INT) AS k, "
             "TRUE AS recall_ok"
+        ),
+        # invariant rows for rows-only families (the ann_recall pattern):
+        # booleans are deterministic on fixed seeded data, counts/keys are
+        # derived from the tables so the oracle holds at any sf
+        "minhash_quality": (
+            "SELECT 'minhash_lsh' AS method, TRUE AS precision_ok, TRUE AS recall_ok"
+        ),
+        "sample_invariants": (
+            "SELECT CAST(least(500, count(*)) AS BIGINT) AS n_rows, "
+            "TRUE AS stable, TRUE AS seed_sensitive FROM orders"
+        ),
+        "percentile_error_bound": (
+            "SELECT DISTINCT l_returnflag, TRUE AS within_bound FROM lineitem"
         ),
         "pii_scrub": (
             f"WITH s1 AS (SELECT doc_id, "

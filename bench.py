@@ -50,6 +50,10 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_jaccard",
     "dedup_editdistance",
+    "dedup_simhash",
+    "decontaminate",
+    "stratified_sample",
+    "tfidf_topterms",
     "cohort_retention",
     "time_rollup",
     "funnel",

@@ -544,6 +544,47 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible quality contract for the rows-only MinHash+LSH
+    pipeline (the ``ann_recall`` pattern): the LSH survivors must be
+    CONTAINED in the exact blocked-Jaccard pairs at the same (n=3,
+    threshold=0.6) contract — the verify stage computes true Jaccard so
+    false positives are impossible — and must RECALL >= 0.8 of them.
+    Everything upstream is seeded and the corpus is fixed, so both
+    booleans are hard oracle-checkable constants (measured at sf0.01:
+    containment exact, recall 1.0).  This promotes the pytest-only
+    minhash recall test into the driver's correctness gate."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    exact = (
+        jaccard_pairs(df, n=3, threshold=0.6, num_partitions=par)
+        .select("id_a", "id_b")
+        .withColumn("in_exact", F.lit(1))
+    )
+    lsh = (
+        minhash_dedup_pairs(df, threshold=0.6, n=3, num_partitions=par)
+        .select("id_a", "id_b")
+        .withColumn("in_lsh", F.lit(1))
+    )
+    return (
+        lsh.join(exact, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("in_lsh").isNotNull() & F.col("in_exact").isNull(), 1).otherwise(0)
+            ).alias("n_fp"),
+            F.sum(
+                F.when(F.col("in_lsh").isNotNull() & F.col("in_exact").isNotNull(), 1).otherwise(0)
+            ).alias("n_hit"),
+            F.sum(F.when(F.col("in_exact").isNotNull(), 1).otherwise(0)).alias("n_exact"),
+        )
+        .select(
+            F.lit("minhash_lsh").alias("method"),
+            (F.col("n_fp") == 0).alias("precision_ok"),
+            (F.col("n_hit") >= F.lit(0.8) * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -553,7 +594,15 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per doc via vectorized numpy bit-votes
     (mapInPandas — the documented Arrow slow path; the per-row work is
-    64-bit popcount math that has no codegen equivalent)."""
+    64-bit popcount math that has no codegen equivalent).
+
+    The whole Arrow batch is processed as ONE flat numpy pipeline —
+    concatenate every doc's token hashes, expand to a (total_tokens, 64)
+    bit matrix, and read per-doc bit sums off a column-wise prefix sum
+    at the doc boundaries (``csum[end] - csum[start]``).  No per-token
+    or per-bit Python loops; the only per-doc Python is the list
+    concatenation Arrow hands us.  Empty docs fall out as all-zero
+    votes -> signature 0, same as before."""
     import pandas as pd  # local so cloudpickle ships only the closure
 
     spark_schema = f"{id_col} long, simhash long"
@@ -566,22 +615,30 @@ def simhash_signatures(
     def compute(batches):
         import numpy as np
 
+        shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            ids, sigs = [], []
-            for did, hashes in zip(pdf[id_col], pdf["tok_hashes"]):
-                arr = np.asarray(hashes, dtype=np.uint64)
-                if arr.size == 0:
-                    ids.append(did)
-                    sigs.append(0)
-                    continue
-                bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-                votes = bits.sum(axis=0) * 2 - arr.size  # +1/-1 votes
-                sig = np.uint64(0)
-                for i in np.nonzero(votes > 0)[0]:
-                    sig |= np.uint64(1) << np.uint64(i)
-                ids.append(did)
-                sigs.append(int(np.int64(sig)))  # reinterpret as signed for LongType
-            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {id_col: pd.Series([], dtype="int64"),
+                     "simhash": pd.Series([], dtype="int64")}
+                )
+                continue
+            hash_lists = [np.asarray(h, dtype=np.uint64) for h in pdf["tok_hashes"]]
+            lens = np.fromiter((a.size for a in hash_lists), dtype=np.int64, count=n)
+            starts = np.concatenate(([0], np.cumsum(lens)))  # doc boundaries, len n+1
+            sums = np.zeros((n, 64), dtype=np.int64)
+            if starts[-1] > 0:
+                flat = np.concatenate(hash_lists)
+                bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                csum = np.zeros((starts[-1] + 1, 64), dtype=np.int64)
+                np.cumsum(bits, axis=0, out=csum[1:])
+                sums = csum[starts[1:]] - csum[starts[:-1]]
+            votes = sums * 2 - lens[:, None]  # +1/-1 votes per bit
+            sig = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "simhash": sig.view(np.int64)}
+            )
 
     return toks_df.mapInPandas(compute, schema=spark_schema)
 

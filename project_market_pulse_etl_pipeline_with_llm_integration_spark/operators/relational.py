@@ -1175,6 +1175,42 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible error contract for the rows-only quantile sketch
+    (the ``ann_recall`` pattern): the true rank of percentile_approx's
+    p50 must land within [0.49, 0.51] of each group's distribution —
+    the sketch guarantees rank error <= 1/accuracy = 0.001, checked
+    with 10x slack.  Group keys come from the data, the boolean is
+    pinned, so the row is fully oracle-checkable (measured at sf0.01:
+    ranks within 0.0007 of 0.5 in every group).  Plan: one broadcast of
+    the 3-row sketch output back onto the fact scan, two aggregations
+    total."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("ap50")
+    )
+    return (
+        li.join(F.broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum((F.col("l_extendedprice") < F.col("ap50")).cast("long"))
+                / F.count("*")
+            ).alias("frac_lt"),
+            (
+                F.sum((F.col("l_extendedprice") <= F.col("ap50")).cast("long"))
+                / F.count("*")
+            ).alias("frac_le"),
+        )
+        .select(
+            "l_returnflag",
+            ((F.col("frac_lt") <= 0.51) & (F.col("frac_le") >= 0.49)).alias(
+                "within_bound"
+            ),
+        )
+    )
+
+
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-order sorted quantity vector (collect_list
     -> sort_array for determinism) + array length.  The query surface

@@ -103,6 +103,37 @@ def weighted_sample(
     return df.filter(u < F.col(weight_col).cast("long") * rate_per_unit_ppm)
 
 
+def q_sample_invariants(spark, sf_dir: str):
+    """Driver-visible contract for the rows-only seeded sample
+    (``exact_sample`` row identity is engine-defined — SURVEY §7 risk
+    #2 — so the driver can't hash-match its rows; this row checks what
+    IS engine-independent): exactly n rows, the same seed re-drawn in
+    the same session selects the same rows, and a different seed
+    selects a different set.  All three facts are deterministic on
+    fixed data, so the oracle derives n from the table and pins the
+    booleans."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = exact_sample(orders, 500, 42).select("o_orderkey")
+    b = exact_sample(orders, 500, 42).select("o_orderkey")
+    c = exact_sample(orders, 500, 43).select("o_orderkey")
+    n_a = a.agg(F.count("*").alias("n_rows"))
+    d_ab = (
+        a.exceptAll(b).unionAll(b.exceptAll(a)).agg(F.count("*").alias("d_same_seed"))
+    )
+    d_ac = a.exceptAll(c).agg(F.count("*").alias("d_diff_seed"))
+    return (
+        n_a.crossJoin(d_ab)
+        .crossJoin(d_ac)
+        .select(
+            "n_rows",
+            (F.col("d_same_seed") == 0).alias("stable"),
+            (F.col("d_diff_seed") > 0).alias("seed_sensitive"),
+        )
+    )
+
+
 def q_weighted_sample(spark, sf_dir: str):
     """Length-proportional document sample: p(keep) = n_chars * 800ppm
     (a 48-char doc ~ 3.8%, a 553-char doc ~ 44%)."""

