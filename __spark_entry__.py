@@ -121,7 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks exactly the
-    # FIRST 50 entries each round.  Round-4 window = the 3 new invariant
+    # FIRST 50 entries each round.  Round-4 window = the 3 new operators
+    # (bm25_topk / inverted_index / mixture_sample), the 3 new invariant
     # rows (minhash_quality / sample_invariants / percentile_error_bound
     # -- the ann_recall pattern applied to the remaining rows-only
     # families), the 6 entries no driver window had ever seen (VERDICT
@@ -132,6 +133,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Tail = entries green in r2/r3 (freshest last); every entry stays
     # covered by tools/check_oracle.py + pytest regardless of position.
     return {
+        # round-4 additions
+        "bm25_topk": text.q_bm25_topk,
+        "inverted_index": text.q_inverted_index,
+        "mixture_sample": sampling.q_mixture_sample,
         "minhash_quality": dedup.q_minhash_quality,
         "sample_invariants": sampling.q_sample_invariants,
         "percentile_error_bound": R.q_percentile_error_bound,
@@ -577,6 +582,39 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS recall_ok UNION ALL "
             "SELECT 'lsh' AS method, CAST(3 AS INT) AS n_queries, CAST(10 AS INT) AS k, "
             "TRUE AS recall_ok"
+        ),
+        "bm25_topk": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, {_NTOK} AS ntok FROM documents), "
+            "s AS (SELECT count(*) AS n_docs, avg(ntok) AS avgdl FROM t), "
+            "p AS (SELECT doc_id, ntok AS dl, unnest(tk) AS token FROM t), "
+            "tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM p WHERE token IN "
+            "('join', 'hash', 'spark', 'window', 'customer') GROUP BY 1, 2, 3), "
+            "dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), "
+            "sc AS (SELECT tf.doc_id, sum(CAST(floor("
+            "ln(1 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) * "
+            "((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))) "
+            "* 1000000.0) AS BIGINT)) AS score_1e6 "
+            "FROM tf JOIN dfr ON tf.token = dfr.token CROSS JOIN s GROUP BY 1) "
+            "SELECT doc_id, score_1e6 FROM sc ORDER BY score_1e6 DESC, doc_id LIMIT 20"
+        ),
+        "inverted_index": (
+            f"WITH pairs AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS token "
+            "FROM documents), "
+            "g AS (SELECT token, CAST(count(*) AS BIGINT) AS df, "
+            "array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings_head "
+            "FROM pairs WHERE token <> '' GROUP BY 1) "
+            "SELECT token, df, postings_head FROM g WHERE df >= 5"
+        ),
+        "mixture_sample": (
+            "WITH tgt(source, w_ppm) AS (VALUES ('src0', 400000), ('src1', 300000), "
+            "('src2', 200000), ('src3', 100000)), "
+            "cnt AS (SELECT source, count(*) AS grp_n FROM documents GROUP BY 1), "
+            "rates AS (SELECT c.source, least(1000000, CAST(floor("
+            "(120 * t.w_ppm) / c.grp_n) AS BIGINT)) AS rate_ppm "
+            "FROM cnt c JOIN tgt t ON c.source = t.source) "
+            "SELECT d.doc_id, d.source, d.lang, d.n_chars FROM documents d "
+            "JOIN rates r ON d.source = r.source "
+            "WHERE ((d.doc_id % 1000000) * 435761) % 1000000 < r.rate_ppm"
         ),
         # invariant rows for rows-only families (the ann_recall pattern):
         # booleans are deterministic on fixed seeded data, counts/keys are

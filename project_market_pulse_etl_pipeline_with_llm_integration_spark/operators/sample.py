@@ -103,6 +103,63 @@ def weighted_sample(
     return df.filter(u < F.col(weight_col).cast("long") * rate_per_unit_ppm)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    targets_ppm: dict[str, int],
+    total_rows: int,
+) -> DataFrame:
+    """Curriculum-mixture sampling: draw a corpus whose GROUP PROPORTIONS
+    match ``targets_ppm`` (parts-per-million weights summing to <= 1e6)
+    at ~``total_rows`` total — the pretraining-mix step ("40% web, 30%
+    code, ...") done as deterministic hash membership so the drawn
+    corpus is versioned and replayable (same rows on any engine or
+    cluster: the ``weighted_sample`` property lifted from per-row
+    weights to group quotas).
+
+    Per-group keep rate_ppm = min(1e6, floor(total·w_ppm / count_g)).
+    Weights are INTEGER ppm on purpose: total·w_ppm stays an exact
+    small integer, so the one division is identical on every engine —
+    float weights would put a DECIMAL-vs-double floor divergence right
+    at the rate boundary.  Groups absent from ``targets_ppm`` are
+    dropped (rate 0).  Plan shape: one tiny per-group count agg
+    broadcast back onto the scan — the corpus itself never shuffles.
+    Expected-count (not exact-count) per group is the deliberate trade
+    for single-pass determinism; exact quotas are ``stratified_sample``.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("grp_n"))
+    tmap = F.create_map(
+        *[F.lit(x) for kv in sorted(targets_ppm.items()) for x in kv]
+    )
+    # NULL-check the raw quota BEFORE least(): Spark's least() skips
+    # NULL arguments, so least(1e6, NULL) is 1e6 — an absent group
+    # would silently get rate 1.0 instead of being dropped
+    raw = F.floor((F.lit(total_rows) * tmap[F.col(group_col)]) / F.col("grp_n"))
+    rates = (
+        counts.filter(raw.isNotNull())
+        .select(
+            group_col,
+            F.least(F.lit(1_000_000).cast("long"), raw).cast("long").alias("rate_ppm"),
+        )
+    )
+    u = (
+        (F.col(key_col).cast("long") % F.lit(1_000_000)) * F.lit(435_761)
+    ) % F.lit(1_000_000)
+    return df.join(F.broadcast(rates), group_col).filter(u < F.col("rate_ppm"))
+
+
+MIXTURE_TARGETS = {"src0": 400_000, "src1": 300_000, "src2": 200_000, "src3": 100_000}
+
+
+def q_mixture_sample(spark, sf_dir: str):
+    """Draw a ~120-doc corpus at a 40/30/20/10 source mixture."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(docs, "source", "doc_id", MIXTURE_TARGETS, 120).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 def q_sample_invariants(spark, sf_dir: str):
     """Driver-visible contract for the rows-only seeded sample
     (``exact_sample`` row identity is engine-defined — SURVEY §7 risk

@@ -437,6 +437,99 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_winnow_fingerprint(df).select("doc_id", "n_fingerprints", "winnow_digest")
 
 
+BM25_QUERY_TERMS = ["join", "hash", "spark", "window", "customer"]
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval: score every document against a fixed term
+    set and return the top-k — the classic sparse-retrieval pass used to
+    mine training data for a topic (the keyword sibling of
+    ``ann_bruteforce``).
+
+    idf uses the Robertson +1 form ln(1 + (N - df + 0.5)/(df + 0.5))
+    (always positive); the per-term contribution is floor-scaled to 1e-6
+    BEFORE the per-doc sum, so the total is an integer sum — independent
+    of engine float-summation order (a cross-term double sum can flip a
+    floor at the last bit; per-term flooring removes the only
+    order-dependent step).
+
+    Plan shape: the explode is filtered to the query terms IMMEDIATELY
+    (only matching postings ever shuffle — at 100 TB the (doc, term, tf)
+    table is |terms| · df rows, not corpus tokens); df-per-term and the
+    (N, avgdl) scalar ride a broadcast; the final top-k is a distributed
+    TakeOrdered with a (score desc, id) total order, never a global
+    sort."""
+    posting = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("dl"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).filter(F.col("token").isin(list(query_terms)))
+    tf = posting.groupBy(id_col, "dl", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = df.agg(
+        F.count("*").alias("n_docs"), F.avg(token_count(text_col)).alias("avgdl")
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * (
+        (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score_1e6", F.floor(term_score * 1e6).cast("long"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("term_score_1e6").alias("score_1e6"))
+        .orderBy(F.col("score_1e6").desc(), F.col(id_col))
+        .limit(topk)
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a 5-term query over the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, BM25_QUERY_TERMS)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, document frequency and the first
+    10 postings (sorted doc ids, CSV-serialized for the driver's scalar
+    comparator).  The retrieval-side companion of ``bm25_topk``: a real
+    pipeline materializes this table once and serves term lookups from
+    it.  Plan shape: explode -> distinct (the only wide op, keyed by
+    (doc, term)) -> per-term agg; posting arrays are built per term with
+    collect_list whose order is pinned by array_sort, and the stored
+    prefix is capped at 10 so no term's row exceeds a bounded size —
+    full posting lists at 100 TB belong in per-term files, not a single
+    row."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(tokens("text"))).alias("token")
+    ).filter(F.col("token") != "")  # blank docs tokenize to [''] on both engines
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.concat_ws(
+                ",", F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10)
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level n-gram frequency ranking (the classic corpus
     analysis / contamination-check primitive): explode positional word

@@ -260,3 +260,65 @@ def test_weighted_sample_rate_tracks_weight(spark):
     a = {r["doc_id"] for r in kept.collect()}
     b = {r["doc_id"] for r in weighted_sample(docs, "n_chars", "doc_id", 800).collect()}
     assert a == b
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    """A toy corpus where relevance is unambiguous: the doc saturated
+    with query terms must outrank the doc with one mention, and docs
+    with zero query terms must not appear at all.  Also pins the
+    rank-direction effect of the length normalization: same tf, shorter
+    doc scores higher."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "spark join hash spark join hash spark join"),
+        (2, "spark " + "filler " * 40),
+        (3, "spark " + "filler " * 5),
+        (4, "nothing relevant here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_topk(df, ["spark", "join", "hash"], topk=10).collect()
+    order = [r["doc_id"] for r in got]
+    assert 4 not in order
+    assert order[0] == 1
+    # same tf=1 for 'spark': shorter doc 3 beats longer doc 2
+    assert order.index(3) < order.index(2)
+
+
+def test_inverted_index_postings_exact(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import q_inverted_index
+    from tests.conftest import SF_SMALL
+
+    rows = {r["token"]: r for r in q_inverted_index(spark, SF_SMALL).collect()}
+    assert rows  # common corpus words clear df >= 5
+    for tok, r in rows.items():
+        heads = [int(x) for x in r["postings_head"].split(",")]
+        assert heads == sorted(heads)
+        assert len(heads) == min(r["df"], 10)
+
+
+def test_mixture_sample_tracks_targets(spark):
+    """Drawn proportions must track the requested mixture: strictly
+    descending kept-counts for 40/30/20/10 targets (expected counts 48/
+    36/24/12 from 250-doc sources at sf0.01-size corpora), zero rows
+    from unlisted sources, and deterministic membership."""
+    from tests.conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import (
+        MIXTURE_TARGETS,
+        mixture_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    kept = mixture_sample(docs, "source", "doc_id", MIXTURE_TARGETS, 60).collect()
+    by_src: dict[str, int] = {}
+    for r in kept:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert set(by_src) <= set(MIXTURE_TARGETS)
+    # monotone in target weight (wide gaps -> strict at this size)
+    assert by_src.get("src0", 0) >= by_src.get("src1", 0) >= by_src.get("src2", 0) > 0
+    a = {r["doc_id"] for r in kept}
+    b = {r["doc_id"] for r in mixture_sample(docs, "source", "doc_id", MIXTURE_TARGETS, 60).collect()}
+    assert a == b
