@@ -727,6 +727,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Training-set decontamination: flag corpus documents that share
     any word ``n``-gram with a held-out benchmark/eval set (the
@@ -741,7 +742,15 @@ def decontaminate(
     map-side combine, and the corpus text never shuffles.  Documents
     shorter than ``n`` tokens contribute their whole token run as a
     single gram (same convention both engines).
+
+    ``num_partitions`` spreads the CPU-bound gram construction when the
+    input arrives in few large files (the SCALE.md scan-parallelism
+    lever; on the single-file testdata the explode otherwise runs on
+    one core — measured 3.3 s -> sub-second at sf0.1).  At cluster
+    scale the scan is already parallel and this stays None.
     """
+    if num_partitions:
+        corpus = corpus.repartition(num_partitions)
     def grams(df: DataFrame) -> Column:
         toks = tokens(text_col)
         return F.transform(
@@ -772,7 +781,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(doc_id) < '20' (~1/8) play the benchmark, the rest the corpus."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     is_bench = F.md5(F.col("doc_id").cast("string")) < "20"
-    return decontaminate(docs.filter(~is_bench), docs.filter(is_bench))
+    return decontaminate(
+        docs.filter(~is_bench),
+        docs.filter(is_bench),
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 # ---------------------------------------------------------------------------
