@@ -134,6 +134,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # covered by tools/check_oracle.py + pytest regardless of position.
     return {
         # round-4 additions
+        "hybrid_rrf": similarity.q_hybrid_rrf,
         "bm25_topk": text.q_bm25_topk,
         "inverted_index": text.q_inverted_index,
         "mixture_sample": sampling.q_mixture_sample,
@@ -582,6 +583,38 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS recall_ok UNION ALL "
             "SELECT 'lsh' AS method, CAST(3 AS INT) AS n_queries, CAST(10 AS INT) AS k, "
             "TRUE AS recall_ok"
+        ),
+        "hybrid_rrf": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, {_NTOK} AS ntok FROM documents), "
+            "s AS (SELECT count(*) AS n_docs, avg(ntok) AS avgdl FROM t), "
+            "p AS (SELECT doc_id, ntok AS dl, unnest(tk) AS token FROM t), "
+            "tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM p WHERE token IN "
+            "('join', 'hash', 'spark', 'window', 'customer') GROUP BY 1, 2, 3), "
+            "dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), "
+            "sc AS (SELECT tf.doc_id, sum(CAST(floor("
+            "ln(1 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) * "
+            "((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))) "
+            "* 1000000.0) AS BIGINT)) AS score_1e6 "
+            "FROM tf JOIN dfr ON tf.token = dfr.token CROSS JOIN s GROUP BY 1), "
+            "sparse AS (SELECT doc_id, row_number() OVER (ORDER BY score_1e6 DESC, "
+            "doc_id) AS sparse_rank FROM sc QUALIFY sparse_rank <= 50), "
+            "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings "
+            "ORDER BY vec_id LIMIT 1), "
+            "ds AS (SELECT q.query_id, e.vec_id, "
+            "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])) "
+            "/ (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product("
+            "CAST(q.query_vec AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])))), 6) AS cos_sim "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id), "
+            "dense AS (SELECT vec_id AS doc_id, row_number() OVER ("
+            "ORDER BY cos_sim DESC, vec_id) AS dense_rank FROM ds "
+            "QUALIFY dense_rank <= 50), "
+            "fused AS (SELECT coalesce(sparse.doc_id, dense.doc_id) AS doc_id, "
+            "CAST(floor((coalesce(1.0 / (60 + sparse.sparse_rank), 0.0) + "
+            "coalesce(1.0 / (60 + dense.dense_rank), 0.0)) * 1000000.0) AS BIGINT) "
+            "AS rrf_1e6 FROM sparse FULL OUTER JOIN dense "
+            "ON sparse.doc_id = dense.doc_id) "
+            "SELECT doc_id, rrf_1e6 FROM fused ORDER BY rrf_1e6 DESC, doc_id LIMIT 20"
         ),
         "bm25_topk": (
             f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, {_NTOK} AS ntok FROM documents), "

@@ -394,6 +394,48 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _query_vectors(spark, sf_dir, 3), k=10)
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the sparse
+    BM25 ranking and the dense cosine ranking over the same corpus
+    (vec_id aligns 1:1 with doc_id in the testdata) — the standard
+    two-tower + keyword fusion a RAG data pipeline runs.
+
+    rrf = Σ_modality 1/(60 + rank); each doc appears in at most two
+    rankings so the sum is two doubles (bitwise order-independent),
+    floor-scaled to 1e-6.  Plan shape: both retrievers are distributed
+    top-50s (TakeOrdered / broadcast-query crossJoin) whose 50-row
+    outputs fuse driver-light via a full-outer join on the id — the
+    fusion stage's input is 2·k rows regardless of corpus size."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        BM25_QUERY_TERMS,
+        bm25_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sparse = bm25_topk(docs, BM25_QUERY_TERMS, topk=50).select(
+        F.col("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.col("score_1e6").desc(), F.col("doc_id")))
+        .alias("sparse_rank"),
+    )
+    dense = (
+        brute_force_topk(emb, _query_vectors(spark, sf_dir, 1), k=50)
+        .select(F.col("vec_id").alias("doc_id"), F.col("sim_rank").alias("dense_rank"))
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.floor(
+            (
+                F.coalesce(1.0 / (F.lit(60) + F.col("sparse_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("dense_rank")), F.lit(0.0))
+            )
+            * 1e6
+        ).cast("long").alias("rrf_1e6"),
+    )
+    return fused.orderBy(F.col("rrf_1e6").desc(), F.col("doc_id")).limit(20)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus-derived plane count (planes_for): 2k vectors / target 128
     # -> 4 planes / 16 buckets at sf0.01, 8 planes / 256 buckets at

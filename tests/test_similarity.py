@@ -100,3 +100,26 @@ def test_ann_recall_contract(spark):
     for r in rows.values():
         assert r.recall_ok, r
         assert (r.n_queries, r.k) == (3, 10)
+
+
+def test_hybrid_rrf_rewards_cross_modal_agreement(spark):
+    """A doc ranked by BOTH retrievers must outscore a doc holding a
+    similar rank in only one modality, and the output is the fused
+    top-20 with deterministic (score, id) order."""
+    from tests.conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        q_hybrid_rrf,
+    )
+
+    rows = q_hybrid_rrf(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    scores = [(r["rrf_1e6"], r["doc_id"]) for r in rows]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    # max possible single-modality score is 1/(60+1): any doc above that
+    # bar was necessarily found by both retrievers, and cross-modal
+    # agreement must therefore sit at the very top of the fused list
+    single_cap = int(1.0 / 61 * 1e6)
+    both = [s for s, _ in scores if s > single_cap]
+    if both:
+        assert scores[0][0] == max(both)
