@@ -59,6 +59,10 @@ HEADLINE = [
     "funnel",
     "ann_bruteforce",
     "ann_lsh",
+    "bm25_topk",
+    "hybrid_rrf",
+    "inverted_index",
+    "mixture_sample",
     "text_stats",
     "lang_id",
     "enrich_offline",
