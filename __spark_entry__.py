@@ -593,7 +593,8 @@ def oracle_sql() -> dict[str, str]:
             "dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), "
             "sc AS (SELECT tf.doc_id, sum(CAST(floor("
             "ln(1 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) * "
-            "((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))) "
+            "((tf.tf * CAST(2.2 AS DOUBLE)) / (tf.tf + CAST(1.2 AS DOUBLE) * "
+            "(0.25 + 0.75 * tf.dl / s.avgdl))) "
             "* 1000000.0) AS BIGINT)) AS score_1e6 "
             "FROM tf JOIN dfr ON tf.token = dfr.token CROSS JOIN s GROUP BY 1), "
             "sparse AS (SELECT doc_id, row_number() OVER (ORDER BY score_1e6 DESC, "
@@ -616,6 +617,13 @@ def oracle_sql() -> dict[str, str]:
             "ON sparse.doc_id = dense.doc_id) "
             "SELECT doc_id, rrf_1e6 FROM fused ORDER BY rrf_1e6 DESC, doc_id LIMIT 20"
         ),
+        # hashed contract is rank + exact integers (bm_rank, tf_sum,
+        # df_min, dl); the floor-scaled float score orders but is never
+        # hashed — a transcendental product can floor to different longs
+        # across engines at the last ulp (SCALE.md determinism rule).
+        # BM25 constants are CAST(... AS DOUBLE) so both engines multiply
+        # in binary double (DuckDB DECIMAL literals would be exact until
+        # the division — a 1-ulp product difference vs Spark).
         "bm25_topk": (
             f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, {_NTOK} AS ntok FROM documents), "
             "s AS (SELECT count(*) AS n_docs, avg(ntok) AS avgdl FROM t), "
@@ -623,12 +631,18 @@ def oracle_sql() -> dict[str, str]:
             "tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM p WHERE token IN "
             "('join', 'hash', 'spark', 'window', 'customer') GROUP BY 1, 2, 3), "
             "dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), "
-            "sc AS (SELECT tf.doc_id, sum(CAST(floor("
+            "sc AS (SELECT tf.doc_id, CAST(max(tf.dl) AS BIGINT) AS dl, "
+            "sum(CAST(floor("
             "ln(1 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) * "
-            "((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))) "
-            "* 1000000.0) AS BIGINT)) AS score_1e6 "
+            "((tf.tf * CAST(2.2 AS DOUBLE)) / (tf.tf + CAST(1.2 AS DOUBLE) * "
+            "(0.25 + 0.75 * tf.dl / s.avgdl))) "
+            "* 1000000.0) AS BIGINT)) AS score_1e6, "
+            "CAST(sum(tf.tf) AS BIGINT) AS tf_sum, "
+            "CAST(min(dfr.df) AS BIGINT) AS df_min "
             "FROM tf JOIN dfr ON tf.token = dfr.token CROSS JOIN s GROUP BY 1) "
-            "SELECT doc_id, score_1e6 FROM sc ORDER BY score_1e6 DESC, doc_id LIMIT 20"
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY score_1e6 DESC, doc_id) "
+            "AS BIGINT) AS bm_rank, tf_sum, df_min, dl FROM sc "
+            "QUALIFY bm_rank <= 20"
         ),
         "inverted_index": (
             f"WITH pairs AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS token "
@@ -725,11 +739,13 @@ def oracle_sql() -> dict[str, str]:
             "dfq AS (SELECT token, COUNT(*) AS df FROM "
             "(SELECT DISTINCT doc_id, token FROM tok) GROUP BY token), "
             "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            # the floored transcendental score orders the window but is
+            # not hashed (SCALE.md determinism rule, the bm25 lesson)
             "s AS (SELECT doc_id, token, tf, df, "
             "CAST(floor(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) * 1e6) AS BIGINT) "
             "AS score_1e6 FROM tf JOIN dfq USING (token) CROSS JOIN n) "
             "SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, "
-            "score_1e6, CAST(row_number() OVER (PARTITION BY doc_id "
+            "CAST(row_number() OVER (PARTITION BY doc_id "
             "ORDER BY score_1e6 DESC, token) AS BIGINT) AS term_rank "
             "FROM s QUALIFY term_rank <= 3"
         ),

@@ -414,10 +414,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     sparse = bm25_topk(docs, BM25_QUERY_TERMS, topk=50).select(
-        F.col("doc_id"),
-        F.row_number()
-        .over(W.orderBy(F.col("score_1e6").desc(), F.col("doc_id")))
-        .alias("sparse_rank"),
+        F.col("doc_id"), F.col("bm_rank").alias("sparse_rank")
     )
     dense = (
         brute_force_topk(emb, _query_vectors(spark, sf_dir, 1), k=50)

@@ -457,9 +457,16 @@ def bm25_topk(
     idf uses the Robertson +1 form ln(1 + (N - df + 0.5)/(df + 0.5))
     (always positive); the per-term contribution is floor-scaled to 1e-6
     BEFORE the per-doc sum, so the total is an integer sum — independent
-    of engine float-summation order (a cross-term double sum can flip a
-    floor at the last bit; per-term flooring removes the only
-    order-dependent step).
+    of engine float-summation order.  The floored score orders the
+    result but is NOT part of the hashed cross-engine contract: the
+    floor boundary itself is engine-dependent (java Math.log vs libm ln
+    differ in the last ulp, so a scaled score within ~1e-8 of an integer
+    can floor to different longs).  The hashable surface is rank plus
+    exact integers — ``bm_rank`` (row_number over (score desc, id)),
+    ``tf_sum``, ``df_min``, ``dl`` — mirroring the rank-based
+    ``hybrid_rrf`` contract; rank order is ulp-stable because distinct
+    docs' integer scores differ by far more than one floor flip and ties
+    break on doc id.
 
     Plan shape: the explode is filtered to the query terms IMMEDIATELY
     (only matching postings ever shuffle — at 100 TB the (doc, term, tf)
@@ -489,18 +496,38 @@ def bm25_topk(
         .crossJoin(F.broadcast(stats))
         .withColumn("term_score_1e6", F.floor(term_score * 1e6).cast("long"))
     )
-    return (
-        scored.groupBy(id_col)
-        .agg(F.sum("term_score_1e6").alias("score_1e6"))
+    topk_df = (
+        scored.groupBy(id_col, "dl")
+        .agg(
+            F.sum("term_score_1e6").alias("score_1e6"),
+            F.sum("tf").alias("tf_sum"),
+            F.min("df").alias("df_min"),
+        )
         .orderBy(F.col("score_1e6").desc(), F.col(id_col))
         .limit(topk)
     )
+    # row_number over the already-limited top-k: the window's single
+    # partition holds k rows, never the corpus
+    rank_w = Window.orderBy(F.col("score_1e6").desc(), F.col(id_col))
+    return topk_df.select(
+        F.col(id_col),
+        F.row_number().over(rank_w).cast("long").alias("bm_rank"),
+        "score_1e6",
+        "tf_sum",
+        "df_min",
+        F.col("dl").cast("long").alias("dl"),
+    ).orderBy("bm_rank")
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 documents for a 5-term query over the corpus."""
+    """Top-20 documents for a 5-term query over the corpus.  Hashed
+    contract is rank + exact integers only (bm_rank, tf_sum, df_min,
+    dl); the floor-scaled float score stays out of the hashed columns —
+    see bm25_topk's docstring for the cross-engine ulp rationale."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return bm25_topk(docs, BM25_QUERY_TERMS)
+    return bm25_topk(docs, BM25_QUERY_TERMS).select(
+        "doc_id", "bm_rank", "tf_sum", "df_min", "dl"
+    )
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,10 +599,13 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms — the classic keyword-extraction
     pass.  tf and df are exact integer aggregates; idf = ln((N+1)/(df+1))
-    is computed on those exact integers, and the score is floor-scaled
-    to 1e-6 so rank order (score desc, token) is engine-stable.  Plan
-    shape: one explode→agg for tf, a distinct→agg for df (both skinny
-    shuffles), broadcast of the scalar N, window top-k per doc."""
+    is computed on those exact integers and orders the per-doc window,
+    but the floored score is NOT hashed (SCALE.md determinism rule: a
+    floor of a transcendental product can flip a long at the last ulp
+    cross-engine — the bm25_topk lesson).  Hashed surface: (doc_id,
+    token, tf, df, term_rank), all exact.  Plan shape: one explode→agg
+    for tf, a distinct→agg for df (both skinny shuffles), broadcast of
+    the scalar N, window top-k per doc."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
@@ -603,7 +633,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("term_rank") <= 3)
-        .select("doc_id", "token", "tf", "df", "score_1e6", "term_rank")
+        .select("doc_id", "token", "tf", "df", "term_rank")
     )
 
 
