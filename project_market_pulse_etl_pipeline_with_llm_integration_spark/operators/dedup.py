@@ -515,6 +515,59 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+def q_cluster_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract row for the rows-only ``dedup_clusters``
+    (iterative — no SQL oracle for the labels themselves, but the
+    partition laws ARE oracle-checkable constants):
+
+    * ``edges_consistent`` — both endpoints of every input pair carry
+      the same cluster label (the defining property of connected
+      components; a premature convergence or a dropped frontier breaks
+      exactly this).
+    * ``roots_self`` — every assigned cluster_id is itself a node whose
+      label is itself (labels point at real roots, not at ghosts).
+    * ``labels_minimal`` — cluster_id <= id everywhere (min-label
+      semantics; survivor = smallest id).
+
+    All three are structural: they hold at any sf for a correct
+    implementation and each catches a distinct failure mode of the
+    pointer-jumping loop."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup_pairs(
+        df, threshold=0.6, num_partitions=spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=False)
+    labels = dup_clusters(pairs)
+    la = labels.select(F.col("id").alias("id_a"), F.col("cluster_id").alias("label_a"))
+    lb = labels.select(F.col("id").alias("id_b"), F.col("cluster_id").alias("label_b"))
+    edges_ok = (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .agg(
+            F.sum((F.col("label_a") != F.col("label_b")).cast("long")).alias("n_split")
+        )
+    )
+    roots = labels.select(F.col("cluster_id").alias("r")).distinct()
+    self_labeled = labels.filter(F.col("cluster_id") == F.col("id")).select(
+        F.col("id").alias("r")
+    )
+    roots_ok = roots.join(self_labeled, "r", "left_anti").agg(
+        F.count("*").alias("n_ghost_roots")
+    )
+    minimal_ok = labels.agg(
+        F.sum((F.col("cluster_id") > F.col("id")).cast("long")).alias("n_above")
+    )
+    return (
+        edges_ok.crossJoin(roots_ok)
+        .crossJoin(minimal_ok)
+        .select(
+            F.lit("dup_clusters").alias("method"),
+            (F.col("n_split") == 0).alias("edges_consistent"),
+            (F.col("n_ghost_roots") == 0).alias("roots_self"),
+            (F.col("n_above") == 0).alias("labels_minimal"),
+        )
+    )
+
+
 def dedup_corpus(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """End-to-end near-dup removal: resolve pair clusters, drop every
     doc that is not its cluster's survivor (min id).  Docs in no cluster
@@ -537,6 +590,51 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(df, pairs).select("doc_id", "lang", "source", "n_chars")
 
 
+def q_corpus_survivor_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract row for the rows-only ``dedup_corpus``:
+
+    * ``survivor_count_ok`` — |survivors| = |corpus| - |losers| where
+      losers are the non-root members of each cluster (the anti-join
+      drops exactly the labeled non-survivors, nothing else).
+    * ``idempotent`` — re-running the minhash pair pipeline on the
+      survivor set yields ZERO pairs.  Structural: LSH candidacy is a
+      pure function of the two docs' signatures, so survivor pairs
+      would be edges between two same-cluster roots — impossible when
+      each cluster keeps exactly one member.
+
+    Both booleans hold at any sf; idempotence is THE law a dedup pass
+    must satisfy (a second pass that still finds dups means the first
+    pass under-merged)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    pairs = minhash_dedup_pairs(df, threshold=0.6, num_partitions=par).localCheckpoint(
+        eager=False
+    )
+    labels = dup_clusters(pairs)
+    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = df.join(losers, "doc_id", "left_anti").localCheckpoint(eager=False)
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    n_losers = losers.agg(F.count("*").alias("n_losers"))
+    n_surv = survivors.agg(F.count("*").alias("n_surv"))
+    n_resid = minhash_dedup_pairs(survivors, threshold=0.6, num_partitions=par).agg(
+        F.count("*").alias("n_resid")
+    )
+    return (
+        n_docs.crossJoin(n_losers)
+        .crossJoin(n_surv)
+        .crossJoin(n_resid)
+        .select(
+            F.lit("dedup_corpus").alias("method"),
+            (F.col("n_surv") == F.col("n_docs") - F.col("n_losers")).alias(
+                "survivor_count_ok"
+            ),
+            (F.col("n_resid") == 0).alias("idempotent"),
+        )
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_dedup_pairs(
@@ -546,14 +644,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible quality contract for the rows-only MinHash+LSH
-    pipeline (the ``ann_recall`` pattern): the LSH survivors must be
-    CONTAINED in the exact blocked-Jaccard pairs at the same (n=3,
-    threshold=0.6) contract — the verify stage computes true Jaccard so
-    false positives are impossible — and must RECALL >= 0.8 of them.
-    Everything upstream is seeded and the corpus is fixed, so both
-    booleans are hard oracle-checkable constants (measured at sf0.01:
-    containment exact, recall 1.0).  This promotes the pytest-only
-    minhash recall test into the driver's correctness gate."""
+    pipeline (the ``ann_recall`` pattern), one row of two booleans:
+
+    * ``precision_ok`` — every LSH survivor re-verified with true
+      Jaccard computed on the STRING shingle sets (an independent code
+      path from the pipeline's hashed-long verify stage) clears the
+      threshold.  Structural, not data-dependent: it holds at any sf
+      unless the hashed verify math diverges from first principles.
+      (Previously this was containment in blocked ``jaccard_pairs``,
+      which is data-dependent — the exact blocking's documented recall
+      bound can miss a genuine large-length-gap pair that LSH finds,
+      flipping the row red with nothing wrong.)
+    * ``recall_ok`` — LSH finds >= 0.8 of the pairs the blocked exact
+      baseline finds (measured at sf0.01: 1.0).
+
+    Everything upstream is seeded and the corpus fixed, so both booleans
+    are hard oracle-checkable constants."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
     exact = (
@@ -561,27 +667,44 @@ def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .withColumn("in_exact", F.lit(1))
     )
-    lsh = (
-        minhash_dedup_pairs(df, threshold=0.6, n=3, num_partitions=par)
-        .select("id_a", "id_b")
-        .withColumn("in_lsh", F.lit(1))
+    lsh = minhash_dedup_pairs(df, threshold=0.6, n=3, num_partitions=par).select(
+        "id_a", "id_b"
     )
-    return (
-        lsh.join(exact, ["id_a", "id_b"], "full_outer")
-        .agg(
-            F.sum(
-                F.when(F.col("in_lsh").isNotNull() & F.col("in_exact").isNull(), 1).otherwise(0)
-            ).alias("n_fp"),
-            F.sum(
-                F.when(F.col("in_lsh").isNotNull() & F.col("in_exact").isNotNull(), 1).otherwise(0)
-            ).alias("n_hit"),
-            F.sum(F.when(F.col("in_exact").isNotNull(), 1).otherwise(0)).alias("n_exact"),
-        )
+    # independent re-verify: string shingles, same (inter, union, round)
+    # contract as the pipeline's hashed-long verify
+    sets = df.select(F.col("doc_id").alias("id"), shingles("text", 3).alias("sh"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    reverified = (
+        lsh.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
-            F.lit("minhash_lsh").alias("method"),
-            (F.col("n_fp") == 0).alias("precision_ok"),
-            (F.col("n_hit") >= F.lit(0.8) * F.col("n_exact")).alias("recall_ok"),
+            "id_a", "id_b", F.round(inter / union, 6).alias("true_jaccard")
         )
+        .localCheckpoint(eager=False)
+    )
+    precision = reverified.agg(
+        F.sum((F.col("true_jaccard") < 0.6).cast("long")).alias("n_below"),
+        F.count("*").alias("n_lsh"),
+    )
+    recall = (
+        reverified.select("id_a", "id_b")
+        .withColumn("in_lsh", F.lit(1))
+        .join(exact, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.sum(F.when(F.col("in_exact").isNotNull(), 1).otherwise(0)).alias("n_exact"),
+            F.sum(
+                F.when(F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("n_hit"),
+        )
+    )
+    return precision.crossJoin(recall).select(
+        F.lit("minhash_lsh").alias("method"),
+        (F.col("n_below") == 0).alias("precision_ok"),
+        (F.col("n_hit") >= F.lit(0.8) * F.col("n_exact")).alias("recall_ok"),
     )
 
 
@@ -714,6 +837,49 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_pairs(
         df.repartition(spark.sparkContext.defaultParallelism), max_distance=3
+    )
+
+
+_PLANT_ID_OFFSET = 10_000_000
+
+
+def q_simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract row for the rows-only ``dedup_simhash``:
+
+    * ``hamming_ok`` — every emitted pair is within the declared
+      Hamming threshold (the output-domain contract, end-to-end through
+      signature -> chunk blocking -> verify).
+    * ``planted_recall_ok`` — plant an exact copy of every 20th doc
+      (same text, id + 10_000_000) and require the pipeline to pair
+      each copy with its original.  Structural: identical text gives an
+      identical signature, Hamming 0, and guaranteed co-bucketing in
+      all four 16-bit chunks — a miss means the blocking or the verify
+      dropped a true duplicate.
+
+    Both booleans hold at any sf (the ann_recall pattern applied to
+    simhash)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = df.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + _PLANT_ID_OFFSET).alias("doc_id"), "text"
+    )
+    corpus = df.unionByName(planted)
+    pairs = simhash_pairs(
+        corpus.repartition(spark.sparkContext.defaultParallelism), max_distance=3
+    ).localCheckpoint(eager=False)
+    ham = pairs.agg(F.max("hamming").alias("max_ham"))
+    expected = df.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + _PLANT_ID_OFFSET).alias("id_b"),
+    )
+    found = (
+        expected.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .agg(F.count("*").alias("n_found"))
+    )
+    n_planted = expected.agg(F.count("*").alias("n_planted"))
+    return ham.crossJoin(found).crossJoin(n_planted).select(
+        F.lit("simhash").alias("method"),
+        (F.coalesce(F.col("max_ham"), F.lit(0)) <= 3).alias("hamming_ok"),
+        (F.col("n_found") == F.col("n_planted")).alias("planted_recall_ok"),
     )
 
 

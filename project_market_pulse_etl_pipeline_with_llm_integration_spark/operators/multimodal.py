@@ -175,3 +175,57 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 2), 6).alias("f1"),
         F.size("features").alias("feature_dim"),
     )
+
+
+def q_multimodal_shape_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract row for the rows-only
+    ``multimodal_features`` (the shape-law pattern): the feature
+    extractor must be a total function of the corpus that emits
+    fixed-shape, normalized vectors —
+
+    * ``n_rows_ok`` — exactly one feature row per document (mapInPandas
+      neither drops nor duplicates rows across Arrow batches).
+    * ``dim_ok`` — every vector is exactly FEATURE_DIM wide.
+    * ``sum_ok`` — the bucketed byte histogram is normalized: per-doc
+      component sum within 8 rounding steps of 1.0 for non-empty
+      payloads, exactly 0.0 for empty ones.
+    * ``range_ok`` — every component in [0, 1].
+
+    All four booleans are structural (hold at any sf); together they
+    pin the Arrow plumbing's row alignment and the stub's declared
+    output domain without hashing engine-defined float values."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(
+        with_binary_payload(df).select("doc_id", "payload_len", "payload")
+    )
+    fsum = F.aggregate(
+        F.col("features"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    per_doc = feats.select(
+        F.size("features").alias("dim"),
+        fsum.alias("fsum"),
+        F.array_min("features").alias("fmin"),
+        F.array_max("features").alias("fmax"),
+        (F.col("payload_len") == 0).alias("empty"),
+    )
+    tol = 8 * 5e-7 + 1e-12  # FEATURE_DIM components each rounded at 1e-6
+    checks = per_doc.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(((F.col("dim") != FEATURE_DIM)).cast("long")).alias("n_bad_dim"),
+        F.sum(
+            F.when(
+                F.col("empty"), (F.col("fsum") != 0.0).cast("long")
+            ).otherwise((F.abs(F.col("fsum") - 1.0) > tol).cast("long"))
+        ).alias("n_bad_sum"),
+        F.sum(
+            ((F.col("fmin") < 0.0) | (F.col("fmax") > 1.0)).cast("long")
+        ).alias("n_bad_range"),
+    )
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    return checks.crossJoin(n_docs).select(
+        F.lit("multimodal_features").alias("method"),
+        (F.col("n_rows") == F.col("n_docs")).alias("n_rows_ok"),
+        (F.col("n_bad_dim") == 0).alias("dim_ok"),
+        (F.col("n_bad_sum") == 0).alias("sum_ok"),
+        (F.col("n_bad_range") == 0).alias("range_ok"),
+    )

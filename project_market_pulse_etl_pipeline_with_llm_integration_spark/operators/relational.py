@@ -1159,6 +1159,33 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible error contract for the rows-only HLL sketch
+    (the ``percentile_error_bound`` pattern): per group,
+    approx_count_distinct at rsd=0.02 must land within 10% of the exact
+    distinct count — 5x the sketch's one-sigma bound, so the boolean is
+    deterministic-in-practice on the fixed testdata (measured at
+    sf0.01: max relative error 0.011 across groups).  Group keys come
+    from the data, the boolean is pinned, so the row is fully
+    oracle-checkable.  Plan: ONE aggregation computes both the sketch
+    and the exact count (two partial aggs over the same shuffle)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.1 * F.col("exact_parts")
+            ).alias("within_bound"),
+        )
+    )
+
+
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile via the KLL-style quantile sketch
     (percentile_approx) — mergeable partials, bounded memory, the

@@ -529,3 +529,50 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         emb, threshold=0.35, n_planes=None, target_bucket_size=128
     )
+
+
+_PLANT_VEC_OFFSET = 10_000_000
+
+
+def q_embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract row for the rows-only
+    ``embedding_near_dup`` (the planted-duplicate pattern):
+
+    * ``precision_ok`` — every emitted pair's exact cosine clears the
+      declared threshold (the output-domain contract through the LSH
+      bucketing and the verify filter).
+    * ``planted_recall_ok`` — plant an exact copy of every 4th vector
+      (same embedding, vec_id + 10_000_000) and require the pipeline to
+      pair each copy with its original.  Structural: an identical
+      vector lands in the identical hyperplane bucket with cosine ~1,
+      so a miss means the bucketing or the verify dropped a true
+      duplicate.
+
+    Both booleans hold at any sf; marginal threshold-level pairs are
+    best-effort by design (single-bucket LSH) and are NOT gated here —
+    duplicates are what a near-dup pass must never miss."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + _PLANT_VEC_OFFSET).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    threshold = 0.35
+    pairs = embedding_near_dup_pairs(
+        corpus, threshold=threshold, n_planes=None, target_bucket_size=128
+    ).localCheckpoint(eager=False)
+    precision = pairs.agg(F.min("cos_sim").alias("min_cos"))
+    expected = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + _PLANT_VEC_OFFSET).alias("id_b"),
+    )
+    found = expected.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    ).agg(F.count("*").alias("n_found"))
+    n_planted = expected.agg(F.count("*").alias("n_planted"))
+    return precision.crossJoin(found).crossJoin(n_planted).select(
+        F.lit("embedding_lsh").alias("method"),
+        (F.coalesce(F.col("min_cos"), F.lit(1.0)) >= threshold).alias("precision_ok"),
+        (F.col("n_found") == F.col("n_planted")).alias("planted_recall_ok"),
+    )
