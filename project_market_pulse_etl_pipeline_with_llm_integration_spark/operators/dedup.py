@@ -713,19 +713,26 @@ def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chunk_tokens: int = 1 << 16,
 ) -> DataFrame:
     """64-bit SimHash per doc via vectorized numpy bit-votes
     (mapInPandas — the documented Arrow slow path; the per-row work is
     64-bit popcount math that has no codegen equivalent).
 
-    The whole Arrow batch is processed as ONE flat numpy pipeline —
-    concatenate every doc's token hashes, expand to a (total_tokens, 64)
-    bit matrix, and read per-doc bit sums off a column-wise prefix sum
-    at the doc boundaries (``csum[end] - csum[start]``).  No per-token
-    or per-bit Python loops; the only per-doc Python is the list
-    concatenation Arrow hands us.  Empty docs fall out as all-zero
-    votes -> signature 0, same as before."""
+    The batch is processed as a flat numpy pipeline — concatenate every
+    doc's token hashes, expand to a (chunk_tokens, 64) bit matrix, and
+    read per-doc bit sums with ``np.add.reduceat`` at the doc
+    boundaries.  No per-token or per-bit Python loops; the only per-doc
+    Python is the list concatenation Arrow hands us.  The bit matrix is
+    built in bounded token-count chunks aligned to doc boundaries
+    (~1 KB of transient int64 per token otherwise makes a 10k-row batch
+    of long docs a multi-GB allocation — an executor-OOM lever at
+    scale); reduceat segments are the nonempty docs' starts, so empty
+    docs (zero-width segments reduceat would mishandle) keep their
+    all-zero votes -> signature 0, same as before."""
     import pandas as pd  # local so cloudpickle ships only the closure
 
     spark_schema = f"{id_col} long, simhash long"
@@ -747,16 +754,29 @@ def simhash_signatures(
                      "simhash": pd.Series([], dtype="int64")}
                 )
                 continue
-            hash_lists = [np.asarray(h, dtype=np.uint64) for h in pdf["tok_hashes"]]
+            hash_lists = [
+                np.array(h, dtype=np.int64).view(np.uint64) for h in pdf["tok_hashes"]
+            ]
             lens = np.fromiter((a.size for a in hash_lists), dtype=np.int64, count=n)
             starts = np.concatenate(([0], np.cumsum(lens)))  # doc boundaries, len n+1
             sums = np.zeros((n, 64), dtype=np.int64)
             if starts[-1] > 0:
                 flat = np.concatenate(hash_lists)
-                bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-                csum = np.zeros((starts[-1] + 1, 64), dtype=np.int64)
-                np.cumsum(bits, axis=0, out=csum[1:])
-                sums = csum[starts[1:]] - csum[starts[:-1]]
+                max_chunk = max_chunk_tokens  # 64k -> 32 MB transient bit matrix
+                d0 = 0
+                while d0 < n:
+                    # widest doc run within the token budget (>= 1 doc)
+                    d1 = int(np.searchsorted(starts, starts[d0] + max_chunk, "right")) - 1
+                    d1 = max(d1, d0 + 1)
+                    seg = flat[starts[d0] : starts[d1]]
+                    if seg.size:
+                        bits = ((seg[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                        local = starts[d0:d1] - starts[d0]
+                        nonempty = np.flatnonzero(lens[d0:d1] > 0)
+                        sums[d0 + nonempty] = np.add.reduceat(
+                            bits, local[nonempty], axis=0
+                        )
+                    d0 = d1
             votes = sums * 2 - lens[:, None]  # +1/-1 votes per bit
             sig = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
             yield pd.DataFrame(

@@ -227,8 +227,10 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     no nested-loop join).
 
     Semantics: for every 'click' event, attach the most recent 'view'
-    event of the same user at-or-before the click's timestamp
-    (DuckDB oracle: native ASOF JOIN with >=)."""
+    event of the same user at-or-before the click's timestamp (DuckDB
+    oracle: explicit theta-join + argmax with the same max-view-id
+    tie-break — native ASOF leaves equal-ts ties implementation-defined,
+    so the oracle pins them instead)."""
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
         read_events,
     )

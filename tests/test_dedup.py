@@ -82,7 +82,9 @@ def test_simhash_signatures_match_per_doc_recompute(spark):
         ).alias("h"),
     ).collect()
     for row in hashed:
-        arr = np.asarray(row["h"], dtype=np.uint64)
+        # xxhash64 values are signed longs; a direct uint64 cast of
+        # negative Python ints is deprecated (an error under NumPy 2.x)
+        arr = np.array(row["h"], dtype=np.int64).view(np.uint64)
         sig = np.uint64(0)
         if arr.size:
             for i in range(64):
@@ -91,6 +93,28 @@ def test_simhash_signatures_match_per_doc_recompute(spark):
                     sig |= np.uint64(1) << np.uint64(i)
         expected = int(sig) - (1 << 64) if int(sig) >= (1 << 63) else int(sig)
         assert got[row["doc_id"]] == expected
+
+
+def test_simhash_chunked_matches_unchunked(spark):
+    """The bounded-token-chunk path (ADVICE r4: reduceat instead of a
+    full-batch cumsum copy) must be signature-identical to the
+    single-chunk path, including around doc boundaries, oversized docs,
+    and empty docs adjacent to chunk edges."""
+    texts = [
+        " ".join(f"t{i}" for i in range(13)),   # larger than the chunk cap
+        "",                                      # empty at a chunk edge
+        "a b c",
+        "   ",
+        "d e f g h",
+        "one",
+        "",
+    ]
+    df = _docs(spark, texts)
+    big = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash_signatures(df, max_chunk_tokens=1 << 16).collect()}
+    tiny = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(df, max_chunk_tokens=4).collect()}
+    assert big == tiny and len(big) == len(texts)
 
 
 def test_simhash_identical_distance_zero(spark):
