@@ -68,6 +68,14 @@ HEADLINE = [
     "enrich_offline",
     "tumbling_window",
     "sessionize",
+    # round-5 additions (VERDICT r4 item 5): remaining heavy operators
+    # so regressions are caught the round they happen
+    "skyline_pareto",
+    "heavy_hitters",
+    "merge_upsert",
+    "snapshot_diff",
+    "grouped_median",
+    "zorder_layout",
 ]
 
 

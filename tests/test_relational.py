@@ -260,6 +260,42 @@ def test_round3_tpch_plans(spark):
         assert "CartesianProduct" not in plan
 
 
+def test_round5_tpch_plans(spark):
+    """Physical-plan contracts for the two untested r4 bench drifters
+    (VERDICT r4 item 3).  Q5: date window pushed into the orders scan,
+    the region IN-list into the region scan, the cust-nation =
+    supp-nation theta filter folded into the supplier equi-join key,
+    lineitem pruned to its 4 needed columns, and ONE shuffle Exchange
+    total (the final agg — every dim rides a broadcast at this sf).
+    Q7: shipdate window pushed into the lineitem scan and the nation
+    pair predicate split per role and pushed through BOTH broadcast
+    joins into the two nation scans."""
+    import re
+
+    q5 = R.q_tpch_q5(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderdate" in q5 and ">= 1996-01-01" in q5
+    assert "IN (ASIA,AMERICA,EUROPE)" in q5
+    assert re.search(
+        r"BroadcastHashJoin \[c_nationkey#\d+, l_suppkey#\d+L?\], "
+        r"\[s_nationkey#\d+, s_suppkey#\d+L?\]",
+        q5,
+    )
+    li_scan = re.search(r"FileScan parquet \[([^\]]*l_extendedprice[^\]]*)\]", q5)
+    assert li_scan and "l_shipdate" not in li_scan.group(1)
+    assert "l_tax" not in li_scan.group(1)
+    assert q5.count("Exchange hashpartitioning") == 1
+
+    q7 = R.q_tpch_q7(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "l_shipdate" in q7 and ">= 1995-01-01" in q7
+    assert "IN (NATION_0,NATION_1,NATION_2)" in q7
+    assert "IN (NATION_3,NATION_4,NATION_5)" in q7
+    assert q7.count("Exchange hashpartitioning") == 1
+
+    for plan in (q5, q7):
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+
 def test_merge_upsert_semantics(spark):
     """MERGE: untouched rows pass through, matched keys take the update,
     new keys insert — cardinality is base + inserts."""
