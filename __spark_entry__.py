@@ -194,6 +194,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed this round but r4-green + local-gate-verified:
         "minhash_quality": dedup.q_minhash_quality,
         "hybrid_rrf": similarity.q_hybrid_rrf,
+        # new in round 5 (after the window was frozen): local-gate
+        # verified; first in line for the r6 rotation
+        "join_bloom_prefilter": R.q_join_bloom_prefilter,
+        "quantile_bins": R.q_quantile_bins,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -708,6 +712,22 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_shape_law": (
             "SELECT 'multimodal_features' AS method, TRUE AS n_rows_ok, "
             "TRUE AS dim_ok, TRUE AS sum_ok, TRUE AS range_ok"
+        ),
+        # the bloom prefilter is an execution strategy, not a semantics
+        # change: the oracle is the plain EXISTS semi join
+        "join_bloom_prefilter": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            "WHERE o_orderstatus = 'O' AND o_totalprice > 150000)"
+        ),
+        "quantile_bins": (
+            "WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber, "
+            "l_extendedprice, ntile(4) OVER (PARTITION BY l_returnflag "
+            "ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS quartile "
+            "FROM lineitem) "
+            "SELECT l_returnflag, CAST(quartile AS INT) AS quartile, "
+            "COUNT(*) AS n_rows, round(MIN(l_extendedprice), 2) AS lo, "
+            "round(MAX(l_extendedprice), 2) AS hi FROM b GROUP BY 1, 2"
         ),
         "sample_invariants": (
             "SELECT CAST(least(500, count(*)) AS BIGINT) AS n_rows, "

@@ -167,6 +167,113 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    bits_per_key: int = 10,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Semi join with a Bloom-filter prefilter on the probe side — the
+    classic runtime-filter pattern for selective big⋈small joins at
+    scale (this Spark build does not register ``bloom_filter_agg`` /
+    ``might_contain``, so the filter is built with public column
+    algebra).
+
+    Build: the small side's keys are hashed ``n_hashes`` times
+    (seeded xxhash64), exploded to (word, bit) positions and OR-folded
+    into a ``n_bits/64``-word bitmap by ONE tiny aggregation; the bitmap
+    is pulled to the driver (bounded: bits_per_key·|small| bits —
+    ~1.2 MB for a million-key dim at the default sizing, the same
+    bounded-driver-state class as the IVF centroids) and re-enters the
+    plan as a single array literal.
+
+    Probe: each big-side row tests its key's ``n_hashes`` bit positions
+    against the broadcast literal in codegen — no shuffle, no join; rows
+    failing any bit are dropped AT THE SCAN.  False positives
+    (~0.8% at 10 bits/key, 5 hashes) then meet an exact left-semi join,
+    so the OUTPUT is exactly the semi join's — the bloom only shrinks
+    the shuffle: at 100 TB a 1%-selectivity semi join moves 1% of the
+    probe side instead of all of it.  Returns the filtered big side."""
+    bitmap, n_bits = bloom_bitmap(small, small_key, bits_per_key, n_hashes)
+    prefiltered = bloom_prefilter(big, big_key, bitmap, n_bits, n_hashes)
+    return prefiltered.join(
+        small.select(F.col(small_key).alias("__bsj_k")).distinct(),
+        F.col(big_key) == F.col("__bsj_k"),
+        "left_semi",
+    )
+
+
+def bloom_bitmap(
+    small: DataFrame, key: str, bits_per_key: int = 10, n_hashes: int = 5
+) -> tuple[list[int], int]:
+    """Build the Bloom bitmap for ``small``'s key column: seeded
+    xxhash64 positions, OR-folded into 64-bit words by one tiny
+    aggregation; returns (words, n_bits).  Driver state is the bitmap
+    only — bits_per_key·|small| bits."""
+    n = small.count()
+    n_bits = 1 << max(14, (bits_per_key * max(n, 1) - 1).bit_length())
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    words = (
+        small.select(F.explode(positions).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("word"),
+            # SQL form: the Python shiftleft() only takes literal shifts
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("mask"))
+        .collect()
+    )
+    bitmap = [0] * (n_bits // 64)
+    for r in words:
+        bitmap[r["word"]] = r["mask"]
+    return bitmap, n_bits
+
+
+def bloom_prefilter(
+    big: DataFrame, key: str, bitmap: list[int], n_bits: int, n_hashes: int = 5
+) -> DataFrame:
+    """Drop ``big`` rows whose key is definitely not in the bloom —
+    pure codegen bit tests against the broadcast array literal, no
+    shuffle.  May keep false positives (callers needing exact semantics
+    follow with the residual join — ``bloom_semi_join``)."""
+    probe = big.withColumn("__bsj_bm", F.lit(bitmap))  # ONE Literal node
+    keep = F.lit(True)
+    tmp_cols = ["__bsj_bm"]
+    for i in range(n_hashes):
+        pc = f"__bsj_p{i}"
+        tmp_cols.append(pc)
+        probe = probe.withColumn(
+            pc, F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
+        )
+        keep = keep & F.expr(
+            f"(shiftrightunsigned(element_at(__bsj_bm, CAST({pc} / 64 AS INT) + 1), "
+            f"CAST({pc} % 64 AS INT)) & 1) = 1"
+        )
+    return probe.filter(keep).drop(*tmp_cols)
+
+
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join: lineitems of high-value open orders.
+    The oracle is the plain EXISTS semi join — the bloom is an
+    execution-strategy choice whose output must be EXACTLY the semi
+    join's (false positives die in the residual exact join)."""
+    big = _t(spark, sf_dir, "lineitem")
+    small = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000)
+    )
+    return bloom_semi_join(big, small, "l_orderkey", "o_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS): customers with no 'P'-status order."""
     p_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
@@ -1236,6 +1343,33 @@ def q_percentile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("frac_lt") <= 0.51) & (F.col("frac_le") >= 0.49)).alias(
                 "within_bound"
             ),
+        )
+    )
+
+
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature bucketing (the QuantileDiscretizer / feature-
+    binning pass of a training pipeline): assign every lineitem its
+    within-group price quartile via ntile(4) under a pinned total order
+    (price, then orderkey/linenumber so ties are engine-independent),
+    plus each quartile's exact row count.  One shuffle (the window
+    partition); the oracle recomputes NTILE under the identical order.
+    At scale the same shape bins by any feature column; for
+    approximate-but-single-pass bins use percentile_approx boundaries
+    instead (agg_approx_percentile)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    binned = li.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+    return (
+        binned.groupBy("l_returnflag", "quartile")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
         )
     )
 

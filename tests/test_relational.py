@@ -296,6 +296,53 @@ def test_round5_tpch_plans(spark):
         assert "BroadcastHashJoin" in plan
 
 
+def test_bloom_semi_join_exact_and_selective(spark):
+    """The bloom prefilter must (a) never change semantics — output
+    identical to the plain semi join even with adversarial keys — and
+    (b) actually filter: on a disjoint probe side the pass-through rate
+    is the false-positive rate, bounded well under the ~1% theory for
+    10 bits/key with 5 hashes."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        bloom_bitmap,
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    small = spark.range(200).select((F.col("id") * 7 - 300).alias("sk"))
+    big = spark.range(20000).select((F.col("id") - 5000).alias("k"))
+    got = sorted(r.k for r in bloom_semi_join(big, small, "k", "sk").collect())
+    want = sorted(
+        r.k
+        for r in big.join(
+            small, F.col("k") == F.col("sk"), "left_semi"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    bitmap, n_bits = bloom_bitmap(small, "sk")
+    disjoint = spark.range(50000).select((F.col("id") + 10_000_000).alias("k"))
+    fp = bloom_prefilter(disjoint, "k", bitmap, n_bits).count()
+    assert fp / 50000 < 0.05
+
+
+def test_quantile_bins_cover_all_rows(spark):
+    """Quartiles partition each group exactly: counts sum to the group
+    size, sizes differ by at most 1, and bucket ranges are ordered."""
+    rows = R.q_quantile_bins(spark, SF_SMALL).collect()
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(r)
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    totals = {r.l_returnflag: r.cnt for r in li.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()}
+    for flag, bins in by_flag.items():
+        assert sorted(b.quartile for b in bins) == [1, 2, 3, 4]
+        assert sum(b.n_rows for b in bins) == totals[flag]
+        assert max(b.n_rows for b in bins) - min(b.n_rows for b in bins) <= 1
+        ordered = sorted(bins, key=lambda b: b.quartile)
+        for lo_b, hi_b in zip(ordered, ordered[1:]):
+            assert lo_b.hi <= hi_b.lo
+
+
 def test_merge_upsert_semantics(spark):
     """MERGE: untouched rows pass through, matched keys take the update,
     new keys insert — cardinality is base + inserts."""
