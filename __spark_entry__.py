@@ -198,6 +198,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified; first in line for the r6 rotation
         "join_bloom_prefilter": R.q_join_bloom_prefilter,
         "quantile_bins": R.q_quantile_bins,
+        "dedup_containment": dedup.q_dedup_containment,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -728,6 +729,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, CAST(quartile AS INT) AS quartile, "
             "COUNT(*) AS n_rows, round(MIN(l_extendedprice), 2) AS lo, "
             "round(MAX(l_extendedprice), 2) AS hi FROM b GROUP BY 1, 2"
+        ),
+        # the engine's prefix-filter blocking is LOSSLESS (any
+        # floor((1-t)|A|)+1 of A's shingles include one in B when
+        # containment >= t), so the oracle is the naive all-pairs
+        # definition - matching it row-for-row proves the blocking
+        "dedup_containment": (
+            f"WITH toks AS (SELECT doc_id AS id, {_TOKS} AS tk FROM documents), "
+            "t AS (SELECT id, list_distinct([array_to_string(tk[i:i+2], ' ') "
+            "FOR i IN generate_series(1, greatest(len(tk)-2, 1))]) AS sh FROM toks), "
+            "f AS (SELECT id, sh, len(sh) AS sz FROM t WHERE len(sh) >= 5) "
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / a.sz, 6) "
+            "AS containment "
+            "FROM f a JOIN f b ON a.id <> b.id "
+            "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / a.sz >= 0.8"
         ),
         "sample_invariants": (
             "SELECT CAST(least(500, count(*)) AS BIGINT) AS n_rows, "

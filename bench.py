@@ -76,6 +76,9 @@ HEADLINE = [
     "snapshot_diff",
     "grouped_median",
     "zorder_layout",
+    "dedup_containment",
+    "join_bloom_prefilter",
+    "quantile_bins",
 ]
 
 

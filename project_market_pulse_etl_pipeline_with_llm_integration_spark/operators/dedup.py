@@ -295,6 +295,93 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    min_shingles: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Directed containment near-dup pairs: (a, b) with
+    |sh(A) ∩ sh(B)| / |sh(A)| >= threshold — doc A's shingles mostly
+    inside doc B.  This is the QUOTE / subset-duplicate detector
+    (Jaccard misses a short doc fully copied into a long one: the union
+    in the denominator drowns it; containment's |A| denominator does
+    not).  Docs under ``min_shingles`` shingles are excluded — trivially
+    contained everywhere.
+
+    Blocking (the containment prefix filter, ppjoin family): if
+    containment(A,B) >= t then at most floor((1-t)·|A|) of A's shingles
+    are outside B, so ANY floor((1-t)·|A|)+1 of A's shingles include at
+    least one in B — a LOSSLESS candidate generator regardless of which
+    prefix is chosen.  We choose the corpus-RAREST shingles (ascending
+    document frequency) so each prefix gram's posting list — and hence
+    the candidate volume Σ df(prefix gram) — is as small as the corpus
+    allows.  Rarest-first is pure performance; recall is structural,
+    which is why the DuckDB oracle can be the naive all-pairs
+    definition and still match row-for-row.
+
+    Plan shape: one explode for postings, one groupBy for gram df, a
+    per-doc top-k window for the prefix, a gram equi-join for
+    candidates, and a keyed verify join — no cross product.  The
+    containment value is inter/|A| on exact integers, identical in
+    binary double on any engine (no transcendental — hashable under the
+    SCALE.md rule)."""
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    hashed = (
+        _hashed_shingle_sets(df, text_col, id_col, n)
+        .withColumn("sz", F.size("sh"))
+        .filter(F.col("sz") >= min_shingles)
+        .localCheckpoint(eager=False)
+    )
+    posting = hashed.select("id", "sz", F.explode("sh").alias("gram")).localCheckpoint(
+        eager=False
+    )
+    from pyspark.sql import Window as W
+
+    # document frequency via a count window (ONE gram shuffle) rather
+    # than agg + join back (two); the rarest-k selection is then a
+    # per-doc top-k window keyed by id
+    gdf = F.count("*").over(W.partitionBy("gram"))
+    rn = F.row_number().over(W.partitionBy("id").orderBy("gdf", "gram"))
+    prefix = (
+        posting.withColumn("gdf", gdf)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= F.floor((1 - threshold) * F.col("sz")) + 1)
+        .select(F.col("id").alias("id_a"), "gram")
+    )
+    cands = (
+        prefix.join(posting.select(F.col("id").alias("id_b"), "gram"), "gram")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = hashed.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
+    )
+    b = hashed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cont = F.size(F.array_intersect("sh_a", "sh_b")) / F.col("sz_a")
+    # threshold on the UNROUNDED ratio (identical binary double on both
+    # engines); the rounded value is display-only — filtering on the
+    # rounded one would admit e.g. 0.7999996 that the oracle rejects
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return containment_pairs(
+        df, n=3, threshold=0.8, num_partitions=spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

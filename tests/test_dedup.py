@@ -95,6 +95,28 @@ def test_simhash_signatures_match_per_doc_recompute(spark):
         assert got[row["doc_id"]] == expected
 
 
+def test_containment_finds_quotes_jaccard_misses(spark):
+    """A short doc copied verbatim into a long one: containment must
+    flag (short, long) at 1.0, must NOT flag the reverse direction, and
+    symmetric Jaccard must miss the pair entirely (the union drowns the
+    quote) — the reason containment is its own operator."""
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    long_doc = quote + " " + " ".join(f"filler{i}" for i in range(40))
+    other = " ".join(f"noise{i}" for i in range(30))
+    df = _docs(spark, [quote, long_doc, other])
+    pairs = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(df, threshold=0.8).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
+    assert (1, 0) not in pairs
+    jac = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(df, n=3, threshold=0.6).collect()
+    }
+    assert (0, 1) not in jac
+
+
 def test_simhash_chunked_matches_unchunked(spark):
     """The bounded-token-chunk path (ADVICE r4: reduceat instead of a
     full-batch cumsum copy) must be signature-identical to the
