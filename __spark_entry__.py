@@ -199,6 +199,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_bloom_prefilter": R.q_join_bloom_prefilter,
         "quantile_bins": R.q_quantile_bins,
         "dedup_containment": dedup.q_dedup_containment,
+        "vocab_build": text.q_vocab_build,
+        "embedding_dedup_corpus": similarity.q_embedding_dedup_corpus,
+        "embedding_corpus_law": similarity.q_embedding_corpus_law,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -744,6 +747,23 @@ def oracle_sql() -> dict[str, str]:
             "AS containment "
             "FROM f a JOIN f b ON a.id <> b.id "
             "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / a.sz >= 0.8"
+        ),
+        "vocab_build": (
+            f"WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents), "
+            "c AS (SELECT token, COUNT(*) AS cnt FROM tok WHERE token <> '' "
+            "GROUP BY 1), "
+            "tot AS (SELECT SUM(cnt) AS total FROM c), "
+            "r AS (SELECT token, cnt, CAST(row_number() OVER "
+            "(ORDER BY cnt DESC, token) AS BIGINT) AS vocab_rank FROM c "
+            "QUALIFY vocab_rank <= 200) "
+            "SELECT token, cnt, vocab_rank, "
+            "round(CAST(SUM(cnt) OVER (ORDER BY vocab_rank "
+            "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total, 6) AS coverage "
+            "FROM r CROSS JOIN tot"
+        ),
+        "embedding_corpus_law": (
+            "SELECT 'embedding_dedup_corpus' AS method, "
+            "TRUE AS survivor_count_ok, TRUE AS idempotent"
         ),
         "sample_invariants": (
             "SELECT CAST(least(500, count(*)) AS BIGINT) AS n_rows, "

@@ -531,6 +531,75 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-space corpus dedup: LSH near-dup pairs
+    -> connected components -> keep each cluster's min-id survivor (the
+    semantic twin of the text-side ``dedup_corpus``, catching
+    paraphrase-level duplicates shingles can't see).  Iterative
+    upstream -> rows-only check; the partition laws are driver-checked
+    by ``embedding_corpus_law``."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+        dup_clusters,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.35, n_planes=None, target_bucket_size=128
+    ).select("id_a", "id_b")
+    labels = dup_clusters(pairs)
+    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("vec_id")
+    )
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id")
+
+
+def q_embedding_corpus_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract row for ``embedding_dedup_corpus`` (the
+    ``corpus_survivor_law`` pattern in embedding space):
+    ``survivor_count_ok`` — |survivors| = |corpus| - |cluster losers|;
+    ``idempotent`` — re-running the LSH near-dup pipeline on survivors
+    finds zero pairs.  Idempotence is structural ONLY if bucketing is a
+    pure function of each vector, so the plane count is derived from
+    the ORIGINAL corpus once and pinned for both passes (letting pass 2
+    re-derive from the smaller survivor set would coarsen the buckets
+    and could surface pairs pass 1 never considered — a false red with
+    nothing wrong).  Both booleans hold at any sf."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+        dup_clusters,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(
+        threshold=0.35, n_planes=planes_for(emb.count(), 128), target_bucket_size=128
+    )
+    pairs = embedding_near_dup_pairs(emb, **kw).select("id_a", "id_b").localCheckpoint(
+        eager=False
+    )
+    labels = dup_clusters(pairs)
+    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("vec_id")
+    )
+    survivors = emb.join(losers, "vec_id", "left_anti").localCheckpoint(eager=False)
+    n_emb = emb.agg(F.count("*").alias("n_emb"))
+    n_losers = losers.agg(F.count("*").alias("n_losers"))
+    n_surv = survivors.agg(F.count("*").alias("n_surv"))
+    n_resid = embedding_near_dup_pairs(survivors, **kw).agg(
+        F.count("*").alias("n_resid")
+    )
+    return (
+        n_emb.crossJoin(n_losers)
+        .crossJoin(n_surv)
+        .crossJoin(n_resid)
+        .select(
+            F.lit("embedding_dedup_corpus").alias("method"),
+            (F.col("n_surv") == F.col("n_emb") - F.col("n_losers")).alias(
+                "survivor_count_ok"
+            ),
+            (F.col("n_resid") == 0).alias("idempotent"),
+        )
+    )
+
+
 _PLANT_VEC_OFFSET = 10_000_000
 
 

@@ -637,6 +637,37 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction (the corpus pass before BPE /
+    WordPiece training): global token frequencies, the top-200 vocab by
+    (count desc, token) total order, and each entry's cumulative corpus
+    coverage — the curve that decides vocab size.  Plan shape: one
+    explode→hash-agg for counts (map-side combine), TakeOrdered top-200
+    (never a global sort), then rank+running-sum windows over the 200
+    kept rows only; the corpus total rides a broadcast 1-row cross
+    join.  Coverage is an exact-integer running sum divided once by the
+    exact total — deterministic double on any engine (SCALE.md rule:
+    rational, no transcendental)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(200)
+    order_w = Window.orderBy(F.col("cnt").desc(), "token")
+    cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("vocab_rank", F.row_number().over(order_w).cast("long"))
+        .withColumn(
+            "coverage",
+            F.round(F.sum("cnt").over(cum_w) / F.col("total"), 6),
+        )
+        .select("token", "cnt", "vocab_rank", "coverage")
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return with_pii_scrub(df).select(
