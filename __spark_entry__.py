@@ -202,6 +202,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_build": text.q_vocab_build,
         "embedding_dedup_corpus": similarity.q_embedding_dedup_corpus,
         "embedding_corpus_law": similarity.q_embedding_corpus_law,
+        "cdc_chunk": text.q_cdc_chunk,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -764,6 +765,24 @@ def oracle_sql() -> dict[str, str]:
         "embedding_corpus_law": (
             "SELECT 'embedding_dedup_corpus' AS method, "
             "TRUE AS survivor_count_ok, TRUE AS idempotent"
+        ),
+        # boundary = md5 string-prefix test (engine-identical); chunk id
+        # = exclusive running sum of boundary flags
+        "cdc_chunk": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            "p AS (SELECT doc_id, unnest(tk) AS token, "
+            "generate_subscripts(tk, 1) AS pos FROM t), "
+            "f AS (SELECT doc_id, pos, token, "
+            "CASE WHEN md5(token) LIKE '0%' THEN 1 ELSE 0 END AS flag "
+            "FROM p WHERE token <> ''), "
+            "c AS (SELECT doc_id, pos, token, "
+            "coalesce(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id "
+            "FROM f) "
+            "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+            "COUNT(*) AS n_chunk_tokens, "
+            "md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_digest "
+            "FROM c GROUP BY 1, 2"
         ),
         "sample_invariants": (
             "SELECT CAST(least(500, count(*)) AS BIGINT) AS n_rows, "

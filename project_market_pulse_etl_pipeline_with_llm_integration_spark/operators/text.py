@@ -637,6 +637,55 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: split each document at tokens whose
+    content hash marks a boundary (md5 starting with '0' — P=1/16, so
+    ~16-token average chunks), emitting per-chunk token counts and
+    digests.  Unlike fixed windows (``text_chunk``), boundaries depend
+    only on LOCAL content: inserting a sentence early in a doc does not
+    shift any later chunk, so chunk digests are the shift-resilient
+    unit for sub-document dedup (the rsync/LBFS trick applied to
+    corpus text; pinned by test).
+
+    Cross-engine contract: the boundary predicate is a STRING prefix
+    test on md5 (engine-identical, no numeric conversion seam), the
+    chunk id is an exclusive running sum of boundary flags, and the
+    digest is md5 of the position-ordered token join.  Plan shape:
+    posexplode -> one window over (doc, pos) -> one groupBy (doc,
+    chunk): two shuffles keyed by doc id, bodies never move."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cdc_chunks(docs)
+
+
+def cdc_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-defined chunks: (id, chunk_id, n_chunk_tokens,
+    chunk_digest) — see q_cdc_chunk for the contract."""
+    pos_tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    flag = F.when(F.md5("token").startswith("0"), 1).otherwise(0)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos_tok.withColumn(
+        "chunk_id", F.coalesce(F.sum(flag).over(w), F.lit(0)).cast("long")
+    )
+    ordered_tokens = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "token"))), lambda s: s["token"]
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count("*").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", ordered_tokens)).alias("chunk_digest"),
+        )
+    )
+
+
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary construction (the corpus pass before BPE /
     WordPiece training): global token frequencies, the top-200 vocab by

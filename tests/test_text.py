@@ -262,6 +262,27 @@ def test_weighted_sample_rate_tracks_weight(spark):
     assert a == b
 
 
+def test_cdc_chunks_shift_resilient(spark):
+    """The CDC property: prepending content to a document must leave
+    the chunk digests of the unmodified suffix intact (boundaries are
+    functions of local content, not position) — fixed-window chunking
+    cannot do this.  Doc 1 = 30 tokens; doc 2 = 7 new tokens + the same
+    30: every chunk digest of doc 1 that starts after doc 2's first
+    boundary must reappear in doc 2's digest set."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import cdc_chunks
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    shifted = " ".join(f"new{i}" for i in range(7)) + " " + base
+    df = spark.createDataFrame([(0, base), (1, shifted)], ["doc_id", "text"])
+    rows = cdc_chunks(df).collect()
+    d0 = {r.chunk_digest for r in rows if r.doc_id == 0}
+    d1 = {r.chunk_digest for r in rows if r.doc_id == 1}
+    # all base chunks except possibly the first (absorbed into the
+    # prepended region until its first boundary) survive the shift
+    shared = d0 & d1
+    assert len(shared) >= len(d0) - 1 and len(d0) >= 2
+
+
 def test_bm25_ranks_term_dense_docs_first(spark):
     """A toy corpus where relevance is unambiguous: the doc saturated
     with query terms must outrank the doc with one mention, and docs
