@@ -203,6 +203,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_corpus": similarity.q_embedding_dedup_corpus,
         "embedding_corpus_law": similarity.q_embedding_corpus_law,
         "cdc_chunk": text.q_cdc_chunk,
+        "join_interval_binned": R.q_join_interval_binned,
+        "token_budget_mixture": sampling.q_token_budget_mixture,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -765,6 +767,30 @@ def oracle_sql() -> dict[str, str]:
         "embedding_corpus_law": (
             "SELECT 'embedding_dedup_corpus' AS method, "
             "TRUE AS survivor_count_ok, TRUE AS idempotent"
+        ),
+        # the engine bins intervals into day buckets for an equi-join;
+        # the oracle is the naive theta join - matching proves the
+        # binning covers every containment exactly once per window
+        "join_interval_binned": (
+            "WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt "
+            "FROM events GROUP BY 1), "
+            "top AS (SELECT day, CAST(row_number() OVER (ORDER BY cnt DESC, day) "
+            "AS BIGINT) AS win_id FROM d QUALIFY win_id <= 10), "
+            "w AS (SELECT win_id, day - 1 AS lo, day + 1 AS hi FROM top) "
+            "SELECT e.event_id, w.win_id FROM events e JOIN w "
+            "ON CAST(e.ts AS DATE) BETWEEN w.lo AND w.hi"
+        ),
+        "token_budget_mixture": (
+            f"WITH n AS (SELECT doc_id, source, {_NTOK} AS n_tokens FROM documents), "
+            "c AS (SELECT source, SUM(n_tokens) AS grp_tokens FROM n GROUP BY 1), "
+            "b(source, budget) AS (VALUES ('src0', 50000), ('src1', 30000), "
+            "('src2', 15000), ('src3', 5000)), "
+            "r AS (SELECT c.source, least(1000000, CAST(floor("
+            "(1000000 * CAST(b.budget AS BIGINT)) / c.grp_tokens) AS BIGINT)) "
+            "AS rate_ppm FROM c JOIN b USING (source)) "
+            "SELECT n.doc_id, n.source, CAST(n.n_tokens AS BIGINT) AS n_tokens "
+            "FROM n JOIN r USING (source) "
+            "WHERE ((n.doc_id % 1000000) * 435761) % 1000000 < r.rate_ppm"
         ),
         # boundary = md5 string-prefix test (engine-identical); chunk id
         # = exclusive running sum of boundary flags

@@ -307,6 +307,44 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (point-in-range) join via BINNING — the scale pattern
+    for time-range joins Spark lacks natively.  Naively, point ⋈
+    interval is a BroadcastNestedLoopJoin (every point tested against
+    every interval: O(|P|·|I|)).  Binning explodes each interval into
+    the day bins it covers and equi-joins points on their bin — a plain
+    broadcast-hash join whose work is Σ interval-days, with the exact
+    containment predicate as a residual filter.  At 100 TB the same
+    shape shuffles on (bin) when the interval side outgrows broadcast,
+    and bin width trades join fan-out against filter selectivity.
+
+    Workload: the 10 busiest days (deterministic (count desc, day)
+    order) widen to 3-day incident windows; every event landing in a
+    window is tagged with it (overlapping windows tag twice — the
+    general interval-join semantics, which the oracle's naive theta
+    join reproduces)."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("cnt"))
+    top = days.orderBy(F.col("cnt").desc(), "day").limit(10)
+    rank_w = W.orderBy(F.col("cnt").desc(), "day")
+    wins = top.select(
+        F.row_number().over(rank_w).cast("long").alias("win_id"),
+        F.date_sub("day", 1).alias("lo"),
+        F.date_add("day", 1).alias("hi"),
+    )
+    bins = wins.select(
+        "win_id", "lo", "hi", F.explode(F.sequence("lo", "hi")).alias("bin_day")
+    )
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .join(F.broadcast(bins), F.col("day") == F.col("bin_day"))
+        # residual exact containment — structurally true at day
+        # granularity here, load-bearing for sub-bin interval edges
+        .filter((F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")))
+        .select("event_id", "win_id")
+    )
+
+
 def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join: per-status order counts vs per-status lineitem
     return counts (disjoint status domains exercise both null sides)."""

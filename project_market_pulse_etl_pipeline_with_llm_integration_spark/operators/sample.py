@@ -160,6 +160,59 @@ def q_mixture_sample(spark, sf_dir: str):
     )
 
 
+TOKEN_BUDGETS = {"src0": 50_000, "src1": 30_000, "src2": 15_000, "src3": 5_000}
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    budgets_tokens: dict[str, int],
+    token_count_col,
+) -> DataFrame:
+    """Token-budget corpus mixing: like ``mixture_sample`` but the
+    recipe is specified in TOKENS per group ("50k tokens of web, 30k of
+    code, ..."), which is how real pretraining mixes are defined — row
+    quotas under-weight long documents.  Per-group keep
+    rate_ppm = min(1e6, floor(1e6·budget_g / total_tokens_g)); expected
+    kept tokens per group = rate · total = the budget.  Same
+    deterministic integer-ppm hash membership (replayable on any
+    engine/cluster), same single broadcast agg — here summing token
+    counts instead of counting rows; the corpus never shuffles.
+    Groups without a budget are dropped."""
+    counts = df.groupBy(group_col).agg(F.sum(token_count_col).alias("grp_tokens"))
+    bmap = F.create_map(
+        *[F.lit(x) for kv in sorted(budgets_tokens.items()) for x in kv]
+    )
+    # LONG multiply: 1e6 x a 50k-token budget is 5e10 — an int32
+    # product wraps negative and silently drops the group
+    raw = F.floor(
+        (F.lit(1_000_000).cast("long") * bmap[F.col(group_col)].cast("long"))
+        / F.col("grp_tokens")
+    )
+    rates = counts.filter(raw.isNotNull()).select(
+        group_col,
+        F.least(F.lit(1_000_000).cast("long"), raw).cast("long").alias("rate_ppm"),
+    )
+    u = (
+        (F.col(key_col).cast("long") % F.lit(1_000_000)) * F.lit(435_761)
+    ) % F.lit(1_000_000)
+    return df.join(F.broadcast(rates), group_col).filter(u < F.col("rate_ppm"))
+
+
+def q_token_budget_mixture(spark, sf_dir: str):
+    """Draw a corpus hitting per-source TOKEN budgets (50k/30k/15k/5k)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.withColumn("n_tokens", token_count("text").cast("long"))
+    return token_budget_mixture(
+        docs, "source", "doc_id", TOKEN_BUDGETS, F.col("n_tokens")
+    ).select("doc_id", "source", "n_tokens")
+
+
 def q_sample_invariants(spark, sf_dir: str):
     """Driver-visible contract for the rows-only seeded sample
     (``exact_sample`` row identity is engine-defined — SURVEY §7 risk

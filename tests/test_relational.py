@@ -365,6 +365,25 @@ def test_snapshot_diff_emits_exact_churn(spark):
     assert got == {2: "changed", 3: "removed", 4: "added"}
 
 
+def test_token_budget_mixture_meets_budgets(spark):
+    """Token-budget mixing: a group whose budget exceeds its total
+    keeps everything (and exercises the int64 rate arithmetic — a
+    1e6 x 50k-token budget overflows int32, the silent-drop regression
+    this pins); a partial group keeps ~its budget in tokens."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import (
+        token_budget_mixture,
+    )
+
+    rows = [(i, "g0" if i < 200 else "g1", 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
+    out = token_budget_mixture(
+        df, "grp", "doc_id", {"g0": 50_000, "g1": 10_000}, F.col("n_tokens")
+    )
+    kept = {r.grp: r.t for r in out.groupBy("grp").agg(F.sum("n_tokens").alias("t")).collect()}
+    assert kept["g0"] == 20_000  # budget > total: keep ALL (overflow would drop it)
+    assert abs(kept["g1"] - 10_000) <= 3_000  # hash membership ~ budget
+
+
 def test_stratified_sample_exact_quota_and_determinism(spark):
     """Exactly n rows per stratum (or the whole stratum when smaller),
     identical selection across runs, ranks are 1..n."""
