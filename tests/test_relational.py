@@ -296,6 +296,30 @@ def test_round5_tpch_plans(spark):
         assert "BroadcastHashJoin" in plan
 
 
+def test_round5_new_operator_plans(spark):
+    """Plan contracts for the round-5 operators: the binned interval
+    join must execute as a broadcast-hash EQUI-join (the whole point —
+    no BroadcastNestedLoopJoin, no cartesian); the bloom prefilter's
+    bit-test must run as a Filter on the probe side BEFORE the residual
+    semi join; containment's prefix blocking must never degenerate to a
+    cartesian."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import dedup
+
+    p1 = R.q_join_interval_binned(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p1
+    assert "BroadcastNestedLoopJoin" not in p1 and "CartesianProduct" not in p1
+
+    p2 = R.q_join_bloom_prefilter(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p2
+    assert any(
+        "xxhash64" in line and line.lstrip().lstrip(":+- ").startswith("Filter")
+        for line in p2.splitlines()
+    )
+
+    p3 = dedup.q_dedup_containment(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p3 and "BroadcastNestedLoopJoin" not in p3
+
+
 def test_bloom_semi_join_exact_and_selective(spark):
     """The bloom prefilter must (a) never change semantics — output
     identical to the plain semi join even with adversarial keys — and
