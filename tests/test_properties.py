@@ -119,3 +119,46 @@ def test_money_sum_is_partition_invariant(spark, cents):
     assert len(outs) == 1
     # and it equals the exact integer-cents total
     assert outs.pop() == round(sum(int(round(v * 100)) for v in cents) / 100.0, 2)
+
+
+@_slow
+@given(st.lists(texts, min_size=2, max_size=10))
+def test_containment_bounds_and_planted_superset(spark, docs):
+    """Containment invariants on arbitrary corpora: values lie in
+    [threshold, 1], pairs are directed with distinct endpoints, and a
+    doc planted as a strict token-prefix of another (both above the
+    min-shingle floor) must be flagged as contained at 1.0."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = list(docs) + [base, base + " lambda mu nu xi omicron pi rho"]
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    rows = dedup.containment_pairs(df, n=3, threshold=0.8).collect()
+    for r in rows:
+        assert r.id_a != r.id_b
+        assert 0.8 <= r.containment <= 1.0
+    a, b = len(docs) - 2, len(docs) - 1
+    assert any(r.id_a == a and r.id_b == b and r.containment == 1.0 for r in rows)
+
+
+@_slow
+@given(st.lists(texts, min_size=1, max_size=10))
+def test_cdc_chunks_partition_tokens(spark, docs):
+    """CDC chunks partition each doc's token stream exactly: per-doc
+    chunk token counts sum to the doc's (non-empty) token count, chunk
+    ids are contiguous from 0, and re-running yields identical
+    digests (pure function of content)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        cdc_chunks,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    rows = cdc_chunks(df).collect()
+    again = cdc_chunks(df).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, doc in enumerate(docs):
+        n_tok = len([t for t in doc.split() if t])
+        chunks = by_doc.get(i, [])
+        assert sum(c.n_chunk_tokens for c in chunks) == n_tok
+        assert sorted(c.chunk_id for c in chunks) == list(range(len(chunks)))
