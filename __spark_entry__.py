@@ -205,6 +205,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk": text.q_cdc_chunk,
         "join_interval_binned": R.q_join_interval_binned,
         "token_budget_mixture": sampling.q_token_budget_mixture,
+        "scd2_merge": R.q_scd2_merge,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -767,6 +768,42 @@ def oracle_sql() -> dict[str, str]:
         "embedding_corpus_law": (
             "SELECT 'embedding_dedup_corpus' AS method, "
             "TRUE AS survivor_count_ok, TRUE AS idempotent"
+        ),
+        "scd2_merge": (
+            "WITH base AS ("
+            "SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal, "
+            "DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to "
+            "FROM customer "
+            "UNION ALL "
+            "SELECT c_custkey, 'LEGACY', round(c_acctbal - 50, 2), "
+            "DATE '2019-01-01', DATE '2020-01-01' FROM customer "
+            "WHERE c_custkey % 11 = 0), "
+            "upd AS ("
+            "SELECT c_custkey, 'UPGRADED' AS c_mktsegment, "
+            "round(c_acctbal + 100, 2) AS acctbal FROM customer "
+            "WHERE c_custkey % 5 = 0 "
+            "UNION ALL "
+            "SELECT c_custkey + 10000000, 'FRESH', 0.0 FROM customer "
+            "WHERE c_custkey % 100 = 0), "
+            "hist AS (SELECT * FROM base WHERE valid_to IS NOT NULL), "
+            "cur AS (SELECT * FROM base WHERE valid_to IS NULL), "
+            "j AS (SELECT cur.c_custkey AS ck, cur.c_mktsegment AS cm, "
+            "cur.acctbal AS ca, cur.valid_from AS cf, "
+            "upd.c_custkey AS uk, upd.c_mktsegment AS um, upd.acctbal AS ua "
+            "FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.c_custkey), "
+            "flags AS (SELECT *, (um IS DISTINCT FROM cm) OR "
+            "(ua IS DISTINCT FROM ca) AS changed FROM j) "
+            "SELECT c_custkey, c_mktsegment, acctbal, valid_from, valid_to "
+            "FROM hist "
+            "UNION ALL "
+            "SELECT ck, cm, ca, cf, CAST(NULL AS DATE) FROM flags "
+            "WHERE ck IS NOT NULL AND (uk IS NULL OR NOT changed) "
+            "UNION ALL "
+            "SELECT ck, cm, ca, cf, DATE '2024-06-01' FROM flags "
+            "WHERE ck IS NOT NULL AND uk IS NOT NULL AND changed "
+            "UNION ALL "
+            "SELECT uk, um, ua, DATE '2024-06-01', CAST(NULL AS DATE) FROM flags "
+            "WHERE uk IS NOT NULL AND (ck IS NULL OR changed)"
         ),
         # the engine bins intervals into day buckets for an equi-join;
         # the oracle is the naive theta join - matching proves the

@@ -743,6 +743,113 @@ def merge_upsert(
     )
 
 
+def scd2_merge(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    update_ts,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """SCD-2 MERGE (history-tracking upsert) on plain parquet: ``base``
+    rows carry a [valid_from, valid_to) validity interval (open rows
+    have NULL valid_to); ``updates`` is the new snapshot of
+    key+compare columns effective at ``update_ts``.  Per key:
+
+    * expired base rows (valid_to set) pass through untouched — history
+      is immutable;
+    * an open row whose compare columns match the update passes through
+      (no spurious versions);
+    * an open row that differs is CLOSED (valid_to = update_ts) and a
+      new open version is inserted;
+    * a brand-new key inserts an open version.
+
+    This is what Delta/Iceberg `MERGE ... WHEN MATCHED THEN UPDATE SET
+    valid_to / WHEN NOT MATCHED THEN INSERT` compiles to for slowly
+    changing dimensions, minus the transaction log.  One shuffle per
+    side on the merge key (bucket the base at scale — SCALE.md); change
+    detection is null-safe so NULL compare values don't thrash
+    versions.  Keys must be non-null (dimension contract)."""
+    history = base.filter(F.col(to_col).isNotNull())
+    current = base.filter(F.col(to_col).isNull())
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__c.{k}").eqNullSafe(F.col(f"__u.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = current.alias("__c").join(updates.alias("__u"), cond, "full_outer")
+    has_c = F.col(f"__c.{key_cols[0]}").isNotNull()
+    has_u = F.col(f"__u.{key_cols[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"__c.{c}").eqNullSafe(F.col(f"__u.{c}"))
+    base_cols = [*key_cols, *compare_cols, from_col, to_col]
+    passthrough = j.filter(has_c & (~has_u | ~changed)).select(
+        *[F.col(f"__c.{c}").alias(c) for c in [*key_cols, *compare_cols, from_col]],
+        F.col(f"__c.{to_col}").alias(to_col),
+    )
+    closed = j.filter(has_c & has_u & changed).select(
+        *[F.col(f"__c.{c}").alias(c) for c in [*key_cols, *compare_cols, from_col]],
+        F.lit(update_ts).cast("date").alias(to_col),
+    )
+    new_rows = j.filter(has_u & (~has_c | changed)).select(
+        *[F.col(f"__u.{c}").alias(c) for c in [*key_cols, *compare_cols]],
+        F.lit(update_ts).cast("date").alias(from_col),
+        F.lit(None).cast("date").alias(to_col),
+    )
+    return (
+        history.select(*base_cols)
+        .unionByName(passthrough)
+        .unionByName(closed)
+        .unionByName(new_rows)
+    )
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface for SCD-2: the customer dimension with a planted
+    expired version for every 11th key (history passthrough), updates
+    that change every 5th key (close + new version) and insert
+    synthetic keys (new open rows)."""
+    cust = _t(spark, sf_dir, "customer")
+    open_rows = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    expired = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        "c_custkey",
+        F.lit("LEGACY").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") - 50.0, 2).alias("acctbal"),
+        F.lit("2019-01-01").cast("date").alias("valid_from"),
+        F.lit("2020-01-01").cast("date").alias("valid_to"),
+    )
+    base = open_rows.unionByName(expired)
+    updates = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            F.lit("UPGRADED").alias("c_mktsegment"),
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.lit("FRESH").alias("c_mktsegment"),
+                F.lit(0.0).alias("acctbal"),
+            )
+        )
+    )
+    return scd2_merge(
+        base,
+        updates,
+        ["c_custkey"],
+        ["c_mktsegment", "acctbal"],
+        "2024-06-01",
+    )
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, key_cols: list[str], compare_cols: list[str]
 ) -> DataFrame:

@@ -378,6 +378,35 @@ def test_merge_upsert_semantics(spark):
     assert got == {1: "a", 2: "B", 3: "c", 9: "Z"}
 
 
+def test_scd2_merge_versions_history(spark):
+    """SCD-2 laws on a hand-built dimension: history immutable, matched
+    unchanged rows pass through open, changed keys get closed + a new
+    open version, new keys insert open; every key has exactly one open
+    row afterwards."""
+    import datetime as dt
+
+    base = spark.createDataFrame(
+        [
+            (1, "a", dt.date(2020, 1, 1), None),          # will change
+            (2, "b", dt.date(2020, 1, 1), None),          # unchanged
+            (1, "old", dt.date(2019, 1, 1), dt.date(2020, 1, 1)),  # history
+        ],
+        "k long, v string, valid_from date, valid_to date",
+    )
+    upd = spark.createDataFrame([(1, "A"), (2, "b"), (9, "z")], "k long, v string")
+    out = R.scd2_merge(base, upd, ["k"], ["v"], "2024-06-01").collect()
+    rows = {(r.k, r.v, str(r.valid_from), str(r.valid_to) if r.valid_to else None) for r in out}
+    assert rows == {
+        (1, "old", "2019-01-01", "2020-01-01"),   # history untouched
+        (1, "a", "2020-01-01", "2024-06-01"),     # closed
+        (1, "A", "2024-06-01", None),             # new version
+        (2, "b", "2020-01-01", None),             # unchanged passthrough
+        (9, "z", "2024-06-01", None),             # insert
+    }
+    open_rows = [r for r in out if r.valid_to is None]
+    assert len({r.k for r in open_rows}) == len(open_rows) == 3
+
+
 def test_snapshot_diff_emits_exact_churn(spark):
     old = spark.createDataFrame(
         [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k long, v string, x double"
