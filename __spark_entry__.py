@@ -206,6 +206,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_interval_binned": R.q_join_interval_binned,
         "token_budget_mixture": sampling.q_token_budget_mixture,
         "scd2_merge": R.q_scd2_merge,
+        "dataset_split": sampling.q_dataset_split,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -768,6 +769,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_corpus_law": (
             "SELECT 'embedding_dedup_corpus' AS method, "
             "TRUE AS survivor_count_ok, TRUE AS idempotent"
+        ),
+        "dataset_split": (
+            "WITH s AS (SELECT source, CASE "
+            "WHEN ((doc_id % 1000000) * 823543) % 1000000 < 900000 THEN 'train' "
+            "WHEN ((doc_id % 1000000) * 823543) % 1000000 < 950000 THEN 'val' "
+            "ELSE 'test' END AS split FROM documents) "
+            "SELECT source, split, COUNT(*) AS n_docs FROM s GROUP BY 1, 2"
         ),
         "scd2_merge": (
             "WITH base AS ("

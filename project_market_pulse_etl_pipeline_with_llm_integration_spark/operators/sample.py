@@ -213,6 +213,44 @@ def q_token_budget_mixture(spark, sf_dir: str):
     ).select("doc_id", "source", "n_tokens")
 
 
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    train_ppm: int = 900_000,
+    val_ppm: int = 50_000,
+) -> DataFrame:
+    """Deterministic train/val/test split: assign each row a split by
+    integer-ppm thresholds over a key hash — the corpus-versioning
+    property of ``hash_sample`` applied to the split every training
+    run depends on.  Membership is a pure function of the key, so the
+    split is replayable on any engine or cluster size, rows never move
+    between splits as the corpus grows (new keys land in splits at the
+    target rates), and the three parts are disjoint and exhaustive by
+    construction.  The multiplier differs from the samplers' 435761 so
+    split membership is decorrelated from sampling membership (a doc
+    sampled into a mix must not be systematically train-only)."""
+    u = ((F.col(key_col).cast("long") % F.lit(1_000_000)) * F.lit(823_543)) % F.lit(
+        1_000_000
+    )
+    split = (
+        F.when(u < train_ppm, F.lit("train"))
+        .when(u < train_ppm + val_ppm, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def q_dataset_split(spark, sf_dir: str):
+    """90/5/5 split of the documents table with per-split counts
+    surfaced per source (the split-audit every run starts with)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        dataset_split(docs, "doc_id")
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q_sample_invariants(spark, sf_dir: str):
     """Driver-visible contract for the rows-only seeded sample
     (``exact_sample`` row identity is engine-defined — SURVEY §7 risk
