@@ -207,6 +207,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mixture": sampling.q_token_budget_mixture,
         "scd2_merge": R.q_scd2_merge,
         "dataset_split": sampling.q_dataset_split,
+        "incremental_agg": R.q_incremental_agg,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -769,6 +770,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_corpus_law": (
             "SELECT 'embedding_dedup_corpus' AS method, "
             "TRUE AS survivor_count_ok, TRUE AS idempotent"
+        ),
+        # the oracle aggregates the FULL table; a hash match proves
+        # merge(agg(a), agg(b)) == agg(a UNION b) on these measures
+        "incremental_agg": (
+            "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, "
+            "CAST(round(SUM(CAST(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE) "
+            "AS total_price FROM orders GROUP BY 1, 2"
         ),
         "dataset_split": (
             "WITH s AS (SELECT source, CASE "

@@ -1492,6 +1492,71 @@ def q_percentile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_agg_states(
+    base_agg: DataFrame, delta_agg: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Merge two partial-aggregate states (same schema: keys + summable
+    measures) into one — the algebra behind incremental rollup
+    maintenance: a stored agg table absorbs a delta batch's agg without
+    rescanning base data.  Works for any commutative-monoid measures
+    (count, sum — incl. DECIMAL money sums; avg must be carried as
+    sum+count).  Full-outer join on the keys, null-safe measure adds."""
+    measures = [c for c in base_agg.columns if c not in key_cols]
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__a.{k}").eqNullSafe(F.col(f"__d.{k}"))
+        cond = c if cond is None else (cond & c)
+    return (
+        base_agg.alias("__a")
+        .join(delta_agg.alias("__d"), cond, "full_outer")
+        .select(
+            *[
+                F.coalesce(F.col(f"__a.{k}"), F.col(f"__d.{k}")).alias(k)
+                for k in key_cols
+            ],
+            *[
+                (
+                    F.coalesce(F.col(f"__a.{m}"), F.lit(0))
+                    + F.coalesce(F.col(f"__d.{m}"), F.lit(0))
+                ).alias(m)
+                for m in measures
+            ],
+        )
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: orders split into a stored
+    partition (90%) and a delta batch (every 10th key); each side is
+    aggregated independently and the states are MERGED — the oracle
+    recomputes the aggregate over the full table, so a hash match
+    proves merge(agg(a), agg(b)) == agg(a ∪ b) on these measures.  At
+    100 TB this is the difference between rescanning a petabyte rollup
+    input and absorbing a day's delta: both sides' aggs are
+    partial-agg-sized, and the merge joins |keys| rows."""
+    orders = _t(spark, sf_dir, "orders")
+
+    # the money state stays DECIMAL through the merge and rounds ONCE
+    # at the end: merging two money_sum outputs (rounded doubles) would
+    # re-introduce exactly the order-dependent double addition the
+    # DECIMAL accumulator exists to avoid
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("total_state"),
+        )
+
+    base = agg(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta = agg(orders.filter(F.col("o_orderkey") % 10 == 0))
+    merged = merge_agg_states(base, delta, ["o_orderstatus", "o_orderpriority"])
+    return merged.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        F.round("total_state", 2).cast("double").alias("total_price"),
+    )
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile feature bucketing (the QuantileDiscretizer / feature-
     binning pass of a training pipeline): assign every lineitem its
