@@ -208,6 +208,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge": R.q_scd2_merge,
         "dataset_split": sampling.q_dataset_split,
         "incremental_agg": R.q_incremental_agg,
+        "perplexity_rank": text.q_perplexity_rank,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -770,6 +771,21 @@ def oracle_sql() -> dict[str, str]:
         "embedding_corpus_law": (
             "SELECT 'embedding_dedup_corpus' AS method, "
             "TRUE AS survivor_count_ok, TRUE AS idempotent"
+        ),
+        # rank + exact integers hashed; per-token floored -ln keeps the
+        # doc score an order-independent integer sum (SCALE.md rule)
+        "perplexity_rank": (
+            f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents), "
+            "t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''), "
+            "c AS (SELECT token, COUNT(*) AS cnt FROM t2 GROUP BY 1), "
+            "tot AS (SELECT COUNT(*) AS total FROM t2), "
+            "s AS (SELECT doc_id, SUM(CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) "
+            "* 1000000.0) AS BIGINT)) AS sum_nll, COUNT(*) AS n_tokens "
+            "FROM t2 JOIN c USING (token) CROSS JOIN tot GROUP BY 1), "
+            "r AS (SELECT doc_id, n_tokens, CAST(row_number() OVER "
+            "(ORDER BY CAST(sum_nll AS DOUBLE) / n_tokens DESC, doc_id) AS BIGINT) "
+            "AS ppl_rank FROM s QUALIFY ppl_rank <= 50) "
+            "SELECT doc_id, ppl_rank, n_tokens FROM r"
         ),
         # the oracle aggregates the FULL table; a hash match proves
         # merge(agg(a), agg(b)) == agg(a UNION b) on these measures

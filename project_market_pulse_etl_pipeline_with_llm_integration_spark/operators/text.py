@@ -637,6 +637,54 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM perplexity filtering (the CCNet/KenLM-style
+    statistical quality gate): score every document by its average
+    negative log-probability under the corpus's own unigram model and
+    surface the 50 most perplexing docs — the ones a perplexity filter
+    would drop first.
+
+    Determinism design (the bm25 playbook): the per-TOKEN
+    -ln(count/total) is floor-scaled to an integer BEFORE the per-doc
+    sum, so the doc score is an integer sum (independent of summation
+    order — a raw double Σln is order-dependent even within one
+    engine); the ranking key avg = int_sum / n_tokens is one exact
+    integer division in double.  The hashed contract is rank + exact
+    integers only (ppl_rank, n_tokens) — the score carries ln's
+    engine ULP and orders but is never hashed.  Plan shape: one
+    explode, a count window keyed by token (one shuffle), a per-doc
+    hash agg, TakeOrdered top-50, windows over the 50 kept rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    cnt_w = Window.partitionBy("token")
+    total = toks.agg(F.count("*").alias("total"))
+    scored_toks = toks.withColumn("cnt", F.count("*").over(cnt_w)).crossJoin(
+        F.broadcast(total)
+    )
+    nll_1e6 = F.floor(-F.log(F.col("cnt") / F.col("total")) * 1e6).cast("long")
+    per_doc = (
+        scored_toks.withColumn("nll_1e6", nll_1e6)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nll_1e6").alias("sum_nll"),
+            F.count("*").alias("n_tokens"),
+        )
+        .withColumn("avg_nll", F.col("sum_nll") / F.col("n_tokens"))
+    )
+    top = per_doc.orderBy(F.col("avg_nll").desc(), "doc_id").limit(50)
+    rank_w = Window.orderBy(F.col("avg_nll").desc(), "doc_id")
+    return (
+        top.select(
+            "doc_id",
+            F.row_number().over(rank_w).cast("long").alias("ppl_rank"),
+            "n_tokens",
+        )
+        .orderBy("ppl_rank")
+    )
+
+
 def q_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking: split each document at tokens whose
     content hash marks a boundary (md5 starting with '0' — P=1/16, so

@@ -262,7 +262,22 @@ def test_weighted_sample_rate_tracks_weight(spark):
     assert a == b
 
 
-def test_cdc_chunks_shift_resilient(spark):
+def test_perplexity_ranks_rare_token_docs_first(spark, tmp_path):
+    """A doc made of corpus-unique tokens must be the most perplexing
+    under the corpus's own unigram model; a doc repeating the commonest
+    tokens must rank last."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import q_perplexity_rank
+
+    rows = [(0, "common common common common")] * 1
+    rows += [(i, "common words appear here") for i in range(1, 8)]
+    rows.append((8, "zyx qwv jkl mnb"))  # unique tokens -> max perplexity
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out_dir = str(tmp_path / "docs")
+    df.write.parquet(out_dir + "/documents.parquet")
+    got = q_perplexity_rank(spark, out_dir).collect()
+    assert got[0].doc_id == 8 and got[0].ppl_rank == 1
+    ranks = {r.doc_id: r.ppl_rank for r in got}
+    assert ranks[0] == max(ranks.values())  # all-common doc is least perplexing
     """The CDC property: prepending content to a document must leave
     the chunk digests of the unmodified suffix intact (boundaries are
     functions of local content, not position) — fixed-window chunking
