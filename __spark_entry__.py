@@ -209,6 +209,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": sampling.q_dataset_split,
         "incremental_agg": R.q_incremental_agg,
         "perplexity_rank": text.q_perplexity_rank,
+        "corpus_health": text.q_corpus_health,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -771,6 +772,18 @@ def oracle_sql() -> dict[str, str]:
         "embedding_corpus_law": (
             "SELECT 'embedding_dedup_corpus' AS method, "
             "TRUE AS survivor_count_ok, TRUE AS idempotent"
+        ),
+        "corpus_health": (
+            f"SELECT source, COUNT(*) AS n_docs, "
+            f"COUNT(DISTINCT {_NORM}) AS distinct_texts, "
+            f"CAST(floor((COUNT(*) - COUNT(DISTINCT {_NORM})) * 1000000.0 "
+            "/ COUNT(*)) AS BIGINT) AS exact_dup_ppm, "
+            "CAST(floor(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) "
+            "* 1000000.0 / COUNT(*)) AS BIGINT) AS blank_ppm, "
+            f"CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens, "
+            f"CAST(floor(SUM({_NTOK}) * 100.0 / COUNT(*)) AS BIGINT) "
+            "AS tokens_per_doc_x100 "
+            "FROM documents GROUP BY 1"
         ),
         # rank + exact integers hashed; per-token floored -ln keeps the
         # doc score an order-independent integer sum (SCALE.md rule)

@@ -637,6 +637,44 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the one-scan audit a curation
+    run opens with: document count, distinct normalized texts, the
+    exact-duplicate rate (ppm, integer arithmetic), blank-document rate
+    (ppm), and total/mean token volume.  ONE scan, ONE hash agg keyed
+    by source (count-distinct adds its expand internally); every
+    measure is exact-integer or a single integer division, so the row
+    is fully hash-stable cross-engine."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+        norm_text,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tok = token_count("text")
+    blank = (F.trim(F.col("text")) == "").cast("long")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(norm_text("text")).alias("distinct_texts"),
+        F.sum(blank).alias("n_blank"),
+        F.sum(n_tok.cast("long")).alias("total_tokens"),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "distinct_texts",
+        F.floor((F.col("n_docs") - F.col("distinct_texts")) * 1_000_000 / F.col("n_docs"))
+        .cast("long")
+        .alias("exact_dup_ppm"),
+        F.floor(F.col("n_blank") * 1_000_000 / F.col("n_docs")).cast("long").alias(
+            "blank_ppm"
+        ),
+        "total_tokens",
+        F.floor(F.col("total_tokens") * 100 / F.col("n_docs")).cast("long").alias(
+            "tokens_per_doc_x100"
+        ),
+    )
+
+
 def q_perplexity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM perplexity filtering (the CCNet/KenLM-style
     statistical quality gate): score every document by its average

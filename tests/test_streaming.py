@@ -229,3 +229,54 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
     # 14:00 window has emitted yet depends on the final watermark, so we
     # assert just the closed window
     assert counts.get(datetime(2024, 1, 1, 10, 0)) == 1
+
+
+def test_streaming_incremental_agg_merge_equals_batch(spark, tmp_path):
+    """Incremental rollup maintenance, streaming form: each micro-batch
+    is aggregated and MERGED into a stored state table via
+    merge_agg_states inside foreachBatch — after replaying the whole
+    input, the state must equal the one-shot batch aggregate (the
+    streaming twin of the incremental_agg oracle law)."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = str(tmp_path / "inc_src")
+    state_dir = str(tmp_path / "inc_state")
+    read_events(spark, SF_SMALL).repartition(4).write.parquet(src)
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("val_state"),
+        )
+
+    def merge_batch(batch_df, batch_id):
+        fresh = agg(batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["event_type"])
+        else:
+            merged = fresh
+        # overwrite via tmp to avoid reading & writing the same path
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    stream = SE.read_events_stream(spark, src, max_files=1)
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = {
+        r.event_type: (r.cnt, float(r.val_state))
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    want = {
+        r.event_type: (r.cnt, float(r.val_state))
+        for r in agg(spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(want) > 1
+    shutil.rmtree(src, ignore_errors=True)
