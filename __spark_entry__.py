@@ -210,6 +210,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": R.q_incremental_agg,
         "perplexity_rank": text.q_perplexity_rank,
         "corpus_health": text.q_corpus_health,
+        "repeated_passages": text.q_repeated_passages,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -772,6 +773,27 @@ def oracle_sql() -> dict[str, str]:
         "embedding_corpus_law": (
             "SELECT 'embedding_dedup_corpus' AS method, "
             "TRUE AS survivor_count_ok, TRUE AS idempotent"
+        ),
+        "repeated_passages": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            "p AS (SELECT doc_id, unnest(tk) AS token, "
+            "generate_subscripts(tk, 1) AS pos FROM t), "
+            "f AS (SELECT doc_id, pos, token, "
+            "CASE WHEN md5(token) LIKE '0%' THEN 1 ELSE 0 END AS flag "
+            "FROM p WHERE token <> ''), "
+            "c AS (SELECT doc_id, pos, token, "
+            "coalesce(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id "
+            "FROM f), "
+            "ch AS (SELECT doc_id, chunk_id, COUNT(*) AS n_chunk_tokens, "
+            "md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_digest "
+            "FROM c GROUP BY 1, 2) "
+            "SELECT chunk_digest, COUNT(*) AS n_occurrences, "
+            "COUNT(DISTINCT doc_id) AS n_docs, "
+            "CAST(MAX(n_chunk_tokens) AS BIGINT) AS n_chunk_tokens, "
+            "array_to_string(list_sort(list_distinct(list(doc_id)))[1:5], ',') "
+            "AS doc_sample "
+            "FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1"
         ),
         "corpus_health": (
             f"SELECT source, COUNT(*) AS n_docs, "

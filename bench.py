@@ -79,6 +79,13 @@ HEADLINE = [
     "dedup_containment",
     "join_bloom_prefilter",
     "quantile_bins",
+    "cdc_chunk",
+    "repeated_passages",
+    "perplexity_rank",
+    "vocab_build",
+    "corpus_health",
+    "scd2_merge",
+    "incremental_agg",
 ]
 
 

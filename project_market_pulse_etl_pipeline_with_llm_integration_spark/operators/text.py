@@ -772,6 +772,35 @@ def cdc_chunks(
     )
 
 
+def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage mining (boilerplate detection —
+    the C4/CCNet passage-dedup stage): CDC chunk digests that appear in
+    more than one document, with occurrence counts and a bounded
+    sample of afflicted doc ids.  Built ON the content-defined chunks
+    so a passage is found no matter where it sits in each document.
+    Plan shape: cdc_chunks' two doc-keyed shuffles, then ONE digest-
+    keyed agg; the posting sample is capped at 5 ids per digest
+    (min-sorted) so no row grows with corpus size — the inverted_index
+    prefix rule applied to passages."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = cdc_chunks(docs)
+    return (
+        chunks.groupBy("chunk_digest")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.max("n_chunk_tokens").alias("n_chunk_tokens"),
+            F.concat_ws(
+                ",",
+                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 5).cast(
+                    "array<string>"
+                ),
+            ).alias("doc_sample"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary construction (the corpus pass before BPE /
     WordPiece training): global token frequencies, the top-200 vocab by
