@@ -174,6 +174,7 @@ def bloom_semi_join(
     small_key: str,
     bits_per_key: int = 10,
     n_hashes: int = 5,
+    n_bits: int | None = None,
 ) -> DataFrame:
     """Semi join with a Bloom-filter prefilter on the probe side — the
     classic runtime-filter pattern for selective big⋈small joins at
@@ -196,7 +197,7 @@ def bloom_semi_join(
     so the OUTPUT is exactly the semi join's — the bloom only shrinks
     the shuffle: at 100 TB a 1%-selectivity semi join moves 1% of the
     probe side instead of all of it.  Returns the filtered big side."""
-    bitmap, n_bits = bloom_bitmap(small, small_key, bits_per_key, n_hashes)
+    bitmap, n_bits = bloom_bitmap(small, small_key, bits_per_key, n_hashes, n_bits)
     prefiltered = bloom_prefilter(big, big_key, bitmap, n_bits, n_hashes)
     return prefiltered.join(
         small.select(F.col(small_key).alias("__bsj_k")).distinct(),
@@ -206,14 +207,22 @@ def bloom_semi_join(
 
 
 def bloom_bitmap(
-    small: DataFrame, key: str, bits_per_key: int = 10, n_hashes: int = 5
+    small: DataFrame,
+    key: str,
+    bits_per_key: int = 10,
+    n_hashes: int = 5,
+    n_bits: int | None = None,
 ) -> tuple[list[int], int]:
     """Build the Bloom bitmap for ``small``'s key column: seeded
     xxhash64 positions, OR-folded into 64-bit words by one tiny
     aggregation; returns (words, n_bits).  Driver state is the bitmap
-    only — bits_per_key·|small| bits."""
-    n = small.count()
-    n_bits = 1 << max(14, (bits_per_key * max(n, 1) - 1).bit_length())
+    only — bits_per_key·|small| bits.  Pass ``n_bits`` (a power of two)
+    when the build-side cardinality is known to skip the sizing
+    count() — one fewer job per build; an undersized filter only costs
+    false positives (caught by the residual join), never correctness."""
+    if n_bits is None:
+        n = small.count()
+        n_bits = 1 << max(14, (bits_per_key * max(n, 1) - 1).bit_length())
     positions = F.array(
         *[
             F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
@@ -241,23 +250,34 @@ def bloom_prefilter(
     big: DataFrame, key: str, bitmap: list[int], n_bits: int, n_hashes: int = 5
 ) -> DataFrame:
     """Drop ``big`` rows whose key is definitely not in the bloom —
-    pure codegen bit tests against the broadcast array literal, no
-    shuffle.  May keep false positives (callers needing exact semantics
-    follow with the residual join — ``bloom_semi_join``)."""
-    probe = big.withColumn("__bsj_bm", F.lit(bitmap))  # ONE Literal node
+    pure codegen bit tests against the bitmap literal, no shuffle.  May
+    keep false positives (callers needing exact semantics follow with
+    the residual join — ``bloom_semi_join``).
+
+    The bitmap rides INSIDE the filter expression as one constant —
+    NEVER as a projected column: ``withColumn(lit(bitmap))`` copies the
+    whole array into every row's unsafe-row buffer (measured: a 128 KB
+    filter × 600k rows turned a sub-second probe into tens of seconds);
+    as an expression constant it is referenced, not materialized.  The
+    constant enters the plan as ONE json-string literal decoded by
+    ``from_json`` — Catalyst's ConstantFolding collapses it to an array
+    Literal at optimization time, where ``F.lit(list)`` would issue a
+    py4j round-trip per element (measured: 11 s of driver time for a
+    2^20-bit filter).  ``call_function`` reaches the SQL
+    shiftrightunsigned, whose shift amount may be a column (the Python
+    wrapper only takes literals)."""
+    import json as _json
+
+    blit = F.from_json(F.lit(_json.dumps(bitmap)), "array<bigint>")
     keep = F.lit(True)
-    tmp_cols = ["__bsj_bm"]
     for i in range(n_hashes):
-        pc = f"__bsj_p{i}"
-        tmp_cols.append(pc)
-        probe = probe.withColumn(
-            pc, F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
-        )
-        keep = keep & F.expr(
-            f"(shiftrightunsigned(element_at(__bsj_bm, CAST({pc} / 64 AS INT) + 1), "
-            f"CAST({pc} % 64 AS INT)) & 1) = 1"
-        )
-    return probe.filter(keep).drop(*tmp_cols)
+        p = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
+        word = F.element_at(blit, (p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftrightunsigned", word, (p % 64).cast("int")
+        ).bitwiseAND(F.lit(1))
+        keep = keep & (bit == 1)
+    return big.filter(keep)
 
 
 def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,9 +289,11 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000)
     )
-    return bloom_semi_join(big, small, "l_orderkey", "o_orderkey").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
-    )
+    # fixed 2^20-bit filter (128 KB): plenty for this dim's cardinality
+    # at any bench sf, and skips the per-run sizing count
+    return bloom_semi_join(
+        big, small, "l_orderkey", "o_orderkey", n_bits=1 << 20
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
