@@ -51,6 +51,44 @@ def clean_news(df_raw: DataFrame, id_method: str = "offsets") -> DataFrame:
     return with_id.select(*CLEAN_COLUMNS)
 
 
+def clean_news_observed(df_raw: DataFrame, id_method: str = "window"):
+    """``clean_news`` instrumented with Spark's Observation API — the
+    production telemetry pattern: pipeline metrics (rows in, rows
+    kept, null-date drops) ride the SAME job as the data instead of
+    costing extra count() actions.  Returns (clean_df, observations):
+    call ``obs.get`` AFTER an action on the returned frame.  At 100 TB
+    an extra count() pass re-scans the input; observe() metrics are
+    aggregated by the existing tasks for free.
+
+    Defaults to the single-pass ``window`` id method: the two-pass
+    ``offsets`` method executes the observed subtree twice and the
+    metrics double-count (observed live: rows_in 2112 on a 1,056-row
+    input) — a general Observation rule: the observed plan must run
+    exactly once per action."""
+    from pyspark.sql import Observation
+
+    obs_in = Observation("clean_in")
+    obs_kept = Observation("clean_kept")
+    renamed = df_raw.withColumnsRenamed(
+        {"headline": "title", "short_description": "content", "date": "publish_date"}
+    ).observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+    essential = renamed.na.drop(subset=["title", "content", "category"])
+    kept = essential.filter(F.col("category").isin(CATEGORIES_TO_KEEP))
+    cast = kept.withColumn("publish_date", F.try_to_timestamp(F.col("publish_date")))
+    dated = cast.na.drop(subset=["publish_date"]).observe(
+        obs_kept,
+        F.count(F.lit(1)).alias("rows_kept"),
+        # DISTINCT aggregates are disallowed in observed metrics
+        # (INVALID_OBSERVED_METRICS); the HLL sketch is exact at this
+        # cardinality and observe-legal
+        F.approx_count_distinct("category").alias("n_categories"),
+    )
+    with_id = with_dense_id(
+        dated, ["publish_date", "link"], id_col="id_news", method=id_method
+    )
+    return with_id.select(*CLEAN_COLUMNS), {"in": obs_in, "kept": obs_kept}
+
+
 def extract_and_clean(
     spark: SparkSession, input_path: str, output_folder: str, single_file: bool = False
 ) -> str | None:

@@ -67,6 +67,32 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def extract_features_arrow(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_features`: the batch stays
+    a pyarrow RecordBatch end-to-end — no Arrow->pandas->Arrow
+    round-trip, which for binary-heavy columns skips two full copies of
+    every payload per batch.  Same output contract (append
+    ``features`` array<double>); pinned feature-identical to the pandas
+    path by test.  The pandas path remains the default for readability;
+    this is the documented escape hatch when the payload bytes dominate
+    batch transfer cost (the 100 TB media-column case)."""
+    import pyarrow as pa
+
+    names = [f.name for f in df.schema.fields]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += ", features array<double>"
+
+    def run(batches):
+        for batch in batches:
+            payloads = batch.column(names.index(payload_col))
+            feats = [decode_stub(p.as_py() or b"") for p in payloads]
+            arrays = [batch.column(i) for i in range(batch.num_columns)]
+            arrays.append(pa.array(feats, type=pa.list_(pa.float64())))
+            yield pa.RecordBatch.from_arrays(arrays, names=[*names, "features"])
+
+    return df.mapInArrow(run, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

@@ -56,3 +56,25 @@ def test_extract_and_clean_writes_parquet(spark, news_jsonl, tmp_path):
 
 def test_clean_returns_none_on_bad_input(spark, tmp_path):
     assert extract_and_clean(spark, "/nonexistent/nope.jsonl", str(tmp_path)) is None
+
+
+def test_clean_observed_metrics_match_reference_counts(spark):
+    """Observation-instrumented clean: metrics ride the job itself (no
+    extra count() scans) and must equal the known reference dataset
+    funnel — 1,056 raw rows in, 463 survivors, 5 kept categories."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.clean import (
+        clean_news_observed,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_news_jsonl,
+    )
+
+    raw = read_news_jsonl(spark, "/root/reference/News_Category_Dataset_v3.json")
+    out, obs = clean_news_observed(raw)
+    n = out.count()  # the action the metrics ride on
+    assert n == 463
+    assert obs["in"].get["rows_in"] == 1056
+    assert obs["kept"].get["rows_kept"] == 463
+    # approx_count_distinct (observe() forbids DISTINCT aggs): the
+    # HLL estimate at rsd=0.05 may be off by one at tiny cardinality
+    assert abs(obs["kept"].get["n_categories"] - 5) <= 1

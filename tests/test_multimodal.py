@@ -58,3 +58,26 @@ def test_resize_stride_sampling_bytes(spark):
         assert out[i].stride == stride
         assert out[i].resized_len == len(b[::stride])
         assert out[i].resized_len <= 64
+
+
+def test_arrow_features_match_pandas_path(spark):
+    """The mapInArrow feature extractor must be feature-identical to
+    the mapInPandas path on the same payloads, including empty ones."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.multimodal import (
+        extract_features,
+        extract_features_arrow,
+        with_binary_payload,
+    )
+
+    texts = ["hello world", "", "abc" * 100, "  "]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    payloads = with_binary_payload(df).select("doc_id", "payload")
+    via_pandas = {
+        r.doc_id: r.features for r in extract_features(payloads).collect()
+    }
+    via_arrow = {
+        r.doc_id: r.features for r in extract_features_arrow(payloads).collect()
+    }
+    assert via_pandas == via_arrow and len(via_arrow) == len(texts)
