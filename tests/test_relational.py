@@ -320,6 +320,30 @@ def test_round5_new_operator_plans(spark):
     assert "CartesianProduct" not in p3 and "BroadcastNestedLoopJoin" not in p3
 
 
+def test_join_hints_control_physical_strategy(spark):
+    """Join-strategy hints are the manual override when Catalyst's
+    choice is wrong for a workload: the same logical join must execute
+    as ShuffledHashJoin under SHUFFLE_HASH, SortMergeJoin under MERGE,
+    and BroadcastHashJoin under BROADCAST — with identical results."""
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    results = []
+    for hint, node in [
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("broadcast", "BroadcastHashJoin"),
+    ]:
+        j = li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, (hint, node)
+        results.append(j.count())
+    assert len(set(results)) == 1 and results[0] > 0
+
+
 def test_bloom_semi_join_exact_and_selective(spark):
     """The bloom prefilter must (a) never change semantics — output
     identical to the plain semi join even with adversarial keys — and
