@@ -211,6 +211,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_rank": text.q_perplexity_rank,
         "corpus_health": text.q_corpus_health,
         "repeated_passages": text.q_repeated_passages,
+        "cms_error_bound": R.q_cms_error_bound,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -773,6 +774,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_corpus_law": (
             "SELECT 'embedding_dedup_corpus' AS method, "
             "TRUE AS survivor_count_ok, TRUE AS idempotent"
+        ),
+        "cms_error_bound": (
+            "SELECT 'count_min' AS method, TRUE AS overestimate_ok, "
+            "TRUE AS bound_ok"
         ),
         "repeated_passages": (
             f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "

@@ -2067,6 +2067,81 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D = 4          # hash rows
+_CMS_W = 256        # counters per row
+_CMS_P = 2_147_483_647  # Mersenne prime 2^31-1
+_CMS_A = [982_451_653, 715_827_883, 179_424_673, 32_452_843]
+_CMS_B = [12_345, 67_891, 24_679, 98_765]
+
+
+def _cms_bucket(key: Column, i: int) -> Column:
+    """i-th Count-Min bucket: ((k·a_i + b_i) mod p) mod w — pure int64
+    arithmetic, identical on any engine (no engine-specific hash)."""
+    return (
+        (key.cast("long") % _CMS_P * _CMS_A[i] + _CMS_B[i]) % _CMS_P
+    ) % _CMS_W
+
+
+def q_cms_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over event user counts, reduced to its two laws
+    as a driver-checkable row (the invariant-row pattern for sketches):
+
+    * ``overestimate_ok`` — STRUCTURAL: a CMS estimate (min over d
+      row-counters) can never undercount, because every occurrence of a
+      key lands in each of its d counters.
+    * ``bound_ok`` — every key's overestimate is within 2N/w of truth
+      (the e/w·N Markov bound with slack; deterministic on fixed data).
+
+    Why CMS at 100 TB: the exact ``heavy_hitters`` groupBy carries one
+    state entry per DISTINCT key; the sketch is d·w integers NO MATTER
+    the key cardinality, mergeable across partitions (counter-wise
+    add), and its candidates feed the exact verifier.  Plan: the
+    counter table is ONE explode->groupBy over (row, bucket) — at most
+    d·w rows out; the law check joins exact per-key counts to their d
+    counters (bucket equi-joins) and aggregates two booleans."""
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").cast("long").alias("k"))
+    buckets = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), _cms_bucket(F.col("k"), i).alias("bucket")
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row", "rb.bucket")
+    counters = buckets.groupBy("row", "bucket").agg(F.count("*").alias("counter"))
+    exact = ev.groupBy("k").agg(F.count("*").alias("true_cnt"))
+    est = exact
+    for i in range(_CMS_D):
+        ci = counters.filter(F.col("row") == i).select(
+            F.col("bucket").alias(f"b{i}"), F.col("counter").alias(f"c{i}")
+        )
+        est = est.join(F.broadcast(ci), _cms_bucket(F.col("k"), i) == F.col(f"b{i}"))
+    estimate = F.least(*[F.col(f"c{i}") for i in range(_CMS_D)])
+    total = ev.agg(F.count("*").alias("total"))
+    return (
+        est.select("k", "true_cnt", estimate.alias("est"))
+        .crossJoin(F.broadcast(total))
+        .agg(
+            F.sum((F.col("est") < F.col("true_cnt")).cast("long")).alias("n_under"),
+            F.sum(
+                (
+                    (F.col("est") - F.col("true_cnt")) * _CMS_W
+                    > 2 * F.col("total")
+                ).cast("long")
+            ).alias("n_out_of_bound"),
+        )
+        .select(
+            F.lit("count_min").alias("method"),
+            (F.col("n_under") == 0).alias("overestimate_ok"),
+            (F.col("n_out_of_bound") == 0).alias("bound_ok"),
+        )
+    )
+
+
 def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report window: each order's share of its customer's
     lifetime spend.  The per-partition total accumulates in DECIMAL
