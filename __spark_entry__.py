@@ -212,6 +212,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_health": text.q_corpus_health,
         "repeated_passages": text.q_repeated_passages,
         "cms_error_bound": R.q_cms_error_bound,
+        "bitmap_distinct": R.q_bitmap_distinct,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -778,6 +779,23 @@ def oracle_sql() -> dict[str, str]:
         "cms_error_bound": (
             "SELECT 'count_min' AS method, TRUE AS overestimate_ok, "
             "TRUE AS bound_ok"
+        ),
+        "bitmap_distinct": (
+            "WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, "
+            "CAST(user_id AS BIGINT) AS uid FROM events), "
+            # 63-bit chunks: DuckDB errors on a shift into the sign bit
+            "ch AS (SELECT day, event_type, uid // 63 AS chunk, "
+            "bit_or(CAST(1 AS BIGINT) << CAST(uid % 63 AS INT)) AS bits "
+            "FROM e GROUP BY 1, 2, 3), "
+            "bm AS (SELECT day, event_type, SUM(bit_count(bits)) "
+            "AS distinct_users_bitmap FROM ch GROUP BY 1, 2), "
+            "ex AS (SELECT day, event_type, COUNT(DISTINCT uid) "
+            "AS distinct_users_exact FROM e GROUP BY 1, 2) "
+            "SELECT bm.day, bm.event_type, "
+            "CAST(distinct_users_bitmap AS BIGINT) AS distinct_users_bitmap, "
+            "CAST(distinct_users_exact AS BIGINT) AS distinct_users_exact, "
+            "distinct_users_bitmap = distinct_users_exact AS bitmap_exact "
+            "FROM bm JOIN ex USING (day, event_type)"
         ),
         "repeated_passages": (
             f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "

@@ -2142,6 +2142,59 @@ def q_cms_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index distinct counting (the groupBitmap / roaring
+    pattern): per (day, event_type), distinct users via OR-folded
+    bitmap chunks — each user sets bit (user mod 63) of chunk
+    (user div 63); popcount of the OR'd chunks sums to the exact
+    distinct count.  63 bits per chunk, not 64: shifting into a signed
+    long's sign bit is an overflow ERROR in DuckDB (Spark wraps
+    silently), so the cross-engine contract stays off bit 63.  The law
+    column pins bitmap == count_distinct in the same row.
+
+    Why at scale: count_distinct's partial state is a hash set of the
+    keys seen (unbounded); the bitmap's partial state is
+    ceil(|domain|/64) longs with counter-free exact merges (bitwise
+    OR is idempotent AND commutative — re-delivered rows are free,
+    unlike sketch adds), the exact-distinct analogue of the CMS
+    trade.  Plan: one explode-free groupBy on (day, type, chunk) then
+    a re-agg summing popcounts — two skinny shuffles."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.col("user_id").cast("long").alias("uid"),
+    )
+    chunks = (
+        ev.groupBy(
+            "day",
+            "event_type",
+            (F.col("uid") / 63).cast("long").alias("chunk"),
+        )
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (F.col("uid") % 63).cast("int")
+                )
+            ).alias("bits")
+        )
+    )
+    per_group = chunks.groupBy("day", "event_type").agg(
+        F.sum(F.bit_count("bits")).alias("distinct_users_bitmap")
+    )
+    exact = ev.groupBy("day", "event_type").agg(
+        F.count_distinct("uid").alias("distinct_users_exact")
+    )
+    return per_group.join(exact, ["day", "event_type"]).select(
+        "day",
+        "event_type",
+        "distinct_users_bitmap",
+        "distinct_users_exact",
+        (F.col("distinct_users_bitmap") == F.col("distinct_users_exact")).alias(
+            "bitmap_exact"
+        ),
+    )
+
+
 def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report window: each order's share of its customer's
     lifetime spend.  The per-partition total accumulates in DECIMAL
