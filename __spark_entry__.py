@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (  # noqa: E402
     analytics,
+    curate,
     dedup,
     multimodal,
     relational as R,
@@ -213,6 +214,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_passages": text.q_repeated_passages,
         "cms_error_bound": R.q_cms_error_bound,
         "bitmap_distinct": R.q_bitmap_distinct,
+        "curation_pipeline": curate.q_curation_pipeline,
+        "curation_law": curate.q_curation_law,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -779,6 +782,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_error_bound": (
             "SELECT 'count_min' AS method, TRUE AS overestimate_ok, "
             "TRUE AS bound_ok"
+        ),
+        "curation_law": (
+            "SELECT 'curation' AS method, TRUE AS funnel_monotone, "
+            "TRUE AS subset_ok, TRUE AS splits_exhaustive"
         ),
         "bitmap_distinct": (
             "WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, "
