@@ -280,3 +280,55 @@ def test_streaming_incremental_agg_merge_equals_batch(spark, tmp_path):
     }
     assert got == want and len(want) > 1
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_checkpoint_recovery_no_double_count(spark, tmp_path):
+    """Stop/restart with the same checkpoint: the restarted query must
+    resume from recorded source offsets and restored aggregation state
+    — the first half of the input is neither lost nor double-counted,
+    and the final complete-mode aggregate equals the one-shot batch
+    aggregate over everything."""
+    src = str(tmp_path / "ck_src")
+    ck = str(tmp_path / "ck_chk")
+    out = str(tmp_path / "ck_out")
+    ev = read_events(spark, SF_SMALL)
+    first = ev.filter("user_id % 2 = 0").coalesce(1)
+    second = ev.filter("user_id % 2 = 1").coalesce(1)
+    first.write.parquet(src)
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("val"),
+        )
+
+    def sink(batch_df, batch_id):
+        batch_df.coalesce(1).write.mode("overwrite").parquet(out)
+
+    def run_once():
+        q = (
+            agg(SE.read_events_stream(spark, src, max_files=1))
+            .writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()                                   # first half only
+    mid = {r.event_type: r.cnt for r in spark.read.parquet(out).collect()}
+    second.write.mode("append").parquet(src)     # new data arrives
+    run_once()                                   # restart, same checkpoint
+
+    got = {
+        r.event_type: (r.cnt, float(r.val))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.event_type: (r.cnt, float(r.val)) for r in agg(ev).collect()
+    }
+    assert got == want
+    # and the first run really was partial (state continuation, not a
+    # full reprocess of the directory)
+    assert any(mid[k] < got[k][0] for k in mid)
