@@ -216,6 +216,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_distinct": R.q_bitmap_distinct,
         "curation_pipeline": curate.q_curation_pipeline,
         "curation_law": curate.q_curation_law,
+        "join_asof_tolerance": R.q_join_asof_tolerance,
+        "scalar_bitwise": R.q_scalar_bitwise,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -786,6 +788,28 @@ def oracle_sql() -> dict[str, str]:
         "curation_law": (
             "SELECT 'curation' AS method, TRUE AS funnel_monotone, "
             "TRUE AS subset_ok, TRUE AS splits_exhaustive"
+        ),
+        "join_asof_tolerance": (
+            "WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events "
+            "WHERE event_type = 'view'), "
+            "c AS (SELECT user_id, ts, event_id AS click_id FROM events "
+            "WHERE event_type = 'click'), "
+            "j AS (SELECT c.click_id, c.user_id, v.ts AS vts, v.view_id "
+            "FROM c JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts "
+            "AND v.ts >= c.ts - INTERVAL 1 HOUR), "
+            "m AS (SELECT click_id, user_id, max(vts) AS mts FROM j GROUP BY 1, 2) "
+            "SELECT m.click_id, m.user_id, max(j.view_id) AS asof_view_id "
+            "FROM m JOIN j ON j.click_id = m.click_id AND j.vts = m.mts "
+            "GROUP BY 1, 2"
+        ),
+        "scalar_bitwise": (
+            "SELECT l_orderkey, l_linenumber, "
+            "l_orderkey & l_suppkey AS b_and, "
+            "l_orderkey | l_suppkey AS b_or, "
+            "xor(l_orderkey, l_suppkey) AS b_xor, "
+            "l_suppkey << CAST(l_linenumber % 7 AS INT) AS b_shl, "
+            "l_orderkey >> CAST(l_linenumber % 7 AS INT) AS b_shr, "
+            "CAST(bit_count(l_orderkey) AS INT) AS b_pop FROM lineitem"
         ),
         "bitmap_distinct": (
             "WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, "

@@ -428,6 +428,72 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a lookback TOLERANCE (pandas ``merge_asof
+    (tolerance=...)`` / kdb ``wj`` semantics): the most recent same-user
+    'view' at-or-before each 'click' counts only if it is at most one
+    hour old — the feature-engineering guard against joining stale
+    state.  Correctness note: if the LATEST at-or-before view is out of
+    tolerance every earlier one is too, so the tolerance is a residual
+    filter on the carried match — same one-shuffle window plan as
+    q_join_asof, no extra join.  The matched view's ts is carried
+    alongside its id by the same ignore-nulls last over the same order,
+    so both fields come from the same winning row."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_events,
+    )
+
+    ev = read_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), F.lit(0).alias("tag")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.lit(1).alias("tag")
+    )
+    merged = views.unionByName(
+        clicks.withColumn("view_id", F.lit(None).cast("long")),
+        allowMissingColumns=True,
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "view_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.withColumn(
+        "asof_view_id", F.last("view_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "asof_view_ts",
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .filter(F.col("asof_view_id").isNotNull())
+        .filter(
+            F.col("asof_view_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+        )
+        .select("click_id", "user_id", "asof_view_id")
+    )
+
+
+def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar battery: AND/OR/XOR, bounded shifts, popcount —
+    the operations bitmap indexes, bloom filters, and flag columns are
+    made of, pinned cross-engine on real keys.  Shift amounts stay in
+    [0, 6] and off the sign bit (DuckDB errors where Spark wraps)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sh = (F.col("l_linenumber") % 7).cast("int")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey & l_suppkey").alias("b_and"),
+        F.expr("l_orderkey | l_suppkey").alias("b_or"),
+        F.expr("l_orderkey ^ l_suppkey").alias("b_xor"),
+        F.call_function("shiftleft", F.col("l_suppkey"), sh).alias("b_shl"),
+        F.call_function("shiftright", F.col("l_orderkey"), sh).alias("b_shr"),
+        F.bit_count("l_orderkey").cast("int").alias("b_pop"),
+    )
+
+
 def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join: for every 'click', the EARLIEST 'view' of the
     same user at-or-after the click — the mirror of q_join_asof with a
