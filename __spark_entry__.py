@@ -218,6 +218,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_law": curate.q_curation_law,
         "join_asof_tolerance": R.q_join_asof_tolerance,
         "scalar_bitwise": R.q_scalar_bitwise,
+        "langid_confusion": text.q_langid_confusion,
         "union_all": R.q_union_all,
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -1523,6 +1524,22 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'de' END AS pred_lang FROM h"
         ),
         "fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "langid_confusion": (
+            "WITH t AS (SELECT doc_id, lang, list_distinct(" + _TOKS + ") AS toks "
+            "FROM documents), "
+            "h AS (SELECT doc_id, lang, "
+            f"CAST(len(list_intersect(toks, {_EN})) AS BIGINT) AS hits_en, "
+            f"CAST(len(list_intersect(toks, {_ES})) AS BIGINT) AS hits_es, "
+            f"CAST(len(list_intersect(toks, {_FR})) AS BIGINT) AS hits_fr, "
+            f"CAST(len(list_intersect(toks, {_DE})) AS BIGINT) AS hits_de FROM t), "
+            "p AS (SELECT lang, "
+            "CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und' "
+            "WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'en' "
+            "WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'es' "
+            "WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'fr' "
+            "ELSE 'de' END AS pred_lang FROM h) "
+            "SELECT lang, pred_lang, COUNT(*) AS n_docs FROM p GROUP BY 1, 2"
+        ),
         "lang_id_ngram": (
             f"WITH g AS (SELECT doc_id, list_distinct([substr({_NORM}, i, 3) "
             f"FOR i IN generate_series(1, greatest(length({_NORM}) - 2, 1))]) AS tri "

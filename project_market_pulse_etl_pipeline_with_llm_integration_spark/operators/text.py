@@ -637,6 +637,22 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the corpus's labeled
+    ``lang`` column — the audit that turns a heuristic classifier into
+    a measured component (per-pair counts expose exactly which
+    languages it confuses and how often, feeding threshold decisions
+    for the corpus_filter).  One scan + one hash agg over the (label,
+    prediction) pairs; the oracle recomputes the full marker heuristic
+    independently, so the gate pins classifier AND audit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        with_lang_id(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report — the one-scan audit a curation
     run opens with: document count, distinct normalized texts, the
