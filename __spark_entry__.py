@@ -24,6 +24,8 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators impo
     analytics,
     curate,
     dedup,
+    graph,
+    market,
     multimodal,
     relational as R,
     sample as sampling,
@@ -317,6 +319,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": R.q_window_rank,
         "window_running": R.q_window_running,
         "zorder_layout": R.q_zorder_layout,
+        # new in round 5 (session 2): market analytics, graph rank,
+        # tokenizer-training counts — local-gate verified, r6 rotation
+        "ohlc_bars": market.q_ohlc_bars,
+        "market_basket": market.q_market_basket,
+        "attribution": market.q_attribution,
+        "pagerank": graph.q_pagerank,
+        "bpe_pair_counts": text.q_bpe_pair_counts,
+        "zipf_law": text.q_zipf_law,
     }
 
 
@@ -1673,5 +1683,108 @@ def oracle_sql() -> dict[str, str]:
             "AS session_seq FROM flagged) "
             "SELECT user_id, session_seq, COUNT(*) AS n_events, MIN(ts) AS session_start, "
             "MAX(ts) AS session_end FROM sid GROUP BY 1, 2"
+        ),
+        # round-5 session-2 additions: market analytics / graph / BPE
+        "ohlc_bars": (
+            "WITH ev AS (SELECT event_type AS series, "
+            "date_trunc('hour', ts) AS bar_hour, ts, event_id, value AS v "
+            "FROM events WHERE value IS NOT NULL), "
+            "m AS (SELECT series, bar_hour, v, "
+            "row_number() OVER (PARTITION BY series, bar_hour "
+            "ORDER BY ts, event_id) AS rn_asc, "
+            "row_number() OVER (PARTITION BY series, bar_hour "
+            "ORDER BY ts DESC, event_id DESC) AS rn_desc FROM ev) "
+            "SELECT series, bar_hour, "
+            "MAX(CASE WHEN rn_asc = 1 THEN v END) AS open, "
+            "MAX(v) AS high, MIN(v) AS low, "
+            "MAX(CASE WHEN rn_desc = 1 THEN v END) AS close, "
+            "COUNT(*) AS volume, "
+            "CAST(round(SUM(CAST(v AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_value "
+            "FROM m GROUP BY 1, 2"
+        ),
+        "market_basket": (
+            "WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk "
+            "FROM lineitem), "
+            "keep AS (SELECT ok FROM op GROUP BY ok HAVING COUNT(*) <= 64), "
+            "b AS (SELECT op.ok, op.pk FROM op JOIN keep USING (ok)), "
+            "pairs AS (SELECT x.pk AS p1, y.pk AS p2 FROM b x JOIN b y "
+            "ON x.ok = y.ok AND x.pk < y.pk) "
+            "SELECT p1, p2, COUNT(*) AS n_orders FROM pairs GROUP BY 1, 2 "
+            "ORDER BY n_orders DESC, p1, p2 LIMIT 50"
+        ),
+        "attribution": (
+            "WITH ev AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN event_type IN ('click', 'view') THEN "
+            "struct_pack(t_ts := ts, t_id := event_id, t_type := event_type) "
+            "END AS touch FROM events), "
+            "c AS (SELECT user_id, ts, event_id, event_type, "
+            "last_value(touch IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt FROM ev) "
+            "SELECT event_id AS conversion_id, user_id, "
+            "CASE WHEN lt IS NOT NULL AND date_diff('second', lt.t_ts, ts) "
+            "<= 86400 THEN lt.t_id END AS touch_event_id, "
+            "CASE WHEN lt IS NOT NULL AND date_diff('second', lt.t_ts, ts) "
+            "<= 86400 THEN lt.t_type END AS touch_type, "
+            "CASE WHEN lt IS NOT NULL AND date_diff('second', lt.t_ts, ts) "
+            "<= 86400 THEN CAST(date_diff('second', lt.t_ts, ts) AS BIGINT) "
+            "END AS gap_seconds FROM c WHERE event_type = 'purchase'"
+        ),
+        # fixed-point integer PageRank: 5 unrolled iterations; every op
+        # is integer mul/div/sum so both engines produce bit-identical
+        # longs (the SCALE.md determinism rule applied to iteration)
+        "pagerank": (
+            "WITH rel AS (SELECT DISTINCT o_custkey AS cust, "
+            "-l_suppkey AS supp FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey), "
+            "edges AS (SELECT cust AS src, supp AS dst FROM rel "
+            "UNION ALL SELECT supp, cust FROM rel), "
+            "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src), "
+            "ed AS (SELECT e.src, e.dst, d.deg FROM edges e "
+            "JOIN deg d USING (src)), "
+            "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node "
+            "FROM edges UNION ALL SELECT dst FROM edges)), "
+            "r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes), "
+            + " ".join(
+                f"r{k} AS (SELECT n.node, CAST(150000000 + COALESCE(s.inflow, 0) "
+                "AS BIGINT) AS rank FROM nodes n LEFT JOIN ("
+                "SELECT ed.dst AS node, SUM((85 * r.rank) // (100 * ed.deg)) "
+                f"AS inflow FROM ed JOIN r{k-1} r ON ed.src = r.node "
+                "GROUP BY ed.dst) s USING (node)),"
+                for k in range(1, 6)
+            )
+            + " top AS (SELECT node, rank FROM r5 "
+            "ORDER BY rank DESC, node LIMIT 20) "
+            "SELECT node, rank, CAST(row_number() OVER "
+            "(ORDER BY rank DESC, node) AS BIGINT) AS pr_rank FROM top"
+        ),
+        "bpe_pair_counts": (
+            f"WITH t AS (SELECT {_TOKS} AS tk FROM documents "
+            f"WHERE trim(text) <> '' AND len({_TOKS}) >= 2), "
+            "p AS (SELECT unnest(tk[1:len(tk)-1]) AS a, "
+            "unnest(tk[2:len(tk)]) AS b FROM t) "
+            "SELECT a, b, COUNT(*) AS n_pairs FROM p GROUP BY 1, 2 "
+            "ORDER BY n_pairs DESC, a, b LIMIT 50"
+        ),
+        # both engines compute their own regr_slope; only wide-band
+        # verdicts are hashed (floats never enter the hashed contract)
+        "zipf_law": (
+            f"WITH f AS (SELECT tok AS token, COUNT(*) AS freq FROM "
+            f"(SELECT unnest({_TOKS}) AS tok FROM documents "
+            "WHERE trim(text) <> '') GROUP BY 1), "
+            "top AS (SELECT token, freq FROM f ORDER BY freq DESC, token "
+            "LIMIT 100), "
+            "r AS (SELECT token, freq, row_number() OVER "
+            "(ORDER BY freq DESC, token) AS rnk FROM top), "
+            "fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_top, "
+            "MAX(CASE WHEN rnk = 1 THEN token END) AS top_token, "
+            "MAX(CASE WHEN rnk = 1 THEN freq END) AS top_freq, "
+            "CAST(SUM(freq) AS BIGINT) AS top100_tokens, "
+            "regr_slope(ln(freq), ln(rnk)) AS slope FROM r), "
+            "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size, "
+            "CAST(SUM(freq) AS BIGINT) AS total_tokens FROM f) "
+            "SELECT n_top, top_token, top_freq, top100_tokens, vocab_size, "
+            "total_tokens, slope < -0.3 AS slope_negative_ok, "
+            "slope > -2.0 AS slope_bounded_ok FROM fit, tot"
         ),
     }

@@ -86,6 +86,12 @@ HEADLINE = [
     "corpus_health",
     "scd2_merge",
     "incremental_agg",
+    # round-5 session-2 additions: market analytics, graph, BPE counts
+    "ohlc_bars",
+    "market_basket",
+    "attribution",
+    "pagerank",
+    "bpe_pair_counts",
 ]
 
 

@@ -1,0 +1,114 @@
+"""Graph operators: fixed-point integer PageRank over the
+customer-supplier trade graph.
+
+Companion to the pointer-jumping connected components in dedup.py —
+together they cover the two classic iterative-graph shapes (label
+propagation and weighted rank propagation) that a corpus-curation
+pipeline needs (e.g. domain-authority weighting of crawl sources).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# Fixed-point scale: ranks are longs in units of 1e-9 "rank mass".
+PR_INIT = 1_000_000_000
+# Damping 0.85 expressed as an integer ratio so every step is exact
+# integer arithmetic (order-independent, cross-engine deterministic).
+PR_NUM, PR_DEN = 85, 100
+PR_TELEPORT = (100 - PR_NUM) * PR_INIT // PR_DEN  # 0.15 * INIT
+
+
+def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Bidirectional customer<->supplier edge list from the order flow:
+    an edge per distinct trading relationship.  Node ids are disjoint
+    (customers keep their key, suppliers are offset to the negative
+    range) so one rank vector covers both sides of the bipartite
+    graph."""
+    rel = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (-F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    fwd = rel.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+    rev = rel.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def pagerank_fixed_point(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """PageRank in FIXED-POINT INTEGER arithmetic: rank r(v) is a long
+    (scale 1e-9); one step is
+
+        r'(v) = TELEPORT + sum over in-neighbors u of
+                (85 * r(u)) div (100 * deg(u))
+
+    Every operation is integer multiply / integer div / integer sum —
+    exact, associative, order-independent — so after any fixed number
+    of iterations both Spark and a SQL oracle produce bit-identical
+    longs.  This is the SCALE.md determinism rule applied to an
+    iterative algorithm: floats never enter the hashed contract at all
+    (a float PageRank sums contributions in engine-dependent order and
+    drifts in the last ulp per iteration).  The div truncation loses
+    <1e-9 of mass per edge per step — irrelevant for ranking, decisive
+    for determinism.
+
+    Plan shape per iteration: one shuffle join (ranks ⋈ edges on src —
+    both sides hash-partitioned on the same key, so AQE reuses the
+    exchange layout across iterations) + one hash agg on dst with
+    map-side partial sums.  Iteration count is FIXED (default 5): at
+    100 TB each round is a bounded shuffle of |E| rows and the driver
+    loop adds no data movement — the same pattern as the pointer-
+    jumping CC (dedup.py), which converges in O(log d) rounds.  Out-
+    degrees are computed once and joined into the edge list so the
+    per-step join is rank ⋈ prepared-edges only."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src").select("src", "dst", "deg")
+    ranks = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct().withColumn("rank", F.lit(PR_INIT).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"({PR_NUM} * rank) div ({PR_DEN} * deg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(PR_TELEPORT) + F.coalesce("inflow", F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return ranks
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes of the trade graph by 5-iteration fixed-point
+    PageRank; hashed contract is (node, rank, pr_rank) — all longs."""
+    edges = trade_edges(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+    ranks = pagerank_fixed_point(edges, iters=5)
+    top = ranks.orderBy(F.col("rank").desc(), "node").limit(20)
+    from pyspark.sql import Window as W
+
+    # row_number over the already-limited 20 rows — not the graph
+    w = W.orderBy(F.col("rank").desc(), "node")
+    return top.select(
+        "node", "rank", F.row_number().over(w).cast("long").alias("pr_rank")
+    ).orderBy("pr_rank")

@@ -1,0 +1,186 @@
+"""Market-analytics operators: OHLC candlestick bars, market-basket
+pair mining, and marketing attribution.
+
+The reference pipeline (Main.py) is a market-pulse ETL; these are the
+analytics a market-data team would run downstream of it, re-expressed
+as distributed Spark plans.  All pure DataFrame column algebra — no
+UDFs, no collects; shuffle discipline documented per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+    money_sum,
+)
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+    read_events,
+)
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) candlestick bars per series —
+    the canonical market-data rollup: for each (series, hour bucket)
+    emit the first value, max, min, last value, tick count, and the
+    exact DECIMAL value sum.
+
+    Determinism contract: open/close are ACTUAL data values selected by
+    a total order (ts, event_id) — no arithmetic, so they are
+    cross-engine float-exact; high/low are min/max (exact); volume is a
+    count; sum_value accumulates in DECIMAL (money_sum) so it is
+    order-independent.  Nothing transcendental is hashed.
+
+    Plan shape: one window over (series, bar) ordered by (ts, event_id)
+    to mark the first/last tick, then one hash agg on the same key —
+    both shuffles are on (series, bar), so AQE reuses a single
+    exchange.  Bars are bounded (series × hours), so the output is tiny
+    at any corpus size; the per-bar sort is bounded by bar width, never
+    global.  At 100 TB the input would be hour-partitioned parquet and
+    the bar key aligns with partitioning — the window sees only local
+    rows."""
+    bar = F.date_trunc("hour", F.col(ts_col))
+    ev = events.select(
+        F.col(key_col).alias("series"),
+        bar.alias("bar_hour"),
+        F.col(ts_col).alias("ts"),
+        F.col("event_id"),
+        F.col(value_col).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    w = W.partitionBy("series", "bar_hour").orderBy("ts", "event_id")
+    marked = ev.select(
+        "series",
+        "bar_hour",
+        "v",
+        F.row_number().over(w).alias("rn_asc"),
+        F.row_number().over(
+            W.partitionBy("series", "bar_hour").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        ).alias("rn_desc"),
+    )
+    return marked.groupBy("series", "bar_hour").agg(
+        F.max(F.when(F.col("rn_asc") == 1, F.col("v"))).alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max(F.when(F.col("rn_desc") == 1, F.col("v"))).alias("close"),
+        F.count("*").alias("volume"),
+        money_sum(F.col("v")).alias("sum_value"),
+    )
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlc_bars(read_events(spark, sf_dir))
+
+
+def market_basket_pairs(
+    lineitem: DataFrame,
+    topk: int = 50,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Market-basket co-occurrence mining: the top-k part pairs most
+    often bought together in the same order (the counting core of
+    association-rule / frequent-itemset mining).
+
+    Plan shape: distinct (order, part) first — dedup BEFORE the pair
+    join so a part repeated in an order contributes once; then a
+    self-equi-join on orderkey with ``p1 < p2`` (each unordered pair
+    emitted exactly once), count per pair, distributed TakeOrdered
+    top-k on the total order (pairs desc, part1, part2).
+
+    100 TB posture: the join is keyed on orderkey, never cartesian; the
+    per-order pair fan-out is quadratic in basket size, so basket size
+    is the scale lever — TPC-H baskets are <= 7 lines, and the
+    ``max_basket`` guard drops degenerate giant baskets (a single
+    pathological 1e5-line order would emit 5e9 pairs) with an explicit
+    cap rather than letting one key blow up a task.  Dropped baskets
+    are a documented mining choice (frequent-itemset miners cap basket
+    size for the same reason), not silent truncation of normal data."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sizes = op.groupBy("ok").agg(F.count("*").alias("basket_n"))
+    bounded = op.join(
+        F.broadcast(sizes.filter(F.col("basket_n") > max_basket)),
+        "ok",
+        "left_anti",
+    )
+    a = bounded.select("ok", F.col("pk").alias("p1"))
+    b = bounded.select("ok", F.col("pk").alias("p2"))
+    pairs = a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
+    counted = pairs.groupBy("p1", "p2").agg(F.count("*").alias("n_orders"))
+    return (
+        counted.orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(topk)
+        .select("p1", "p2", "n_orders")
+    )
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return market_basket_pairs(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_hours: int = 24,
+) -> DataFrame:
+    """Last-touch attribution: credit each conversion to the most
+    recent qualifying touch event by the same user within a lookback
+    window — the standard product-analytics attribution join.
+
+    Mechanics: one pass, no self-join.  Events are windowed per user
+    ordered by (ts, event_id); ``last(touch, ignorenulls)`` over rows
+    UNBOUNDED PRECEDING..CURRENT carries the latest touch forward, and
+    conversions outside the lookback emit NULL attribution (kept — an
+    unattributed conversion is a result, not a dropped row).
+
+    Plan shape: a single user-keyed window (one shuffle on user_id);
+    the carried state is one struct per row.  At 100 TB this is the
+    as-of-join pattern with the small side fused into the same scan —
+    strictly cheaper than the union-tag + range-join alternative
+    because touches and conversions live in the SAME stream."""
+    tt = list(touch_types)
+    ev = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type").isin(tt),
+            F.struct(
+                F.col("ts").alias("t_ts"),
+                F.col("event_id").alias("t_id"),
+                F.col("event_type").alias("t_type"),
+            ),
+        ).alias("touch"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = ev.withColumn(
+        "last_touch", F.last("touch", ignorenulls=True).over(w)
+    )
+    conv = carried.filter(F.col("event_type") == conversion_type)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("last_touch.t_ts")
+    in_window = F.col("last_touch").isNotNull() & (gap <= lookback_hours * 3600)
+    return conv.select(
+        F.col("event_id").alias("conversion_id"),
+        "user_id",
+        F.when(in_window, F.col("last_touch.t_id")).alias("touch_event_id"),
+        F.when(in_window, F.col("last_touch.t_type")).alias("touch_type"),
+        F.when(in_window, gap).alias("gap_seconds"),
+    )
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attribution_last_touch(read_events(spark, sf_dir))

@@ -916,3 +916,93 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack(
         spark.read.parquet(f"{sf_dir}/documents.parquet"), 256
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, topk: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Adjacent token-pair frequencies — the counting step of one BPE
+    tokenizer-training merge round (the most-frequent adjacent pair is
+    the pair BPE would merge next).  Distributed BPE trainers run
+    exactly this count-reduce per merge; here one round is exposed as a
+    corpus-statistics operator.
+
+    Plan shape: pairs are built with ARRAY algebra — zip the token
+    array against itself shifted by one (slice + arrays_zip), then one
+    explode and one count agg.  No window, no per-doc shuffle: the only
+    exchange is the final (a, b) count, with map-side partial
+    aggregation doing the heavy lifting.  Top-k is a distributed
+    TakeOrdered on the total order (count desc, a, b).  At 100 TB this
+    is the cheapest possible shape: one narrow pass + one agg whose key
+    space is the pair vocabulary, not the corpus."""
+    t = tokens(text_col)
+    n = F.size(t)
+    pairs = F.arrays_zip(
+        F.slice(t, 1, n - 1).alias("a"), F.slice(t, 2, n - 1).alias("b")
+    )
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "a", "b")
+        .limit(topk)
+    )
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_pair_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law corpus audit: fit ln(freq) ~ ln(rank) over the top-100
+    tokens and report whether the corpus obeys the expected power law —
+    a standard sanity check on scraped training corpora (a corpus whose
+    token distribution is too flat or too steep is boilerplate- or
+    spam-dominated).
+
+    Determinism contract (SCALE.md rule): the regression slope is a
+    float and is NOT hashed — the hashed row is exact integers (vocab
+    size, total token count, top-token frequency) plus BOOLEANS derived
+    from the slope with wide margins (a healthy Zipf slope is ~-1;
+    the accepted band [-2, -0.3] is orders of magnitude wider than any
+    cross-engine float drift in regr_slope's sums).  Both engines
+    compute their own slope; only the banded verdicts are compared.
+
+    Plan: one token count agg, top-100 TakeOrdered, then a 100-row
+    regression — driver-light, corpus-scan-heavy, exactly one shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    freqs = (
+        docs.filter(F.trim("text") != "")
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = freqs.orderBy(F.col("freq").desc(), "token").limit(100)
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    ranked = top.select(
+        "token", "freq", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    fit = ranked.agg(
+        F.count("*").alias("n_top"),
+        F.max(F.when(F.col("rnk") == 1, F.col("token"))).alias("top_token"),
+        F.max(F.when(F.col("rnk") == 1, F.col("freq"))).alias("top_freq"),
+        F.sum("freq").alias("top100_tokens"),
+        F.regr_slope(F.log("freq"), F.log("rnk")).alias("slope"),
+    )
+    totals = freqs.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("freq").alias("total_tokens"),
+    )
+    return fit.crossJoin(totals).select(
+        "n_top",
+        "top_token",
+        "top_freq",
+        "top100_tokens",
+        "vocab_size",
+        "total_tokens",
+        (F.col("slope") < -0.3).alias("slope_negative_ok"),
+        (F.col("slope") > -2.0).alias("slope_bounded_ok"),
+    )

@@ -1,0 +1,115 @@
+"""Hand-case and invariant tests for the market-analytics operators
+(OHLC bars, market basket, attribution) and fixed-point PageRank."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from conftest import SF_SMALL
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+    graph,
+    market,
+)
+
+
+def test_ohlc_hand_case(spark):
+    rows = [
+        (1, datetime(2026, 1, 1, 10, 0, 5), "s1", 10.0),
+        (2, datetime(2026, 1, 1, 10, 30, 0), "s1", 30.0),
+        (3, datetime(2026, 1, 1, 10, 59, 59), "s1", 20.0),
+        (4, datetime(2026, 1, 1, 11, 0, 0), "s1", 7.0),
+        (5, datetime(2026, 1, 1, 10, 15, 0), "s2", 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    out = {
+        (r["series"], r["bar_hour"].hour): r
+        for r in market.ohlc_bars(df).collect()
+    }
+    b = out[("s1", 10)]
+    assert (b["open"], b["high"], b["low"], b["close"]) == (10.0, 30.0, 10.0, 20.0)
+    assert b["volume"] == 3 and b["sum_value"] == 60.0
+    assert out[("s1", 11)]["open"] == 7.0
+    assert out[("s2", 10)]["volume"] == 1
+
+
+def test_ohlc_tie_breaks_on_event_id(spark):
+    # two ticks at the SAME timestamp: open/close must pick by event_id
+    ts = datetime(2026, 1, 1, 9, 1, 1)
+    df = spark.createDataFrame(
+        [(2, ts, "x", 5.0), (1, ts, "x", 3.0)],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    b = market.ohlc_bars(df).collect()[0]
+    assert b["open"] == 3.0 and b["close"] == 5.0
+
+
+def test_market_basket_hand_case(spark):
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10), (3, 20),
+        (3, 10),  # duplicate line: must count once per order
+    ]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    out = {(r["p1"], r["p2"]): r["n_orders"] for r in
+           market.market_basket_pairs(df, topk=10).collect()}
+    assert out[(10, 20)] == 3
+    assert out[(10, 30)] == 1 and out[(20, 30)] == 1
+
+
+def test_market_basket_degenerate_order_dropped(spark):
+    big = [(99, p) for p in range(100)] + [(1, 1), (1, 2)]
+    df = spark.createDataFrame(big, ["l_orderkey", "l_partkey"])
+    out = market.market_basket_pairs(df, topk=1000, max_basket=64).collect()
+    # the 100-part basket is dropped entirely; only the pair from order 1
+    assert len(out) == 1 and (out[0]["p1"], out[0]["p2"]) == (1, 2)
+
+
+def test_attribution_last_touch_and_lookback(spark):
+    rows = [
+        # user 1: view -> click -> purchase (credit click, the later touch)
+        (1, 1, datetime(2026, 1, 1, 10, 0), "view"),
+        (2, 1, datetime(2026, 1, 1, 11, 0), "click"),
+        (3, 1, datetime(2026, 1, 1, 12, 0), "purchase"),
+        # user 2: touch 30h before purchase -> outside 24h lookback
+        (4, 2, datetime(2026, 1, 1, 0, 0), "click"),
+        (5, 2, datetime(2026, 1, 2, 6, 0), "purchase"),
+        # user 3: purchase with no touches at all
+        (6, 3, datetime(2026, 1, 1, 9, 0), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = {r["conversion_id"]: r for r in
+           market.attribution_last_touch(df).collect()}
+    assert out[3]["touch_event_id"] == 2 and out[3]["touch_type"] == "click"
+    assert out[3]["gap_seconds"] == 3600
+    assert out[5]["touch_event_id"] is None  # outside lookback, row kept
+    assert out[6]["touch_event_id"] is None
+
+
+def test_pagerank_star_graph(spark):
+    # star: hub 0 <-> leaves 1..4 (bidirectional).  The hub must outrank
+    # every leaf, and all leaves are symmetric -> identical ranks.
+    edges = []
+    for leaf in (1, 2, 3, 4):
+        edges.append((0, leaf))
+        edges.append((leaf, 0))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ranks = {r["node"]: r["rank"] for r in
+             graph.pagerank_fixed_point(df, iters=5).collect()}
+    assert len(ranks) == 5
+    leaf_ranks = {ranks[i] for i in (1, 2, 3, 4)}
+    assert len(leaf_ranks) == 1  # exact integer equality, not approx
+    assert ranks[0] > ranks[1]
+
+
+def test_pagerank_mass_is_bounded(spark):
+    # teleport-only floor: every node's rank >= TELEPORT, and the total
+    # never exceeds the initial mass (div truncation only loses mass)
+    out = graph.q_pagerank(spark, SF_SMALL).collect()
+    assert len(out) == 20
+    assert all(r["rank"] >= graph.PR_TELEPORT for r in out)
+    assert [r["pr_rank"] for r in out] == list(range(1, 21))
+    # descending by (rank, node) total order
+    pairs = [(r["rank"], -r["node"]) for r in out]
+    assert pairs == sorted(pairs, reverse=True)
