@@ -351,11 +351,19 @@ def containment_pairs(
         posting.withColumn("gdf", gdf)
         .withColumn("rn", rn)
         .filter(F.col("rn") <= F.floor((1 - threshold) * F.col("sz")) + 1)
-        .select(F.col("id").alias("id_a"), "gram")
+        .select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "gram")
     )
+    # lossless size prune at candidate time: containment(A,B) >= t
+    # forces |A ∩ B| >= t·|A| and the intersection can't exceed |B|,
+    # so |B| >= t·|A| — drops ~1/3 of candidates BEFORE the fat-array
+    # verify joins (the dominant shuffle: candidates × shingle bytes)
     cands = (
-        prefix.join(posting.select(F.col("id").alias("id_b"), "gram"), "gram")
+        prefix.join(
+            posting.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "gram"),
+            "gram",
+        )
         .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
         .select("id_a", "id_b")
         .distinct()
     )
