@@ -327,6 +327,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": graph.q_pagerank,
         "bpe_pair_counts": text.q_bpe_pair_counts,
         "zipf_law": text.q_zipf_law,
+        "rolling_features": analytics.q_rolling_features,
+        "mad_outliers": analytics.q_mad_outliers,
+        "triangle_count": graph.q_triangle_count,
+        "shortest_hops": graph.q_shortest_hops,
     }
 
 
@@ -1786,5 +1790,85 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_top, top_token, top_freq, top100_tokens, vocab_size, "
             "total_tokens, slope < -0.3 AS slope_negative_ok, "
             "slope > -2.0 AS slope_bounded_ok FROM fit, tot"
+        ),
+        # integer-cents rolling stats: every statistic is integer
+        # arithmetic after one correctly-rounded cents conversion
+        "rolling_features": (
+            "WITH ev AS (SELECT user_id, ts, event_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events "
+            "WHERE event_type = 'purchase'), "
+            "f AS (SELECT user_id, event_id, cents, "
+            "COUNT(*) OVER w AS n_win, SUM(cents) OVER w AS sum_cents, "
+            "SUM(cents * cents) OVER w AS sumsq, "
+            "MIN(cents) OVER w AS min_cents, MAX(cents) OVER w AS max_cents, "
+            "cents - lag(cents) OVER wo AS delta_cents FROM ev "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), "
+            "wo AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id, event_id, cents, CAST(n_win AS BIGINT) AS n_win, "
+            "CAST(sum_cents AS BIGINT) AS sum_cents, "
+            "CAST((sum_cents * 1000000) // n_win AS BIGINT) AS mean_1e6, "
+            "CAST(CASE WHEN n_win >= 2 THEN ((n_win * sumsq - "
+            "sum_cents * sum_cents) * 1000000) // (n_win * (n_win - 1)) END "
+            "AS BIGINT) AS var_1e6, "
+            "CAST(min_cents AS BIGINT) AS min_cents, "
+            "CAST(max_cents AS BIGINT) AS max_cents, "
+            "CAST(delta_cents AS BIGINT) AS delta_cents FROM f"
+        ),
+        # median/MAD are data values under a pinned rank order; the
+        # threshold compare is single-op IEEE arithmetic — deterministic
+        "mad_outliers": (
+            "WITH ev AS (SELECT event_id, event_type, value FROM events "
+            "WHERE value IS NOT NULL), "
+            "r AS (SELECT event_id, event_type, value, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY value, event_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY event_type) AS n FROM ev), "
+            "med AS (SELECT event_type, value AS med FROM r "
+            "WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)), "
+            "dev AS (SELECT r.event_id, r.event_type, r.value, med.med, "
+            "abs(r.value - med.med) AS adev, r.n FROM r "
+            "JOIN med USING (event_type)), "
+            "dr AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+            "ORDER BY adev, event_id) AS drn FROM dev), "
+            "mad AS (SELECT event_type, adev AS mad FROM dr "
+            "WHERE drn = CAST(ceil(n * 0.5) AS BIGINT)) "
+            "SELECT dev.event_id, dev.event_type, dev.value, dev.med, "
+            "mad.mad FROM dev JOIN mad USING (event_type) "
+            "WHERE dev.adev > 3 * mad.mad"
+        ),
+        "triangle_count": (
+            "WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk "
+            "FROM lineitem), "
+            "e AS (SELECT x.pk AS a, y.pk AS b FROM op x JOIN op y "
+            "ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2 "
+            "HAVING COUNT(*) >= 2), "
+            "w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+            "JOIN e e2 ON e1.b = e2.a), "
+            "t AS (SELECT COUNT(*) AS n_triangles FROM w JOIN e e3 "
+            "ON w.x = e3.a AND w.z = e3.b), "
+            "n AS (SELECT COUNT(DISTINCT v) AS n_nodes FROM "
+            "(SELECT a AS v FROM e UNION ALL SELECT b FROM e)), "
+            "m AS (SELECT COUNT(*) AS n_edges FROM e) "
+            "SELECT n.n_nodes, m.n_edges, t.n_triangles FROM n, m, t"
+        ),
+        # BFS min-label propagation, 4 unrolled rounds — all integer mins
+        "shortest_hops": (
+            "WITH rel AS (SELECT DISTINCT o_custkey AS cust, "
+            "-l_suppkey AS supp FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey), "
+            "edges AS (SELECT cust AS src, supp AS dst FROM rel "
+            "UNION ALL SELECT supp, cust FROM rel), "
+            "d0 AS (SELECT MIN(o_custkey) AS node, CAST(0 AS BIGINT) AS hop "
+            "FROM orders), "
+            + " ".join(
+                f"d{k} AS (SELECT node, MIN(hop) AS hop FROM "
+                f"(SELECT * FROM d{k-1} UNION ALL "
+                f"SELECT e.dst, d.hop + 1 FROM edges e JOIN d{k-1} d "
+                "ON e.src = d.node) GROUP BY node),"
+                for k in range(1, 5)
+            )
+            + " h AS (SELECT hop, COUNT(*) AS n_nodes FROM d4 GROUP BY hop) "
+            "SELECT hop, n_nodes FROM h"
         ),
     }

@@ -92,6 +92,9 @@ HEADLINE = [
     "attribution",
     "pagerank",
     "bpe_pair_counts",
+    "rolling_features",
+    "mad_outliers",
+    "triangle_count",
 ]
 
 

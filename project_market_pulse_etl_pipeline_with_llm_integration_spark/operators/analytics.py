@@ -124,3 +124,119 @@ def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("rn") == F.ceil(F.col("n") * 0.5)
     ).select("event_type", F.col("value").alias("median_value"))
+
+
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store rolling aggregates: per user, over the trailing
+    7-event window of purchase amounts — count, sum, mean, sample
+    variance, min/max, and delta vs previous purchase.
+
+    Exactness contract (SCALE.md determinism rule): amounts are
+    converted to integer CENTS once (round(value*100) — a single
+    correctly-rounded IEEE op, bit-identical cross-engine), and every
+    rolling statistic is then integer arithmetic: mean_1e6 is an
+    integer div, and the sample variance uses the integer identity
+    (n·Σx² − (Σx)²) / (n·(n−1)) floor-scaled — no float summation
+    anywhere, so a 1000-way-partitioned run hashes identically.
+
+    Plan: single user-keyed window (one shuffle); the 7-row frame makes
+    every per-row update O(1) state.  This is the batch twin of what a
+    feature store materializes incrementally."""
+    ev = (
+        read_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    feat = ev.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.count("*").over(w).alias("n_win"),
+        F.sum("cents").over(w).alias("sum_cents"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("sumsq"),
+        F.min("cents").over(w).alias("min_cents"),
+        F.max("cents").over(w).alias("max_cents"),
+        (F.col("cents") - F.lag("cents", 1).over(wo)).alias("delta_cents"),
+    )
+    return feat.select(
+        "user_id",
+        "event_id",
+        "cents",
+        "n_win",
+        "sum_cents",
+        F.expr("(sum_cents * 1000000) div n_win").alias("mean_1e6"),
+        F.expr(
+            "CASE WHEN n_win >= 2 THEN "
+            "((n_win * sumsq - sum_cents * sum_cents) * 1000000) "
+            "div (n_win * (n_win - 1)) END"
+        ).alias("var_1e6"),
+        "min_cents",
+        "max_cents",
+        "delta_cents",
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: |x − median| > 3·MAD, where
+    MAD is the median absolute deviation — the robust z-score that a
+    mean/stddev filter gets wrong under heavy tails (outliers inflate
+    the stddev and mask themselves; the median and MAD are breakdown-
+    point-0.5 robust).
+
+    Determinism: median and MAD are ACTUAL data values selected by rank
+    (percentile_disc at ceil(n/2), ties by the value order) — no
+    interpolation; |x − med| is one IEEE subtraction and 3·MAD one
+    multiply, both correctly rounded, so the boolean threshold is
+    bit-identical cross-engine (the same argument as grouped_median).
+
+    Plan: two group-keyed window rank passes (median of x, then median
+    of |x − med|) — both shuffles on event_type, the second reuses the
+    first's partitioning; output is the flagged rows only."""
+    ev = (
+        read_events(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    wv = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.ceil(F.col("n") * 0.5)).select(
+        "event_type", F.col("value").alias("med")
+    )
+    dev = ranked.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    wd = W.partitionBy("event_type").orderBy("adev", "event_id")
+    dranked = dev.select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        "adev",
+        "n",
+        F.row_number().over(wd).alias("drn"),
+    )
+    mad = dranked.filter(F.col("drn") == F.ceil(F.col("n") * 0.5)).select(
+        "event_type", F.col("adev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )

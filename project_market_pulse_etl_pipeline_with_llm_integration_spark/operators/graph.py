@@ -112,3 +112,91 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "node", "rank", F.row_number().over(w).cast("long").alias("pr_rank")
     ).orderBy("pr_rank")
+
+
+def copurchase_edges(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
+    """Part co-purchase edges: (a, b) with a < b bought together in at
+    least ``min_support`` orders.  The support threshold is the density
+    lever — raising it prunes the long tail of coincidental pairs, and
+    at 100 TB it is what keeps the edge set (and any triangle join over
+    it) sparse.  Same distinct-before-self-join discipline as
+    market_basket_pairs."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.select("ok", F.col("pk").alias("a"))
+    b = op.select("ok", F.col("pk").alias("b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .select("a", "b")
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph: one exact-integer row
+    (n_nodes, n_edges, n_triangles) — the classic clustering-structure
+    probe (triangle density distinguishes community-structured graphs
+    from random ones).
+
+    Plan: edges are stored in a<b orientation, so the enumeration join
+    e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) counts each triangle EXACTLY once with
+    no post-hoc dedup — this is the degree-ordered-orientation trick
+    (each triangle has a unique smallest-id apex) that bounds the
+    intermediate wedge count by Σ out_deg², not Σ deg².  Both joins are
+    keyed shuffles; the min_support filter on the edge builder keeps
+    the graph sparse enough that wedges stay bounded at scale.  Output
+    is three longs — everything exact."""
+    edges = copurchase_edges(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), min_support=2
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    tris = wedges.join(e3, ["x", "z"])
+    nodes = edges.select(F.col("a").alias("n")).unionAll(
+        edges.select(F.col("b").alias("n"))
+    ).distinct()
+    return (
+        nodes.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tris.agg(F.count("*").alias("n_triangles")))
+    )
+
+
+def q_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability profile of the trade graph: hop-distance
+    histogram (hop, n_nodes) from the minimum customer key after 4
+    rounds of frontier expansion — the connectivity-audit companion to
+    pagerank (a supply-chain 'how far is everyone from this account'
+    probe).
+
+    Iteration is min-label propagation: d_{k+1}(v) = min(d_k(v),
+    1 + min over in-neighbors d_k(u)) — all integer mins, so the fixed
+    4-round unrolled SQL oracle matches exactly.  Per round: one
+    frontier ⋈ edges shuffle + one min agg; distances only decrease, so
+    the state stays one long per reached node.  Same fixed-iteration
+    posture as pagerank: at 100 TB each round is a bounded keyed
+    shuffle, and the hop histogram output is O(diameter) rows."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = trade_edges(orders, lineitem)
+    src = orders.agg(F.min("o_custkey").alias("node")).withColumn(
+        "hop", F.lit(0).cast("long")
+    )
+    dist = src
+    for _ in range(4):
+        nxt = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
+        )
+        dist = (
+            dist.unionAll(nxt)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+        )
+    return dist.groupBy("hop").agg(F.count("*").alias("n_nodes"))

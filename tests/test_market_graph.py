@@ -113,3 +113,90 @@ def test_pagerank_mass_is_bounded(spark):
     # descending by (rank, node) total order
     pairs = [(r["rank"], -r["node"]) for r in out]
     assert pairs == sorted(pairs, reverse=True)
+
+
+def test_rolling_features_hand_case(spark):
+    from datetime import datetime as dt
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import analytics
+
+    # monkeypatch-free: build a tiny events frame through the public q_
+    # path is overkill; exercise the window math directly via a temp
+    # parquet is also overkill — feed the reader's shape
+    rows = [
+        (1, dt(2026, 1, 1, 10, 0), 7, "purchase", 1.00),
+        (2, dt(2026, 1, 1, 11, 0), 7, "purchase", 2.00),
+        (3, dt(2026, 1, 1, 12, 0), 7, "purchase", 4.00),
+        (4, dt(2026, 1, 1, 10, 30), 7, "view", 99.0),  # filtered out
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    import project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics as A
+
+    orig = A.read_events
+    try:
+        A.read_events = lambda spark, sf_dir: df
+        out = {r["event_id"]: r for r in A.q_rolling_features(spark, "x").collect()}
+    finally:
+        A.read_events = orig
+    assert set(out) == {1, 2, 3}
+    r3 = out[3]
+    # cents: 100, 200, 400 -> n=3 sum=700 mean=233.333333*1e4
+    assert (r3["n_win"], r3["sum_cents"]) == (3, 700)
+    assert r3["mean_1e6"] == (700 * 1_000_000) // 3
+    # sample var of (100,200,400) = (3*210000-490000)/6 cents^2
+    assert r3["var_1e6"] == ((3 * 210000 - 700 * 700) * 1_000_000) // 6
+    assert (r3["min_cents"], r3["max_cents"], r3["delta_cents"]) == (100, 400, 200)
+    assert out[1]["var_1e6"] is None and out[1]["delta_cents"] is None
+
+
+def test_mad_outliers_flags_planted_extreme(spark):
+    from datetime import datetime as dt
+
+    import project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics as A
+
+    base = [
+        (i, dt(2026, 1, 1, 10, i), 1, "view", float(v))
+        for i, v in enumerate([10, 11, 12, 13, 14, 9, 8])
+    ]
+    base.append((99, dt(2026, 1, 1, 11, 0), 1, "view", 1000.0))
+    df = spark.createDataFrame(
+        base, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    orig = A.read_events
+    try:
+        A.read_events = lambda spark, sf_dir: df
+        out = A.q_mad_outliers(spark, "x").collect()
+    finally:
+        A.read_events = orig
+    assert [r["event_id"] for r in out] == [99]
+    # median of 8..14,1000 at ceil(8/2)=4th value asc = 11; MAD over
+    # deviations (3,2,1,0,1,2,3,989) 4th asc = 2
+    assert out[0]["med"] == 11.0 and out[0]["mad"] == 2.0
+
+
+def test_triangle_count_hand_case(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import graph
+
+    # orders: {1,2,3} x2 (triangle with support 2), {4,5} x2 (edge only)
+    rows = []
+    for ok in (10, 11):
+        rows += [(ok, 1), (ok, 2), (ok, 3)]
+    for ok in (12, 13):
+        rows += [(ok, 4), (ok, 5)]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    edges = graph.copurchase_edges(df, min_support=2)
+    got = {(r["a"], r["b"]) for r in edges.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def test_shortest_hops_histogram(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import graph
+
+    out = {r["hop"]: r["n_nodes"] for r in
+           graph.q_shortest_hops(spark, SF_SMALL).collect()}
+    assert out[0] == 1  # the source alone
+    assert all(h in (0, 1, 2, 3, 4) for h in out)
+    # bipartite: odd hops are suppliers (negative ids), even customers
+    assert len(out) >= 2
