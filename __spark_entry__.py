@@ -331,6 +331,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": analytics.q_mad_outliers,
         "triangle_count": graph.q_triangle_count,
         "shortest_hops": graph.q_shortest_hops,
+        "table_profile": R.q_table_profile,
+        "negative_sample": similarity.q_negative_sample,
     }
 
 
@@ -1870,5 +1872,52 @@ def oracle_sql() -> dict[str, str]:
             )
             + " h AS (SELECT hop, COUNT(*) AS n_nodes FROM d4 GROUP BY hop) "
             "SELECT hop, n_nodes FROM h"
+        ),
+        "table_profile": (
+            "WITH w AS (SELECT COUNT(*) AS n_rows, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS null_{c}, "
+                f"COUNT(DISTINCT {c}) AS dist_{c}, "
+                f"CAST(MIN({c}) AS VARCHAR) AS min_{c}, "
+                f"CAST(MAX({c}) AS VARCHAR) AS max_{c}"
+                for c in [
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderstatus",
+                    "o_orderpriority",
+                    "o_orderdate",
+                ]
+            )
+            + " FROM orders) "
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS column, n_rows, null_{c} AS n_null, "
+                f"dist_{c} AS n_distinct, min_{c} AS min_val, "
+                f"max_{c} AS max_val FROM w"
+                for c in [
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderstatus",
+                    "o_orderpriority",
+                    "o_orderdate",
+                ]
+            )
+        ),
+        # hash-mod negative draw: 15-hex md5 prefix parses exactly as a
+        # positive 60-bit long in both engines (the hash_sample recipe)
+        "negative_sample": (
+            "WITH n AS (SELECT COUNT(*) AS n_corpus FROM embeddings), "
+            "s AS (SELECT e.vec_id, e.label AS anchor_label, n.n_corpus, "
+            "slot FROM embeddings e, n, unnest([1, 2, 3, 4]) AS t(slot)), "
+            "d AS (SELECT vec_id, anchor_label, n_corpus, "
+            "CAST(slot AS BIGINT) AS slot, "
+            "('0x' || substr(md5(vec_id || ':' || slot), 1, 15))::BIGINT "
+            "% n_corpus AS raw FROM s), "
+            "g AS (SELECT vec_id, anchor_label, slot, "
+            "CASE WHEN raw = vec_id THEN (raw + 1) % n_corpus "
+            "ELSE raw END AS neg_id FROM d) "
+            "SELECT g.vec_id, g.slot, g.neg_id, g.anchor_label, "
+            "e.label AS neg_label, e.label = g.anchor_label AS is_hard "
+            "FROM g JOIN embeddings e ON e.vec_id = g.neg_id"
         ),
     }

@@ -2345,3 +2345,44 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.cast("long").alias("zval"),
         F.floor(z / 1024).cast("long").alias("layout_bucket"),
     )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (the Deequ/Glue-crawler 'profile this
+    table' primitive): per column — row count, null count, distinct
+    count, min, max, all rendered as strings so one schema covers every
+    column type.
+
+    Plan: a SINGLE aggregate computes all 5 columns' metrics (count,
+    count_distinct x5, min/max x5) and the per-column rows are unpacked
+    driver-free with inline() over a literal struct array — one scan,
+    one Expand for the multi-distinct, output O(columns).  At 100 TB
+    swap count_distinct for approx_count_distinct per column (the HLL
+    entry documents the bound); the profile shape is unchanged.  Values
+    are stringified via date/long-safe casts only (no raw double
+    rendering — engines disagree on float formatting)."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_val"),
+                F.col(f"max_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.inline(rows))

@@ -645,3 +645,57 @@ def q_embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("min_cos"), F.lit(1.0)) >= threshold).alias("precision_ok"),
         (F.col("n_found") == F.col("n_planted")).alias("planted_recall_ok"),
     )
+
+
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive embedding
+    training: for every anchor vector, draw 4 pseudo-random negatives
+    from the corpus — reproducibly (same negatives on any engine,
+    cluster size, or rerun; corpus-versioned training data demands it).
+
+    The draw is hash-mod: neg = md5(anchor ':' slot) mod N over the
+    contiguous id space, bumped by one (mod N) on self-collision.  The
+    15-hex-digit prefix (60 bits) parses exactly as a positive long in
+    both engines — same recipe as hash_sample's md5 membership.  Labels
+    ride along via two keyed joins, and ``is_hard`` marks negatives
+    sharing the anchor's label (the ones a curriculum would upweight).
+
+    Plan: slots come from a 4-element inline array (narrow generate, no
+    shuffle); the label attachment is two equi-joins on id — at 100 TB
+    both sides hash-partition on the id, and the anchor side reuses the
+    scan.  No RNG state, no driver sampling."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    n = emb.agg(F.count("*").alias("n_corpus"))
+    slots = emb.crossJoin(F.broadcast(n)).select(
+        F.col("vec_id"),
+        F.col("label").alias("anchor_label"),
+        "n_corpus",
+        F.explode(F.array(*[F.lit(s) for s in (1, 2, 3, 4)])).alias("slot"),
+    )
+    raw = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("vec_id"), F.col("slot"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long") % F.col("n_corpus")
+    drawn = slots.withColumn(
+        "neg_id",
+        F.when(raw == F.col("vec_id"), (raw + 1) % F.col("n_corpus")).otherwise(raw),
+    )
+    neg = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return (
+        drawn.join(neg, "neg_id")
+        .select(
+            "vec_id",
+            F.col("slot").cast("long").alias("slot"),
+            "neg_id",
+            "anchor_label",
+            "neg_label",
+            (F.col("neg_label") == F.col("anchor_label")).alias("is_hard"),
+        )
+    )

@@ -71,6 +71,43 @@ def streaming_tumbling_counts(
     return tumbling_counts(events_stream.withWatermark("ts", watermark), width)
 
 
+def ohlc_tumbling(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """OHLC candlestick bars as a unified batch/stream transformation:
+    open/close via min_by/max_by under the (ts, event_id) total order —
+    plain aggregates, so the SAME expression runs under readStream with
+    a watermark (unlike the window-rank formulation in
+    operators/market.py, which streaming can't run).  Incremental state
+    per (window, series) is five scalars — O(1) per bar."""
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            F.col("win.start").alias("bar_start"),
+            F.col("event_type").alias("series"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
+def streaming_ohlc(
+    events_stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming form of the OHLC bars; watermark closes bars once event
+    time passes the bar end + watermark, bounding state store size."""
+    return ohlc_tumbling(events_stream.withWatermark("ts", watermark), width)
+
+
 def session_windows_stateful(
     events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -200,3 +200,46 @@ def test_shortest_hops_histogram(spark):
     assert all(h in (0, 1, 2, 3, 4) for h in out)
     # bipartite: odd hops are suppliers (negative ids), even customers
     assert len(out) >= 2
+
+
+def test_new_operator_plan_contracts(spark):
+    """Physical-plan contracts for the session's join-heavy additions:
+    no cartesian/nested-loop joins anywhere (every self-join and label
+    attach is keyed), and the market_basket degenerate-basket guard
+    rides a broadcast (small filtered side), never a shuffle of the
+    pair stream."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        graph as G,
+        market as M,
+        similarity as S,
+    )
+
+    def plan(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    basket = plan(M.q_market_basket(spark, SF_SMALL))
+    assert "CartesianProduct" not in basket
+    assert "BroadcastNestedLoopJoin" not in basket
+    # the >max_basket anti-join guard broadcasts the tiny violator list
+    assert "BroadcastHashJoin" in basket and "LeftAnti" in basket
+
+    tri = plan(G.q_triangle_count(spark, SF_SMALL))
+    assert "CartesianProduct" not in tri
+    # exactly two nested-loop joins: the 1-row x 1-row x 1-row scalar
+    # combine of (n_nodes, n_edges, n_triangles) — the wedge/closure
+    # joins themselves must be keyed (hash/merge), never nested-loop
+    assert tri.count("BroadcastNestedLoopJoin") == 2
+    assert ("BroadcastHashJoin" in tri) or ("SortMergeJoin" in tri)
+
+    pr = plan(G.q_pagerank(spark, SF_SMALL))
+    assert "CartesianProduct" not in pr
+    assert "BroadcastNestedLoopJoin" not in pr
+    # top-k is a TakeOrdered, never a global Sort of the rank vector
+    assert "TakeOrderedAndProject" in pr
+
+    neg = plan(S.q_negative_sample(spark, SF_SMALL))
+    assert "CartesianProduct" not in neg
+    # one nested-loop join: the broadcast 1-row corpus-count attach;
+    # the label-fetch join on neg_id must be a keyed hash join
+    assert neg.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" in neg or "SortMergeJoin" in neg

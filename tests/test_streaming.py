@@ -332,3 +332,37 @@ def test_streaming_checkpoint_recovery_no_double_count(spark, tmp_path):
     # and the first run really was partial (state continuation, not a
     # full reprocess of the directory)
     assert any(mid[k] < got[k][0] for k in mid)
+
+
+def test_streaming_ohlc_equals_batch_and_market_op(spark, tmp_path):
+    """The streaming OHLC replayed over the full input must equal (a)
+    its own batch form and (b) the window-rank formulation in
+    operators/market.py — two independent code paths, one contract."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import market
+
+    src = _events_dir(spark, tmp_path)
+    stream = SE.read_events_stream(spark, src, max_files=2)
+    q = (
+        SE.streaming_ohlc(stream, "1 hour", watermark="100 days")
+        .writeStream.format("memory")
+        .queryName("ohlc_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.bar_start, r.series): (r.open, r.high, r.low, r.close, r.volume)
+        for r in spark.sql("select * from ohlc_out").collect()
+    }
+    batch = {
+        (r.bar_start, r.series): (r.open, r.high, r.low, r.close, r.volume)
+        for r in SE.ohlc_tumbling(spark.read.parquet(src), "1 hour").collect()
+    }
+    assert got == batch
+    via_market = {
+        (r.bar_hour, r.series): (r.open, r.high, r.low, r.close, r.volume)
+        for r in market.ohlc_bars(spark.read.parquet(src)).collect()
+    }
+    assert got == via_market
+    shutil.rmtree(src, ignore_errors=True)
