@@ -333,6 +333,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_hops": graph.q_shortest_hops,
         "table_profile": R.q_table_profile,
         "negative_sample": similarity.q_negative_sample,
+        "length_bucket_batches": analytics.q_length_bucket_batches,
+        "chi2_independence": analytics.q_chi2_independence,
     }
 
 
@@ -1919,5 +1921,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.vec_id, g.slot, g.neg_id, g.anchor_label, "
             "e.label AS neg_label, e.label = g.anchor_label AS is_hard "
             "FROM g JOIN embeddings e ON e.vec_id = g.neg_id"
+        ),
+        "length_bucket_batches": (
+            f"WITH d AS (SELECT doc_id, {_NTOK} AS n_tokens FROM documents), "
+            "b AS (SELECT doc_id, n_tokens, CAST(CASE "
+            "WHEN n_tokens <= 32 THEN 32 WHEN n_tokens <= 64 THEN 64 "
+            "WHEN n_tokens <= 128 THEN 128 WHEN n_tokens <= 256 THEN 256 "
+            "ELSE 512 END AS BIGINT) AS band FROM d), "
+            "r AS (SELECT band, n_tokens, CAST((row_number() OVER "
+            "(PARTITION BY band ORDER BY n_tokens, doc_id) - 1) // 8 "
+            "AS BIGINT) AS batch_id FROM b), "
+            "g AS (SELECT band, batch_id, COUNT(*) AS n_docs, "
+            "CAST(MAX(n_tokens) AS BIGINT) AS max_tokens, "
+            "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens FROM r "
+            "GROUP BY 1, 2) "
+            "SELECT band, batch_id, n_docs, max_tokens, sum_tokens, "
+            "CAST(((n_docs * max_tokens - sum_tokens) * 1000000) // "
+            "(n_docs * max_tokens) AS BIGINT) AS padding_waste_ppm FROM g"
+        ),
+        # per-cell exact integers + one banded float verdict (chi2 is
+        # float-summed, never hashed — zipf_law pattern)
+        "chi2_independence": (
+            "WITH ev AS (SELECT event_type, user_id % 4 AS cohort "
+            "FROM events), "
+            "o AS (SELECT event_type, cohort, COUNT(*) AS o FROM ev "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM o "
+            "GROUP BY 1), "
+            "c AS (SELECT cohort, CAST(SUM(o) AS BIGINT) AS c FROM o "
+            "GROUP BY 1), "
+            "n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o), "
+            "cells AS (SELECT o.event_type, o.cohort, o.o, r.r, c.c, n.n "
+            "FROM o JOIN r USING (event_type) JOIN c USING (cohort), n), "
+            "chi AS (SELECT SUM(pow(o - r * c / CAST(n AS DOUBLE), 2) / "
+            "(r * c / CAST(n AS DOUBLE))) AS chi2 FROM cells) "
+            "SELECT event_type, cohort, o, r, c, n, "
+            "CAST((abs(o * n - r * c) * 1000000) // (r * c) AS BIGINT) "
+            "AS dev_ppm, chi2 < 21.026 AS independent_at_05 "
+            "FROM cells, chi"
         ),
     }

@@ -240,3 +240,101 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adev") > 3 * F.col("mad"))
         .select("event_id", "event_type", "value", "med", "mad")
     )
+
+
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching: group documents into
+    token-length bands, pack each band into fixed-size batches in
+    (length, id) order, and report per-batch padding waste — the
+    batching layer every LLM inference/serving pipeline runs to stop
+    short sequences burning padded FLOPs next to long ones.
+
+    All-integer contract: batch membership is rank arithmetic
+    ((rn-1) div batch_size), and padding_waste_ppm is the integer ratio
+    (n·max − Σlen)·1e6 div (n·max).  At 100 TB batch assignment becomes
+    per-shard (the sequence_pack quotient rule) so no global window is
+    needed; the per-band window here is the single-cluster form.
+
+    Plan: one narrow token-count pass, one shuffle on the band key for
+    the in-band ranking window, one (band, batch) agg."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    band = (
+        F.when(F.col("n_tokens") <= 32, 32)
+        .when(F.col("n_tokens") <= 64, 64)
+        .when(F.col("n_tokens") <= 128, 128)
+        .when(F.col("n_tokens") <= 256, 256)
+        .otherwise(512)
+    )
+    w = W.partitionBy("band").orderBy("n_tokens", "doc_id")
+    batched = docs.withColumn("band", band.cast("long")).select(
+        "band",
+        "n_tokens",
+        ((F.row_number().over(w) - 1) / 8).cast("long").alias("batch_id"),
+    )
+    return batched.groupBy("band", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    ).select(
+        "band",
+        "batch_id",
+        "n_docs",
+        "max_tokens",
+        "sum_tokens",
+        F.expr(
+            "((n_docs * max_tokens - sum_tokens) * 1000000) "
+            "div (n_docs * max_tokens)"
+        ).alias("padding_waste_ppm"),
+    )
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of event_type x user-cohort — the
+    A/B-test-shaped contingency analysis: per cell the observed count,
+    margins, and the exact-integer relative deviation
+    |o·n − r·c|·1e6 div (r·c) (how far the cell is from independence,
+    in ppm of the expected count), plus a table-wide banded verdict
+    chi2 < critical(df=12, alpha=.05)=21.026.
+
+    Determinism: per-cell values are pure int64 arithmetic (bounded:
+    o·n ≤ 2^63 up to ~3e9 events; at 100 TB widen to DECIMAL(38), same
+    expressions); the chi2 statistic itself is float-summed and is NOT
+    hashed — only the banded verdict is, with a ~5-point margin on this
+    corpus, orders beyond cross-engine drift (the zipf_law pattern).
+
+    Plan: one count agg over (type, cohort) — 20 cells — then all
+    margin math on the tiny aggregate; the corpus is scanned once."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    )
+    o = ev.groupBy("event_type", "cohort").agg(F.count("*").alias("o"))
+    r = o.groupBy("event_type").agg(F.sum("o").alias("r"))
+    c = o.groupBy("cohort").agg(F.sum("o").alias("c"))
+    n = o.agg(F.sum("o").alias("n"))
+    cells = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "cohort")
+        .crossJoin(F.broadcast(n))
+    )
+    chi2 = cells.select(
+        F.sum(
+            F.pow(F.col("o") - F.col("r") * F.col("c") / F.col("n"), 2)
+            / (F.col("r") * F.col("c") / F.col("n"))
+        ).alias("chi2")
+    )
+    return cells.crossJoin(F.broadcast(chi2)).select(
+        "event_type",
+        "cohort",
+        "o",
+        "r",
+        "c",
+        "n",
+        F.expr("(abs(o * n - r * c) * 1000000) div (r * c)").alias("dev_ppm"),
+        (F.col("chi2") < 21.026).alias("independent_at_05"),
+    )

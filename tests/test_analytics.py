@@ -87,3 +87,35 @@ def test_analytics_plans_prune_and_avoid_cartesian(spark):
             read |= {c.split(":")[0] for c in s.split(",") if c}
         assert read <= cols, f"{name} reads extra columns: {read - cols}"
         assert "CartesianProduct" not in plan, name
+
+
+def test_length_bucket_batches_laws(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import analytics
+
+    rows = analytics.q_length_bucket_batches(spark, SF_SMALL).collect()
+    total = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert 1 <= r["n_docs"] <= 8
+        assert r["sum_tokens"] <= r["n_docs"] * r["max_tokens"]
+        assert 0 <= r["padding_waste_ppm"] < 1_000_000
+        # tokens within the band's range
+        assert r["max_tokens"] <= r["band"] or r["band"] == 512
+
+
+def test_chi2_cells_margins_consistent(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import analytics
+
+    rows = analytics.q_chi2_independence(spark, SF_SMALL).collect()
+    n = rows[0]["n"]
+    assert all(r["n"] == n for r in rows)
+    assert sum(r["o"] for r in rows) == n
+    # row margins: sum of o within an event_type equals its r
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], [0, r["r"]])
+        by_type[r["event_type"]][0] += r["o"]
+    for got, want in by_type.values():
+        assert got == want
+    # one table-wide verdict
+    assert len({r["independent_at_05"] for r in rows}) == 1
