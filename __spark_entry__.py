@@ -335,6 +335,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sample": similarity.q_negative_sample,
         "length_bucket_batches": analytics.q_length_bucket_batches,
         "chi2_independence": analytics.q_chi2_independence,
+        "event_transitions": analytics.q_event_transitions,
+        "rolling_active_users": analytics.q_rolling_active_users,
+        "latency_percentiles": analytics.q_latency_percentiles,
     }
 
 
@@ -1959,5 +1962,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST((abs(o * n - r * c) * 1000000) // (r * c) AS BIGINT) "
             "AS dev_ppm, chi2 < 21.026 AS independent_at_05 "
             "FROM cells, chi"
+        ),
+        "event_transitions": (
+            "WITH t AS (SELECT event_type AS src, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS dst FROM events), "
+            "g AS (SELECT src, dst, COUNT(*) AS n_trans FROM t "
+            "WHERE dst IS NOT NULL GROUP BY 1, 2), "
+            "tot AS (SELECT src, CAST(SUM(n_trans) AS BIGINT) AS src_total "
+            "FROM g GROUP BY 1) "
+            "SELECT g.src, g.dst, g.n_trans, tot.src_total, "
+            "CAST((g.n_trans * 1000000) // tot.src_total AS BIGINT) "
+            "AS prob_ppm FROM g JOIN tot USING (src)"
+        ),
+        "rolling_active_users": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "CAST(date_trunc('day', ts) AS DATE) AS day FROM events), "
+            "dau AS (SELECT day, COUNT(*) AS dau FROM d GROUP BY 1), "
+            "s AS (SELECT user_id, day + CAST(off AS INTEGER) AS report_day "
+            "FROM d, unnest(generate_series(0, 6)) AS t(off)), "
+            "wau AS (SELECT report_day, COUNT(DISTINCT user_id) AS wau "
+            "FROM s GROUP BY 1) "
+            "SELECT dau.day, dau.dau, wau.wau FROM dau "
+            "JOIN wau ON dau.day = wau.report_day"
+        ),
+        "latency_percentiles": (
+            "WITH r AS (SELECT event_type, value, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY value) "
+            "AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n "
+            "FROM events WHERE value IS NOT NULL) "
+            "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, "
+            "MAX(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS p50, "
+            "MAX(CASE WHEN rn = ceil(n * 0.95) THEN value END) AS p95, "
+            "MAX(CASE WHEN rn = ceil(n * 0.99) THEN value END) AS p99 "
+            "FROM r GROUP BY event_type"
         ),
     }

@@ -338,3 +338,103 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(abs(o * n - r * c) * 1000000) div (r * c)").alias("dev_ppm"),
         (F.col("chi2") < 21.026).alias("independent_at_05"),
     )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event paths:
+    for each (event_type -> next event_type) pair, the transition count
+    and its probability in ppm of the source state's outgoing total —
+    the path-analysis primitive behind 'what do users do after X'.
+
+    Exact contract: counts are integers; the probability is an integer
+    ppm ratio (count·1e6 div row-total) — no float division hashed.
+
+    Plan: one user-keyed window (lead) to form transitions — the same
+    single shuffle sessionize uses — then a (src, dst) count agg and a
+    broadcast of the tiny per-src totals."""
+    ev = read_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type", 1).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    totals = trans.groupBy("src").agg(F.sum("n_trans").alias("src_total"))
+    return trans.join(F.broadcast(totals), "src").select(
+        "src",
+        "dst",
+        "n_trans",
+        "src_total",
+        F.expr("(n_trans * 1000000) div src_total").alias("prob_ppm"),
+    )
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users plus the 7-day rolling distinct (WAU) per
+    day — the growth-dashboard staple.  Rolling DISTINCT cannot ride a
+    window frame (distinct doesn't decompose over frames), so the
+    exact form expands each active (user, day) into the 7 report days
+    it supports and distinct-counts per report day.
+
+    Scale: the expansion is x7 on the DEDUPED (user, day) pairs — at
+    100 TB dedup first (one shuffle), expand second (narrow), count
+    third (one shuffle on day); the alternative HLL-merge form trades
+    exactness for a 7x smaller shuffle (agg_approx_distinct documents
+    the bound).  All outputs exact integers."""
+    d = (
+        read_events(spark, sf_dir)
+        .select(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .distinct()
+    )
+    dau = d.groupBy("day").agg(F.count("*").alias("dau"))
+    support = d.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("off")).alias("report_day"))
+    wau = support.groupBy("report_day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["report_day"])
+        .select("day", "dau", "wau")
+    )
+
+
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group p50/p95/p99 with percentile_disc semantics (the value
+    AT rank ceil(n·q) — an actual data value, cross-engine float-exact;
+    the grouped_median argument extended to the tail quantiles that an
+    SLO dashboard reads).
+
+    Plan: one group-keyed rank window, then the three rank hits are
+    picked with conditional aggregation in a single pass — one shuffle,
+    output O(groups)."""
+    ev = (
+        read_events(spark, sf_dir)
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    w = W.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    def at(q: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * q), F.col("value"))
+        )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        at(0.5).alias("p50"),
+        at(0.95).alias("p95"),
+        at(0.99).alias("p99"),
+    )

@@ -119,3 +119,55 @@ def test_chi2_cells_margins_consistent(spark):
         assert got == want
     # one table-wide verdict
     assert len({r["independent_at_05"] for r in rows}) == 1
+
+
+def test_event_transitions_probabilities_sum(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import analytics
+
+    rows = analytics.q_event_transitions(spark, SF_SMALL).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, rs in by_src.items():
+        tot = rs[0]["src_total"]
+        assert sum(r["n_trans"] for r in rs) == tot
+        # integer-floor ppm sums to <= 1e6 and within n_dst of it
+        s = sum(r["prob_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) < s <= 1_000_000
+
+
+def test_rolling_active_users_laws(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import analytics
+
+    rows = {r["day"]: r for r in
+            analytics.q_rolling_active_users(spark, SF_SMALL).collect()}
+    days = sorted(rows)
+    for d in days:
+        r = rows[d]
+        # WAU >= DAU always; WAU <= sum of the 7 contributing DAUs
+        assert r["wau"] >= r["dau"]
+        window_dau = sum(
+            rows[d2]["dau"] for d2 in days if 0 <= (d - d2).days <= 6
+        )
+        assert r["wau"] <= window_dau
+
+
+def test_latency_percentiles_are_data_values_and_ordered(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import analytics
+
+    vals = {
+        r["event_type"]: r
+        for r in analytics.q_latency_percentiles(spark, SF_SMALL).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        if r["value"] is not None:
+            by_type.setdefault(r["event_type"], set()).add(r["value"])
+    for t, r in vals.items():
+        assert r["p50"] <= r["p95"] <= r["p99"]
+        assert {r["p50"], r["p95"], r["p99"]} <= by_type[t]
