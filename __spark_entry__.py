@@ -338,6 +338,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": analytics.q_event_transitions,
         "rolling_active_users": analytics.q_rolling_active_users,
         "latency_percentiles": analytics.q_latency_percentiles,
+        "item_similarity": market.q_item_similarity,
     }
 
 
@@ -1996,5 +1997,24 @@ def oracle_sql() -> dict[str, str]:
             "MAX(CASE WHEN rn = ceil(n * 0.95) THEN value END) AS p95, "
             "MAX(CASE WHEN rn = ceil(n * 0.99) THEN value END) AS p99 "
             "FROM r GROUP BY event_type"
+        ),
+        # Ochiai = cooc/sqrt(fa*fb): sqrt+div over identical ints are
+        # correctly-rounded IEEE ops — both engines order identically;
+        # the float score orders but is not emitted (SCALE.md rule)
+        "item_similarity": (
+            "WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk "
+            "FROM lineitem), "
+            "freq AS (SELECT pk, COUNT(*) AS freq FROM op GROUP BY 1), "
+            "cooc AS (SELECT x.pk AS p1, y.pk AS p2, COUNT(*) AS cooc "
+            "FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+            "s AS (SELECT c.p1, c.p2, c.cooc, fa.freq AS freq_a, "
+            "fb.freq AS freq_b, "
+            "c.cooc / sqrt(fa.freq * fb.freq) AS ochiai FROM cooc c "
+            "JOIN freq fa ON fa.pk = c.p1 JOIN freq fb ON fb.pk = c.p2), "
+            "top AS (SELECT * FROM s ORDER BY ochiai DESC, p1, p2 LIMIT 50) "
+            "SELECT p1, p2, cooc, freq_a, freq_b, "
+            "CAST(row_number() OVER (ORDER BY ochiai DESC, p1, p2) "
+            "AS BIGINT) AS sim_rank FROM top"
         ),
     }

@@ -37,39 +37,26 @@ def ohlc_bars(
     count; sum_value accumulates in DECIMAL (money_sum) so it is
     order-independent.  Nothing transcendental is hashed.
 
-    Plan shape: one window over (series, bar) ordered by (ts, event_id)
-    to mark the first/last tick, then one hash agg on the same key —
-    both shuffles are on (series, bar), so AQE reuses a single
-    exchange.  Bars are bounded (series × hours), so the output is tiny
-    at any corpus size; the per-bar sort is bounded by bar width, never
-    global.  At 100 TB the input would be hour-partitioned parquet and
-    the bar key aligns with partitioning — the window sees only local
-    rows."""
+    Plan shape: ONE hash aggregate on (series, bar) — open/close are
+    min_by/max_by under the (ts, event_id) struct order, so there is no
+    per-bar sort at all and the per-bar state is six scalars (this is
+    also why the identical expression runs under Structured Streaming —
+    see streaming/events.py ohlc_tumbling; the two formulations are
+    pinned output-equal by test).  Map-side partial min_by/max_by
+    combine before the shuffle, so at 100 TB the exchange carries one
+    row per (series, bar) per task, not the tick stream."""
     bar = F.date_trunc("hour", F.col(ts_col))
     ev = events.select(
         F.col(key_col).alias("series"),
         bar.alias("bar_hour"),
-        F.col(ts_col).alias("ts"),
-        F.col("event_id"),
+        F.struct(F.col(ts_col), F.col("event_id")).alias("ord"),
         F.col(value_col).alias("v"),
     ).filter(F.col("v").isNotNull())
-    w = W.partitionBy("series", "bar_hour").orderBy("ts", "event_id")
-    marked = ev.select(
-        "series",
-        "bar_hour",
-        "v",
-        F.row_number().over(w).alias("rn_asc"),
-        F.row_number().over(
-            W.partitionBy("series", "bar_hour").orderBy(
-                F.col("ts").desc(), F.col("event_id").desc()
-            )
-        ).alias("rn_desc"),
-    )
-    return marked.groupBy("series", "bar_hour").agg(
-        F.max(F.when(F.col("rn_asc") == 1, F.col("v"))).alias("open"),
+    return ev.groupBy("series", "bar_hour").agg(
+        F.min_by("v", "ord").alias("open"),
         F.max("v").alias("high"),
         F.min("v").alias("low"),
-        F.max(F.when(F.col("rn_desc") == 1, F.col("v"))).alias("close"),
+        F.max_by("v", "ord").alias("close"),
         F.count("*").alias("volume"),
         money_sum(F.col("v")).alias("sum_value"),
     )
@@ -184,3 +171,54 @@ def attribution_last_touch(
 
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_last_touch(read_events(spark, sf_dir))
+
+
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: top-50 part pairs
+    by Ochiai coefficient cooc/sqrt(freq_a·freq_b) — the popularity-
+    normalized cousin of market_basket (raw co-occurrence ranks
+    best-sellers together; Ochiai surfaces pairs that co-occur MORE
+    than their popularity predicts, which is what a recommender wants).
+
+    Determinism: cooc/freq_a/freq_b are exact ints; the Ochiai score is
+    sqrt+div over identical ints — correctly-rounded IEEE ops, so both
+    engines compute bit-identical doubles and the (score desc, p1, p2)
+    order is stable.  Hashed contract is rank + the exact integers; the
+    float score orders but is not emitted (SCALE.md rule).
+
+    Plan: same keyed self-join as market_basket (distinct-first,
+    orderkey-keyed), plus a broadcast of the tiny per-part frequency
+    table; top-k is a distributed TakeOrdered."""
+    from pyspark.sql import Window as W
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    freq = op.groupBy("pk").agg(F.count("*").alias("freq"))
+    a = op.select("ok", F.col("pk").alias("p1"))
+    b = op.select("ok", F.col("pk").alias("p2"))
+    cooc = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    scored = (
+        cooc.join(F.broadcast(freq.selectExpr("pk as p1", "freq as freq_a")), "p1")
+        .join(F.broadcast(freq.selectExpr("pk as p2", "freq as freq_b")), "p2")
+        .withColumn(
+            "ochiai", F.col("cooc") / F.sqrt(F.col("freq_a") * F.col("freq_b"))
+        )
+    )
+    top = scored.orderBy(F.col("ochiai").desc(), "p1", "p2").limit(50)
+    w = W.orderBy(F.col("ochiai").desc(), "p1", "p2")
+    return top.select(
+        "p1",
+        "p2",
+        "cooc",
+        "freq_a",
+        "freq_b",
+        F.row_number().over(w).cast("long").alias("sim_rank"),
+    ).orderBy("sim_rank")
