@@ -339,6 +339,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": analytics.q_rolling_active_users,
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
+        "rfm_segments": market.q_rfm_segments,
+        "kwic": text.q_kwic,
     }
 
 
@@ -2016,5 +2018,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p1, p2, cooc, freq_a, freq_b, "
             "CAST(row_number() OVER (ORDER BY ochiai DESC, p1, p2) "
             "AS BIGINT) AS sim_rank FROM top"
+        ),
+        "rfm_segments": (
+            "WITH pc AS (SELECT o_custkey, MAX(o_orderdate) AS last_order, "
+            "COUNT(*) AS frequency, "
+            "CAST(round(SUM(CAST(o_totalprice AS DECIMAL(20,6))), 2) "
+            "AS DOUBLE) AS monetary FROM orders GROUP BY 1), "
+            "s AS (SELECT o_custkey, last_order, frequency, monetary, "
+            "CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) "
+            "AS BIGINT) AS r_score, "
+            "CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) "
+            "AS BIGINT) AS f_score, "
+            "CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) "
+            "AS BIGINT) AS m_score FROM pc) "
+            "SELECT o_custkey, last_order, frequency, monetary, r_score, "
+            "f_score, m_score, r_score || f_score || m_score AS rfm_cell "
+            "FROM s"
+        ),
+        "kwic": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents "
+            "WHERE trim(text) <> ''), "
+            "h AS (SELECT doc_id, tk, CAST(i AS BIGINT) AS i FROM t, "
+            "unnest(generate_series(1, len(tk))) AS u(i) "
+            "WHERE tk[CAST(i AS INTEGER)] = 'spark') "
+            "SELECT doc_id, i - 1 AS pos0, "
+            "COALESCE(array_to_string(tk[greatest(i - 3, 1) : i - 1], ' '), "
+            "'') AS left_ctx, 'spark' AS term, "
+            "COALESCE(array_to_string(tk[i + 1 : i + 3], ' '), '') "
+            "AS right_ctx FROM h"
         ),
     }

@@ -222,3 +222,49 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq_b",
         F.row_number().over(w).cast("long").alias("sim_rank"),
     ).orderBy("sim_rank")
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer — recency (last order
+    date), frequency (order count), monetary (DECIMAL-exact spend) —
+    each scored into quartiles 1..4 by ntile under a pinned total
+    order, concatenated into the classic 'RFM cell' marketing segment.
+
+    Determinism: counts/dates are exact; spend accumulates in DECIMAL
+    (money_sum); every ntile orders by (metric, customer id) — a total
+    order, so quartile boundaries are engine-stable (the quantile_bins
+    argument).  One shuffle for the per-customer agg; the three ntiles
+    share one global-ish window each over the already-aggregated
+    customer table (rows = customers, not orders), which a 100 TB run
+    would replace with approx-quantile cut points broadcast from the
+    sketch entry — same output shape."""
+    from pyspark.sql import Window as W
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        money_sum(F.col("o_totalprice")).alias("monetary"),
+    )
+    r_w = W.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    f_w = W.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    m_w = W.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("long").alias("r_score"),
+        F.ntile(4).over(f_w).cast("long").alias("f_score"),
+        F.ntile(4).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws("", "r_score", "f_score", "m_score").alias("rfm_cell"),
+    )

@@ -1006,3 +1006,44 @@ def q_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("slope") < -0.3).alias("slope_negative_ok"),
         (F.col("slope") > -2.0).alias("slope_bounded_ok"),
     )
+
+
+def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance: every occurrence of the
+    query term with 3 tokens of left/right context — the corpus-
+    inspection tool behind 'show me how this term is actually used'
+    (retrieval debugging, sense disambiguation, boilerplate hunting).
+
+    Plan: posexplode is filtered to the query term IMMEDIATELY (same
+    posting discipline as bm25: only hits leave the scan), and the
+    context windows are array slices of the already-held token array —
+    no joins, no windows, no second scan.  Output is exact strings +
+    integer positions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = tokens("text")
+    hits = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", t.alias("tk"))
+        .select("doc_id", "tk", F.posexplode("tk").alias("pos", "tok"))
+        .filter(F.col("tok") == "spark")
+    )
+    # 0-based pos -> 1-based token index pos+1: left window is the
+    # min(pos, 3) tokens ending at index pos, starting at max(pos-2, 1)
+    left = F.array_join(
+        F.slice(
+            F.col("tk"),
+            F.greatest(F.col("pos") - 2, F.lit(1)),
+            F.least(F.col("pos"), F.lit(3)),
+        ),
+        " ",
+    )
+    right = F.array_join(
+        F.slice(F.col("tk"), F.col("pos") + 2, 3), " "
+    )
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos0"),
+        left.alias("left_ctx"),
+        F.col("tok").alias("term"),
+        right.alias("right_ctx"),
+    )

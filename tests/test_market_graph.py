@@ -243,3 +243,36 @@ def test_new_operator_plan_contracts(spark):
     # the label-fetch join on neg_id must be a keyed hash join
     assert neg.count("BroadcastNestedLoopJoin") == 1
     assert "BroadcastHashJoin" in neg or "SortMergeJoin" in neg
+
+
+def test_rfm_cells_consistent(spark):
+    rows = market.q_rfm_segments(spark, SF_SMALL).collect()
+    n = len(rows)
+    for r in rows:
+        assert 1 <= r["r_score"] <= 4 and 1 <= r["f_score"] <= 4
+        assert r["rfm_cell"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+    # quartiles are balanced: each score's buckets differ by at most 1
+    from collections import Counter
+
+    for col in ("r_score", "f_score", "m_score"):
+        c = Counter(r[col] for r in rows)
+        assert set(c) == {1, 2, 3, 4}
+        assert max(c.values()) - min(c.values()) <= 1
+        assert sum(c.values()) == n
+
+
+def test_kwic_contexts(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import text as T
+
+    rows = T.q_kwic(spark, SF_SMALL).collect()
+    assert rows, "corpus contains the query term"
+    docs = {
+        r["doc_id"]: r["text"].strip().split()
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    for r in rows[:50]:
+        tk = docs[r["doc_id"]]
+        p = r["pos0"]
+        assert tk[p] == "spark" == r["term"]
+        assert r["left_ctx"] == " ".join(tk[max(p - 3, 0):p])
+        assert r["right_ctx"] == " ".join(tk[p + 1:p + 4])
