@@ -95,6 +95,11 @@ HEADLINE = [
     "rolling_features",
     "mad_outliers",
     "triangle_count",
+    "item_similarity",
+    "rfm_segments",
+    "event_transitions",
+    "rolling_active_users",
+    "negative_sample",
 ]
 
 

@@ -1,0 +1,75 @@
+"""Degenerate-input hardening: library operators over EMPTY frames must
+return empty results with the right schema, not crash — at 100 TB a
+partition-pruned read or an over-tight filter routinely hands an
+operator zero rows, and a stage that dies on empty input kills the job."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+    dedup,
+    graph,
+    market,
+)
+
+
+def _empty_events(spark):
+    return spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+
+
+def test_ohlc_empty(spark):
+    out = market.ohlc_bars(_empty_events(spark))
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "series", "bar_hour", "open", "high", "low", "close", "volume", "sum_value"
+    }
+
+
+def test_attribution_empty(spark):
+    assert market.attribution_last_touch(_empty_events(spark)).count() == 0
+
+
+def test_market_basket_empty(spark):
+    li = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+        ])
+    )
+    assert market.market_basket_pairs(li).count() == 0
+    assert graph.copurchase_edges(li).count() == 0
+
+
+def test_pagerank_empty_edges(spark):
+    edges = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+        ])
+    )
+    assert graph.pagerank_fixed_point(edges, iters=2).count() == 0
+
+
+def test_dedup_exact_empty(spark):
+    docs = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+    )
+    # exact dedup / jaccard / containment over an empty corpus
+    assert dedup.exact_dedup(docs).count() == 0
+    assert dedup.jaccard_pairs(docs).count() == 0
+    assert dedup.containment_pairs(docs).count() == 0
