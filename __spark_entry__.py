@@ -341,6 +341,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": market.q_item_similarity,
         "rfm_segments": market.q_rfm_segments,
         "kwic": text.q_kwic,
+        "pyds_scan": R.q_pyds_scan,
+        "variant_extract": R.q_variant_extract,
     }
 
 
@@ -2046,5 +2048,24 @@ def oracle_sql() -> dict[str, str]:
             "'') AS left_ctx, 'spark' AS term, "
             "COALESCE(array_to_string(tk[i + 1 : i + 3], ' '), '') "
             "AS right_ctx FROM h"
+        ),
+        # regenerates the custom Python DataSource's deterministic
+        # relation from pure SQL — hash match proves replayable ingest
+        "pyds_scan": (
+            "WITH t AS (SELECT i AS event_id, "
+            "'s' || CAST(i % 5 AS VARCHAR) AS series, "
+            "(i * 2654435761) % 100000 AS cents "
+            "FROM unnest(generate_series(0, 4999)) AS u(i)) "
+            "SELECT series, COUNT(*) AS n_ticks, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents, "
+            "CAST(MIN(cents) AS BIGINT) AS min_cents, "
+            "CAST(MAX(cents) AS BIGINT) AS max_cents FROM t GROUP BY 1"
+        ),
+        "variant_extract": (
+            "SELECT event_id, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 "
+            "AS k_bucket FROM events "
+            "WHERE json_extract_string(props, '$.k') IS NOT NULL"
         ),
     }

@@ -69,10 +69,22 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 5) -> DataFrame:
     degrees are computed once and joined into the edge list so the
     per-step join is rank ⋈ prepared-edges only."""
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(deg, "src").select("src", "dst", "deg")
-    ranks = edges.select(F.col("src").alias("node")).unionAll(
-        edges.select(F.col("dst").alias("node"))
-    ).distinct().withColumn("rank", F.lit(PR_INIT).cast("long"))
+    # pin the loop-invariant relations: without the checkpoint, every
+    # iteration's lineage re-derives the degree join and the node
+    # distinct (5x the same shuffles inside one action); with it the
+    # per-round plan is exactly one join + one agg (bench: 6.0 -> ~2 s)
+    ed = (
+        edges.join(deg, "src")
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.withColumn("rank", F.lit(PR_INIT).cast("long"))
     for _ in range(iters):
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])

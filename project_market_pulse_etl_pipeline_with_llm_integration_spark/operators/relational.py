@@ -2386,3 +2386,44 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.inline(rows))
+
+
+def q_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (Spark 4 DataSource API): read the
+    deterministic synthetic tick source and aggregate per series — the
+    proof that a Python-defined relation behaves as a first-class scan
+    (partitioned, executor-side generation, schema'd).  The DuckDB
+    oracle regenerates the identical relation from generate_series, so
+    the hash match proves the source is replayable.  See
+    sources/pyds.py for the 100 TB rationale."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources import pyds
+
+    pyds.register(spark)
+    ticks = (
+        spark.read.format("synthetic_ticks")
+        .option("n", "5000")
+        .option("partitions", "8")
+        .load()
+    )
+    return ticks.groupBy("series").agg(
+        F.count("*").alias("n_ticks"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType semi-structured path (Spark 4): parse the events
+    props JSON into a VARIANT once, then extract typed fields with
+    variant_get — the open-schema ingestion pattern (variant keeps the
+    full document queryable without a pinned struct, at binary-encoded
+    access speed instead of per-query string re-parsing; this is the
+    engine-native successor to get_json_object chains).  Output is
+    exact integers; the oracle is DuckDB's JSON path extraction over
+    the same column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+    ).withColumn("k_bucket", F.col("k") % 10).filter(F.col("k").isNotNull())
