@@ -350,8 +350,12 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm ratio (count·1e6 div row-total) — no float division hashed.
 
     Plan: one user-keyed window (lead) to form transitions — the same
-    single shuffle sessionize uses — then a (src, dst) count agg and a
-    broadcast of the tiny per-src totals."""
+    single shuffle sessionize uses — a (src, dst) count agg, then the
+    per-src totals as a WINDOW SUM over the already-tiny aggregate (a
+    totals self-join would recompute the whole upstream pipeline twice:
+    observed 5 exchanges vs 3 with the window — the ratio-to-report
+    pattern from window_share).  Three exchanges total, each over
+    strictly smaller data."""
     ev = read_events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
@@ -363,8 +367,9 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n_trans"))
     )
-    totals = trans.groupBy("src").agg(F.sum("n_trans").alias("src_total"))
-    return trans.join(F.broadcast(totals), "src").select(
+    return trans.withColumn(
+        "src_total", F.sum("n_trans").over(W.partitionBy("src"))
+    ).select(
         "src",
         "dst",
         "n_trans",

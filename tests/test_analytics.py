@@ -171,3 +171,29 @@ def test_latency_percentiles_are_data_values_and_ordered(spark):
     for t, r in vals.items():
         assert r["p50"] <= r["p95"] <= r["p99"]
         assert {r["p50"], r["p95"], r["p99"]} <= by_type[t]
+
+
+def test_single_shuffle_contracts(spark):
+    """The single-window operators must compile to exactly ONE shuffle
+    Exchange: rolling_features and event_transitions are one user-keyed
+    window (+ the transitions count agg reuses the partitioning via
+    AQE), mad_outliers reuses the event_type exchange across both rank
+    passes."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import analytics
+
+    rf = (
+        analytics.q_rolling_features(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert rf.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in rf
+
+    tr = (
+        analytics.q_event_transitions(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # lead window on user + (src,dst) agg + src totals window — and the
+    # raw-events subplan must appear ONCE (a totals self-join dupes it)
+    assert tr.count("Exchange hashpartitioning") <= 3
+    assert tr.count("Exchange hashpartitioning(user_id") == 1
+    assert "Join" not in tr
