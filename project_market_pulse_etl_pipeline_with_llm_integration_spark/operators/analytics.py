@@ -209,18 +209,25 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
     )
     wv = W.partitionBy("event_type").orderBy("value", "event_id")
+    # ranked feeds BOTH the median pick and the deviation pass; the lazy
+    # checkpoint stops the rank window (an event_type shuffle) running
+    # twice.  At 100 TB the exact-median op is the documented sketch
+    # fallback anyway (agg_approx_percentile); here exactness is the
+    # contract and one pinned pass is the price
     ranked = ev.select(
         "event_id",
         "event_type",
         "value",
         F.row_number().over(wv).alias("rn"),
         F.count("*").over(W.partitionBy("event_type")).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     med = ranked.filter(F.col("rn") == F.ceil(F.col("n") * 0.5)).select(
         "event_type", F.col("value").alias("med")
     )
-    dev = ranked.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    dev = (
+        ranked.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .localCheckpoint(eager=False)
     )
     wd = W.partitionBy("event_type").orderBy("adev", "event_id")
     dranked = dev.select(
@@ -396,6 +403,7 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
         )
         .distinct()
+        .localCheckpoint(eager=False)  # feeds both DAU and the x7 expansion
     )
     dau = d.groupBy("day").agg(F.count("*").alias("dau"))
     support = d.select(

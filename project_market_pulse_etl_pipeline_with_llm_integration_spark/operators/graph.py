@@ -114,7 +114,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = trade_edges(
         spark.read.parquet(f"{sf_dir}/orders.parquet"),
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
-    )
+    ).localCheckpoint(eager=False)  # deg + ed + nodes all derive from it
     ranks = pagerank_fixed_point(edges, iters=5)
     top = ranks.orderBy(F.col("rank").desc(), "node").limit(20)
     from pyspark.sql import Window as W
@@ -133,9 +133,13 @@ def copurchase_edges(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
     at 100 TB it is what keeps the edge set (and any triangle join over
     it) sparse.  Same distinct-before-self-join discipline as
     market_basket_pairs."""
-    op = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    op = (
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # both self-join sides
+    )
     a = op.select("ok", F.col("pk").alias("a"))
     b = op.select("ok", F.col("pk").alias("b"))
     return (
@@ -164,7 +168,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     is three longs — everything exact."""
     edges = copurchase_edges(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"), min_support=2
-    )
+    ).localCheckpoint(eager=False)  # e1/e2/e3 + the node census
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -196,7 +200,7 @@ def q_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, and the hop histogram output is O(diameter) rows."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    edges = trade_edges(orders, lineitem)
+    edges = trade_edges(orders, lineitem).localCheckpoint(eager=False)
     src = orders.agg(F.min("o_custkey").alias("node")).withColumn(
         "hop", F.lit(0).cast("long")
     )

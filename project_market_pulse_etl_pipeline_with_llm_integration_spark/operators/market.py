@@ -89,10 +89,17 @@ def market_basket_pairs(
     cap rather than letting one key blow up a task.  Dropped baskets
     are a documented mining choice (frequent-itemset miners cap basket
     size for the same reason), not silent truncation of normal data."""
-    op = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    op = (
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the guard AND both join sides
+    )
     sizes = op.groupBy("ok").agg(F.count("*").alias("basket_n"))
+    # bounded is NOT checkpointed: both pair-join sides re-derive it as
+    # a cheap broadcast anti-join over the already-pinned op — cheaper
+    # than materializing a second corpus-sized copy
     bounded = op.join(
         F.broadcast(sizes.filter(F.col("basket_n") > max_basket)),
         "ok",
@@ -192,9 +199,11 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    op = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=False)  # freq + both pair-join sides
+    )
     freq = op.groupBy("pk").agg(F.count("*").alias("freq"))
     a = op.select("ok", F.col("pk").alias("p1"))
     b = op.select("ok", F.col("pk").alias("p2"))

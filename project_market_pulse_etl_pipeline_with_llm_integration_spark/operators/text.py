@@ -979,6 +979,7 @@ def q_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=False)  # vocab-sized; feeds top-100 + totals
     )
     top = freqs.orderBy(F.col("freq").desc(), "token").limit(100)
     w = Window.orderBy(F.col("freq").desc(), "token")
