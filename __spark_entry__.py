@@ -343,6 +343,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic": text.q_kwic,
         "pyds_scan": R.q_pyds_scan,
         "variant_extract": R.q_variant_extract,
+        "source_drift": analytics.q_source_drift,
     }
 
 
@@ -2067,5 +2068,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 "
             "AS k_bucket FROM events "
             "WHERE json_extract_string(props, '$.k') IS NOT NULL"
+        ),
+        # PSI is float-summed and never hashed; the alternating-block
+        # halves of one corpus sit far below the 0.1 stability edge
+        "source_drift": (
+            "WITH d AS (SELECT (doc_id // 20) % 2 = 0 AS snap_a, source "
+            "FROM documents), "
+            "c AS (SELECT source, "
+            "CAST(SUM(CASE WHEN snap_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
+            "CAST(SUM(CASE WHEN NOT snap_a THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_b FROM d GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a, "
+            "CAST(SUM(n_b) AS BIGINT) AS tot_b FROM c), "
+            "s AS (SELECT source, n_a, n_b, "
+            "CAST((n_a * 1000000) // tot_a AS BIGINT) AS share_a_ppm, "
+            "CAST((n_b * 1000000) // tot_b AS BIGINT) AS share_b_ppm, "
+            "greatest(n_a / CAST(tot_a AS DOUBLE), 1e-6) AS pa, "
+            "greatest(n_b / CAST(tot_b AS DOUBLE), 1e-6) AS pb FROM c, t), "
+            "p AS (SELECT SUM((pa - pb) * ln(pa / pb)) AS psi FROM s) "
+            "SELECT source, n_a, n_b, share_a_ppm, share_b_ppm, "
+            "abs(share_a_ppm - share_b_ppm) AS shift_ppm, "
+            "psi < 0.1 AS stable FROM s, p"
         ),
     }

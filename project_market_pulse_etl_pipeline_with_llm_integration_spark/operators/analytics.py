@@ -451,3 +451,58 @@ def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.95).alias("p95"),
         at(0.99).alias("p99"),
     )
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (PSI — population stability index)
+    between two corpus snapshots: the per-source share of documents in
+    snapshot A vs snapshot B (here: alternating doc_id blocks, the
+    deterministic stand-in for 'last week vs this week'), with the
+    banded PSI verdict every feature-drift dashboard alarms on
+    (PSI < 0.1 = stable, > 0.25 = action).
+
+    Hashed contract: per-source counts and integer-ppm shares plus the
+    banded boolean; PSI itself sums x·ln(x) terms and is never hashed
+    (zipf_law pattern — each engine computes its own; the alternating
+    blocks of one corpus sit orders of magnitude below the 0.1 edge —
+    note the first split tried, doc_id parity, scored PSI=23 because the
+    synthetic corpus assigns source = src(doc_id mod 20): a drift
+    monitor must split on an axis independent of the monitored one).
+
+    Plan: one scan, one (bucket, source) count agg, share math on the
+    tiny aggregate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        (F.expr("(doc_id div 20) % 2") == 0).alias("snap_a"), "source"
+    )
+    counts = docs.groupBy("source").agg(
+        F.sum(F.when(F.col("snap_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("snap_a"), 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_a",
+        "n_b",
+        F.expr("(n_a * 1000000) div tot_a").alias("share_a_ppm"),
+        F.expr("(n_b * 1000000) div tot_b").alias("share_b_ppm"),
+        # standard PSI epsilon clamp: a bucket empty in one snapshot
+        # would otherwise put ln(0) in the sum
+        F.greatest(F.col("n_a") / F.col("tot_a"), F.lit(1e-6)).alias("pa"),
+        F.greatest(F.col("n_b") / F.col("tot_b"), F.lit(1e-6)).alias("pb"),
+    )
+    psi = shares.agg(
+        F.sum(
+            (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+        ).alias("psi")
+    )
+    return shares.crossJoin(F.broadcast(psi)).select(
+        "source",
+        "n_a",
+        "n_b",
+        "share_a_ppm",
+        "share_b_ppm",
+        F.expr("abs(share_a_ppm - share_b_ppm)").alias("shift_ppm"),
+        (F.col("psi") < 0.1).alias("stable"),
+    )

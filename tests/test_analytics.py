@@ -197,3 +197,15 @@ def test_single_shuffle_contracts(spark):
     assert tr.count("Exchange hashpartitioning") <= 3
     assert tr.count("Exchange hashpartitioning(user_id") == 1
     assert "Join" not in tr
+
+
+def test_source_drift_stable_on_block_split(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import analytics
+
+    rows = analytics.q_source_drift(spark, SF_SMALL).collect()
+    assert len(rows) == 20  # one per source
+    for r in rows:
+        assert r["stable"] is True
+        assert abs(r["share_a_ppm"] - r["share_b_ppm"]) == r["shift_ppm"]
+        # alternating blocks split every source near 50/50
+        assert r["shift_ppm"] < 100_000
