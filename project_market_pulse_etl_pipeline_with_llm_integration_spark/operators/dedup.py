@@ -103,11 +103,17 @@ def _prefix_len(sz: Column, threshold: float) -> Column:
     Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): if J(A,B) >= t then
     |A∩B| >= ceil(t*max(|A|,|B|)), and a counting argument shows at
     least one common element must land in the first
-    |X| - ceil(t*|X|) + 1 SORTED hashes of BOTH sets.  The epsilon keeps
-    the float product from rounding UP past the exact t*|X| (a
-    too-short prefix can lose pairs; one-too-long only adds
-    candidates)."""
-    return (sz - F.ceil(F.lit(threshold) * sz - F.lit(1e-9)) + 1).cast("int")
+    |X| - ceil(t*|X|) + 1 SORTED hashes of BOTH sets.  ceil(t*|X|) is
+    computed in exact integer ppm arithmetic ((|X|*ppm + 999999) div
+    1e6): a float product can round past the exact t*|X| in either
+    direction, and a too-short prefix silently loses pairs (one-too-long
+    only adds candidates)."""
+    thr_ppm = int(round(threshold * 1_000_000))
+    # floor over a double division is exact here: the numerator is an
+    # integer < 2^53 and the true quotient sits >= 1e-6 from the next
+    # integer whenever it is not itself an integer
+    ceil_t_sz = F.floor((sz * thr_ppm + (1_000_000 - 1)) / F.lit(1_000_000))
+    return (sz - ceil_t_sz + 1).cast("int")
 
 
 def jaccard_pairs(
@@ -225,10 +231,13 @@ def jaccard_pairs(
         .filter(F.col("blk") == F.greatest("home_a", "home_b"))
         # size-ratio prune: J(A,B) = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|),
         # so pairs failing min >= t*max can never clear the threshold —
-        # array lengths are O(1) to read vs the O(n log n) intersection
+        # array lengths are O(1) to read vs the O(n log n) intersection.
+        # Integer cross-multiplied: a float t·max prunes boundary pairs
+        # when t's binary form rounds up (the containment 0.8 incident)
         .filter(
-            F.least(F.size("sh_a"), F.size("sh_b"))
-            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
+            F.least(F.size("sh_a"), F.size("sh_b")) * 1_000_000
+            >= F.lit(int(round(threshold * 1_000_000)))
+            * F.greatest(F.size("sh_a"), F.size("sh_b"))
         )
         # tier-1 verify: O(prefix) overlap check (lossless, see above)
         .filter(prefix_hit)
@@ -263,7 +272,9 @@ def _jaccard_pairs_indexed(base: DataFrame, threshold: float) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.col("blk") == F.greatest("home_a", "home_b"))
         .filter(
-            F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+            F.least("sz_a", "sz_b") * 1_000_000
+            >= F.lit(int(round(threshold * 1_000_000)))
+            * F.greatest("sz_a", "sz_b")
         )
         .select("id_a", "id_b")
         .distinct()  # a pair can share several prefix hashes
@@ -347,23 +358,38 @@ def containment_pairs(
     # per-doc top-k window keyed by id
     gdf = F.count("*").over(W.partitionBy("gram"))
     rn = F.row_number().over(W.partitionBy("id").orderBy("gdf", "gram"))
+    # prefix length floor((1-t)·|A|)+1 in INTEGER ppm arithmetic: the
+    # float form floors (1-0.8)=0.19999999999999996 times |A|=45 to 8
+    # instead of 9 — a one-too-short prefix silently loses boundary
+    # pairs (a necessary condition must round toward keeping)
+    inv_ppm = 1_000_000 - int(round(threshold * 1_000_000))
     prefix = (
         posting.withColumn("gdf", gdf)
         .withColumn("rn", rn)
-        .filter(F.col("rn") <= F.floor((1 - threshold) * F.col("sz")) + 1)
+        .filter(
+            F.col("rn")
+            <= F.expr(f"(sz * {inv_ppm}) div 1000000") + 1
+        )
         .select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "gram")
     )
     # lossless size prune at candidate time: containment(A,B) >= t
     # forces |A ∩ B| >= t·|A| and the intersection can't exceed |B|,
     # so |B| >= t·|A| — drops ~1/3 of candidates BEFORE the fat-array
-    # verify joins (the dominant shuffle: candidates × shingle bytes)
+    # verify joins (the dominant shuffle: candidates × shingle bytes).
+    # The comparison is integer cross-multiplied (sz_b·1e6 >= ppm·sz_a):
+    # a float `sz_b >= t·sz_a` prunes boundary pairs the verify keeps —
+    # 0.8·45 in binary double is 36.000000000000004, so a pair with
+    # |B|=36, |A|=45 and containment EXACTLY 0.8 vanished (caught by the
+    # sf0.1 gate as a 511-vs-512 rowcount miss; a necessary condition
+    # must round toward keeping)
+    thr_ppm = int(round(threshold * 1_000_000))
     cands = (
         prefix.join(
             posting.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "gram"),
             "gram",
         )
         .filter(F.col("id_a") != F.col("id_b"))
-        .filter(F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+        .filter(F.col("sz_b") * 1_000_000 >= F.lit(thr_ppm) * F.col("sz_a"))
         .select("id_a", "id_b")
         .distinct()
     )
