@@ -276,3 +276,33 @@ def test_kwic_contexts(spark):
         assert tk[p] == "spark" == r["term"]
         assert r["left_ctx"] == " ".join(tk[max(p - 3, 0):p])
         assert r["right_ctx"] == " ".join(tk[p + 1:p + 4])
+
+
+def test_cross_operator_consistency(spark):
+    """Differential checks across independent code paths that must
+    agree: grouped_median == latency_percentiles.p50 per group, and
+    market_basket counts == item_similarity cooc for shared pairs."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import analytics
+
+    med = {
+        r["event_type"]: r["median_value"]
+        for r in analytics.q_grouped_median(spark, SF_SMALL).collect()
+    }
+    p50 = {
+        r["event_type"]: r["p50"]
+        for r in analytics.q_latency_percentiles(spark, SF_SMALL).collect()
+    }
+    assert med == p50
+
+    basket = {
+        (r["p1"], r["p2"]): r["n_orders"]
+        for r in market.q_market_basket(spark, SF_SMALL).collect()
+    }
+    sim = {
+        (r["p1"], r["p2"]): r["cooc"]
+        for r in market.q_item_similarity(spark, SF_SMALL).collect()
+    }
+    shared = set(basket) & set(sim)
+    assert shared, "top lists overlap on this corpus"
+    for pair in shared:
+        assert basket[pair] == sim[pair]
