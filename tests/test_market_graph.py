@@ -306,3 +306,38 @@ def test_cross_operator_consistency(spark):
     assert shared, "top lists overlap on this corpus"
     for pair in shared:
         assert basket[pair] == sim[pair]
+
+
+def test_new_ops_prune_scans(spark):
+    """Column-pruning contracts: each operator's parquet scan must read
+    ONLY the columns its output needs (ReadSchema check — at 100 TB an
+    unpruned documents scan drags the text corpus through every query)."""
+    import re
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics,
+        text as T,
+    )
+
+    expected = {
+        "ohlc_bars": (market.q_ohlc_bars, {"event_id", "ts", "event_type", "value"}),
+        "market_basket": (market.q_market_basket, {"l_orderkey", "l_partkey"}),
+        "rfm_segments": (market.q_rfm_segments,
+                         {"o_custkey", "o_orderdate", "o_totalprice"}),
+        "bpe_pair_counts": (T.q_bpe_pair_counts, {"text"}),
+        "kwic": (T.q_kwic, {"doc_id", "text"}),
+        "zipf_law": (T.q_zipf_law, {"text"}),
+        "length_bucket_batches": (analytics.q_length_bucket_batches,
+                                  {"doc_id", "text"}),
+        "source_drift": (analytics.q_source_drift, {"doc_id", "source"}),
+    }
+    for name, (fn, cols) in expected.items():
+        plan = fn(spark, SF_SMALL)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        read = set()
+        for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+            read |= {c.split(":")[0] for c in s.split(",") if c}
+        assert read <= cols, f"{name} reads extra columns: {read - cols}"
