@@ -344,6 +344,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyds_scan": R.q_pyds_scan,
         "variant_extract": R.q_variant_extract,
         "source_drift": analytics.q_source_drift,
+        "vocab_encode": text.q_vocab_encode,
     }
 
 
@@ -2089,5 +2090,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n_a, n_b, share_a_ppm, share_b_ppm, "
             "abs(share_a_ppm - share_b_ppm) AS shift_ppm, "
             "psi < 0.1 AS stable FROM s, p"
+        ),
+        "vocab_encode": (
+            f"WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents "
+            "WHERE trim(text) <> ''), "
+            "toks AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, "
+            "tk[CAST(i AS INTEGER)] AS token FROM base, "
+            "unnest(generate_series(1, len(tk))) AS u(i)), "
+            "counts AS (SELECT token, COUNT(*) AS cnt FROM toks "
+            "WHERE token <> '' GROUP BY 1), "
+            "vocab AS (SELECT token, CAST(row_number() OVER "
+            "(ORDER BY cnt DESC, token) AS BIGINT) AS vocab_rank FROM "
+            "(SELECT token, cnt FROM counts ORDER BY cnt DESC, token "
+            "LIMIT 200)), "
+            "enc AS (SELECT t.doc_id, t.pos, "
+            "COALESCE(v.vocab_rank, -1) AS tok_id FROM toks t "
+            "LEFT JOIN vocab v USING (token)), "
+            "g AS (SELECT doc_id, COUNT(*) AS n_tokens, "
+            "CAST(SUM(CASE WHEN tok_id = -1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_oov, "
+            "array_to_string((list(CAST(tok_id AS VARCHAR) "
+            "ORDER BY pos))[1:8], ' ') AS head_ids FROM enc GROUP BY 1) "
+            "SELECT doc_id, n_tokens, n_oov, "
+            "CAST((n_oov * 1000000) // n_tokens AS BIGINT) AS oov_ppm, "
+            "head_ids FROM g"
         ),
     }

@@ -1048,3 +1048,53 @@ def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").alias("term"),
         right.alias("right_ctx"),
     )
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application — the encode step completing the
+    vocab_build story: map every document's tokens to vocabulary ids
+    (vocab_rank from the top-200 table, OOV = -1) and report per doc
+    the token count, OOV count, integer-ppm OOV rate, and the first 8
+    ids as a preview string (full id arrays would be the training
+    shards; the preview keeps the driver row bounded).
+
+    Plan: tokens explode with position, one keyed join against the
+    200-row vocab (broadcast — at any corpus size a real vocab is
+    10k-100k entries, still broadcast territory), then re-agg per doc
+    with ids ordered by position via sort_array on (pos, id) structs —
+    the shuffle carries (doc, pos, id) longs, never text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = q_vocab_build(spark, sf_dir).select("token", "vocab_rank")
+    pos_tok = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+    )
+    encoded = pos_tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("vocab_rank"), F.lit(-1)).alias("tok_id"),
+    )
+    per_doc = encoded.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("tok_id") == -1, 1).otherwise(0)).alias("n_oov"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok_id"))
+                    ),
+                    1,
+                    8,
+                ),
+                lambda s: s["tok_id"].cast("string"),
+            ),
+            " ",
+        ).alias("head_ids"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm"),
+        "head_ids",
+    )

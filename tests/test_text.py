@@ -403,3 +403,23 @@ def test_zipf_law_row(spark):
     # float drift, so the hashed booleans are stable
     assert not r["slope_negative_ok"]
     assert r["slope_bounded_ok"]
+
+
+def test_vocab_encode_laws(spark):
+    from conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import text
+
+    rows = text.q_vocab_encode(spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    nonblank = [d for d in docs if d["text"].strip()]
+    assert len(rows) == len(nonblank)
+    vocab = {r["token"]: r["vocab_rank"]
+             for r in text.q_vocab_build(spark, SF_SMALL).collect()}
+    by_id = {d["doc_id"]: d["text"].strip().split() for d in nonblank}
+    for r in rows[:50]:
+        tk = by_id[r["doc_id"]]
+        assert r["n_tokens"] == len(tk)
+        want_head = [str(vocab.get(t, -1)) for t in tk[:8]]
+        assert r["head_ids"] == " ".join(want_head)
+        assert r["n_oov"] == sum(1 for t in tk if t not in vocab)
