@@ -341,3 +341,79 @@ def test_new_ops_prune_scans(spark):
         for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
             read |= {c.split(":")[0] for c in s.split(",") if c}
         assert read <= cols, f"{name} reads extra columns: {read - cols}"
+
+
+def test_negative_sample_laws(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        similarity as S,
+    )
+
+    rows = S.q_negative_sample(spark, SF_SMALL).collect()
+    n_vec = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    # exactly 4 negatives per anchor, never the anchor itself
+    per_anchor = {}
+    for r in rows:
+        assert r["neg_id"] != r["vec_id"]
+        assert 0 <= r["neg_id"] < n_vec
+        assert r["is_hard"] == (r["neg_label"] == r["anchor_label"])
+        per_anchor.setdefault(r["vec_id"], set()).add(r["slot"])
+    assert len(per_anchor) == n_vec
+    assert all(slots == {1, 2, 3, 4} for slots in per_anchor.values())
+    # replay determinism
+    again = S.q_negative_sample(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_rolling_variance_matches_numpy(spark):
+    """Property check on random integers: the floor-scaled integer
+    variance identity equals numpy's sample variance within 1 ulp of
+    the 1e-6 grid."""
+    import random
+
+    import numpy as np
+
+    import project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics as A
+    from datetime import datetime as dt
+
+    rng = random.Random(7)
+    rows = [
+        (i, dt(2026, 1, 1, 0, 0, i), 1, "purchase", rng.randint(1, 49000) / 100)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    orig = A.read_events
+    try:
+        A.read_events = lambda spark, sf_dir: df
+        out = sorted(A.q_rolling_features(spark, "x").collect(),
+                     key=lambda r: r["event_id"])
+    finally:
+        A.read_events = orig
+    cents = [int(round(r[4] * 100)) for r in rows]
+    for r in out:
+        i = r["event_id"]
+        win = cents[max(0, i - 6): i + 1]
+        assert r["n_win"] == len(win) and r["sum_cents"] == sum(win)
+        if len(win) >= 2:
+            want = np.var(np.array(win, dtype=np.float64), ddof=1)
+            got = r["var_1e6"] / 1e6
+            assert abs(got - want) <= 1e-6 + 1e-9 * want
+
+
+def test_pagerank_mass_conservation_random_graph(spark):
+    """On a random graph, total rank stays within [teleport floor,
+    initial mass]: the div truncation only ever loses mass."""
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ranks = graph.pagerank_fixed_point(df, iters=5).collect()
+    n = len(ranks)
+    total = sum(r["rank"] for r in ranks)
+    assert all(r["rank"] >= graph.PR_TELEPORT for r in ranks)
+    assert total <= n * graph.PR_INIT
+    assert total >= n * graph.PR_TELEPORT
