@@ -320,7 +320,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": R.q_window_running,
         "zorder_layout": R.q_zorder_layout,
         # new in round 5 (session 2): market analytics, graph rank,
-        # tokenizer-training counts — local-gate verified, r6 rotation
+        # tokenizer-training counts — local-gate verified at sf0.001 +
+        # sf0.01 + sf0.1.  R6 ROTATION PLAN: the ~30 session-2 entries
+        # below (ohlc_bars .. vocab_encode) have never been in a driver
+        # window — put them FIRST in the r6 window, then backfill with
+        # the stalest r3-checked entries; the r5 window above rotates
+        # out (its entries will be freshly green in CORRECTNESS_r05)
         "ohlc_bars": market.q_ohlc_bars,
         "market_basket": market.q_market_basket,
         "attribution": market.q_attribution,

@@ -353,10 +353,14 @@ def containment_pairs(
     )
     from pyspark.sql import Window as W
 
-    # document frequency via a count window (ONE gram shuffle) rather
-    # than agg + join back (two); the rarest-k selection is then a
-    # per-doc top-k window keyed by id
-    gdf = F.count("*").over(W.partitionBy("gram"))
+    # document frequency via groupBy agg + join back: the agg output is
+    # the gram vocabulary (tiny vs postings — map-side combine does the
+    # heavy lifting), and AQE broadcasts it when it fits, so the
+    # postings avoid a full sort-shuffle on gram; a count WINDOW over
+    # gram costs that sort unconditionally.  When the vocabulary is
+    # genuinely huge the join degrades to the same keyed shuffle the
+    # window needed — never worse, usually one whole exchange cheaper.
+    dfreq = posting.groupBy("gram").agg(F.count("*").alias("gdf"))
     rn = F.row_number().over(W.partitionBy("id").orderBy("gdf", "gram"))
     # prefix length floor((1-t)·|A|)+1 in INTEGER ppm arithmetic: the
     # float form floors (1-0.8)=0.19999999999999996 times |A|=45 to 8
@@ -364,7 +368,7 @@ def containment_pairs(
     # pairs (a necessary condition must round toward keeping)
     inv_ppm = 1_000_000 - int(round(threshold * 1_000_000))
     prefix = (
-        posting.withColumn("gdf", gdf)
+        posting.join(dfreq, "gram")
         .withColumn("rn", rn)
         .filter(
             F.col("rn")
