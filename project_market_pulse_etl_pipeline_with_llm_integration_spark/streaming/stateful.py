@@ -118,3 +118,92 @@ def user_profiles_stateful(
             timeoutConf=timeout_conf,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4): the successor API to
+# applyInPandasWithState — typed per-key state handles from a
+# StatefulProcessorHandle instead of one opaque state tuple.  Same
+# operator semantics as user_profiles_stateful so the two APIs are
+# differential-testable against each other.
+#
+# RUNTIME REQUIREMENT: the new API's state protocol rides protobuf
+# (pyspark.sql.streaming.proto) — a stock pyspark dependency that this
+# hermetic container does not ship.  The operator is therefore gated:
+# tws_available() probes for protobuf, the test skips without it, and
+# the applyInPandasWithState twin above carries the tested semantics
+# here (both operators implement the identical contract).
+# ---------------------------------------------------------------------------
+
+TWS_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, value_sum_micro bigint"
+)
+
+
+def make_profile_processor():
+    """Build the StatefulProcessor lazily (import inside, so merely
+    importing this module never requires the new API)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        """Per-user running (count, exact micro-unit value sum): the
+        state is ONE typed ValueState row — Spark's state store keys it
+        by user_id across executors, checkpointed incrementally; the
+        handle API replaces applyInPandasWithState's manual tuple
+        packing with named, schema'd state."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "profile", "cnt bigint, value_sum bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, vsum = 0, 0
+            if self._state.exists():
+                prev = self._state.get()
+                cnt, vsum = int(prev[0]), int(prev[1])
+            for pdf in rows:
+                cnt += len(pdf)
+                # exact integer micro-units, IDENTICAL formula to the
+                # applyInPandasWithState twin: round per value, sum ints
+                vsum += int((pdf["value"] * 1_000_000).round().sum())
+            self._state.update((cnt, vsum))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "value_sum_micro": [vsum],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ProfileProcessor()
+
+
+def user_profiles_tws(events_stream, time_mode: str = "None"):
+    """Streaming per-user profiles on the transformWithStateInPandas
+    API; output mode Update emits the refreshed profile per key per
+    micro-batch."""
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_profile_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode=time_mode,
+    )
+
+
+def tws_available() -> bool:
+    """True when the transformWithStateInPandas runtime deps exist
+    (protobuf is required by pyspark's state protocol)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
