@@ -100,6 +100,14 @@ HEADLINE = [
     "event_transitions",
     "rolling_active_users",
     "negative_sample",
+    "latency_percentiles",
+    "chi2_independence",
+    "length_bucket_batches",
+    "source_drift",
+    "kwic",
+    "vocab_encode",
+    "shortest_hops",
+    "table_profile",
 ]
 
 
