@@ -350,6 +350,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_extract": R.q_variant_extract,
         "source_drift": analytics.q_source_drift,
         "vocab_encode": text.q_vocab_encode,
+        "prefix_cache_stats": text.q_prefix_cache_stats,
     }
 
 
@@ -2119,5 +2120,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, n_oov, "
             "CAST((n_oov * 1000000) // n_tokens AS BIGINT) AS oov_ppm, "
             "head_ids FROM g"
+        ),
+        "prefix_cache_stats": (
+            f"WITH b AS (SELECT md5(array_to_string(({_TOKS})[1:16], ' ')) "
+            f"AS prefix_fp, CAST(least({_NTOK}, 16) AS BIGINT) "
+            "AS n_prefix_tokens FROM documents WHERE trim(text) <> ''), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total FROM b), "
+            "g AS (SELECT prefix_fp, n_prefix_tokens, COUNT(*) AS n_docs "
+            "FROM b GROUP BY 1, 2) "
+            "SELECT prefix_fp, n_prefix_tokens, n_docs, "
+            "CAST((n_docs * 1000000) // n_docs_total AS BIGINT) "
+            "AS share_ppm FROM g, t WHERE n_docs >= 2"
         ),
     }

@@ -1098,3 +1098,36 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm"),
         "head_ids",
     )
+
+
+def q_prefix_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-cache prefix-sharing audit: how much of the corpus shares a
+    16-token prompt prefix — the statistic that sizes prefix-cache hit
+    rates in LLM serving (vLLM-style automatic prefix caching) and
+    flags template-heavy corpora in training data.
+
+    Per distinct prefix fingerprint with >= 2 docs: the doc count, the
+    shared token count, and the integer-ppm share of corpus documents
+    living under it.  One narrow fingerprint pass + one count agg; the
+    md5 fingerprint is the shuffle key, bodies never move."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = tokens("text")
+    pfx = F.md5(F.array_join(F.slice(t, 1, 16), " "))
+    n_pfx_tokens = F.least(token_count("text"), F.lit(16))
+    base = docs.filter(F.trim("text") != "").select(
+        pfx.alias("prefix_fp"), n_pfx_tokens.alias("n_prefix_tokens")
+    )
+    total = base.agg(F.count("*").alias("n_docs_total"))
+    groups = base.groupBy("prefix_fp", "n_prefix_tokens").agg(
+        F.count("*").alias("n_docs")
+    )
+    return (
+        groups.filter(F.col("n_docs") >= 2)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prefix_fp",
+            "n_prefix_tokens",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div n_docs_total").alias("share_ppm"),
+        )
+    )

@@ -423,3 +423,23 @@ def test_vocab_encode_laws(spark):
         want_head = [str(vocab.get(t, -1)) for t in tk[:8]]
         assert r["head_ids"] == " ".join(want_head)
         assert r["n_oov"] == sum(1 for t in tk if t not in vocab)
+
+
+def test_prefix_cache_stats_laws(spark):
+    from conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import text
+
+    rows = text.q_prefix_cache_stats(spark, SF_SMALL).collect()
+    assert rows, "synthetic template corpus shares prefixes"
+    total = sum(
+        1 for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+        if r["text"].strip()
+    )
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert 1 <= r["n_prefix_tokens"] <= 16
+        assert r["share_ppm"] == (r["n_docs"] * 1_000_000) // total
+    # fingerprints are distinct groups
+    fps = [r["prefix_fp"] for r in rows]
+    assert len(fps) == len(set(fps))
