@@ -351,6 +351,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift": analytics.q_source_drift,
         "vocab_encode": text.q_vocab_encode,
         "prefix_cache_stats": text.q_prefix_cache_stats,
+        "temperature_mixture": sampling.q_temperature_mixture,
+        "quality_classifier": text.q_quality_classifier,
     }
 
 
@@ -2131,5 +2133,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT prefix_fp, n_prefix_tokens, n_docs, "
             "CAST((n_docs * 1000000) // n_docs_total AS BIGINT) "
             "AS share_ppm FROM g, t WHERE n_docs >= 2"
+        ),
+        # tau=0.5 temperature weight = floor(sqrt(long)): IEEE requires
+        # sqrt correctly rounded, so the floor is engine-identical; all
+        # downstream arithmetic is integer (SCALE.md determinism rule)
+        "temperature_mixture": (
+            f"WITH n AS (SELECT doc_id, source, CAST({_NTOK} AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "c AS (SELECT source, SUM(n_tokens) AS grp_tokens, "
+            "CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS s_g "
+            "FROM n GROUP BY 1), "
+            "t AS (SELECT SUM(s_g) AS s_total FROM c), "
+            "r AS (SELECT c.source, least(CAST(1000000 AS BIGINT), "
+            "CAST(floor(1000000 * CAST(floor(12000 * c.s_g / t.s_total) AS BIGINT) "
+            "/ c.grp_tokens) AS BIGINT)) AS rate_ppm FROM c, t) "
+            "SELECT n.doc_id, n.source, n.n_tokens, r.rate_ppm "
+            "FROM n JOIN r USING (source) "
+            "WHERE ((n.doc_id % 1000000) * 435761) % 1000000 < r.rate_ppm"
+        ),
+        # frozen linear quality classifier: integer dot product over
+        # exact count features -- margin and label are long arithmetic
+        "quality_classifier": (
+            f"WITH t AS (SELECT doc_id, text, {_TOKS} AS tk, "
+            f"CAST({_NTOK} AS BIGINT) AS n_tok FROM documents), "
+            "f AS (SELECT doc_id, n_tok, "
+            f"CAST(len(list_filter(tk, x -> list_contains({_EN}, x))) AS BIGINT) "
+            "AS n_stop, "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(list_distinct(tk)) END AS BIGINT) AS n_distinct, "
+            "CAST(length(text) - length(regexp_replace(text, "
+            "'[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct, "
+            "CAST(length(text) - length(regexp_replace(text, "
+            "'[0-9]', '', 'g')) AS BIGINT) AS n_digit FROM t) "
+            "SELECT doc_id, n_tok, n_stop, n_distinct, n_punct, n_digit, "
+            "CAST(3 * least(n_tok, 64) + 40 * n_stop + 5 * n_distinct "
+            "- 12 * n_punct - 6 * n_digit - 60 AS BIGINT) AS clf_margin, "
+            "CASE WHEN 3 * least(n_tok, 64) + 40 * n_stop + 5 * n_distinct "
+            "- 12 * n_punct - 6 * n_digit - 60 >= 0 THEN 'keep' "
+            "ELSE 'drop' END AS clf_label FROM f"
         ),
     }

@@ -108,6 +108,9 @@ HEADLINE = [
     "vocab_encode",
     "shortest_hops",
     "table_profile",
+    # round-5 session-3 additions
+    "temperature_mixture",
+    "quality_classifier",
 ]
 
 

@@ -289,3 +289,85 @@ def q_weighted_sample(spark, sf_dir: str):
     return weighted_sample(docs, "n_chars", "doc_id", 800).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    token_count_col,
+    total_budget_tokens: int,
+) -> DataFrame:
+    """Temperature-resampled corpus mixing at tau = 0.5 (the mC4 /
+    XLM-R multilingual-balance trick): unlike ``mixture_sample`` /
+    ``token_budget_mixture``, which take an explicit hand-written
+    recipe, the per-group budget here is DERIVED from the corpus --
+    budget_g proportional to count_g^tau -- so head groups are
+    down-weighted and tail groups up-weighted automatically, which is
+    how real pretraining mixes balance dominant web domains against
+    scarce languages.
+
+    Determinism design: tau = 0.5 makes the weight sqrt(count), and
+    IEEE-754 requires sqrt to be correctly rounded, so
+    ``floor(sqrt(exact_long))`` is bit-identical on every engine (the
+    ONE transcendental-free fractional power; arbitrary tau would need
+    ln/exp and break the SCALE.md hashed-transcendental rule).  All
+    downstream arithmetic is integer: budget_g =
+    floor(B*s_g/sum(s)), rate_ppm = min(1e6,
+    floor(1e6*budget_g/tokens_g)), and membership is the shared
+    integer-ppm key hash -- replayable on any engine/cluster, zero
+    data movement for the corpus itself.
+
+    Plan shape: one hash agg for group token totals (map-side combine),
+    a 1-row total via a second tiny agg, broadcast of the per-group
+    rate table, then a scan-local filter.  At 100 TB the only shuffle
+    is the |groups|-row aggregation; document bodies never move.
+    """
+    counts = df.groupBy(group_col).agg(
+        F.sum(token_count_col).alias("grp_tokens")
+    )
+    s = F.floor(F.sqrt(F.col("grp_tokens").cast("double"))).cast("long")
+    weighted = counts.withColumn("s_g", s)
+    total = weighted.agg(F.sum("s_g").alias("s_total"))
+    rates = (
+        weighted.crossJoin(F.broadcast(total))
+        .withColumn(
+            "budget_g",
+            F.floor(
+                F.lit(int(total_budget_tokens)).cast("long")
+                * F.col("s_g")
+                / F.col("s_total")
+            ).cast("long"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.floor(
+                    F.lit(1_000_000).cast("long")
+                    * F.col("budget_g")
+                    / F.col("grp_tokens")
+                ).cast("long"),
+            ),
+        )
+        .select(group_col, "rate_ppm")
+    )
+    u = (
+        (F.col(key_col).cast("long") % F.lit(1_000_000)) * F.lit(435_761)
+    ) % F.lit(1_000_000)
+    return df.join(F.broadcast(rates), group_col).filter(u < F.col("rate_ppm"))
+
+
+def q_temperature_mixture(spark, sf_dir: str):
+    """tau=0.5 temperature mix of the documents corpus by source,
+    targeting a 12k-token total budget (selective at every test sf); hashed surface is the kept rows
+    (doc_id, source, n_tokens) plus each row's exact rate_ppm."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.withColumn("n_tokens", token_count("text").cast("long"))
+    return temperature_mixture(
+        docs, "source", "doc_id", F.col("n_tokens"), 12_000
+    ).select("doc_id", "source", "n_tokens", "rate_ppm")

@@ -1131,3 +1131,90 @@ def q_prefix_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_docs * 1000000) div n_docs_total").alias("share_ppm"),
         )
     )
+
+
+# Frozen integer weights for the linear quality classifier.  Stands in
+# for a trained fastText/DCLM-style filter model: the deployment
+# mechanism (vectorized linear inference over exact count features,
+# JVM-side, no UDF) is the engineered part; swap in trained weights by
+# editing this table.  Weights are INTEGERS over integer features so
+# the margin is exact long arithmetic -- hash-stable cross-engine per
+# the SCALE.md determinism rule (a float dot product would be
+# summation-order-dependent).
+QUALITY_CLF_WEIGHTS = {
+    "w_len": 3,        # x least(n_tokens, 64): longer docs up to a cap
+    "w_stop": 40,      # x stopword hits: natural prose signal
+    "w_distinct": 5,   # x distinct tokens: vocabulary diversity
+    "w_punct": -12,    # x punctuation chars: markup/boilerplate penalty
+    "w_digit": -6,     # x digit chars: tables/serial-number penalty
+    "bias": -60,
+}
+
+
+def with_quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality filtering (the DCLM / FineWeb-Edu stage that
+    follows the heuristic ``corpus_filter``): score every document with
+    a frozen linear classifier over exact count features and attach the
+    margin and keep/drop label.  The whole forward pass is one
+    projection in whole-stage codegen -- at 100 TB this is a zero-
+    shuffle scan-local map, the cheapest possible model inference.
+
+    Features are exact longs (token count capped at 64, stopword hits,
+    distinct tokens, punctuation chars, digit chars); the margin is an
+    integer dot product plus bias, so score and label are
+    bit-deterministic on any engine -- no sigmoid is applied because
+    rank/threshold decisions only need the margin (monotone in the
+    probability), keeping the hashed surface transcendental-free."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = token_count(text_col).cast("long")
+    stop_arr = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "long"
+    )
+    n_distinct = F.when(
+        F.trim(c) == "", F.lit(0)
+    ).otherwise(F.size(F.array_distinct(toks))).cast("long")
+    n_punct = (
+        F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+    ).cast("long")
+    n_digit = (F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))).cast(
+        "long"
+    )
+    w = QUALITY_CLF_WEIGHTS
+    margin = (
+        F.lit(w["w_len"]) * F.least(n_tok, F.lit(64))
+        + F.lit(w["w_stop"]) * n_stop
+        + F.lit(w["w_distinct"]) * n_distinct
+        + F.lit(w["w_punct"]) * n_punct
+        + F.lit(w["w_digit"]) * n_digit
+        + F.lit(w["bias"])
+    ).cast("long")
+    return (
+        df.withColumn("n_tok", n_tok)
+        .withColumn("n_stop", n_stop)
+        .withColumn("n_distinct", n_distinct)
+        .withColumn("n_punct", n_punct)
+        .withColumn("n_digit", n_digit)
+        .withColumn("clf_margin", margin)
+        .withColumn(
+            "clf_label",
+            F.when(margin >= 0, F.lit("keep")).otherwise(F.lit("drop")),
+        )
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-linear-classifier quality inference over the corpus;
+    hashed surface is all exact integers + the derived label."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_quality_classifier(docs).select(
+        "doc_id",
+        "n_tok",
+        "n_stop",
+        "n_distinct",
+        "n_punct",
+        "n_digit",
+        "clf_margin",
+        "clf_label",
+    )

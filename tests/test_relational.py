@@ -592,3 +592,47 @@ def test_zorder_layout_locality(spark):
         .collect()[0]
     )
     assert spread["ax"] < 96 and spread["ay"] < 96
+
+
+def test_temperature_mixture_rebalances_toward_tail(spark):
+    """tau=0.5 temperature mixing: the head group's kept-token share
+    shrinks and the tail group's grows vs their corpus shares (the
+    whole point of temperature resampling); weights are floor(sqrt)
+    exact, so a 4:1 corpus ratio yields a 2:1 budget ratio."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import (
+        temperature_mixture,
+    )
+
+    # head: 400 docs x 100 tokens = 40k; tail: 100 x 100 = 10k (4:1)
+    rows = [(i, "head" if i < 400 else "tail", 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
+    out = temperature_mixture(df, "grp", "doc_id", F.col("n_tokens"), 15_000)
+    kept = {
+        r.grp: r.t
+        for r in out.groupBy("grp").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    # sqrt weights: s_head=200, s_tail=100 -> budgets 10k / 5k (2:1,
+    # not 4:1) -- hash membership lands within tolerance of each
+    assert abs(kept["head"] - 10_000) <= 3_000
+    assert abs(kept["tail"] - 5_000) <= 2_000
+    # determinism: same call -> identical row set
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in temperature_mixture(
+            df, "grp", "doc_id", F.col("n_tokens"), 15_000
+        ).select("doc_id").collect()
+    )
+    assert a == b
+
+
+def test_temperature_mixture_budget_cap(spark):
+    """A budget >= the corpus keeps every row (rate clamps at 1e6)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import (
+        temperature_mixture,
+    )
+
+    rows = [(i, f"g{i % 3}", 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
+    out = temperature_mixture(df, "grp", "doc_id", F.col("n_tokens"), 1_000_000)
+    assert out.count() == 60

@@ -443,3 +443,36 @@ def test_prefix_cache_stats_laws(spark):
     # fingerprints are distinct groups
     fps = [r["prefix_fp"] for r in rows]
     assert len(fps) == len(set(fps))
+
+
+def test_quality_classifier_margin_exact_and_monotone(spark):
+    """The frozen linear classifier's margin is exact integer
+    arithmetic (recomputed in Python from the published weights) and
+    the label thresholds at 0; punctuation-heavy junk scores below
+    natural prose."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        QUALITY_CLF_WEIGHTS as W,
+        with_quality_classifier,
+    )
+
+    prose = "the cat and the dog ran to a tree in the park"
+    junk = "!!! ### $$$ %%% 12345 67890 !!!! ####"
+    df = spark.createDataFrame(
+        [(1, prose), (2, junk), (3, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in with_quality_classifier(df).collect()}
+    for r in got.values():
+        expect = (
+            W["w_len"] * min(r.n_tok, 64)
+            + W["w_stop"] * r.n_stop
+            + W["w_distinct"] * r.n_distinct
+            + W["w_punct"] * r.n_punct
+            + W["w_digit"] * r.n_digit
+            + W["bias"]
+        )
+        assert r.clf_margin == expect
+        assert r.clf_label == ("keep" if expect >= 0 else "drop")
+    assert got[1].clf_margin > got[2].clf_margin
+    assert got[1].clf_label == "keep"
+    assert got[2].clf_label == "drop"
+    assert got[3].n_tok == 0 and got[3].n_distinct == 0
