@@ -353,6 +353,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_cache_stats": text.q_prefix_cache_stats,
         "temperature_mixture": sampling.q_temperature_mixture,
         "quality_classifier": text.q_quality_classifier,
+        "jl_projection": similarity.q_jl_projection,
+        "jl_distortion": similarity.q_jl_distortion,
     }
 
 
@@ -362,6 +364,26 @@ _TOKS = "string_split_regex(trim(text), '\\s+')"
 # scaling by token count must use this guarded form.
 _NTOK = f"(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END)"
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# int8-quantized embedding (the embedding_quantize recipe, shared by the
+# JL-projection oracles)
+_QV = (
+    "list_transform(embedding, x -> CAST(round(greatest(least("
+    "CAST(x AS DOUBLE), 1.0), -1.0) * 127.0) AS INT))"
+)
+
+
+def _jl_proj_sql(qv: str = "qv") -> str:
+    """DuckDB expression for the JL sign projection: regenerates the
+    md5-seeded +-1 matrix (similarity.jl_sign_matrix) and unrolls each
+    output dim as an exact integer sum — the oracle derives the matrix
+    from the same public seed, not from the engine."""
+    dims = []
+    for row in similarity.jl_sign_matrix():
+        terms = "".join(
+            ("+" if s > 0 else "-") + f"{qv}[{i + 1}]" for i, s in enumerate(row)
+        )
+        dims.append(f"CAST(0{terms} AS BIGINT)")
+    return "list_value(" + ", ".join(dims) + ")"
 _EN = "['the','and','of','to','a','in']"
 _ES = "['el','la','de','y','que','los']"
 _FR = "['le','la','et','les','des','un']"
@@ -2171,5 +2193,31 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN 3 * least(n_tok, 64) + 40 * n_stop + 5 * n_distinct "
             "- 12 * n_punct - 6 * n_digit - 60 >= 0 THEN 'keep' "
             "ELSE 'drop' END AS clf_label FROM f"
+        ),
+        # JL sign projection: the oracle regenerates the md5-seeded
+        # +-1 matrix and unrolls the exact integer sums
+        "jl_projection": (
+            f"WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings), "
+            f"p AS (SELECT vec_id, {_jl_proj_sql()} AS proj FROM q) "
+            "SELECT vec_id, proj, "
+            "CAST(list_sum(list_transform(proj, x -> x * x)) AS BIGINT) "
+            "AS norm2 FROM p"
+        ),
+        "jl_distortion": (
+            f"WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings "
+            "WHERE vec_id % 29 = 0), "
+            f"p AS (SELECT vec_id, qv, {_jl_proj_sql()} AS y FROM q), "
+            "pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "a.qv AS qa, b.qv AS qb, a.y AS ya, b.y AS yb "
+            "FROM p a JOIN p b ON a.vec_id < b.vec_id), "
+            "d AS (SELECT id_a, id_b, "
+            "CAST(list_sum([(CAST(qa[i] AS BIGINT) - qb[i]) * "
+            "(CAST(qa[i] AS BIGINT) - qb[i]) FOR i IN generate_series(1, 64)]) "
+            "AS BIGINT) AS d64, "
+            "CAST(list_sum([(ya[i] - yb[i]) * (ya[i] - yb[i]) "
+            "FOR i IN generate_series(1, 16)]) AS BIGINT) AS d16 FROM pr) "
+            "SELECT id_a, id_b, d64, d16, "
+            "CAST(floor(d16 * 1000000 / (16 * d64)) AS BIGINT) AS ratio_ppm "
+            "FROM d WHERE d64 > 0"
         ),
     }

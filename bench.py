@@ -111,6 +111,7 @@ HEADLINE = [
     # round-5 session-3 additions
     "temperature_mixture",
     "quality_classifier",
+    "jl_projection",
 ]
 
 

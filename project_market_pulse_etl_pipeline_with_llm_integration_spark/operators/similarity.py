@@ -699,3 +699,120 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("neg_label") == F.col("anchor_label")).alias("is_hard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-sign projection (dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+JL_OUT_DIM = 16
+JL_IN_DIM = 64
+JL_SEED = "jl-v1"
+
+
+def jl_sign_matrix(
+    k: int = JL_OUT_DIM, d: int = JL_IN_DIM, seed: str = JL_SEED
+) -> list[list[int]]:
+    """The +-1 projection matrix, derived row-by-row from md5 of
+    (seed, out_dim, in_dim) — a public, replayable construction
+    (Achlioptas 2003: sign matrices satisfy the JL lemma), so any
+    engine (or the DuckDB oracle) regenerates the identical matrix
+    from the seed string alone.  k x d ints — driver-side constant
+    folding territory, never data."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+def jl_project(vec_col: Column, signs: list[list[int]]) -> Column:
+    """Project an int-quantized embedding to len(signs) dims: y_j =
+    sum_i signs[j][i] * q_i — exact long arithmetic (|y_j| <= d*127),
+    so the reduced vectors are hash-stable cross-engine, unlike any
+    float projection.  Pure column algebra: one zip_with+aggregate per
+    output dim over the 64-wide array, all inside whole-stage codegen;
+    zero shuffles, zero UDFs."""
+    outs = []
+    for row in signs:
+        srow = F.array(*[F.lit(s) for s in row])
+        outs.append(
+            F.aggregate(
+                F.zip_with(vec_col, srow, lambda a, b: a.cast("long") * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*outs)
+
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-reduce the embedding table 64 -> 16 dims at int8 precision:
+    the storage/ANN-prefilter trade (4x fewer dims on top of int8's 4x
+    = 16x smaller than float32) used to cheapen near-dup and ANN
+    candidate generation at 100 TB.  Hashed surface: the projected
+    integer vector plus its exact squared norm."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embedding(F.col("embedding"))
+    proj = jl_project(q, jl_sign_matrix())
+    return emb.select(
+        "vec_id",
+        proj.alias("proj"),
+        F.aggregate(
+            proj, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("norm2"),
+    )
+
+
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-preservation audit for the JL projection: over a
+    seeded id-sample of vectors (vec_id % 29 — swap for a fixed-budget
+    hash sample at real scale), every pair's exact squared distance in
+    quantized 64-dim space (d64) and projected 16-dim space (d16),
+    plus ratio_ppm = floor(1e6*d16/(16*d64)) — E[d16] = k*d64 for
+    sign projections, so the ratio concentrates at 1e6.  All exact
+    integers: the audit is fully oracle-hashable, no statistical band
+    needed.  The pair join is over the sample only (|S|^2/2 rows for a
+    bounded |S|), never the corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = emb.filter(F.col("vec_id") % 29 == 0)
+    q = quantize_embedding(F.col("embedding"))
+    proj = jl_project(q, jl_sign_matrix())
+    s = sample.select("vec_id", q.alias("q"), proj.alias("y"))
+    a = s.select(
+        F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("y").alias("ya")
+    )
+    b = s.select(
+        F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    d64 = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    d16 = F.aggregate(
+        F.zip_with(F.col("ya"), F.col("yb"), lambda x, y: x - y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    return (
+        pairs.select("id_a", "id_b", d64.alias("d64"), d16.alias("d16"))
+        .filter(F.col("d64") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            "d64",
+            "d16",
+            F.floor(F.col("d16") * 1_000_000 / (F.lit(JL_OUT_DIM) * F.col("d64")))
+            .cast("long")
+            .alias("ratio_ppm"),
+        )
+    )

@@ -123,3 +123,44 @@ def test_hybrid_rrf_rewards_cross_modal_agreement(spark):
     both = [s for s, _ in scores if s > single_cap]
     if both:
         assert scores[0][0] == max(both)
+
+
+def test_jl_projection_exact_and_distance_preserving(spark):
+    """The sign projection matches a numpy recompute bit-for-bit
+    (exact integer contract), and distances concentrate: the median
+    pair ratio d16/(k*d64) lands within 2x of 1 (JL lemma, k=16)."""
+    import hashlib
+
+    import numpy as np
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        JL_SEED,
+        jl_sign_matrix,
+        q_jl_distortion,
+        q_jl_projection,
+    )
+
+    signs = jl_sign_matrix()
+    assert len(signs) == 16 and all(len(r) == 64 for r in signs)
+    # seeded construction is pure: first entry recomputed by hand
+    h = int(hashlib.md5(f"{JL_SEED}:0:0".encode()).hexdigest()[:8], 16)
+    assert signs[0][0] == (1 if h % 2 == 0 else -1)
+
+    sf = "/root/testdata/sf0.001"
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+           .limit(20).collect()}
+    got = {r.vec_id: r for r in q_jl_projection(spark, sf).collect()}
+    S = np.array(signs, dtype=np.int64)
+    for vid, v in emb.items():
+        x = np.clip(v, -1.0, 1.0) * 127.0
+        # HALF_UP (away from zero), matching Spark/DuckDB round()
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        y = S @ q
+        assert list(y) == list(got[vid].proj)
+        assert int(y @ y) == got[vid].norm2
+
+    ratios = [r.ratio_ppm for r in q_jl_distortion(spark, sf).collect()]
+    assert len(ratios) > 50
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 500_000 <= med <= 2_000_000
