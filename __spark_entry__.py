@@ -355,6 +355,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": text.q_quality_classifier,
         "jl_projection": similarity.q_jl_projection,
         "jl_distortion": similarity.q_jl_distortion,
+        "zonemap_prune": R.q_zonemap_prune,
+        "bpe_train": text.q_bpe_train,
     }
 
 
@@ -384,6 +386,51 @@ def _jl_proj_sql(qv: str = "qv") -> str:
         )
         dims.append(f"CAST(0{terms} AS BIGINT)")
     return "list_value(" + ", ".join(dims) + ")"
+
+
+def _bpe_sql(n_merges: int = 3) -> str:
+    """Unrolled SQL for n_merges full BPE training rounds (the pagerank
+    oracle pattern: iterative Spark state, fixed-round SQL twin).  Each
+    round mirrors text.bpe_train_merges exactly: lead-paired counts,
+    (cnt desc, a, b) winner, gaps-and-islands even-offset merge."""
+    parts = [
+        "w AS (SELECT word, COUNT(*) AS freq FROM "
+        f"(SELECT unnest({_TOKS}) AS word FROM documents "
+        "WHERE trim(text) <> '') WHERE word <> '' GROUP BY 1)",
+        "s0 AS (SELECT word, freq, generate_subscripts(cs, 1) - 1 AS pos, "
+        "unnest(cs) AS sym FROM (SELECT word, freq, "
+        "string_split(word, '') AS cs FROM w))",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        parts += [
+            f"p{r} AS (SELECT word, freq, pos, sym, "
+            "LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt "
+            f"FROM {prev})",
+            f"c{r} AS (SELECT sym AS a, nxt AS b, SUM(freq) AS cnt "
+            f"FROM p{r} WHERE nxt IS NOT NULL GROUP BY 1, 2)",
+            f"win{r} AS (SELECT a, b, cnt FROM c{r} "
+            "ORDER BY cnt DESC, a, b LIMIT 1)",
+            f"r{r} AS (SELECT p.*, win.a AS wa, win.b AS wb, "
+            "pos - ROW_NUMBER() OVER (PARTITION BY word, sym ORDER BY pos) "
+            f"AS rg FROM p{r} p, win{r} win)",
+            f"o{r} AS (SELECT *, pos - MIN(pos) OVER "
+            f"(PARTITION BY word, sym, rg) AS off FROM r{r})",
+            f"m{r} AS (SELECT *, (sym = wa AND nxt = wb AND "
+            f"(wa <> wb OR off % 2 = 0)) AS mflag FROM o{r})",
+            f"k{r} AS (SELECT *, coalesce(LAG(mflag) OVER "
+            f"(PARTITION BY word ORDER BY pos), false) AS consumed FROM m{r})",
+            f"s{r} AS (SELECT word, freq, ROW_NUMBER() OVER "
+            "(PARTITION BY word ORDER BY pos) - 1 AS pos, "
+            "CASE WHEN mflag THEN sym || nxt ELSE sym END AS sym "
+            f"FROM k{r} WHERE NOT consumed)",
+        ]
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, a AS left_sym, "
+        f"b AS right_sym, CAST(cnt AS BIGINT) AS pair_weight FROM win{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + finals
 _EN = "['the','and','of','to','a','in']"
 _ES = "['el','la','de','y','que','los']"
 _FR = "['le','la','et','les','des','un']"
@@ -2220,4 +2267,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(d16 * 1000000 / (16 * d64)) AS BIGINT) AS ratio_ppm "
             "FROM d WHERE d64 > 0"
         ),
+        # zone-map build + pruning audit under two layouts; scale-free
+        # bucket = floor(key*64/(max+1)), exact min/max stats
+        "zonemap_prune": (
+            "WITH m1 AS (SELECT MAX(date_diff('day', DATE '1970-01-01', "
+            "l_shipdate)) AS mx FROM lineitem), "
+            "z1 AS (SELECT CAST(floor(date_diff('day', DATE '1970-01-01', "
+            "l_shipdate) * 64 / (mx + 1)) AS BIGINT) AS zm_bucket, "
+            "l_shipdate FROM lineitem, m1), "
+            "g1 AS (SELECT 'shipdate_range' AS layout, zm_bucket, "
+            "COUNT(*) AS n_rows, MIN(l_shipdate) AS zmin, "
+            "MAX(l_shipdate) AS zmax FROM z1 GROUP BY 2), "
+            "m2 AS (SELECT MAX(l_suppkey) AS mx FROM lineitem), "
+            "z2 AS (SELECT CAST(floor(l_suppkey * 64 / (mx + 1)) AS BIGINT) "
+            "AS zm_bucket, l_shipdate FROM lineitem, m2), "
+            "g2 AS (SELECT 'suppkey_range' AS layout, zm_bucket, "
+            "COUNT(*) AS n_rows, MIN(l_shipdate) AS zmin, "
+            "MAX(l_shipdate) AS zmax FROM z2 GROUP BY 2) "
+            "SELECT layout, zm_bucket, n_rows, "
+            "CAST(zmin AS VARCHAR) AS zmin, CAST(zmax AS VARCHAR) AS zmax, "
+            "NOT (zmax < TIMESTAMP '1997-01-01 00:00:00' "
+            "OR zmin > TIMESTAMP '1997-06-30 00:00:00') AS scanned "
+            "FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)"
+        ),
+        # 3 unrolled BPE training rounds (the pagerank oracle pattern)
+        "bpe_train": _bpe_sql(3),
     }

@@ -112,6 +112,8 @@ HEADLINE = [
     "temperature_mixture",
     "quality_classifier",
     "jl_projection",
+    "bpe_train",
+    "zonemap_prune",
 ]
 
 

@@ -2427,3 +2427,69 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
     ).withColumn("k_bucket", F.col("k") % 10).filter(F.col("k").isNotNull())
+
+
+def zone_map(
+    df: DataFrame,
+    layout_key: Column,
+    layout_name: str,
+    stat_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Zone-map (data-skipping index) build: bucket rows by their
+    position under a physical layout key and record per-bucket min/max
+    of a predicate column — exactly the per-row-group statistics a
+    parquet writer embeds and a 100 TB scan prunes with.  The bucket is
+    ``floor(key * n / (max_key + 1))`` (scale-free range placement, one
+    broadcast 1-row max agg), so the operator models "what would this
+    layout's row groups look like" without writing files.  One scan +
+    one |buckets|-row hash agg; all stats exact."""
+    mx = df.agg(F.max(layout_key.cast("long")).alias("mx"))
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "zm_bucket",
+            F.floor(
+                layout_key.cast("long") * F.lit(int(n_buckets)) / (F.col("mx") + 1)
+            ).cast("long"),
+        )
+        .groupBy("zm_bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(stat_col).alias("zmin"),
+            F.max(stat_col).alias("zmax"),
+        )
+        .select(F.lit(layout_name).alias("layout"), "zm_bucket", "n_rows", "zmin", "zmax")
+    )
+
+
+def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit: zone maps over lineitem's shipdate under
+    two physical layouts — shipdate-ranged (what a time-partitioned /
+    date-sorted table gives: zones are tight, so a 6-month predicate
+    prunes almost everything) and suppkey-ranged (uncorrelated with the
+    predicate column: every zone spans the full date range, nothing
+    prunes).  ``scanned`` marks buckets a 1997-H1 shipdate predicate
+    must read.  This is the measurement that justifies layout choices
+    (zorder_layout's re-clustering, time-partitioned sinks) before
+    rewriting 100 TB: pruning power is a property of layout-predicate
+    correlation, quantified here from stats alone — no data rewrite,
+    no second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi = "1997-01-01", "1997-06-30"
+    ship_days = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+    zm = zone_map(li, ship_days, "shipdate_range", "l_shipdate").unionAll(
+        zone_map(li, F.col("l_suppkey"), "suppkey_range", "l_shipdate")
+    )
+    scanned = ~(
+        (F.col("zmax") < F.lit(lo).cast("timestamp"))
+        | (F.col("zmin") > F.lit(hi).cast("timestamp"))
+    )
+    return zm.select(
+        "layout",
+        "zm_bucket",
+        "n_rows",
+        F.col("zmin").cast("string").alias("zmin"),
+        F.col("zmax").cast("string").alias("zmax"),
+        scanned.alias("scanned"),
+    )

@@ -1218,3 +1218,127 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clf_margin",
         "clf_label",
     )
+
+
+def bpe_train_merges(
+    df: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016), not just the
+    counting step (``bpe_pair_counts``): run ``n_merges`` full merge
+    rounds over the corpus word-frequency table and return the learned
+    merge rules — the artifact a tokenizer ships.  Each round counts
+    adjacent symbol pairs weighted by word frequency, picks the winner
+    on the total order (count desc, left, right), and rewrites every
+    word by merging winner occurrences left-to-right.
+
+    Exact BPE semantics including equal-symbol runs: for a winner
+    (a, a), occurrences overlap, and left-to-right greedy merging keeps
+    only even offsets within each maximal run of ``a`` ("aaaa" ->
+    "aa aa", never "a aa a") — implemented with a gaps-and-islands run
+    id, no sequential fold needed (for a != b adjacent matches cannot
+    overlap, so every candidate merges).  All counts are exact longs
+    and symbols are strings, so the learned rules are hash-identical
+    cross-engine; the oracle unrolls the same rounds in SQL.
+
+    Plan shape per round: one word-keyed window pass (lead + run ids)
+    and one pair-keyed hash agg; the winner joins back as a broadcast
+    1-row relation (never a driver collect).  State between rounds is
+    the (word, freq, pos, sym) relation — |distinct words| x avg word
+    length rows, independent of corpus row count; ``localCheckpoint``
+    (lazy) pins each round's output so plans stay bounded, the same
+    discipline as pagerank's fixed-point loop.  At 100 TB the word
+    table is the TYPE vocabulary (millions of rows, not billions), so
+    every round is cheap regardless of corpus size."""
+    words = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w_word = Window.partitionBy("word").orderBy("pos")
+    # split("", regex) can emit an empty trailing element; filter it and
+    # re-rank so positions are DENSE — the consumed/lag logic below
+    # relies on pos p-1 being the physically previous symbol
+    state = (
+        words.select(
+            "word",
+            "freq",
+            F.posexplode(F.split("word", "")).alias("pos", "sym"),
+        )
+        .filter(F.col("sym") != "")
+        .select(
+            "word", "freq", (F.row_number().over(w_word) - 1).alias("pos"), "sym"
+        )
+    )
+    state = state.localCheckpoint(eager=False)
+    learned = []
+    for rnd in range(1, n_merges + 1):
+        paired = state.withColumn("nxt", F.lead("sym").over(w_word))
+        counts = (
+            paired.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        winner = (
+            counts.orderBy(F.col("cnt").desc(), "sym", "nxt")
+            .limit(1)
+            .select(
+                F.col("sym").alias("win_a"),
+                F.col("nxt").alias("win_b"),
+                F.col("cnt").alias("win_cnt"),
+            )
+        )
+        winner = winner.localCheckpoint(eager=False)
+        learned.append(
+            winner.select(
+                F.lit(rnd).cast("long").alias("merge_round"),
+                F.col("win_a").alias("left_sym"),
+                F.col("win_b").alias("right_sym"),
+                F.col("win_cnt").cast("long").alias("pair_weight"),
+            )
+        )
+        # gaps-and-islands run id over equal symbols; even offsets merge
+        run_w = Window.partitionBy("word", "sym").orderBy("pos")
+        st = (
+            paired.crossJoin(F.broadcast(winner))
+            .withColumn("rg", F.col("pos") - F.row_number().over(run_w))
+            .withColumn(
+                "off",
+                F.col("pos")
+                - F.min("pos").over(Window.partitionBy("word", "sym", "rg")),
+            )
+            .withColumn(
+                "mflag",
+                (F.col("sym") == F.col("win_a"))
+                & (F.col("nxt") == F.col("win_b"))
+                & (
+                    (F.col("win_a") != F.col("win_b"))
+                    | (F.col("off") % 2 == 0)
+                ),
+            )
+            .withColumn("consumed", F.coalesce(F.lag("mflag").over(w_word), F.lit(False)))
+            .filter(~F.col("consumed"))
+            .select(
+                "word",
+                "freq",
+                (F.row_number().over(w_word) - 1).alias("pos"),
+                F.when(
+                    F.col("mflag"), F.concat(F.col("sym"), F.col("nxt"))
+                ).otherwise(F.col("sym")).alias("sym"),
+            )
+        )
+        state = st.localCheckpoint(eager=False)
+
+    out = learned[0]
+    for extra in learned[1:]:
+        out = out.unionAll(extra)
+    return out
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus's first 3 BPE merges; hashed surface is the
+    merge table (round, left, right, exact weighted count)."""
+    return bpe_train_merges(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n_merges=3
+    )

@@ -636,3 +636,20 @@ def test_temperature_mixture_budget_cap(spark):
     df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
     out = temperature_mixture(df, "grp", "doc_id", F.col("n_tokens"), 1_000_000)
     assert out.count() == 60
+
+
+def test_zonemap_correlated_layout_prunes(spark):
+    """Zone-map audit law: under the shipdate-ranged layout (the
+    predicate column IS the layout key) a 6-month predicate prunes a
+    strict majority of buckets; under the suppkey-ranged layout
+    (uncorrelated) every non-empty bucket is scanned."""
+    got = R.q_zonemap_prune(spark, SF_SMALL).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.layout, []).append(r)
+    ok = by["shipdate_range"]
+    sk = by["suppkey_range"]
+    assert all(r.scanned for r in sk)
+    scanned = sum(1 for r in ok if r.scanned)
+    assert scanned < len(ok) / 2
+    assert sum(r.n_rows for r in ok) == sum(r.n_rows for r in sk)

@@ -476,3 +476,71 @@ def test_quality_classifier_margin_exact_and_monotone(spark):
     assert got[1].clf_label == "keep"
     assert got[2].clf_label == "drop"
     assert got[3].n_tok == 0 and got[3].n_distinct == 0
+
+
+def test_bpe_train_run_semantics_and_tiebreak(spark):
+    """Hand-computed 3-round BPE on a corpus with an equal-symbol run:
+    'aaaa' must merge to ('aa','aa') (even offsets only), the round-2
+    winner is decided by the (count desc, left, right) tie-break, and
+    weighted counts are exact."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaaa book"), (2, "aaaa look")], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_round, r.left_sym, r.right_sym, r.pair_weight)
+        for r in bpe_train_merges(df, n_merges=3).orderBy("merge_round").collect()
+    ]
+    # r1: (a,a) 3 pairs x freq 2 = 6; greedy keeps offsets 0,2 -> aa|aa
+    # r2: (aa,aa)=2 ties (o,k)=2 and (o,o)=2 -> 'aa' < 'o' wins
+    # r3: (o,k)=2 ties (o,o)=2 -> right 'k' < 'o' wins
+    assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2), (3, "o", "k", 2)]
+
+
+def test_bpe_train_matches_greedy_reference(spark):
+    """The distributed trainer equals a sequential greedy BPE reference
+    on real corpus data (sf0.001, 5 rounds)."""
+    import collections
+    import re as _re
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [
+        (r.merge_round, r.left_sym, r.right_sym, r.pair_weight)
+        for r in bpe_train_merges(docs, n_merges=5).orderBy("merge_round").collect()
+    ]
+
+    freq = collections.Counter()
+    for r in docs.select("text").collect():
+        t = (r.text or "").strip()
+        if not t:
+            continue
+        for w in _re.split(r"\s+", t):
+            if w:
+                freq[w] += 1
+    state = {w: list(w) for w in freq}
+    expect = []
+    for rnd in range(1, 6):
+        cnt = collections.Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += freq[w]
+        (a, b), c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((rnd, a, b, c))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    assert got == expect
