@@ -737,20 +737,35 @@ def jl_project(vec_col: Column, signs: list[list[int]]) -> Column:
     """Project an int-quantized embedding to len(signs) dims: y_j =
     sum_i signs[j][i] * q_i — exact long arithmetic (|y_j| <= d*127),
     so the reduced vectors are hash-stable cross-engine, unlike any
-    float projection.  Pure column algebra: one zip_with+aggregate per
-    output dim over the 64-wide array, all inside whole-stage codegen;
-    zero shuffles, zero UDFs."""
-    outs = []
-    for row in signs:
-        srow = F.array(*[F.lit(s) for s in row])
-        outs.append(
-            F.aggregate(
-                F.zip_with(vec_col, srow, lambda a, b: a.cast("long") * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-        )
-    return F.array(*outs)
+    float projection.
+
+    Single-pass formulation: ONE aggregate over the input array with a
+    k-field struct accumulator (each element updates all k sums via an
+    element_at lookup into the literal sign rows).  The naive shape —
+    k independent aggregate(zip_with(...)) columns — re-inlines the
+    input expression into every output dim under projection collapse
+    and ran 6x slower; one pass evaluates the input exactly once.
+    Scan-local column algebra: zero shuffles, zero UDFs."""
+    k = len(signs)
+    sign_rows = [F.array(*[F.lit(x) for x in row]) for row in signs]
+    indexed = F.transform(
+        vec_col,
+        lambda x, i: F.struct(x.cast("long").alias("q"), (i + 1).alias("i")),
+    )
+    zero = F.struct(*[F.lit(0).cast("long").alias(f"s{j}") for j in range(k)])
+    return F.aggregate(
+        indexed,
+        zero,
+        lambda acc, x: F.struct(
+            *[
+                (acc[f"s{j}"] + x["q"] * F.element_at(sign_rows[j], x["i"])).alias(
+                    f"s{j}"
+                )
+                for j in range(k)
+            ]
+        ),
+        lambda acc: F.array(*[acc[f"s{j}"] for j in range(k)]),
+    )
 
 
 def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,13 +775,12 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation at 100 TB.  Hashed surface: the projected
     integer vector plus its exact squared norm."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = quantize_embedding(F.col("embedding"))
-    proj = jl_project(q, jl_sign_matrix())
-    return emb.select(
+    proj = jl_project(quantize_embedding(F.col("embedding")), jl_sign_matrix())
+    return emb.select("vec_id", proj.alias("proj")).select(
         "vec_id",
-        proj.alias("proj"),
+        "proj",
         F.aggregate(
-            proj, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            F.col("proj"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
         ).alias("norm2"),
     )
 
@@ -783,9 +797,12 @@ def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded |S|), never the corpus."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     sample = emb.filter(F.col("vec_id") % 29 == 0)
-    q = quantize_embedding(F.col("embedding"))
-    proj = jl_project(q, jl_sign_matrix())
-    s = sample.select("vec_id", q.alias("q"), proj.alias("y"))
+    qdf = sample.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("q")
+    ).localCheckpoint(eager=False)
+    s = qdf.select(
+        "vec_id", "q", jl_project(F.col("q"), jl_sign_matrix()).alias("y")
+    ).localCheckpoint(eager=False)
     a = s.select(
         F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("y").alias("ya")
     )
