@@ -357,6 +357,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_distortion": similarity.q_jl_distortion,
         "zonemap_prune": R.q_zonemap_prune,
         "bpe_train": text.q_bpe_train,
+        "leakage_safe_split": sampling.q_leakage_safe_split,
+        "split_leakage_law": sampling.q_split_leakage_law,
+        "split_contamination": dedup.q_split_contamination,
+        "dedup_incremental": dedup.q_dedup_incremental,
+        "trimmed_stats": analytics.q_trimmed_stats,
     }
 
 
@@ -2292,4 +2297,105 @@ def oracle_sql() -> dict[str, str]:
         ),
         # 3 unrolled BPE training rounds (the pagerank oracle pattern)
         "bpe_train": _bpe_sql(3),
+        # content-keyed 90/5/5 split: u = first-15-hex of md5(norm) mod 1e6
+        "leakage_safe_split": (
+            f"WITH f AS (SELECT source, ('0x' || substr(md5({_NORM}), 1, 15))"
+            "::BIGINT % 1000000 AS u FROM documents) "
+            "SELECT source, CASE WHEN u < 900000 THEN 'train' "
+            "WHEN u < 950000 THEN 'val' ELSE 'test' END AS split, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs FROM f GROUP BY 1, 2"
+        ),
+        # leakage law: content-keyed split never splits a duplicate
+        # group; the naive id-keyed split (dataset_split's 823543
+        # multiplier) leaks whatever the data's duplicates force
+        "split_leakage_law": (
+            f"WITH f AS (SELECT md5({_NORM}) AS fp, "
+            f"('0x' || substr(md5({_NORM}), 1, 15))::BIGINT % 1000000 AS u, "
+            "((doc_id % 1000000) * 823543) % 1000000 AS un FROM documents), "
+            "s AS (SELECT fp, CASE WHEN u < 900000 THEN 'train' "
+            "WHEN u < 950000 THEN 'val' ELSE 'test' END AS s_safe, "
+            "CASE WHEN un < 900000 THEN 'train' WHEN un < 950000 THEN 'val' "
+            "ELSE 'test' END AS s_naive FROM f), "
+            "a AS (SELECT COUNT(*) FILTER (c > 1) AS n_leaky_safe FROM "
+            "(SELECT fp, COUNT(DISTINCT s_safe) AS c FROM s GROUP BY 1)), "
+            "b AS (SELECT COUNT(*) FILTER (c > 1) AS n_leaky_naive FROM "
+            "(SELECT fp, COUNT(DISTINCT s_naive) AS c FROM s GROUP BY 1)) "
+            "SELECT CAST(n_leaky_safe AS BIGINT) AS n_leaky_safe, "
+            "CAST(n_leaky_naive AS BIGINT) AS n_leaky_naive, "
+            "n_leaky_safe = 0 AS law_holds FROM a, b"
+        ),
+        # train->test 5-gram contamination audit over the content split
+        "split_contamination": (
+            f"WITH t AS (SELECT doc_id, source, {_TOKS} AS tk, "
+            f"('0x' || substr(md5({_NORM}), 1, 15))::BIGINT % 1000000 AS u "
+            "FROM documents), "
+            "lab AS (SELECT *, CASE WHEN u < 900000 THEN 'train' "
+            "WHEN u < 950000 THEN 'val' ELSE 'test' END AS split FROM t), "
+            "g AS (SELECT doc_id, split, "
+            "unnest([array_to_string(tk[i:i+4], ' ') "
+            "FOR i IN generate_series(1, greatest(len(tk) - 4, 1))]) AS gram "
+            "FROM lab WHERE split IN ('train', 'test')), "
+            "bench AS (SELECT DISTINCT gram FROM g WHERE split = 'test'), "
+            "cand AS (SELECT DISTINCT doc_id, gram FROM g "
+            "WHERE split = 'train'), "
+            "hits AS (SELECT doc_id, COUNT(*) AS n FROM cand "
+            "JOIN bench USING (gram) GROUP BY 1), "
+            "tr AS (SELECT doc_id, source FROM lab WHERE split = 'train') "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train_docs, "
+            "CAST(COUNT(*) FILTER (coalesce(hits.n, 0) > 0) AS BIGINT) "
+            "AS n_contaminated, "
+            "CAST(SUM(coalesce(hits.n, 0)) AS BIGINT) AS total_shared_ngrams "
+            "FROM tr LEFT JOIN hits USING (doc_id) GROUP BY 1"
+        ),
+        # new-batch (doc_id % 20 == 7) vs corpus incremental dedup:
+        # exact digest probe + distinct-5-gram containment ppm
+        "dedup_incremental": (
+            f"WITH d AS (SELECT doc_id, {_TOKS} AS tk, md5({_NORM}) AS fp "
+            "FROM documents), "
+            "b AS (SELECT doc_id, fp, list_distinct("
+            "[array_to_string(tk[i:i+4], ' ') "
+            "FOR i IN generate_series(1, greatest(len(tk) - 4, 1))]) AS gs "
+            "FROM d WHERE doc_id % 20 = 7), "
+            "c AS (SELECT doc_id, tk, fp FROM d WHERE doc_id % 20 <> 7), "
+            "bg AS (SELECT doc_id, unnest(gs) AS gram FROM b), "
+            "bt AS (SELECT doc_id, len(gs) AS n_grams FROM b), "
+            "cg AS (SELECT DISTINCT unnest([array_to_string(tk[i:i+4], ' ') "
+            "FOR i IN generate_series(1, greatest(len(tk) - 4, 1))]) AS gram "
+            "FROM c), "
+            "hits AS (SELECT bg.doc_id, COUNT(*) AS n_hit FROM bg "
+            "JOIN cg USING (gram) GROUP BY 1), "
+            "ex AS (SELECT DISTINCT b.doc_id FROM b "
+            "JOIN (SELECT DISTINCT fp FROM c) cf ON b.fp = cf.fp) "
+            "SELECT bt.doc_id, ex.doc_id IS NOT NULL AS is_exact_dup, "
+            "CAST(bt.n_grams AS BIGINT) AS n_grams, "
+            "CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit_grams, "
+            "CAST(floor(coalesce(hits.n_hit, 0) * 1000000 / bt.n_grams) "
+            "AS BIGINT) AS containment_ppm, "
+            "CASE WHEN ex.doc_id IS NOT NULL THEN 'exact' "
+            "WHEN floor(coalesce(hits.n_hit, 0) * 1000000 / bt.n_grams) "
+            ">= 500000 THEN 'near' ELSE 'unique' END AS verdict "
+            "FROM bt LEFT JOIN hits ON bt.doc_id = hits.doc_id "
+            "LEFT JOIN ex ON bt.doc_id = ex.doc_id"
+        ),
+        # discrete-percentile winsorized/trimmed stats, exact integers
+        "trimmed_stats": (
+            "WITH r AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v, "
+            "ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY n_chars, doc_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY source) AS n FROM documents), "
+            "b AS (SELECT *, (5 * n + 99) // 100 AS k_lo, "
+            "(95 * n + 99) // 100 AS k_hi FROM r), "
+            "c AS (SELECT grp, MAX(CASE WHEN rn = k_lo THEN v END) AS p_lo, "
+            "MAX(CASE WHEN rn = k_hi THEN v END) AS p_hi FROM b GROUP BY 1) "
+            "SELECT b.grp AS source, CAST(MAX(b.n) AS BIGINT) AS n_rows, "
+            "CAST(MAX(c.p_lo) AS BIGINT) AS p_lo, "
+            "CAST(MAX(c.p_hi) AS BIGINT) AS p_hi, "
+            "CAST(SUM(greatest(least(b.v, c.p_hi), c.p_lo)) AS BIGINT) "
+            "AS winsorized_sum, "
+            "CAST(SUM(CASE WHEN b.rn > b.k_lo AND b.rn <= b.k_hi "
+            "THEN b.v END) AS BIGINT) AS trimmed_sum, "
+            "CAST(COUNT(CASE WHEN b.rn > b.k_lo AND b.rn <= b.k_hi "
+            "THEN 1 END) AS BIGINT) AS trimmed_n "
+            "FROM b JOIN c USING (grp) GROUP BY 1"
+        ),
     }

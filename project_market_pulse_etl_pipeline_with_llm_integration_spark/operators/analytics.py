@@ -506,3 +506,103 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("abs(share_a_ppm - share_b_ppm)").alias("shift_ppm"),
         (F.col("psi") < 0.1).alias("stable"),
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Outlier-robust per-group aggregates: discrete percentiles,
+    winsorized sum, and trimmed sum over an integer measure — the
+    robust statistics a corpus-health dashboard wants when a handful of
+    pathological documents would otherwise dominate a plain mean.
+
+    Everything is EXACT-INTEGER so the result hashes identically on any
+    engine (SCALE.md determinism rule — interpolating percentile_cont
+    would emit engine-rounded doubles):
+
+      * rank rows per group by (value, id) — a total order, so ranks
+        are deterministic;
+      * k_lo = ceil(lo_pct * n / 100), k_hi = ceil(hi_pct * n / 100)
+        in integer arithmetic ((p*n + 99) div 100);
+      * p_lo / p_hi = the VALUES at ranks k_lo / k_hi (discrete
+        percentiles — actual data elements, like quantile_disc);
+      * winsorized_sum = sum(clamp(value, p_lo, p_hi)) over ALL rows;
+      * trimmed_sum / trimmed_n = sum/count over ranks in (k_lo, k_hi]
+        (drops the bottom lo_pct% and top (100-hi_pct)% tails).
+
+    Scale shape: ONE shuffle keyed by the group column; the per-group
+    sort is bounded by group size (for a pathologically hot group,
+    pre-aggregate duplicate values per (group, value) first — the
+    ranks formula extends to weighted rows).  Output is one row per
+    group."""
+    v, g = F.col(value_col), F.col(group_col)
+    w = W.partitionBy("grp").orderBy(F.col("v").asc(), F.col("rid").asc())
+    ranked = df.select(
+        g.alias("grp"), v.cast("long").alias("v"), F.col(id_col).alias("rid")
+    ).withColumn("rn", F.row_number().over(w).cast("long"))
+    sized = ranked.withColumn(
+        "n", F.count("*").over(W.partitionBy("grp")).cast("long")
+    )
+    bounded = (
+        sized.withColumn(
+            "k_lo", F.floor((F.lit(lo_pct) * F.col("n") + 99) / 100).cast("long")
+        )
+        .withColumn(
+            "k_hi", F.floor((F.lit(hi_pct) * F.col("n") + 99) / 100).cast("long")
+        )
+    )
+    cuts = (
+        bounded.groupBy("grp")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("k_lo"), F.col("v"))).alias("p_lo"),
+            F.max(F.when(F.col("rn") == F.col("k_hi"), F.col("v"))).alias("p_hi"),
+        )
+    )
+    return (
+        bounded.join(cuts, "grp")
+        .groupBy("grp")
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.max("p_lo").alias("p_lo"),
+            F.max("p_hi").alias("p_hi"),
+            F.sum(F.greatest(F.least(F.col("v"), F.col("p_hi")), F.col("p_lo")))
+            .cast("long")
+            .alias("winsorized_sum"),
+            F.sum(
+                F.when(
+                    (F.col("rn") > F.col("k_lo")) & (F.col("rn") <= F.col("k_hi")),
+                    F.col("v"),
+                )
+            )
+            .cast("long")
+            .alias("trimmed_sum"),
+            F.count(
+                F.when(
+                    (F.col("rn") > F.col("k_lo")) & (F.col("rn") <= F.col("k_hi")), 1
+                )
+            )
+            .cast("long")
+            .alias("trimmed_n"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "p_lo",
+            "p_hi",
+            "winsorized_sum",
+            "trimmed_sum",
+            "trimmed_n",
+        )
+    )
+
+
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95 trimmed + winsorized n_chars statistics per document
+    source."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return trimmed_stats(docs, "source", "n_chars", "doc_id")

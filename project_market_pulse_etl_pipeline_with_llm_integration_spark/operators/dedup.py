@@ -1180,3 +1180,162 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-char length bands × first-token blocking, distance <= 12)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return editdistance_pairs(docs, max_block_size=20_000)
+
+
+# ---------------------------------------------------------------------------
+# Split-contamination audit (decontaminate applied across a split)
+# ---------------------------------------------------------------------------
+
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train->test contamination audit over the content-keyed 90/5/5
+    split: for each source, how many TRAIN documents share a word
+    5-gram with any TEST document (``decontaminate`` pointed at the
+    pipeline's own held-out slice instead of an external benchmark —
+    the audit every training run should ship with its split).
+
+    The split is duplicate-safe (``leakage_safe_split``), so any
+    contamination found here is genuine n-gram overlap between distinct
+    documents, not stray exact copies.  Aggregated per source so the
+    hashed surface is a handful of all-integer rows.
+
+    Scale shape (inherited from ``decontaminate``): the test slice is
+    ~5% of the corpus and only its DISTINCT grams travel — broadcast at
+    bench scale, a plain shuffle semi-join at 100 TB; the train side is
+    explode -> hash-join -> groupBy(doc) -> groupBy(source), text never
+    shuffles."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import (
+        leakage_safe_split,
+    )
+
+    docs = leakage_safe_split(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    verdicts = decontaminate(train, test, n=5)
+    per_doc = train.select("doc_id", "source").join(verdicts, "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_train_docs"),
+        F.count(F.when(F.col("contaminated"), 1)).alias("n_contaminated"),
+        F.sum("n_shared_ngrams").cast("long").alias("total_shared_ngrams"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    near_ppm: int = 500_000,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus (the daily-crawl
+    shape: the corpus is petabytes and must not be re-deduped from
+    scratch every ingest).  Verdict per batch document:
+
+      * ``exact``  — normalized-content digest already in the corpus;
+      * ``near``   — >= ``near_ppm``/1e6 of its distinct word n-grams
+                     occur somewhere in the corpus (containment, the
+                     asymmetric overlap measure — right for "is this
+                     new doc already covered", where Jaccard would be
+                     diluted by a long corpus-side text);
+      * ``unique`` — neither.
+
+    Returns (id, is_exact_dup, n_grams, n_hit_grams, containment_ppm,
+    verdict) — integers + strings only, floor-scaled ppm (SCALE.md
+    determinism rule).
+
+    Scale shape: the batch is the small side, so BOTH probes broadcast
+    batch-derived state — the exact probe broadcasts the batch digest
+    set against the corpus digest stream, the near probe broadcasts the
+    batch's distinct (id, gram) pairs against the corpus gram explode —
+    and the corpus is only ever SCANNED (no corpus-wide shuffle, no
+    global distinct; corpus-side gram dedup happens after the join on
+    join survivors only).  At 100 TB the corpus digest/gram passes are
+    pure map-side work against ~MBs of broadcast batch state; in a
+    production deployment the corpus digest set would be a maintained
+    index table, which this plan degrades to for free (swap the scan
+    for the index read)."""
+    c_fp = corpus.select(F.md5(norm_text(text_col)).alias("fp"))
+    b = batch.select(
+        F.col(id_col).alias("bid"), F.col(text_col).alias("btext")
+    )
+
+    toks = tokens("btext")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    b_grams = b.select(
+        "bid", F.explode(grams).alias("gram")
+    )
+
+    c_toks = tokens(text_col)
+    c_grams = corpus.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(c_toks) - n, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(c_toks, i + 1, n)),
+                )
+            )
+        ).alias("gram")
+    )
+
+    exact_hits = (
+        c_fp.join(
+            F.broadcast(
+                b.select(
+                    "bid", F.md5(norm_text("btext")).alias("fp")
+                )
+            ),
+            "fp",
+        )
+        .select("bid")
+        .distinct()
+        .withColumn("is_exact_dup", F.lit(True))
+    )
+    gram_hits = (
+        c_grams.join(F.broadcast(b_grams), "gram")
+        .select("bid", "gram")
+        .distinct()
+        .groupBy("bid")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    totals = b.select(
+        "bid", F.size(grams).cast("long").alias("n_grams")
+    )
+    out = (
+        totals.join(exact_hits, "bid", "left")
+        .join(gram_hits, "bid", "left")
+        .select(
+            F.col("bid").alias(id_col),
+            F.coalesce("is_exact_dup", F.lit(False)).alias("is_exact_dup"),
+            "n_grams",
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            F.floor(
+                F.coalesce("n_hit_grams", F.lit(0)) * F.lit(1_000_000) / F.col("n_grams")
+            ).cast("long").alias("containment_ppm"),
+        )
+    )
+    return out.withColumn(
+        "verdict",
+        F.when(F.col("is_exact_dup"), F.lit("exact"))
+        .when(F.col("containment_ppm") >= near_ppm, F.lit("near"))
+        .otherwise(F.lit("unique")),
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup the deterministic 5% 'daily batch' (doc_id % 20 == 7)
+    against the other 95% of the documents table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 20 == 7)
+    corpus = docs.filter(F.col("doc_id") % 20 != 7)
+    return incremental_dedup(corpus, batch)

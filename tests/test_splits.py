@@ -1,0 +1,131 @@
+"""Leakage-safe splitting, split contamination, incremental dedup, and
+trimmed stats — the round-5 split-hygiene family.
+
+The load-bearing test is the planted-duplicate one: a content-keyed
+split must put every copy of a duplicated text in the SAME split (the
+structural guarantee), while the id-keyed split scatters them (the bug
+the operator exists to fix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+    analytics,
+    dedup,
+)
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import (
+    dataset_split,
+    leakage_safe_split,
+)
+
+from conftest import SF_SMALL
+
+
+def _planted(spark, copies=40):
+    """Corpus where one text is duplicated under many different ids —
+    ids chosen dense so the naive id-keyed 90/5/5 split MUST scatter
+    them across splits."""
+    rows = [(i, f"unique document number {i} with its own words") for i in range(200)]
+    dup_ids = range(200, 200 + copies)
+    rows += [(i, "the exact same duplicated text appears here") for i in dup_ids]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    docs = _planted(spark)
+    safe = leakage_safe_split(docs)
+    dup = safe.filter(F.col("text").contains("duplicated"))
+    assert dup.select("split").distinct().count() == 1
+
+    naive = dataset_split(docs, "doc_id").filter(
+        F.col("text").contains("duplicated")
+    )
+    # 40 dense ids under a 90/5/5 ppm split: copies land in >1 split
+    assert naive.select("split").distinct().count() > 1
+
+
+def test_leakage_safe_split_partitions_are_exhaustive_and_disjoint(spark):
+    docs = _planted(spark)
+    out = leakage_safe_split(docs)
+    assert out.count() == docs.count()
+    assert set(
+        r["split"] for r in out.select("split").distinct().collect()
+    ) <= {"train", "val", "test"}
+
+
+def test_split_leakage_law_row(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import (
+        q_split_leakage_law,
+    )
+
+    r = q_split_leakage_law(spark, SF_SMALL).collect()
+    assert len(r) == 1
+    assert r[0]["n_leaky_safe"] == 0
+    assert r[0]["law_holds"] is True
+
+
+def test_incremental_dedup_verdicts(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "totally unrelated corpus content lives here now"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 1 (different id)
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            # near: shares a long 5-gram run with doc 2
+            (101, "one two three four five six seven ZZZ QQQ"),
+            # unique
+            (102, "completely novel text with fresh tokens only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.incremental_dedup(corpus, batch).collect()
+    }
+    assert out[100]["verdict"] == "exact" and out[100]["is_exact_dup"]
+    assert out[101]["verdict"] == "near"
+    assert out[101]["containment_ppm"] >= 500_000
+    assert out[102]["verdict"] == "unique"
+    assert out[102]["n_hit_grams"] == 0
+
+
+def test_incremental_dedup_batch_side_broadcast(spark):
+    """The corpus must never shuffle: both probes broadcast batch state."""
+    plan = (
+        dedup.q_dedup_incremental(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trimmed_stats_small_exact(spark):
+    # group 'a': values 1..100 -> k_lo=5, k_hi=95; p_lo=5, p_hi=95
+    rows = [("a", i, i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "source string, n_chars long, doc_id long")
+    r = analytics.trimmed_stats(df, "source", "n_chars", "doc_id").collect()[0]
+    assert (r["n_rows"], r["p_lo"], r["p_hi"]) == (100, 5, 95)
+    # winsorized: 1..4 -> 5 (4 rows), 96..100 -> 95 (5 rows)
+    expected_wins = sum(max(min(v, 95), 5) for v in range(1, 101))
+    assert r["winsorized_sum"] == expected_wins
+    assert r["trimmed_sum"] == sum(range(6, 96))
+    assert r["trimmed_n"] == 90
+
+
+def test_split_contamination_shape(spark):
+    out = dedup.q_split_contamination(spark, SF_SMALL).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r["n_contaminated"] <= r["n_train_docs"]
+        if r["n_contaminated"] == 0:
+            assert r["total_shared_ngrams"] == 0
