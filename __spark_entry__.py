@@ -362,6 +362,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_contamination": dedup.q_split_contamination,
         "dedup_incremental": dedup.q_dedup_incremental,
         "trimmed_stats": analytics.q_trimmed_stats,
+        "rag_retrieval": text.q_rag_retrieval,
     }
 
 
@@ -2376,6 +2377,42 @@ def oracle_sql() -> dict[str, str]:
             ">= 500000 THEN 'near' ELSE 'unique' END AS verdict "
             "FROM bt LEFT JOIN hits ON bt.doc_id = hits.doc_id "
             "LEFT JOIN ex ON bt.doc_id = ex.doc_id"
+        ),
+        # chunk-level BM25 (text_chunk CTE composed with the bm25_topk
+        # oracle; chunk_id = doc_id * 1e6 + chunk_idx, rank-based
+        # hashed contract — same ulp posture as bm25_topk)
+        "rag_retrieval": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, {_NTOK} AS ntok "
+            "FROM documents), "
+            "c AS (SELECT doc_id, tk, "
+            "1 + (greatest(ntok - 32, 0) + 23) // 24 AS nch FROM t "
+            "WHERE ntok > 0), "
+            "e AS (SELECT doc_id, tk, "
+            "unnest(generate_series(0, nch - 1)) AS i FROM c), "
+            "ch AS (SELECT doc_id * 1000000 + i AS chunk_id, "
+            "tk[i * 24 + 1 : i * 24 + 32] AS ctk FROM e), "
+            "s AS (SELECT count(*) AS n_docs, avg(len(ctk)) AS avgdl FROM ch), "
+            "p AS (SELECT chunk_id, len(ctk) AS dl, unnest(ctk) AS token "
+            "FROM ch), "
+            "tf AS (SELECT chunk_id, dl, token, count(*) AS tf FROM p "
+            "WHERE token IN ('join', 'hash', 'spark', 'window', 'customer') "
+            "GROUP BY 1, 2, 3), "
+            "dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), "
+            "sc AS (SELECT tf.chunk_id, CAST(max(tf.dl) AS BIGINT) AS dl, "
+            "sum(CAST(floor("
+            "ln(1 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) * "
+            "((tf.tf * CAST(2.2 AS DOUBLE)) / (tf.tf + CAST(1.2 AS DOUBLE) * "
+            "(0.25 + 0.75 * tf.dl / s.avgdl))) "
+            "* 1000000.0) AS BIGINT)) AS score_1e6, "
+            "CAST(sum(tf.tf) AS BIGINT) AS tf_sum, "
+            "CAST(min(dfr.df) AS BIGINT) AS df_min "
+            "FROM tf JOIN dfr ON tf.token = dfr.token CROSS JOIN s "
+            "GROUP BY 1) "
+            "SELECT CAST(chunk_id // 1000000 AS BIGINT) AS doc_id, "
+            "CAST(chunk_id % 1000000 AS BIGINT) AS chunk_idx, "
+            "CAST(row_number() OVER (ORDER BY score_1e6 DESC, chunk_id) "
+            "AS BIGINT) AS bm_rank, tf_sum, df_min, dl FROM sc "
+            "QUALIFY bm_rank <= 20"
         ),
         # discrete-percentile winsorized/trimmed stats, exact integers
         "trimmed_stats": (

@@ -1342,3 +1342,41 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(
         spark.read.parquet(f"{sf_dir}/documents.parquet"), n_merges=3
     )
+
+
+def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG passage retrieval: the corpus is cut into 32-token sliding
+    chunks (``chunk_documents``, stride 24) and BM25-ranked at the
+    CHUNK level — the retrieval granularity an actual RAG serving stack
+    uses (a whole-document hit is useless to a 4k-context generator;
+    the payoff of chunk scoring is that the returned span already fits
+    the prompt).  Composition of two existing verified operators, so
+    the only new surface is the chunk id scheme: chunk_id = doc_id *
+    1e6 + chunk_idx (exact in a long for doc_id < 9.2e12; documents
+    with more than 1e6 chunks — 24M tokens — would need a wider key).
+
+    Hashed contract: rank + exact integers (the bm25_topk rule); doc_id
+    and chunk_idx are recovered from the winning chunk ids.  Plan
+    shape: chunking is shuffle-free scan-speed generate, then the BM25
+    pass inherits bm25_topk's posture (explode filtered to query terms
+    immediately, broadcast df/avgdl, distributed TakeOrdered top-k) —
+    chunking multiplies row count ~n_tokens/24 but the post-filter
+    posting table is still |terms| · chunk-df rows, never the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = chunk_documents(docs).select(
+        (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx")).alias(
+            "chunk_id"
+        ),
+        "chunk_text",
+    )
+    out = bm25_topk(
+        chunks, BM25_QUERY_TERMS, text_col="chunk_text", id_col="chunk_id"
+    )
+    return out.select(
+        F.expr("chunk_id div 1000000").cast("long").alias("doc_id"),
+        (F.col("chunk_id") % F.lit(1_000_000)).cast("long").alias("chunk_idx"),
+        "bm_rank",
+        "tf_sum",
+        "df_min",
+        "dl",
+    )

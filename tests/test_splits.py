@@ -129,3 +129,19 @@ def test_split_contamination_shape(spark):
         assert 0 <= r["n_contaminated"] <= r["n_train_docs"]
         if r["n_contaminated"] == 0:
             assert r["total_shared_ngrams"] == 0
+
+
+def test_rag_retrieval_chunk_contract(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import text
+
+    rows = text.q_rag_retrieval(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    assert [r["bm_rank"] for r in rows] == list(range(1, 21))
+    for r in rows:
+        assert 1 <= r["dl"] <= 32  # chunk-level docs, never whole documents
+        assert r["chunk_idx"] >= 0
+    plan = (
+        text.q_rag_retrieval(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
