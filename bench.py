@@ -114,6 +114,13 @@ HEADLINE = [
     "jl_projection",
     "bpe_train",
     "zonemap_prune",
+    # round-5 session-4 additions: split hygiene, incremental dedup,
+    # chunk-level retrieval, robust stats
+    "leakage_safe_split",
+    "split_contamination",
+    "dedup_incremental",
+    "rag_retrieval",
+    "trimmed_stats",
 ]
 
 

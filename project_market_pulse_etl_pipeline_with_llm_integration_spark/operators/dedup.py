@@ -1210,6 +1210,10 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = leakage_safe_split(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     train = docs.filter(F.col("split") == "train")
     test = docs.filter(F.col("split") == "test")
+    # no repartition: the train side is 90% of the corpus WITH its
+    # text, so a spread-the-explode shuffle moves more bytes than the
+    # parallelism recovers (measured 3.2 s -> 4.4 s at sf0.1) — unlike
+    # q_decontaminate, whose corpus/benchmark split is 8:1
     verdicts = decontaminate(train, test, n=5)
     per_doc = train.select("doc_id", "source").join(verdicts, "doc_id")
     return per_doc.groupBy("source").agg(
@@ -1230,6 +1234,7 @@ def incremental_dedup(
     id_col: str = "doc_id",
     n: int = 5,
     near_ppm: int = 500_000,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus (the daily-crawl
     shape: the corpus is petabytes and must not be re-deduped from
@@ -1258,6 +1263,11 @@ def incremental_dedup(
     production deployment the corpus digest set would be a maintained
     index table, which this plan degrades to for free (swap the scan
     for the index read)."""
+    if num_partitions:
+        # single-file local inputs: spread the corpus-side gram explode
+        # (SCALE.md scan-parallelism lever); a real cluster scan is
+        # already parallel and passes None
+        corpus = corpus.repartition(num_partitions)
     c_fp = corpus.select(F.md5(norm_text(text_col)).alias("fp"))
     b = batch.select(
         F.col(id_col).alias("bid"), F.col(text_col).alias("btext")
@@ -1338,4 +1348,6 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     batch = docs.filter(F.col("doc_id") % 20 == 7)
     corpus = docs.filter(F.col("doc_id") % 20 != 7)
-    return incremental_dedup(corpus, batch)
+    return incremental_dedup(
+        corpus, batch, num_partitions=spark.sparkContext.defaultParallelism
+    )
