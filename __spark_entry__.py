@@ -363,6 +363,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup.q_dedup_incremental,
         "trimmed_stats": analytics.q_trimmed_stats,
         "rag_retrieval": text.q_rag_retrieval,
+        # new in round 5 (session 5): placement, recursion, selection,
+        # collocations, IR evaluation — local-gate verified
+        "rendezvous_shard": R.q_rendezvous_shard,
+        "reshard_law": R.q_reshard_law,
+        "recursive_cte": R.q_recursive_cte,
+        "dsir_select": text.q_dsir_select,
+        "pmi_cooccur": text.q_pmi_cooccur,
+        "retrieval_eval": text.q_retrieval_eval,
     }
 
 
@@ -2434,5 +2442,140 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(CASE WHEN b.rn > b.k_lo AND b.rn <= b.k_hi "
             "THEN 1 END) AS BIGINT) AS trimmed_n "
             "FROM b JOIN c USING (grp) GROUP BY 1"
+        ),
+        # rendezvous/HRW placement: 14-hex md5 weight packed with the
+        # shard nibble, argmax = one integer max (relational.py
+        # rendezvous_assign) — everything exact integers
+        "rendezvous_shard": (
+            "WITH e8 AS (SELECT doc_id, unnest(range(0, 8)) AS sh FROM documents), "
+            "p8 AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) "
+            "|| ':' || CAST(sh AS VARCHAR)), 1, 14))::BIGINT * 16 + sh AS packed "
+            "FROM e8), "
+            "m8 AS (SELECT doc_id, max(packed) AS mx FROM p8 GROUP BY 1), "
+            "e9 AS (SELECT doc_id, unnest(range(0, 9)) AS sh FROM documents), "
+            "p9 AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) "
+            "|| ':' || CAST(sh AS VARCHAR)), 1, 14))::BIGINT * 16 + sh AS packed "
+            "FROM e9), "
+            "m9 AS (SELECT doc_id, max(packed) AS mx FROM p9 GROUP BY 1) "
+            "SELECT m8.doc_id, CAST(m8.mx % 16 AS INT) AS shard8, "
+            "CAST(m9.mx % 16 AS INT) AS shard9, "
+            "(m8.mx % 16) <> (m9.mx % 16) AS moved "
+            "FROM m8 JOIN m9 ON m8.doc_id = m9.doc_id"
+        ),
+        # elastic-resharding contract row (see q_reshard_law docstring
+        # for the structural vs statistical split)
+        "reshard_law": (
+            "WITH e8 AS (SELECT doc_id, unnest(range(0, 8)) AS sh FROM documents), "
+            "p8 AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) "
+            "|| ':' || CAST(sh AS VARCHAR)), 1, 14))::BIGINT * 16 + sh AS packed "
+            "FROM e8), "
+            "m8 AS (SELECT doc_id, max(packed) AS mx FROM p8 GROUP BY 1), "
+            "e9 AS (SELECT doc_id, unnest(range(0, 9)) AS sh FROM documents), "
+            "p9 AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) "
+            "|| ':' || CAST(sh AS VARCHAR)), 1, 14))::BIGINT * 16 + sh AS packed "
+            "FROM e9), "
+            "m9 AS (SELECT doc_id, max(packed) AS mx FROM p9 GROUP BY 1), "
+            "j AS (SELECT m8.doc_id, m8.mx % 16 AS s8, m9.mx % 16 AS s9 "
+            "FROM m8 JOIN m9 ON m8.doc_id = m9.doc_id), "
+            "agg AS (SELECT count(*) AS n_keys, "
+            "sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS n_moved, "
+            "sum(CASE WHEN s8 <> s9 AND s9 <> 8 THEN 1 ELSE 0 END) AS n_else "
+            "FROM j), "
+            "sc AS (SELECT s8, count(*) AS c FROM j GROUP BY 1), "
+            "mc AS (SELECT max(c) AS max_c FROM sc) "
+            "SELECT CAST(n_keys AS BIGINT) AS n_keys, "
+            "CAST(n_moved AS BIGINT) AS n_moved, "
+            "n_else = 0 AS moved_to_new_only, "
+            "(n_moved * 100 >= n_keys * 4 AND n_moved * 100 <= n_keys * 25) "
+            "AS moved_frac_ok, "
+            "(max_c * 8 <= n_keys * 3) AS balance_ok "
+            "FROM agg CROSS JOIN mc"
+        ),
+        # identical statement text on both engines (the sql_passthrough
+        # pattern for Spark 4's WITH RECURSIVE)
+        "recursive_cte": R.RECURSIVE_CTE_TEXT,
+        # DSIR importance selection: rank + exact integers hashed; the
+        # floored ln(ratio) bucket weight orders but is never hashed
+        # (SCALE.md determinism rule).  The numerator/denominator
+        # products are exact int64, so the double DIVISION is identical
+        # cross-engine; only the ln is transcendental.
+        "dsir_select": (
+            f"WITH t AS (SELECT doc_id, lang <> 'en' AS is_t, unnest({_TOKS}) "
+            "AS token FROM documents), "
+            "p AS (SELECT doc_id, is_t, ('0x' || substr(md5(token), 1, 2))::INT "
+            "AS bucket FROM t WHERE token <> ''), "
+            "lm AS (SELECT bucket, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t, "
+            "sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS c_r FROM p GROUP BY 1), "
+            "tot AS (SELECT sum(c_t) AS tot_t, sum(c_r) AS tot_r FROM lm), "
+            "w AS (SELECT bucket, CAST(floor(ln("
+            "((c_t + 1) * (tot_r + 256)) / ((c_r + 1) * (tot_t + 256))"
+            ") * 1000000.0) AS BIGINT) AS w_1e6 FROM lm CROSS JOIN tot), "
+            "s AS (SELECT p.doc_id, sum(w.w_1e6) AS dsir_1e6, "
+            "count(*) AS n_tok FROM p JOIN w USING (bucket) "
+            "WHERE NOT is_t GROUP BY 1) "
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY dsir_1e6 DESC, "
+            "doc_id) AS BIGINT) AS ds_rank, CAST(n_tok AS BIGINT) AS n_tok "
+            "FROM s QUALIFY ds_rank <= 50"
+        ),
+        # PMI collocations: every column incl. the score is exact
+        # integer arithmetic ((1e6*c_ab*N) intdiv (c_a*c_b))
+        "pmi_cooccur": (
+            f"WITH p AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS token "
+            "FROM documents), "
+            "p2 AS (SELECT * FROM p WHERE token <> ''), "
+            "dfreq AS (SELECT token, count(*) AS c FROM p2 GROUP BY 1), "
+            "kept AS (SELECT p2.doc_id, p2.token, d.c FROM p2 "
+            "JOIN dfreq d USING (token) WHERE d.c >= 20), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "pairs AS (SELECT a.token AS tok_a, b.token AS tok_b, "
+            "a.c AS c_a, b.c AS c_b, count(*) AS c_ab "
+            "FROM kept a JOIN kept b ON a.doc_id = b.doc_id "
+            "AND a.token < b.token "
+            "GROUP BY 1, 2, 3, 4 HAVING count(*) >= 20) "
+            "SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS c_ab, "
+            "CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b, "
+            "CAST((1000000 * c_ab * n_docs) // (c_a * c_b) AS BIGINT) "
+            "AS pmi_ppm "
+            "FROM pairs CROSS JOIN n "
+            "ORDER BY pmi_ppm DESC, tok_a, tok_b LIMIT 30"
+        ),
+        # IR-evaluation audit: the bm25 ranking CTEs plus an exact
+        # term-overlap relevance oracle; all metrics integer-ppm
+        "retrieval_eval": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, {_NTOK} AS ntok "
+            "FROM documents), "
+            "s AS (SELECT count(*) AS n_docs, avg(ntok) AS avgdl FROM t), "
+            "p AS (SELECT doc_id, ntok AS dl, unnest(tk) AS token FROM t), "
+            "tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM p WHERE token IN "
+            "('join', 'hash', 'spark', 'window', 'customer') GROUP BY 1, 2, 3), "
+            "dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), "
+            "sc AS (SELECT tf.doc_id, sum(CAST(floor("
+            "ln(1 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) * "
+            "((tf.tf * CAST(2.2 AS DOUBLE)) / (tf.tf + CAST(1.2 AS DOUBLE) * "
+            "(0.25 + 0.75 * tf.dl / s.avgdl))) "
+            "* 1000000.0) AS BIGINT)) AS score_1e6 "
+            "FROM tf JOIN dfr ON tf.token = dfr.token CROSS JOIN s GROUP BY 1), "
+            "bm AS (SELECT doc_id, row_number() OVER (ORDER BY score_1e6 DESC, "
+            "doc_id) AS bm_rank FROM sc QUALIFY bm_rank <= 20), "
+            "rel AS (SELECT doc_id FROM t WHERE len(list_intersect("
+            "list_distinct(tk), ['join', 'hash', 'spark', 'window', 'customer']"
+            ")) >= 3), "
+            "nr AS (SELECT count(*) AS n_relevant FROM rel), "
+            "h AS (SELECT bm_rank FROM bm JOIN rel USING (doc_id)), "
+            "a AS (SELECT sum(CASE WHEN bm_rank <= 5 THEN 1 ELSE 0 END) "
+            "AS hits_at_5, sum(CASE WHEN bm_rank <= 10 THEN 1 ELSE 0 END) "
+            "AS hits_at_10, count(*) AS hits_at_20, min(bm_rank) AS first_rel "
+            "FROM h) "
+            "SELECT CAST(n_relevant AS BIGINT) AS n_relevant, "
+            "CAST(hits_at_5 AS BIGINT) AS hits_at_5, "
+            "CAST(hits_at_10 AS BIGINT) AS hits_at_10, "
+            "CAST(hits_at_20 AS BIGINT) AS hits_at_20, "
+            "CAST(1000000 * hits_at_5 // 5 AS BIGINT) AS p5_ppm, "
+            "CAST(1000000 * hits_at_10 // 10 AS BIGINT) AS p10_ppm, "
+            "CAST(CASE WHEN n_relevant > 0 THEN 1000000 * hits_at_20 // n_relevant "
+            "ELSE 0 END AS BIGINT) AS recall20_ppm, "
+            "CAST(CASE WHEN first_rel IS NOT NULL THEN 1000000 // first_rel "
+            "ELSE 0 END AS BIGINT) AS mrr_ppm "
+            "FROM a CROSS JOIN nr"
         ),
     }

@@ -121,6 +121,13 @@ HEADLINE = [
     "dedup_incremental",
     "rag_retrieval",
     "trimmed_stats",
+    # round-5 session-5 additions: placement, recursion, selection,
+    # collocations, IR evaluation
+    "rendezvous_shard",
+    "recursive_cte",
+    "dsir_select",
+    "pmi_cooccur",
+    "retrieval_eval",
 ]
 
 

@@ -2493,3 +2493,146 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zmax").cast("string").alias("zmax"),
         scanned.alias("scanned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard assignment
+# ---------------------------------------------------------------------------
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous / HRW shard assignment: each key goes to the shard
+    with the highest hash weight md5(key ':' shard) — the consistent
+    placement scheme whose defining property is MINIMAL MOVEMENT under
+    elastic resharding (growing N -> N+1 relocates only the keys the
+    NEW shard wins, ~1/(N+1) of them; every other key's winning weight
+    is unchanged).  Modulo sharding (``key % N``) moves ~all keys on a
+    resize — the difference is the whole point, and ``q_reshard_law``
+    pins it as a driver-checked contract.
+
+    Determinism: the weight is the first 14 hex chars of md5 (56 bits,
+    exact in a long) — engine-neutral like every hash recipe in this
+    repo (sample.py:390).  The argmax is ONE groupBy max over
+    ``weight * 16 + shard`` (shard < 16 rides the low nibble, so max()
+    decodes to the winning shard with ties broken toward the higher
+    shard id — no window, no per-key sort; map-side combine does the
+    fold).  Scale shape: |keys| x N narrow rows into a keyed hash agg;
+    N is a small constant, so this is O(N) work per key with zero
+    skew — exactly how a 1000-executor run places 100 TB of keys.
+    """
+    if not 0 < n_shards <= 16:
+        raise ValueError("rendezvous_assign packs shard ids in a nibble: 1 <= N <= 16")
+    k = F.col(key_col).cast("string")
+    s = F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("sh")
+    w = F.conv(
+        F.substring(F.md5(F.concat(k, F.lit(":"), F.col("sh").cast("string"))), 1, 14),
+        16,
+        10,
+    ).cast("long")
+    packed = df.select(F.col(key_col), s).withColumn("packed", w * 16 + F.col("sh"))
+    return (
+        packed.groupBy(key_col)
+        .agg(F.max("packed").alias("mx"))
+        .select(
+            F.col(key_col),
+            (F.col("mx") % 16).cast("int").alias(out_col),
+            (F.col("mx") / F.lit(16)).cast("long").alias(f"{out_col}_weight"),
+        )
+    )
+
+
+def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document HRW placement at N=8 and N=9 side by side, with the
+    per-key movement flag.  Everything hashed is exact integers (md5
+    weights, packed argmax) — no floats anywhere."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a8 = rendezvous_assign(docs, "doc_id", 8, "shard8")
+    a9 = rendezvous_assign(docs, "doc_id", 9, "shard9")
+    return (
+        a8.join(a9, "doc_id")
+        .select(
+            "doc_id",
+            "shard8",
+            "shard9",
+            (F.col("shard8") != F.col("shard9")).alias("moved"),
+        )
+    )
+
+
+def q_reshard_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible elastic-resharding contract for rendezvous
+    placement, one row:
+
+      * ``moved_to_new_only`` — STRUCTURAL: a key whose shard changes
+        when N grows 8 -> 9 can only have been won by the NEW shard 8
+        (all other shards' weights are identical in both runs, so the
+        old argmax stands unless shard 8 beats it).
+      * ``moved_frac_ok`` — STATISTICAL: the moved fraction sits in a
+        wide band around the ideal 1/9 (~11.1%); band [4%, 25%] holds
+        at any sf (56-bit uniform weights; per-key move probability is
+        exactly 1/9 independent across keys).
+      * ``balance_ok`` — no shard under N=8 holds more than 3x the
+        ideal 1/8 share (uniform weights spread keys evenly — the
+        anti-hotspot property that makes HRW a placement you can ship).
+    """
+    pl = q_rendezvous_shard(spark, sf_dir)
+    per_shard = pl.groupBy("shard8").agg(F.count("*").alias("c"))
+    mx_share = per_shard.agg(F.max("c").alias("max_c"))
+    law = pl.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.when(F.col("moved"), 1).otherwise(0)).alias("n_moved"),
+        F.sum(
+            F.when(F.col("moved") & (F.col("shard9") != 8), 1).otherwise(0)
+        ).alias("n_moved_elsewhere"),
+    )
+    return law.crossJoin(F.broadcast(mx_share)).select(
+        "n_keys",
+        "n_moved",
+        (F.col("n_moved_elsewhere") == 0).alias("moved_to_new_only"),
+        (
+            (F.col("n_moved") * 100 >= F.col("n_keys") * 4)
+            & (F.col("n_moved") * 100 <= F.col("n_keys") * 25)
+        ).alias("moved_frac_ok"),
+        (F.col("max_c") * 8 <= F.col("n_keys") * 3).alias("balance_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+# Identical statement text runs on Spark and DuckDB (the
+# sql_passthrough pattern): a synthetic decimal-digit hierarchy over
+# part keys (parent = floor(key/10), root = 0) walked to the root with
+# a recursive CTE, then a per-depth rollup.  Exercises Spark 4's
+# WITH RECURSIVE execution (iterative union with a loop guard) —
+# the declarative sibling of the hand-unrolled iterations in
+# graph.pagerank / shortest_hops.  Depth is bounded by the key's digit
+# count (~6 levels), so the fixpoint terminates without a LIMIT guard.
+RECURSIVE_CTE_TEXT = (
+    "WITH RECURSIVE walk AS ("
+    "  SELECT p_partkey AS pk, p_partkey AS cur, 0 AS depth FROM part"
+    "  UNION ALL"
+    "  SELECT pk, CAST(floor(cur / 10.0) AS BIGINT) AS cur, depth + 1 AS depth"
+    "  FROM walk WHERE cur > 0"
+    ") "
+    "SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes, "
+    "CAST(sum(pk) AS BIGINT) AS sum_pk, CAST(sum(cur) AS BIGINT) AS sum_cur "
+    "FROM walk GROUP BY depth"
+)
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE ancestor walk (Spark 4 surface).  The engine and
+    the oracle run the VERY SAME statement; all outputs are exact
+    integers.  At 100 TB the recursive union materializes one
+    generation per step with the same keyed-shuffle shape as the
+    unrolled BFS in graph.shortest_hops — the CTE form simply lets the
+    planner own the loop."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(RECURSIVE_CTE_TEXT)

@@ -1380,3 +1380,218 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df_min",
         "dl",
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-weight data selection
+# ---------------------------------------------------------------------------
+
+
+def dsir_scores(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023)
+    over hashed unigram features: score every RAW document by how much
+    it looks like the TARGET distribution,
+
+        score(doc) = sum over token occurrences of
+                     ln( p_target(bucket(tok)) / p_raw(bucket(tok)) )
+
+    with Laplace-smoothed bucket unigram LMs (bucket = first hex byte of
+    md5(token) -> 256 buckets; the hashed-feature trick is what makes
+    DSIR run at pretraining scale — the model state is B integers, not a
+    vocabulary).
+
+    Determinism contract (SCALE.md rule): each bucket's log-ratio is
+    floor-scaled to 1e-6 BEFORE the per-doc sum, so doc scores are
+    integer sums; the hashed surface downstream is rank + exact
+    integers, never the transcendental-valued weight (the
+    perplexity_rank precedent).
+
+    Plan shape: one token explode -> (doc, bucket) longs only; the
+    bucket LM is a 2·B-cell aggregate that rides a BROADCAST back onto
+    the postings; the per-doc sum is one keyed hash agg with map-side
+    combine.  Nothing driver-side, nothing quadratic — the exact shape
+    a 100 TB selection pass wants (DSIR's raw corpus never shuffles
+    text, only (doc, bucket) pairs)."""
+    bucket = F.conv(F.substring(F.md5(F.col("token")), 1, 2), 16, 10).cast("int")
+    posting = (
+        df.select(
+            F.col(id_col),
+            is_target.alias("is_target"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(id_col, "is_target", bucket.alias("bucket"))
+    )
+    lm = posting.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("c_r"),
+    )
+    totals = lm.agg(F.sum("c_t").alias("tot_t"), F.sum("c_r").alias("tot_r"))
+    b = F.lit(int(n_buckets))
+    log_ratio = F.log(
+        ((F.col("c_t") + 1) * (F.col("tot_r") + b))
+        / ((F.col("c_r") + 1) * (F.col("tot_t") + b))
+    )
+    weights = (
+        lm.crossJoin(F.broadcast(totals))
+        .withColumn("w_1e6", F.floor(log_ratio * 1e6).cast("long"))
+        .select("bucket", "w_1e6")
+    )
+    return (
+        posting.filter(~F.col("is_target"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w_1e6").alias("dsir_1e6"), F.count("*").alias("n_tok"))
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 raw documents by DSIR importance weight, target = the
+    non-'en' slice (the minority style; selection pulls raw docs that
+    token-distributionally resemble it).  Hashed contract is rank +
+    exact integers (ds_rank, n_tok) — the floored-transcendental score
+    orders but is never hashed (SCALE.md determinism rule; bm25_topk /
+    perplexity_rank precedent).  Ties break on doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = dsir_scores(docs, F.col("lang") != "en")
+    top = scored.orderBy(F.col("dsir_1e6").desc(), F.col("doc_id")).limit(50)
+    rank_w = Window.orderBy(F.col("dsir_1e6").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id",
+        F.row_number().over(rank_w).cast("long").alias("ds_rank"),
+        "n_tok",
+    ).orderBy("ds_rank")
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining
+# ---------------------------------------------------------------------------
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_docs: int = 20,
+    topk: int = 30,
+) -> DataFrame:
+    """Document-level pointwise-mutual-information collocations: token
+    pairs that co-occur in the same document far more often than
+    independence predicts,
+
+        pmi_ratio(a, b) = P(a, b) / (P(a) P(b))
+                        = (c_ab · N) / (c_a · c_b)
+
+    over document-presence counts.  The classic corpus-linguistics
+    association miner (word2vec's SGNS factorizes exactly this matrix,
+    shifted) — and, unlike a log-PMI formulation, the ratio is kept in
+    EXACT INTEGER ppm: (1e6·c_ab·N) div (c_a·c_b) — every hashed column
+    incl. the score is engine-exact (no transcendental anywhere; int64
+    holds the product up to c_ab·N ~ 9e12 — at genuinely 100 TB counts
+    promote the expression to DECIMAL(38,0), same plan).
+
+    Scale shape: the pair generator is a doc-keyed self-join of DISTINCT
+    (doc, token) postings, so volume is Σ_doc C(d_distinct, 2) — bounded
+    by capped doc length, never corpus-quadratic.  The df >= min filter
+    runs BEFORE the self-join and is LOSSLESS for the final
+    c_ab >= min filter (c_ab <= min(c_a, c_b)), pruning the postings
+    the way jaccard's prefix filter prunes its candidates; the final
+    top-k is a distributed TakeOrdered."""
+    posting = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    dfreq = posting.groupBy("token").agg(F.count("*").alias("c"))
+    kept = posting.join(
+        F.broadcast(dfreq.filter(F.col("c") >= min_pair_docs)), "token"
+    )
+    n_docs = df.select(id_col).agg(F.count("*").alias("n_docs"))
+    a = kept.select(F.col(id_col), F.col("token").alias("tok_a"), F.col("c").alias("c_a"))
+    b = kept.select(F.col(id_col), F.col("token").alias("tok_b"), F.col("c").alias("c_b"))
+    pairs = (
+        a.join(b, id_col)
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "c_a", "c_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pair_docs)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "pmi_ppm",
+            F.expr("(1000000 * c_ab * n_docs) div (c_a * c_b)"),
+        )
+    )
+    return (
+        pairs.select("tok_a", "tok_b", "c_ab", "c_a", "c_b", "pmi_ppm")
+        .orderBy(F.col("pmi_ppm").desc(), "tok_a", "tok_b")
+        .limit(topk)
+    )
+
+
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation (P@k / recall / MRR)
+# ---------------------------------------------------------------------------
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-evaluation audit of the engine's own BM25 stack, one row:
+    precision@5 / precision@10, recall@20, and MRR of ``bm25_topk``
+    against an EXACT relevance oracle (a document is relevant iff it
+    contains >= 3 distinct terms of the 5-term query — computable
+    identically on both engines, so the qrels are never hand-labeled).
+
+    Every metric is integer-ppm arithmetic over exact hit counts
+    (1e6·hits div k, 1e6 div first_relevant_rank) — floats never enter.
+    This is the measurement loop a retrieval-backed data pipeline runs
+    after every index/scorer change; it composes bm25_topk (rank
+    contract) with a one-scan relevance labeling, and the whole
+    evaluation is two broadcast-size frames joined on doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ranking = bm25_topk(docs, BM25_QUERY_TERMS).select("doc_id", "bm_rank")
+    rel = (
+        docs.select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(tokens("text")),
+                    F.array([F.lit(t) for t in BM25_QUERY_TERMS]),
+                )
+            ).alias("n_terms"),
+        )
+        .filter(F.col("n_terms") >= 3)
+        .select("doc_id")
+    )
+    n_rel = rel.agg(F.count("*").alias("n_relevant"))
+    hits = ranking.join(rel, "doc_id")
+    agg = hits.agg(
+        F.sum(F.when(F.col("bm_rank") <= 5, 1).otherwise(0)).alias("hits_at_5"),
+        F.sum(F.when(F.col("bm_rank") <= 10, 1).otherwise(0)).alias("hits_at_10"),
+        F.count("*").alias("hits_at_20"),
+        F.min("bm_rank").alias("first_rel_rank"),
+    )
+    return agg.crossJoin(F.broadcast(n_rel)).select(
+        "n_relevant",
+        "hits_at_5",
+        "hits_at_10",
+        "hits_at_20",
+        F.expr("1000000 * hits_at_5 div 5").alias("p5_ppm"),
+        F.expr("1000000 * hits_at_10 div 10").alias("p10_ppm"),
+        F.expr(
+            "CASE WHEN n_relevant > 0 THEN 1000000 * hits_at_20 div n_relevant "
+            "ELSE 0 END"
+        ).alias("recall20_ppm"),
+        F.expr(
+            "CASE WHEN first_rel_rank IS NOT NULL THEN 1000000 div first_rel_rank "
+            "ELSE 0 END"
+        ).alias("mrr_ppm"),
+    )

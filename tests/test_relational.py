@@ -653,3 +653,44 @@ def test_zonemap_correlated_layout_prunes(spark):
     scanned = sum(1 for r in ok if r.scanned)
     assert scanned < len(ok) / 2
     assert sum(r.n_rows for r in ok) == sum(r.n_rows for r in sk)
+
+
+def test_rendezvous_shard_properties(spark):
+    """HRW placement: shards in range, deterministic across reruns, and
+    the structural minimal-movement law (keys that move when N grows
+    8 -> 9 move ONLY to the new shard 8)."""
+    from conftest import SF_SMALL
+
+    out = R.q_rendezvous_shard(spark, SF_SMALL).collect()
+    n = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert len(out) == n
+    assert all(0 <= r.shard8 < 8 and 0 <= r.shard9 < 9 for r in out)
+    moved = [r for r in out if r.moved]
+    assert moved, "some keys must move on 8 -> 9"
+    assert all(r.shard9 == 8 for r in moved), "HRW moves only to the new shard"
+    # determinism: a second evaluation assigns identically
+    again = {r.doc_id: r.shard8 for r in R.q_rendezvous_shard(spark, SF_SMALL).collect()}
+    assert all(again[r.doc_id] == r.shard8 for r in out)
+
+
+def test_reshard_law_row(spark):
+    from conftest import SF_SMALL
+
+    row = R.q_reshard_law(spark, SF_SMALL).collect()[0]
+    assert row.moved_to_new_only and row.moved_frac_ok and row.balance_ok
+    assert 0 < row.n_moved < row.n_keys
+
+
+def test_recursive_cte_walk_laws(spark):
+    """Depth-0 generation is the part table itself; the walk's terminal
+    generation has landed every chain on the root (sum_cur = 0); each
+    generation is no larger than the previous (chains retire as they
+    reach 0, never fork)."""
+    from conftest import SF_SMALL
+
+    rows = {r.depth: r for r in R.q_recursive_cte(spark, SF_SMALL).collect()}
+    n_parts = spark.read.parquet(f"{SF_SMALL}/part.parquet").count()
+    assert rows[0].n_nodes == n_parts
+    max_d = max(rows)
+    assert rows[max_d].sum_cur == 0
+    assert all(rows[d].n_nodes <= rows[d - 1].n_nodes for d in range(1, max_d + 1))

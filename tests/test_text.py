@@ -544,3 +544,63 @@ def test_bpe_train_matches_greedy_reference(spark):
                     i += 1
             state[w] = out
     assert got == expect
+
+
+def test_dsir_scores_direction(spark):
+    """DSIR scores rank raw docs by target-likeness: scoring the TARGET
+    slice itself with the same bucket LM must produce a higher mean
+    score than the raw slice's mean (the target is, definitionally,
+    more target-like)."""
+    from conftest import SF_SMALL
+
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    is_target = F.col("lang") != "en"
+    raw = text.dsir_scores(docs, is_target)
+    # rebuild with the roles flipped so the target docs get scored
+    # under the SAME direction (target LM in the numerator)
+    flipped = text.dsir_scores(
+        docs.withColumn("lang", F.when(is_target, "en").otherwise("xx")),
+        F.col("lang") != "en",
+    )
+    import statistics
+
+    raw_mean = statistics.mean(r.dsir_1e6 / r.n_tok for r in raw.collect())
+    tgt_mean = statistics.mean(r.dsir_1e6 / r.n_tok for r in flipped.collect())
+    assert tgt_mean < raw_mean  # flipped roles invert the ratio
+
+    top = text.q_dsir_select(spark, SF_SMALL).collect()
+    assert [r.ds_rank for r in top] == list(range(1, len(top) + 1))
+
+
+def test_pmi_pairs_consistency(spark):
+    """Every emitted pair: ordered tokens, co-count bounded by both
+    marginals, and the ppm score reproduces the exact integer
+    definition."""
+    from conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_docs = docs.count()
+    rows = text.pmi_pairs(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.tok_a < r.tok_b
+        assert r.c_ab <= min(r.c_a, r.c_b)
+        assert r.pmi_ppm == (1_000_000 * r.c_ab * n_docs) // (r.c_a * r.c_b)
+
+
+def test_retrieval_eval_metric_laws(spark):
+    """Hit counts are monotone in k and bounded by both k and the
+    relevant-set size; ppm metrics reproduce their integer
+    definitions."""
+    from conftest import SF_SMALL
+
+    row = text.q_retrieval_eval(spark, SF_SMALL).collect()[0]
+    assert 0 <= row.hits_at_5 <= row.hits_at_10 <= row.hits_at_20 <= 20
+    assert row.hits_at_20 <= row.n_relevant
+    assert row.p5_ppm == 1_000_000 * row.hits_at_5 // 5
+    assert row.p10_ppm == 1_000_000 * row.hits_at_10 // 10
+    assert row.recall20_ppm == 1_000_000 * row.hits_at_20 // row.n_relevant
+    if row.hits_at_20:
+        assert row.mrr_ppm > 0
