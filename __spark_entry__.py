@@ -371,6 +371,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": text.q_dsir_select,
         "pmi_cooccur": text.q_pmi_cooccur,
         "retrieval_eval": text.q_retrieval_eval,
+        "quality_percentile_norm": text.q_quality_percentile_norm,
+        "dedup_best_survivor": dedup.q_dedup_best_survivor,
+        "session_concurrency": analytics.q_session_concurrency,
     }
 
 
@@ -380,6 +383,13 @@ _TOKS = "string_split_regex(trim(text), '\\s+')"
 # scaling by token count must use this guarded form.
 _NTOK = f"(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END)"
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# integer-ppm quality score (the quality_score formula without the
+# /1e6 round-trip) — shared by quality_percentile_norm / dedup_exact_best
+_QPPM = ("CAST(floor((0.5 * (least(" + _NTOK + ", 64) / 64.0) + "
+         "0.5 * (CASE WHEN " + _NTOK + " > 0 THEN "
+         "CAST(len(list_distinct(" + _TOKS + ")) AS DOUBLE) / " + _NTOK + " "
+         "ELSE 0.0 END)) * 1e6) AS BIGINT)")
 # int8-quantized embedding (the embedding_quantize recipe, shared by the
 # JL-projection oracles)
 _QV = (
@@ -2577,5 +2587,60 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN first_rel IS NOT NULL THEN 1000000 // first_rel "
             "ELSE 0 END AS BIGINT) AS mrr_ppm "
             "FROM a CROSS JOIN nr"
+        ),
+        # per-source percentile normalization: exact integer-ppm ranks
+        # under a pinned (q_ppm, doc_id) order; formula matches the
+        # quality_score oracle without the /1e6 round-trip
+        "quality_percentile_norm": (
+            "WITH s AS (SELECT doc_id, source, " + _QPPM + " AS q_ppm FROM documents), "
+            "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY q_ppm, doc_id) AS BIGINT) AS q_rank, "
+            "count(*) OVER (PARTITION BY source) AS n_src FROM s) "
+            "SELECT doc_id, source, q_ppm, q_rank, "
+            "CAST(((q_rank - 1) * 1000000) // (n_src - 1) AS BIGINT) AS pct_ppm, "
+            "((q_rank - 1) * 1000000) // (n_src - 1) >= 800000 AS admitted FROM r"
+        ),
+        # quality-argmax survivor per duplicate family (16-token-prefix
+        # fingerprint key, vs dedup_exact's min-id policy); all integer
+        # arithmetic
+        "dedup_best_survivor": (
+            f"WITH s AS (SELECT doc_id, md5(array_to_string(({_TOKS})[1:16], ' ')) "
+            "AS fp, " + _QPPM + " AS q_ppm "
+            "FROM documents), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY fp "
+            "ORDER BY q_ppm DESC, doc_id DESC) AS rn, "
+            "count(*) OVER (PARTITION BY fp) AS n_dups, "
+            "min(doc_id) OVER (PARTITION BY fp) AS min_id FROM s) "
+            "SELECT fp, CAST(n_dups AS BIGINT) AS n_dups, doc_id AS keep_id, "
+            "q_ppm AS keep_q_ppm, min_id FROM r WHERE rn = 1 AND n_dups > 1"
+        ),
+        # sweep-line concurrency: sessionize CTEs + boundary deltas,
+        # day-keyed prefix sums with a |days|-row carry window
+        "session_concurrency": (
+            "WITH flagged AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL THEN 1 "
+            "WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END "
+            "AS new_sess "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sid AS (SELECT user_id, ts, CAST(SUM(new_sess) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS session_seq FROM flagged), "
+            "sess AS (SELECT user_id, session_seq, MIN(ts) AS session_start, "
+            "MAX(ts) AS session_end FROM sid GROUP BY 1, 2), "
+            "b AS (SELECT session_start AS ts, 1 AS delta FROM sess "
+            "UNION ALL SELECT session_end AS ts, -1 AS delta FROM sess), "
+            "bd AS (SELECT ts, delta, CAST(ts AS DATE) AS day FROM b), "
+            "p AS (SELECT *, SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix FROM bd), "
+            "d AS (SELECT day, SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts, "
+            "SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS n_ends, "
+            "MAX(prefix) AS peak_local, SUM(delta) AS net FROM p GROUP BY 1) "
+            "SELECT day, CAST(n_starts AS BIGINT) AS n_starts, "
+            "CAST(n_ends AS BIGINT) AS n_ends, "
+            "CAST(COALESCE(SUM(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS carry_in, "
+            "CAST(COALESCE(SUM(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) + peak_local AS BIGINT) "
+            "AS peak_concurrency FROM d"
         ),
     }

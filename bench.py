@@ -128,6 +128,9 @@ HEADLINE = [
     "dsir_select",
     "pmi_cooccur",
     "retrieval_eval",
+    "quality_percentile_norm",
+    "dedup_best_survivor",
+    "session_concurrency",
 ]
 
 

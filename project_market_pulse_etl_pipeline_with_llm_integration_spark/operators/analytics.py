@@ -606,3 +606,57 @@ def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     source."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return trimmed_stats(docs, "source", "n_chars", "doc_id")
+
+
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line interval
+    operator (capacity planning: 'how many sessions were open at
+    once?').  No interval join at all: each session becomes a +1
+    boundary at its start and a -1 at its end (closed intervals; at an
+    equal instant starts order before ends, so touching sessions count
+    as overlapping), and concurrency is the running sum of deltas.
+
+    The scalable decomposition is two-level (the dense_id pattern
+    applied to prefix sums): the within-day running sum is a DAY-KEYED
+    window (bounded partitions, parallel across days), and the
+    cross-day carry is a running total over the per-day NET sums — a
+    frame of |days| rows, not |sessions|.  peak(day) = carry_in +
+    max(within-day prefix).  Days with no session boundary (a session
+    spanning a silent day) are not emitted — the carry math stays
+    correct because nets are zero there.
+
+    All outputs exact integers; the within-day prefix max is
+    order-invariant among equal (ts, delta) rows (+1 groups peak at
+    group end), so the pinned (ts, delta desc) order is a full
+    determinism contract."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.streaming.events import (
+        q_sessionize,
+    )
+
+    sessions = q_sessionize(spark, sf_dir)
+    starts = sessions.select(F.col("session_start").alias("ts"), F.lit(1).alias("delta"))
+    ends = sessions.select(F.col("session_end").alias("ts"), F.lit(-1).alias("delta"))
+    bounds = starts.unionByName(ends).withColumn("day", F.to_date("ts"))
+    wday = (
+        W.partitionBy("day")
+        .orderBy("ts", F.col("delta").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prefixed = bounds.withColumn("prefix", F.sum("delta").over(wday))
+    daily = prefixed.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_starts"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("n_ends"),
+        F.max("prefix").alias("peak_local"),
+        F.sum("delta").alias("net"),
+    )
+    wcarry = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        daily.withColumn("carry_in", F.coalesce(F.sum("net").over(wcarry), F.lit(0)))
+        .select(
+            "day",
+            "n_starts",
+            "n_ends",
+            F.col("carry_in").cast("long").alias("carry_in"),
+            (F.col("carry_in") + F.col("peak_local")).cast("long").alias("peak_concurrency"),
+        )
+    )

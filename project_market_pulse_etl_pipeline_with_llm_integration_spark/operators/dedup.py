@@ -1351,3 +1351,58 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(
         corpus, batch, num_partitions=spark.sparkContext.defaultParallelism
     )
+
+
+def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over duplicate FAMILIES: per
+    group, keep the HIGHEST-QUALITY copy instead of ``dedup_exact``'s
+    lowest-id copy — the curation-correct policy when near-identical
+    documents differ in extraction quality (a page scraped twice keeps
+    the better capture).  The family key here is the 16-token-prefix
+    fingerprint (the prefix_cache_stats key: template-headed docs form
+    families at every corpus scale; the full-text digest of
+    ``dedup_exact`` is the exact-dup special case of the same plan and
+    yields empty output below sf0.1 where the testdata plants no exact
+    copies).  Emits one row per non-trivial family: size, the
+    quality-argmax survivor, its quality, and the id-min survivor the
+    naive policy would have kept.
+
+    Determinism: survivor = argmax (q_ppm, doc_id) via row_number under
+    that total order — integer quality (text.quality_ppm), exact ties
+    broken on id.  Plan: one narrow quality pass, one fp-keyed window;
+    partition cardinality is the family size (bounded), never the
+    corpus; bodies never shuffle (the md5 key does).  Lineage:
+    dedup_exact + quality_score composition."""
+    from pyspark.sql import Window
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        quality_ppm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+        tokens,
+    )
+
+    scored = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(tokens("text"), 1, 16), " ")).alias("fp"),
+        quality_ppm("text").alias("q_ppm"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("q_ppm").desc(), F.col("doc_id").desc())
+    wn = Window.partitionBy("fp")
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(wn))
+        .withColumn("min_id", F.min("doc_id").over(wn))
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("n_dups") > 1))
+        .select(
+            "fp",
+            F.col("n_dups").cast("long").alias("n_dups"),
+            F.col("doc_id").alias("keep_id"),
+            F.col("q_ppm").alias("keep_q_ppm"),
+            "min_id",
+        )
+    )

@@ -1595,3 +1595,49 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE 0 END"
         ).alias("mrr_ppm"),
     )
+
+
+def quality_ppm(text_col: str = "text") -> Column:
+    """Integer-ppm form of ``with_quality_score``'s formula — the same
+    floor((0.5·length + 0.5·diversity)·1e6) WITHOUT the /1e6 round-trip,
+    so downstream integer arithmetic (ranking, survivor packing) never
+    touches a float."""
+    toks = tokens(text_col)
+    n_tok = token_count(text_col)
+    diversity = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(0.0)
+    length_score = F.least(n_tok, F.lit(64)) / F.lit(64.0)
+    return F.floor((0.5 * length_score + 0.5 * diversity) * 1e6).cast("long")
+
+
+def q_quality_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile normalization of the quality score — the
+    source-fair admission gate.  A single global quality threshold
+    admits whole domains and rejects whole domains (quality
+    distributions differ BY SOURCE far more than within one); mapping
+    each doc to its within-source percentile makes 'top 20%' mean top
+    20% of every source, so the curated mix keeps its source diversity
+    (the pattern behind per-domain thresholds in CCNet/RefinedWeb-style
+    pipelines).
+
+    Contract: percentile is EXACT integer ppm ((rank-1)·1e6 div (n-1))
+    under a pinned (q_ppm, doc_id) total order — no floats anywhere.
+    Plan: one narrow quality pass, one source-keyed window (rank +
+    count ride the same sort), zero joins.  At 100 TB swap the exact
+    rank for approx-quantile cut points per source (the rfm_segments
+    posture) — the admission semantics are unchanged."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select("doc_id", "source", quality_ppm("text").alias("q_ppm"))
+    w = Window.partitionBy("source").orderBy("q_ppm", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = scored.withColumn(
+        "q_rank", F.row_number().over(w).cast("long")
+    ).withColumn("n_src", F.count("*").over(wn))
+    pct = F.expr("((q_rank - 1) * 1000000) div (n_src - 1)")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "q_ppm",
+        "q_rank",
+        pct.alias("pct_ppm"),
+        (pct >= 800_000).alias("admitted"),
+    )

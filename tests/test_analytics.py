@@ -209,3 +209,37 @@ def test_source_drift_stable_on_block_split(spark):
         assert abs(r["share_a_ppm"] - r["share_b_ppm"]) == r["shift_ppm"]
         # alternating blocks split every source near 50/50
         assert r["shift_ppm"] < 100_000
+
+
+def test_session_concurrency_brute_force(spark):
+    """Sweep-line peaks equal the brute-force per-day maximum of
+    'sessions open at instant t' over all boundary instants (closed
+    intervals), and the carry chain telescopes (carry_in[i+1] =
+    carry_in[i] + n_starts[i] - n_ends[i])."""
+    from collections import defaultdict
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics as A,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.streaming.events import (
+        q_sessionize,
+    )
+    from tests.conftest import SF_SMALL
+
+    sessions = [
+        (r.session_start, r.session_end)
+        for r in q_sessionize(spark, SF_SMALL).collect()
+    ]
+    out = sorted(A.q_session_concurrency(spark, SF_SMALL).collect())
+    # brute force: concurrency at every boundary instant
+    by_day = defaultdict(int)
+    instants = sorted({t for s, e in sessions for t in (s, e)})
+    for t in instants:
+        c = sum(1 for s, e in sessions if s <= t <= e)
+        d = t.date()
+        by_day[d] = max(by_day[d], c)
+    for r in out:
+        assert r.peak_concurrency == by_day[r.day], r
+    for prev, nxt in zip(out, out[1:]):
+        assert nxt.carry_in == prev.carry_in + prev.n_starts - prev.n_ends
+    assert sum(r.n_starts for r in out) == sum(r.n_ends for r in out) == len(sessions)

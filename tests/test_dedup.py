@@ -303,3 +303,47 @@ def test_editdistance_matches_bruteforce_random_corpus(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     got = {(r["id_a"], r["id_b"]) for r in editdistance_pairs(df).collect()}
     assert got == expect and expect
+
+
+def test_dedup_best_survivor_argmax(spark):
+    """The kept copy is the true (quality, id) argmax of its duplicate
+    group, and groups agree with the md5-of-normalized-text partition."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+        norm_text,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        dedup as D,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        quality_ppm,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+        tokens,
+    )
+
+    scored = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(tokens("text"), 1, 16), " ")).alias("fp"),
+        quality_ppm("text").alias("q"),
+    ).collect()
+    groups = defaultdict(list)
+    for r in scored:
+        groups[r.fp].append((r.q, r.doc_id))
+    out = D.q_dedup_best_survivor(spark, SF_SMALL).collect()
+    assert out, "prefix families exist at every sf"
+    for r in out:
+        grp = groups[r.fp]
+        assert r.n_dups == len(grp) > 1
+        assert (r.keep_q_ppm, r.keep_id) == max(grp)
+        assert r.min_id == min(i for _, i in grp)
+    # the two policies agree only when the best copy is also the oldest;
+    # at least one group must show why the policy matters... unless the
+    # corpus' dups are byte-identical (equal quality -> argmax id).
+    assert all(r.keep_id >= r.min_id for r in out)

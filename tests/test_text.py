@@ -604,3 +604,23 @@ def test_retrieval_eval_metric_laws(spark):
     assert row.recall20_ppm == 1_000_000 * row.hits_at_20 // row.n_relevant
     if row.hits_at_20:
         assert row.mrr_ppm > 0
+
+
+def test_quality_percentile_norm_fairness(spark):
+    """Dense per-source ranks, pct bounds, and the source-fair property:
+    every source admits ~20% (the whole point vs a global threshold)."""
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+
+    rows = text.q_quality_percentile_norm(spark, SF_SMALL).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for src, grp in by_src.items():
+        ranks = sorted(r.q_rank for r in grp)
+        assert ranks == list(range(1, len(grp) + 1))
+        assert min(r.pct_ppm for r in grp) == 0
+        assert max(r.pct_ppm for r in grp) == 1_000_000
+        frac = sum(1 for r in grp if r.admitted) / len(grp)
+        assert 0.15 <= frac <= 0.25, (src, frac)
