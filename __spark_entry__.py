@@ -374,6 +374,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile_norm": text.q_quality_percentile_norm,
         "dedup_best_survivor": dedup.q_dedup_best_survivor,
         "session_concurrency": analytics.q_session_concurrency,
+        "ann_quantized": similarity.q_ann_quantized,
+        "record_linkage": dedup.q_record_linkage,
+        "source_overlap": dedup.q_source_overlap,
+        "arrow_python_udf": udfs.q_arrow_python_udf,
     }
 
 
@@ -2642,5 +2646,70 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(SUM(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED "
             "PRECEDING AND 1 PRECEDING), 0) + peak_local AS BIGINT) "
             "AS peak_concurrency FROM d"
+        ),
+        # int8-quantized brute-force retrieval: dot/norms are exact
+        # int64 over quantized components; positional double-unnest
+        # zips the two lists in DuckDB
+        "ann_quantized": (
+            f"WITH q AS (SELECT vec_id AS query_id, {_QV} AS qqv FROM embeddings "
+            "ORDER BY vec_id LIMIT 3), "
+            f"e AS (SELECT vec_id, {_QV} AS qv FROM embeddings), "
+            "z AS (SELECT q.query_id, e.vec_id, unnest(q.qqv) AS a, "
+            "unnest(e.qv) AS b FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id), "
+            "d AS (SELECT query_id, vec_id, "
+            "CAST(sum(CAST(a AS BIGINT) * b) AS BIGINT) AS dot, "
+            "CAST(sum(CAST(a AS BIGINT) * a) AS BIGINT) AS na, "
+            "CAST(sum(CAST(b AS BIGINT) * b) AS BIGINT) AS nb "
+            "FROM z GROUP BY 1, 2) "
+            "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS BIGINT) "
+            "AS q_rank, vec_id, dot, na, nb FROM d QUALIFY q_rank <= 10"
+        ),
+        # blocked fuzzy linkage: deterministic single-deletion mangle,
+        # attribute blocking, exact integer Levenshtein, greedy 1:1
+        "record_linkage": (
+            "WITH dirty AS (SELECT c_custkey AS did, "
+            "substr(c_name, 1, 9 + (c_custkey % 8)) || "
+            "substr(c_name, 11 + (c_custkey % 8), 50) AS dname, "
+            "c_nationkey, c_mktsegment, "
+            "CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket FROM customer), "
+            "clean AS (SELECT c_custkey AS cid, c_name AS cname, c_nationkey, "
+            "c_mktsegment, CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket "
+            "FROM customer), "
+            "cands AS (SELECT d.did, d.dname, c.cid, c.cname, "
+            "levenshtein(d.dname, c.cname) AS lev FROM dirty d JOIN clean c "
+            "ON d.c_nationkey = c.c_nationkey AND d.c_mktsegment = c.c_mktsegment "
+            "AND d.bal_bucket = c.bal_bucket), "
+            "v AS (SELECT * FROM cands WHERE lev <= 2), "
+            "best AS (SELECT *, row_number() OVER (PARTITION BY did "
+            "ORDER BY lev, cid) AS rn FROM v QUALIFY rn = 1), "
+            "one AS (SELECT *, row_number() OVER (PARTITION BY cid "
+            "ORDER BY lev, did) AS rn2 FROM best QUALIFY rn2 = 1) "
+            "SELECT did, cid AS matched_cid, CAST(lev AS BIGINT) AS lev, "
+            "did = cid AS correct FROM one"
+        ),
+        # cross-source family overlap matrix; volume bounded by the
+        # source count per family
+        "source_overlap": (
+            f"WITH fam AS (SELECT DISTINCT md5(array_to_string(({_TOKS})[1:16], ' ')) "
+            "AS fp, source FROM documents), "
+            "tot AS (SELECT source, count(*) AS n_fam FROM fam GROUP BY 1), "
+            "sh AS (SELECT a.source AS src_a, b.source AS src_b, "
+            "count(*) AS shared_fams FROM fam a JOIN fam b ON a.fp = b.fp "
+            "AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT sh.src_a, sh.src_b, CAST(sh.shared_fams AS BIGINT) "
+            "AS shared_fams, CAST(ta.n_fam AS BIGINT) AS tot_a, "
+            "CAST(tb.n_fam AS BIGINT) AS tot_b, "
+            "CAST((1000000 * sh.shared_fams) // least(ta.n_fam, tb.n_fam) "
+            "AS BIGINT) AS overlap_ppm "
+            "FROM sh JOIN tot ta ON sh.src_a = ta.source "
+            "JOIN tot tb ON sh.src_b = tb.source"
+        ),
+        # Arrow-transport row UDF: the mod-97 check digit in plain SQL
+        "arrow_python_udf": (
+            "SELECT c_custkey, CAST(substr(c_name, 10, 50) AS BIGINT) "
+            "AS numeric_id, "
+            "98 - (CAST(substr(c_name, 10, 50) AS BIGINT) * 100) % 97 "
+            "AS check_digit FROM customer"
         ),
     }

@@ -131,6 +131,9 @@ HEADLINE = [
     "quality_percentile_norm",
     "dedup_best_survivor",
     "session_concurrency",
+    "ann_quantized",
+    "record_linkage",
+    "source_overlap",
 ]
 
 

@@ -1406,3 +1406,109 @@ def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_id",
         )
     )
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage: match DIRTY records (each
+    customer name with one deterministically-positioned character
+    deleted — the classic data-entry deletion) back to the clean
+    registry, by attribute blocking + Levenshtein verify + greedy
+    one-to-one assignment.  Ground truth is known by construction, so
+    the output carries a per-pair ``correct`` flag — linkage precision
+    is measurable in the gate itself.
+
+    Blocking: exact on the RELIABLE attributes (nation, segment,
+    100-unit balance bucket) — the standard linkage assumption that
+    some fields survive entry noise; candidates are only same-block
+    pairs, so volume is Σ_block |dirty|·|clean| with block granularity
+    (~|nations|·|segments|·|balance buckets|) growing with the data,
+    the editdistance-dedup posture.  Verify: exact integer Levenshtein
+    <= 2 (threshold-pruned).  Assignment: best clean per dirty
+    (lev, cid argmin), then best dirty per clean — two bounded keyed
+    windows, a greedy 1:1 matching (optimal assignment is Hungarian /
+    auction territory; greedy is what linkage pipelines ship).  All
+    hashed columns exact integers/booleans."""
+    from pyspark.sql import Window
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    block = [
+        F.col("c_nationkey"),
+        F.col("c_mktsegment"),
+        F.floor(F.col("c_acctbal") / 100).alias("bal_bucket"),
+    ]
+    dirty = cust.select(
+        F.col("c_custkey").alias("did"),
+        F.expr(
+            "concat(substring(c_name, 1, 9 + pmod(c_custkey, 8)), "
+            "substring(c_name, 11 + pmod(c_custkey, 8), 50))"
+        ).alias("dname"),
+        *block,
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("cid"), F.col("c_name").alias("cname"), *block
+    )
+    cands = dirty.join(
+        clean, ["c_nationkey", "c_mktsegment", "bal_bucket"]
+    ).withColumn("lev", F.levenshtein("dname", "cname"))
+    verified = cands.filter(F.col("lev") <= 2)
+    w_d = Window.partitionBy("did").orderBy("lev", "cid")
+    best = verified.withColumn("rn", F.row_number().over(w_d)).filter(F.col("rn") == 1)
+    w_c = Window.partitionBy("cid").orderBy("lev", "did")
+    return (
+        best.withColumn("rn2", F.row_number().over(w_c))
+        .filter(F.col("rn2") == 1)
+        .select(
+            "did",
+            F.col("cid").alias("matched_cid"),
+            F.col("lev").cast("long").alias("lev"),
+            (F.col("did") == F.col("cid")).alias("correct"),
+        )
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many duplicate FAMILIES (16-token-prefix fingerprints, the
+    dedup_best_survivor key) appear in both — the provenance audit
+    that catches one crawl republishing another's content before the
+    mix is weighted (a source that is 30% another source is not a new
+    source).  ``overlap_ppm`` is the share of the smaller side's
+    families that are shared, in exact integer ppm.
+
+    Plan: distinct (fp, source) postings, an fp-keyed self-join whose
+    volume is Σ_fp C(sources_of_fp, 2) <= C(|sources|, 2) per family —
+    bounded by the SOURCE count, not the corpus; per-source totals ride
+    a broadcast."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+        tokens,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fam = docs.select(
+        F.md5(F.array_join(F.slice(tokens("text"), 1, 16), " ")).alias("fp"), "source"
+    ).distinct()
+    tot = fam.groupBy("source").agg(F.count("*").alias("n_fam"))
+    a = fam.select("fp", F.col("source").alias("src_a"))
+    b = fam.select("fp", F.col("source").alias("src_b"))
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared_fams"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n_fam").alias("tot_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n_fam").alias("tot_b"))
+    return (
+        shared.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_fams",
+            "tot_a",
+            "tot_b",
+            F.expr("(1000000 * shared_fams) div least(tot_a, tot_b)").alias(
+                "overlap_ppm"
+            ),
+        )
+    )

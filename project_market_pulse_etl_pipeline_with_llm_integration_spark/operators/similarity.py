@@ -833,3 +833,53 @@ def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ratio_ppm"),
         )
     )
+
+
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine retrieval over INT8-QUANTIZED vectors — the
+    serving-memory configuration (4x density vs float32; see
+    embedding_quantize for the storage path).  Because quantized
+    components are small integers, dot products and squared norms are
+    EXACT int64 — so unlike the float path, every hashed column here is
+    exact integer arithmetic and the ranking double (dot/(√na·√nb), all
+    correctly-rounded IEEE ops over exact ints) is cross-engine
+    identical.  The accuracy delta vs float cosine is bounded by the
+    quantization step (embedding_quantize pins it); recall vs the float
+    ranking is the ann_recall pattern.
+
+    Plan shape: identical to ann_bruteforce — 3 broadcast query
+    vectors cross the corpus once, per-query top-10 over the scored
+    stream; the int8 arrays shrink the scan and the shuffle ~4x, which
+    at 100 TB of embeddings is the difference between memory-resident
+    and spilled."""
+    from pyspark.sql import Window as W
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qemb = emb.select("vec_id", quantize_embedding(F.col("embedding")).alias("qv"))
+    queries = (
+        qemb.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("query_qv"))
+    )
+    prod = F.zip_with("qv", "query_qv", lambda a, b: a.cast("long") * b)
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("long") * x), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    scored = (
+        qemb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(prod, F.lit(0).cast("long"), lambda s, x: s + x).alias("dot"),
+            sq(F.col("qv")).alias("nb"),
+            sq(F.col("query_qv")).alias("na"),
+        )
+        .withColumn("qcos", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("q_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("q_rank") <= 10)
+        .select("query_id", "q_rank", "vec_id", "dot", "na", "nb")
+    )

@@ -99,3 +99,30 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.p_partkey, s.word FROM part_udtf, "
         "LATERAL split_type_words(p_partkey, p_type) s"
     )
+
+
+def q_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 ``useArrow=True``):
+    rows reach Python as Arrow batches instead of pickled singletons —
+    the cheap migration path for legacy row UDFs that can't be
+    rewritten as pandas UDFs (10-100x serialization win, same per-row
+    Python semantics).  The function parses the numeric id out of the
+    customer name and computes an IBAN-style mod-97 check digit — pure
+    integer arithmetic the DuckDB oracle replicates in SQL, proving
+    the Arrow path is a transport change, not a semantics change.
+    Completes the UDF taxonomy: row UDF (this, Arrow transport),
+    scalar pandas UDF, grouped applyInPandas, pandas UDAF, UDTF,
+    mapInPandas, mapInArrow."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="bigint", useArrow=True)
+    def check97(name: str) -> int:
+        n = int(name.split("#")[1])
+        return 98 - (n * 100) % 97
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.select(
+        "c_custkey",
+        F.expr("CAST(substring(c_name, 10, 50) AS BIGINT)").alias("numeric_id"),
+        check97(F.col("c_name")).alias("check_digit"),
+    )

@@ -347,3 +347,38 @@ def test_dedup_best_survivor_argmax(spark):
     # at least one group must show why the policy matters... unless the
     # corpus' dups are byte-identical (equal quality -> argmax id).
     assert all(r.keep_id >= r.min_id for r in out)
+
+
+def test_record_linkage_recovers_truth(spark):
+    """The planted single-deletion corruption is recovered: nearly
+    every dirty record links back to its own clean row (ties with a
+    digit-shifted neighbor are possible but must be rare), and the
+    assignment is one-to-one."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        dedup as D,
+    )
+    from tests.conftest import SF_SMALL
+
+    n_cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").count()
+    rows = D.q_record_linkage(spark, SF_SMALL).collect()
+    assert len(rows) >= 0.95 * n_cust
+    assert len({r.matched_cid for r in rows}) == len(rows)  # one-to-one
+    correct = sum(1 for r in rows if r.correct)
+    assert correct >= 0.95 * len(rows)
+    assert all(r.lev <= 2 for r in rows)
+
+
+def test_source_overlap_bounds(spark):
+    """Shared-family counts bounded by both totals; ppm reproduces the
+    exact integer definition; pairs are ordered."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        dedup as D,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = D.q_source_overlap(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.shared_fams <= min(r.tot_a, r.tot_b)
+        assert r.overlap_ppm == (1_000_000 * r.shared_fams) // min(r.tot_a, r.tot_b)

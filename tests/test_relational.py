@@ -694,3 +694,17 @@ def test_recursive_cte_walk_laws(spark):
     max_d = max(rows)
     assert rows[max_d].sum_cur == 0
     assert all(rows[d].n_nodes <= rows[d - 1].n_nodes for d in range(1, max_d + 1))
+
+
+def test_arrow_python_udf_semantics(spark):
+    """The Arrow-transport row UDF computes the same mod-97 check digit
+    as a driver-side recompute, and numeric_id parses the key."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        udfs,
+    )
+
+    rows = udfs.q_arrow_python_udf(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows[:100]:
+        assert r.numeric_id == r.c_custkey
+        assert r.check_digit == 98 - (r.c_custkey * 100) % 97

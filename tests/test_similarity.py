@@ -164,3 +164,24 @@ def test_jl_projection_exact_and_distance_preserving(spark):
     assert len(ratios) > 50
     med = sorted(ratios)[len(ratios) // 2]
     assert 500_000 <= med <= 2_000_000
+
+
+def test_ann_quantized_contract(spark):
+    """Per-query dense ranks, self excluded, and Cauchy-Schwarz on the
+    exact integer dot/norms (dot^2 <= na*nb)."""
+    from collections import defaultdict
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        similarity as S,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = S.q_ann_quantized(spark, SF_SMALL).collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r.vec_id != r.query_id
+        assert r.dot * r.dot <= r.na * r.nb
+        per_q[r.query_id].append(r.q_rank)
+    assert len(per_q) == 3
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, 11))
