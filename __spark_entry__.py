@@ -378,6 +378,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": dedup.q_record_linkage,
         "source_overlap": dedup.q_source_overlap,
         "arrow_python_udf": udfs.q_arrow_python_udf,
+        "assoc_rules": market.q_assoc_rules,
     }
 
 
@@ -2711,5 +2712,27 @@ def oracle_sql() -> dict[str, str]:
             "AS numeric_id, "
             "98 - (CAST(substr(c_name, 10, 50) AS BIGINT) * 100) % 97 "
             "AS check_digit FROM customer"
+        ),
+        # directed association rules from basket pairs; every score is
+        # exact integer ppm over basket counts
+        "assoc_rules": (
+            "WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk "
+            "FROM lineitem), "
+            "n AS (SELECT count(DISTINCT ok) AS n_baskets FROM op), "
+            "s AS (SELECT pk, count(*) AS c FROM op GROUP BY 1), "
+            "p AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS c_ab FROM op a "
+            "JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 "
+            "HAVING count(*) >= 2), "
+            "d AS (SELECT p1 AS ante, p2 AS cons, c_ab FROM p "
+            "UNION ALL SELECT p2 AS ante, p1 AS cons, c_ab FROM p), "
+            "j AS (SELECT d.ante, d.cons, d.c_ab, sa.c AS c_a, sb.c AS c_b "
+            "FROM d JOIN s sa ON d.ante = sa.pk JOIN s sb ON d.cons = sb.pk) "
+            "SELECT ante, cons, CAST(c_ab AS BIGINT) AS c_ab, "
+            "CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b, "
+            "CAST((1000000 * c_ab) // c_a AS BIGINT) AS confidence_ppm, "
+            "CAST((1000000 * c_ab * n_baskets) // (c_a * c_b) AS BIGINT) "
+            "AS lift_ppm "
+            "FROM j CROSS JOIN n "
+            "ORDER BY lift_ppm DESC, confidence_ppm DESC, ante, cons LIMIT 30"
         ),
     }

@@ -134,6 +134,7 @@ HEADLINE = [
     "ann_quantized",
     "record_linkage",
     "source_overlap",
+    "assoc_rules",
 ]
 
 

@@ -277,3 +277,65 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         F.concat_ws("", "r_score", "f_score", "m_score").alias("rfm_cell"),
     )
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the basket pairs: directed a -> b with
+    support, confidence and lift — the step after market_basket's
+    counting that turns co-occurrence into recommendations (classic
+    Apriori output for 2-itemsets).
+
+        support(a,b)   = c_ab                      (basket count)
+        confidence_ppm = 1e6·c_ab div c_a          (P(b | a))
+        lift_ppm       = 1e6·c_ab·N div (c_a·c_b)  (vs independence)
+
+    Everything is exact integer arithmetic over basket counts (the
+    pmi_cooccur contract applied to baskets), so every hashed column
+    incl. both scores is engine-exact.  Plan shape: market_basket's
+    distinct-first orderkey self-join for c_ab, one item-support agg
+    (broadcast), one 1-row basket count (broadcast); each undirected
+    pair emits its two directed rules via a 2-element explode — no
+    second join.  Top-30 under (lift desc, confidence desc, a, b);
+    min_support 2 keeps the tail of singleton noise out at any sf."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    op = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_baskets = op.select(F.count_distinct("ok").alias("n_baskets"))
+    support = op.groupBy("pk").agg(F.count("*").alias("c"))
+    a = op.select("ok", F.col("pk").alias("p1"))
+    b = op.select("ok", F.col("pk").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p1").alias("ante"), F.col("p2").alias("cons")),
+                F.struct(F.col("p2").alias("ante"), F.col("p1").alias("cons")),
+            )
+        ).alias("r"),
+        "c_ab",
+    ).select("r.ante", "r.cons", "c_ab")
+    sa = support.select(F.col("pk").alias("ante"), F.col("c").alias("c_a"))
+    sb = support.select(F.col("pk").alias("cons"), F.col("c").alias("c_b"))
+    scored = (
+        directed.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sb), "cons")
+        .crossJoin(F.broadcast(n_baskets))
+        .withColumn("confidence_ppm", F.expr("(1000000 * c_ab) div c_a"))
+        .withColumn("lift_ppm", F.expr("(1000000 * c_ab * n_baskets) div (c_a * c_b)"))
+    )
+    return (
+        scored.select("ante", "cons", "c_ab", "c_a", "c_b", "confidence_ppm", "lift_ppm")
+        .orderBy(
+            F.col("lift_ppm").desc(), F.col("confidence_ppm").desc(), "ante", "cons"
+        )
+        .limit(30)
+    )

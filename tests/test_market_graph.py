@@ -417,3 +417,26 @@ def test_pagerank_mass_conservation_random_graph(spark):
     assert all(r["rank"] >= graph.PR_TELEPORT for r in ranks)
     assert total <= n * graph.PR_INIT
     assert total >= n * graph.PR_TELEPORT
+
+
+def test_assoc_rules_metric_laws(spark):
+    """Directed rules: co-count bounded by both supports, confidence
+    and lift reproduce their exact integer definitions, confidence
+    <= 1e6."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        market,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = market.q_assoc_rules(spark, SF_SMALL).collect()
+    assert rows
+    op = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .selectExpr("l_orderkey AS ok", "l_partkey AS pk")
+        .distinct()
+    )
+    n_baskets = op.select("ok").distinct().count()
+    for r in rows:
+        assert 2 <= r.c_ab <= min(r.c_a, r.c_b)
+        assert r.confidence_ppm == (1_000_000 * r.c_ab) // r.c_a <= 1_000_000
+        assert r.lift_ppm == (1_000_000 * r.c_ab * n_baskets) // (r.c_a * r.c_b)
