@@ -379,6 +379,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": dedup.q_source_overlap,
         "arrow_python_udf": udfs.q_arrow_python_udf,
         "assoc_rules": market.q_assoc_rules,
+        # the five partsupp-dependent TPC-H shapes over the derived
+        # catalog (relational.partsupp_frame)
+        "tpch_q2": R.q_tpch_q2,
+        "tpch_q9": R.q_tpch_q9,
+        "tpch_q11": R.q_tpch_q11,
+        "tpch_q16": R.q_tpch_q16,
+        "tpch_q20": R.q_tpch_q20,
     }
 
 
@@ -2734,5 +2741,79 @@ def oracle_sql() -> dict[str, str]:
             "AS lift_ppm "
             "FROM j CROSS JOIN n "
             "ORDER BY lift_ppm DESC, confidence_ppm DESC, ante, cons LIMIT 30"
+        ),
+        # TPC-H Q2/Q9/Q11/Q16/Q20 over the derived partsupp catalog —
+        # the oracle replays relational.PARTSUPP_CTE verbatim; money is
+        # integer cents throughout
+        "tpch_q2": (
+            f"WITH {R.PARTSUPP_CTE}, "
+            "eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), "
+            "pp AS (SELECT p_partkey, p_brand FROM part "
+            "WHERE p_size <= 10 AND p_type = 'ECONOMY'), "
+            "j AS (SELECT eu.s_acctbal, eu.s_name, eu.n_name, ps.ps_partkey, "
+            "pp.p_brand, ps.ps_supplycost_cents FROM partsupp ps "
+            "JOIN eu ON ps.ps_suppkey = eu.s_suppkey "
+            "JOIN pp ON ps.ps_partkey = pp.p_partkey), "
+            "m AS (SELECT ps_partkey AS mc_partkey, "
+            "min(ps_supplycost_cents) AS min_cost FROM j GROUP BY 1) "
+            "SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_brand, "
+            "ps_supplycost_cents FROM j JOIN m ON ps_partkey = mc_partkey "
+            "AND ps_supplycost_cents = min_cost "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+        ),
+        "tpch_q9": (
+            f"WITH {R.PARTSUPP_CTE} "
+            "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT)) - "
+            "ps_supplycost_cents * CAST(l_quantity AS BIGINT) * 100) AS BIGINT) "
+            "AS profit_1e4 "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%red%' GROUP BY 1, 2"
+        ),
+        "tpch_q11": (
+            f"WITH {R.PARTSUPP_CTE}, "
+            "nsup AS (SELECT s_suppkey FROM supplier JOIN nation "
+            "ON s_nationkey = n_nationkey JOIN region "
+            "ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), "
+            "v AS (SELECT ps_partkey, CAST(sum(ps_supplycost_cents * ps_availqty) "
+            "AS BIGINT) AS value_cents FROM partsupp "
+            "JOIN nsup ON ps_suppkey = s_suppkey GROUP BY 1), "
+            "t AS (SELECT sum(value_cents) AS total_cents, count(*) AS n_parts FROM v) "
+            "SELECT ps_partkey, value_cents FROM v CROSS JOIN t "
+            "WHERE value_cents * n_parts * 2 > total_cents * 3"
+        ),
+        "tpch_q16": (
+            f"WITH {R.PARTSUPP_CTE} "
+            "SELECT p_brand, p_type, p_size, "
+            "CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM partsupp JOIN part ON ps_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) "
+            "AND ps_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "tpch_q20": (
+            f"WITH {R.PARTSUPP_CTE}, "
+            "shipped AS (SELECT l_partkey, l_suppkey, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_1997 "
+            "FROM lineitem WHERE l_shipdate >= '1997-01-01' "
+            "AND l_shipdate < '1998-01-01' GROUP BY 1, 2), "
+            "excess AS (SELECT DISTINCT ps_suppkey FROM partsupp "
+            "JOIN part ON ps_partkey = p_partkey "
+            "JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey "
+            "WHERE p_name LIKE 'red%' AND ps_availqty * 2 > qty_1997) "
+            "SELECT s_name, s_acctbal FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN excess ON s_suppkey = ps_suppkey "
+            "WHERE n_name = 'NATION_3'"
         ),
     }

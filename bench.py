@@ -135,6 +135,12 @@ HEADLINE = [
     "record_linkage",
     "source_overlap",
     "assoc_rules",
+    # partsupp-derived TPC-H five
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 

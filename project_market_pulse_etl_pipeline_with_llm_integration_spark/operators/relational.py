@@ -2636,3 +2636,243 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     planner own the loop."""
     _t(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(RECURSIVE_CTE_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp catalog + the five TPC-H shapes that need it
+# ---------------------------------------------------------------------------
+
+
+def partsupp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H ``partsupp`` surface reconstructed from supply events:
+    distinct (part, supplier) pairs OBSERVED in lineitem — FK-correct by
+    construction, unlike an independent synthetic assignment — with
+    deterministic integer availqty / supplycost-in-cents formulas.  The
+    driver's testdata ships no partsupp table (VERDICT r4 noted
+    Q2/Q9/Q11/Q16/Q20 as unimplementable for that reason); this derived
+    catalog closes the gap with a recipe the DuckDB oracle replays
+    verbatim.  Money is integer CENTS (no decimal division anywhere),
+    so every downstream aggregate is exact int64.
+
+    Plan shape: one distinct over (partkey, suppkey) longs — the only
+    wide op; the formula columns are narrow arithmetic.  At 100 TB the
+    distinct is a keyed shuffle of two longs per lineitem row."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .withColumn(
+            "ps_availqty",
+            ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 9999 + 1).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "ps_supplycost_cents",
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 99900 + 100).cast(
+                "long"
+            ),
+        )
+    )
+    return ps
+
+
+# The identical derivation as a SQL CTE for the DuckDB oracles.
+PARTSUPP_CTE = (
+    "partsupp AS (SELECT ps_partkey, ps_suppkey, "
+    "CAST((ps_partkey * 7 + ps_suppkey * 13) % 9999 + 1 AS BIGINT) AS ps_availqty, "
+    "CAST((ps_partkey * 31 + ps_suppkey * 17) % 99900 + 100 AS BIGINT) "
+    "AS ps_supplycost_cents "
+    "FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey "
+    "FROM lineitem))"
+)
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for small ECONOMY parts,
+    the EUROPE supplier(s) offering the part at the region's minimum
+    supplycost.  The correlated MIN subquery is decorrelated into a
+    per-part min aggregate joined back on (part, cost) — the standard
+    Catalyst-friendly form; all dims (supplier, nation, region) ride
+    broadcasts onto the derived partsupp.  Money exact integer cents.
+    Ref shape: TPC-H Q2 with p_type/p_size adapted to the synthetic
+    domain (SURVEY §8.2 date-adaptation precedent)."""
+    ps = partsupp_frame(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = ps.join(
+        F.broadcast(eu_supp), ps.ps_suppkey == F.col("s_suppkey")
+    ).join(F.broadcast(part), ps.ps_partkey == F.col("p_partkey"))
+    min_cost = (
+        eu_ps.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost_cents").alias("min_cost_cents"))
+        .select(F.col("ps_partkey").alias("mc_partkey"), "min_cost_cents")
+    )
+    return (
+        eu_ps.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("min_cost_cents")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            "ps_supplycost_cents",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit by nation and order year
+    for parts whose name contains 'red'.  profit is EXACT integer
+    ten-thousandths: cents(extprice)·(100 - cents(discount)) -
+    supplycost_cents·qty·100 summed per group — no decimal division,
+    no double summation (the money_sum concern solved by staying
+    integer end-to-end).  Plan: part filter broadcasts onto lineitem,
+    the (part, supp)-keyed join attaches the derived catalog, orders
+    joins on orderkey (the one big-big shuffle), supplier->nation
+    broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    ps = partsupp_frame(spark, sf_dir)
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d_c = F.round(F.col("l_discount") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (ep_c * (100 - d_c) - F.col("ps_supplycost_cents") * qty * 100).alias(
+                "amount_1e4"
+            ),
+        )
+    )
+    return (
+        joined.groupBy("nation", "o_year")
+        .agg(F.sum("amount_1e4").alias("profit_1e4"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): partkeys whose inventory value at
+    ASIA's suppliers exceeds 1.5x the nation's MEAN per-part value — TPC-H's fixed
+    global fraction empties as the catalog grows, so the threshold is
+    mean-relative and the scope is a REGION (a single nation can have
+    zero suppliers at tiny scale — 10 suppliers over 25 nations); the HAVING is a broadcast
+    1-row total and an integer cross-multiplied comparison
+    (value·n·2 > total·3), no float threshold.  All exact cents."""
+    ps = partsupp_frame(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nsup = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    nps = ps.join(F.broadcast(nsup), ps.ps_suppkey == F.col("s_suppkey"))
+    val = nps.groupBy("ps_partkey").agg(
+        F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("value_cents")
+    )
+    total = val.agg(
+        F.sum("value_cents").alias("total_cents"), F.count("*").alias("n_parts")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.col("n_parts") * 2 > F.col("total_cents") * 3)
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "ps_partkey")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier relationship): distinct-supplier counts per
+    (brand, type, size) for non-Brand#13, non-PROMO parts of 8 pinned
+    sizes, EXCLUDING flagged suppliers (negative account balance — the
+    synthetic stand-in for Q16's complaint predicate, the testdata
+    carrying no s_comment).  The NOT IN subquery is the broadcast
+    anti-join; part attrs broadcast onto the derived partsupp."""
+    ps = partsupp_frame(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    flagged = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    kept = ps.join(F.broadcast(flagged), "ps_suppkey", "left_anti").join(
+        F.broadcast(part), ps.ps_partkey == F.col("p_partkey")
+    )
+    return (
+        kept.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): NATION_3 suppliers holding
+    excess stock — availqty > half the 1997 shipped quantity of that
+    exact (part, supplier) pair — for parts named 'red ...'.  The
+    nested correlated aggregate decorrelates into a (part, supp)-keyed
+    1997 quantity rollup joined to the catalog; the comparison is
+    integer cross-multiplied (availqty·2 > qty).  Semi-join reduces to
+    a distinct-supplier projection joined to the nation dim."""
+    ps = partsupp_frame(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_1997"))
+    )
+    excess = (
+        ps.join(F.broadcast(part), ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty_1997"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(excess, supp.s_suppkey == excess.ps_suppkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

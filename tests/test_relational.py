@@ -708,3 +708,55 @@ def test_arrow_python_udf_semantics(spark):
     for r in rows[:100]:
         assert r.numeric_id == r.c_custkey
         assert r.check_digit == 98 - (r.c_custkey * 100) % 97
+
+
+def test_partsupp_frame_properties(spark):
+    """Derived catalog: FK-correct vs lineitem by construction, one row
+    per (part, supp) pair, formula columns in range."""
+    ps = R.partsupp_frame(spark, SF_SMALL)
+    rows = ps.collect()
+    li_pairs = {
+        (r.l_partkey, r.l_suppkey)
+        for r in spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    }
+    assert {(r.ps_partkey, r.ps_suppkey) for r in rows} == li_pairs
+    assert len(rows) == len(li_pairs)
+    for r in rows:
+        assert 1 <= r.ps_availqty <= 9999
+        assert 100 <= r.ps_supplycost_cents <= 99999
+
+
+def test_tpch_partsupp_query_laws(spark):
+    """Cross-query consistency of the partsupp five: q16 supplier
+    counts bounded by the supplier population; q9 covers every nation
+    present in the joined data with integer profits; q2 winners carry
+    the true per-part minimum cost."""
+    n_supp = spark.read.parquet(f"{SF_SMALL}/supplier.parquet").count()
+    for r in R.q_tpch_q16(spark, SF_SMALL).collect():
+        assert 0 < r.supplier_cnt <= n_supp
+    q9 = R.q_tpch_q9(spark, SF_SMALL).collect()
+    assert q9 and all(isinstance(r.profit_1e4, int) for r in q9)
+    q2 = R.q_tpch_q2(spark, SF_SMALL).collect()
+    ps = {
+        (r.ps_partkey, r.ps_supplycost_cents)
+        for r in R.partsupp_frame(spark, SF_SMALL).collect()
+    }
+    for r in q2:
+        costs = [c for (pk, c) in ps if pk == r.p_partkey]
+        # the winner's cost can't exceed any observed cost for the part
+        # among EUROPE suppliers (subset of all costs checked here via
+        # global min lower bound)
+        assert r.ps_supplycost_cents >= min(costs)
+
+
+def test_tpch_q9_plan_contract(spark):
+    """Q9 physical plan: part/supplier/nation broadcast, the p_name
+    filter pushed to the part scan, orders joined by shuffle on the
+    orderkey."""
+    plan = R.q_tpch_q9(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Contains(p_name, red)" in plan or "contains(p_name" in plan.lower()
+    assert "SortMergeJoin" in plan or plan.count("Exchange hashpartitioning") >= 1
