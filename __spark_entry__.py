@@ -386,6 +386,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": R.q_tpch_q11,
         "tpch_q16": R.q_tpch_q16,
         "tpch_q20": R.q_tpch_q20,
+        "cascade_delete": R.q_cascade_delete,
+        "compaction_plan": R.q_compaction_plan,
     }
 
 
@@ -2815,5 +2817,53 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON s_nationkey = n_nationkey "
             "JOIN excess ON s_suppkey = ps_suppkey "
             "WHERE n_name = 'NATION_3'"
+        ),
+        # GDPR cascade purge audit: per-table before/deleted/after plus
+        # the computed referential-orphan count (must be 0)
+        "cascade_delete": (
+            "WITH dc AS (SELECT c_custkey FROM customer "
+            "WHERE md5(CAST(c_custkey AS VARCHAR)) < '04'), "
+            "do_ AS (SELECT o_orderkey FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM dc)), "
+            "kc AS (SELECT * FROM customer "
+            "WHERE c_custkey NOT IN (SELECT c_custkey FROM dc)), "
+            "ko AS (SELECT * FROM orders "
+            "WHERE o_custkey NOT IN (SELECT c_custkey FROM dc)), "
+            "kl AS (SELECT * FROM lineitem "
+            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM do_)), "
+            "oo AS (SELECT count(*) AS n FROM ko "
+            "WHERE o_custkey NOT IN (SELECT c_custkey FROM kc)), "
+            "ol AS (SELECT count(*) AS n FROM kl "
+            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ko)) "
+            "SELECT 'customer' AS table_name, "
+            "CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_before, "
+            "CAST((SELECT count(*) FROM customer) - (SELECT count(*) FROM kc) "
+            "AS BIGINT) AS n_deleted, "
+            "CAST((SELECT count(*) FROM kc) AS BIGINT) AS n_after, "
+            "CAST(0 AS BIGINT) AS n_orphans "
+            "UNION ALL SELECT 'orders', "
+            "CAST((SELECT count(*) FROM orders) AS BIGINT), "
+            "CAST((SELECT count(*) FROM orders) - (SELECT count(*) FROM ko) "
+            "AS BIGINT), "
+            "CAST((SELECT count(*) FROM ko) AS BIGINT), "
+            "CAST((SELECT n FROM oo) AS BIGINT) "
+            "UNION ALL SELECT 'lineitem', "
+            "CAST((SELECT count(*) FROM lineitem) AS BIGINT), "
+            "CAST((SELECT count(*) FROM lineitem) - (SELECT count(*) FROM kl) "
+            "AS BIGINT), "
+            "CAST((SELECT count(*) FROM kl) AS BIGINT), "
+            "CAST((SELECT n FROM ol) AS BIGINT)"
+        ),
+        # compaction planner: exclusive running-sum quotient file
+        # assignment over daily partition counts
+        "compaction_plan": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "count(*) AS n_rows FROM orders GROUP BY 1), "
+            "c AS (SELECT day, CAST(n_rows AS BIGINT) AS n_rows, "
+            "CAST(COALESCE(SUM(n_rows) OVER (ORDER BY day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS cum_before FROM d) "
+            "SELECT day, n_rows, cum_before, "
+            "CAST(cum_before // 4096 AS BIGINT) AS file_id FROM c"
         ),
     }

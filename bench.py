@@ -141,6 +141,8 @@ HEADLINE = [
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
+    "cascade_delete",
+    "compaction_plan",
 ]
 
 

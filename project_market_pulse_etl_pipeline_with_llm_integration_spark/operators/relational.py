@@ -2876,3 +2876,101 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+def q_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style cascade delete audit (right-to-be-forgotten): purge a
+    deterministic customer set (md5-selected ~1.5%), cascade through
+    orders to lineitem, and emit the per-table audit — rows before,
+    deleted, after, and the REFERENTIAL ORPHAN COUNT after the purge
+    (kept children whose parent was deleted; must be 0, and the audit
+    computes it rather than asserting it — the dq_expectations stance
+    that a compliance job proves its own invariant).
+
+    Plan shape: the delete set and the cascaded order-key set drive
+    broadcast anti-joins (delete sets are small relative to the
+    corpus); every count is one agg; the orphan checks are anti-join
+    counts over the kept side.  At 100 TB this is the standard
+    tombstone-then-rewrite pass: nothing here requires more state than
+    the broadcast key sets."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    del_cust = cust.filter(
+        F.md5(F.col("c_custkey").cast("string")) < "04"
+    ).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(del_cust), orders.o_custkey == del_cust.c_custkey
+    ).select("o_orderkey")
+    kept_orders = orders.join(
+        F.broadcast(del_cust), orders.o_custkey == del_cust.c_custkey, "left_anti"
+    )
+    kept_li = li.join(F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey, "left_anti")
+    kept_cust = cust.join(F.broadcast(del_cust), "c_custkey", "left_anti")
+
+    # orphan audits over the KEPT side: children whose parent is gone
+    orphan_orders = kept_orders.join(
+        kept_cust.select("c_custkey"), kept_orders.o_custkey == F.col("c_custkey"), "left_anti"
+    )
+    orphan_li = kept_li.join(
+        kept_orders.select(F.col("o_orderkey").alias("ko")),
+        kept_li.l_orderkey == F.col("ko"),
+        "left_anti",
+    )
+
+    def audit(name, before_df, kept_df, orphan_df):
+        b = before_df.agg(F.count("*").alias("n_before"))
+        k = kept_df.agg(F.count("*").alias("n_after"))
+        o = orphan_df.agg(F.count("*").alias("n_orphans"))
+        return (
+            b.crossJoin(k)
+            .crossJoin(o)
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                (F.col("n_before") - F.col("n_after")).alias("n_deleted"),
+                "n_after",
+                "n_orphans",
+            )
+        )
+
+    empty = cust.limit(0)
+    return (
+        audit("customer", cust, kept_cust, empty)
+        .unionByName(audit("orders", orders, kept_orders, orphan_orders))
+        .unionByName(audit("lineitem", li, kept_li, orphan_li))
+    )
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction PLANNER: assign daily ingest partitions
+    (orders per o_orderdate day) to target-size output files with the
+    first-fit running-sum quotient rule — file_id = exclusive running
+    row sum div target — the planning half of compact_parquet_dir
+    (sources/writers.py), computed from stats alone before any data is
+    rewritten (the zonemap_prune stance: decide layout work from
+    metadata, not a second scan).
+
+    Outputs are exact integers; the running sum is a |days|-row window
+    (partition counts, not rows) — at genuinely huge day counts the
+    two-level carry decomposition of session_concurrency applies
+    unchanged.  Contiguous days land in the same output file, so the
+    compacted layout preserves date clustering (zone maps stay tight —
+    the zonemap_prune measurement is the why)."""
+    orders = _t(spark, sf_dir, "orders")
+    target = 4096
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_rows")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        daily.withColumn("cum_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0)))
+        .select(
+            "day",
+            "n_rows",
+            "cum_before",
+            F.expr(f"cum_before div {target}").alias("file_id"),
+        )
+    )

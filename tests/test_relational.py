@@ -760,3 +760,29 @@ def test_tpch_q9_plan_contract(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "Contains(p_name, red)" in plan or "contains(p_name" in plan.lower()
     assert "SortMergeJoin" in plan or plan.count("Exchange hashpartitioning") >= 1
+
+
+def test_cascade_delete_laws(spark):
+    """Orphans are zero after the cascade; delete counts telescope
+    (before = deleted + after); orders deleted iff their customer was."""
+    rows = {r.table_name: r for r in R.q_cascade_delete(spark, SF_SMALL).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert r.n_before == r.n_deleted + r.n_after
+        assert r.n_orphans == 0
+    assert rows["customer"].n_deleted > 0
+    assert rows["orders"].n_deleted > 0
+
+
+def test_compaction_plan_packing(spark):
+    """File ids are the exclusive-running-sum quotient: monotone
+    non-decreasing over days, and every file except possibly the last
+    reaches the target once the next day is added (first-fit law)."""
+    rows = sorted(R.q_compaction_plan(spark, SF_SMALL).collect(), key=lambda r: r.day)
+    cum = 0
+    for r in rows:
+        assert r.cum_before == cum
+        assert r.file_id == cum // 4096
+        cum += r.n_rows
+    fids = [r.file_id for r in rows]
+    assert fids == sorted(fids)
