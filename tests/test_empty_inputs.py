@@ -73,3 +73,36 @@ def test_dedup_exact_empty(spark):
     assert dedup.exact_dedup(docs).count() == 0
     assert dedup.jaccard_pairs(docs).count() == 0
     assert dedup.containment_pairs(docs).count() == 0
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+            ]
+        ),
+    )
+
+
+def test_session5_library_ops_empty(spark):
+    """Session-5 library operators over empty frames: empty out, right
+    schema, no crash."""
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        relational as R,
+        text as Tx,
+    )
+
+    docs = _empty_docs(spark)
+    assert Tx.pmi_pairs(docs).count() == 0
+    assert Tx.dsir_scores(docs, F.col("lang") != "en").count() == 0
+    empty_keys = docs.select("doc_id")
+    out = R.rendezvous_assign(empty_keys, "doc_id", 8)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "shard", "shard_weight"}

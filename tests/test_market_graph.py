@@ -440,3 +440,40 @@ def test_assoc_rules_metric_laws(spark):
         assert 2 <= r.c_ab <= min(r.c_a, r.c_b)
         assert r.confidence_ppm == (1_000_000 * r.c_ab) // r.c_a <= 1_000_000
         assert r.lift_ppm == (1_000_000 * r.c_ab * n_baskets) // (r.c_a * r.c_b)
+
+
+def test_session5_ops_prune_scans(spark):
+    """Column-pruning contracts for the session-5 operators (same
+    ReadSchema rule as test_new_ops_prune_scans)."""
+    import re
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        dedup as D,
+        relational as R,
+        text as T,
+    )
+
+    expected = {
+        "dsir_select": (T.q_dsir_select, {"doc_id", "text", "lang"}),
+        "pmi_cooccur": (T.q_pmi_cooccur, {"doc_id", "text"}),
+        "retrieval_eval": (T.q_retrieval_eval, {"doc_id", "text"}),
+        "quality_percentile_norm": (
+            T.q_quality_percentile_norm,
+            {"doc_id", "text", "source"},
+        ),
+        "dedup_best_survivor": (D.q_dedup_best_survivor, {"doc_id", "text"}),
+        "source_overlap": (D.q_source_overlap, {"text", "source"}),
+        "rendezvous_shard": (R.q_rendezvous_shard, {"doc_id"}),
+        "assoc_rules": (market.q_assoc_rules, {"l_orderkey", "l_partkey"}),
+        "compaction_plan": (R.q_compaction_plan, {"o_orderdate"}),
+    }
+    for name, (fn, cols) in expected.items():
+        plan = fn(spark, SF_SMALL)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        read = set()
+        for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+            read |= {c.split(":")[0] for c in s.split(",") if c}
+        assert read <= cols, f"{name} reads extra columns: {read - cols}"
