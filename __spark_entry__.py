@@ -388,6 +388,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": R.q_tpch_q20,
         "cascade_delete": R.q_cascade_delete,
         "compaction_plan": R.q_compaction_plan,
+        "vocab_roundtrip": text.q_vocab_roundtrip,
     }
 
 
@@ -2865,5 +2866,41 @@ def oracle_sql() -> dict[str, str]:
             "AS cum_before FROM d) "
             "SELECT day, n_rows, cum_before, "
             "CAST(cum_before // 4096 AS BIGINT) AS file_id FROM c"
+        ),
+        # tokenizer round-trip fidelity law (encode -> decode digest
+        # equality on OOV-free docs); vocab CTEs shared with
+        # vocab_encode's oracle
+        "vocab_roundtrip": (
+            f"WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents "
+            "WHERE trim(text) <> ''), "
+            "toks AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, "
+            "tk[CAST(i AS INTEGER)] AS token FROM base, "
+            "unnest(generate_series(1, len(tk))) AS u(i)), "
+            "counts AS (SELECT token, COUNT(*) AS cnt FROM toks "
+            "WHERE token <> '' GROUP BY 1), "
+            "vocab AS (SELECT token, CAST(row_number() OVER "
+            "(ORDER BY cnt DESC, token) AS BIGINT) AS vocab_rank FROM "
+            "(SELECT token, cnt FROM counts ORDER BY cnt DESC, token "
+            "LIMIT 200)), "
+            "enc AS (SELECT t.doc_id, t.pos, t.token, "
+            "COALESCE(v.vocab_rank, -1) AS tok_id FROM toks t "
+            "LEFT JOIN vocab v USING (token)), "
+            "oovfree AS (SELECT doc_id FROM enc GROUP BY 1 "
+            "HAVING SUM(CASE WHEN tok_id = -1 THEN 1 ELSE 0 END) = 0), "
+            "dec AS (SELECT e.doc_id, md5(string_agg(v.token, ' ' "
+            "ORDER BY e.pos)) AS decoded_digest FROM enc e "
+            "JOIN oovfree USING (doc_id) "
+            "JOIN vocab v ON e.tok_id = v.vocab_rank GROUP BY 1), "
+            "orig AS (SELECT doc_id, "
+            f"md5(array_to_string({_TOKS}, ' ')) AS orig_digest "
+            "FROM documents), "
+            "cmp AS (SELECT CASE WHEN decoded_digest = orig_digest "
+            "THEN 1 ELSE 0 END AS ok FROM dec JOIN orig USING (doc_id)), "
+            "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents "
+            "WHERE trim(text) <> '') "
+            "SELECT n_docs, CAST(COUNT(*) AS BIGINT) AS n_oov_free, "
+            "CAST(SUM(ok) AS BIGINT) AS n_roundtrip_exact, "
+            "COUNT(*) = SUM(ok) AS roundtrip_ok, "
+            "COUNT(*) > 0 AS nonvacuous FROM cmp CROSS JOIN n GROUP BY n_docs"
         ),
     }

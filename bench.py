@@ -143,6 +143,7 @@ HEADLINE = [
     "tpch_q20",
     "cascade_delete",
     "compaction_plan",
+    "vocab_roundtrip",
 ]
 
 

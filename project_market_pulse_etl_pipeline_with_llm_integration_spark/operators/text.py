@@ -1641,3 +1641,76 @@ def q_quality_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.alias("pct_ppm"),
         (pct >= 800_000).alias("admitted"),
     )
+
+
+def q_vocab_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip fidelity law, one row: encode every
+    document with the built vocabulary (vocab_encode's id mapping),
+    DECODE the OOV-free documents back (id -> token join, positions
+    reassembled), and prove digest equality with the original token
+    stream — the lossless-encode contract a training pipeline must
+    hold before shipping id shards (a decode mismatch means the shard
+    writer reordered or dropped tokens and every downstream model sees
+    corrupted text).
+
+    ``roundtrip_ok`` is structural: an OOV-free doc's decode is exactly
+    its token sequence IF the id mapping is injective and positions
+    survive the shuffle — both of which this row verifies end-to-end
+    rather than assumes.  Plan: the encode explode, a 200-row
+    broadcast decode join, one per-doc reassembly agg with
+    position-pinned ordering, digest compare — the shuffle carries
+    (doc, pos, id) longs and short tokens, never full text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = q_vocab_build(spark, sf_dir).select("token", "vocab_rank")
+    pos_tok = docs.filter(F.trim("text") != "").select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    )
+    encoded = pos_tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("vocab_rank"), F.lit(-1)).alias("tok_id")
+    )
+    oov_free = (
+        encoded.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("tok_id") == -1, 1).otherwise(0)).alias("n_oov"))
+        .filter(F.col("n_oov") == 0)
+        .select("doc_id")
+    )
+    decoded = (
+        encoded.join(oov_free, "doc_id")
+        .join(
+            F.broadcast(vocab.select(F.col("vocab_rank").alias("tok_id"), "token")),
+            "tok_id",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                        lambda s: s["token"],
+                    ),
+                    " ",
+                )
+            ).alias("decoded_digest")
+        )
+    )
+    original = docs.select(
+        "doc_id", F.md5(F.array_join(tokens("text"), " ")).alias("orig_digest")
+    )
+    cmp = decoded.join(original, "doc_id").select(
+        (F.col("decoded_digest") == F.col("orig_digest")).cast("long").alias("ok")
+    )
+    n_docs = docs.filter(F.trim("text") != "").agg(F.count("*").alias("n_docs"))
+    return (
+        cmp.agg(
+            F.count("*").alias("n_oov_free"),
+            F.sum("ok").alias("n_roundtrip_exact"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "n_docs",
+            "n_oov_free",
+            "n_roundtrip_exact",
+            (F.col("n_oov_free") == F.col("n_roundtrip_exact")).alias("roundtrip_ok"),
+            (F.col("n_oov_free") > 0).alias("nonvacuous"),
+        )
+    )

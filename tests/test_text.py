@@ -624,3 +624,11 @@ def test_quality_percentile_norm_fairness(spark):
         assert max(r.pct_ppm for r in grp) == 1_000_000
         frac = sum(1 for r in grp if r.admitted) / len(grp)
         assert 0.15 <= frac <= 0.25, (src, frac)
+
+
+def test_vocab_roundtrip_law(spark):
+    from conftest import SF_SMALL
+
+    row = text.q_vocab_roundtrip(spark, SF_SMALL).collect()[0]
+    assert row.roundtrip_ok and row.nonvacuous
+    assert row.n_oov_free <= row.n_docs
