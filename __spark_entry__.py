@@ -389,6 +389,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_delete": R.q_cascade_delete,
         "compaction_plan": R.q_compaction_plan,
         "vocab_roundtrip": text.q_vocab_roundtrip,
+        "perplexity_bigram": text.q_perplexity_bigram,
     }
 
 
@@ -2902,5 +2903,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(ok) AS BIGINT) AS n_roundtrip_exact, "
             "COUNT(*) = SUM(ok) AS roundtrip_ok, "
             "COUNT(*) > 0 AS nonvacuous FROM cmp CROSS JOIN n GROUP BY n_docs"
+        ),
+        # bigram stupid-backoff perplexity: rank + exact integers
+        # hashed; backoff constant CAST AS DOUBLE per the determinism
+        # rule (a DECIMAL 0.4 would multiply exactly where Spark
+        # multiplies in binary double)
+        "perplexity_bigram": (
+            f"WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents "
+            "WHERE trim(text) <> ''), "
+            "bg AS (SELECT doc_id, tk[CAST(i AS INTEGER)] AS v, "
+            "tk[CAST(i AS INTEGER) + 1] AS w FROM base, "
+            "unnest(generate_series(1, len(tk) - 1)) AS u(i)), "
+            "bc AS (SELECT v, w, count(*) AS c_vw FROM bg GROUP BY 1, 2), "
+            "toks AS (SELECT doc_id, unnest(tk) AS token FROM base), "
+            "uc AS (SELECT token, count(*) AS c_tok FROM toks "
+            "WHERE token <> '' GROUP BY 1), "
+            "tot AS (SELECT count(*) AS total FROM toks WHERE token <> ''), "
+            "s AS (SELECT bg.doc_id, "
+            "CAST(floor(-ln(CASE WHEN bc.c_vw = 1 "
+            "THEN CAST(0.4 AS DOUBLE) * uw.c_tok / tot.total "
+            "ELSE CAST(bc.c_vw AS DOUBLE) / uv.c_tok END) * 1000000.0) "
+            "AS BIGINT) AS nll, "
+            "CASE WHEN bc.c_vw = 1 THEN 1 ELSE 0 END AS bo "
+            "FROM bg JOIN bc USING (v, w) "
+            "JOIN uc uv ON bg.v = uv.token "
+            "JOIN uc uw ON bg.w = uw.token CROSS JOIN tot), "
+            "g AS (SELECT doc_id, sum(nll) AS sum_nll, count(*) AS n_bigrams, "
+            "sum(bo) AS n_backoff FROM s GROUP BY 1) "
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+            "CAST(sum_nll AS DOUBLE) / n_bigrams DESC, doc_id) AS BIGINT) "
+            "AS ppl_rank, CAST(n_bigrams AS BIGINT) AS n_bigrams, "
+            "CAST(n_backoff AS BIGINT) AS n_backoff FROM g "
+            "QUALIFY ppl_rank <= 50"
         ),
     }

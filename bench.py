@@ -144,6 +144,7 @@ HEADLINE = [
     "cascade_delete",
     "compaction_plan",
     "vocab_roundtrip",
+    "perplexity_bigram",
 ]
 
 

@@ -1714,3 +1714,119 @@ def q_vocab_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_oov_free") > 0).alias("nonvacuous"),
         )
     )
+
+
+def bigram_nll_scores(docs: DataFrame, model_docs: DataFrame | None = None) -> DataFrame:
+    """Per-document bigram stupid-backoff scores (sum_nll, n_bigrams,
+    n_backoff, avg_nll) — the scoring core of ``q_perplexity_bigram``.
+
+    With ``model_docs`` given, the LM counts come from THAT corpus and
+    backoff fires for genuinely unseen bigrams (a left join miss) —
+    the held-out scoring a filter runs in production.  Self-scored
+    (default), every pair trivially exists, so backoff applies to
+    singleton bigrams instead (leave-one-out correction).  Unseen
+    unigrams floor at count 1.  Exposed so tests can prove ORDER
+    SENSITIVITY against a fixed model (a token-reversed doc keeps its
+    unigram score but collapses here; note the union-scored form
+    would NOT show this — mirrored copies symmetrize the model)."""
+    t = tokens("text")
+    pairs = docs.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.v", "bg.w")
+    model = docs if model_docs is None else model_docs
+    mt = tokens("text")
+    mpairs = model.filter(F.trim("text") != "").select(
+        F.explode(
+            F.zip_with(
+                F.slice(mt, 1, F.greatest(F.size(mt) - 1, F.lit(0))),
+                F.slice(mt, 2, F.greatest(F.size(mt) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+            )
+        ).alias("bg"),
+    ).select("bg.v", "bg.w")
+    big_cnt = mpairs.groupBy("v", "w").agg(F.count("*").alias("c_vw"))
+    toks = model.select(F.explode(mt).alias("token")).filter(F.col("token") != "")
+    uni_cnt = toks.groupBy("token").agg(F.count("*").alias("c_tok"))
+    total = toks.agg(F.count("*").alias("total"))
+    join_how = "inner" if model_docs is None else "left"
+    scored = (
+        pairs.join(big_cnt, ["v", "w"], join_how)
+        .join(
+            F.broadcast(
+                uni_cnt.select(F.col("token").alias("v"), F.col("c_tok").alias("c_v"))
+            ),
+            "v",
+            join_how,
+        )
+        .join(
+            F.broadcast(
+                uni_cnt.select(F.col("token").alias("w"), F.col("c_tok").alias("c_w"))
+            ),
+            "w",
+            join_how,
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    if model_docs is None:
+        use_backoff = F.col("c_vw") == 1
+    else:
+        use_backoff = F.col("c_vw").isNull() | (F.col("c_vw") == 1)
+    p_big = F.col("c_vw") / F.coalesce(F.col("c_v"), F.lit(1))
+    p_back = 0.4 * F.coalesce(F.col("c_w"), F.lit(1)) / F.col("total")
+    nll_1e6 = F.floor(
+        -F.log(F.when(use_backoff, p_back).otherwise(p_big)) * 1e6
+    ).cast("long")
+    return (
+        scored.withColumn("nll_1e6", nll_1e6)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nll_1e6").alias("sum_nll"),
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(use_backoff, 1).otherwise(0)).alias("n_backoff"),
+        )
+        .withColumn("avg_nll", F.col("sum_nll") / F.col("n_bigrams"))
+    )
+
+
+def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM perplexity with STUPID BACKOFF (Brants et al. 2007 —
+    the large-scale LM scoring recipe KenLM popularized for data
+    filtering): each token after the first scores
+
+        p(w | v) = c(vw) / c(v)           if c(vw) > 0
+                 = 0.4 · c(w) / total     otherwise (backoff)
+
+    and documents rank by average negative log-score.  The bigram
+    model catches word-ORDER corruption the unigram gate
+    (perplexity_rank) is blind to — a shuffled document keeps its
+    unigram score exactly but collapses under the bigram.
+
+    Determinism: the perplexity_rank playbook — per-token -ln terms
+    floor-scaled to integers BEFORE the per-doc sum; hashed contract
+    is rank + exact integers (n_bigrams, n_backoff).  Plan shape: the
+    bigram stream is a zero-shuffle zip of the token array with itself
+    shifted (pure array algebra, the bpe_pair_counts trick); bigram
+    counts are a
+    (v,w)-keyed agg joined back on the key; unigram counts and the
+    scalar total ride as in perplexity_rank.  The doc-keyed sum is the
+    only corpus-wide shuffle beyond the count joins."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # c_vw == 1 backoff: the pair always exists in the corpus it was
+    # counted from, so true backoff never fires self-scored; backing
+    # off singleton bigrams is the standard leave-one-out correction.
+    per_doc = bigram_nll_scores(docs)
+    top = per_doc.orderBy(F.col("avg_nll").desc(), "doc_id").limit(50)
+    rank_w = Window.orderBy(F.col("avg_nll").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        F.row_number().over(rank_w).cast("long").alias("ppl_rank"),
+        "n_bigrams",
+        "n_backoff",
+    ).orderBy("ppl_rank")
