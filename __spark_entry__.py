@@ -321,11 +321,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": R.q_zorder_layout,
         # new in round 5 (session 2): market analytics, graph rank,
         # tokenizer-training counts — local-gate verified at sf0.001 +
-        # sf0.01 + sf0.1.  R6 ROTATION PLAN: the ~30 session-2 entries
-        # below (ohlc_bars .. vocab_encode) have never been in a driver
-        # window — put them FIRST in the r6 window, then backfill with
-        # the stalest r3-checked entries; the r5 window above rotates
-        # out (its entries will be freshly green in CORRECTNESS_r05)
+        # sf0.01 + sf0.1.  R6 ROTATION PLAN: every entry from here DOWN
+        # (session-2 ohlc_bars .. the session-5 tail: partsupp five,
+        # cascade_delete, compaction_plan, vocab_roundtrip,
+        # perplexity_bigram, assoc_rules, rendezvous/recursive/dsir/
+        # pmi/retrieval_eval/quality_norm/best_survivor/concurrency/
+        # ann_quantized/record_linkage/source_overlap/arrow_udf) has
+        # never been in a driver window — there are ~80 now, more than
+        # one 50-entry window: fill r6 ENTIRELY with the oldest of
+        # them (session-2/3 first) and r7 with the rest; the r5 window
+        # above rotates out (freshly green in CORRECTNESS_r05)
         "ohlc_bars": market.q_ohlc_bars,
         "market_basket": market.q_market_basket,
         "attribution": market.q_attribution,

@@ -786,3 +786,25 @@ def test_compaction_plan_packing(spark):
         cum += r.n_rows
     fids = [r.file_id for r in rows]
     assert fids == sorted(fids)
+
+
+def test_join_strategy_hints_honored(spark):
+    """Engine surface: join strategy hints steer the planner — MERGE
+    forces sort-merge where broadcast would win by size, and
+    SHUFFLE_HASH forces a shuffled hash join.  A 100 TB operator
+    sometimes must override the size heuristics (e.g. broadcast OOM
+    on a skew-fat dim); this pins that the lever works."""
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    plan_m = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_m
+
+    hashed = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    plan_h = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_h
+
+    auto = o.join(c, o.o_custkey == c.c_custkey)
+    plan_a = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_a  # the size heuristic's pick
