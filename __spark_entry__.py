@@ -395,6 +395,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": R.q_compaction_plan,
         "vocab_roundtrip": text.q_vocab_roundtrip,
         "perplexity_bigram": text.q_perplexity_bigram,
+        "coactivity_pairs": analytics.q_coactivity_pairs,
     }
 
 
@@ -2940,5 +2941,26 @@ def oracle_sql() -> dict[str, str]:
             "AS ppl_rank, CAST(n_bigrams AS BIGINT) AS n_bigrams, "
             "CAST(n_backoff AS BIGINT) AS n_backoff FROM g "
             "QUALIFY ppl_rank <= 50"
+        ),
+        # interval-overlap co-activity: the oracle uses the NAIVE theta
+        # join over the session pairs (independent of the engine's
+        # day-binned lossless candidate generator — a row-for-row match
+        # proves the binning loses nothing)
+        "coactivity_pairs": (
+            "WITH flagged AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL THEN 1 "
+            "WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END "
+            "AS new_sess "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sid AS (SELECT user_id, ts, CAST(SUM(new_sess) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS session_seq FROM flagged), "
+            "sess AS (SELECT user_id, session_seq, MIN(ts) AS st, MAX(ts) AS en "
+            "FROM sid GROUP BY 1, 2), "
+            "p AS (SELECT a.user_id AS u1, b.user_id AS u2 "
+            "FROM sess a JOIN sess b ON a.user_id < b.user_id "
+            "AND a.st <= b.en AND b.st <= a.en) "
+            "SELECT u1, u2, CAST(count(*) AS BIGINT) AS n_overlaps FROM p "
+            "GROUP BY 1, 2 ORDER BY n_overlaps DESC, u1, u2 LIMIT 20"
         ),
     }

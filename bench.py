@@ -145,6 +145,7 @@ HEADLINE = [
     "compaction_plan",
     "vocab_roundtrip",
     "perplexity_bigram",
+    "coactivity_pairs",
 ]
 
 

@@ -660,3 +660,64 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("carry_in") + F.col("peak_local")).cast("long").alias("peak_concurrency"),
         )
     )
+
+
+def q_coactivity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-activity mining: the user pairs whose SESSIONS overlap in
+    time most often — the interval×interval overlap join (fraud rings,
+    shared accounts, bot fleets all surface as abnormal co-activity).
+    Two sessions overlap iff start1 <= end2 AND start2 <= end1 (closed
+    intervals).
+
+    Scale shape — the day-binning trick, both sides big: overlapping
+    intervals necessarily SHARE A COVERED CALENDAR DAY (the overlap
+    instant's day), so exploding each session into its covered days
+    and equi-joining on day is a LOSSLESS candidate generator; the
+    exact predicate runs as a residual filter and multi-day pairs
+    dedup through the (users, sessions) distinct.  No nested-loop,
+    no corpus-quadratic stage: per-day volume is C(sessions-that-day,
+    2), the concurrency-bounded quantity session_concurrency measures.
+    Output is the top-20 pairs by overlap count — all exact integers."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.streaming.events import (
+        q_sessionize,
+    )
+
+    sess = q_sessionize(spark, sf_dir).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    binned = sess.select(
+        "user_id",
+        "session_seq",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(F.to_date("session_start"), F.to_date("session_end"))
+        ).alias("day"),
+    )
+    a = binned.select(
+        F.col("user_id").alias("u1"),
+        F.col("session_seq").alias("s1"),
+        F.col("session_start").alias("st1"),
+        F.col("session_end").alias("en1"),
+        "day",
+    )
+    b = binned.select(
+        F.col("user_id").alias("u2"),
+        F.col("session_seq").alias("s2"),
+        F.col("session_start").alias("st2"),
+        F.col("session_end").alias("en2"),
+        "day",
+    )
+    pairs = (
+        a.join(b, "day")
+        .filter(F.col("u1") < F.col("u2"))
+        .filter((F.col("st1") <= F.col("en2")) & (F.col("st2") <= F.col("en1")))
+        .select("u1", "s1", "u2", "s2")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("u1", "u2")
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy(F.col("n_overlaps").desc(), "u1", "u2")
+        .limit(20)
+    )

@@ -243,3 +243,33 @@ def test_session_concurrency_brute_force(spark):
     for prev, nxt in zip(out, out[1:]):
         assert nxt.carry_in == prev.carry_in + prev.n_starts - prev.n_ends
     assert sum(r.n_starts for r in out) == sum(r.n_ends for r in out) == len(sessions)
+
+
+def test_coactivity_binning_lossless(spark):
+    """The day-binned candidate generator equals the naive theta join
+    (collected brute force) — overlap implies a shared covered day."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics as A,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.streaming.events import (
+        q_sessionize,
+    )
+    from tests.conftest import SF_SMALL
+
+    sess = [
+        (r.user_id, r.session_start, r.session_end)
+        for r in q_sessionize(spark, SF_SMALL).collect()
+    ]
+    from collections import Counter
+
+    brute = Counter()
+    for i, (u1, s1, e1) in enumerate(sess):
+        for u2, s2, e2 in sess[i + 1:]:
+            if u1 != u2 and s1 <= e2 and s2 <= e1:
+                brute[(min(u1, u2), max(u1, u2))] += 1
+    expected = sorted(
+        ((-c, u1, u2) for (u1, u2), c in brute.items())
+    )[:20]
+    out = A.q_coactivity_pairs(spark, SF_SMALL).collect()
+    got = [(-r.n_overlaps, r.u1, r.u2) for r in out]
+    assert got == expected
