@@ -396,6 +396,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_roundtrip": text.q_vocab_roundtrip,
         "perplexity_bigram": text.q_perplexity_bigram,
         "coactivity_pairs": analytics.q_coactivity_pairs,
+        "seasonal_backtest": analytics.q_seasonal_backtest,
+        "cusum_changepoint": analytics.q_cusum_changepoint,
     }
 
 
@@ -2962,5 +2964,44 @@ def oracle_sql() -> dict[str, str]:
             "AND a.st <= b.en AND b.st <= a.en) "
             "SELECT u1, u2, CAST(count(*) AS BIGINT) AS n_overlaps FROM p "
             "GROUP BY 1, 2 ORDER BY n_overlaps DESC, u1, u2 LIMIT 20"
+        ),
+        # seasonal-naive vs naive-1 backtest; exact integer cents
+        "seasonal_backtest": (
+            "WITH d AS (SELECT event_type AS series, CAST(ts AS DATE) AS day, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents "
+            "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+            "l AS (SELECT series, day, v_cents, "
+            "lag(v_cents, 1) OVER w AS lag1, lag(v_cents, 7) OVER w AS lag7 "
+            "FROM d WINDOW w AS (PARTITION BY series ORDER BY day)), "
+            "f AS (SELECT * FROM l WHERE lag1 IS NOT NULL AND lag7 IS NOT NULL), "
+            "g AS (SELECT series, CAST(count(*) AS BIGINT) AS n_days, "
+            "CAST(SUM(abs(v_cents - lag7)) AS BIGINT) AS sae_seasonal, "
+            "CAST(SUM(abs(v_cents - lag1)) AS BIGINT) AS sae_naive1 "
+            "FROM f GROUP BY 1) "
+            "SELECT series, n_days, "
+            "CAST(sae_seasonal // n_days AS BIGINT) AS mae_seasonal_cents, "
+            "CAST(sae_naive1 // n_days AS BIGINT) AS mae_naive1_cents, "
+            "sae_seasonal < sae_naive1 AS seasonal_better FROM g"
+        ),
+        # integer CUSUM: S_k = n*cum_k - k*total, argmax |S| per series
+        "cusum_changepoint": (
+            "WITH d AS (SELECT event_type AS series, CAST(ts AS DATE) AS day, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents "
+            "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+            "t AS (SELECT series, CAST(SUM(v_cents) AS BIGINT) AS total, "
+            "CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1), "
+            "c AS (SELECT d.series, d.day, "
+            "CAST(row_number() OVER w AS BIGINT) AS k, "
+            "CAST(SUM(v_cents) OVER (PARTITION BY d.series ORDER BY d.day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, "
+            "t.total, t.n_days "
+            "FROM d JOIN t ON d.series = t.series "
+            "WINDOW w AS (PARTITION BY d.series ORDER BY d.day)), "
+            "s AS (SELECT series, day, n_days, "
+            "n_days * cum - k * total AS s_k FROM c) "
+            "SELECT series, day AS change_day, CAST(s_k AS BIGINT) AS cusum_peak, "
+            "n_days FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY series "
+            "ORDER BY abs(s_k) DESC, day) = 1"
         ),
     }

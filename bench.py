@@ -146,6 +146,8 @@ HEADLINE = [
     "vocab_roundtrip",
     "perplexity_bigram",
     "coactivity_pairs",
+    "seasonal_backtest",
+    "cusum_changepoint",
 ]
 
 

@@ -721,3 +721,90 @@ def q_coactivity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_overlaps").desc(), "u1", "u2")
         .limit(20)
     )
+
+
+def _daily_series_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-event-type value sums in exact integer cents — the
+    shared spine of the forecasting/changepoint operators."""
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_cents"))
+
+
+def q_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting: score the SEASONAL-NAIVE baseline
+    (predict today = same weekday last week) against NAIVE-1 (predict
+    today = yesterday) on daily value sums, per series — the
+    sanity-check backtest every forecasting pipeline runs before
+    anything fancier, and the yardstick fancier models must beat.
+
+    MAE is exact integer cents (1e2-scaled data summed exactly, |err|
+    integer, mean via div); ``seasonal_better`` compares the two
+    models with integer cross-multiplication (mae_s·n vs mae_1·n
+    avoided entirely by comparing SUMS over the same day set).  Plan:
+    one daily agg, two lag windows keyed by series, one summary agg —
+    nothing wider than the series key."""
+    daily = _daily_series_cents(spark, sf_dir)
+    w = W.partitionBy("series").orderBy("day")
+    scored = (
+        daily.withColumn("lag1", F.lag("v_cents", 1).over(w))
+        .withColumn("lag7", F.lag("v_cents", 7).over(w))
+        .filter(F.col("lag1").isNotNull() & F.col("lag7").isNotNull())
+    )
+    return (
+        scored.groupBy("series")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.abs(F.col("v_cents") - F.col("lag7"))).alias("sae_seasonal"),
+            F.sum(F.abs(F.col("v_cents") - F.col("lag1"))).alias("sae_naive1"),
+        )
+        .select(
+            "series",
+            "n_days",
+            F.expr("sae_seasonal div n_days").alias("mae_seasonal_cents"),
+            F.expr("sae_naive1 div n_days").alias("mae_naive1_cents"),
+            (F.col("sae_seasonal") < F.col("sae_naive1")).alias("seasonal_better"),
+        )
+    )
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection in EXACT integer arithmetic: for
+    each series' daily sums v_1..v_n, the scaled cumulative deviation
+
+        S_k = n·(v_1+..+v_k) - k·(v_1+..+v_n)
+
+    is n times the classic CUSUM against the series mean — integer,
+    so the argmax day (the level-shift candidate) is engine-exact with
+    no mean-as-float anywhere.  |S| peaks where the series switches
+    regimes; S == 0 at k = n structurally (the telescoping check a
+    test pins).  Plan: the daily agg, one series-keyed running-sum
+    window, a 1-row-per-series total join (broadcast via the same
+    agg), and an argmax window under the pinned (|S| desc, day)
+    order."""
+    daily = _daily_series_cents(spark, sf_dir)
+    w = W.partitionBy("series").orderBy("day")
+    tot = daily.groupBy("series").agg(
+        F.sum("v_cents").alias("total"), F.count("*").alias("n_days")
+    )
+    cum = (
+        daily.withColumn("k", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum",
+            F.sum("v_cents").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .join(F.broadcast(tot), "series")
+        .withColumn("s_k", F.col("n_days") * F.col("cum") - F.col("k") * F.col("total"))
+    )
+    pick = W.partitionBy("series").orderBy(F.abs("s_k").desc(), "day")
+    return (
+        cum.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "series",
+            F.col("day").alias("change_day"),
+            F.col("s_k").alias("cusum_peak"),
+            "n_days",
+        )
+    )

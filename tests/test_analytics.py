@@ -273,3 +273,47 @@ def test_coactivity_binning_lossless(spark):
     out = A.q_coactivity_pairs(spark, SF_SMALL).collect()
     got = [(-r.n_overlaps, r.u1, r.u2) for r in out]
     assert got == expected
+
+
+def test_cusum_telescoping_and_peak(spark):
+    """S_n = 0 structurally (telescoping), and the reported peak is the
+    true argmax of |S_k| recomputed brute-force per series."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics as A,
+    )
+    from tests.conftest import SF_SMALL
+
+    daily = sorted(
+        A._daily_series_cents(spark, SF_SMALL).collect(),
+        key=lambda r: (r.series, r.day),
+    )
+    from collections import defaultdict
+
+    by_series = defaultdict(list)
+    for r in daily:
+        by_series[r.series].append((r.day, r.v_cents))
+    out = {r.series: r for r in A.q_cusum_changepoint(spark, SF_SMALL).collect()}
+    for series, rows in by_series.items():
+        n = len(rows)
+        total = sum(v for _, v in rows)
+        cum = 0
+        peaks = []
+        for k, (day, v) in enumerate(rows, start=1):
+            cum += v
+            s_k = n * cum - k * total
+            peaks.append((-abs(s_k), day, s_k))
+        assert peaks[-1][2] == 0  # telescoping: S_n == 0
+        best = min(peaks)
+        r = out[series]
+        assert (r.change_day, abs(r.cusum_peak)) == (best[1], -best[0])
+
+
+def test_seasonal_backtest_consistency(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics as A,
+    )
+    from tests.conftest import SF_SMALL
+
+    for r in A.q_seasonal_backtest(spark, SF_SMALL).collect():
+        assert r.n_days > 0
+        assert r.mae_seasonal_cents >= 0 and r.mae_naive1_cents >= 0
