@@ -398,6 +398,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coactivity_pairs": analytics.q_coactivity_pairs,
         "seasonal_backtest": analytics.q_seasonal_backtest,
         "cusum_changepoint": analytics.q_cusum_changepoint,
+        "top_paths": analytics.q_top_paths,
     }
 
 
@@ -3003,5 +3004,26 @@ def oracle_sql() -> dict[str, str]:
             "n_days FROM s "
             "QUALIFY row_number() OVER (PARTITION BY series "
             "ORDER BY abs(s_k) DESC, day) = 1"
+        ),
+        # top in-session length-3 event paths
+        "top_paths": (
+            "WITH flagged AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL THEN 1 "
+            "WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END "
+            "AS new_sess "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sid AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS session_seq FROM flagged), "
+            "tri AS (SELECT event_type || '|' || "
+            "lead(event_type, 1) OVER ws || '|' || "
+            "lead(event_type, 2) OVER ws AS path, "
+            "lead(event_type, 1) OVER ws AS e2, "
+            "lead(event_type, 2) OVER ws AS e3 "
+            "FROM sid WINDOW ws AS (PARTITION BY user_id, session_seq "
+            "ORDER BY ts, event_id)) "
+            "SELECT path, CAST(count(*) AS BIGINT) AS n_paths FROM tri "
+            "WHERE e2 IS NOT NULL AND e3 IS NOT NULL "
+            "GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20"
         ),
     }

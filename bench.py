@@ -148,6 +148,7 @@ HEADLINE = [
     "coactivity_pairs",
     "seasonal_backtest",
     "cusum_changepoint",
+    "top_paths",
 ]
 
 

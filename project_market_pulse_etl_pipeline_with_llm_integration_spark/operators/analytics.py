@@ -808,3 +808,43 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user flows: the 20 most common length-3 event paths WITHIN a
+    session (the 'top paths' product-analytics staple — what users
+    actually do, vs the single-hop event_transitions matrix).  Session
+    boundaries use the same 30-minute gap rule as sessionize, so a
+    path never spans a session break.
+
+    Plan: the sessionize window stack (one user-keyed sort) plus two
+    leads over the (user, session) partition — trigrams where both
+    leads exist — then one count agg and a distributed TakeOrdered.
+    Exact integers; the path rides as one pipe-joined string."""
+    ev = read_events(spark, sf_dir)
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(wu))) > 1800,
+            1,
+        ).otherwise(F.when(F.lag("ts", 1).over(wu).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    ws = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    tri = (
+        flagged.withColumn("e2", F.lead("event_type", 1).over(ws))
+        .withColumn("e3", F.lead("event_type", 2).over(ws))
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws("|", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "path")
+        .limit(20)
+    )
