@@ -399,6 +399,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_backtest": analytics.q_seasonal_backtest,
         "cusum_changepoint": analytics.q_cusum_changepoint,
         "top_paths": analytics.q_top_paths,
+        "interval_union": analytics.q_interval_union,
     }
 
 
@@ -3025,5 +3026,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT path, CAST(count(*) AS BIGINT) AS n_paths FROM tri "
             "WHERE e2 IS NOT NULL AND e3 IS NOT NULL "
             "GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20"
+        ),
+        # merged-interval coverage per user (gaps-and-islands on
+        # timestamps, epoch-millisecond integers)
+        "interval_union": (
+            "WITH flagged AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL THEN 1 "
+            "WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END "
+            "AS new_sess "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sid AS (SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS session_seq FROM flagged), "
+            "sess AS (SELECT user_id, CAST(epoch_ms(MIN(ts)) AS BIGINT) AS st, "
+            "CAST(epoch_ms(MAX(ts)) AS BIGINT) AS en "
+            "FROM sid GROUP BY user_id, session_seq), "
+            "fl AS (SELECT user_id, st, en, "
+            "CASE WHEN MAX(en) OVER (PARTITION BY user_id ORDER BY st, en "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL THEN 1 "
+            "WHEN st > MAX(en) OVER (PARTITION BY user_id ORDER BY st, en "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END "
+            "AS new_island FROM sess), "
+            "isl AS (SELECT user_id, st, en, SUM(new_island) OVER ("
+            "PARTITION BY user_id ORDER BY st, en "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl), "
+            "g AS (SELECT user_id, island, MIN(st) AS i_st, MAX(en) AS i_en, "
+            "count(*) AS n_sess FROM isl GROUP BY 1, 2) "
+            "SELECT user_id, CAST(SUM(n_sess) AS BIGINT) AS n_sessions, "
+            "CAST(count(*) AS BIGINT) AS n_merged_intervals, "
+            "CAST(SUM(i_en - i_st) AS BIGINT) AS covered_ms "
+            "FROM g GROUP BY 1"
         ),
     }

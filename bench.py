@@ -149,6 +149,7 @@ HEADLINE = [
     "seasonal_backtest",
     "cusum_changepoint",
     "top_paths",
+    "interval_union",
 ]
 
 

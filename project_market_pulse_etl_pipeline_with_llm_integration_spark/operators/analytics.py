@@ -848,3 +848,50 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "path")
         .limit(20)
     )
+
+
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: per user, merge overlapping/touching
+    sessions and report total covered milliseconds — the billing/SLA
+    primitive ('how long was the user actually active?'), where
+    double-counting overlaps is the classic bug.  Gaps-and-islands on
+    intervals: a session starts a NEW island iff its start exceeds the
+    running max end of all earlier sessions (the streaks recipe lifted
+    from days to timestamps).
+
+    All outputs exact integers (epoch milliseconds); one user-keyed
+    sort carries the running max, the island id (running sum of new
+    flags), and the merge agg — no self-join, no explode.  At 100 TB
+    user-keyed windows partition perfectly; a single pathological user
+    is bounded by their own session count."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.streaming.events import (
+        q_sessionize,
+    )
+
+    sess = q_sessionize(spark, sf_dir).select(
+        "user_id",
+        # events ts is TIMESTAMP_NTZ; the cast to TIMESTAMP is identity
+        # under the engine's pinned UTC session timezone
+        F.unix_millis(F.col("session_start").cast("timestamp")).alias("st"),
+        F.unix_millis(F.col("session_end").cast("timestamp")).alias("en"),
+    )
+    w = W.partitionBy("user_id").orderBy("st", "en")
+    prev_max = F.max("en").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = sess.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("st") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        F.min("st").alias("i_st"), F.max("en").alias("i_en"), F.count("*").alias("n_sess")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("n_sess").alias("n_sessions"),
+            F.count("*").alias("n_merged_intervals"),
+            F.sum(F.col("i_en") - F.col("i_st")).alias("covered_ms"),
+        )
+    )

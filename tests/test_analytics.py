@@ -317,3 +317,36 @@ def test_seasonal_backtest_consistency(spark):
     for r in A.q_seasonal_backtest(spark, SF_SMALL).collect():
         assert r.n_days > 0
         assert r.mae_seasonal_cents >= 0 and r.mae_naive1_cents >= 0
+
+
+def test_interval_union_brute_force(spark):
+    """Covered milliseconds equal a brute-force interval merge per
+    user, and merged intervals never exceed session count."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics as A,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.streaming.events import (
+        q_sessionize,
+    )
+    from tests.conftest import SF_SMALL
+
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in q_sessionize(spark, SF_SMALL).collect():
+        st = int(r.session_start.timestamp() * 1000)
+        en = int(r.session_end.timestamp() * 1000)
+        per_user[r.user_id].append((st, en))
+    out = {r.user_id: r for r in A.q_interval_union(spark, SF_SMALL).collect()}
+    assert set(out) == set(per_user)
+    for uid, ivals in per_user.items():
+        merged = []
+        for st, en in sorted(ivals):
+            if merged and st <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], en))
+            else:
+                merged.append((st, en))
+        r = out[uid]
+        assert r.n_sessions == len(ivals)
+        assert r.n_merged_intervals == len(merged)
+        assert r.covered_ms == sum(e - s for s, e in merged)
