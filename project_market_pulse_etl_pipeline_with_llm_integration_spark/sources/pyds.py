@@ -19,7 +19,12 @@ requires replayable ingest).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+)
 
 KNUTH = 2654435761
 
@@ -58,3 +63,74 @@ class SyntheticTicksReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SyntheticTicksDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource WRITER (the sink half of the API)
+# ---------------------------------------------------------------------------
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()`` —
+    a Python-defined batch sink: each partition's ``write`` runs on an
+    executor and streams its rows to one JSONL part file; ``commit``
+    runs on the driver with every partition's WriterCommitMessage and
+    writes the manifest — the two-phase commit shape every real sink
+    (Iceberg/Delta committers included) follows.  Wraps the extension
+    point a pipeline uses for sinks Spark lacks natively (internal
+    services, queues, bespoke formats).
+
+    Scale posture: rows never pass through the driver — only the
+    per-partition commit messages (path + count) do; a failed task's
+    file is simply never committed to the manifest (task retries are
+    idempotent because file names carry the partition id)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlSinkWriter(self.options, schema)
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options, schema) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires .option('path', <dir>)")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        """Executor-side: stream one partition to one part file."""
+        import json
+        import os
+
+        from pyspark import TaskContext
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        part_path = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(part_path, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.fields, row))) + "\n")
+                n += 1
+        return WriterCommitMessage()
+
+    def commit(self, messages) -> None:
+        """Driver-side: all partitions succeeded — publish the manifest
+        (the atomicity point; readers only trust manifested files)."""
+        import json
+        import os
+
+        manifest = os.path.join(self.path, "_MANIFEST.json")
+        with open(manifest, "w") as fh:
+            fh.write(json.dumps({"n_partitions": len(list(messages))}))
+
+    def abort(self, messages) -> None:
+        pass  # uncommitted part files are ignored by manifest readers
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

@@ -53,3 +53,35 @@ def test_variant_extract_matches_json_string_path(spark):
     ).collect()
     want = {r["event_id"]: (r["k"], r["k"] % 10) for r in ev if r["k"] is not None}
     assert got == want
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    """The Python DataSource WRITER: write an aggregate through the
+    custom sink, read the part files back, and match the original —
+    plus the manifest two-phase-commit artifact."""
+    import json
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources import pyds
+
+    pyds.register(spark)
+    pyds.register_sink(spark)
+    ticks = (
+        spark.read.format("synthetic_ticks")
+        .option("n", "1000")
+        .option("partitions", "4")
+        .load()
+    )
+    agg = ticks.groupBy("series").count()
+    out = str(tmp_path / "sink")
+    agg.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    rows = []
+    for fn in sorted(os.listdir(out)):
+        if fn.startswith("part-"):
+            with open(os.path.join(out, fn)) as fh:
+                rows += [json.loads(line) for line in fh]
+    got = {(r["series"], r["count"]) for r in rows}
+    want = {(r.series, r["count"]) for r in agg.collect()}
+    assert got == want
