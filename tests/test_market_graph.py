@@ -477,3 +477,81 @@ def test_session5_ops_prune_scans(spark):
         for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
             read |= {c.split(":")[0] for c in s.split(",") if c}
         assert read <= cols, f"{name} reads extra columns: {read - cols}"
+
+
+def test_session5_differential_consistency(spark):
+    """Cross-operator agreement for the session-5 family — independent
+    implementations must tell one story:
+      * assoc_rules' undirected (c_ab) counts equal market_basket's
+        pair counts on shared pairs (min_support vs top-k aside);
+      * retrieval_eval's hit counts recompute from bm25_topk's rows
+        joined to the same term-overlap relevance rule;
+      * session_concurrency implies co-activity: any day with peak
+        concurrency >= 2 means at least one overlapping cross-user
+        session pair exists SOMEWHERE (sum over coactivity > 0);
+      * interval_union coverage never exceeds the per-user span yet
+        is at least the longest single merged interval."""
+    import pyspark.sql.functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics as A,
+        text as T,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        BM25_QUERY_TERMS,
+    )
+    from tests.conftest import SF_SMALL
+
+    # assoc_rules vs market_basket
+    basket = {
+        (r.p1, r.p2): r.n_orders
+        for r in market.q_market_basket(spark, SF_SMALL).collect()
+    }
+    rules = market.q_assoc_rules(spark, SF_SMALL).collect()
+    for r in rules:
+        key = (min(r.ante, r.cons), max(r.ante, r.cons))
+        if key in basket:
+            assert basket[key] == r.c_ab
+
+    # retrieval_eval vs bm25_topk + relevance recompute
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rel = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.split(F.trim("text"), r"\s+")),
+                    F.array([F.lit(t) for t in BM25_QUERY_TERMS]),
+                )
+            ).alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+        .collect()
+    }
+    bm = T.bm25_topk(docs, BM25_QUERY_TERMS).collect()
+    ev = T.q_retrieval_eval(spark, SF_SMALL).collect()[0]
+    assert ev.n_relevant == len(rel)
+    assert ev.hits_at_20 == sum(1 for r in bm if r.doc_id in rel)
+    assert ev.hits_at_5 == sum(1 for r in bm if r.doc_id in rel and r.bm_rank <= 5)
+
+    # concurrency implies co-activity
+    conc = A.q_session_concurrency(spark, SF_SMALL).collect()
+    coact = A.q_coactivity_pairs(spark, SF_SMALL).collect()
+    if any(r.peak_concurrency >= 2 for r in conc):
+        assert sum(r.n_overlaps for r in coact) > 0
+
+    # interval_union bounds
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.streaming.events import (
+        q_sessionize,
+    )
+
+    spans = {}
+    for r in q_sessionize(spark, SF_SMALL).collect():
+        st = int(r.session_start.timestamp() * 1000)
+        en = int(r.session_end.timestamp() * 1000)
+        lo, hi, mx = spans.get(r.user_id, (st, en, 0))
+        spans[r.user_id] = (min(lo, st), max(hi, en), max(mx, en - st))
+    for r in A.q_interval_union(spark, SF_SMALL).collect():
+        lo, hi, mx = spans[r.user_id]
+        assert mx <= r.covered_ms <= hi - lo
