@@ -296,7 +296,10 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast), one 1-row basket count (broadcast); each undirected
     pair emits its two directed rules via a 2-element explode — no
     second join.  Top-30 under (lift desc, confidence desc, a, b);
-    min_support 2 keeps the tail of singleton noise out at any sf."""
+    min_support 2 keeps the tail of singleton noise out at any sf.
+    At production scale the pair join takes market_basket's max_basket
+    guard unchanged (the rule math is guard-independent); TPC-H
+    baskets are <= 7 lines so the bench form omits it."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     op = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))

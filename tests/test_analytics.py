@@ -334,8 +334,12 @@ def test_interval_union_brute_force(spark):
 
     per_user = defaultdict(list)
     for r in q_sessionize(spark, SF_SMALL).collect():
-        st = int(r.session_start.timestamp() * 1000)
-        en = int(r.session_end.timestamp() * 1000)
+        from datetime import timezone
+
+        # session ts are NTZ-as-UTC; pin the zone so the test is
+        # host-timezone independent
+        st = int(r.session_start.replace(tzinfo=timezone.utc).timestamp() * 1000)
+        en = int(r.session_end.replace(tzinfo=timezone.utc).timestamp() * 1000)
         per_user[r.user_id].append((st, en))
     out = {r.user_id: r for r in A.q_interval_union(spark, SF_SMALL).collect()}
     assert set(out) == set(per_user)

@@ -548,8 +548,12 @@ def test_session5_differential_consistency(spark):
 
     spans = {}
     for r in q_sessionize(spark, SF_SMALL).collect():
-        st = int(r.session_start.timestamp() * 1000)
-        en = int(r.session_end.timestamp() * 1000)
+        from datetime import timezone
+
+        # session ts are NTZ-as-UTC; pin the zone so the test is
+        # host-timezone independent
+        st = int(r.session_start.replace(tzinfo=timezone.utc).timestamp() * 1000)
+        en = int(r.session_end.replace(tzinfo=timezone.utc).timestamp() * 1000)
         lo, hi, mx = spans.get(r.user_id, (st, en, 0))
         spans[r.user_id] = (min(lo, st), max(hi, en), max(mx, en - st))
     for r in A.q_interval_union(spark, SF_SMALL).collect():
