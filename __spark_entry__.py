@@ -98,6 +98,32 @@ def q_enrich_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ROADMAP dashboard query (README.md:81: 'sentiment
+    trends, category distributions') composed from the engine's own
+    enrichment operator: run the full mapInPandas LLM plumbing with the
+    deterministic transport, then the per-source sentiment distribution
+    with integer-ppm shares.  Proves enrichment OUTPUT is a first-class
+    relational input — the downstream-analytics half of the reference's
+    story the reference itself never shipped.  The oracle replicates
+    the transport's pure prompt-length function in SQL (the
+    enrich_offline oracle's _PLEN recipe) and the share arithmetic is
+    exact integer div."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    enriched = q_enrich_offline(spark, sf_dir).select("doc_id", "sentiment_llm")
+    joined = docs.select("doc_id", "source").join(enriched, "doc_id")
+    per = joined.groupBy("source", "sentiment_llm").agg(F.count("*").alias("n_docs"))
+    tot = joined.groupBy("source").agg(F.count("*").alias("n_src"))
+    return per.join(tot, "source").select(
+        "source",
+        "sentiment_llm",
+        "n_docs",
+        F.expr("(1000000 * n_docs) div n_src").alias("share_ppm"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: revenue by nation x order priority —
     the 3-way shuffle join + broadcast dim + hash agg slice of the
@@ -400,6 +426,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": analytics.q_cusum_changepoint,
         "top_paths": analytics.q_top_paths,
         "interval_union": analytics.q_interval_union,
+        "sentiment_by_source": q_sentiment_by_source,
     }
 
 
@@ -3056,5 +3083,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_merged_intervals, "
             "CAST(SUM(i_en - i_st) AS BIGINT) AS covered_ms "
             "FROM g GROUP BY 1"
+        ),
+        # the reference-roadmap dashboard: enrichment output as a
+        # relational input; sentiment = transport(prompt-length) % 3
+        "sentiment_by_source": (
+            f"WITH e AS (SELECT doc_id, source, {_PLEN} AS plen FROM documents), "
+            "s AS (SELECT doc_id, source, "
+            "CASE plen % 3 WHEN 0 THEN 'Positive' WHEN 1 THEN 'Negative' "
+            "ELSE 'Neutral' END AS sentiment_llm FROM e), "
+            "per AS (SELECT source, sentiment_llm, CAST(count(*) AS BIGINT) "
+            "AS n_docs FROM s GROUP BY 1, 2), "
+            "tot AS (SELECT source, count(*) AS n_src FROM s GROUP BY 1) "
+            "SELECT per.source, per.sentiment_llm, per.n_docs, "
+            "CAST((1000000 * per.n_docs) // tot.n_src AS BIGINT) AS share_ppm "
+            "FROM per JOIN tot ON per.source = tot.source"
         ),
     }

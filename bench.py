@@ -150,6 +150,7 @@ HEADLINE = [
     "cusum_changepoint",
     "top_paths",
     "interval_union",
+    "sentiment_by_source",
 ]
 
 
