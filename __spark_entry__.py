@@ -427,6 +427,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": analytics.q_top_paths,
         "interval_union": analytics.q_interval_union,
         "sentiment_by_source": q_sentiment_by_source,
+        "skew_report": skew.q_skew_report,
     }
 
 
@@ -3097,5 +3098,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT per.source, per.sentiment_llm, per.n_docs, "
             "CAST((1000000 * per.n_docs) // tot.n_src AS BIGINT) AS share_ppm "
             "FROM per JOIN tot ON per.source = tot.source"
+        ),
+        # join-key skew diagnosis; p99 is percentile_disc over grouped
+        # counts (a data value), everything else integer div
+        "skew_report": (
+            "SELECT 'orders.o_custkey' AS join_key, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys, CAST((1000000 * SUM(c)) // count(*) AS BIGINT) AS mean_ppm, CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT) AS p99_c, CAST(MAX(c) AS BIGINT) AS max_c, CAST((1000000 * MAX(c) * count(*)) // SUM(c) AS BIGINT) AS skew_ratio_ppm FROM (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1) UNION ALL SELECT 'lineitem.l_orderkey' AS join_key, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys, CAST((1000000 * SUM(c)) // count(*) AS BIGINT) AS mean_ppm, CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT) AS p99_c, CAST(MAX(c) AS BIGINT) AS max_c, CAST((1000000 * MAX(c) * count(*)) // SUM(c) AS BIGINT) AS skew_ratio_ppm FROM (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1) UNION ALL SELECT 'lineitem.l_partkey' AS join_key, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys, CAST((1000000 * SUM(c)) // count(*) AS BIGINT) AS mean_ppm, CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT) AS p99_c, CAST(MAX(c) AS BIGINT) AS max_c, CAST((1000000 * MAX(c) * count(*)) // SUM(c) AS BIGINT) AS skew_ratio_ppm FROM (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1)"
         ),
     }

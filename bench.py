@@ -151,6 +151,7 @@ HEADLINE = [
     "top_paths",
     "interval_union",
     "sentiment_by_source",
+    "skew_report",
 ]
 
 

@@ -121,3 +121,46 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return salted_agg(read_events(spark, sf_dir), "user_id", "value", salt_buckets=8)
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: per candidate shuffle key, the per-key
+    row-count distribution — rows, distinct keys, mean (ppm-exact),
+    p99 and max per-key counts, and the max/mean skew ratio in integer
+    ppm.  This is the measurement that DECIDES the salting/AQE-skew
+    levers (operators/skew.py): a ratio near 1e6 means uniform keys
+    (salt adds cost for nothing), orders of magnitude more means one
+    task owns the key.
+
+    Exactness: p99 is percentile_disc rank-selection over the GROUPED
+    counts (a data value, not interpolation); mean and ratio are
+    integer divs.  Plan: one groupBy per audited key over just that
+    key's column (pruned scan), then a tiny per-key-stats agg —
+    the grouped-counts frame is |distinct keys| rows, the report is
+    one row per audited key."""
+    reports = []
+    for table, key in (("orders", "o_custkey"), ("lineitem", "l_orderkey"),
+                       ("lineitem", "l_partkey")):
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(key)
+        counts = df.groupBy(key).agg(F.count("*").alias("c"))
+        n = counts.agg(
+            F.sum("c").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("c").alias("max_c"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)").alias("p99_c"),
+        )
+        reports.append(
+            n.select(
+                F.lit(f"{table}.{key}").alias("join_key"),
+                "n_rows",
+                "n_keys",
+                F.expr("(1000000 * n_rows) div n_keys").alias("mean_ppm"),
+                F.col("p99_c").cast("long").alias("p99_c"),
+                F.col("max_c").cast("long").alias("max_c"),
+                F.expr("(1000000 * max_c * n_keys) div n_rows").alias("skew_ratio_ppm"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
