@@ -1,0 +1,111 @@
+"""Scale-up stress: build an ~sf1 dataset (10x sf0.1) in /tmp by
+replicating sf0.1 with shifted keys, then run the heavy operators and
+print per-query wall seconds next to their sf0.1 baseline.
+
+The point is the SHAPE of the scaling, not the absolute numbers: an
+operator whose cost is linear in rows should land near 10x its sf0.1
+time on 32 cores; anything super-linear (a blocking bucket gone
+quadratic, a broadcast that stopped fitting) shows up as a blow-up.
+Replica texts get a per-replica suffix token so replicated documents
+are NEAR-duplicates (jaccard ~0.97) — deliberately adversarial for
+the dedup family: every source doc becomes a 10-copy near-dup family,
+so pair volume grows 45 pairs/doc ON TOP of the 10x row growth.
+
+Usage: python tools/stress_scale.py [replicas=10]
+Writes /tmp/stress_sfN (re-used if present; delete to rebuild).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+SRC = "/root/testdata/sf0.1"
+KEYED = {
+    # table -> {column: shift_base}; shift = replica * base keeps keys
+    # disjoint across replicas and FKs consistent (same base per key
+    # family everywhere it appears)
+    "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 1_000_000, "l_suppkey": 100_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "part": {"p_partkey": 1_000_000},
+    "supplier": {"s_suppkey": 100_000},
+    "events": {"event_id": 100_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+    "nation": {}, "region": {},
+}
+
+STRESS_QUERIES = [
+    "tpch_q1", "tpch_q5", "tpch_q9", "dense_id", "agg_pricing_summary",
+    "join_multiway_broadcast", "window_rank",
+    "dedup_exact", "dedup_minhash", "dedup_jaccard", "dedup_containment",
+    "bm25_topk", "tfidf_topterms", "inverted_index", "text_stats",
+    "ann_bruteforce", "ann_quantized", "hybrid_rrf",
+    "session_concurrency", "coactivity_pairs", "interval_union",
+    "heavy_hitters", "skew_report", "assoc_rules", "cusum_changepoint",
+]
+
+
+def build(spark, out_dir: str, replicas: int) -> None:
+    for table, shifts in KEYED.items():
+        dst = f"{out_dir}/{table}.parquet"
+        if os.path.exists(dst):
+            continue
+        base = spark.read.parquet(f"{SRC}/{table}.parquet")
+        if not shifts and table in ("nation", "region"):
+            base.write.mode("overwrite").parquet(dst)
+            continue
+        rep = base.crossJoin(
+            spark.range(replicas).select(F.col("id").alias("_rep"))
+        )
+        for col, k in shifts.items():
+            rep = rep.withColumn(col, F.col(col) + F.col("_rep") * k)
+        if table == "documents":
+            # near-dup replicas: one differing suffix token
+            rep = rep.withColumn(
+                "text",
+                F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(" rep"), F.col("_rep").cast("string"))
+                ),
+            )
+        # the sf0.1 sources are single files, and crossJoin preserves
+        # their partitioning — without a repartition the 10x table lands
+        # in ONE parquet file and every downstream scan runs at
+        # parallelism ~1 (observed: 83x "blow-ups" that were purely
+        # this layout artifact).  A real sf1 dataset ships many files;
+        # mirror that.
+        rep.drop("_rep").repartition(32).write.mode("overwrite").parquet(dst)
+
+
+def main() -> int:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = f"/tmp/stress_sf{replicas}"
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="stress-scale")
+    t0 = time.perf_counter()
+    build(spark, out_dir, replicas)
+    print(f"build: {time.perf_counter() - t0:.1f}s -> {out_dir}")
+    queries = entrymod.queries()
+    for name in STRESS_QUERIES:
+        t0 = time.perf_counter()
+        try:
+            queries[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+            print(f"{name}: {time.perf_counter() - t0:.2f}s")
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED {str(e)[:200]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
