@@ -428,6 +428,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_union": analytics.q_interval_union,
         "sentiment_by_source": q_sentiment_by_source,
         "skew_report": skew.q_skew_report,
+        "rate_spikes": analytics.q_rate_spikes,
+        "jackknife_spread": analytics.q_jackknife_spread,
     }
 
 
@@ -3103,5 +3105,32 @@ def oracle_sql() -> dict[str, str]:
         # counts (a data value), everything else integer div
         "skew_report": (
             "SELECT 'orders.o_custkey' AS join_key, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys, CAST((1000000 * SUM(c)) // count(*) AS BIGINT) AS mean_ppm, CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT) AS p99_c, CAST(MAX(c) AS BIGINT) AS max_c, CAST((1000000 * MAX(c) * count(*)) // SUM(c) AS BIGINT) AS skew_ratio_ppm FROM (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1) UNION ALL SELECT 'lineitem.l_orderkey' AS join_key, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys, CAST((1000000 * SUM(c)) // count(*) AS BIGINT) AS mean_ppm, CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT) AS p99_c, CAST(MAX(c) AS BIGINT) AS max_c, CAST((1000000 * MAX(c) * count(*)) // SUM(c) AS BIGINT) AS skew_ratio_ppm FROM (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1) UNION ALL SELECT 'lineitem.l_partkey' AS join_key, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys, CAST((1000000 * SUM(c)) // count(*) AS BIGINT) AS mean_ppm, CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT) AS p99_c, CAST(MAX(c) AS BIGINT) AS max_c, CAST((1000000 * MAX(c) * count(*)) // SUM(c) AS BIGINT) AS skew_ratio_ppm FROM (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1)"
+        ),
+        # Poisson 3-sigma spike rule, integer cross-multiplied
+        "rate_spikes": (
+            "WITH h AS (SELECT event_type AS series, date_trunc('hour', ts) "
+            "AS hour, count(*) AS n FROM events GROUP BY 1, 2), "
+            "t AS (SELECT series, hour, n, "
+            "SUM(n) OVER w AS trail_sum, COUNT(n) OVER w AS trail_n FROM h "
+            "WINDOW w AS (PARTITION BY series ORDER BY hour "
+            "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+            "SELECT series, hour, CAST(n AS BIGINT) AS n_events, "
+            "CAST(trail_sum AS BIGINT) AS trail_sum_24h, "
+            "CAST((1000000 * (n * 24 - trail_sum)) // trail_sum AS BIGINT) "
+            "AS excess_over_mean_ppm "
+            "FROM t WHERE trail_n = 24 AND n * 24 > trail_sum "
+            "AND (n * 24 - trail_sum) * (n * 24 - trail_sum) > 216 * trail_sum"
+        ),
+        # delete-a-group jackknife over md5 buckets; exact integer ppm
+        "jackknife_spread": (
+            "WITH b AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 2))::INT % 10 AS bucket, " + _QPPM + " AS q_ppm FROM documents), "
+            "per AS (SELECT bucket, SUM(q_ppm) AS b_sum, count(*) AS b_n "
+            "FROM b GROUP BY 1), "
+            "tot AS (SELECT SUM(b_sum) AS t_sum, SUM(b_n) AS t_n FROM per) "
+            "SELECT bucket, CAST(b_n AS BIGINT) AS n_docs, "
+            "CAST(b_sum // b_n AS BIGINT) AS bucket_mean_ppm, "
+            "CAST((t_sum - b_sum) // (t_n - b_n) AS BIGINT) AS loo_mean_ppm "
+            "FROM per CROSS JOIN tot"
         ),
     }

@@ -152,6 +152,8 @@ HEADLINE = [
     "interval_union",
     "sentiment_by_source",
     "skew_report",
+    "rate_spikes",
+    "jackknife_spread",
 ]
 
 

@@ -912,3 +912,91 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("i_en") - F.col("i_st")).alias("covered_ms"),
         )
     )
+
+
+def q_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate spike detection: hours where a series' count exceeds
+    its trailing-24h hourly mean by 3 POISSON SIGMA — the
+    ops-monitoring staple (error-rate alarms, bot bursts), in pure
+    integer arithmetic: with m = trail/24 and sigma^2 ~ m (Poisson),
+    ``n - m > 3·sqrt(m)`` cross-multiplies to the all-integer
+
+        24n > trail  AND  (24n - trail)^2 > 216·trail.
+
+    A fixed multiplicative threshold (e.g. 3x the mean) ROTS WITH
+    SCALE — relative fluctuations shrink as counts grow, so the same
+    rule fires constantly at sf0.001 and never at sf0.1 (the tpch_q11
+    lesson); the sigma rule's selectivity is scale-free.  (At tiny
+    corpora hourly counts are too small for ANY 3-sigma excursion —
+    sf0.001 legitimately reports zero incidents.)
+
+    Plan: one (series, hour) count agg, one series-keyed 24-row
+    trailing window, a filter — emits only spike rows plus their
+    evidence, so output is incident-sized."""
+    ev = read_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.col("event_type").alias("series"), F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("series").orderBy("hour").rowsBetween(-24, -1)
+    trailed = hourly.withColumn("trail_sum", F.sum("n").over(w)).withColumn(
+        "trail_n", F.count("n").over(w)
+    )
+    # require a full 24-hour history: a young window's mean is noise
+    excess = F.col("n") * 24 - F.col("trail_sum")
+    spikes = trailed.filter(
+        (F.col("trail_n") == 24)
+        & (excess > 0)
+        & (excess * excess > 216 * F.col("trail_sum"))
+    )
+    return spikes.select(
+        "series",
+        "hour",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("trail_sum").cast("long").alias("trail_sum_24h"),
+        # excess in 24ths over the mean, ppm-scaled: (n - m)/m exactly
+        F.expr("(1000000 * (n * 24 - trail_sum)) div trail_sum").alias(
+            "excess_over_mean_ppm"
+        ),
+    )
+
+
+def q_jackknife_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uncertainty quantification: leave-one-bucket-out
+    (delete-a-group jackknife) estimates of the corpus mean quality —
+    docs split into 10 md5 hash buckets, and for each bucket the mean
+    over the OTHER nine is computed in exact integer ppm.  The spread
+    of the ten estimates is the stability signal a curation dashboard
+    needs next to every aggregate (a metric whose jackknife estimates
+    disagree is driven by one slice of the data).
+
+    All arithmetic exact: per-bucket (sum, n) from one agg; each
+    leave-one-out mean is (total_sum - b_sum)·1e6 div (total_n - b_n);
+    the hash bucketing is the engine's standard md5 recipe, so the
+    buckets — and therefore the estimates — are engine/rerun-stable."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        quality_ppm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucketed = docs.select(
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("int")
+            % 10
+        ).alias("bucket"),
+        quality_ppm("text").alias("q_ppm"),
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.sum("q_ppm").alias("b_sum"), F.count("*").alias("b_n")
+    )
+    tot = per.agg(F.sum("b_sum").alias("t_sum"), F.sum("b_n").alias("t_n"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("b_n").cast("long").alias("n_docs"),
+            F.expr("b_sum div b_n").alias("bucket_mean_ppm"),
+            F.expr("(t_sum - b_sum) div (t_n - b_n)").alias("loo_mean_ppm"),
+        )
+        .orderBy("bucket")
+    )

