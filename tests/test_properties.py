@@ -162,3 +162,49 @@ def test_cdc_chunks_partition_tokens(spark, docs):
         chunks = by_doc.get(i, [])
         assert sum(c.n_chunk_tokens for c in chunks) == n_tok
         assert sorted(c.chunk_id for c in chunks) == list(range(len(chunks)))
+
+
+@_slow
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=60),
+    st.integers(min_value=2, max_value=16),
+)
+def test_rendezvous_minimal_movement_property(spark, keys, n):
+    """HRW on arbitrary key sets: shards in range; growing N -> N+1
+    moves keys ONLY to the new shard (structural, any input)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        rendezvous_assign,
+    )
+
+    keys = list(dict.fromkeys(keys))  # distinct
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    a = {r.k: r.shard for r in rendezvous_assign(df, "k", n - 1).collect()}
+    b = {r.k: r.shard for r in rendezvous_assign(df, "k", n).collect()}
+    for k in keys:
+        assert 0 <= a[k] < n - 1 and 0 <= b[k] < n
+        if a[k] != b[k]:
+            assert b[k] == n - 1  # movement only into the new shard
+
+
+@_slow
+@given(st.lists(st.integers(min_value=-(10**6), max_value=10**6), min_size=1, max_size=100))
+def test_cusum_telescoping_property(values):
+    """The integer CUSUM identity on arbitrary series: S_n == 0 and
+    every S_k = n*cum_k - k*total is translation-COVARIANT in a way
+    that leaves the argmax invariant (shifting all values by a
+    constant does not change any S_k)."""
+    n = len(values)
+    total = sum(values)
+    cum = 0
+    s = []
+    for k, v in enumerate(values, start=1):
+        cum += v
+        s.append(n * cum - k * total)
+    assert s[-1] == 0
+    shifted = [v + 12345 for v in values]
+    total2, cum2 = sum(shifted), 0
+    s2 = []
+    for k, v in enumerate(shifted, start=1):
+        cum2 += v
+        s2.append(n * cum2 - k * total2)
+    assert s == s2
