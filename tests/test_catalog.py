@@ -41,3 +41,29 @@ def test_external_table_msck_discovers_partitions(spark, tmp_path):
         assert spark.sql("SHOW PARTITIONS cust_ext").count() == n_parts
     finally:
         spark.sql("DROP TABLE IF EXISTS cust_ext")
+
+
+def test_analyze_table_stats_feed_cbo(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS populates catalog stats
+    (rowCount/sizeInBytes visible in DESC EXTENDED) — the CBO input a
+    100 TB deployment maintains so join planning can stop guessing
+    from file sizes."""
+    loc = str(tmp_path / "nat_tbl")
+    spark.read.parquet(f"{SF_SMALL}/nation.parquet").write.parquet(loc)
+    spark.sql("DROP TABLE IF EXISTS nat_tbl")
+    spark.sql(
+        "CREATE TABLE nat_tbl (n_nationkey BIGINT, n_name STRING, "
+        f"n_regionkey BIGINT) USING parquet LOCATION '{loc}'"
+    )
+    try:
+        spark.sql("ANALYZE TABLE nat_tbl COMPUTE STATISTICS")
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESC EXTENDED nat_tbl").collect()
+        }
+        stats = desc.get("Statistics", "")
+        assert "rows" in stats and "bytes" in stats
+        n = spark.table("nat_tbl").count()
+        assert f"{n} rows" in stats
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nat_tbl")
