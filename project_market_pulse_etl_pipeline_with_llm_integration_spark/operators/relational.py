@@ -2506,9 +2506,10 @@ def rendezvous_assign(
     n_shards: int,
     out_col: str = "shard",
 ) -> DataFrame:
-    """Rendezvous / HRW shard assignment: each key goes to the shard
-    with the highest hash weight md5(key ':' shard) — the consistent
-    placement scheme whose defining property is MINIMAL MOVEMENT under
+    """Rendezvous / HRW shard assignment (Thaler & Ravishankar 1996,
+    the scheme behind Kafka/Riak-style placement): each key goes to the
+    shard with the highest hash weight md5(key ':' shard) — the
+    consistent placement whose defining property is MINIMAL MOVEMENT under
     elastic resharding (growing N -> N+1 relocates only the keys the
     NEW shard wins, ~1/(N+1) of them; every other key's winning weight
     is unchanged).  Modulo sharding (``key % N``) moves ~all keys on a
