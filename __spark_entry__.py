@@ -430,6 +430,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": skew.q_skew_report,
         "rate_spikes": analytics.q_rate_spikes,
         "jackknife_spread": analytics.q_jackknife_spread,
+        "classifier_calibration": text.q_classifier_calibration,
     }
 
 
@@ -3132,5 +3133,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b_sum // b_n AS BIGINT) AS bucket_mean_ppm, "
             "CAST((t_sum - b_sum) // (t_n - b_n) AS BIGINT) AS loo_mean_ppm "
             "FROM per CROSS JOIN tot"
+        ),
+        # reliability-diagram deciles of the frozen classifier margin;
+        # exact integers throughout (margins are integer scores)
+        "classifier_calibration": (
+            f"WITH t AS (SELECT doc_id, text, lang, {_TOKS} AS tk, "
+            f"CAST({_NTOK} AS BIGINT) AS n_tok FROM documents), "
+            "f AS (SELECT doc_id, lang, "
+            "CAST(3 * least(n_tok, 64) + "
+            f"40 * CAST(len(list_filter(tk, x -> list_contains({_EN}, x))) AS BIGINT) + "
+            "5 * CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(list_distinct(tk)) END AS BIGINT) "
+            "- 12 * CAST(length(text) - length(regexp_replace(text, "
+            "'[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) "
+            "- 6 * CAST(length(text) - length(regexp_replace(text, "
+            "'[0-9]', '', 'g')) AS BIGINT) - 60 AS BIGINT) AS clf_margin "
+            "FROM t), "
+            "d AS (SELECT *, CAST(ntile(10) OVER (ORDER BY clf_margin, doc_id) "
+            "AS BIGINT) AS decile FROM f) "
+            "SELECT decile, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_en, "
+            "CAST((1000000 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) "
+            "// count(*) AS BIGINT) AS en_rate_ppm, "
+            "CAST(MIN(clf_margin) AS BIGINT) AS margin_lo, "
+            "CAST(MAX(clf_margin) AS BIGINT) AS margin_hi "
+            "FROM d GROUP BY 1"
         ),
     }

@@ -154,6 +154,7 @@ HEADLINE = [
     "skew_report",
     "rate_spikes",
     "jackknife_spread",
+    "classifier_calibration",
 ]
 
 

@@ -1830,3 +1830,41 @@ def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         "n_backoff",
     ).orderBy("ppl_rank")
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram counts for the frozen quality classifier:
+    documents bucketed into margin DECILES (ntile-10 under the pinned
+    (clf_margin, doc_id) total order), with per-decile exact counts of
+    the proxy label (lang == 'en') — the calibration audit an ML gate
+    ships next to its confusion matrix (langid_confusion): a
+    well-calibrated score's positive rate should move monotonically
+    across deciles, and THIS table is what proves or refutes it.
+
+    Everything hashed is exact integers: decile bounds are data values
+    (min/max margin per decile), rates are integer ppm.  One narrow
+    classifier pass, one 10-partition window, one agg."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = with_quality_classifier(docs).select(
+        "doc_id", "clf_margin", (F.col("lang") == "en").alias("is_en")
+    )
+    w = Window.orderBy("clf_margin", "doc_id")
+    decile = F.ntile(10).over(w)
+    return (
+        scored.withColumn("decile", decile.cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("n_en"),
+            F.min("clf_margin").alias("margin_lo"),
+            F.max("clf_margin").alias("margin_hi"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_en",
+            F.expr("(1000000 * n_en) div n_docs").alias("en_rate_ppm"),
+            "margin_lo",
+            "margin_hi",
+        )
+    )

@@ -675,3 +675,20 @@ def test_bigram_perplexity_order_sensitivity(spark):
     out = text.q_perplexity_bigram(spark, SF_SMALL).collect()
     assert [r.ppl_rank for r in out] == list(range(1, len(out) + 1))
     assert all(0 <= r.n_backoff <= r.n_bigrams for r in out)
+
+
+def test_classifier_calibration_partition_laws(spark):
+    """Deciles partition the corpus (counts sum, sizes within 1),
+    margin ranges are ordered, and en counts recompute the ppm rate."""
+    from conftest import SF_SMALL
+
+    rows = sorted(text.q_classifier_calibration(spark, SF_SMALL).collect())
+    n = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_docs for r in rows) == n
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.margin_hi <= nxt.margin_lo
+    for r in rows:
+        assert r.en_rate_ppm == (1_000_000 * r.n_en) // r.n_docs
