@@ -1843,7 +1843,10 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything hashed is exact integers: decile bounds are data values
     (min/max margin per decile), rates are integer ppm.  One narrow
-    classifier pass, one 10-partition window, one agg."""
+    classifier pass, one GLOBAL ntile window (the exact-decile
+    contract needs a total order), one agg — at 100 TB swap the window
+    for approx-quantile margin cut points (the rfm_segments posture):
+    the diagram is statistically identical and the sort disappears."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scored = with_quality_classifier(docs).select(
         "doc_id", "clf_margin", (F.col("lang") == "en").alias("is_en")
