@@ -366,3 +366,43 @@ def test_streaming_ohlc_equals_batch_and_market_op(spark, tmp_path):
     }
     assert got == via_market
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_through_python_datasource_sink(spark, tmp_path):
+    """The Spark 4 Python DataSource WRITER under Structured Streaming:
+    per-micro-batch aggregates flow through foreachBatch into the
+    custom two-phase-commit jsonl sink, each batch into its own
+    manifested directory — the full custom-source->stream->custom-sink
+    loop with no built-in format anywhere on the write path."""
+    import json
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources import pyds
+
+    pyds.register_sink(spark)
+    src = str(tmp_path / "pysink_src")
+    out = str(tmp_path / "pysink_out")
+    read_events(spark, SF_SMALL).repartition(3).write.parquet(src)
+
+    def write_batch(batch_df, batch_id):
+        agg = batch_df.groupBy("event_type").count()
+        agg.write.format("jsonl_sink").option(
+            "path", f"{out}/batch-{batch_id}"
+        ).mode("append").save()
+
+    stream = SE.read_events_stream(spark, src, max_files=1)
+    q = stream.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    batches = sorted(d for d in os.listdir(out) if d.startswith("batch-"))
+    assert len(batches) >= 2  # really micro-batched
+    total = 0
+    for b in batches:
+        bdir = os.path.join(out, b)
+        assert os.path.exists(os.path.join(bdir, "_MANIFEST.json"))
+        for fn in os.listdir(bdir):
+            if fn.startswith("part-"):
+                with open(os.path.join(bdir, fn)) as fh:
+                    total += sum(json.loads(line)["count"] for line in fh)
+    assert total == spark.read.parquet(src).count()
+    shutil.rmtree(src, ignore_errors=True)
