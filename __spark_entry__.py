@@ -431,6 +431,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_spikes": analytics.q_rate_spikes,
         "jackknife_spread": analytics.q_jackknife_spread,
         "classifier_calibration": text.q_classifier_calibration,
+        "embedding_drift": similarity.q_embedding_drift,
     }
 
 
@@ -3159,5 +3160,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(clf_margin) AS BIGINT) AS margin_lo, "
             "CAST(MAX(clf_margin) AS BIGINT) AS margin_hi "
             "FROM d GROUP BY 1"
+        ),
+        # representation drift over md5-seeded JL sign cells; counts and
+        # ppm shares exact (the source_drift contract, vector edition)
+        "embedding_drift": (
+            f"WITH q AS (SELECT vec_id, label, {_QV} AS qv FROM embeddings), "
+            f"p AS (SELECT vec_id, label, {_jl_proj_sql()} AS proj FROM q), "
+            "c AS (SELECT CAST((CASE WHEN proj[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN proj[2] >= 0 THEN 2 ELSE 0 END) + (CASE WHEN proj[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN proj[4] >= 0 THEN 8 ELSE 0 END) + (CASE WHEN proj[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN proj[6] >= 0 THEN 32 ELSE 0 END) + (CASE WHEN proj[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN proj[8] >= 0 THEN 128 ELSE 0 END) AS BIGINT) AS cell, "
+            "label = 0 AS is_a FROM p), "
+            "g AS (SELECT cell, SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a, "
+            "SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b FROM c GROUP BY 1), "
+            "t AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM g) "
+            "SELECT cell, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+            "CAST((1000000 * n_a) // t_a AS BIGINT) AS share_a_ppm, "
+            "CAST((1000000 * n_b) // t_b AS BIGINT) AS share_b_ppm, "
+            "CAST(abs((1000000 * n_a) // t_a - (1000000 * n_b) // t_b) AS BIGINT) "
+            "AS abs_shift_ppm "
+            "FROM g CROSS JOIN t WHERE n_a + n_b > 0"
         ),
     }

