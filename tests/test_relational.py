@@ -808,3 +808,13 @@ def test_join_strategy_hints_honored(spark):
     auto = o.join(c, o.o_custkey == c.c_custkey)
     plan_a = auto._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_a  # the size heuristic's pick
+
+
+def test_tpch_q2_plan_contract(spark):
+    """Q2 physical plan: the dims (supplier/nation/region/part) ride
+    broadcasts onto the derived partsupp; the part filters are pushed
+    into the scan."""
+    plan = R.q_tpch_q2(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "p_size" in plan and "ECONOMY" in plan
+    assert "EUROPE" in plan
