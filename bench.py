@@ -159,11 +159,37 @@ HEADLINE = [
 ]
 
 
+# The pre-round-5 headline set (first 43 entries) — the stable
+# round-over-round trend subset.  ``SPARK_GRAFT_BENCH_SUBSET`` selects:
+#   unset / "full"  -> the whole HEADLINE list (the default; what the
+#                      driver records),
+#   "trend"         -> the shared-43 trend set (fast local iteration),
+#   "name1,name2"   -> an explicit comma-separated list,
+#   "<int>"         -> the first N of HEADLINE.
+TREND_N = 43
+
+
+def _select_queries() -> list[str]:
+    sel = os.environ.get("SPARK_GRAFT_BENCH_SUBSET", "").strip()
+    if not sel or sel == "full":
+        return HEADLINE
+    if sel == "trend":
+        return HEADLINE[:TREND_N]
+    if sel.isdigit():
+        return HEADLINE[: int(sel)]
+    names = [s.strip() for s in sel.split(",") if s.strip()]
+    unknown = [n for n in names if n not in HEADLINE]
+    if unknown:
+        raise SystemExit(f"unknown bench queries: {unknown}")
+    return names
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="market-pulse-bench")
     queries = entrymod.queries()
+    selected = _select_queries()
 
     # Warm the JVM/IO path once so measurements reflect steady state.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.format("noop").mode(
@@ -175,7 +201,7 @@ def main() -> int:
     # outliers on identical plans); the min is the steady-state cost of
     # the plan, which is what round-over-round comparisons need.
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in selected:
         fn = queries[name]
         best = float("inf")
         # array-intrinsic-heavy dedup plans need ~4 executions before C2
@@ -189,14 +215,43 @@ def main() -> int:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    detail = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+    }
+    # Full per-query detail goes to a committed artifact: the 122-entry
+    # dict as a single stdout line overflowed the driver's tail-capture
+    # buffer in round 5 (BENCH_r05.json "parsed": null), clipping the
+    # line mid-JSON.  The detail file keeps the complete record; stdout
+    # keeps a line the capture buffer can always hold.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    if os.environ.get("SPARK_GRAFT_BENCH_SUBSET", "") in ("", "full"):
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    print(json.dumps(detail))
+    # LAST line = compact summary (<600 bytes): a tail capture of any
+    # reasonable size ends with this complete, parseable JSON line.
+    slowest = dict(
+        sorted(((k, round(v, 2)) for k, v in times.items()),
+               key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
+                "queries": slowest,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
