@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
     cosine_similarity,
 )
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+    parquet_num_rows,
+)
 
 
 def brute_force_topk(
@@ -118,6 +121,7 @@ def lsh_topk(
     query_vec_col: str = "query_vec",
     multi_probe: int = 1,
     target_bucket_size: int = 1024,
+    n_items_hint: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket items once, probe the query's bucket
     (equi-join on the bucket id), exact-cosine re-rank inside the bucket.
@@ -128,10 +132,14 @@ def lsh_topk(
     n_planes extra tables).
 
     ``n_planes=None`` derives the plane count from the corpus size via
-    ``planes_for`` (one metadata-only count job) so per-bucket work
-    stays ~``target_bucket_size`` as the corpus grows — see SCALE.md."""
+    ``planes_for`` so per-bucket work stays ~``target_bucket_size`` as
+    the corpus grows — see SCALE.md.  ``n_items_hint`` supplies that
+    cardinality from manifest/catalog statistics
+    (``sources.readers.parquet_num_rows``, ANALYZE TABLE) so no sizing
+    ``count()`` job runs before the query; None self-measures."""
     if n_planes is None:
-        n_planes = planes_for(items.count(), target_bucket_size)
+        n = n_items_hint if n_items_hint is not None else items.count()
+        n_planes = planes_for(n, target_bucket_size)
     bucketed = items.withColumn("bucket", _bucket_expr(F.col(vec_col), dim, n_planes, seed))
     q_exact = queries.withColumn(
         "bucket0", _bucket_expr(F.col(query_vec_col), dim, n_planes, seed)
@@ -165,14 +173,18 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_bucket_size: int = 1024,
+    n_items_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH self-join (same bucket)
     then exact cosine filter — the embedding analogue of minhash dedup.
     ``n_planes=None`` sizes the bucket count to the corpus
     (``planes_for``) so the self-join's per-bucket quadratic term stays
-    bounded as data grows — see SCALE.md."""
+    bounded as data grows — see SCALE.md.  ``n_items_hint`` supplies
+    the cardinality from manifest/catalog statistics so no sizing
+    ``count()`` job runs; None self-measures."""
     if n_planes is None:
-        n_planes = planes_for(items.count(), target_bucket_size)
+        n = n_items_hint if n_items_hint is not None else items.count()
+        n_planes = planes_for(n, target_bucket_size)
     bucketed = items.select(F.col(id_col), F.col(vec_col)).withColumn(
         "bucket", _bucket_expr(F.col(vec_col), dim, n_planes, seed)
     )
@@ -439,7 +451,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 — per-bucket candidate work stays ~constant across sf.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_topk(
-        emb, _query_vectors(spark, sf_dir, 3), k=10, n_planes=None, target_bucket_size=128
+        emb, _query_vectors(spark, sf_dir, 3), k=10, n_planes=None,
+        target_bucket_size=128,
+        n_items_hint=parquet_num_rows(f"{sf_dir}/embeddings.parquet"),
     )
 
 
@@ -527,7 +541,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket count is corpus-derived like q_ann_lsh.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_dup_pairs(
-        emb, threshold=0.35, n_planes=None, target_bucket_size=128
+        emb, threshold=0.35, n_planes=None, target_bucket_size=128,
+        n_items_hint=parquet_num_rows(f"{sf_dir}/embeddings.parquet"),
     )
 
 
@@ -544,7 +559,8 @@ def q_embedding_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pairs = embedding_near_dup_pairs(
-        emb, threshold=0.35, n_planes=None, target_bucket_size=128
+        emb, threshold=0.35, n_planes=None, target_bucket_size=128,
+        n_items_hint=parquet_num_rows(f"{sf_dir}/embeddings.parquet"),
     ).select("id_a", "id_b")
     labels = dup_clusters(pairs)
     losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
@@ -570,7 +586,9 @@ def q_embedding_corpus_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     kw = dict(
-        threshold=0.35, n_planes=planes_for(emb.count(), 128), target_bucket_size=128
+        threshold=0.35,
+        n_planes=planes_for(parquet_num_rows(f"{sf_dir}/embeddings.parquet"), 128),
+        target_bucket_size=128,
     )
     pairs = embedding_near_dup_pairs(emb, **kw).select("id_a", "id_b").localCheckpoint(
         eager=False

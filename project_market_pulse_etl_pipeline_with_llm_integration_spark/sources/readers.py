@@ -40,6 +40,29 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def parquet_num_rows(path: str) -> int:
+    """Exact row count from parquet FOOTER metadata — no Spark job.
+
+    The manifest-statistics stand-in for catalog stats (``ANALYZE
+    TABLE``): operators that size themselves from corpus cardinality
+    (LSH plane counts, block-guard caps) take this as a hint instead of
+    running a ``count()`` job before the real query.  On a cluster the
+    same number comes from the metastore / table-format manifest
+    (Delta/Iceberg keep it per-snapshot); footer reads are O(files),
+    not O(rows), so this holds at 100 TB.
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, f)).num_rows
+        return total
+    return pq.read_metadata(path).num_rows
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

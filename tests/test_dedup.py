@@ -255,6 +255,53 @@ def test_editdistance_block_guard(spark):
         editdistance_pairs(df, max_block_size=10).collect()
 
 
+def test_guard_modes_inplan_and_hint(spark):
+    """The three guard modes are one contract, three costs: precheck
+    (extra job, raises pre-join), inplan (zero extra jobs, the cap
+    assertion rides the join-side exchange and fails the job), hint
+    (no measurement at all — validated arithmetically from caller
+    stats).  All three must refuse the same degenerate corpus, and
+    inplan/hint must not change the pairs on a healthy one."""
+    import pytest
+
+    from py4j.protocol import Py4JJavaError
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import editdistance_pairs
+
+    bad = spark.createDataFrame(
+        [(i, "same length text padded here!") for i in range(50)], ["doc_id", "text"]
+    )
+    # inplan: assert_true fires inside the job -> Spark wraps the raise
+    with pytest.raises(Exception, match="first-token") as ei:
+        editdistance_pairs(bad, max_block_size=10, guard_mode="inplan").collect()
+    assert isinstance(ei.value, (RuntimeError, Py4JJavaError)) or "SparkRuntimeException" in type(ei.value).__name__
+    # hint over cap: refused with zero Spark jobs
+    with pytest.raises(RuntimeError, match="stats hint"):
+        editdistance_pairs(bad, max_block_size=10, largest_block_hint=50)
+    # healthy corpus: all three modes produce identical pairs
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(200)
+    base = {(r.id_a, r.id_b) for r in editdistance_pairs(docs, max_block_size=1000).collect()}
+    inplan = {
+        (r.id_a, r.id_b)
+        for r in editdistance_pairs(docs, max_block_size=1000, guard_mode="inplan").collect()
+    }
+    hinted = {
+        (r.id_a, r.id_b)
+        for r in editdistance_pairs(docs, max_block_size=1000, largest_block_hint=500).collect()
+    }
+    assert base == inplan == hinted
+
+    # jaccard inplan on the degenerate one-bucket corpus also refuses
+    udf_bad = spark.createDataFrame(
+        [(i, f"a b c d e unique{i}") for i in range(50)], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception, match="block"):
+        dedup.jaccard_pairs(udf_bad, max_block_size=20, guard_mode="inplan").collect()
+    # simhash hint mode: over-cap refused without a job
+    with pytest.raises(RuntimeError, match="stats hint"):
+        dedup.simhash_pairs(udf_bad, max_bucket_size=20, largest_bucket_hint=40)
+
+
 def test_editdistance_matches_bruteforce_random_corpus(spark):
     """Seeded random corpus: the blocked operator must agree exactly
     with a driver-side brute-force recompute of its contract (same
