@@ -407,11 +407,19 @@ def containment_pairs(
     SCALE.md rule)."""
     if num_partitions:
         df = df.repartition(num_partitions)
+    # The checkpoint sits DIRECTLY on the shingle select, with the
+    # min_shingles filter ABOVE it: placed below, Catalyst pushes the
+    # size(<whole shingle pipeline>) predicate through the repartition
+    # exchange down to the scan, re-evaluating the expensive expression
+    # at the parquet file's native parallelism (1-2 partitions for a
+    # single file) — measured 2.8 s vs 0.4 s for this pass at sf0.1 on
+    # local[32].  The checkpoint is the pushdown barrier AND the
+    # share-point; the filter over checkpointed arrays is free.
     hashed = (
         _hashed_shingle_sets(df, text_col, id_col, n)
+        .localCheckpoint(eager=False)
         .withColumn("sz", F.size("sh"))
         .filter(F.col("sz") >= min_shingles)
-        .localCheckpoint(eager=False)
     )
     posting = hashed.select("id", "sz", F.explode("sh").alias("gram")).localCheckpoint(
         eager=False

@@ -1729,32 +1729,45 @@ def bigram_nll_scores(docs: DataFrame, model_docs: DataFrame | None = None) -> D
     SENSITIVITY against a fixed model (a token-reversed doc keeps its
     unigram score but collapses here; note the union-scored form
     would NOT show this — mirrored copies symmetrize the model)."""
-    t = tokens("text")
-    pairs = docs.filter(F.trim("text") != "").select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("v"), b.alias("w")),
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.v", "bg.w")
-    model = docs if model_docs is None else model_docs
-    mt = tokens("text")
-    mpairs = model.filter(F.trim("text") != "").select(
-        F.explode(
-            F.zip_with(
-                F.slice(mt, 1, F.greatest(F.size(mt) - 1, F.lit(0))),
-                F.slice(mt, 2, F.greatest(F.size(mt) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("v"), b.alias("w")),
-            )
-        ).alias("bg"),
-    ).select("bg.v", "bg.w")
+    def _tokenized(df: DataFrame) -> DataFrame:
+        # ONE tokenization pass, lazily pinned: the regexp split is the
+        # dominant per-row cost and this frame feeds the bigram stream,
+        # the model counts, and the unigram counts — without the pin it
+        # re-runs once per consumer (measured 4 scans -> 1 at sf0.1,
+        # the r5 plan-audit finding).  Skinny payload (id + token
+        # array): a bounded spill, never document bodies.
+        return (
+            df.filter(F.trim("text") != "")
+            .select("doc_id", tokens("text").alias("toks"))
+            .localCheckpoint(eager=False)
+        )
+
+    def _bigrams(tok_docs: DataFrame) -> DataFrame:
+        return tok_docs.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                    F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.v", "bg.w")
+
+    tok_docs = _tokenized(docs)
+    pairs = _bigrams(tok_docs)
+    # self-scored: the model's bigram stream IS the scoring stream —
+    # count it directly instead of re-deriving from text
+    model_toks = tok_docs if model_docs is None else _tokenized(model_docs)
+    mpairs = pairs if model_docs is None else _bigrams(model_toks)
     big_cnt = mpairs.groupBy("v", "w").agg(F.count("*").alias("c_vw"))
-    toks = model.select(F.explode(mt).alias("token")).filter(F.col("token") != "")
+    toks = model_toks.select(F.explode("toks").alias("token")).filter(
+        F.col("token") != ""
+    )
     uni_cnt = toks.groupBy("token").agg(F.count("*").alias("c_tok"))
-    total = toks.agg(F.count("*").alias("total"))
+    # corpus token total from the aggregated vocabulary (tiny) — not
+    # another pass over the token stream
+    total = uni_cnt.agg(F.sum("c_tok").alias("total"))
     join_how = "inner" if model_docs is None else "left"
     scored = (
         pairs.join(big_cnt, ["v", "w"], join_how)
