@@ -54,6 +54,12 @@ STRESS_QUERIES = [
     "ann_bruteforce", "ann_quantized", "hybrid_rrf",
     "session_concurrency", "coactivity_pairs", "interval_union",
     "heavy_hitters", "skew_report", "assoc_rules", "cusum_changepoint",
+    # round-6 additions: the remaining corpus-shape-dependent heavies
+    # (candidate volume depends on blocking-key distributions, so 10x
+    # behavior can't be extrapolated from the linear families) plus the
+    # two queries retuned this round
+    "record_linkage", "source_overlap", "split_contamination",
+    "perplexity_bigram",
 ]
 
 
