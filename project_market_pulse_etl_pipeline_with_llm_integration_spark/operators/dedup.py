@@ -236,12 +236,20 @@ def jaccard_pairs(
             block_col.alias("blk"), block_col.alias("home"),
         )
     else:
-        # own bucket + successor: adjacent lengths always share a block
+        # own bucket + successor: adjacent lengths always share a block.
+        # The shingle array and bucket are projected BEFORE the explode:
+        # companion expressions in a generator's select re-evaluate per
+        # output row, which would run the whole shingle pipeline twice
+        # per doc (SCALE.md round-6 lesson).
         bucket = (F.size(tokens(text_col)) / _JACCARD_BLOCK_WIDTH).cast("int")
         base = df.select(
             F.col(id_col).alias("id"),
             F.array_sort(shingle_hashes(text_col, n)).alias("sh"),
-            F.explode(F.array(bucket, bucket + 1)).alias("blk"), bucket.alias("home"),
+            bucket.alias("home"),
+        ).select(
+            "id", "sh",
+            F.explode(F.array(F.col("home"), F.col("home") + 1)).alias("blk"),
+            "home",
         )
     # Share the shingle pass between the two self-join sides (and the
     # guard): without this the tokenize->shingle->hash->sort pipeline

@@ -211,7 +211,8 @@ def _positional_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def with_winnow_fingerprint(
-    df: DataFrame, text_col: str = "text", n: int = 3, w: int = 4
+    df: DataFrame, text_col: str = "text", n: int = 3, w: int = 4,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Rolling-hash document fingerprint by winnowing (Schleimer et al.,
     SIGMOD'03): hash every positional word n-gram, keep the minimum of
@@ -222,18 +223,56 @@ def with_winnow_fingerprint(
     and an order-insensitive digest of the set.
 
     Hashes are md5 hex strings (window min = lexicographic min) so the
-    DuckDB oracle reproduces the selection bit-for-bit; swap in
-    ``xxhash64`` for cheaper engine-internal runs."""
+    DuckDB oracle reproduces the selection bit-for-bit.
+
+    Plan shape — explode -> window-frame min -> collect_set, NOT nested
+    array lambdas: higher-order functions evaluate interpreted (outside
+    whole-stage codegen) with no common-subexpression elimination, so
+    the original nested-``transform`` form re-evaluated the entire
+    gram->md5 pipeline at every reference — measured ~40x slower at
+    sf0.01 and super-linear with doc length.  Here each gram is hashed
+    EXACTLY once; the sliding-window min is a rows-between frame over
+    (doc, pos); the per-doc set rides the same hash partitioning the
+    window already paid for (one skinny (id, pos, hash) shuffle, then
+    an exchange-reusing groupBy; bodies never shuffle — consumers that
+    keep only (id, fingerprint) columns prune the join's text side
+    entirely)."""
+    # The gram array is PROJECTED into a column before the explode:
+    # Generate with an inline higher-order-function generator
+    # re-evaluates the whole array expression per OUTPUT row (measured
+    # 17 s vs 0.3 s at sf0.01); with the array materialized one
+    # operator below, Generate just iterates it.
     grams = _positional_shingles(text_col, n)
-    hashes = F.transform(grams, lambda g: F.md5(g))
-    wins = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(hashes) - w, F.lit(0))),
-        lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+    rows = (
+        df.select(F.col(id_col).alias("_wid"), grams.alias("_g"))
+        .select(
+            "_wid", F.size("_g").alias("_T"),
+            F.posexplode_outer("_g").alias("_pos", "_gram"),
+        )
+        .select("_wid", "_T", "_pos", F.md5("_gram").alias("_h"))
     )
-    fps = F.array_distinct(wins)
-    return df.withColumn("n_fingerprints", F.size(fps).cast("long")).withColumn(
-        "winnow_digest", F.md5(F.array_join(F.sort_array(fps), ","))
+    win_min = F.min("_h").over(
+        Window.partitionBy("_wid").orderBy("_pos").rowsBetween(0, w - 1)
     )
+    # winnow positions are 0..max(T-w, 0); the trailing frame truncates
+    # at the array end exactly like the original slice().  A doc with a
+    # null gram array (null text) yields one null-hash row -> the ''
+    # sentinel, reproducing the legacy [null] quirk (n=1, md5('')).
+    fps = (
+        rows.withColumn("_win", win_min)
+        .filter(
+            F.col("_pos").isNull()
+            | (F.col("_pos") <= F.greatest(F.col("_T") - w, F.lit(0)))
+        )
+        .groupBy("_wid")
+        .agg(F.collect_set(F.coalesce("_win", F.lit(""))).alias("_fps"))
+        .select(
+            F.col("_wid").alias(id_col),
+            F.size("_fps").cast("long").alias("n_fingerprints"),
+            F.md5(F.array_join(F.sort_array("_fps"), ",")).alias("winnow_digest"),
+        )
+    )
+    return df.join(fps, id_col, "left")
 
 
 # PII patterns, deliberately lookahead-free so the identical strings run
@@ -474,11 +513,19 @@ def bm25_topk(
     (N, avgdl) scalar ride a broadcast; the final top-k is a distributed
     TakeOrdered with a (score desc, id) total order, never a global
     sort."""
-    posting = df.select(
-        F.col(id_col),
-        token_count(text_col).alias("dl"),
-        F.explode(tokens(text_col)).alias("token"),
-    ).filter(F.col("token").isin(list(query_terms)))
+    # companion expressions (dl) are PROJECTED before the explode:
+    # expressions sharing a select with a generator are re-evaluated
+    # per OUTPUT row, turning an O(T) token count into O(T^2) per doc
+    # (SCALE.md round-6 lesson; measured 2.5x on 54-token docs)
+    posting = (
+        df.select(
+            F.col(id_col),
+            token_count(text_col).alias("dl"),
+            tokens(text_col).alias("_tk"),
+        )
+        .select(id_col, "dl", F.explode("_tk").alias("token"))
+        .filter(F.col("token").isin(list(query_terms)))
+    )
     tf = posting.groupBy(id_col, "dl", "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     stats = df.agg(
@@ -1423,8 +1470,9 @@ def dsir_scores(
         df.select(
             F.col(id_col),
             is_target.alias("is_target"),
-            F.explode(tokens(text_col)).alias("token"),
+            tokens(text_col).alias("_tk"),
         )
+        .select(id_col, "is_target", F.explode("_tk").alias("token"))
         .filter(F.col("token") != "")
         .select(id_col, "is_target", bucket.alias("bucket"))
     )
