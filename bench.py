@@ -156,6 +156,9 @@ HEADLINE = [
     "jackknife_spread",
     "classifier_calibration",
     "embedding_drift",
+    # round-6: was pathologically slow (Generate re-evaluation, fixed);
+    # benched so any regression of that class is caught immediately
+    "winnow_fingerprint",
 ]
 
 
