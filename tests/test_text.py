@@ -692,3 +692,66 @@ def test_classifier_calibration_partition_laws(spark):
         assert prev.margin_hi <= nxt.margin_lo
     for r in rows:
         assert r.en_rate_ppm == (1_000_000 * r.n_en) // r.n_docs
+
+
+def test_generate_plan_contracts(spark):
+    """Physical-plan contracts for the round-6 Generate fixes: a
+    generator must be fed a MATERIALIZED array column (Project below
+    Generate), never an inline expression evaluated next to companion
+    columns — the re-evaluation-per-output-row pathology (SCALE.md
+    round-6).  Pinned structurally so a refactor that re-inlines the
+    expression fails here, not in a 20x bench regression."""
+    import re
+
+    from conftest import SF_SMALL
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # winnow: Generate's input must be the bare projected array (no
+    # transform/concat_ws inside the Generate node itself), and the
+    # per-doc set agg must not introduce a second corpus-wide explode
+    plan = plan_of(text.q_winnow_fingerprint(spark, SF_SMALL))
+    gen_blocks = re.findall(r"\(\d+\) Generate[^(]*", plan)
+    assert gen_blocks, "winnow lost its explode"
+    for g in gen_blocks:
+        assert "transform(" not in g and "concat_ws" not in g, g
+    assert "CartesianProduct" not in plan
+
+    # bm25: the posting explode's Generate node must not carry the
+    # token_count companion expression (size(split(...)))
+    plan = plan_of(text.q_bm25_topk(spark, SF_SMALL))
+    for g in re.findall(r"\(\d+\) Generate[^(]*", plan):
+        assert "split(" not in g, f"bm25 Generate re-inlined tokens: {g}"
+
+
+def test_containment_filter_stays_above_checkpoint(spark):
+    """The min_shingles filter must run over the checkpointed shingle
+    arrays (scan-side Filter nodes must not contain the shingle
+    pipeline) — the filter-pushdown-below-checkpoint stall (SCALE.md
+    round-6): pushed down, the whole shingle expression re-evaluates at
+    single-file scan parallelism."""
+    from conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import dedup
+
+    plan = (
+        dedup.q_dedup_containment(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    import re
+
+    for m in re.finditer(r"\(\d+\) Filter\n(?:.*\n)*?Condition : (.*)", plan):
+        cond = m.group(1)
+        assert "transform(" not in cond and "xxhash64(concat_ws" not in cond, (
+            "shingle pipeline pushed into a scan-side Filter: " + cond[:200]
+        )
