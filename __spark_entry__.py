@@ -259,6 +259,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": similarity.q_embedding_drift,
         # NEW-IN-ROUND-6 INSERTION POINT: add new entries HERE (they
         # join the r7 window; keep additions <= 7 or extend the plan).
+        "dedup_winnow": dedup.q_dedup_winnow,
         # ------- already driver-certified (stalest round first)
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -1767,6 +1768,24 @@ def oracle_sql() -> dict[str, str]:
             "FOR i IN generate_series(1, greatest(len(hs)-3, 1))]) AS fps FROM h) "
             "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints, "
             "md5(array_to_string(list_sort(fps), ',')) AS winnow_digest FROM w"
+        ),
+        "dedup_winnow": (
+            # the winnow_fingerprint selection chain, blanks excluded
+            # (every blank doc selects the identical sentinel, welding
+            # them into one meaningless clique), then a posting-list
+            # self-join on the selected hash
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents "
+            "WHERE trim(text) <> ''), "
+            "g AS (SELECT doc_id, [array_to_string(tk[i:i+2], ' ') "
+            "FOR i IN generate_series(1, greatest(len(tk)-2, 1))] AS grams FROM t), "
+            "h AS (SELECT doc_id, list_transform(grams, s -> md5(s)) AS hs FROM g), "
+            "w AS (SELECT doc_id, list_distinct([list_min(hs[i:i+3]) "
+            "FOR i IN generate_series(1, greatest(len(hs)-3, 1))]) AS fps FROM h), "
+            "p AS (SELECT doc_id, unnest(fps) AS fp FROM w) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_shared "
+            "FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
         ),
         "dedup_exact": (
             f"SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count "

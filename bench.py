@@ -159,6 +159,8 @@ HEADLINE = [
     # round-6: was pathologically slow (Generate re-evaluation, fixed);
     # benched so any regression of that class is caught immediately
     "winnow_fingerprint",
+    # round-6 new operator: MOSS-style winnow near-copy pairs
+    "dedup_winnow",
 ]
 
 

@@ -1278,6 +1278,94 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnow-fingerprint near-copy pairs (MOSS-style)
+# ---------------------------------------------------------------------------
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    guard_mode: str = "precheck",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Near-copy pairs (a<b, n_shared) by shared WINNOW fingerprints
+    (Schleimer et al. SIGMOD'03 — the MOSS plagiarism-detection
+    selection): documents sharing >= ``min_shared`` distinct selected
+    window-min hashes.  The winnowing guarantee makes this the
+    local-match detector the set-based families approximate: any two
+    docs sharing a token run of length >= n+w-1 share at least one
+    SELECTED fingerprint — so a copied passage of that length cannot
+    be missed, while each doc contributes only ~1/w of its grams to
+    the index.
+
+    Plan shape: the shared (id, fp) selection stream
+    (``text.winnow_fp_rows``), per-doc distinct, one equi self-join on
+    the fingerprint hash (posting-list join, no cross product), count
+    per pair, filter.  ``max_fp_df`` is the hot-posting guard (a
+    fingerprint appearing in k docs contributes k^2 candidate pairs):
+    precheck / inplan / stats-hint modes per the family convention —
+    the cap is part of the CONTRACT (both engines would apply it), not
+    applied by default.  Blank documents are excluded: every blank doc
+    selects the identical sentinel fingerprint, which would weld all
+    blanks into one clique.
+
+    At 100 TB: fingerprints are ~1/w of corpus grams, the join key is
+    a 32-char digest (uniform), and per-key fan-out is bounded by true
+    copy-cluster sizes plus ``max_fp_df`` — the same posture as the
+    minhash band join."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        winnow_fp_rows,
+    )
+
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    docs = df.filter(F.trim(F.col(text_col)) != "")
+    fps = (
+        winnow_fp_rows(docs, text_col, n, w, id_col)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    _advice = (
+        "a fingerprint's posting list exceeds the cap — near-universal "
+        "boilerplate windows; raise w, pre-strip boilerplate, or cap "
+        "with max_fp_df as part of the contract"
+    )
+    if max_fp_df is not None:
+        if guard_mode == "inplan":
+            a_side = _guard_inplan(fps, ["_fp"], max_fp_df, "winnow_pairs",
+                                   "fingerprint posting", _advice)
+        else:
+            _guard_precheck(fps, ["_fp"], max_fp_df, "winnow_pairs",
+                            "fingerprint posting", _advice)
+            a_side = fps
+    else:
+        a_side = fps
+    a = a_side.select(F.col("_wid").alias("id_a"), "_fp")
+    b = fps.select(F.col("_wid").alias("id_b"), "_fp")
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow near-copy pairs over documents (word trigrams, window 4,
+    >= 2 shared fingerprints)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_pairs(
+        docs, min_shared=2, max_fp_df=10_000, guard_mode="inplan",
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Split-contamination audit (decontaminate applied across a split)
 # ---------------------------------------------------------------------------
 

@@ -237,11 +237,38 @@ def with_winnow_fingerprint(
     an exchange-reusing groupBy; bodies never shuffle — consumers that
     keep only (id, fingerprint) columns prune the join's text side
     entirely)."""
-    # The gram array is PROJECTED into a column before the explode:
-    # Generate with an inline higher-order-function generator
-    # re-evaluates the whole array expression per OUTPUT row (measured
-    # 17 s vs 0.3 s at sf0.01); with the array materialized one
-    # operator below, Generate just iterates it.
+    fps = (
+        winnow_fp_rows(df, text_col, n, w, id_col)
+        .groupBy("_wid")
+        .agg(F.collect_set("_fp").alias("_fps"))
+        .select(
+            F.col("_wid").alias(id_col),
+            F.size("_fps").cast("long").alias("n_fingerprints"),
+            F.md5(F.array_join(F.sort_array("_fps"), ",")).alias("winnow_digest"),
+        )
+    )
+    return df.join(fps, id_col, "left")
+
+
+def winnow_fp_rows(
+    df: DataFrame, text_col: str = "text", n: int = 3, w: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The winnow selection as a row stream: one (_wid, _fp) row per
+    (document, selected window-min hash), NOT deduplicated — consumers
+    dedup in their own agg/join.  Shared by the per-doc digest
+    (``with_winnow_fingerprint``) and the near-copy pair generator
+    (``dedup.winnow_pairs``).
+
+    The gram array is PROJECTED into a column before the explode:
+    Generate with an inline higher-order-function generator (or
+    companion expressions in its select) re-evaluates the array
+    expression per OUTPUT row (measured 17 s vs 0.3 s at sf0.01); with
+    the array materialized one operator below, Generate just iterates
+    it.  Winnow positions are 0..max(T-w, 0); the trailing window
+    frame truncates at the array end exactly like a slice().  A doc
+    with a null gram array (null text) yields one null-hash row -> the
+    '' sentinel (legacy [null] quirk: n=1, digest md5(''))."""
     grams = _positional_shingles(text_col, n)
     rows = (
         df.select(F.col(id_col).alias("_wid"), grams.alias("_g"))
@@ -254,25 +281,14 @@ def with_winnow_fingerprint(
     win_min = F.min("_h").over(
         Window.partitionBy("_wid").orderBy("_pos").rowsBetween(0, w - 1)
     )
-    # winnow positions are 0..max(T-w, 0); the trailing frame truncates
-    # at the array end exactly like the original slice().  A doc with a
-    # null gram array (null text) yields one null-hash row -> the ''
-    # sentinel, reproducing the legacy [null] quirk (n=1, md5('')).
-    fps = (
+    return (
         rows.withColumn("_win", win_min)
         .filter(
             F.col("_pos").isNull()
             | (F.col("_pos") <= F.greatest(F.col("_T") - w, F.lit(0)))
         )
-        .groupBy("_wid")
-        .agg(F.collect_set(F.coalesce("_win", F.lit(""))).alias("_fps"))
-        .select(
-            F.col("_wid").alias(id_col),
-            F.size("_fps").cast("long").alias("n_fingerprints"),
-            F.md5(F.array_join(F.sort_array("_fps"), ",")).alias("winnow_digest"),
-        )
+        .select("_wid", F.coalesce("_win", F.lit("")).alias("_fp"))
     )
-    return df.join(fps, id_col, "left")
 
 
 # PII patterns, deliberately lookahead-free so the identical strings run

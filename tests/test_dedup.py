@@ -429,3 +429,36 @@ def test_source_overlap_bounds(spark):
         assert r.src_a < r.src_b
         assert 0 < r.shared_fams <= min(r.tot_a, r.tot_b)
         assert r.overlap_ppm == (1_000_000 * r.shared_fams) // min(r.tot_a, r.tot_b)
+
+
+def test_winnow_pairs_guarantee_and_guard(spark):
+    """The winnowing guarantee (Schleimer et al.): two docs sharing any
+    token run of length >= n+w-1 (= 6 here) share at least one SELECTED
+    fingerprint, so the pair MUST surface at min_shared=1.  Unrelated
+    docs share nothing.  The hot-posting guard refuses a corpus where
+    one fingerprint's posting list exceeds the cap."""
+    import pytest
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import winnow_pairs
+
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = n+w-1
+    rows = [
+        (1, f"intro words here {shared_run} closing remarks one"),
+        (2, f"totally different opening {shared_run} and another tail"),
+        (3, "unrelated content about nothing shared with others at all"),
+        (4, ""),  # blank: excluded, must not weld into a clique
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b) for r in winnow_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in got
+    assert all(3 not in p and 4 not in p and 5 not in p for p in got)
+
+    hot = spark.createDataFrame(
+        [(i, "same exact words every single time again") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(RuntimeError, match="posting"):
+        winnow_pairs(hot, max_fp_df=10)
+    with pytest.raises(Exception, match="posting"):
+        winnow_pairs(hot, max_fp_df=10, guard_mode="inplan").collect()
