@@ -41,6 +41,52 @@ MARKS = {
     "window_ops": r"Window \[|RunningWindowFunction",
 }
 
+# A Project DIRECTLY above a Generate whose expensive expressions
+# (HOFs / regex split / md5) re-derive work from the PRE-explode row —
+# Catalyst's ExtractGenerator rewrite evaluates that Project once per
+# OUTPUT row, the per-output-row re-evaluation pathology (SCALE.md
+# round-6).  Bare inline generators are fine (once per input row), and
+# expensive calls whose arguments consume the generator's own OUTPUT
+# column (md5 of the exploded gram, hash of the exploded shard id) are
+# legitimate per-output work — only calls that ignore the generator
+# output are flagged.  Should be 0 everywhere; any hit is a regression.
+_EXPENSIVE_CALLS = ("transform(", "zip_with(", "split(", "aggregate(", "md5(")
+_PROJ_GEN_RX = re.compile(
+    r"Project \[([^\n]*)\]\n\s*\+- (?:\*\(\d+\) )?Generate [^\n]*\[([^\]\n]*)\]$",
+    re.M,
+)
+
+
+def _paren_arg(text: str, open_idx: int) -> str:
+    depth, i = 0, open_idx
+    while i < len(text):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[open_idx + 1 : i]
+        i += 1
+    return text[open_idx + 1 :]
+
+
+def count_generate_companions(plan: str) -> int:
+    hits = 0
+    for m in _PROJ_GEN_RX.finditer(plan):
+        proj, gen_out = m.group(1), m.group(2)
+        out_names = {a.split("#")[0].strip() for a in gen_out.split(",") if a.strip()}
+        for call in _EXPENSIVE_CALLS:
+            start = 0
+            while True:
+                at = proj.find(call, start)
+                if at < 0:
+                    break
+                arg = _paren_arg(proj, at + len(call) - 1)
+                if not any(name and name in arg for name in out_names):
+                    hits += 1
+                start = at + len(call)
+    return hits
+
 
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PLAN_AUDIT.json"
@@ -53,12 +99,15 @@ def main() -> int:
         stats = {k: len(re.findall(rx, plan)) for k, rx in MARKS.items()}
         # codegen spans count distinct stage ids, not occurrences
         stats["codegen_spans"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
+        stats["generate_companion_expr"] = count_generate_companions(plan)
         audit[name] = stats
     with open(out_path, "w") as fh:
         json.dump(audit, fh, indent=1, sort_keys=True)
     n_row_eval = [q for q, s in audit.items() if s["python_row_eval"]]
+    n_gen = [q for q, s in audit.items() if s["generate_companion_expr"]]
     print(f"{len(audit)} queries audited -> {out_path}")
     print(f"row-at-a-time Python in: {n_row_eval or 'NONE'}")
+    print(f"Generate-companion-expr in: {n_gen or 'NONE'}")
     return 0
 
 

@@ -60,6 +60,9 @@ STRESS_QUERIES = [
     # two queries retuned this round
     "record_linkage", "source_overlap", "split_contamination",
     "perplexity_bigram",
+    # round-6 new/rewritten winnow family: the 10-copy near-dup corpus
+    # is adversarial here too (every family shares most fingerprints)
+    "winnow_fingerprint", "dedup_winnow",
 ]
 
 
