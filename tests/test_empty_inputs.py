@@ -106,3 +106,15 @@ def test_session5_library_ops_empty(spark):
     out = R.rendezvous_assign(empty_keys, "doc_id", 8)
     assert out.count() == 0
     assert set(out.columns) == {"doc_id", "shard", "shard_weight"}
+
+
+def test_winnow_pairs_empty(spark):
+    docs = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+    )
+    out = dedup.winnow_pairs(docs)
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "n_shared"}
