@@ -1390,13 +1390,20 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         leakage_safe_split,
     )
 
-    docs = leakage_safe_split(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # repartition ONCE, before the split: the gram explode over the
+    # train side (90% of the corpus) is map-heavy, and a single-file
+    # source scans at parallelism 1 (the SCALE.md layout lever) —
+    # measured 3.2 s -> 1.0 s at sf0.1.  The earlier counterexample
+    # ("3.2 -> 4.4 s") repartitioned the filtered SIDES separately,
+    # paying the body shuffle twice and re-triggering it per consumer;
+    # one upfront shuffle feeding both sides is strictly better.
+    docs = leakage_safe_split(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
     train = docs.filter(F.col("split") == "train")
     test = docs.filter(F.col("split") == "test")
-    # no repartition: the train side is 90% of the corpus WITH its
-    # text, so a spread-the-explode shuffle moves more bytes than the
-    # parallelism recovers (measured 3.2 s -> 4.4 s at sf0.1) — unlike
-    # q_decontaminate, whose corpus/benchmark split is 8:1
     verdicts = decontaminate(train, test, n=5)
     per_doc = train.select("doc_id", "source").join(verdicts, "doc_id")
     return per_doc.groupBy("source").agg(
