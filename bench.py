@@ -236,7 +236,8 @@ def main() -> int:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    if os.environ.get("SPARK_GRAFT_BENCH_SUBSET", "") in ("", "full"):
+    full_run = selected is HEADLINE
+    if full_run:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
             f.write("\n")
@@ -247,19 +248,19 @@ def main() -> int:
         sorted(((k, round(v, 2)) for k, v in times.items()),
                key=lambda kv: -kv[1])[:10]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(times),
-                "queries": slowest,
-                "detail": "BENCH_DETAIL.json",
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "queries": slowest,
+    }
+    if full_run:
+        # only a full run refreshes the artifact; a subset line must not
+        # point readers at another run's data
+        summary["detail"] = "BENCH_DETAIL.json"
+    print(json.dumps(summary))
     return 0
 
 

@@ -268,10 +268,32 @@ def winnow_fp_rows(
     it.  Winnow positions are 0..max(T-w, 0); the trailing window
     frame truncates at the array end exactly like a slice().  A doc
     with a null gram array (null text) yields one null-hash row -> the
-    '' sentinel (legacy [null] quirk: n=1, digest md5(''))."""
+    '' sentinel (legacy [null] quirk: n=1, digest md5('')).
+
+    CONTRACT: ``id_col`` must be unique — the sliding window is keyed
+    by id, so two rows sharing an id would interleave their gram
+    streams into one corrupt fingerprint set.  Enforced IN-PLAN
+    (per-id count window + assert_true on the pre-explode rows): the
+    exchange it needs is the same hash partitioning the winnow window
+    needs anyway and survives the explode, so the check costs a sort,
+    not a job."""
     grams = _positional_shingles(text_col, n)
+    keyed = df.select(F.col(id_col).alias("_wid"), grams.alias("_g"))
+    id_cnt = F.count("*").over(Window.partitionBy("_wid"))
+    unique_ok = F.coalesce(
+        F.assert_true(
+            id_cnt == 1,
+            F.format_string(
+                f"winnow_fp_rows: id_col '{id_col}' is not unique (%s rows "
+                "share one id) — fingerprints are per-document; dedup or "
+                "re-key the input", id_cnt,
+            ),
+        ).cast("boolean"),
+        F.lit(True),
+    )
     rows = (
-        df.select(F.col(id_col).alias("_wid"), grams.alias("_g"))
+        keyed.withColumn("_uniq", unique_ok)
+        .filter("_uniq")
         .select(
             "_wid", F.size("_g").alias("_T"),
             F.posexplode_outer("_g").alias("_pos", "_gram"),

@@ -695,38 +695,56 @@ def test_classifier_calibration_partition_laws(spark):
 
 
 def test_generate_plan_contracts(spark):
-    """Physical-plan contracts for the round-6 Generate fixes: a
-    generator must be fed a MATERIALIZED array column (Project below
-    Generate), never an inline expression evaluated next to companion
-    columns — the re-evaluation-per-output-row pathology (SCALE.md
-    round-6).  Pinned structurally so a refactor that re-inlines the
-    expression fails here, not in a 20x bench regression."""
-    import re
+    """Physical-plan contracts for the round-6 Generate fixes, checked
+    with the plan-audit companion-expression detector (a Project
+    directly above a Generate whose expensive calls ignore the
+    generator output = the re-evaluation-per-output-row pathology,
+    SCALE.md round-6).  The detector itself is validated in the same
+    test against a deliberately re-inlined bm25 shape, so a regex gone
+    stale shows up as the sentinel failing to trip, not as silent
+    vacuous passes."""
+    import sys
 
     from conftest import SF_SMALL
 
+    sys.path.insert(0, "tools")
+    from plan_audit import count_generate_companions
+
+    import pyspark.sql.functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+        token_count,
+        tokens,
+    )
+
     def plan_of(df):
-        return df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
+        return df._jdf.queryExecution().executedPlan().toString()
 
-    # winnow: Generate's input must be the bare projected array (no
-    # transform/concat_ws inside the Generate node itself), and the
-    # per-doc set agg must not introduce a second corpus-wide explode
-    plan = plan_of(text.q_winnow_fingerprint(spark, SF_SMALL))
-    gen_blocks = re.findall(r"\(\d+\) Generate[^(]*", plan)
-    assert gen_blocks, "winnow lost its explode"
-    for g in gen_blocks:
-        assert "transform(" not in g and "concat_ws" not in g, g
-    assert "CartesianProduct" not in plan
+    # sentinel: the PRE-fix pathological shape MUST trip the detector
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    bad = docs.select(
+        "doc_id", token_count("text").alias("dl"),
+        F.explode(tokens("text")).alias("token"),
+    )
+    assert count_generate_companions(plan_of(bad)) >= 1, (
+        "detector no longer recognizes the pathological shape — fix "
+        "tools/plan_audit.py before trusting the clean results below"
+    )
+    # and the same shape nested under a join branch (':' tree prefix)
+    bad_join = bad.join(
+        docs.select(F.col("doc_id").alias("d2")), bad.doc_id == F.col("d2")
+    )
+    assert count_generate_companions(plan_of(bad_join)) >= 1
 
-    # bm25: the posting explode's Generate node must not carry the
-    # token_count companion expression (size(split(...)))
-    plan = plan_of(text.q_bm25_topk(spark, SF_SMALL))
-    for g in re.findall(r"\(\d+\) Generate[^(]*", plan):
-        assert "split(" not in g, f"bm25 Generate re-inlined tokens: {g}"
+    # the fixed queries must be clean
+    for q in (
+        text.q_winnow_fingerprint,
+        text.q_bm25_topk,
+        text.q_dsir_select,
+    ):
+        plan = plan_of(q(spark, SF_SMALL))
+        assert count_generate_companions(plan) == 0, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
 
 
 def test_containment_filter_stays_above_checkpoint(spark):
@@ -755,3 +773,25 @@ def test_containment_filter_stays_above_checkpoint(spark):
         assert "transform(" not in cond and "xxhash64(concat_ws" not in cond, (
             "shingle pipeline pushed into a scan-side Filter: " + cond[:200]
         )
+
+
+def test_winnow_rejects_duplicate_ids(spark):
+    """The sliding window is keyed by id, so duplicate ids would
+    interleave gram streams into corrupt fingerprints — the in-plan
+    uniqueness assert must refuse instead (code-review r6 finding)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (1, "zeta eta theta iota kappa"),
+         (2, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(Exception, match="not unique"):
+        text.with_winnow_fingerprint(df).collect()
+    # unique ids: unchanged behavior
+    ok = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four")],
+        ["doc_id", "text"],
+    )
+    assert text.with_winnow_fingerprint(ok).count() == 2

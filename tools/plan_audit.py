@@ -51,8 +51,10 @@ MARKS = {
 # legitimate per-output work — only calls that ignore the generator
 # output are flagged.  Should be 0 everywhere; any hit is a regression.
 _EXPENSIVE_CALLS = ("transform(", "zip_with(", "split(", "aggregate(", "md5(")
+# the child connector under a join branch is prefixed with ':' (':  +-')
+# rather than spaces — [\s:]* covers both placements
 _PROJ_GEN_RX = re.compile(
-    r"Project \[([^\n]*)\]\n\s*\+- (?:\*\(\d+\) )?Generate [^\n]*\[([^\]\n]*)\]$",
+    r"Project \[([^\n]*)\]\n[\s:]*\+- (?:\*\(\d+\) )?Generate [^\n]*\[([^\]\n]*)\]$",
     re.M,
 )
 
