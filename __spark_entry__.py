@@ -260,6 +260,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW-IN-ROUND-6 INSERTION POINT: add new entries HERE (they
         # join the r7 window; keep additions <= 7 or extend the plan).
         "dedup_winnow": dedup.q_dedup_winnow,
+        "semantic_decontaminate": similarity.q_semantic_decontaminate,
         # ------- already driver-certified (stalest round first)
         "literal_stamp": R.q_literal_stamp,
         "topk": R.q_topk,
@@ -1786,6 +1787,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_shared "
             "FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id "
             "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
+        ),
+        "semantic_decontaminate": (
+            # per-pair cosine rounded to 6 dp BEFORE the max/count (the
+            # ann_bruteforce determinism recipe)
+            "WITH b AS (SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bvec "
+            "FROM embeddings WHERE vec_id % 17 = 0), "
+            "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+            "WHERE vec_id % 17 <> 0), "
+            "s AS (SELECT c.vec_id, round(list_dot_product(c.v, b.bvec) / "
+            "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.bvec, b.bvec))), 6) "
+            "AS cos FROM c CROSS JOIN b) "
+            "SELECT vec_id, MAX(cos) AS max_benchmark_cos, "
+            "CAST(SUM(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_benchmark_hits, MAX(cos) >= 0.35 AS contaminated "
+            "FROM s GROUP BY 1"
         ),
         "dedup_exact": (
             f"SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count "

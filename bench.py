@@ -159,8 +159,10 @@ HEADLINE = [
     # round-6: was pathologically slow (Generate re-evaluation, fixed);
     # benched so any regression of that class is caught immediately
     "winnow_fingerprint",
-    # round-6 new operator: MOSS-style winnow near-copy pairs
+    # round-6 new operators: MOSS-style winnow near-copy pairs,
+    # embedding-space benchmark decontamination
     "dedup_winnow",
+    "semantic_decontaminate",
 ]
 
 

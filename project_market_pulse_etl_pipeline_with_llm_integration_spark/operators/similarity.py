@@ -952,3 +952,90 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_a") + F.col("n_b")) > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-space benchmark overlap)
+# ---------------------------------------------------------------------------
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: per corpus vector,
+    the max cosine against ANY benchmark vector plus the count of
+    benchmark vectors above ``threshold`` — the SEMANTIC sibling of the
+    n-gram ``dedup.decontaminate`` (paraphrased or translated benchmark
+    items share no 5-grams but sit close in embedding space; surface
+    decontamination alone leaves them in the training set).
+
+    Output: (id, max_benchmark_cos, n_benchmark_hits, contaminated).
+    Cosines are rounded to 6 dp PER PAIR before the max/count (the
+    ann_bruteforce determinism recipe — the dot product is a fixed-order
+    array fold, identical in binary double on any engine, so the
+    rounded per-pair values and hence the max/count hash-match).
+
+    100 TB posture: benchmarks are small (10^3-10^5 items) — the
+    benchmark side broadcasts and the corpus is SCANNED once, a pure
+    map + local aggregate (the groupBy's map-side combine reduces each
+    partition to one row per corpus vector before any shuffle).  Flops
+    are O(|corpus| x |benchmark| x dim) — embarrassingly parallel, no
+    corpus-wide shuffle of vectors.  For 10^6+ benchmark items, prune
+    candidates with the LSH bucket join first (``lsh_topk``) and run
+    this exact scorer on survivors."""
+    def _norm(c: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x),
+                F.lit(0.0), lambda a, x: a + x,
+            )
+        )
+
+    # norms are per-VECTOR, so they are computed once per side before
+    # the cross join instead of per pair inside cosine_similarity — the
+    # per-pair work drops from three interpreted array folds to one
+    # (the dot product).  sqrt(dot(v,v)) here is the same double the
+    # fused form produces, so the rounded cosines (and the oracle
+    # hash) are unchanged.  Measured 3.6 s -> 1.5 s at sf0.1.
+    bench = benchmark.select(
+        F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec"),
+        _norm(F.col(vec_col)).alias("_bn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_bvec"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col),
+                      _norm(F.col(vec_col)).alias("_cn"))
+        .crossJoin(F.broadcast(bench))
+        .withColumn("_cos", F.round(dot / (F.col("_cn") * F.col("_bn")), 6))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max("_cos").alias("max_benchmark_cos"),
+            F.sum(
+                F.when(F.col("_cos") >= threshold, 1).otherwise(0)
+            ).cast("long").alias("n_benchmark_hits"),
+        )
+        .select(
+            id_col,
+            "max_benchmark_cos",
+            "n_benchmark_hits",
+            (F.col("max_benchmark_cos") >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination of the embedding corpus against a
+    deterministic benchmark slice (vec_id % 17 == 0, ~6%)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    benchmark = emb.filter(F.col("vec_id") % 17 == 0)
+    corpus = emb.filter(F.col("vec_id") % 17 != 0)
+    return semantic_decontaminate(corpus, benchmark, threshold=0.35)

@@ -209,3 +209,35 @@ def test_embedding_drift_partition_laws(spark):
         assert 0 <= r.cell < 256
         assert r.share_a_ppm == (1_000_000 * r.n_a) // t_a
         assert r.abs_shift_ppm == abs(r.share_a_ppm - r.share_b_ppm)
+
+
+def test_semantic_decontaminate_planted_copy(spark):
+    """A corpus vector identical to a benchmark vector must be flagged
+    (cos ~1.0); a benchmark-orthogonal vector must not; hit counts are
+    exact."""
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),   # exact copy of bench 100
+            (2, [0.9, 0.1, 0.0, 0.0]),   # near bench 100
+            (3, [0.0, 0.0, 0.0, 1.0]),   # orthogonal to both
+        ],
+        ["vec_id", "embedding"],
+    )
+    rows = {
+        r.vec_id: r
+        for r in semantic_decontaminate(corpus, bench, threshold=0.9).collect()
+    }
+    assert rows[1].contaminated and rows[1].max_benchmark_cos == 1.0
+    assert rows[1].n_benchmark_hits == 1
+    assert rows[2].contaminated  # cos(0.9,0.1 ; 1,0) ~ 0.994
+    assert not rows[3].contaminated and rows[3].n_benchmark_hits == 0
