@@ -1357,12 +1357,17 @@ def winnow_pairs(
 
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnow near-copy pairs over documents (word trigrams, window 4,
-    >= 2 shared fingerprints)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return winnow_pairs(
-        docs, min_shared=2, max_fp_df=10_000, guard_mode="inplan",
-        num_partitions=spark.sparkContext.defaultParallelism,
+    >= 2 shared fingerprints).  Adaptive spread: single-file sources
+    get the parallelism lever, multi-file scans pass through."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        spread_if_narrow,
     )
+
+    docs = spread_if_narrow(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        spark.sparkContext.defaultParallelism,
+    )
+    return winnow_pairs(docs, min_shared=2, max_fp_df=10_000, guard_mode="inplan")
 
 
 # ---------------------------------------------------------------------------
@@ -1390,16 +1395,22 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         leakage_safe_split,
     )
 
-    # repartition ONCE, before the split: the gram explode over the
-    # train side (90% of the corpus) is map-heavy, and a single-file
-    # source scans at parallelism 1 (the SCALE.md layout lever) —
+    # spread ONCE, before the split, and only if the scan is narrow:
+    # the gram explode over the train side (90% of the corpus) is
+    # map-heavy and a single-file source scans at parallelism 1 —
     # measured 3.2 s -> 1.0 s at sf0.1.  The earlier counterexample
     # ("3.2 -> 4.4 s") repartitioned the filtered SIDES separately,
-    # paying the body shuffle twice and re-triggering it per consumer;
-    # one upfront shuffle feeding both sides is strictly better.
+    # paying the body shuffle per consumer; and an UNCONDITIONAL
+    # upfront repartition regressed the already-32-file 10x stress
+    # layout 3x — hence the adaptive form.
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
     docs = leakage_safe_split(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-            spark.sparkContext.defaultParallelism
+        spread_if_narrow(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            spark.sparkContext.defaultParallelism,
         )
     )
     train = docs.filter(F.col("split") == "train")

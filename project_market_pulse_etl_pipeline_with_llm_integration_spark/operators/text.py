@@ -510,12 +510,17 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition: spread the gram+md5 map work when the source is a
-    # single parquet file (scan parallelism 1 — the SCALE.md layout
-    # lever); a real multi-file corpus scan passes through unchanged.
-    # Measured 3.4 s -> 0.6 s at sf0.1 on local[32].
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
+    # adaptive spread: the gram+md5 map work needs parallelism when the
+    # source is a single parquet file (scan parallelism 1 — measured
+    # 3.4 s -> 0.6 s at sf0.1); an already-parallel multi-file scan
+    # passes through untouched (no body shuffle).
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    df = spread_if_narrow(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        spark.sparkContext.defaultParallelism,
     )
     return with_winnow_fingerprint(df).select("doc_id", "n_fingerprints", "winnow_digest")
 
