@@ -39,6 +39,9 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.colu
     norm_text,
     tokens,
 )
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+    spread_if_narrow,
+)
 
 # ---------------------------------------------------------------------------
 # Degenerate-blocking guards (shared by the near-dup families)
@@ -106,7 +109,7 @@ def exact_dedup(
     """Group identical (normalized) texts; survivor = min id.
     Returns (keep_id, dup_count) per distinct content."""
     if num_partitions:
-        df = df.repartition(num_partitions)
+        df = spread_if_narrow(df, num_partitions)
     return (
         df.withColumn("fp", F.md5(norm_text(text_col)))
         .groupBy("fp")
@@ -228,7 +231,7 @@ def jaccard_pairs(
       even to reject them cheaply — is itself the bottleneck.  Costs ~3
       extra shuffles, so it loses at small scale."""
     if num_partitions:
-        df = df.repartition(num_partitions)
+        df = spread_if_narrow(df, num_partitions)
     if block_col is not None:
         base = df.select(
             F.col(id_col).alias("id"),
@@ -414,7 +417,7 @@ def containment_pairs(
     binary double on any engine (no transcendental — hashable under the
     SCALE.md rule)."""
     if num_partitions:
-        df = df.repartition(num_partitions)
+        df = spread_if_narrow(df, num_partitions)
     # The checkpoint sits DIRECTLY on the shingle select, with the
     # min_shingles filter ABOVE it: placed below, Catalyst pushes the
     # size(<whole shingle pipeline>) predicate through the repartition
@@ -596,7 +599,7 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH-banding candidate pairs (id_a, id_b) straight from text."""
     if num_partitions:
-        df = df.repartition(num_partitions)
+        df = spread_if_narrow(df, num_partitions)
     return _candidates_from_hashed(_hashed_shingle_sets(df, text_col, id_col, n), k, bands)
 
 
@@ -622,7 +625,7 @@ def minhash_dedup_pairs(
     ``DataFrame.persist`` stays pinned in the CacheManager until an
     explicit unpersist — a leak for one-shot pipeline calls like this.)"""
     if num_partitions:
-        df = df.repartition(num_partitions)
+        df = spread_if_narrow(df, num_partitions)
     hashed = _hashed_shingle_sets(df, text_col, id_col, n).localCheckpoint(eager=False)
     cands = _candidates_from_hashed(hashed, k, bands)
     a = hashed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -1068,10 +1071,11 @@ def simhash_pairs(
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(
-        df.repartition(spark.sparkContext.defaultParallelism), max_distance=3
+    df = spread_if_narrow(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        spark.sparkContext.defaultParallelism,
     )
+    return simhash_pairs(df, max_distance=3)
 
 
 _PLANT_ID_OFFSET = 10_000_000
@@ -1098,7 +1102,8 @@ def q_simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = df.unionByName(planted)
     pairs = simhash_pairs(
-        corpus.repartition(spark.sparkContext.defaultParallelism), max_distance=3
+        spread_if_narrow(corpus, spark.sparkContext.defaultParallelism),
+        max_distance=3,
     ).localCheckpoint(eager=False)
     ham = pairs.agg(F.max("hamming").alias("max_ham"))
     expected = df.filter(F.col("doc_id") % 20 == 0).select(
@@ -1150,7 +1155,7 @@ def decontaminate(
     scale the scan is already parallel and this stays None.
     """
     if num_partitions:
-        corpus = corpus.repartition(num_partitions)
+        corpus = spread_if_narrow(corpus, num_partitions)
     def grams(df: DataFrame) -> Column:
         toks = tokens(text_col)
         return F.transform(
@@ -1322,7 +1327,7 @@ def winnow_pairs(
     )
 
     if num_partitions:
-        df = df.repartition(num_partitions)
+        df = spread_if_narrow(df, num_partitions)
     docs = df.filter(F.trim(F.col(text_col)) != "")
     fps = (
         winnow_fp_rows(docs, text_col, n, w, id_col)
@@ -1466,9 +1471,9 @@ def incremental_dedup(
     for the index read)."""
     if num_partitions:
         # single-file local inputs: spread the corpus-side gram explode
-        # (SCALE.md scan-parallelism lever); a real cluster scan is
-        # already parallel and passes None
-        corpus = corpus.repartition(num_partitions)
+        # (SCALE.md scan-parallelism lever); adaptive — an already
+        # parallel scan passes through without a body shuffle
+        corpus = spread_if_narrow(corpus, num_partitions)
     c_fp = corpus.select(F.md5(norm_text(text_col)).alias("fp"))
     b = batch.select(
         F.col(id_col).alias("bid"), F.col(text_col).alias("btext")
