@@ -208,3 +208,26 @@ def test_cusum_telescoping_property(values):
         cum2 += v
         s2.append(n * cum2 - k * total2)
     assert s == s2
+
+
+@_slow
+@given(
+    st.lists(texts.filter(lambda t: t.strip()), min_size=2, max_size=6),
+    st.lists(words, min_size=6, max_size=10).map(" ".join),
+)
+def test_winnow_guarantee_on_random_corpora(spark, docs, run):
+    """The winnowing guarantee as a PROPERTY: for any corpus, any two
+    docs that each contain the same >= n+w-1 token run (planted here)
+    must surface as a winnow_pairs candidate at min_shared=1; pairs are
+    a<b oriented and shared counts positive."""
+    # plant the shared run into the first two docs at different offsets
+    planted = list(docs)
+    planted[0] = planted[0] + " " + run
+    planted[1] = run + " " + planted[1]
+    df = spark.createDataFrame(
+        list(enumerate(planted)), "doc_id long, text string"
+    )
+    rows = dedup.winnow_pairs(df, min_shared=1).collect()
+    assert any(r.id_a == 0 and r.id_b == 1 for r in rows), planted[:2]
+    for r in rows:
+        assert r.id_a < r.id_b and r.n_shared >= 1
