@@ -151,14 +151,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS: the driver's correctness gate checks exactly the
-    # FIRST 50 entries each round.  ROUND-6 WINDOW = 50 of the 93
-    # entries that have never had a driver CORRECTNESS row (VERDICT r5
-    # item 1): the five derived-partsupp TPC-H shapes, the curation /
-    # embedding-corpus law rows, the heaviest analytics
-    # (coactivity_pairs, record_linkage, bpe_train, dedup_containment,
-    # split_contamination, perplexity_bigram), then the oldest
-    # never-sampled cohort in registry order.  All 93 already pass the
-    # judge's replica gate (tools/check_oracle.py) at sf0.01.
+    # FIRST 50 entries each round.  ROUND-7 WINDOW = the 45 entries that
+    # had never received a driver CORRECTNESS row through r6 (registry
+    # positions 51-95 last round: latency_percentiles ...
+    # semantic_decontaminate) plus 5 already-certified fillers.  Green
+    # rows here certify the ENTIRE 244-entry registry (VERDICT r6 item 1).
+    # All 45 passed the judge's replica gate (tools/check_oracle.py) at
+    # sf0.01 in the r6 session with 0 failures.
+        "latency_percentiles": analytics.q_latency_percentiles,
+        "item_similarity": market.q_item_similarity,
+        "rfm_segments": market.q_rfm_segments,
+        "kwic": text.q_kwic,
+        "pyds_scan": R.q_pyds_scan,
+        "variant_extract": R.q_variant_extract,
+        "source_drift": analytics.q_source_drift,
+        "vocab_encode": text.q_vocab_encode,
+        "prefix_cache_stats": text.q_prefix_cache_stats,
+        "temperature_mixture": sampling.q_temperature_mixture,
+        "quality_classifier": text.q_quality_classifier,
+        "jl_projection": similarity.q_jl_projection,
+        "jl_distortion": similarity.q_jl_distortion,
+        "zonemap_prune": R.q_zonemap_prune,
+        "leakage_safe_split": sampling.q_leakage_safe_split,
+        "split_leakage_law": sampling.q_split_leakage_law,
+        "dedup_incremental": dedup.q_dedup_incremental,
+        "trimmed_stats": analytics.q_trimmed_stats,
+        "rag_retrieval": text.q_rag_retrieval,
+        "rendezvous_shard": R.q_rendezvous_shard,
+        "reshard_law": R.q_reshard_law,
+        "recursive_cte": R.q_recursive_cte,
+        "dsir_select": text.q_dsir_select,
+        "pmi_cooccur": text.q_pmi_cooccur,
+        "retrieval_eval": text.q_retrieval_eval,
+        "quality_percentile_norm": text.q_quality_percentile_norm,
+        "dedup_best_survivor": dedup.q_dedup_best_survivor,
+        "session_concurrency": analytics.q_session_concurrency,
+        "ann_quantized": similarity.q_ann_quantized,
+        "source_overlap": dedup.q_source_overlap,
+        "arrow_python_udf": udfs.q_arrow_python_udf,
+        "assoc_rules": market.q_assoc_rules,
+        "cascade_delete": R.q_cascade_delete,
+        "compaction_plan": R.q_compaction_plan,
+        "seasonal_backtest": analytics.q_seasonal_backtest,
+        "cusum_changepoint": analytics.q_cusum_changepoint,
+        "top_paths": analytics.q_top_paths,
+        "interval_union": analytics.q_interval_union,
+        "skew_report": skew.q_skew_report,
+        "rate_spikes": analytics.q_rate_spikes,
+        "jackknife_spread": analytics.q_jackknife_spread,
+        "classifier_calibration": text.q_classifier_calibration,
+        "embedding_drift": similarity.q_embedding_drift,
+        "dedup_winnow": dedup.q_dedup_winnow,
+        "semantic_decontaminate": similarity.q_semantic_decontaminate,
+        # ---- 5 already-certified fillers to complete the 50-entry window
+        "literal_stamp": R.q_literal_stamp,
+        "topk": R.q_topk,
+        "union_all": R.q_union_all,
+        "scan_project": R.q_scan_project,
+        "filter_in_notnull": R.q_filter_in_notnull,
+        # ------- entry 51+: below the driver window.  Everything from here
+        # down is driver-certified green in some round r1-r6.
+        # NEW-IN-ROUND-7 INSERTION POINT: add new entries HERE (they join
+        # the r8 window; keep additions <= ~7 so the rotation stays closed).
         "tpch_q2": R.q_tpch_q2,
         "tpch_q9": R.q_tpch_q9,
         "tpch_q11": R.q_tpch_q11,
@@ -209,62 +263,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_independence": analytics.q_chi2_independence,
         "event_transitions": analytics.q_event_transitions,
         "rolling_active_users": analytics.q_rolling_active_users,
-        # ------- entry 51+: below the 50-entry driver window.
-        # R7 WINDOW CANDIDATES: the remaining 43 never-driver-sampled
-        # entries lead here so the r7 rotation (plus up to 7 new r6
-        # entries inserted below this block) certifies the whole
-        # registry.
-        "latency_percentiles": analytics.q_latency_percentiles,
-        "item_similarity": market.q_item_similarity,
-        "rfm_segments": market.q_rfm_segments,
-        "kwic": text.q_kwic,
-        "pyds_scan": R.q_pyds_scan,
-        "variant_extract": R.q_variant_extract,
-        "source_drift": analytics.q_source_drift,
-        "vocab_encode": text.q_vocab_encode,
-        "prefix_cache_stats": text.q_prefix_cache_stats,
-        "temperature_mixture": sampling.q_temperature_mixture,
-        "quality_classifier": text.q_quality_classifier,
-        "jl_projection": similarity.q_jl_projection,
-        "jl_distortion": similarity.q_jl_distortion,
-        "zonemap_prune": R.q_zonemap_prune,
-        "leakage_safe_split": sampling.q_leakage_safe_split,
-        "split_leakage_law": sampling.q_split_leakage_law,
-        "dedup_incremental": dedup.q_dedup_incremental,
-        "trimmed_stats": analytics.q_trimmed_stats,
-        "rag_retrieval": text.q_rag_retrieval,
-        "rendezvous_shard": R.q_rendezvous_shard,
-        "reshard_law": R.q_reshard_law,
-        "recursive_cte": R.q_recursive_cte,
-        "dsir_select": text.q_dsir_select,
-        "pmi_cooccur": text.q_pmi_cooccur,
-        "retrieval_eval": text.q_retrieval_eval,
-        "quality_percentile_norm": text.q_quality_percentile_norm,
-        "dedup_best_survivor": dedup.q_dedup_best_survivor,
-        "session_concurrency": analytics.q_session_concurrency,
-        "ann_quantized": similarity.q_ann_quantized,
-        "source_overlap": dedup.q_source_overlap,
-        "arrow_python_udf": udfs.q_arrow_python_udf,
-        "assoc_rules": market.q_assoc_rules,
-        "cascade_delete": R.q_cascade_delete,
-        "compaction_plan": R.q_compaction_plan,
-        "seasonal_backtest": analytics.q_seasonal_backtest,
-        "cusum_changepoint": analytics.q_cusum_changepoint,
-        "top_paths": analytics.q_top_paths,
-        "interval_union": analytics.q_interval_union,
-        "skew_report": skew.q_skew_report,
-        "rate_spikes": analytics.q_rate_spikes,
-        "jackknife_spread": analytics.q_jackknife_spread,
-        "classifier_calibration": text.q_classifier_calibration,
-        "embedding_drift": similarity.q_embedding_drift,
-        # NEW-IN-ROUND-6 INSERTION POINT: add new entries HERE (they
-        # join the r7 window; keep additions <= 7 or extend the plan).
-        "dedup_winnow": dedup.q_dedup_winnow,
-        "semantic_decontaminate": similarity.q_semantic_decontaminate,
-        # ------- already driver-certified (stalest round first)
-        "literal_stamp": R.q_literal_stamp,
-        "topk": R.q_topk,
-        "union_all": R.q_union_all,
         "ann_recall": similarity.q_ann_recall,
         "array_ops": R.q_array_ops,
         "cohort_retention": analytics.q_cohort_retention,
@@ -377,7 +375,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": similarity.q_embedding_near_dup,
         "embedding_neardup_recall": similarity.q_embedding_neardup_recall,
         "enrich_offline": q_enrich_offline,
-        "filter_in_notnull": R.q_filter_in_notnull,
         "fingerprint": text.q_fingerprint,
         "grouped_zscore": udfs.q_grouped_zscore,
         "hll_error_bound": R.q_hll_error_bound,
@@ -395,7 +392,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": text.q_quality_score,
         "safe_cast": R.q_safe_cast,
         "salted_agg": skew.q_salted_agg,
-        "scan_project": R.q_scan_project,
         "sessionize": streaming_events.q_sessionize,
         "simhash_quality": dedup.q_simhash_quality,
         "sliding_window": streaming_events.q_sliding_window,
@@ -411,7 +407,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": R.q_tpch_q5,
         "tpch_q6": R.q_tpch_q6,
         "tumbling_window": streaming_events.q_tumbling_window,
-
     }
 
 
