@@ -1769,7 +1769,11 @@ def oracle_sql() -> dict[str, str]:
             # the winnow_fingerprint selection chain, blanks excluded
             # (every blank doc selects the identical sentinel, welding
             # them into one meaningless clique), then a posting-list
-            # self-join on the selected hash
+            # self-join on the selected hash.  NOTE: Spark's max_fp_df
+            # hot-posting cap is enforcement-only (it RAISES, never
+            # filters), so this oracle deliberately applies no cap —
+            # the contract is defined on corpora where the cap holds,
+            # and a violation fails loudly on the Spark side.
             f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents "
             "WHERE trim(text) <> ''), "
             "g AS (SELECT doc_id, [array_to_string(tk[i:i+2], ' ') "
@@ -1790,12 +1794,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE vec_id % 17 = 0), "
             "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
             "WHERE vec_id % 17 <> 0), "
+            # LEFT JOIN ON true + nullif'd denominator + coalesced
+            # verdict: mirrors the Spark side's empty-benchmark /
+            # zero-norm posture (every corpus row keeps a verdict row;
+            # 0/0 pairs are NULL, never NaN/inf)
             "s AS (SELECT c.vec_id, round(list_dot_product(c.v, b.bvec) / "
-            "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.bvec, b.bvec))), 6) "
-            "AS cos FROM c CROSS JOIN b) "
+            "nullif(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.bvec, b.bvec)), 0), 6) "
+            "AS cos FROM c LEFT JOIN b ON true) "
             "SELECT vec_id, MAX(cos) AS max_benchmark_cos, "
             "CAST(SUM(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) "
-            "AS n_benchmark_hits, MAX(cos) >= 0.35 AS contaminated "
+            "AS n_benchmark_hits, COALESCE(MAX(cos) >= 0.35, false) AS contaminated "
             "FROM s GROUP BY 1"
         ),
         "dedup_exact": (

@@ -1312,9 +1312,12 @@ def winnow_pairs(
     the fingerprint hash (posting-list join, no cross product), count
     per pair, filter.  ``max_fp_df`` is the hot-posting guard (a
     fingerprint appearing in k docs contributes k^2 candidate pairs):
-    precheck / inplan / stats-hint modes per the family convention —
-    the cap is part of the CONTRACT (both engines would apply it), not
-    applied by default.  Blank documents are excluded: every blank doc
+    precheck / inplan / stats-hint modes per the family convention.
+    The cap is ENFORCEMENT-ONLY, not a filter — when a posting list
+    exceeds it this side RAISES rather than silently dropping the
+    fingerprint, so the cross-engine output contract (and the DuckDB
+    oracle, which applies no cap) is defined only on corpora where the
+    cap is unviolated.  Blank documents are excluded: every blank doc
     selects the identical sentinel fingerprint, which would weld all
     blanks into one clique.
 

@@ -1009,11 +1009,22 @@ def semantic_decontaminate(
                    lambda x, y: x.cast("double") * y),
         F.lit(0.0), lambda a, x: a + x,
     )
+    # LEFT join on a true condition instead of crossJoin: identical
+    # BroadcastNestedLoopJoin plan and identical output when the
+    # benchmark is non-empty, but an EMPTY benchmark keeps every corpus
+    # row (null cosine -> 0 hits, contaminated=false) instead of
+    # silently dropping the whole corpus — the per-doc-verdict posture
+    # of the n-gram decontaminate sibling.  nullif guards zero-norm
+    # vectors: a 0/0 pair yields NULL (ignored by max, not counted as
+    # a hit) rather than NaN/inf feeding max().
     scored = (
         corpus.select(F.col(id_col), F.col(vec_col),
                       _norm(F.col(vec_col)).alias("_cn"))
-        .crossJoin(F.broadcast(bench))
-        .withColumn("_cos", F.round(dot / (F.col("_cn") * F.col("_bn")), 6))
+        .join(F.broadcast(bench), F.lit(True), "left")
+        .withColumn(
+            "_cos",
+            F.round(dot / F.nullif(F.col("_cn") * F.col("_bn"), F.lit(0.0)), 6),
+        )
     )
     return (
         scored.groupBy(id_col)
@@ -1027,7 +1038,9 @@ def semantic_decontaminate(
             id_col,
             "max_benchmark_cos",
             "n_benchmark_hits",
-            (F.col("max_benchmark_cos") >= threshold).alias("contaminated"),
+            F.coalesce(
+                F.col("max_benchmark_cos") >= threshold, F.lit(False)
+            ).alias("contaminated"),
         )
     )
 

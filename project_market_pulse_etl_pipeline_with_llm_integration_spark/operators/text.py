@@ -247,7 +247,29 @@ def with_winnow_fingerprint(
             F.md5(F.array_join(F.sort_array("_fps"), ",")).alias("winnow_digest"),
         )
     )
-    return df.join(fps, id_col, "left")
+    # The null-id assert must live on the LEFT side: the equi-join is
+    # null-intolerant, so Catalyst pushes isnotnull(id) into the fps
+    # branch and would prune a null-id row there BEFORE the in-plan
+    # check inside winnow_fp_rows ever evaluates it — leaving silent
+    # NULL fingerprint columns.  Left rows survive the left join, so
+    # this per-row assert cannot be optimized away.
+    id_ok = F.coalesce(
+        F.assert_true(
+            F.col(id_col).isNotNull(),
+            F.lit(
+                f"with_winnow_fingerprint: id_col '{id_col}' must be "
+                "non-null and unique — a null id would miss the "
+                "fingerprint join as silent NULLs; filter or re-key first"
+            ),
+        ).cast("boolean"),
+        F.lit(True),
+    )
+    return (
+        df.withColumn("_idok", id_ok)
+        .filter("_idok")
+        .drop("_idok")
+        .join(fps, id_col, "left")
+    )
 
 
 def winnow_fp_rows(
@@ -270,9 +292,11 @@ def winnow_fp_rows(
     with a null gram array (null text) yields one null-hash row -> the
     '' sentinel (legacy [null] quirk: n=1, digest md5('')).
 
-    CONTRACT: ``id_col`` must be unique — the sliding window is keyed
-    by id, so two rows sharing an id would interleave their gram
-    streams into one corrupt fingerprint set.  Enforced IN-PLAN
+    CONTRACT: ``id_col`` must be non-null and unique — the sliding
+    window is keyed by id, so two rows sharing an id would interleave
+    their gram streams into one corrupt fingerprint set, and a null id
+    would drop out of the consumer's equi-join as silent NULL
+    fingerprint columns.  Enforced IN-PLAN
     (per-id count window + assert_true on the pre-explode rows): the
     exchange it needs is the same hash partitioning the winnow window
     needs anyway and survives the explode, so the check costs a sort,
@@ -280,13 +304,18 @@ def winnow_fp_rows(
     grams = _positional_shingles(text_col, n)
     keyed = df.select(F.col(id_col).alias("_wid"), grams.alias("_g"))
     id_cnt = F.count("*").over(Window.partitionBy("_wid"))
+    # CONTRACT enforcement rides one expression: ids must be NON-NULL
+    # (a null id would produce fingerprint rows that silently miss the
+    # consumer's equi-join -> silent NULL n_fingerprints) and UNIQUE.
+    # Both degrade loudly as a plan-time assert, not silent NULLs.
     unique_ok = F.coalesce(
         F.assert_true(
-            id_cnt == 1,
+            F.col("_wid").isNotNull() & (id_cnt == 1),
             F.format_string(
-                f"winnow_fp_rows: id_col '{id_col}' is not unique (%s rows "
-                "share one id) — fingerprints are per-document; dedup or "
-                "re-key the input", id_cnt,
+                f"winnow_fp_rows: id_col '{id_col}' must be non-null and "
+                "unique (%s rows share one id value, null ids forbidden) — "
+                "fingerprints are per-document; dedup or re-key the input",
+                id_cnt,
             ),
         ).cast("boolean"),
         F.lit(True),

@@ -73,9 +73,14 @@ def parquet_num_rows(path: str) -> int:
 
     if os.path.isdir(path):
         total = 0
-        for root, _dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path):
+            # Spark's pathFilter convention: names starting with '_' or
+            # '.' are metadata/hidden (Delta _delta_log checkpoint
+            # parquet, _SUCCESS markers, aborted .part files) and are
+            # invisible to the reader, so they must not inflate the hint.
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for f in files:
-                if f.endswith(".parquet"):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
                     total += pq.read_metadata(os.path.join(root, f)).num_rows
         return total
     return pq.read_metadata(path).num_rows

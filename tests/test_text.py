@@ -787,9 +787,18 @@ def test_winnow_rejects_duplicate_ids(spark):
          (2, "one two three four five six")],
         ["doc_id", "text"],
     )
-    with pytest.raises(Exception, match="not unique"):
+    with pytest.raises(Exception, match="non-null and unique"):
         text.with_winnow_fingerprint(df).collect()
-    # unique ids: unchanged behavior
+    # NULL ids would silently miss the consumer equi-join -> the same
+    # in-plan assert must make that loud too (advice r6)
+    nulled = spark.createDataFrame(
+        [(None, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six")],
+        "doc_id int, text string",
+    )
+    with pytest.raises(Exception, match="non-null and unique"):
+        text.with_winnow_fingerprint(nulled, id_col="doc_id").collect()
+    # unique non-null ids: unchanged behavior
     ok = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon"), (2, "one two three four")],
         ["doc_id", "text"],

@@ -76,7 +76,14 @@ def count_generate_companions(plan: str) -> int:
     hits = 0
     for m in _PROJ_GEN_RX.finditer(plan):
         proj, gen_out = m.group(1), m.group(2)
-        out_names = {a.split("#")[0].strip() for a in gen_out.split(",") if a.strip()}
+        # Match the generator's output attributes by their FULL
+        # name#exprId token (word-bounded), not a bare name substring —
+        # a short alias like 'c' would otherwise match almost any
+        # argument text and silently suppress real hits.
+        out_refs = [
+            re.compile(r"(?<![\w#])%s#%s\b" % (re.escape(nm), eid))
+            for nm, eid in re.findall(r"(\w+)#(\d+)", gen_out)
+        ]
         for call in _EXPENSIVE_CALLS:
             start = 0
             while True:
@@ -84,7 +91,7 @@ def count_generate_companions(plan: str) -> int:
                 if at < 0:
                     break
                 arg = _paren_arg(proj, at + len(call) - 1)
-                if not any(name and name in arg for name in out_names):
+                if not any(rx.search(arg) for rx in out_refs):
                     hits += 1
                 start = at + len(call)
     return hits
