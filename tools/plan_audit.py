@@ -59,6 +59,83 @@ _PROJ_GEN_RX = re.compile(
 )
 
 
+# Windows with an EMPTY partitionBy serialize into a single task — fine
+# only when the frame is provably tiny (a post-aggregate carry of
+# |days|/|partitions|/|deciles| rows).  Each legitimate site is
+# enumerated with its cardinality bound in SCALE.md "No-partition
+# window inventory"; a hit in any query NOT allowlisted there means a
+# full-size frame is about to funnel through one task — fail the audit
+# loudly instead of shipping a silent serialization point.
+NOPART_WINDOW_OK = {
+    # query -> proven cardinality bound of the window's input frame
+    # (matches the SCALE.md "No-partition window inventory" table;
+    # global top-k windows guarded by TakeOrderedAndProject /
+    # WindowGroupLimit are excluded by the detector itself, not listed)
+    "session_concurrency": "O(active days) day-carry running sum",
+    "compaction_plan": "O(planned output files) running byte sum",
+    "classifier_calibration": "10-row decile frame",
+    "vocab_build": "vocab capped at 200 rows by contract",
+    "vocab_encode": "vocab capped at 200 rows by contract",
+    "vocab_roundtrip": "vocab capped at 200 rows by contract",
+    "skyline_pareto": "phase-2 input = partition-local frontier survivors",
+    "rfm_segments": "post-agg |customers| frame; documented scale swap "
+                    "to broadcast approx-quantile cut points",
+}
+
+
+def count_nopart_windows(plan: str) -> int:
+    """Window nodes whose partition spec is EMPTY and whose input is
+    NOT structurally limited.  The node prints its non-empty specs as
+    trailing top-level bracket groups: ``[exprs], [part], [order]``
+    when both are set, ``[exprs], [part]`` for partition-only,
+    ``[exprs], [order]`` for order-only (the serializing case).
+    Partition and order groups are told apart by the sort-direction
+    tokens only order specs carry.
+
+    A global window directly above ``TakeOrderedAndProject`` /
+    ``WindowGroupLimit`` / a Limit is NOT counted: Catalyst's top-k
+    rewrite (LimitPushDownThroughWindow / InferWindowGroupLimit) means
+    every upstream partition contributes at most k rows, so the single
+    task sees O(k) input — the distributed top-k plan, fine at any
+    scale.  Only an UNGUARDED global window funnels a full-size frame
+    through one task."""
+    hits = 0
+    lines = plan.splitlines()
+    for idx, line in enumerate(lines):
+        at = line.find("Window [")
+        if at < 0:
+            continue
+        child = lines[idx + 1] if idx + 1 < len(lines) else ""
+        if any(
+            g in child
+            for g in ("TakeOrderedAndProject", "WindowGroupLimit",
+                      "LocalLimit", "GlobalLimit")
+        ):
+            continue
+        rest = line[at + len("Window ") :]
+        groups, buf, depth = [], [], 0
+        for ch in rest:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    buf = []
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                    continue
+            if depth >= 1:
+                buf.append(ch)
+        specs = groups[1:]  # group 0 is the window expressions
+        has_partition = any(
+            g.strip() and " ASC" not in g and " DESC" not in g for g in specs
+        )
+        if not has_partition:
+            hits += 1
+    return hits
+
+
 def _paren_arg(text: str, open_idx: int) -> str:
     depth, i = 0, open_idx
     while i < len(text):
@@ -109,15 +186,21 @@ def main() -> int:
         # codegen spans count distinct stage ids, not occurrences
         stats["codegen_spans"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
         stats["generate_companion_expr"] = count_generate_companions(plan)
+        stats["window_noparts"] = count_nopart_windows(plan)
         audit[name] = stats
     with open(out_path, "w") as fh:
         json.dump(audit, fh, indent=1, sort_keys=True)
     n_row_eval = [q for q, s in audit.items() if s["python_row_eval"]]
     n_gen = [q for q, s in audit.items() if s["generate_companion_expr"]]
+    n_nopart = [
+        q for q, s in audit.items()
+        if s["window_noparts"] and q not in NOPART_WINDOW_OK
+    ]
     print(f"{len(audit)} queries audited -> {out_path}")
     print(f"row-at-a-time Python in: {n_row_eval or 'NONE'}")
     print(f"Generate-companion-expr in: {n_gen or 'NONE'}")
-    return 0
+    print(f"UNEXPLAINED no-partition windows in: {n_nopart or 'NONE'}")
+    return 1 if n_nopart else 0
 
 
 if __name__ == "__main__":
