@@ -1052,3 +1052,96 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark = emb.filter(F.col("vec_id") % 17 == 0)
     corpus = emb.filter(F.col("vec_id") % 17 != 0)
     return semantic_decontaminate(corpus, benchmark, threshold=0.35)
+
+def semantic_decontaminate_lsh(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    multi_probe: int = 1,
+) -> DataFrame:
+    """The documented ESCALATION path of ``semantic_decontaminate`` for
+    10^6+ benchmark items, where broadcasting the benchmark and scoring
+    |corpus| x |benchmark| pairs stops being viable: prune candidates
+    with the random-hyperplane LSH bucket equi-join first (the
+    ``lsh_topk`` recipe — multi-probe flips on the benchmark side), run
+    the SAME exact scorer on the surviving pairs, and left-join the
+    verdicts back so every corpus row keeps a per-doc verdict row.
+
+    Semantics vs the exact path: identical scoring on every surviving
+    pair (same fold order, same 6-dp rounding, same nullif zero-norm
+    guard); pairs the LSH prunes are missed, so ``max_benchmark_cos``
+    is NULL (not a number) for corpus rows with no candidate — the
+    honest "below the recall floor" verdict, and hits/contamination are
+    lower bounds of the exact path's.  With ``n_planes=0`` every pair
+    survives and the output is pinned EQUAL to ``semantic_decontaminate``
+    by test (tests/test_similarity.py) — the composition proof the
+    SCALE.md escalation note promises.
+
+    Scale posture: each (corpus, benchmark) pair can match at most ONE
+    probe bucket (the probe set {b, b^2^j} is pairwise distinct while
+    the corpus item owns a single bucket), so no pair dedup shuffle is
+    needed before the per-pair scorer; the bucket join is a plain
+    equi-join AQE can pick a strategy for — nothing is forced broadcast
+    in this regime."""
+    def _norm(c: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x),
+                F.lit(0.0), lambda a, x: a + x,
+            )
+        )
+
+    bench = benchmark.select(
+        F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec"),
+        _norm(F.col(vec_col)).alias("_bn"),
+        _bucket_expr(F.col(vec_col), dim, n_planes, seed).alias("_b0"),
+    )
+    probes = [F.col("_b0")]
+    if multi_probe >= 1:
+        probes += [F.col("_b0").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    bench_probed = bench.select(
+        "_bid", "_bvec", "_bn", F.explode(F.array(*probes)).alias("_bkt")
+    )
+    cand = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_cn"),
+            _bucket_expr(F.col(vec_col), dim, n_planes, seed).alias("_bkt"),
+        )
+        .join(bench_probed, "_bkt")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_bvec"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    agg = (
+        cand.withColumn(
+            "_cos",
+            F.round(dot / F.nullif(F.col("_cn") * F.col("_bn"), F.lit(0.0)), 6),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max("_cos").alias("max_benchmark_cos"),
+            F.sum(
+                F.when(F.col("_cos") >= threshold, 1).otherwise(0)
+            ).cast("long").alias("n_benchmark_hits"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "max_benchmark_cos",
+            F.coalesce("n_benchmark_hits", F.lit(0)).cast("long")
+            .alias("n_benchmark_hits"),
+            F.coalesce(
+                F.col("max_benchmark_cos") >= threshold, F.lit(False)
+            ).alias("contaminated"),
+        )
+    )

@@ -241,3 +241,106 @@ def test_semantic_decontaminate_planted_copy(spark):
     assert rows[1].n_benchmark_hits == 1
     assert rows[2].contaminated  # cos(0.9,0.1 ; 1,0) ~ 0.994
     assert not rows[3].contaminated and rows[3].n_benchmark_hits == 0
+
+
+def test_semantic_decontaminate_empty_benchmark_and_zero_norms(spark):
+    """Per-doc verdict posture (advice r6): an EMPTY benchmark returns
+    one row per corpus doc with contaminated=false (not an empty
+    frame); zero-norm vectors yield NULL cosine (never NaN/inf) and are
+    not counted as hits."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    empty_bench = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r for r in semantic_decontaminate(corpus, empty_bench).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert not r.contaminated
+        assert r.n_benchmark_hits == 0
+        assert r.max_benchmark_cos is None
+
+    # zero-norm on either side -> NULL cosine, ignored by max / hits
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    rows = {
+        r.vec_id: r
+        for r in semantic_decontaminate(corpus, bench, threshold=0.5).collect()
+    }
+    assert rows[1].contaminated and rows[1].max_benchmark_cos == 1.0
+    assert rows[1].n_benchmark_hits == 1  # the zero-norm bench pair is NULL
+    assert not rows[2].contaminated and rows[2].max_benchmark_cos is None
+    import math
+    for r in rows.values():
+        if r.max_benchmark_cos is not None:
+            assert math.isfinite(r.max_benchmark_cos)
+
+
+def test_semantic_decontaminate_lsh_escalation(spark):
+    """The documented LSH-prune escalation (similarity.py): with
+    n_planes=0 every pair survives and the output is EQUAL to the exact
+    path; with real plane counts the verdicts are exact-on-survivors
+    lower bounds and a planted exact copy (same bucket by construction)
+    is always caught."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_lsh,
+    )
+
+    dim = 8
+    def vec(seed):
+        return [(((seed * 37 + i * 11) % 19) - 9) / 9.0 for i in range(dim)]
+
+    bench = spark.createDataFrame(
+        [(100 + j, vec(j)) for j in range(6)], ["vec_id", "embedding"]
+    )
+    corpus = spark.createDataFrame(
+        [(i, vec(i * 3 + 1)) for i in range(1, 20)] + [(50, vec(2))],
+        ["vec_id", "embedding"],
+    )  # vec_id 50 is an exact copy of bench 102
+
+    exact = {
+        r.vec_id: r
+        for r in semantic_decontaminate(corpus, bench, threshold=0.6).collect()
+    }
+
+    # n_planes=0: single bucket, zero pruning -> pinned EQUAL output
+    full = {
+        r.vec_id: r
+        for r in semantic_decontaminate_lsh(
+            corpus, bench, threshold=0.6, dim=dim, n_planes=0
+        ).collect()
+    }
+    assert set(full) == set(exact)
+    for vid, e in exact.items():
+        f = full[vid]
+        assert f.max_benchmark_cos == e.max_benchmark_cos
+        assert f.n_benchmark_hits == e.n_benchmark_hits
+        assert f.contaminated == e.contaminated
+
+    # real plane count: exact-on-survivors lower bound + planted recall
+    pruned = {
+        r.vec_id: r
+        for r in semantic_decontaminate_lsh(
+            corpus, bench, threshold=0.6, dim=dim, n_planes=4, multi_probe=1
+        ).collect()
+    }
+    assert set(pruned) == set(exact)  # every corpus row keeps a verdict
+    for vid, p in pruned.items():
+        e = exact[vid]
+        assert p.n_benchmark_hits <= e.n_benchmark_hits
+        if p.max_benchmark_cos is not None:
+            # any surviving pair was scored by the SAME exact scorer
+            assert p.max_benchmark_cos <= e.max_benchmark_cos
+        if p.contaminated:
+            assert e.contaminated
+    # identical vectors share every sign bit -> same bucket -> caught
+    assert pruned[50].contaminated and pruned[50].max_benchmark_cos == 1.0
