@@ -213,6 +213,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # down is driver-certified green in some round r1-r6.
         # NEW-IN-ROUND-7 INSERTION POINT: add new entries HERE (they join
         # the r8 window; keep additions <= ~7 so the rotation stays closed).
+        "tokenizer_fertility": text.q_tokenizer_fertility,
+        "ngram_novelty": text.q_ngram_novelty,
+        "label_propagation": graph.q_label_propagation,
+        "join_lateral": R.q_join_lateral,
+        "multimodal_dedup": multimodal.q_multimodal_dedup,
         "tpch_q2": R.q_tpch_q2,
         "tpch_q9": R.q_tpch_q9,
         "tpch_q11": R.q_tpch_q11,
@@ -497,6 +502,72 @@ _PLEN = f"({_PROMPT_BASE} + length('doc-' || CAST(doc_id AS VARCHAR)) + length(t
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # ---- round-7 additions
+        "tokenizer_fertility": (
+            f"SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            f"CAST(SUM({_NTOK}) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(length(text)) AS BIGINT) AS n_chars, "
+            "CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes, "
+            f"CASE WHEN SUM({_NTOK}) > 0 THEN "
+            f"(1000 * CAST(SUM(length(text)) AS BIGINT)) // CAST(SUM({_NTOK}) AS BIGINT) "
+            "END AS chars_per_token_milli, "
+            f"CASE WHEN SUM({_NTOK}) > 0 THEN "
+            f"(1000 * CAST(SUM(strlen(text)) AS BIGINT)) // CAST(SUM({_NTOK}) AS BIGINT) "
+            "END AS bytes_per_token_milli "
+            "FROM documents GROUP BY 1, 2"
+        ),
+        "ngram_novelty": (
+            # the winnow family's shared trigram recipe (short docs
+            # contribute their single leftover gram), distinct per doc;
+            # first occurrence = min doc_id over the corpus
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents "
+            "WHERE trim(text) <> ''), "
+            "g AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') "
+            "FOR i IN generate_series(1, greatest(len(tk)-2, 1))]) AS gs FROM t), "
+            "r AS (SELECT doc_id, unnest(gs) AS gram FROM g), "
+            "f AS (SELECT gram, MIN(doc_id) AS first_doc FROM r GROUP BY 1) "
+            "SELECT r.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            "CAST(SUM(CASE WHEN f.first_doc = r.doc_id THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_novel, "
+            "(1000000 * CAST(SUM(CASE WHEN f.first_doc = r.doc_id THEN 1 ELSE 0 END) "
+            "AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS novelty_ppm "
+            "FROM r JOIN f USING (gram) GROUP BY 1"
+        ),
+        "label_propagation": (
+            # 3 synchronous rounds unrolled (the bpe_train recipe):
+            # vote = neighbor-label counts, adopt = max count with min
+            # label tie-break, all-integer state each round
+            "WITH rel AS (SELECT DISTINCT o_custkey AS cust, -l_suppkey AS supp "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+            "e AS (SELECT cust AS src, supp AS dst FROM rel "
+            "UNION ALL SELECT supp, cust FROM rel), "
+            "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e), "
+            "v1 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c FROM e "
+            "JOIN l0 l ON e.src = l.node GROUP BY 1, 2), "
+            "l1 AS (SELECT node, MIN(label) AS label FROM (SELECT node, label, c, "
+            "MAX(c) OVER (PARTITION BY node) AS mx FROM v1) WHERE c = mx GROUP BY 1), "
+            "v2 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c FROM e "
+            "JOIN l1 l ON e.src = l.node GROUP BY 1, 2), "
+            "l2 AS (SELECT node, MIN(label) AS label FROM (SELECT node, label, c, "
+            "MAX(c) OVER (PARTITION BY node) AS mx FROM v2) WHERE c = mx GROUP BY 1), "
+            "v3 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c FROM e "
+            "JOIN l2 l ON e.src = l.node GROUP BY 1, 2), "
+            "l3 AS (SELECT node, MIN(label) AS label FROM (SELECT node, label, c, "
+            "MAX(c) OVER (PARTITION BY node) AS mx FROM v3) WHERE c = mx GROUP BY 1) "
+            "SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members "
+            "FROM l3 GROUP BY 1"
+        ),
+        "join_lateral": R.SQL_LATERAL_TEXT,
+        "multimodal_dedup": (
+            # md5 over the varchar's UTF-8 bytes == Spark's
+            # md5(encode(text,'UTF-8')); strlen = octet count
+            "SELECT md5(text) AS payload_md5, "
+            "CAST(MIN(doc_id) AS BIGINT) AS keep_id, "
+            "CAST(COUNT(*) AS BIGINT) AS dup_count, "
+            "CAST(MIN(strlen(text)) AS BIGINT) AS payload_bytes, "
+            "CAST(SUM(strlen(text)) - MIN(strlen(text)) AS BIGINT) AS wasted_bytes "
+            "FROM documents GROUP BY 1"
+        ),
         "text_chunk": (
             f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, {_NTOK} AS ntok FROM documents), "
             "c AS (SELECT doc_id, tk, "

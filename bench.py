@@ -163,6 +163,14 @@ HEADLINE = [
     # embedding-space benchmark decontamination
     "dedup_winnow",
     "semantic_decontaminate",
+    # round-7 new operators: tokenizer fertility audit, per-doc n-gram
+    # novelty, 3-round label propagation, correlated LATERAL top-k,
+    # binary-payload dedup
+    "tokenizer_fertility",
+    "ngram_novelty",
+    "label_propagation",
+    "join_lateral",
+    "multimodal_dedup",
 ]
 
 

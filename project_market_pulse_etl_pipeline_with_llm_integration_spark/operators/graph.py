@@ -216,3 +216,59 @@ def q_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("hop").alias("hop"))
         )
     return dist.groupBy("hop").agg(F.count("*").alias("n_nodes"))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    DETERMINISTIC tie-break: every node starts labelled with its own
+    id; each round, a node adopts the most frequent label among its
+    in-neighbors, ties broken by MINIMUM label.  A fixed round count
+    (not convergence) keeps the contract engine-exact — the same
+    unrolled-rounds recipe as ``pagerank_fixed_point`` and the BPE
+    trainer, so a SQL oracle replays each round bit-identically on
+    all-integer state.
+
+    The argmax-with-min-tiebreak needs no per-node window: one hash
+    agg per round computes ``max(struct(count, -label))`` — struct
+    ordering makes the count dominant and the negated label turn MAX
+    into min-label-among-ties.  Plan per round: one shuffle join
+    (labels ⋈ edges on src, same key both sides, exchange layout
+    reused across rounds) + two hash aggs with map-side combine — the
+    pagerank shuffle budget.  Loop invariants (edge list, node set)
+    sit behind lazy localCheckpoints; rounds are O(|E|) keyed shuffles,
+    never all-pairs."""
+    ed = edges.select("src", "dst").localCheckpoint(eager=False)
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .unionAll(ed.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        votes = (
+            ed.join(labels, ed["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("w"))
+            .select("node", (-F.col("w.nl")).alias("label"))
+        )
+    return labels
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes after 3 label-propagation rounds on the trade
+    graph — hashed contract is (community, n_members), all longs."""
+    edges = trade_edges(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    ).localCheckpoint(eager=False)
+    return (
+        label_propagation(edges, rounds=3)
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("long").alias("n_members"))
+    )

@@ -255,3 +255,30 @@ def q_multimodal_shape_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_bad_sum") == 0).alias("sum_ok"),
         (F.col("n_bad_range") == 0).alias("range_ok"),
     )
+
+
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over OPAQUE BINARY payloads by content digest — the
+    multimodal sibling of ``dedup.dedup_exact``: identical media blobs
+    (re-crawled images, mirrored audio files) collapse on md5(payload)
+    with min-id survivor election and per-digest byte accounting (the
+    'how much storage do duplicates burn' number a crawl audit leads
+    with).
+
+    Scale posture: the digest is computed IN the scan projection, so
+    only (32-char md5, id, length) ever shuffles — payloads, like
+    document bodies in the text family, never leave their partition.
+    One hash agg with map-side combine; at 100 TB the shuffle is
+    O(rows x 48 bytes) regardless of blob sizes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        with_binary_payload(docs)
+        .groupBy("payload_md5")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count("*").cast("long").alias("dup_count"),
+            F.min("payload_len").cast("long").alias("payload_bytes"),
+            (F.sum("payload_len") - F.min("payload_len")).cast("long")
+            .alias("wasted_bytes"),
+        )
+    )

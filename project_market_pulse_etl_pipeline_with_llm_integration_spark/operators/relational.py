@@ -2975,3 +2975,28 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"cum_before div {target}").alias("file_id"),
         )
     )
+
+
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join — per customer, the top-3
+    orders by price under a pinned total order.  The API-surface point:
+    Spark decorrelates the per-row ORDER BY ... LIMIT subquery into a
+    per-key distributed top-k (WindowGroupLimit partial below the
+    shuffle, final above — verified in-plan), NOT a nested loop, so the
+    declarative 'for each row, run this query' form costs one keyed
+    shuffle at any scale.  DuckDB executes the IDENTICAL statement
+    text, so the oracle is the same string (the sql_passthrough
+    pattern extended to lateral correlation — the oracle IS
+    SQL_LATERAL_TEXT verbatim)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_LATERAL_TEXT)
+
+
+SQL_LATERAL_TEXT = (
+    "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+    "FROM customer c, "
+    "LATERAL (SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_custkey = c.c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o"
+)

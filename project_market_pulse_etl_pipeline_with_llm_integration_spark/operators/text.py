@@ -2010,3 +2010,80 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "margin_hi",
         )
     )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (source, lang): how many characters
+    and bytes one token 'costs' — the per-slice statistic a tokenizer
+    change is judged by (fertility regressions on a language are the
+    classic symptom of a vocab rebuilt on skewed data).  Exact integer
+    contract: totals are longs and the fertility ratios are integer
+    milli-units (1000*chars div tokens), so the hash is engine-exact.
+
+    One scan, one hash agg with map-side combine; output is bounded by
+    |sources| x |langs|.  At 100 TB this is the cheapest query in the
+    curation suite — no shuffle beyond the group keys."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tok = token_count(F.col("text"))
+    agg = (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(n_tok).cast("long").alias("n_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+        )
+    )
+    return agg.select(
+        "source", "lang", "n_docs", "n_tokens", "n_chars", "n_bytes",
+        F.when(F.col("n_tokens") > 0,
+               F.expr("(1000 * n_chars) div n_tokens")).alias("chars_per_token_milli"),
+        F.when(F.col("n_tokens") > 0,
+               F.expr("(1000 * n_bytes) div n_tokens")).alias("bytes_per_token_milli"),
+    )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct word trigrams whose FIRST corpus occurrence (minimum
+    doc_id) is this document — the curriculum/memorization signal a
+    training-data pipeline tracks as the corpus grows (novelty ~1 =
+    fresh content, ~0 = recombination of already-seen text).
+
+    Contract: docs with non-blank text; positional trigrams via the
+    winnow family's shared builder (short docs contribute their single
+    leftover gram — the established cross-engine quirk), deduplicated
+    per doc; novelty_ppm = (1e6 * n_novel) div n_grams, all longs.
+
+    Scale shape (the decontaminate posture): the gram array and its
+    companions are projected BELOW the explode (Generate re-evaluation
+    lesson); only md5 digests of grams travel through the two shuffles
+    (first-occurrence groupBy, per-doc recount) — document bodies never
+    shuffle.  Both aggs get map-side combine; the digest join is a
+    uniform 32-char key equi-join."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.trim(F.col("text")) != "")
+    )
+    grams = F.array_distinct(_positional_shingles("text", 3))
+    rows = (
+        docs.select("doc_id", grams.alias("_g"))
+        .select("doc_id", F.explode("_g").alias("_gram"))
+        .select("doc_id", F.md5("_gram").alias("_h"))
+        .localCheckpoint(eager=False)  # shared by both branches below
+    )
+    first = rows.groupBy("_h").agg(F.min("doc_id").alias("_first"))
+    return (
+        rows.join(first, "_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            F.expr("(1000000 * n_novel) div n_grams").alias("novelty_ppm"),
+        )
+    )

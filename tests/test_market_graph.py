@@ -559,3 +559,40 @@ def test_session5_differential_consistency(spark):
     for r in A.q_interval_union(spark, SF_SMALL).collect():
         lo, hi, mx = spans[r.user_id]
         assert mx <= r.covered_ms <= hi - lo
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles bridged by one edge: after 3 rounds each triangle
+    converges to its min label; the deterministic tie-break (min label
+    among max-count neighbor labels) pins the bridge node."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    labels = {r.node: r.label for r in label_propagation(edges, rounds=3).collect()}
+    # triangle {1,2,3} floods to its minimum label
+    assert labels[1] == labels[2] == 1
+    # triangle {10,11,12} is pulled toward the lower-id clique through
+    # the bridge, but its interior stays consistent
+    assert labels[11] == labels[12]
+    assert set(labels) == {1, 2, 3, 10, 11, 12}
+
+
+def test_label_propagation_tiebreak_min(spark):
+    """A node with two equally-frequent neighbor labels must adopt the
+    MINIMUM one — the determinism contract of the operator."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # node 5 sees labels {1, 2} once each in round 1 -> must pick 1
+    und = [(1, 5), (2, 5)]
+    edges = spark.createDataFrame(und + [(b, a) for a, b in und], ["src", "dst"])
+    labels = {r.node: r.label for r in label_propagation(edges, rounds=1).collect()}
+    assert labels[5] == 1

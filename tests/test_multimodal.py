@@ -81,3 +81,23 @@ def test_arrow_features_match_pandas_path(spark):
         r.doc_id: r.features for r in extract_features_arrow(payloads).collect()
     }
     assert via_pandas == via_arrow and len(via_arrow) == len(texts)
+
+
+def test_multimodal_dedup_collapses_identical_payloads(spark, tmp_path):
+    """Identical blobs collapse onto one digest with min-id survivor and
+    exact wasted-byte accounting."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.multimodal import (
+        q_multimodal_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(3, "same bytes"), (1, "same bytes"), (2, "other")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "mmdup")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r.keep_id: r for r in q_multimodal_dedup(spark, d).collect()}
+    assert rows[1].dup_count == 2
+    assert rows[1].payload_bytes == len(b"same bytes")
+    assert rows[1].wasted_bytes == len(b"same bytes")  # one redundant copy
+    assert rows[2].dup_count == 1 and rows[2].wasted_bytes == 0

@@ -818,3 +818,32 @@ def test_tpch_q2_plan_contract(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "p_size" in plan and "ECONOMY" in plan
     assert "EUROPE" in plan
+
+
+def test_join_lateral_topk_per_customer(spark):
+    """The correlated LATERAL subquery returns exactly the window-based
+    per-customer top-3 under the same total order."""
+    from pyspark.sql import Window, functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        q_join_lateral,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.c_custkey, r.o_orderkey)
+        for r in q_join_lateral(spark, sf).collect()
+    }
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    want = {
+        (r.o_custkey, r.o_orderkey)
+        for r in orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .collect()
+    }
+    assert got == want and len(got) > 0

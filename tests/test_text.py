@@ -804,3 +804,41 @@ def test_winnow_rejects_duplicate_ids(spark):
         ["doc_id", "text"],
     )
     assert text.with_winnow_fingerprint(ok).count() == 2
+
+
+def test_tokenizer_fertility_arithmetic(spark):
+    """Fertility ratios are exact integer milli-units over the slice
+    totals; blank docs contribute zero tokens but keep their bytes."""
+    df = spark.createDataFrame(
+        [(1, "ab cd", "en", "s1"), (2, "x", "en", "s1"), (3, "", "de", "s2")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    import pyspark.sql.functions as F
+
+    df.write.mode("overwrite").parquet("/tmp/fert_docs/documents.parquet")
+    rows = {
+        (r.source, r.lang): r
+        for r in text.q_tokenizer_fertility(spark, "/tmp/fert_docs").collect()
+    }
+    r = rows[("s1", "en")]
+    assert r.n_docs == 2 and r.n_tokens == 3
+    assert r.n_chars == 6 and r.n_bytes == 6
+    assert r.chars_per_token_milli == 2000  # 6 chars / 3 tokens
+    blank = rows[("s2", "de")]
+    assert blank.n_tokens == 0 and blank.chars_per_token_milli is None
+
+
+def test_ngram_novelty_copy_detection(spark):
+    """A verbatim copy has novelty 0; the first occurrence owns every
+    gram; a half-copy lands in between."""
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, a + " " + b)], ["doc_id", "text"]
+    )
+    docs.write.mode("overwrite").parquet("/tmp/novelty_docs/documents.parquet")
+    rows = {r.doc_id: r for r in text.q_ngram_novelty(spark, "/tmp/novelty_docs").collect()}
+    assert rows[1].novelty_ppm == 1_000_000  # first occurrence owns all
+    assert rows[2].novelty_ppm == 0          # verbatim copy
+    assert 0 < rows[3].novelty_ppm < 1_000_000
+    assert rows[3].n_novel < rows[3].n_grams
