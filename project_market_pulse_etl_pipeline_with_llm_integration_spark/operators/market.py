@@ -233,6 +233,84 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("sim_rank")
 
 
+def _ntile_from_rank(rn: F.Column, n: int, k: int) -> F.Column:
+    """Spark/ANSI ntile(k) as PURE ARITHMETIC over a global 1-based rank
+    under the same total order: with q, r = divmod(n, k), the first r
+    buckets take q+1 rows and the rest take q — so
+
+        ntile(rn) = (rn-1) div (q+1) + 1              for rn <= (q+1)*r
+                    r + (rn - (q+1)*r - 1) div q + 1  otherwise
+
+    (n < k degenerates to ntile = rn via r = n).  This is what lets the
+    serial global-window ntile be replaced by a range-partitioned rank
+    at scale — the bucket becomes a pure function of (rank, n)."""
+    q, r = divmod(n, k)
+    boundary = (q + 1) * r
+    if q == 0:
+        return rn
+    # integer `div` (not /): ranks are positive longs, truncation == floor
+    return F.when(
+        rn <= F.lit(boundary),
+        ((rn - 1) / F.lit(q + 1)).cast("long") + 1,
+    ).otherwise(
+        F.lit(r) + ((rn - F.lit(boundary) - 1) / F.lit(q)).cast("long") + 1
+    )
+
+
+def rfm_scores(per_cust: DataFrame, method: str = "window") -> DataFrame:
+    """Quartile scores for the three RFM metrics under pinned total
+    orders (metric DESC, o_custkey ASC).  Two physical strategies with
+    identical output (pinned by test — the ``dense_id`` multi-method
+    precedent):
+
+    * ``"window"`` (default) — three global ``ntile(4)`` windows over
+      the post-aggregate one-row-per-customer frame.  Serial, fine for
+      dim-sized customer tables; this is the in-gate path.
+    * ``"ranked"`` — the 100 TB path: per metric, a global 1-based rank
+      via the range-partitioned dense-id machinery
+      (``ids.with_dense_id`` method="boundaries": driver-embedded
+      quantile boundaries, fully parallel shuffles, no full-table
+      sort on one task) and ntile recovered as PURE ARITHMETIC over
+      (rank, n) — see ``_ntile_from_rank``.  DESC metric orders become
+      ASC keys by exact negation (dates via epoch-day), so the total
+      order is bit-identical to the window form's."""
+    if method == "window":
+        r_w = W.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+        f_w = W.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+        m_w = W.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+        return per_cust.select(
+            "o_custkey", "last_order", "frequency", "monetary",
+            F.ntile(4).over(r_w).cast("long").alias("r_score"),
+            F.ntile(4).over(f_w).cast("long").alias("f_score"),
+            F.ntile(4).over(m_w).cast("long").alias("m_score"),
+        )
+    if method != "ranked":
+        raise ValueError(f"unknown rfm method: {method!r}")
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.ids import (
+        with_dense_id,
+    )
+
+    n = per_cust.count()
+    keyed = per_cust.select(
+        "o_custkey", "last_order", "frequency", "monetary",
+        (-F.datediff(F.col("last_order"), F.lit("1970-01-01"))).alias("_rk"),
+        (-F.col("frequency")).alias("_fk"),
+        (-F.col("monetary")).alias("_mk"),
+    )
+    out = keyed
+    for key, rank_col in (("_rk", "_rrn"), ("_fk", "_frn"), ("_mk", "_mrn")):
+        out = with_dense_id(
+            out, [F.col(key), F.col("o_custkey")], id_col=rank_col,
+            method="boundaries",
+        )
+    return out.select(
+        "o_custkey", "last_order", "frequency", "monetary",
+        _ntile_from_rank(F.col("_rrn"), n, 4).cast("long").alias("r_score"),
+        _ntile_from_rank(F.col("_frn"), n, 4).cast("long").alias("f_score"),
+        _ntile_from_rank(F.col("_mrn"), n, 4).cast("long").alias("m_score"),
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per customer — recency (last order
     date), frequency (order count), monetary (DECIMAL-exact spend) —
@@ -243,30 +321,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (money_sum); every ntile orders by (metric, customer id) — a total
     order, so quartile boundaries are engine-stable (the quantile_bins
     argument).  One shuffle for the per-customer agg; the three ntiles
-    share one global-ish window each over the already-aggregated
-    customer table (rows = customers, not orders), which a 100 TB run
-    would replace with approx-quantile cut points broadcast from the
-    sketch entry — same output shape."""
-    from pyspark.sql import Window as W
-
+    run over the already-aggregated customer table (rows = customers,
+    not orders).  The serial global windows here are the in-gate form;
+    ``rfm_scores(method="ranked")`` is the proven 100 TB alternative
+    (range-partitioned rank + ntile arithmetic, output pinned identical
+    by test)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         money_sum(F.col("o_totalprice")).alias("monetary"),
     )
-    r_w = W.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
-    f_w = W.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    m_w = W.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    scored = per_cust.select(
-        "o_custkey",
-        "last_order",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(r_w).cast("long").alias("r_score"),
-        F.ntile(4).over(f_w).cast("long").alias("f_score"),
-        F.ntile(4).over(m_w).cast("long").alias("m_score"),
-    )
+    scored = rfm_scores(per_cust, method="window")
     return scored.select(
         "o_custkey",
         "last_order",

@@ -596,3 +596,50 @@ def test_label_propagation_tiebreak_min(spark):
     edges = spark.createDataFrame(und + [(b, a) for a, b in und], ["src", "dst"])
     labels = {r.node: r.label for r in label_propagation(edges, rounds=1).collect()}
     assert labels[5] == 1
+
+
+def test_rfm_ranked_method_matches_window(spark):
+    """The 100 TB rfm path (range-partitioned rank + ntile arithmetic)
+    must produce bit-identical quartiles to the global-window ntile —
+    the dense_id multi-method precedent applied to segmentation."""
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        rfm_scores,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        money_sum,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        money_sum(F.col("o_totalprice")).alias("monetary"),
+    )
+    key = lambda r: (r.o_custkey, r.r_score, r.f_score, r.m_score)  # noqa: E731
+    w = sorted(key(r) for r in rfm_scores(per_cust, "window").collect())
+    ranked = sorted(key(r) for r in rfm_scores(per_cust, "ranked").collect())
+    assert w == ranked and len(w) > 100
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    """_ntile_from_rank replicates Spark's ntile() for awkward n/k
+    combinations (n < k, n % k != 0, n == k)."""
+    from pyspark.sql import Window, functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        _ntile_from_rank,
+    )
+
+    for n in (1, 3, 4, 5, 10, 17, 100):
+        df = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+        want = (
+            spark.range(n)
+            .withColumn("nt", F.ntile(4).over(Window.orderBy("id")))
+            .selectExpr("id + 1 AS rn", "nt")
+        )
+        got = df.select("rn", _ntile_from_rank(F.col("rn"), n, 4).alias("nt"))
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in want.collect()
+        }, f"n={n}"
