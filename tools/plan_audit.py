@@ -78,8 +78,8 @@ NOPART_WINDOW_OK = {
     "vocab_encode": "vocab capped at 200 rows by contract",
     "vocab_roundtrip": "vocab capped at 200 rows by contract",
     "skyline_pareto": "phase-2 input = partition-local frontier survivors",
-    "rfm_segments": "post-agg |customers| frame; documented scale swap "
-                    "to broadcast approx-quantile cut points",
+    "rfm_segments": "post-agg |customers| frame; ranked method proven "
+                    "identical by test is the 100 TB path",
 }
 
 
