@@ -218,6 +218,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": graph.q_label_propagation,
         "join_lateral": R.q_join_lateral,
         "multimodal_dedup": multimodal.q_multimodal_dedup,
+        "classifier_auc": text.q_classifier_auc,
+        "phrase_search": text.q_phrase_search,
         "tpch_q2": R.q_tpch_q2,
         "tpch_q9": R.q_tpch_q9,
         "tpch_q11": R.q_tpch_q11,
@@ -558,6 +560,48 @@ def oracle_sql() -> dict[str, str]:
             "FROM l3 GROUP BY 1"
         ),
         "join_lateral": R.SQL_LATERAL_TEXT,
+        "classifier_auc": (
+            # Mann-Whitney rank-sum AUC with tie handling, per source;
+            # clf_margin reuses the frozen-classifier integer formula
+            f"WITH t AS (SELECT doc_id, text, lang, source, {_TOKS} AS tk, "
+            f"CAST({_NTOK} AS BIGINT) AS n_tok FROM documents), "
+            "f AS (SELECT source, lang = 'en' AS is_en, "
+            "CAST(3 * least(n_tok, 64) + "
+            f"40 * CAST(len(list_filter(tk, x -> list_contains({_EN}, x))) AS BIGINT) + "
+            "5 * CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(list_distinct(tk)) END AS BIGINT) "
+            "- 12 * CAST(length(text) - length(regexp_replace(text, "
+            "'[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) "
+            "- 6 * CAST(length(text) - length(regexp_replace(text, "
+            "'[0-9]', '', 'g')) AS BIGINT) - 60 AS BIGINT) AS clf_margin "
+            "FROM t), "
+            "g AS (SELECT source, clf_margin, "
+            "SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS n1, "
+            "SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS n0 "
+            "FROM f GROUP BY 1, 2), "
+            "c AS (SELECT *, COALESCE(SUM(n0) OVER (PARTITION BY source "
+            "ORDER BY clf_margin ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS cum0 FROM g), "
+            "a AS (SELECT source, SUM(n1) AS n_pos, SUM(n0) AS n_neg, "
+            "SUM(n1 * (2 * cum0 + n0)) AS numer2 FROM c GROUP BY 1) "
+            "SELECT source, CAST(n_pos AS BIGINT) AS n_pos, "
+            "CAST(n_neg AS BIGINT) AS n_neg, "
+            "CAST((1000000 * numer2) // (2 * n_pos * n_neg) AS BIGINT) "
+            "AS auc_ppm FROM a WHERE n_pos > 0 AND n_neg > 0"
+        ),
+        "phrase_search": (
+            # naive contains() scan over the fixed query batch; a hash
+            # match proves the Spark side's bigram-index prefilter
+            # lossless (phrase present => every word bigram present)
+            "WITH p(phrase) AS (VALUES ('fast sort key'), "
+            "('merge batch part'), ('table window table'), "
+            "('scan slow fast')) "
+            "SELECT p.phrase, d.doc_id, d.source, "
+            "CAST((length(d.text) - length(replace(d.text, p.phrase, ''))) "
+            "// length(p.phrase) AS BIGINT) AS n_hits "
+            "FROM documents d CROSS JOIN p "
+            "WHERE contains(d.text, p.phrase)"
+        ),
         "multimodal_dedup": (
             # md5 over the varchar's UTF-8 bytes == Spark's
             # md5(encode(text,'UTF-8')); strlen = octet count

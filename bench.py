@@ -171,6 +171,10 @@ HEADLINE = [
     "label_propagation",
     "join_lateral",
     "multimodal_dedup",
+    # round-7 late additions: per-source exact ROC AUC (rank-sum),
+    # inverted-bigram-index phrase search with verification
+    "classifier_auc",
+    "phrase_search",
 ]
 
 

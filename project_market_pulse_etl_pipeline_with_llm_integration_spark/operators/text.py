@@ -2087,3 +2087,159 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_novel) div n_grams").alias("novelty_ppm"),
         )
     )
+
+
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the frozen quality classifier per source, via
+    the Mann-Whitney rank-sum identity — the single-number ranking
+    audit that accompanies ``classifier_calibration``'s reliability
+    diagram (proxy label: ``lang == 'en'``, the same convention).
+    AUC = P(score_pos > score_neg) + 0.5 * P(tie), computed without
+    any pairwise join: aggregate to per-(source, margin) positive /
+    negative counts, then one cumulative pass ordered by margin gives
+    sum over margins s of n1(s) * (2*cum_neg_below(s) + n0(s)) ==
+    2 * N1 * N0 * AUC.  All arithmetic stays in longs; the reported
+    ``auc_ppm`` is an integer floor-div, so the hash is engine-exact.
+
+    Scale shape: one classifier scan (codegen, zero shuffle), one hash
+    agg keyed (source, margin), one window PARTITIONED BY source
+    ordered by margin — never a global sort.  The window frame runs
+    over DISTINCT margins per source (already aggregated), bounded by
+    the integer margin range, not the row count; sources with only one
+    class are excluded (AUC undefined), mirrored in the oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = with_quality_classifier(docs).select(
+        "source",
+        "clf_margin",
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    g = scored.groupBy("source", "clf_margin").agg(
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("is_en"), 0).otherwise(1)).cast("long").alias("n0"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("clf_margin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.withColumn("cum0", F.coalesce(F.sum("n0").over(w), F.lit(0)))
+    a = c.groupBy("source").agg(
+        F.sum("n1").cast("long").alias("n_pos"),
+        F.sum("n0").cast("long").alias("n_neg"),
+        F.sum(F.col("n1") * (2 * F.col("cum0") + F.col("n0")))
+        .cast("long")
+        .alias("numer2"),
+    )
+    return (
+        a.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            F.expr("(1000000 * numer2) div (2 * n_pos * n_neg)").alias(
+                "auc_ppm"
+            ),
+        )
+    )
+
+
+# Fixed query batch for the phrase-search registry entry (3-word
+# phrases over the synthetic corpus vocabulary; >= 2 words each so the
+# bigram index applies).
+PHRASE_SEARCH_QUERIES: list[str] = [
+    "fast sort key",
+    "merge batch part",
+    "table window table",
+    "scan slow fast",
+]
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch phrase search via an inverted word-bigram index with
+    verification — the positional-index query plan (Manning et al.,
+    IIR ch.2) re-expressed relationally: a doc can contain the phrase
+    only if it contains EVERY word bigram of the phrase, so the index
+    prefilter is lossless and the final ``contains`` check on the
+    (tiny) candidate set makes correctness independent of the filter.
+
+    Returns (phrase, id, n_hits) for every document whose raw text
+    contains each queried phrase, with the exact occurrence count.
+
+    Scale shape: the bigram postings are pruned to the queried grams
+    INSIDE the scan projection (``array_intersect`` against a literal
+    array before the explode — at 100 TB the postings table is
+    precomputed and this filter is 'read only those posting lists');
+    only (id, gram) skinny rows shuffle for the candidate agg; the
+    query->gram table and the surviving candidates are both broadcast,
+    so document bodies never shuffle — the verification scan reads
+    texts a second time but sends nothing anywhere.  Contract:
+    whitespace-normalized text (apply norm_text first for raw input)
+    and >= 2 words per phrase."""
+    spark = docs.sparkSession
+    pat_rows = []
+    for p in phrases:
+        ws = p.split()
+        if len(ws) < 2:
+            raise ValueError(f"phrase_search needs >= 2 words: {p!r}")
+        grams = sorted({" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)})
+        pat_rows.extend((p, g, len(grams)) for g in grams)
+    pat = spark.createDataFrame(pat_rows, "phrase string, gram string, k int")
+    all_grams = sorted({g for _, g, _ in pat_rows})
+    # Queried-gram postings: array projected BELOW the explode (Generate
+    # re-evaluation lesson, SCALE.md round 6); empty intersections emit
+    # no rows, so most docs die inside the scan stage.
+    pruned = F.array_intersect(
+        F.array_distinct(_positional_shingles(text_col, 2)),
+        F.array(*[F.lit(g) for g in all_grams]),
+    )
+    # The checkpoint is a pushdown barrier, not just a share point:
+    # InferFiltersFromGenerate adds size(_g) > 0 below the explode and
+    # Catalyst would push it into the scan, re-running the whole
+    # gram-extraction pipeline a second time per row (round-6 lesson,
+    # SCALE.md).  Behind the barrier the inferred filter evaluates on
+    # the materialized tiny array instead.
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    postings = (
+        spread_if_narrow(docs, spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("_id"), pruned.alias("_g"))
+        .localCheckpoint(eager=False)
+        .select("_id", F.explode("_g").alias("gram"))
+    )
+    cand = (
+        postings.join(F.broadcast(pat), "gram")
+        .groupBy("phrase", "_id")
+        .agg(F.count("*").alias("n_hit"), F.max("k").alias("k"))
+        .where(F.col("n_hit") == F.col("k"))
+        .select("phrase", "_id")
+    )
+    carry = [c for c in docs.columns if c != text_col]
+    return (
+        docs.join(F.broadcast(cand), F.col(id_col) == F.col("_id"))
+        .where(F.expr(f"contains({text_col}, phrase)"))
+        .select(
+            "phrase",
+            *carry,
+            F.expr(
+                f"(length({text_col}) - length(replace({text_col}, phrase, ''))) "
+                "div length(phrase)"
+            ).cast("long").alias("n_hits"),
+        )
+    )
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-bigram-index phrase search over the corpus for the
+    fixed query batch; oracle = the naive contains() scan, so the hash
+    match proves the index prefilter lossless."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    return phrase_search(docs, PHRASE_SEARCH_QUERIES)

@@ -842,3 +842,72 @@ def test_ngram_novelty_copy_detection(spark):
     assert rows[2].novelty_ppm == 0          # verbatim copy
     assert 0 < rows[3].novelty_ppm < 1_000_000
     assert rows[3].n_novel < rows[3].n_grams
+
+
+def test_classifier_auc_rank_sum(spark):
+    """AUC via the rank-sum identity on a hand-checkable frame: one
+    source where margins separate perfectly (AUC=1), one reversed
+    (AUC=0), one with a tie contributing exactly 0.5, and a
+    single-class source that must be excluded."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    # build docs whose clf_margin ordering we control via text length:
+    # margin is monotone in token/stopword counts for all-stopword
+    # texts, so "the and of" > "the and" > "the".
+    rows = [
+        # perfect: both en docs outscore both non-en docs
+        (1, "the and of to", "en", "sA"),
+        (2, "the and of", "en", "sA"),
+        (3, "the and", "de", "sA"),
+        (4, "the", "de", "sA"),
+        # reversed: en docs at the bottom
+        (5, "the and of to", "de", "sB"),
+        (6, "the and of", "de", "sB"),
+        (7, "the and", "en", "sB"),
+        (8, "the", "en", "sB"),
+        # tie: identical text for one en + one de -> equal margin
+        (9, "the and", "en", "sC"),
+        (10, "the and", "de", "sC"),
+        # single-class: must not appear
+        (11, "the and", "en", "sD"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"]).write.mode(
+        "overwrite"
+    ).parquet("/tmp/auc_docs/documents.parquet")
+    out = {r.source: r for r in T.q_classifier_auc(spark, "/tmp/auc_docs").collect()}
+    assert set(out) == {"sA", "sB", "sC"}
+    assert out["sA"].auc_ppm == 1_000_000
+    assert out["sB"].auc_ppm == 0
+    assert out["sC"].auc_ppm == 500_000
+    assert out["sA"].n_pos == 2 and out["sA"].n_neg == 2
+
+
+def test_phrase_search_lossless_and_counts(spark):
+    """Verification kills prefilter false positives (doc has both
+    bigrams but not the phrase); occurrence counting is the standard
+    non-overlapping left-to-right convention; multi-phrase batch."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import text as T
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s"),          # contains "a b c"
+            (2, "a b x b c", "s"),        # both bigrams, NOT the phrase
+            (3, "x a b c a b c y", "s"),  # two occurrences
+            (4, "a b c a b c a b c", "s"),
+            (5, "", "s"),
+            (6, "q r", "s"),              # matches second phrase
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = T.phrase_search(docs, ["a b c", "q r"])
+    got = {(r.phrase, r.doc_id): r.n_hits for r in out.collect()}
+    assert got == {
+        ("a b c", 1): 1,
+        ("a b c", 3): 2,
+        ("a b c", 4): 3,
+        ("q r", 6): 1,
+    }
+    with _pytest.raises(ValueError):
+        T.phrase_search(docs, ["single"])
