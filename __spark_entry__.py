@@ -213,6 +213,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # down is driver-certified green in some round r1-r6.
         # NEW-IN-ROUND-7 INSERTION POINT: add new entries HERE (they join
         # the r8 window; keep additions <= ~7 so the rotation stays closed).
+        # Round-7 total: 7 additions (tokenizer_fertility ...
+        # phrase_search) — the r8 window should open with these seven.
         "tokenizer_fertility": text.q_tokenizer_fertility,
         "ngram_novelty": text.q_ngram_novelty,
         "label_propagation": graph.q_label_propagation,

@@ -118,3 +118,27 @@ def test_winnow_pairs_empty(spark):
     out = dedup.winnow_pairs(docs)
     assert out.count() == 0
     assert set(out.columns) == {"id_a", "id_b", "n_shared"}
+
+
+def test_round7_late_ops_empty(spark):
+    """classifier_auc path and phrase_search over empty frames: empty
+    out, right schema, no crash."""
+    import pyspark.sql.types as T
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        text as Tx,
+    )
+
+    docs = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("source", T.StringType()),
+            ]
+        ),
+    )
+    out = Tx.phrase_search(docs, ["a b c"])
+    assert out.count() == 0
+    assert out.columns == ["phrase", "doc_id", "source", "n_hits"]

@@ -63,6 +63,9 @@ STRESS_QUERIES = [
     # round-6 new/rewritten winnow family: the 10-copy near-dup corpus
     # is adversarial here too (every family shares most fingerprints)
     "winnow_fingerprint", "dedup_winnow",
+    # round-7 additions: gram-volume-dependent novelty scan and the
+    # fixed-round graph propagation (both corpus-shape-dependent)
+    "ngram_novelty", "label_propagation",
 ]
 
 
