@@ -2055,22 +2055,30 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     leftover gram — the established cross-engine quirk), deduplicated
     per doc; novelty_ppm = (1e6 * n_novel) div n_grams, all longs.
 
-    Scale shape (the decontaminate posture): the gram array and its
-    companions are projected BELOW the explode (Generate re-evaluation
-    lesson); only md5 digests of grams travel through the two shuffles
-    (first-occurrence groupBy, per-doc recount) — document bodies never
-    shuffle.  Both aggs get map-side combine; the digest join is a
-    uniform 32-char key equi-join."""
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .filter(F.trim(F.col("text")) != "")
-    )
+    Scale shape (the decontaminate posture): only md5 digests of grams
+    travel through the two shuffles (first-occurrence groupBy, per-doc
+    recount) — document bodies never shuffle.  Both aggs get map-side
+    combine; the digest join is a uniform 32-char key equi-join.  The
+    interpreted-HOF gram build is the CPU bottleneck, so it gets BOTH
+    levers: the adaptive scan-spread for single-file layouts, and the
+    checkpoint barrier ON THE ARRAY PROJECTION — without it
+    CollapseProject inlines the build into the Generate and
+    InferFiltersFromGenerate pushes a ``size(build) > 0`` copy into
+    the scan, re-running the whole HOF chain per row (the
+    phrase_search pathology; measured 6.0 -> 1.1 s at sf0.1).  The
+    explode+md5 above the barrier replays once per branch, but over
+    stored arrays it is noise."""
+    from ..sources.readers import spread_if_narrow
+
+    docs = spread_if_narrow(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        spark.sparkContext.defaultParallelism,
+    ).filter(F.trim(F.col("text")) != "")
     grams = F.array_distinct(_positional_shingles("text", 3))
+    arr = docs.select("doc_id", grams.alias("_g")).localCheckpoint(eager=False)
     rows = (
-        docs.select("doc_id", grams.alias("_g"))
-        .select("doc_id", F.explode("_g").alias("_gram"))
+        arr.select("doc_id", F.explode("_g").alias("_gram"))
         .select("doc_id", F.md5("_gram").alias("_h"))
-        .localCheckpoint(eager=False)  # shared by both branches below
     )
     first = rows.groupBy("_h").agg(F.min("doc_id").alias("_first"))
     return (
