@@ -775,6 +775,46 @@ def test_containment_filter_stays_above_checkpoint(spark):
         )
 
 
+def test_inferred_size_filter_detector(spark):
+    """Sentinel + contract for the round-7 InferFiltersFromGenerate
+    pathology detector (tools/plan_audit.py count_filter_size_rebuild):
+    an explode whose array build got inlined by CollapseProject gains
+    an inferred ``size(build) > 0`` Filter that re-runs the whole
+    interpreted chain per row.  The PRE-fix ngram_novelty shape must
+    trip the detector; the fixed query (and phrase_search, the other
+    known victim) must be clean."""
+    import sys
+
+    from conftest import SF_SMALL
+
+    sys.path.insert(0, "tools")
+    from plan_audit import count_filter_size_rebuild
+
+    import pyspark.sql.functions as F
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.trim(F.col("text")) != ""
+    )
+    grams = F.array_distinct(text._positional_shingles("text", 3))
+    bad = (
+        docs.select("doc_id", grams.alias("_g"))
+        .select("doc_id", F.explode("_g").alias("_gram"))
+        .select("doc_id", F.md5("_gram").alias("_h"))
+    )
+    assert count_filter_size_rebuild(plan_of(bad)) >= 1, (
+        "detector no longer recognizes the inferred-size-filter shape — "
+        "fix tools/plan_audit.py before trusting the clean results below"
+    )
+
+    for q in (text.q_ngram_novelty, text.q_phrase_search):
+        assert count_filter_size_rebuild(plan_of(q(spark, SF_SMALL))) == 0, (
+            q.__name__
+        )
+
+
 def test_winnow_rejects_duplicate_ids(spark):
     """The sliding window is keyed by id, so duplicate ids would
     interleave gram streams into corrupt fingerprints — the in-plan

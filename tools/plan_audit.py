@@ -174,6 +174,36 @@ def count_generate_companions(plan: str) -> int:
     return hits
 
 
+def count_filter_size_rebuild(plan: str) -> int:
+    """Filter nodes that compute ``size(...)`` over an expression still
+    CONTAINING an expensive call — the InferFiltersFromGenerate
+    pathology (SCALE.md round-7, found on ngram_novelty/phrase_search):
+    Catalyst infers ``size(gen_input) > 0`` under an explode,
+    CollapseProject has already inlined the whole array build into the
+    generator input, and the inferred filter re-runs the build per row
+    — typically pushed to the scan, where single-file layouts also run
+    it serially.  Healthy plans filter on ``size(attr#id)`` of a
+    materialized column (the checkpoint-barrier fix), so any hit is a
+    rebuild.  FileScan ``DataFilters:`` echoes of the same predicate
+    are not double-counted — only Filter nodes are scanned."""
+    hits = 0
+    for line in plan.splitlines():
+        if "Filter (" not in line and "Filter isnotnull" not in line:
+            continue
+        if "FileScan" in line:
+            continue
+        start = 0
+        while True:
+            at = line.find("size(", start)
+            if at < 0:
+                break
+            arg = _paren_arg(line, at + len("size(") - 1)
+            if any(call in arg for call in _EXPENSIVE_CALLS):
+                hits += 1
+            start = at + len("size(")
+    return hits
+
+
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PLAN_AUDIT.json"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -187,6 +217,7 @@ def main() -> int:
         stats["codegen_spans"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
         stats["generate_companion_expr"] = count_generate_companions(plan)
         stats["window_noparts"] = count_nopart_windows(plan)
+        stats["filter_size_rebuild"] = count_filter_size_rebuild(plan)
         audit[name] = stats
     with open(out_path, "w") as fh:
         json.dump(audit, fh, indent=1, sort_keys=True)
@@ -196,11 +227,13 @@ def main() -> int:
         q for q, s in audit.items()
         if s["window_noparts"] and q not in NOPART_WINDOW_OK
     ]
+    n_size_rebuild = [q for q, s in audit.items() if s["filter_size_rebuild"]]
     print(f"{len(audit)} queries audited -> {out_path}")
     print(f"row-at-a-time Python in: {n_row_eval or 'NONE'}")
     print(f"Generate-companion-expr in: {n_gen or 'NONE'}")
     print(f"UNEXPLAINED no-partition windows in: {n_nopart or 'NONE'}")
-    return 1 if n_nopart else 0
+    print(f"inferred-size-filter rebuilds in: {n_size_rebuild or 'NONE'}")
+    return 1 if (n_nopart or n_size_rebuild) else 0
 
 
 if __name__ == "__main__":
