@@ -2461,7 +2461,7 @@ def oracle_sql() -> dict[str, str]:
         "jl_projection": (
             f"WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings), "
             f"p AS (SELECT vec_id, {_jl_proj_sql()} AS proj FROM q) "
-            "SELECT vec_id, proj, "
+            "SELECT vec_id, array_to_string(proj, ',') AS proj_csv, "
             "CAST(list_sum(list_transform(proj, x -> x * x)) AS BIGINT) "
             "AS norm2 FROM p"
         ),

@@ -791,12 +791,14 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the storage/ANN-prefilter trade (4x fewer dims on top of int8's 4x
     = 16x smaller than float32) used to cheapen near-dup and ANN
     candidate generation at 100 TB.  Hashed surface: the projected
-    integer vector plus its exact squared norm."""
+    integer vector (CSV-serialized — the harness's canonicalizer
+    requires atomic columns, and a comma-joined exact-integer string
+    is bijective with the array) plus its exact squared norm."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     proj = jl_project(quantize_embedding(F.col("embedding")), jl_sign_matrix())
     return emb.select("vec_id", proj.alias("proj")).select(
         "vec_id",
-        "proj",
+        F.concat_ws(",", F.col("proj").cast("array<string>")).alias("proj_csv"),
         F.aggregate(
             F.col("proj"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
         ).alias("norm2"),

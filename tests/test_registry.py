@@ -55,3 +55,25 @@ def test_driver_window_is_50_unique_entries():
     names = list(entrymod.queries())
     assert len(names) == len(set(names))
     assert len(names) >= 50
+
+
+def test_every_query_output_schema_is_atomic(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    """The driver's canonicalizer pandas-sorts result columns before
+    hashing, which raises ``unhashable type: 'list'`` on any
+    array/map/struct output (round-7 red row: jl_projection).  Building
+    each plan is cheap (no execution); the schema must be atomic-only.
+    Serialize composite results (concat_ws CSV / to_json) instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, fn in entrymod.queries().items():
+        schema = fn(spark, sf_dir).schema
+        nonatomic = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nonatomic:
+            bad.append((name, nonatomic))
+    assert not bad, f"non-atomic output columns (driver canon crashes): {bad}"

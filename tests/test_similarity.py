@@ -157,7 +157,7 @@ def test_jl_projection_exact_and_distance_preserving(spark):
         # HALF_UP (away from zero), matching Spark/DuckDB round()
         q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
         y = S @ q
-        assert list(y) == list(got[vid].proj)
+        assert ",".join(str(int(v)) for v in y) == got[vid].proj_csv
         assert int(y @ y) == got[vid].norm2
 
     ratios = [r.ratio_ppm for r in q_jl_distortion(spark, sf).collect()]

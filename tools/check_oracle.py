@@ -73,6 +73,22 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # The driver's canonicalizer pandas-sorts every column and
+            # crashes on array/map/struct values (r7 red: jl_projection)
+            # — mirror that strictness here so the replica gate can't
+            # pass what the driver would fail.
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            nonatomic = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if nonatomic:
+                raise TypeError(
+                    f"non-atomic output columns {nonatomic} — the driver's "
+                    "pandas canonicalizer cannot hash these"
+                )
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             failures.append(name)
