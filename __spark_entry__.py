@@ -594,17 +594,26 @@ def oracle_sql() -> dict[str, str]:
             "AS auc_ppm FROM a WHERE n_pos > 0 AND n_neg > 0"
         ),
         "phrase_search": (
-            # naive contains() scan over the fixed query batch; a hash
-            # match proves the Spark side's bigram-index prefilter
-            # lossless (phrase present => every word bigram present)
+            # naive token-subsequence scan over the fixed query batch
+            # (same whitespace tokenization as the Spark index AND its
+            # verification step — token-boundary-exact semantics); a
+            # hash match proves the bigram-index prefilter lossless
+            # (phrase tokens consecutive => every word bigram present)
             "WITH p(phrase) AS (VALUES ('fast sort key'), "
             "('merge batch part'), ('table window table'), "
-            "('scan slow fast')) "
-            "SELECT p.phrase, d.doc_id, d.source, "
-            "CAST((length(d.text) - length(replace(d.text, p.phrase, ''))) "
-            "// length(p.phrase) AS BIGINT) AS n_hits "
-            "FROM documents d CROSS JOIN p "
-            "WHERE contains(d.text, p.phrase)"
+            "('scan slow fast')), "
+            "d AS (SELECT doc_id, source, "
+            "regexp_split_to_array(trim(text), '\\s+') AS toks "
+            "FROM documents), "
+            "j AS (SELECT p.phrase, string_split(p.phrase, ' ') AS ptoks, "
+            "d.doc_id, d.source, d.toks FROM d CROSS JOIN p), "
+            "h AS (SELECT phrase, doc_id, source, "
+            "CASE WHEN len(toks) >= len(ptoks) THEN "
+            "len([i FOR i IN generate_series(1, len(toks) - len(ptoks) + 1) "
+            "IF toks[i : i + len(ptoks) - 1] = ptoks]) "
+            "ELSE 0 END AS n_hits FROM j) "
+            "SELECT phrase, doc_id, source, CAST(n_hits AS BIGINT) AS n_hits "
+            "FROM h WHERE n_hits > 0"
         ),
         "multimodal_dedup": (
             # md5 over the varchar's UTF-8 bytes == Spark's

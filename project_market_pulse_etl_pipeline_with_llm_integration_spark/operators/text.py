@@ -2170,13 +2170,21 @@ def phrase_search(
 ) -> DataFrame:
     """Batch phrase search via an inverted word-bigram index with
     verification — the positional-index query plan (Manning et al.,
-    IIR ch.2) re-expressed relationally: a doc can contain the phrase
+    IIR ch.2) re-expressed relationally: a doc can match the phrase
     only if it contains EVERY word bigram of the phrase, so the index
-    prefilter is lossless and the final ``contains`` check on the
+    prefilter is lossless and the final token-subsequence check on the
     (tiny) candidate set makes correctness independent of the filter.
 
-    Returns (phrase, id, n_hits) for every document whose raw text
-    contains each queried phrase, with the exact occurrence count.
+    Semantics are TOKEN-BOUNDARY-EXACT (round-7 advice): a match is
+    the phrase's whitespace-token sequence appearing as a consecutive
+    run in the document's whitespace tokens, and n_hits counts every
+    such position (overlaps included).  Index, verification, and the
+    oracle all share the ONE tokenization (split on ``\\s+``) — a raw
+    ``contains()`` check would differ on punctuated/compound tokens
+    ('sort key.' substring-matches 'sort key' but tokenizes apart),
+    which made the old prefilter claim false off this corpus.
+
+    Returns (phrase, id, n_hits) per matching document.
 
     Scale shape: the bigram postings are pruned to the queried grams
     INSIDE the scan projection (``array_intersect`` against a literal
@@ -2185,10 +2193,12 @@ def phrase_search(
     only (id, gram) skinny rows shuffle for the candidate agg; the
     query->gram table and the surviving candidates are both broadcast,
     so document bodies never shuffle — the verification scan reads
-    texts a second time but sends nothing anywhere.  Contract:
-    whitespace-normalized text (apply norm_text first for raw input)
-    and >= 2 words per phrase."""
+    texts a second time but sends nothing anywhere.  Contract: >= 2
+    whitespace-separated words per phrase; duplicate phrases are
+    deduplicated up front (a duplicate would double its gram rows and
+    break the n_hit == k candidate test)."""
     spark = docs.sparkSession
+    phrases = list(dict.fromkeys(phrases))
     pat_rows = []
     for p in phrases:
         ws = p.split()
@@ -2229,17 +2239,23 @@ def phrase_search(
         .select("phrase", "_id")
     )
     carry = [c for c in docs.columns if c != text_col]
+    # Token-subsequence verification: count positions i with
+    # toks[i..i+m-1] == phrase tokens.  sequence() descends when
+    # stop < start, so the short-doc case is guarded explicitly.
+    hits = F.expr(
+        f"CASE WHEN size(split(trim({text_col}), '\\\\s+')) >= "
+        "size(split(phrase, ' ')) THEN "
+        f"size(filter(sequence(1, size(split(trim({text_col}), '\\\\s+')) "
+        "- size(split(phrase, ' ')) + 1), "
+        f"i -> slice(split(trim({text_col}), '\\\\s+'), i, "
+        "size(split(phrase, ' '))) == split(phrase, ' '))) "
+        "ELSE 0 END"
+    ).cast("long")
     return (
         docs.join(F.broadcast(cand), F.col(id_col) == F.col("_id"))
-        .where(F.expr(f"contains({text_col}, phrase)"))
-        .select(
-            "phrase",
-            *carry,
-            F.expr(
-                f"(length({text_col}) - length(replace({text_col}, phrase, ''))) "
-                "div length(phrase)"
-            ).cast("long").alias("n_hits"),
-        )
+        .withColumn("n_hits", hits)
+        .where(F.col("n_hits") > 0)
+        .select("phrase", *carry, "n_hits")
     )
 
 

@@ -925,8 +925,10 @@ def test_classifier_auc_rank_sum(spark):
 
 def test_phrase_search_lossless_and_counts(spark):
     """Verification kills prefilter false positives (doc has both
-    bigrams but not the phrase); occurrence counting is the standard
-    non-overlapping left-to-right convention; multi-phrase batch."""
+    bigrams but not the phrase); semantics are token-boundary-exact
+    (advice r7: punctuated/compound tokens do NOT substring-match);
+    occurrence counting includes overlapping positions; duplicate
+    phrases in the batch are deduplicated, not silently zeroed."""
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import text as T
     import pytest as _pytest
 
@@ -938,16 +940,22 @@ def test_phrase_search_lossless_and_counts(spark):
             (4, "a b c a b c a b c", "s"),
             (5, "", "s"),
             (6, "q r", "s"),              # matches second phrase
+            (7, "a b c. d", "s"),         # punctuated token: 'c.' != 'c'
+            (8, "xa b c d", "s"),         # compound token: 'xa' != 'a'
+            (9, "a b a b a", "s"),        # overlapping 'a b a' x2
+            (10, "  a   b\tc  ", "s"),    # ragged whitespace still matches
         ],
         ["doc_id", "text", "source"],
     )
-    out = T.phrase_search(docs, ["a b c", "q r"])
+    out = T.phrase_search(docs, ["a b c", "q r", "a b a", "q r"])
     got = {(r.phrase, r.doc_id): r.n_hits for r in out.collect()}
     assert got == {
         ("a b c", 1): 1,
         ("a b c", 3): 2,
         ("a b c", 4): 3,
+        ("a b c", 10): 1,
         ("q r", 6): 1,
+        ("a b a", 9): 2,
     }
     with _pytest.raises(ValueError):
         T.phrase_search(docs, ["single"])
