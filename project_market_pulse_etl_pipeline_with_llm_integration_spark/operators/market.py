@@ -248,13 +248,16 @@ def _ntile_from_rank(rn: F.Column, n: int, k: int) -> F.Column:
     boundary = (q + 1) * r
     if q == 0:
         return rn
-    # integer `div` (not /): ranks are positive longs, truncation == floor
+    # true integer `div` (advice r7): float `/` + cast happened to be
+    # exact for realistic magnitudes but contradicted the all-integer
+    # determinism rule; IntegralDivide keeps every step in longs.
+    def _idiv(a: F.Column, b: int) -> F.Column:
+        return F.call_function("div", a, F.lit(b))
+
     return F.when(
         rn <= F.lit(boundary),
-        ((rn - 1) / F.lit(q + 1)).cast("long") + 1,
-    ).otherwise(
-        F.lit(r) + ((rn - F.lit(boundary) - 1) / F.lit(q)).cast("long") + 1
-    )
+        _idiv(rn - 1, q + 1) + 1,
+    ).otherwise(F.lit(r) + _idiv(rn - F.lit(boundary) - 1, q) + 1)
 
 
 def rfm_scores(per_cust: DataFrame, method: str = "window") -> DataFrame:

@@ -1084,12 +1084,21 @@ def semantic_decontaminate_lsh(
     by test (tests/test_similarity.py) — the composition proof the
     SCALE.md escalation note promises.
 
+    ``multi_probe`` = the maximum Hamming radius of the probe set
+    (advice r7 — it was previously capped at radius 1 whatever the
+    value): radius t probes every bucket within t bit flips of the
+    benchmark item's own bucket, sum_{j<=t} C(n_planes, j) buckets
+    total, trading join fan-out for recall exactly like multi-probe
+    LSH (Lv et al., VLDB'07).  ``multi_probe=0`` probes only the home
+    bucket.
+
     Scale posture: each (corpus, benchmark) pair can match at most ONE
-    probe bucket (the probe set {b, b^2^j} is pairwise distinct while
-    the corpus item owns a single bucket), so no pair dedup shuffle is
-    needed before the per-pair scorer; the bucket join is a plain
-    equi-join AQE can pick a strategy for — nothing is forced broadcast
-    in this regime."""
+    probe bucket (the XOR masks are pairwise-distinct subsets of the
+    plane bits, so {b ^ m} is pairwise distinct while the corpus item
+    owns a single bucket), so no pair dedup shuffle is needed before
+    the per-pair scorer; the bucket join is a plain equi-join AQE can
+    pick a strategy for — nothing is forced broadcast in this
+    regime."""
     def _norm(c: Column) -> Column:
         return F.sqrt(
             F.aggregate(
@@ -1103,9 +1112,14 @@ def semantic_decontaminate_lsh(
         _norm(F.col(vec_col)).alias("_bn"),
         _bucket_expr(F.col(vec_col), dim, n_planes, seed).alias("_b0"),
     )
-    probes = [F.col("_b0")]
-    if multi_probe >= 1:
-        probes += [F.col("_b0").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    from itertools import combinations
+
+    masks = [0] + [
+        sum(1 << j for j in bits)
+        for t in range(1, max(0, multi_probe) + 1)
+        for bits in combinations(range(n_planes), t)
+    ]
+    probes = [F.col("_b0").bitwiseXOR(F.lit(m)) for m in masks]
     bench_probed = bench.select(
         "_bid", "_bvec", "_bn", F.explode(F.array(*probes)).alias("_bkt")
     )

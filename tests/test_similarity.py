@@ -344,3 +344,28 @@ def test_semantic_decontaminate_lsh_escalation(spark):
             assert e.contaminated
     # identical vectors share every sign bit -> same bucket -> caught
     assert pruned[50].contaminated and pruned[50].max_benchmark_cos == 1.0
+
+    # multi_probe is a true Hamming RADIUS (advice r7): deeper probing
+    # monotonically widens the candidate set, and radius n_planes
+    # probes every bucket -> zero pruning -> equal to the exact path.
+    def n_scored(mp):
+        return sum(
+            r.max_benchmark_cos is not None
+            for r in semantic_decontaminate_lsh(
+                corpus, bench, threshold=0.6, dim=dim, n_planes=4,
+                multi_probe=mp,
+            ).collect()
+        )
+
+    counts = [n_scored(mp) for mp in (0, 1, 2, 4)]
+    assert counts == sorted(counts), counts
+    everything = {
+        r.vec_id: r
+        for r in semantic_decontaminate_lsh(
+            corpus, bench, threshold=0.6, dim=dim, n_planes=4, multi_probe=4
+        ).collect()
+    }
+    for vid, e in exact.items():
+        v = everything[vid]
+        assert v.max_benchmark_cos == e.max_benchmark_cos
+        assert v.n_benchmark_hits == e.n_benchmark_hits

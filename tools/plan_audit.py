@@ -92,25 +92,55 @@ def count_nopart_windows(plan: str) -> int:
     Partition and order groups are told apart by the sort-direction
     tokens only order specs carry.
 
-    A global window directly above ``TakeOrderedAndProject`` /
+    A global window above ``TakeOrderedAndProject`` /
     ``WindowGroupLimit`` / a Limit is NOT counted: Catalyst's top-k
     rewrite (LimitPushDownThroughWindow / InferWindowGroupLimit) means
     every upstream partition contributes at most k rows, so the single
     task sees O(k) input — the distributed top-k plan, fine at any
     scale.  Only an UNGUARDED global window funnels a full-size frame
-    through one task."""
+    through one task.
+
+    The guard is found by scanning DOWN past pass-through nodes (Sort,
+    Exchange, Project, codegen/adapter wrappers — Spark prints a Sort
+    between the Window and its limit) to the first materializing child
+    (advice r7): checking only the immediate next line both miscounted
+    guarded top-k plans (loud false positive, guard hidden behind the
+    Sort) and let an unrelated Limit directly below an unguarded
+    window suppress a real hit (silent false negative)."""
+    passthrough = (
+        "Sort ", "Sort[", "Exchange", "ShuffleQueryStage", "AQEShuffleRead",
+        "InputAdapter", "WholeStageCodegen", "Project", "ColumnarToRow",
+        "ReusedExchange", "Coalesce",
+    )
+    guards = ("TakeOrderedAndProject", "WindowGroupLimit", "LocalLimit",
+              "GlobalLimit")
+
+    def _node(line: str) -> str:
+        # strip tree-drawing prefix (spaces, +- : * and codegen ids)
+        i = 0
+        while i < len(line) and line[i] in " +-:*()0123456789":
+            i += 1
+        return line[i:]
+
+    def _guarded(lines: list[str], idx: int) -> bool:
+        for nxt in lines[idx + 1 : idx + 12]:
+            node = _node(nxt)
+            if not node:
+                continue
+            if any(node.startswith(g) for g in guards):
+                return True
+            if any(node.startswith(p) for p in passthrough):
+                continue
+            return False  # first materializing child is not a guard
+        return False
+
     hits = 0
     lines = plan.splitlines()
     for idx, line in enumerate(lines):
         at = line.find("Window [")
         if at < 0:
             continue
-        child = lines[idx + 1] if idx + 1 < len(lines) else ""
-        if any(
-            g in child
-            for g in ("TakeOrderedAndProject", "WindowGroupLimit",
-                      "LocalLimit", "GlobalLimit")
-        ):
+        if _guarded(lines, idx):
             continue
         rest = line[at + len("Window ") :]
         groups, buf, depth = [], [], 0
