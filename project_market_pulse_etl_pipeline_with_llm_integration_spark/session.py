@@ -98,6 +98,21 @@ def get_spark(
         # Runtime Bloom-filter pushdown: big⋈selective-side shuffle joins
         # pre-filter the probe side at the scan — a large win at 100 TB.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # InferFiltersFromGenerate is a structural pessimization for
+        # this engine: every Generate input here is a COMPUTED array
+        # (tokenize/shingle pipelines), so the inferred size(...) > 0
+        # filter re-evaluates the whole array build once more per row
+        # (and CollapseProject pushes it into the scan) — the round-6/7
+        # pathology behind the ngram_novelty 6.0->1.4 s and
+        # dedup_containment 3.7->1.3 s fixes.  Exploding an empty array
+        # already emits no rows, so the rule never prunes shuffle
+        # volume; excluding it cannot change results, only plans.  The
+        # rule would only help on STORED array columns scanned with a
+        # pushable filter, which no query here has.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

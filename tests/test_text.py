@@ -799,14 +799,33 @@ def test_inferred_size_filter_detector(spark):
         F.trim(F.col("text")) != ""
     )
     grams = F.array_distinct(text._positional_shingles("text", 3))
-    bad = (
-        docs.select("doc_id", grams.alias("_g"))
-        .select("doc_id", F.explode("_g").alias("_gram"))
-        .select("doc_id", F.md5("_gram").alias("_h"))
-    )
-    assert count_filter_size_rebuild(plan_of(bad)) >= 1, (
-        "detector no longer recognizes the inferred-size-filter shape — "
-        "fix tools/plan_audit.py before trusting the clean results below"
+
+    def bad():
+        # fresh frame each time — queryExecution is cached per
+        # DataFrame, so conf changes need a rebuild to show
+        return (
+            docs.select("doc_id", grams.alias("_g"))
+            .select("doc_id", F.explode("_g").alias("_gram"))
+            .select("doc_id", F.md5("_gram").alias("_h"))
+        )
+
+    # The session now EXCLUDES InferFiltersFromGenerate outright
+    # (session.py, round 8), so the bad shape can only be constructed
+    # with the rule temporarily re-enabled — which doubles as a check
+    # that the exclusion is what keeps the default plans clean.
+    key = "spark.sql.optimizer.excludedRules"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "")
+        assert count_filter_size_rebuild(plan_of(bad())) >= 1, (
+            "detector no longer recognizes the inferred-size-filter shape "
+            "— fix tools/plan_audit.py before trusting the clean results"
+        )
+    finally:
+        spark.conf.set(key, prev or "")
+    assert count_filter_size_rebuild(plan_of(bad())) == 0, (
+        "excludedRules=InferFiltersFromGenerate no longer suppresses the "
+        "re-evaluation filter — session.py config regressed"
     )
 
     for q in (text.q_ngram_novelty, text.q_phrase_search):
