@@ -170,6 +170,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_projection": similarity.q_jl_projection,
         # NEW-IN-ROUND-8 INSERTION POINT: add new entries HERE (keep
         # additions <= ~7 so they stay inside the 50-entry window).
+        "kcore_peel": graph.q_kcore_peel,
+        "hard_negative_mining": similarity.q_hard_negative_mining,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
@@ -2848,6 +2850,49 @@ def oracle_sql() -> dict[str, str]:
         # int8-quantized brute-force retrieval: dot/norms are exact
         # int64 over quantized components; positional double-unnest
         # zips the two lists in DuckDB
+        # fixed-round k=3 peeling unrolled (the label_propagation /
+        # shortest_hops recipe): per round, keep nodes with deg >= 3
+        # and edges whose BOTH endpoints survive
+        "kcore_peel": (
+            "WITH rel AS (SELECT DISTINCT o_custkey AS cust, -l_suppkey AS supp "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+            "e0 AS (SELECT cust AS src, supp AS dst FROM rel "
+            "UNION ALL SELECT supp, cust FROM rel), "
+            "k1 AS (SELECT src AS node FROM e0 GROUP BY 1 HAVING COUNT(*) >= 3), "
+            "e1 AS (SELECT e.src, e.dst FROM e0 e JOIN k1 a ON e.src = a.node "
+            "JOIN k1 b ON e.dst = b.node), "
+            "k2 AS (SELECT src AS node FROM e1 GROUP BY 1 HAVING COUNT(*) >= 3), "
+            "e2 AS (SELECT e.src, e.dst FROM e1 e JOIN k2 a ON e.src = a.node "
+            "JOIN k2 b ON e.dst = b.node), "
+            "k3 AS (SELECT src AS node FROM e2 GROUP BY 1 HAVING COUNT(*) >= 3), "
+            "e3 AS (SELECT e.src, e.dst FROM e2 e JOIN k3 a ON e.src = a.node "
+            "JOIN k3 b ON e.dst = b.node), "
+            "k4 AS (SELECT src AS node FROM e3 GROUP BY 1 HAVING COUNT(*) >= 3), "
+            "e4 AS (SELECT e.src, e.dst FROM e3 e JOIN k4 a ON e.src = a.node "
+            "JOIN k4 b ON e.dst = b.node) "
+            "SELECT CAST(1 AS BIGINT) AS round, CAST(COUNT(DISTINCT src) AS BIGINT) "
+            "AS n_nodes, CAST(COUNT(*) AS BIGINT) AS n_edges FROM e1 "
+            "UNION ALL SELECT 2, COUNT(DISTINCT src), COUNT(*) FROM e2 "
+            "UNION ALL SELECT 3, COUNT(DISTINCT src), COUNT(*) FROM e3 "
+            "UNION ALL SELECT 4, COUNT(DISTINCT src), COUNT(*) FROM e4"
+        ),
+        # naive different-label top-5 per anchor over exact int8 dots
+        "hard_negative_mining": (
+            f"WITH a AS (SELECT vec_id AS anchor_id, label AS alabel, {_QV} AS aqv "
+            "FROM embeddings WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 8), "
+            f"e AS (SELECT vec_id, label, {_QV} AS qv FROM embeddings), "
+            "z AS (SELECT a.anchor_id, e.vec_id, e.label, unnest(a.aqv) AS x, "
+            "unnest(e.qv) AS y FROM a CROSS JOIN e WHERE e.label <> a.alabel), "
+            "d AS (SELECT anchor_id, vec_id, label, "
+            "CAST(sum(CAST(x AS BIGINT) * y) AS BIGINT) AS dot, "
+            "CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS na, "
+            "CAST(sum(CAST(y AS BIGINT) * y) AS BIGINT) AS nb "
+            "FROM z GROUP BY 1, 2, 3) "
+            "SELECT anchor_id, CAST(row_number() OVER (PARTITION BY anchor_id "
+            "ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS BIGINT) "
+            "AS neg_rank, vec_id AS negative_id, label AS negative_label, "
+            "dot, na, nb FROM d QUALIFY neg_rank <= 5"
+        ),
         "ann_quantized": (
             f"WITH q AS (SELECT vec_id AS query_id, {_QV} AS qqv FROM embeddings "
             "ORDER BY vec_id LIMIT 3), "

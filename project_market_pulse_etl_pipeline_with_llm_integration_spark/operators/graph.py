@@ -260,6 +260,65 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return labels
 
 
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 4) -> list[DataFrame]:
+    """Fixed-round k-core peeling (Seidman 1983 / the Batagelj-Zaversnik
+    iterative form): each round drops every node with degree < k and
+    all incident edges, for exactly ``rounds`` synchronous rounds — the
+    graph-sparsification gate that bounds any downstream triangle /
+    community join to the dense core.  Fixed rounds (not to-fixpoint)
+    keep the contract engine-exact, the pagerank / label_propagation /
+    BFS recipe; the peeling sequence is monotone (edge sets only
+    shrink), so round r is the true k-core whenever it equals round
+    r-1, and the caller can see convergence directly in the profile.
+
+    Input edges must be BIDIRECTIONAL (both directions present, the
+    ``trade_edges`` layout), so out-degree == degree and every live
+    node appears as a src.  Returns the per-round edge frames
+    [e_1 .. e_rounds]; each sits behind a lazy localCheckpoint so a
+    profile query touching all rounds computes every round ONCE
+    (without the pin, round-1 stats would re-derive inside round-4's
+    lineage — the pagerank loop-invariant lesson).
+
+    Plan shape per round: one degree hash-agg (map-side combine) + two
+    semi-joins keyed by node — bounded keyed shuffles of the CURRENT
+    edge set, which only shrinks; never all-pairs, no windows."""
+    out: list[DataFrame] = []
+    e = edges.select("src", "dst")
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src").agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        out.append(e)
+    return out
+
+
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peeling profile of the trade graph at k=3: one row per round
+    with the surviving node and (directed) edge counts — all exact
+    longs.  Cited parity: reference has no graph ops (Main.py is a
+    pandas ETL); this is north-star extension surface."""
+    edges = trade_edges(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    ).localCheckpoint(eager=False)
+    stats = None
+    for i, e in enumerate(kcore_peel(edges, k=3, rounds=4), start=1):
+        row = e.agg(
+            F.count_distinct("src").cast("long").alias("n_nodes"),
+            F.count("*").cast("long").alias("n_edges"),
+        ).select(F.lit(i).cast("long").alias("round"), "n_nodes", "n_edges")
+        stats = row if stats is None else stats.unionAll(row)
+    return stats
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community sizes after 3 label-propagation rounds on the trade
     graph — hashed contract is (community, n_members), all longs."""

@@ -905,6 +905,85 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negative_mining(
+    emb: DataFrame,
+    anchors: DataFrame,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (Robinson et al.
+    2021 / the in-batch-negatives upgrade every retrieval trainer
+    runs): for each ANCHOR vector, the ``top_k`` most-similar corpus
+    vectors whose label DIFFERS — the negatives that actually move the
+    loss, versus random negatives that are trivially separable.
+
+    Exactness: the ann_quantized contract — int8-quantized components
+    make dot products and squared norms exact int64, ranking is
+    (dot/(√na·√nb), vec_id) over exact ints, so every hashed column is
+    engine-exact.
+
+    Scale shape: anchors are a FIXED-budget frame (contract: small —
+    hundreds to low thousands, like semantic_decontaminate's
+    benchmark) broadcast across one corpus scan; the label-mismatch
+    filter prunes before scoring; per-anchor top-k runs as a window
+    over the scored stream partitioned by anchor — at 100 TB compose
+    with the IVF/LSH candidate generators (ann_ivf / lsh_topk) exactly
+    like semantic_decontaminate_lsh composes its prefilter, scorer
+    unchanged."""
+    qemb = emb.select(
+        F.col(id_col), F.col(label_col),
+        quantize_embedding(F.col(vec_col)).alias("_qv"),
+    )
+    anc = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_alabel"),
+        quantize_embedding(F.col(vec_col)).alias("_aqv"),
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("long") * x),
+        F.lit(0).cast("long"), lambda s, x: s + x,
+    )
+    dot = F.aggregate(
+        F.zip_with("_qv", "_aqv", lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"), lambda s, x: s + x,
+    )
+    scored = (
+        qemb.crossJoin(F.broadcast(anc))
+        .filter(F.col(label_col) != F.col("_alabel"))
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("negative_label"),
+            dot.alias("dot"),
+            sq(F.col("_aqv")).alias("na"),
+            sq(F.col("_qv")).alias("nb"),
+        )
+        .withColumn("qcos", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+    )
+    w = W.partitionBy("anchor_id").orderBy(
+        F.col("qcos").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= top_k)
+        .select(
+            "anchor_id", "neg_rank", "negative_id", "negative_label",
+            "dot", "na", "nb",
+        )
+    )
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hard negatives (different-label nearest neighbors) for a
+    deterministic 8-anchor slice (vec_id % 97 == 0 capped to the 8
+    smallest ids — fixed budget at any sf)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") % 97 == 0).orderBy("vec_id").limit(8)
+    return hard_negative_mining(emb, anchors, top_k=5)
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representation-drift monitor — the EMBEDDING sibling of
     source_drift's categorical PSI: bucket every vector by the SIGN

@@ -643,3 +643,33 @@ def test_ntile_from_rank_matches_spark_ntile(spark):
         assert {tuple(r) for r in got.collect()} == {
             tuple(r) for r in want.collect()
         }, f"n={n}"
+
+
+def test_kcore_peel_known_graph(spark):
+    """Hand-checkable graph: a 4-clique (the 3-core) plus a pendant
+    path.  Round 1 drops the path tail, round 2 drops the rest of the
+    path, and the clique survives every round unchanged; a node losing
+    neighbors to peeling must itself peel in a LATER round (the
+    synchronous-rounds contract)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # 4-clique
+           (4, 5), (5, 6), (6, 7)]                          # pendant path
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    rounds = kcore_peel(edges, k=3, rounds=4)
+    nodes = [
+        sorted(r.src for r in e.select("src").distinct().collect())
+        for e in rounds
+    ]
+    # round 1: deg(5)=2, deg(6)=2, deg(7)=1 all < 3 -> path peels at
+    # once EXCEPT node 4 keeps clique degree 3; synchronous semantics
+    # mean 5/6/7 vanish together in round 1
+    assert nodes[0] == [1, 2, 3, 4]
+    # fixpoint reached: later rounds identical (the convergence signal)
+    assert nodes[1] == nodes[2] == nodes[3] == [1, 2, 3, 4]
+    n_edges = rounds[0].count()
+    assert n_edges == 12  # 6 undirected clique edges, both directions

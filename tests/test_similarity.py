@@ -369,3 +369,57 @@ def test_semantic_decontaminate_lsh_escalation(spark):
         v = everything[vid]
         assert v.max_benchmark_cos == e.max_benchmark_cos
         assert v.n_benchmark_hits == e.n_benchmark_hits
+
+
+def test_hard_negative_mining_contract(spark):
+    """Negatives never share the anchor's label, ranks are dense 1..k,
+    Cauchy-Schwarz holds on the exact integer arithmetic, and the
+    top-1 negative beats any other different-label vector on the
+    cosine ordering (verified against a python recompute)."""
+    import math
+    from collections import defaultdict
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    dim = 8
+
+    def vec(seed):
+        return [(((seed * 31 + i * 7) % 17) - 8) / 8.0 for i in range(dim)]
+
+    rows = [(i, vec(i), i % 3) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    anchors = emb.filter("vec_id < 3")
+    out = hard_negative_mining(emb, anchors, top_k=4).collect()
+
+    labels = {i: lb for i, _, lb in rows}
+    per_anchor = defaultdict(list)
+    for r in out:
+        assert r.negative_label != labels[r.anchor_id]
+        assert r.dot * r.dot <= r.na * r.nb
+        per_anchor[r.anchor_id].append((r.neg_rank, r.negative_id))
+    assert set(per_anchor) == {0, 1, 2}
+    for aid, pairs in per_anchor.items():
+        assert sorted(rk for rk, _ in pairs) == [1, 2, 3, 4]
+
+    # python recompute of the best negative for anchor 0 (HALF_UP
+    # away-from-zero rounding, matching Spark/DuckDB round())
+    def q(v):
+        return [
+            int(math.copysign(math.floor(abs(max(min(x, 1.0), -1.0) * 127.0) + 0.5), x))
+            for x in v
+        ]
+
+    a = q(vec(0))
+    best = max(
+        (r for r in rows if r[2] != labels[0]),
+        key=lambda r: (
+            sum(x * y for x, y in zip(a, q(r[1])))
+            / (math.sqrt(sum(x * x for x in a))
+               * math.sqrt(sum(y * y for y in q(r[1])))),
+            -r[0],
+        ),
+    )
+    got_top1 = next(nid for rk, nid in per_anchor[0] if rk == 1)
+    assert got_top1 == best[0]
