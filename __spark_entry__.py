@@ -172,6 +172,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additions <= ~7 so they stay inside the 50-entry window).
         "kcore_peel": graph.q_kcore_peel,
         "hard_negative_mining": similarity.q_hard_negative_mining,
+        "perplexity_kn": text.q_perplexity_kn,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
@@ -3139,6 +3140,34 @@ def oracle_sql() -> dict[str, str]:
         # hashed; backoff constant CAST AS DOUBLE per the determinism
         # rule (a DECIMAL 0.4 would multiply exactly where Spark
         # multiplies in binary double)
+        # interpolated Kneser-Ney, D=0.75: the per-term double is the
+        # SAME expression tree as the Spark side, floor-scaled to a
+        # long per term before the doc sum (order-independent hash)
+        "perplexity_kn": (
+            f"WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents "
+            "WHERE trim(text) <> ''), "
+            "bg AS (SELECT doc_id, tk[CAST(i AS INTEGER)] AS v, "
+            "tk[CAST(i AS INTEGER) + 1] AS w FROM base, "
+            "unnest(generate_series(1, len(tk) - 1)) AS u(i)), "
+            "bc AS (SELECT v, w, count(*) AS c_vw FROM bg GROUP BY 1, 2), "
+            "ctx AS (SELECT v, sum(c_vw) AS c_v, count(*) AS n1_v "
+            "FROM bc GROUP BY 1), "
+            "cont AS (SELECT w, count(*) AS n1_w FROM bc GROUP BY 1), "
+            "tt AS (SELECT count(*) AS t_types FROM bc), "
+            "s AS (SELECT bg.doc_id, CAST(floor(-ln("
+            "(greatest(CAST(bc.c_vw AS DOUBLE) - 0.75, 0.0) "
+            "+ (0.75 * ctx.n1_v) * (CAST(cont.n1_w AS DOUBLE) / tt.t_types)) "
+            "/ ctx.c_v) * 1000000.0) AS BIGINT) AS nll "
+            "FROM bg JOIN bc USING (v, w) JOIN ctx USING (v) "
+            "JOIN cont USING (w) CROSS JOIN tt), "
+            "g AS (SELECT doc_id, sum(nll) AS sum_nll_1e6, "
+            "count(*) AS n_bigrams FROM s GROUP BY 1) "
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+            "CAST(sum_nll_1e6 AS DOUBLE) / n_bigrams DESC, doc_id) AS BIGINT) "
+            "AS kn_rank, CAST(sum_nll_1e6 AS BIGINT) AS sum_nll_1e6, "
+            "CAST(n_bigrams AS BIGINT) AS n_bigrams FROM g "
+            "QUALIFY kn_rank <= 50"
+        ),
         "perplexity_bigram": (
             f"WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents "
             "WHERE trim(text) <> ''), "

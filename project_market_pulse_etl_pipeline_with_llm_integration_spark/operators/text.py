@@ -1842,6 +1842,36 @@ def q_vocab_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tokenized_docs(df: DataFrame) -> DataFrame:
+    """ONE tokenization pass, lazily pinned: the regexp split is the
+    dominant per-row cost and this frame feeds the bigram stream, the
+    model counts, and the unigram counts — without the pin it re-runs
+    once per consumer (measured 4 scans -> 1 at sf0.1, the r5
+    plan-audit finding).  Skinny payload (id + token array): a bounded
+    spill, never document bodies."""
+    return (
+        df.filter(F.trim("text") != "")
+        .select("doc_id", tokens("text").alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _bigram_stream(tok_docs: DataFrame) -> DataFrame:
+    """(doc_id, v, w) bigram rows from the pinned token arrays — a
+    zero-shuffle zip of the array with itself shifted (the
+    bpe_pair_counts trick)."""
+    return tok_docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.v", "bg.w")
+
+
 def bigram_nll_scores(docs: DataFrame, model_docs: DataFrame | None = None) -> DataFrame:
     """Per-document bigram stupid-backoff scores (sum_nll, n_bigrams,
     n_backoff, avg_nll) — the scoring core of ``q_perplexity_bigram``.
@@ -1855,31 +1885,7 @@ def bigram_nll_scores(docs: DataFrame, model_docs: DataFrame | None = None) -> D
     SENSITIVITY against a fixed model (a token-reversed doc keeps its
     unigram score but collapses here; note the union-scored form
     would NOT show this — mirrored copies symmetrize the model)."""
-    def _tokenized(df: DataFrame) -> DataFrame:
-        # ONE tokenization pass, lazily pinned: the regexp split is the
-        # dominant per-row cost and this frame feeds the bigram stream,
-        # the model counts, and the unigram counts — without the pin it
-        # re-runs once per consumer (measured 4 scans -> 1 at sf0.1,
-        # the r5 plan-audit finding).  Skinny payload (id + token
-        # array): a bounded spill, never document bodies.
-        return (
-            df.filter(F.trim("text") != "")
-            .select("doc_id", tokens("text").alias("toks"))
-            .localCheckpoint(eager=False)
-        )
-
-    def _bigrams(tok_docs: DataFrame) -> DataFrame:
-        return tok_docs.select(
-            "doc_id",
-            F.explode(
-                F.zip_with(
-                    F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
-                    F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
-                    lambda a, b: F.struct(a.alias("v"), b.alias("w")),
-                )
-            ).alias("bg"),
-        ).select("doc_id", "bg.v", "bg.w")
-
+    _tokenized, _bigrams = _tokenized_docs, _bigram_stream
     tok_docs = _tokenized(docs)
     pairs = _bigrams(tok_docs)
     # self-scored: the model's bigram stream IS the scoring stream —
@@ -1932,6 +1938,82 @@ def bigram_nll_scores(docs: DataFrame, model_docs: DataFrame | None = None) -> D
         )
         .withColumn("avg_nll", F.col("sum_nll") / F.col("n_bigrams"))
     )
+
+
+def kn_bigram_scores(docs: DataFrame, discount: float = 0.75) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram scores (Kneser &
+    Ney 1995; Chen & Goodman 1998 eq. 4.25) — the smoothing that
+    replaced stupid backoff wherever perplexity itself matters,
+    because the continuation probability models HOW MANY contexts a
+    word follows, not how often it occurs ('Francisco' is frequent but
+    only ever follows 'San'):
+
+        p(w|v) = (max(c(vw) - D, 0) + D · N1+(v·) · Pcont(w)) / c(v)
+        Pcont(w) = N1+(·w) / |bigram types|
+
+    with c(v) = sum_w c(vw) (context totals), N1+(v·) = distinct
+    continuations of v, N1+(·w) = distinct contexts of w.  Self-scored
+    over the corpus, so every c(vw) >= 1 and p is always positive —
+    no extra unseen branch.
+
+    Determinism: the perplexity_bigram playbook — all model inputs are
+    exact integer counts, the per-token double is ONE fixed expression
+    tree evaluated identically by Spark and DuckDB, and each term is
+    floor-scaled to an integer BEFORE the per-doc sum, so the hashed
+    longs are order-independent and engine-exact.
+
+    Plan shape: one tokenization pass pinned, one bigram-keyed count
+    agg; context totals / continuation counts / the type total are all
+    DERIVED from that aggregated (small) table and broadcast back onto
+    the scoring stream — the corpus shuffles once, the model never
+    exceeds vocabulary scale."""
+    tok_docs = _tokenized_docs(docs)
+    pairs = _bigram_stream(tok_docs)
+    big_cnt = pairs.groupBy("v", "w").agg(F.count("*").alias("c_vw"))
+    big_cnt = big_cnt.localCheckpoint(eager=False)  # feeds 4 consumers
+    ctx = big_cnt.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count("*").alias("n1_v")
+    )
+    cont = big_cnt.groupBy("w").agg(F.count("*").alias("n1_w"))
+    types = big_cnt.agg(F.count("*").alias("t_types"))
+    scored = (
+        pairs.join(big_cnt, ["v", "w"])
+        .join(F.broadcast(ctx), "v")
+        .join(F.broadcast(cont), "w")
+        .crossJoin(F.broadcast(types))
+    )
+    # ONE expression tree, mirrored verbatim in the oracle SQL
+    p = (
+        F.greatest(F.col("c_vw").cast("double") - F.lit(discount), F.lit(0.0))
+        + (F.lit(discount) * F.col("n1_v"))
+        * (F.col("n1_w").cast("double") / F.col("t_types"))
+    ) / F.col("c_v")
+    nll_1e6 = F.floor(-F.log(p) * 1e6).cast("long")
+    return (
+        scored.select("doc_id", nll_1e6.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nll").cast("long").alias("sum_nll_1e6"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+        .withColumn("avg_nll", F.col("sum_nll_1e6") / F.col("n_bigrams"))
+    )
+
+
+def q_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by Kneser-Ney bigram NLL — the high-perplexity
+    slice a KN-smoothed quality gate would drop first.  Hashed
+    contract: rank + exact longs (sum_nll_1e6, n_bigrams)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = kn_bigram_scores(docs)
+    top = per_doc.orderBy(F.col("avg_nll").desc(), "doc_id").limit(50)
+    rank_w = Window.orderBy(F.col("avg_nll").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        F.row_number().over(rank_w).cast("long").alias("kn_rank"),
+        "sum_nll_1e6",
+        "n_bigrams",
+    ).orderBy("kn_rank")
 
 
 def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:

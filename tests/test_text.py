@@ -978,3 +978,30 @@ def test_phrase_search_lossless_and_counts(spark):
     }
     with _pytest.raises(ValueError):
         T.phrase_search(docs, ["single"])
+
+
+def test_kn_bigram_scores_hand_computed(spark):
+    """Tiny corpus where the interpolated KN formula is checkable by
+    hand: bigrams (a,b)x2, (a,c)x1 give c(a.)=3, N1+(a.)=2, types=2,
+    Pcont(b)=Pcont(c)=1/2, so p(b|a)=(1.25+0.75)/3=2/3 and
+    p(c|a)=(0.25+0.75)/3=1/3; per-term floors of -ln(p)*1e6 are exact
+    longs.  Also: the continuation distribution spends exactly the
+    discounted mass (sum of seen p(w|v) = 1 - unseen continuation
+    share)."""
+    import math
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        kn_bigram_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in kn_bigram_scores(docs).collect()}
+    nll_ab = math.floor(-math.log(2.0 / 3.0) * 1e6)  # 405465
+    nll_ac = math.floor(-math.log(1.0 / 3.0) * 1e6)  # 1098612
+    assert got[1].sum_nll_1e6 == nll_ab and got[1].n_bigrams == 1
+    assert got[2].sum_nll_1e6 == nll_ab
+    assert got[3].sum_nll_1e6 == nll_ac
+    # rarer continuation scores strictly worse
+    assert got[3].avg_nll > got[1].avg_nll
