@@ -173,6 +173,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel": graph.q_kcore_peel,
         "hard_negative_mining": similarity.q_hard_negative_mining,
         "perplexity_kn": text.q_perplexity_kn,
+        "doc_stitch_overlap": dedup.q_doc_stitch_overlap,
+        "char_entropy": text.q_char_entropy,
+        "stratified_kfold": sampling.q_stratified_kfold,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
@@ -2522,6 +2525,52 @@ def oracle_sql() -> dict[str, str]:
         # 3 unrolled BPE training rounds (the pagerank oracle pattern)
         "bpe_train": _bpe_sql(3),
         # content-keyed 90/5/5 split: u = first-15-hex of md5(norm) mod 1e6
+        # tail-gram = head-gram equi-join IS the predicate (no verify
+        # pass); docs under k tokens excluded on both sides
+        "doc_stitch_overlap": (
+            f"WITH b AS (SELECT doc_id, {_TOKS} AS tk FROM documents "
+            f"WHERE trim(text) <> '' AND len({_TOKS}) >= 3), "
+            "h AS (SELECT doc_id AS b_id, array_to_string(tk[1:3], ' ') "
+            "AS gram FROM b), "
+            "t AS (SELECT doc_id AS a_id, "
+            "array_to_string(tk[len(tk) - 2 : len(tk)], ' ') AS gram FROM b) "
+            "SELECT t.a_id, h.b_id, t.gram FROM t JOIN h USING (gram) "
+            "WHERE t.a_id <> h.b_id"
+        ),
+        # per-char-run floors summed as exact longs (the perplexity
+        # per-term recipe); gate compares in pure integer space
+        "char_entropy": (
+            "WITH nz AS (SELECT doc_id, text, length(text) AS n_chars "
+            "FROM documents WHERE trim(text) <> ''), "
+            "c AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch "
+            "FROM nz, unnest(generate_series(1, length(text))) AS u(i)), "
+            "g AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY 1, 2), "
+            "s AS (SELECT doc_id, sum(CASE WHEN n <= 1 THEN 0 ELSE "
+            "CAST(floor((CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) "
+            "* 1000000.0) AS BIGINT) END) AS s_nlogn, "
+            "CAST(count(*) AS BIGINT) AS d FROM g GROUP BY 1) "
+            "SELECT nz.doc_id, CAST(nz.n_chars AS BIGINT) AS n_chars, "
+            "s.d AS distinct_chars, CAST(s.s_nlogn AS BIGINT) AS sum_nlogn_1e6, "
+            "CAST(floor(ln(CAST(nz.n_chars AS DOUBLE)) * 1000000.0) AS BIGINT) "
+            "AS ln_n_1e6, "
+            "nz.n_chars * CAST(floor(ln(CAST(nz.n_chars AS DOUBLE)) "
+            "* 1000000.0) AS BIGINT) - s.s_nlogn >= 2000000 * nz.n_chars "
+            "AS entropy_keep "
+            "FROM nz JOIN s USING (doc_id)"
+        ),
+        # content-keyed 5-fold: same 60-bit md5 coordinate as the
+        # 90/5/5 split, mod k; per-source min/max via window
+        "stratified_kfold": (
+            f"WITH f AS (SELECT source, ('0x' || substr(md5({_NORM}), 1, 15))"
+            "::BIGINT % 1000000 % 5 AS fold FROM documents), "
+            "cell AS (SELECT source, CAST(fold AS BIGINT) AS fold, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs FROM f GROUP BY 1, 2) "
+            "SELECT source, fold, n_docs, "
+            "CAST(MIN(n_docs) OVER (PARTITION BY source) AS BIGINT) "
+            "AS src_min_fold, "
+            "CAST(MAX(n_docs) OVER (PARTITION BY source) AS BIGINT) "
+            "AS src_max_fold FROM cell"
+        ),
         "leakage_safe_split": (
             f"WITH f AS (SELECT source, ('0x' || substr(md5({_NORM}), 1, 15))"
             "::BIGINT % 1000000 AS u FROM documents) "

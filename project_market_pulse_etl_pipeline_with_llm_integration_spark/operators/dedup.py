@@ -1721,3 +1721,60 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def stitch_overlap_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-fragment stitching: ordered pairs (a, b) where the LAST k
+    whitespace tokens of document a equal the FIRST k tokens of
+    document b — the boundary signature a splitter leaves behind when
+    one logical page was sharded into consecutive fetches (the overlap
+    the pipeline must re-join or dedup before training, or the model
+    sees the seam text twice).
+
+    The k-token boundary gram IS the match predicate, so the equi-join
+    on it is exact by definition — no verify pass needed (contrast
+    dedup_containment, where the prefilter under-approximates).  Docs
+    with fewer than k tokens are excluded (their boundary is the whole
+    doc, which is the containment operator's job, not stitching), and
+    a == b self-pairs are dropped (a doc whose head equals its own
+    tail is periodicity, surfaced by repeated_passages).
+
+    Scale shape: each side reduces to a skinny (id, gram) row before
+    the shuffle — ONE equi-join keyed by a k-token string, bodies
+    never move.  Hot boundary grams (boilerplate headers) fan out as
+    their true pair count; at 100 TB compose with a heavy-hitter cap
+    on the gram key (the winnow hot-posting-guard recipe) and surface
+    the capped grams rather than joining them."""
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") >= k)
+    heads = base.select(
+        F.col(id_col).alias("b_id"),
+        F.concat_ws(" ", F.slice("_t", 1, k)).alias("gram"),
+    )
+    tails = base.select(
+        F.col(id_col).alias("a_id"),
+        F.concat_ws(" ", F.slice("_t", F.col("_n") - (k - 1), F.lit(k))).alias(
+            "gram"
+        ),
+    )
+    return (
+        tails.join(heads, "gram")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", "gram")
+    )
+
+
+def q_doc_stitch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 3-token tail->head stitch candidates over the corpus, with
+    the boundary gram in-row — hashed contract (a_id, b_id, gram)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return stitch_overlap_pairs(docs, k=3)

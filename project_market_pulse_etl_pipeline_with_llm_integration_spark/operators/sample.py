@@ -425,6 +425,50 @@ def leakage_safe_split(
     return df.withColumn("split", split)
 
 
+def stratified_kfold(df: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Content-keyed k-fold assignment for cross-validation over a
+    training corpus: fold = content_split_unit % k, so (a) every row
+    gets exactly one fold, (b) EXACT duplicates always share a fold
+    (the leakage_safe_split guarantee extended to CV — a duplicate
+    straddling train/held-out folds scores memorization, not
+    generalization), and (c) membership is a pure content function —
+    replayable on any engine, any partitioning, any scale.
+
+    'Stratified' here is the large-corpus sense: with millions of rows
+    per stratum the uniform 60-bit hash makes every (stratum, fold)
+    cell land within O(1/sqrt(n)) of n/k — the audit query surfaces
+    the realized balance rather than forcing exact equality, which
+    would need a per-stratum serial pass and break the duplicate-
+    cohesion property.  Zero shuffles, zero joins: one md5 per row."""
+    if k < 2:
+        raise ValueError(f"k-fold needs k >= 2: {k}")
+    return df.withColumn(
+        "fold", (content_split_unit(text_col) % k).cast("long")
+    )
+
+
+def q_stratified_kfold(spark, sf_dir: str):
+    """Per-(source, fold) audit of the content-keyed 5-fold: counts
+    plus the min/max fold population per source so balance is visible
+    in-row — all-integer hashed contract."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cell = (
+        stratified_kfold(docs, k=5)
+        .groupBy("source", "fold")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    return cell.select(
+        "source",
+        "fold",
+        "n_docs",
+        F.min("n_docs").over(w).cast("long").alias("src_min_fold"),
+        F.max("n_docs").over(w).cast("long").alias("src_max_fold"),
+    )
+
+
 def q_leakage_safe_split(spark, sf_dir: str):
     """Per-(source, split) audit counts of the 90/5/5 content-keyed
     split — all-integer hashed contract."""

@@ -2349,3 +2349,94 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     return phrase_search(docs, PHRASE_SEARCH_QUERIES)
+
+
+def char_entropy_profile(docs: DataFrame, min_nats_1e6: int = 2_000_000) -> DataFrame:
+    """Per-document character-distribution Shannon entropy — the
+    C4/Gopher-family junk gate that catches what length and stopword
+    ratios miss (base64 blobs, key-mash, single-char floods all have
+    pathological char entropies).  H = ln(N) - (sum_c n_c ln n_c) / N
+    over character counts n_c.
+
+    Exactness (the perplexity recipe, applied per CHARACTER RUN): the
+    char stream is sorted IN-ROW (array_sort of the 1-char split) and
+    folded once, each run's n_c·ln(n_c) term floor-scaled to a long
+    BEFORE the sum — so the hashed contract is exact integers and the
+    float only ever appears inside one fixed expression tree.  The
+    keep gate compares in pure integer space:
+    N·floor(ln(N)·1e6) - S >= min_nats_1e6·N.
+
+    Scale shape: ZERO shuffles and zero explodes — the whole profile
+    is scan-local column algebra (split, array_sort, one aggregate
+    fold per row), the cheapest possible shape for a 100 TB quality
+    pass.  Contract: single-byte/ASCII-range text (length() counts
+    chars; the synthetic corpus qualifies); sorting unicode graphemes
+    needs a normalizer first."""
+    chars = F.array_sort(F.split(F.col("text"), ""))
+
+    def term(nc):
+        d = nc.cast("double")
+        return F.when(nc <= 1, F.lit(0).cast("long")).otherwise(
+            F.floor((d * F.log(d)) * F.lit(1000000.0)).cast("long")
+        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    folded = F.aggregate(
+        chars,
+        zero,
+        lambda acc, x: F.when(
+            x == acc["prev"],
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["s"].alias("s"),
+                acc["d"].alias("d"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (acc["s"] + term(acc["run"])).alias("s"),
+                (acc["d"] + 1).alias("d"),
+            )
+        ),
+        lambda acc: F.struct(
+            (acc["s"] + term(acc["run"])).alias("s"), acc["d"].alias("d")
+        ),
+    )
+    n = F.length("text").cast("long")
+    ln_n_1e6 = F.floor(F.log(n.cast("double")) * F.lit(1000000.0)).cast("long")
+    return (
+        docs.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            n.alias("n_chars"),
+            ln_n_1e6.alias("ln_n_1e6"),
+            folded.alias("_f"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.col("_f.d").alias("distinct_chars"),
+            F.col("_f.s").alias("sum_nlogn_1e6"),
+            "ln_n_1e6",
+            (
+                F.col("n_chars") * F.col("ln_n_1e6") - F.col("_f.s")
+                >= F.lit(min_nats_1e6) * F.col("n_chars")
+            ).alias("entropy_keep"),
+        )
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy profile + 2-nat keep gate over the corpus —
+    hashed contract is all exact integers plus the gate boolean."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return char_entropy_profile(docs)

@@ -462,3 +462,53 @@ def test_winnow_pairs_guarantee_and_guard(spark):
         winnow_pairs(hot, max_fp_df=10)
     with pytest.raises(Exception, match="posting"):
         winnow_pairs(hot, max_fp_df=10, guard_mode="inplan").collect()
+
+
+def test_stitch_overlap_pairs(spark):
+    """Known tail->head overlaps found, sub-k docs and self-periodic
+    docs excluded, and the pair is ORDERED (a ends, b starts)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+        stitch_overlap_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # tail: gamma delta epsilon
+            (2, "gamma delta epsilon zeta eta"),      # head matches 1's tail
+            (3, "delta epsilon zeta"),                # head != any tail
+            (4, "x y"),                               # < 3 tokens: excluded
+            (5, "p q r p q r"),                       # self-periodic: no self-pair
+            (6, "other words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r.a_id, r.b_id): r.gram
+           for r in stitch_overlap_pairs(docs, k=3).collect()}
+    assert got == {(1, 2): "gamma delta epsilon"}
+
+
+def test_stitch_overlap_is_exact_definition(spark):
+    """The join IS the predicate: brute-force recompute in python over
+    a randomized corpus agrees exactly."""
+    import random
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+        stitch_overlap_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {(r.a_id, r.b_id) for r in stitch_overlap_pairs(docs, k=2).collect()}
+    want = set()
+    for a, ta in texts:
+        wa = ta.split()
+        for b, tb in texts:
+            wb = tb.split()
+            if a != b and len(wa) >= 2 and len(wb) >= 2 and wa[-2:] == wb[:2]:
+                want.add((a, b))
+    assert got == want

@@ -145,3 +145,28 @@ def test_rag_retrieval_chunk_contract(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_stratified_kfold_contract(spark):
+    """Every doc gets exactly one fold in [0,k); exact duplicates share
+    a fold (the CV leakage guarantee); k<2 refuses."""
+    import pytest
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import (
+        stratified_kfold,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i % 7}", "s") for i in range(50)],
+        ["doc_id", "text", "source"],
+    )
+    out = stratified_kfold(docs, k=5).collect()
+    assert len(out) == 50
+    folds_by_text = {}
+    for r in out:
+        assert 0 <= r.fold < 5
+        folds_by_text.setdefault(r.text, set()).add(r.fold)
+    # 7 distinct texts, each duplicated ~7x -> all copies in ONE fold
+    assert all(len(s) == 1 for s in folds_by_text.values())
+    with pytest.raises(ValueError):
+        stratified_kfold(docs, k=1)

@@ -1005,3 +1005,27 @@ def test_kn_bigram_scores_hand_computed(spark):
     assert got[3].sum_nll_1e6 == nll_ac
     # rarer continuation scores strictly worse
     assert got[3].avg_nll > got[1].avg_nll
+
+
+def test_char_entropy_hand_computed(spark):
+    """'aaab' (H~0.56 nats, drop) vs 8 distinct chars (H=ln 8 ~ 2.08,
+    keep) — integer terms checked by hand; blank docs excluded."""
+    import math
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        char_entropy_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaab"), (2, "abcdefgh"), (3, "   ")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in char_entropy_profile(docs).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert r1.n_chars == 4 and r1.distinct_chars == 2
+    assert r1.sum_nlogn_1e6 == math.floor((3 * math.log(3.0)) * 1e6)
+    assert r1.ln_n_1e6 == math.floor(math.log(4.0) * 1e6)
+    assert r1.entropy_keep is False
+    r2 = got[2]
+    assert r2.distinct_chars == 8 and r2.sum_nlogn_1e6 == 0
+    assert r2.entropy_keep is True
