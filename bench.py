@@ -175,6 +175,15 @@ HEADLINE = [
     # inverted-bigram-index phrase search with verification
     "classifier_auc",
     "phrase_search",
+    # round-8 additions: graph core peeling, contrastive hard
+    # negatives, KN-smoothed perplexity, fragment stitching,
+    # char-entropy gate, content-keyed k-fold
+    "kcore_peel",
+    "hard_negative_mining",
+    "perplexity_kn",
+    "doc_stitch_overlap",
+    "char_entropy",
+    "stratified_kfold",
 ]
 
 

@@ -93,6 +93,8 @@ SIZE_FILTER_OK = {
                        "split runs in the scan stage only",
     "retrieval_eval": "scan-side query-term-overlap prefilter IS the "
                       "operator (postings filtered pre-shuffle)",
+    "doc_stitch_overlap": "explicit >= k-token gate before the boundary "
+                          "grams; split runs in the scan stage only",
 }
 
 
