@@ -66,6 +66,11 @@ STRESS_QUERIES = [
     # round-7 additions: gram-volume-dependent novelty scan and the
     # fixed-round graph propagation (both corpus-shape-dependent)
     "ngram_novelty", "label_propagation",
+    # round-8 additions: boundary-gram pair fan-out (the 10-copy
+    # replica corpus shares boundaries within each family — hot-gram
+    # adversarial), KN model-size growth, graph peeling rounds, the
+    # scan-local entropy fold (linear control)
+    "doc_stitch_overlap", "perplexity_kn", "kcore_peel", "char_entropy",
 ]
 
 
