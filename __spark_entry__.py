@@ -176,6 +176,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stitch_overlap": dedup.q_doc_stitch_overlap,
         "char_entropy": text.q_char_entropy,
         "stratified_kfold": sampling.q_stratified_kfold,
+        "bradley_terry": analytics.q_bradley_terry,
+        "kcenter_coreset": similarity.q_kcenter_coreset,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
@@ -505,6 +507,91 @@ def _bpe_sql(n_merges: int = 3) -> str:
         for r in range(1, n_merges + 1)
     )
     return "WITH " + ", ".join(parts) + " " + finals
+
+
+def _bradley_terry_sql(rounds: int = 5) -> str:
+    """Unrolled SQL for the Bradley-Terry MM fixed point
+    (analytics.bradley_terry_ratings): identical integer arithmetic —
+    milli-scaled per-term floors summed as integers, micro-grid rating
+    floors clamped to >= 1 — so ``rounds`` rounds match bit-for-bit."""
+    parts = [
+        "t AS (SELECT event_type AS loser, lead(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS winner FROM events)",
+        "m AS (SELECT winner AS w, loser AS l, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM t WHERE winner IS NOT NULL AND winner <> loser GROUP BY 1, 2)",
+        "nij AS (SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM "
+        "(SELECT w AS i, l AS j, n FROM m UNION ALL SELECT l, w, n FROM m) "
+        "GROUP BY 1, 2)",
+        "wins AS (SELECT w AS i, CAST(SUM(n) AS BIGINT) AS n_wins "
+        "FROM m GROUP BY 1)",
+        "losses AS (SELECT l AS i, CAST(SUM(n) AS BIGINT) AS n_losses "
+        "FROM m GROUP BY 1)",
+        "stats AS (SELECT d.i, COALESCE(wins.n_wins, 0) AS n_wins, "
+        "COALESCE(losses.n_losses, 0) AS n_losses FROM "
+        "(SELECT DISTINCT i FROM nij) d LEFT JOIN wins ON d.i = wins.i "
+        "LEFT JOIN losses ON d.i = losses.i)",
+        "p0 AS (SELECT i, CAST(1000000 AS BIGINT) AS p FROM stats)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"d{r} AS (SELECT nij.i, CAST(SUM((n * 1000000000) // "
+            f"(pi.p + pj.p)) AS BIGINT) AS d FROM nij "
+            f"JOIN p{r - 1} pi ON nij.i = pi.i "
+            f"JOIN p{r - 1} pj ON nij.j = pj.i GROUP BY 1)",
+            f"p{r} AS (SELECT s.i, CAST(GREATEST((s.n_wins * 1000000000) "
+            f"// d{r}.d, 1) AS BIGINT) AS p FROM stats s "
+            f"JOIN d{r} ON s.i = d{r}.i)",
+        ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        f"SELECT s.i AS item, p{rounds}.p AS rating_micro, s.n_wins, "
+        "s.n_losses, CAST(s.n_wins + s.n_losses AS BIGINT) AS n_comp "
+        f"FROM stats s JOIN p{rounds} ON s.i = p{rounds}.i"
+    )
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled SQL for greedy k-center selection
+    (similarity.kcenter_coreset): exact int64 squared L2 over the
+    shared int8 quantization, incremental LEAST min-distance state,
+    (mind DESC, vec_id) argmax per round — engine-identical."""
+    d2 = "(CAST(x AS BIGINT) - y) * (CAST(x AS BIGINT) - y)"
+    parts = [
+        f"e AS (SELECT vec_id, {_QV} AS qv FROM embeddings)",
+        "c1 AS (SELECT vec_id, qv AS cqv FROM e ORDER BY vec_id LIMIT 1)",
+        "z1 AS (SELECT e.vec_id, unnest(e.qv) AS x, unnest(c.cqv) AS y "
+        "FROM e CROSS JOIN c1 c)",
+        f"m1 AS (SELECT vec_id, CAST(SUM({d2}) AS BIGINT) AS mind "
+        "FROM z1 GROUP BY 1)",
+        "s1 AS (SELECT e.vec_id, e.qv, m1.mind FROM e JOIN m1 USING (vec_id))",
+    ]
+    for r in range(2, k + 1):
+        parts += [
+            f"c{r} AS (SELECT vec_id, qv AS cqv, mind FROM s{r - 1} "
+            "ORDER BY mind DESC, vec_id LIMIT 1)",
+            f"z{r} AS (SELECT s.vec_id, s.mind AS old, unnest(s.qv) AS x, "
+            f"unnest(c.cqv) AS y FROM s{r - 1} s CROSS JOIN c{r} c)",
+            f"m{r} AS (SELECT vec_id, CAST(LEAST(MAX(old), SUM({d2})) "
+            f"AS BIGINT) AS mind FROM z{r} GROUP BY 1)",
+            f"s{r} AS (SELECT e.vec_id, e.qv, m{r}.mind FROM e "
+            f"JOIN m{r} USING (vec_id))",
+        ]
+    picks = [
+        "SELECT CAST(1 AS BIGINT) AS sel_round, "
+        "(SELECT vec_id FROM c1) AS center_id, CAST(0 AS BIGINT) AS d2_prior"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT), (SELECT vec_id FROM c{r}), "
+        f"CAST((SELECT mind FROM c{r}) AS BIGINT)"
+        for r in range(2, k + 1)
+    ]
+    return (
+        "WITH " + ", ".join(parts) + ", "
+        f"cov AS (SELECT CAST(MAX(mind) AS BIGINT) AS coverage_d2 FROM s{k}), "
+        "sel AS (" + " UNION ALL ".join(picks) + ") "
+        "SELECT sel.*, cov.coverage_d2 FROM sel CROSS JOIN cov"
+    )
+
+
 _EN = "['the','and','of','to','a','in']"
 _ES = "['el','la','de','y','que','los']"
 _FR = "['le','la','et','les','des','un']"
@@ -514,6 +601,9 @@ _PLEN = f"({_PROMPT_BASE} + length('doc-' || CAST(doc_id AS VARCHAR)) + length(t
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # ---- round-8 additions (late batch)
+        "bradley_terry": _bradley_terry_sql(5),
+        "kcenter_coreset": _kcenter_sql(8),
         # ---- round-7 additions
         "tokenizer_fertility": (
             f"SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "

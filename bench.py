@@ -184,6 +184,10 @@ HEADLINE = [
     "doc_stitch_overlap",
     "char_entropy",
     "stratified_kfold",
+    # round-8 late batch: preference-stream Bradley-Terry fixed point,
+    # greedy k-center coreset selection
+    "bradley_terry",
+    "kcenter_coreset",
 ]
 
 

@@ -1240,3 +1240,106 @@ def semantic_decontaminate_lsh(
             ).alias("contaminated"),
         )
     )
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection over an embedding table — the
+    classic 2-approximation farthest-point traversal (Gonzalez 1985),
+    used as diversity-driven data pruning/coreset selection for
+    training sets (Sener & Savarese 2018): start from the smallest id,
+    then ``k - 1`` times pick the point farthest (max-min) from the
+    centers chosen so far.
+
+    Exactness contract: distances are EXACT int64 squared L2 over the
+    int8-quantized components (the ann_quantized recipe), argmax ties
+    break on ascending id, and the running min-distance state is
+    updated incrementally — LEAST(prior_min, d2-to-newest-center) — so
+    round r touches each point once against ONE new center, not r
+    centers.  Every hashed column is integer, so the oracle's unrolled
+    rounds match bit-for-bit.
+
+    Scale shape: each round is one broadcast of a SINGLE center row
+    across one scan of the (id, qvec, min_d2) state — no pairwise
+    blow-up, no shuffle except the k global top-1 selections
+    (TakeOrdered, driver-light).  State frames sit behind lazy
+    localCheckpoints (the pagerank recipe) so lineage — and the double
+    reference from (select next center, update state) — stays O(1) per
+    round instead of doubling.  k is a FIXED small budget (coreset
+    seeds, dozens); for k in the thousands switch to batched farthest-
+    point sampling over an ANN index — out of scope by contract.
+
+    Output: one row per selected center — (sel_round, center_id,
+    d2_prior = exact squared distance to the already-chosen set at
+    selection time, 0 for the seed) — plus the constant audit column
+    coverage_d2 = max over ALL points of min-d2 to the final k centers
+    (the k-center objective value the greedy 2-approximates).
+    """
+    if k < 2:
+        raise ValueError("kcenter_coreset needs k >= 2")
+    pts = emb.select(
+        F.col(id_col).alias("pid"),
+        quantize_embedding(F.col(vec_col)).alias("qv"),
+    ).localCheckpoint(eager=False)
+    d2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x.cast("long") - y) * (x.cast("long") - y)),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    seed = (
+        pts.orderBy("pid")
+        .limit(1)
+        .select(F.col("pid").alias("cid"), F.col("qv").alias("cqv"))
+        .localCheckpoint(eager=False)
+    )
+    state = (
+        pts.crossJoin(F.broadcast(seed))
+        .select("pid", "qv", d2(F.col("qv"), F.col("cqv")).alias("min_d2"))
+        .localCheckpoint(eager=False)
+    )
+    picks = seed.select(
+        F.lit(1).cast("long").alias("sel_round"),
+        F.col("cid").alias("center_id"),
+        F.lit(0).cast("long").alias("d2_prior"),
+    )
+    for r in range(2, k + 1):
+        nxt = (
+            state.orderBy(F.desc("min_d2"), "pid")
+            .limit(1)
+            .select(
+                F.col("pid").alias("cid"),
+                F.col("qv").alias("cqv"),
+                F.col("min_d2").alias("sel_d2"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        picks = picks.unionAll(
+            nxt.select(
+                F.lit(r).cast("long").alias("sel_round"),
+                F.col("cid").alias("center_id"),
+                F.col("sel_d2").cast("long").alias("d2_prior"),
+            )
+        )
+        state = (
+            state.crossJoin(F.broadcast(nxt.select("cid", "cqv")))
+            .select(
+                "pid",
+                "qv",
+                F.least(F.col("min_d2"), d2(F.col("qv"), F.col("cqv"))).alias(
+                    "min_d2"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    cov = state.agg(F.max("min_d2").cast("long").alias("coverage_d2"))
+    return picks.crossJoin(F.broadcast(cov))
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-center greedy coreset over the embeddings table."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kcenter_coreset(emb, k=8)

@@ -409,3 +409,50 @@ def test_jackknife_spread_identity(spark):
     assert t_n == spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
     los = [r.loo_mean_ppm for r in rows]
     assert max(los) - min(los) < 100_000  # stable metric on this corpus
+
+
+def test_bradley_terry_hand_computed(spark):
+    """3-item tournament with a hand-run MM fixed point: a beats b
+    twice, b beats c twice, c beats a once — the integer recipe
+    (milli-term floors, micro-grid rating floors) replayed in pure
+    Python must match the engine bit-for-bit."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        bradley_terry_ratings,
+    )
+
+    comps = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c"), ("b", "c"), ("c", "a")],
+        ["winner", "loser"],
+    )
+    nij = {("a", "b"): 2, ("b", "a"): 2, ("b", "c"): 2,
+           ("c", "b"): 2, ("c", "a"): 1, ("a", "c"): 1}
+    wins = {"a": 2, "b": 2, "c": 1}
+    p = {"a": 1_000_000, "b": 1_000_000, "c": 1_000_000}
+    for _ in range(5):
+        d = {i: sum((n * 1_000_000_000) // (p[i] + p[j])
+                    for (ii, j), n in nij.items() if ii == i)
+             for i in p}
+        p = {i: max((wins[i] * 1_000_000_000) // d[i], 1) for i in p}
+    got = {r.item: r for r in bradley_terry_ratings(
+        comps, rounds=5).collect()}
+    assert set(got) == {"a", "b", "c"}
+    for i in p:
+        assert got[i].rating_micro == p[i], (i, got[i].rating_micro, p[i])
+    assert (got["a"].n_wins, got["a"].n_losses, got["a"].n_comp) == (2, 1, 3)
+    assert got["a"].rating_micro > got["b"].rating_micro > got["c"].rating_micro
+
+
+def test_bradley_terry_winless_item_floor(spark):
+    """An item that never wins floors at 1 micro instead of zeroing a
+    later round's denominator."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        bradley_terry_ratings,
+    )
+
+    comps = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "b")], ["winner", "loser"]
+    )
+    got = {r.item: r for r in bradley_terry_ratings(comps).collect()}
+    assert got["b"].rating_micro == 1
+    assert got["b"].n_wins == 0 and got["b"].n_losses == 3
+    assert got["a"].rating_micro > 1_000_000

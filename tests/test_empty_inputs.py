@@ -142,3 +142,35 @@ def test_round7_late_ops_empty(spark):
     out = Tx.phrase_search(docs, ["a b c"])
     assert out.count() == 0
     assert out.columns == ["phrase", "doc_id", "source", "n_hits"]
+
+
+def test_round8_late_ops_empty(spark):
+    """bradley_terry over an empty comparison stream and
+    kcenter_coreset over an empty embedding table: empty out, right
+    schema, no crash (the seed limit(1) is empty, so no center rows)."""
+    import pyspark.sql.types as T
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics as A,
+        similarity as S,
+    )
+
+    comps = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("winner", T.StringType()),
+            T.StructField("loser", T.StringType()),
+        ])
+    )
+    out = A.bradley_terry_ratings(comps)
+    assert out.count() == 0
+    assert out.columns == ["item", "rating_micro", "n_wins", "n_losses", "n_comp"]
+
+    emb = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ])
+    )
+    kout = S.kcenter_coreset(emb, k=3)
+    assert kout.count() == 0
+    assert kout.columns == ["sel_round", "center_id", "d2_prior", "coverage_d2"]

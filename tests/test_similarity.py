@@ -423,3 +423,43 @@ def test_hard_negative_mining_contract(spark):
     )
     got_top1 = next(nid for rk, nid in per_anchor[0] if rk == 1)
     assert got_top1 == best[0]
+
+
+def test_kcenter_coreset_known_layout(spark):
+    """Four well-separated 2-D-ish points (padded to dim 4): greedy
+    farthest-point from the smallest id must pick the far corner
+    first, d2_prior must be exactly the int8-quantized squared L2, and
+    coverage_d2 is the final max-min distance."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    # quantized values: 1.0 -> 127, 0.5 -> 64, 0.0 -> 0
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 1.0, 0.0, 0.0]),   # d2 to p1 = 2*127^2 = 32258
+            (3, [0.0, 1.0, 0.0, 0.0]),   # d2 to p1 = 16129
+            (4, [0.5, 0.0, 0.0, 0.0]),   # d2 to p1 = 64^2 = 4096
+        ],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.sel_round: r for r in kcenter_coreset(emb, k=3).collect()}
+    assert rows[1].center_id == 1 and rows[1].d2_prior == 0
+    assert rows[2].center_id == 2 and rows[2].d2_prior == 2 * 127 * 127
+    # after {1,2}: p3 min(16129, 16129)=16129; p4 min(4096, 63^2+127^2)=4096
+    assert rows[3].center_id == 3 and rows[3].d2_prior == 127 * 127
+    # coverage: p4's min over {1,2,3} = 4096
+    assert rows[1].coverage_d2 == 4096
+    assert all(r.coverage_d2 == 4096 for r in rows.values())
+
+
+def test_kcenter_coreset_k_validation(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+    import pytest as _pytest
+
+    emb = spark.createDataFrame([(1, [0.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError):
+        kcenter_coreset(emb, k=1)
