@@ -231,3 +231,85 @@ def test_winnow_guarantee_on_random_corpora(spark, docs, run):
     assert any(r.id_a == 0 and r.id_b == 1 for r in rows), planted[:2]
     for r in rows:
         assert r.id_a < r.id_b and r.n_shared >= 1
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bradley_terry_matches_python_fixed_point(spark, pairs):
+    """Random small tournaments: the engine's integer MM fixed point
+    must equal a pure-Python replay of the same milli/micro floor
+    recipe, item for item."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        bradley_terry_ratings,
+    )
+
+    comps = spark.createDataFrame(
+        [(f"i{w}", f"i{l}") for w, l in pairs], ["winner", "loser"]
+    )
+    nij: dict = {}
+    wins: dict = {}
+    for w, l in pairs:
+        a, b = f"i{w}", f"i{l}"
+        nij[(a, b)] = nij.get((a, b), 0) + 1
+        nij[(b, a)] = nij.get((b, a), 0) + 1
+        wins[a] = wins.get(a, 0) + 1
+    items = {i for pair in nij for i in pair}
+    p = {i: 1_000_000 for i in items}
+    for _ in range(5):
+        d = {
+            i: sum(
+                (n * 1_000_000_000) // (p[i] + p[j])
+                for (ii, j), n in nij.items()
+                if ii == i
+            )
+            for i in items
+        }
+        p = {i: max((wins.get(i, 0) * 1_000_000_000) // d[i], 1) for i in items}
+    got = {r.item: r.rating_micro for r in bradley_terry_ratings(comps).collect()}
+    assert got == p
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=3,
+        max_size=12,
+        unique_by=lambda v: tuple(v),
+    )
+)
+def test_kcenter_greedy_invariants(spark, vecs):
+    """Greedy farthest-point invariants on random point sets: the
+    selection distances are non-increasing (each new center is the
+    CURRENT farthest point, and adding centers only shrinks min-
+    distances), the final coverage is <= the last selection distance,
+    and the k selected centers are distinct."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    k = min(3, len(vecs))
+    if k < 2:
+        return
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    rows = sorted(kcenter_coreset(emb, k=k).collect(), key=lambda r: r.sel_round)
+    assert [r.sel_round for r in rows] == list(range(1, k + 1))
+    assert len({r.center_id for r in rows}) == k
+    sel = [r.d2_prior for r in rows[1:]]
+    assert all(a >= b for a, b in zip(sel, sel[1:]))
+    assert all(r.coverage_d2 <= sel[-1] for r in rows) if sel else True
