@@ -126,10 +126,14 @@ def lsh_topk(
     """Approximate top-k: bucket items once, probe the query's bucket
     (equi-join on the bucket id), exact-cosine re-rank inside the bucket.
     A random pair collides with prob (1 - theta/pi)^n_planes; near-
-    identical vectors collide almost surely.  ``multi_probe=1`` also
-    probes every bucket one sign-flip away from the query's (the classic
-    multi-probe LSH recall boost: n_planes extra probes instead of
-    n_planes extra tables).
+    identical vectors collide almost surely.  ``multi_probe`` is the
+    maximum Hamming RADIUS of the probe set (the same contract as
+    semantic_decontaminate_lsh after the round-7 advice fix): radius t
+    probes every bucket within t sign flips of the query's own —
+    sum_{j<=t} C(n_planes, j) probes, the classic multi-probe recall
+    boost (Lv et al., VLDB'07: extra probes instead of extra tables).
+    ``0`` probes only the home bucket; the default ``1`` keeps the
+    historical probe set exactly.
 
     ``n_planes=None`` derives the plane count from the corpus size via
     ``planes_for`` so per-bucket work stays ~``target_bucket_size`` as
@@ -144,9 +148,14 @@ def lsh_topk(
     q_exact = queries.withColumn(
         "bucket0", _bucket_expr(F.col(query_vec_col), dim, n_planes, seed)
     )
-    probes = [F.col("bucket0")]
-    if multi_probe >= 1:
-        probes += [F.col("bucket0").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    from itertools import combinations
+
+    masks = [0] + [
+        sum(1 << j for j in bits)
+        for t in range(1, max(0, multi_probe) + 1)
+        for bits in combinations(range(n_planes), t)
+    ]
+    probes = [F.col("bucket0").bitwiseXOR(F.lit(m)) for m in masks]
     q_bucketed = q_exact.select(
         query_id_col, query_vec_col, F.explode(F.array(*probes)).alias("bucket")
     )

@@ -463,3 +463,43 @@ def test_kcenter_coreset_k_validation(spark):
     emb = spark.createDataFrame([(1, [0.0])], ["vec_id", "embedding"])
     with _pytest.raises(ValueError):
         kcenter_coreset(emb, k=1)
+
+
+def test_lsh_topk_multi_probe_radius_monotone(spark):
+    """lsh_topk's multi_probe is a true Hamming radius (the round-7
+    advice contract extended to the ANN path): deeper probing never
+    loses a neighbor already found, and at radius n_planes the probe
+    set covers every bucket, so the top-1 matches brute force."""
+    import math
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    dim = 8
+    vecs = [
+        (i, [math.cos(0.37 * i * (d + 1)) for d in range(dim)])
+        for i in range(40)
+    ]
+    items = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(v[0], v[1]) for v in vecs[:2]], ["query_id", "query_vec"]
+    )
+    top1 = {}
+    for mp in (0, 1, 2):
+        rows = lsh_topk(
+            items, queries, k=3, dim=dim, n_planes=4, multi_probe=mp
+        ).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            best = max(r.cos_sim for r in rs)
+            assert best >= top1.get(q, (-2.0,))[0] - 1e-12
+            top1[q] = (best,)
+    full = lsh_topk(items, queries, k=1, dim=dim, n_planes=4, multi_probe=4)
+    brute = brute_force_topk(items, queries, k=1)
+    got = {r.query_id: r.vec_id for r in full.filter("sim_rank = 1").collect()}
+    want = {r.query_id: r.vec_id for r in brute.filter("sim_rank = 1").collect()}
+    assert got == want
