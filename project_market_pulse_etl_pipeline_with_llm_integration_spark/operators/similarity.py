@@ -1287,6 +1287,14 @@ def kcenter_coreset(
     selection time, 0 for the seed) — plus the constant audit column
     coverage_d2 = max over ALL points of min-d2 to the final k centers
     (the k-center objective value the greedy 2-approximates).
+
+    Degenerate-corpus contract: if k exceeds the corpus's effective
+    diversity (every remaining point already at min_d2 = 0 — exact
+    duplicates, or k > #distinct points), the argmax falls back to the
+    smallest id, which may RE-SELECT an existing center: d2_prior = 0
+    rows are the loud signal that the coreset budget exceeds the
+    corpus's diversity, not an error (the oracle replays the same
+    rule, so the gate still hash-matches).
     """
     if k < 2:
         raise ValueError("kcenter_coreset needs k >= 2")
