@@ -178,6 +178,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_kfold": sampling.q_stratified_kfold,
         "bradley_terry": analytics.q_bradley_terry,
         "kcenter_coreset": similarity.q_kcenter_coreset,
+        "poisson_bootstrap": analytics.q_poisson_bootstrap,
+        "k_anonymity": analytics.q_k_anonymity,
+        "conformal_interval": analytics.q_conformal_interval,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
@@ -604,6 +607,75 @@ def oracle_sql() -> dict[str, str]:
         # ---- round-8 additions (late batch)
         "bradley_terry": _bradley_terry_sql(5),
         "kcenter_coreset": _kcenter_sql(8),
+        "poisson_bootstrap": (
+            # Poisson(1) replicate weights from the same md5 ppb uniform
+            # + hard-coded inverse-CDF thresholds (analytics.POISSON1_CUM_PPB)
+            f"WITH d AS (SELECT doc_id, source, {_QPPM} AS q FROM documents), "
+            "x AS (SELECT d.source, d.q, r.rep, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':boot:' || "
+            "CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT % 1000000000 AS u "
+            "FROM d CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS rep) r), "
+            "wts AS (SELECT source, rep, q, CASE "
+            "WHEN u < 367879441 THEN 0 WHEN u < 735758882 THEN 1 "
+            "WHEN u < 919698602 THEN 2 WHEN u < 981011843 THEN 3 "
+            "WHEN u < 996340153 THEN 4 WHEN u < 999405815 THEN 5 "
+            "WHEN u < 999916758 THEN 6 WHEN u < 999989750 THEN 7 "
+            "ELSE 8 END AS w FROM x), "
+            "reps AS (SELECT source, rep, SUM(w) AS wn, SUM(w * q) AS wsum "
+            "FROM wts GROUP BY 1, 2), "
+            "valid AS (SELECT source, rep, wsum // wn AS m FROM reps WHERE wn > 0), "
+            "ranked AS (SELECT source, m, "
+            "row_number() OVER (PARTITION BY source ORDER BY m, rep) AS ra, "
+            "row_number() OVER (PARTITION BY source ORDER BY m DESC, rep DESC) AS rd "
+            "FROM valid), "
+            "band AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_reps, "
+            "MIN(CASE WHEN ra = 2 THEN m END) AS boot_lo_ppm, "
+            "MIN(CASE WHEN rd = 2 THEN m END) AS boot_hi_ppm FROM ranked GROUP BY 1), "
+            "point AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "SUM(q) // COUNT(*) AS mean_ppm FROM d GROUP BY 1) "
+            "SELECT p.source, p.n_docs, p.mean_ppm, b.n_reps, b.boot_lo_ppm, "
+            "b.boot_hi_ppm, b.boot_hi_ppm - b.boot_lo_ppm AS boot_spread_ppm "
+            "FROM point p JOIN band b USING (source)"
+        ),
+        "k_anonymity": (
+            "SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey, "
+            "(CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000 AS bal_band, "
+            "CAST(COUNT(*) AS BIGINT) AS class_size, "
+            "1000000 // CAST(COUNT(*) AS BIGINT) AS risk_ppm, "
+            "COUNT(*) < 5 AS violates_k5 "
+            "FROM customer GROUP BY 1, 2, 3"
+        ),
+        "conformal_interval": (
+            f"WITH d AS (SELECT doc_id, source, {_QPPM} AS q, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':conf'), 1, 15))"
+            "::BIGINT % 2 AS half FROM documents), "
+            "cal AS (SELECT * FROM d WHERE half = 0), "
+            "ev AS (SELECT * FROM d WHERE half = 1), "
+            "med AS (SELECT source, q AS pred_ppm, n_cal FROM ("
+            "SELECT source, q, row_number() OVER (PARTITION BY source "
+            "ORDER BY q, doc_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY source) AS n_cal FROM cal) "
+            "WHERE rn = (n_cal + 1) // 2), "
+            "resid AS (SELECT c.source, m.n_cal, abs(c.q - m.pred_ppm) AS r "
+            "FROM cal c JOIN med m USING (source)), "
+            "qhat AS (SELECT source, r AS qhat_ppm FROM ("
+            "SELECT source, r, n_cal, row_number() OVER (PARTITION BY source "
+            "ORDER BY r) AS rn FROM resid) "
+            "WHERE rn = least((8 * (n_cal + 1) + 9) // 10, n_cal)), "
+            "model AS (SELECT med.source, pred_ppm, n_cal, qhat_ppm "
+            "FROM med JOIN qhat USING (source)) "
+            "SELECT e.source, CAST(MAX(m.n_cal) AS BIGINT) AS n_cal, "
+            "CAST(COUNT(*) AS BIGINT) AS n_eval, "
+            "CAST(MAX(m.pred_ppm) AS BIGINT) AS pred_ppm, "
+            "CAST(MAX(m.qhat_ppm) AS BIGINT) AS qhat_ppm, "
+            "CAST(SUM(CASE WHEN abs(e.q - m.pred_ppm) <= m.qhat_ppm "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS covered, "
+            "(1000000 * CAST(SUM(CASE WHEN abs(e.q - m.pred_ppm) <= m.qhat_ppm "
+            "THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) "
+            "AS coverage_ppm, "
+            "CAST(2 * MAX(m.qhat_ppm) AS BIGINT) AS width_ppm "
+            "FROM ev e JOIN model m USING (source) GROUP BY 1"
+        ),
         # ---- round-7 additions
         "tokenizer_fertility": (
             f"SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "

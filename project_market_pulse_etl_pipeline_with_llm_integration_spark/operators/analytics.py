@@ -11,7 +11,7 @@ aggregation, which is exactly what a 1000-executor cluster wants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
@@ -1122,3 +1122,206 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bradley_terry_ratings(comp, rounds=5)
+
+
+# Poisson(1) inverse-CDF thresholds in integer parts-per-billion:
+# POISSON1_CUM_PPB[k] = floor(P(X <= k) * 1e9).  Public math constants
+# (e^-1 series), hard-coded identically in the engine and the DuckDB
+# oracle so the replicate weights are engine-exact.  Weights cap at 8
+# (P(X > 8) < 1.2e-6 — at most one doc per ~million flips the cap, and
+# both engines flip it identically).
+POISSON1_CUM_PPB = [
+    367879441, 735758882, 919698602, 981011843, 996340153,
+    999405815, 999916758, 999989750,
+]
+
+
+def poisson_weight(key: Column, replicate: Column) -> Column:
+    """Deterministic Poisson(1) bootstrap weight for (key, replicate):
+    u = md5-60-bit uniform in ppb, mapped through the inverse CDF.
+    Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    for massive data streams") replaces resampling with per-row i.i.d.
+    Poisson(1) replicate WEIGHTS, so B bootstrap replicates ride ONE
+    scan of the data — the only bootstrap that works at 100 TB.  The
+    hash-derived uniform makes the weights rerun/cluster-stable."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(":boot:"),
+                               replicate.cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % F.lit(1_000_000_000)
+    )
+    w: Column = F.lit(len(POISSON1_CUM_PPB))
+    for k in range(len(POISSON1_CUM_PPB) - 1, -1, -1):
+        w = F.when(u < POISSON1_CUM_PPB[k], F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bootstrap confidence band for the mean quality score:
+    B = 32 deterministic Poisson(1) replicates computed in ONE corpus
+    scan (per-row replicate weights, never resampling), replicate means
+    in exact integer ppm, and the band = 2nd-smallest / 2nd-largest
+    replicate mean (rank-selected DATA values, so the interval is
+    cross-engine exact — ~93.75% nominal for B=32).
+
+    Scale shape: the doc scan explodes to 32 skinny (source, replicate,
+    w, w·q) rows per doc — weights and products only, text never
+    leaves the scan projection — then ONE (source, replicate) hash agg
+    with map-side combine, then rank windows over |sources|·32 rows.
+    Replicates with zero total weight (only possible for near-empty
+    sources) are dropped and reported via n_reps.
+    """
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        quality_ppm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep")
+    scored = docs.select(
+        "source", "doc_id", quality_ppm("text").alias("q_ppm")
+    ).select("source", "doc_id", "q_ppm", b)
+    w = poisson_weight(F.col("doc_id"), F.col("rep"))
+    reps = (
+        scored.select("source", "rep", w.alias("w"), (w * F.col("q_ppm")).alias("wq"))
+        .groupBy("source", "rep")
+        .agg(F.sum("w").alias("wn"), F.sum("wq").alias("wsum"))
+        .filter(F.col("wn") > 0)
+        .select("source", "rep", F.expr("wsum div wn").alias("rep_mean_ppm"))
+    )
+    asc = W.partitionBy("source").orderBy("rep_mean_ppm", "rep")
+    desc = W.partitionBy("source").orderBy(F.desc("rep_mean_ppm"), F.desc("rep"))
+    ranked = reps.select(
+        "source", "rep_mean_ppm",
+        F.row_number().over(asc).alias("ra"),
+        F.row_number().over(desc).alias("rd"),
+    )
+    band = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_reps"),
+        F.min(F.when(F.col("ra") == 2, F.col("rep_mean_ppm"))).alias("boot_lo_ppm"),
+        F.min(F.when(F.col("rd") == 2, F.col("rep_mean_ppm"))).alias("boot_hi_ppm"),
+    )
+    point = docs.select("source", quality_ppm("text").alias("q_ppm")).groupBy(
+        "source"
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("sum(q_ppm) div count(*)").alias("mean_ppm"),
+    )
+    return point.join(band, "source").select(
+        "source", "n_docs", "mean_ppm", "n_reps", "boot_lo_ppm", "boot_hi_ppm",
+        (F.col("boot_hi_ppm") - F.col("boot_lo_ppm")).alias("boot_spread_ppm"),
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (mktsegment, nationkey, account-balance band of 1000 currency
+    units): every equivalence class with its size, re-identification
+    risk (1e6 div size — the probability ppm an attacker who knows the
+    QI pins the exact row), and the k = 5 violation flag.  The privacy
+    pre-flight a dataset release runs BEFORE export: classes of size 1
+    are unique individuals under public attributes.
+
+    Exactness: balances go through the standard cents cast once, then
+    the band is a floor-div on a POSITIVE-shifted integer (TPC-H
+    balances can be negative, and Spark's `div` truncates toward zero
+    while DuckDB's `//` floors — shifting by +1e6 cents keeps both on
+    the identical positive-operand path).  Plan: one groupBy over the
+    QI columns, map-side combine, output bounded by |segments| ×
+    |nations| × |bands| regardless of row count."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    band = F.expr(
+        "(cast(round(c_acctbal * 100) as bigint) + 1000000) div 100000"
+    )
+    return (
+        cust.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            band.cast("long").alias("bal_band"),
+        )
+        .groupBy("segment", "nationkey", "bal_band")
+        .agg(F.count("*").cast("long").alias("class_size"))
+        .select(
+            "segment", "nationkey", "bal_band", "class_size",
+            F.expr("1000000 div class_size").alias("risk_ppm"),
+            (F.col("class_size") < 5).alias("violates_k5"),
+        )
+    )
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian (per-source) split-conformal interval for the quality
+    score: docs split 50/50 into calibration/evaluation by a decorrelated
+    content-independent hash; the per-source point prediction is the
+    calibration median (rank-selected data value), the conformal radius
+    q_hat is the ceil((n+1)·0.8)-th smallest absolute residual on the
+    calibration half (clamped to n — the standard finite-sample rule),
+    and coverage is measured on the held-out half.  Split conformal
+    (Vovk; Lei et al. 2018) gives a distribution-free >= 80% coverage
+    guarantee — this query is that guarantee AUDITED per source.
+
+    All hashed columns integer: residuals are |q - pred| in ppm, ranks
+    are row_numbers under (value, doc_id) total order, coverage is
+    integer ppm.  Plan: one scan, two source-keyed windows on the
+    calibration half, one broadcast join of the per-source model onto
+    the eval half."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        quality_ppm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", quality_ppm("text").alias("q_ppm"),
+        (
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                                                 F.lit("conf"))), 1, 15), 16, 10)
+            .cast("long") % 2
+        ).alias("half"),
+    )
+    cal = docs.filter(F.col("half") == 0)
+    ev = docs.filter(F.col("half") == 1)
+    wq = W.partitionBy("source").orderBy("q_ppm", "doc_id")
+    med = (
+        cal.select(
+            "source", "q_ppm",
+            F.row_number().over(wq).alias("rn"),
+            F.count("*").over(W.partitionBy("source")).alias("n_cal"),
+        )
+        .filter(F.col("rn") == F.expr("(n_cal + 1) div 2"))
+        .select("source", F.col("q_ppm").alias("pred_ppm"), "n_cal")
+    )
+    resid = cal.join(F.broadcast(med), "source").select(
+        "source", "n_cal", F.abs(F.col("q_ppm") - F.col("pred_ppm")).alias("r")
+    )
+    wr = W.partitionBy("source").orderBy("r")
+    qhat = (
+        resid.select(
+            "source", "r", "n_cal", F.row_number().over(wr).alias("rn")
+        )
+        .filter(F.col("rn") == F.expr("least((8 * (n_cal + 1) + 9) div 10, n_cal)"))
+        .select("source", F.col("r").alias("qhat_ppm"))
+    )
+    model = med.join(qhat, "source")
+    return (
+        ev.join(F.broadcast(model), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.count("*").cast("long").alias("n_eval"),
+            F.max("pred_ppm").cast("long").alias("pred_ppm"),
+            F.max("qhat_ppm").cast("long").alias("qhat_ppm"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("q_ppm") - F.col("pred_ppm")) <= F.col("qhat_ppm"), 1
+                ).otherwise(0)
+            ).cast("long").alias("covered"),
+        )
+        .select(
+            "source", "n_cal", "n_eval", "pred_ppm", "qhat_ppm", "covered",
+            F.expr("(1000000 * covered) div n_eval").alias("coverage_ppm"),
+            (2 * F.col("qhat_ppm")).alias("width_ppm"),
+        )
+    )

@@ -456,3 +456,65 @@ def test_bradley_terry_winless_item_floor(spark):
     assert got["b"].rating_micro == 1
     assert got["b"].n_wins == 0 and got["b"].n_losses == 3
     assert got["a"].rating_micro > 1_000_000
+
+
+def test_poisson_weight_matches_python(spark):
+    # the engine weight = Poisson(1) inverse CDF over the md5 ppb
+    # uniform; recompute a handful of (doc, rep) cells in pure Python
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(d, r) for d in (0, 1, 7, 12345) for r in (0, 1, 31)], ["doc_id", "rep"]
+    )
+    out = df.select(
+        "doc_id", "rep",
+        analytics.poisson_weight(F.col("doc_id"), F.col("rep")).alias("w"),
+    ).collect()
+    for row in out:
+        u = int(
+            hashlib.md5(f"{row['doc_id']}:boot:{row['rep']}".encode()).hexdigest()[:15],
+            16,
+        ) % 1_000_000_000
+        w = next(
+            (k for k, c in enumerate(analytics.POISSON1_CUM_PPB) if u < c),
+            len(analytics.POISSON1_CUM_PPB),
+        )
+        assert row["w"] == w, (row, u, w)
+
+
+def test_poisson_bootstrap_laws(spark):
+    out = analytics.q_poisson_bootstrap(spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        assert r["n_reps"] == 32  # every replicate valid at this scale
+        assert r["boot_lo_ppm"] <= r["boot_hi_ppm"]
+        assert r["boot_spread_ppm"] == r["boot_hi_ppm"] - r["boot_lo_ppm"]
+        # replicate means of a bounded metric stay within the metric's range
+        assert 0 <= r["boot_lo_ppm"] <= 1_000_000
+        assert 0 <= r["boot_hi_ppm"] <= 1_000_000
+
+
+def test_k_anonymity_partition_law(spark):
+    out = analytics.q_k_anonymity(spark, SF_SMALL).collect()
+    total = spark.read.parquet(f"{SF_SMALL}/customer.parquet").count()
+    assert sum(r["class_size"] for r in out) == total
+    for r in out:
+        assert r["risk_ppm"] == 1_000_000 // r["class_size"]
+        assert r["violates_k5"] == (r["class_size"] < 5)
+
+
+def test_conformal_interval_laws(spark):
+    out = analytics.q_conformal_interval(spark, SF_SMALL).collect()
+    assert out
+    tot_cov = sum(r["covered"] for r in out)
+    tot_eval = sum(r["n_eval"] for r in out)
+    for r in out:
+        assert 0 <= r["covered"] <= r["n_eval"]
+        assert r["width_ppm"] == 2 * r["qhat_ppm"]
+        assert r["qhat_ppm"] >= 0
+    # split-conformal marginal guarantee is >= 80%; with the qhat rank
+    # clamped to n_cal on tiny groups, realized coverage sits well above
+    # it — allow finite-sample slack but catch a broken residual rule
+    assert tot_cov * 1_000_000 >= 700_000 * tot_eval
