@@ -181,6 +181,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_bootstrap": analytics.q_poisson_bootstrap,
         "k_anonymity": analytics.q_k_anonymity,
         "conformal_interval": analytics.q_conformal_interval,
+        "source_minhash_overlap": dedup.q_source_minhash_overlap,
+        "link_prediction_ra": graph.q_link_prediction_ra,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
@@ -636,6 +638,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.source, p.n_docs, p.mean_ppm, b.n_reps, b.boot_lo_ppm, "
             "b.boot_hi_ppm, b.boot_hi_ppm - b.boot_lo_ppm AS boot_spread_ppm "
             "FROM point p JOIN band b USING (source)"
+        ),
+        "source_minhash_overlap": (
+            # source-level MinHash (Broder resemblance at the source
+            # grain) + the exact distinct-shingle Jaccard audit; h_p =
+            # md5 60-bit of 'gram#p', blanks excluded structurally
+            f"WITH t AS (SELECT source, {_TOKS} AS tk FROM documents "
+            "WHERE trim(text) <> ''), "
+            "g0 AS (SELECT source, unnest(list_distinct("
+            "[array_to_string(tk[i:i+2], ' ') FOR i IN "
+            "generate_series(1, greatest(len(tk)-2, 1))])) AS gram FROM t), "
+            "g AS (SELECT DISTINCT source, gram FROM g0), "
+            "p AS (SELECT unnest(generate_series(0, 31)) AS perm), "
+            "h AS (SELECT source, perm, ('0x' || substr(md5(gram || '#' || "
+            "CAST(perm AS VARCHAR)), 1, 15))::BIGINT AS hv "
+            "FROM g CROSS JOIN p), "
+            "sig AS (SELECT source, perm, MIN(hv) AS mh FROM h GROUP BY 1, 2), "
+            "m AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_match FROM sig a JOIN sig b ON a.perm = b.perm "
+            "AND a.source < b.source GROUP BY 1, 2), "
+            "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1), "
+            "xi AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(COUNT(*) AS BIGINT) AS inter FROM g a JOIN g b "
+            "ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT m.source_a, m.source_b, CAST(32 AS BIGINT) AS n_perms, "
+            "m.n_match, (1000000 * m.n_match) // 32 AS est_jaccard_ppm, "
+            "(1000000 * COALESCE(xi.inter, 0)) // "
+            "(sa.n + sb.n - COALESCE(xi.inter, 0)) AS true_jaccard_ppm "
+            "FROM m JOIN sz sa ON m.source_a = sa.source "
+            "JOIN sz sb ON m.source_b = sb.source "
+            "LEFT JOIN xi ON m.source_a = xi.source_a AND m.source_b = xi.source_b"
+        ),
+        "link_prediction_ra": (
+            # resource-allocation index over non-adjacent co-purchase
+            # pairs: per-term integer floors (1e9 // deg) summed
+            "WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk "
+            "FROM lineitem), "
+            "e AS (SELECT a.pk AS a, b.pk AS b FROM op a JOIN op b "
+            "ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+            "adj AS (SELECT a AS z, b AS x FROM e UNION ALL SELECT b, a FROM e), "
+            "deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1), "
+            "w AS (SELECT a1.x AS pa, a2.x AS pb, a1.z FROM adj a1 "
+            "JOIN adj a2 ON a1.z = a2.z AND a1.x < a2.x), "
+            "s AS (SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n_common, "
+            "CAST(SUM(1000000000 // d) AS BIGINT) AS ra_e9 FROM w "
+            "JOIN deg USING (z) GROUP BY 1, 2), "
+            "cand AS (SELECT s.* FROM s LEFT JOIN e ON s.pa = e.a AND s.pb = e.b "
+            "WHERE e.a IS NULL) "
+            "SELECT pa AS part_a, pb AS part_b, n_common, ra_e9 AS ra_score_e9, "
+            "CAST(row_number() OVER (ORDER BY ra_e9 DESC, pa, pb) AS BIGINT) "
+            "AS lp_rank FROM cand ORDER BY ra_e9 DESC, pa, pb LIMIT 50"
         ),
         "k_anonymity": (
             "SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey, "

@@ -1778,3 +1778,94 @@ def q_doc_stitch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     return stitch_overlap_pairs(docs, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Source-level MinHash overlap matrix
+# ---------------------------------------------------------------------------
+
+def source_minhash_overlap(
+    docs: DataFrame, k: int = 32, n: int = 3
+) -> DataFrame:
+    """Pairwise content overlap between SOURCES via source-level MinHash
+    signatures — the provenance-dedup planning view: before assigning
+    mix weights or deduplicating across crawls, measure how much two
+    sources are the same corpus (mirror domains, re-crawls, syndication
+    networks).  Classic MinHash resemblance (Broder 1997) applied at
+    the source grain: signature_p(S) = min over S's distinct shingles g
+    of h_p(g), and E[share of matching components] = Jaccard(S_a, S_b).
+
+    Determinism: h_p(g) is the engine-standard md5 60-bit integer of
+    ``gram # p`` — no seeded RNG, so signatures are engine/cluster/
+    rerun-stable and the DuckDB oracle regenerates them exactly.  The
+    output also carries the EXACT distinct-shingle Jaccard per pair, so
+    every row self-audits its own sketch error.
+
+    Scale shape: the signature half is one doc scan -> skinny (source,
+    gram) distinct -> k min-aggregates riding ONE (source, perm) hash
+    agg; output is |sources|² rows of integers regardless of corpus
+    size.  The exact half (the audit) self-joins (source, gram) on
+    gram — Σ_g |sources(g)|² work, fine for catalog-scale source counts
+    but the first thing to drop at 10⁶ sources, where the sketch IS
+    the answer (SCALE.md).  Blank docs are excluded structurally (the
+    winnow rule): they have no shingles, and ''-grams would otherwise
+    alias all blanks across sources into one fake shared shingle."""
+    grams = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("source", F.explode(shingles("text", n)).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused: signatures + sizes + exact
+    )
+    perm = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("perm")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("gram"), F.lit("#"), F.col("perm").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    sig = (
+        grams.select("source", "gram", perm)
+        .select("source", "perm", hv.alias("mh"))
+        .groupBy("source", "perm")
+        .agg(F.min("mh").alias("mh"))
+    )
+    a = sig.select(F.col("source").alias("source_a"), "perm", F.col("mh").alias("mh_a"))
+    b = sig.select(F.col("source").alias("source_b"), "perm", F.col("mh").alias("mh_b"))
+    match = (
+        a.join(b, "perm")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+            .cast("long").alias("n_match")
+        )
+    )
+    sz = grams.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    ga = grams.select(F.col("source").alias("source_a"), "gram")
+    gb = grams.select(F.col("source").alias("source_b"), "gram")
+    inter = (
+        ga.join(gb, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        match.join(sz.withColumnsRenamed({"source": "source_a", "n": "n_a"}), "source_a")
+        .join(sz.withColumnsRenamed({"source": "source_b", "n": "n_b"}), "source_b")
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a", "source_b",
+            F.lit(k).cast("long").alias("n_perms"),
+            "n_match",
+            F.expr(f"(1000000 * n_match) div {k}").alias("est_jaccard_ppm"),
+            F.expr(
+                "(1000000 * coalesce(inter, 0)) div (n_a + n_b - coalesce(inter, 0))"
+            ).alias("true_jaccard_ppm"),
+        )
+    )
+
+
+def q_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_minhash_overlap(docs, k=32, n=3)

@@ -9,7 +9,7 @@ pipeline needs (e.g. domain-authority weighting of crawl sources).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -331,3 +331,59 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("label").alias("community"))
         .agg(F.count("*").cast("long").alias("n_members"))
     )
+
+
+def link_prediction_ra(edges: DataFrame, top_k: int = 50) -> DataFrame:
+    """Resource-Allocation link prediction over an undirected a<b edge
+    list (Zhou/Lü/Zhang 2009 — the strongest of the classic local
+    similarity indices): for each NON-adjacent pair (x, y), RA(x, y) =
+    Σ_{z ∈ N(x)∩N(y)} 1/deg(z).  Here it ranks part pairs the
+    co-purchase graph says SHOULD be bought together but aren't yet —
+    the complete-the-bundle recommender view.
+
+    Exactness: the score is Σ 1e9 div deg(z) — per-term integer floors
+    summed order-independently (the repo's standard transcendental-free
+    recipe), so ranking and tie-breaks ((ra desc, x, y)) are engine-
+    exact.  Plan: degree rides one agg over the adjacency; the wedge
+    enumeration is ONE self-join on the center z (Σ deg(z)² rows — the
+    min_support lever on the edge builder is what keeps hubs bounded,
+    same posture as triangle_count); known edges drop via a broadcast-
+    able anti-join; the top-k is TakeOrdered, never a global sort."""
+    adj = edges.select(F.col("a").alias("z"), F.col("b").alias("x")).unionAll(
+        edges.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    ).localCheckpoint(eager=False)  # wedge sides + degree
+    deg = adj.groupBy("z").agg(F.count("*").cast("long").alias("d"))
+    zd = adj.join(deg, "z")
+    w1 = zd.select("z", F.col("x").alias("pa"), "d")
+    w2 = adj.select("z", F.col("x").alias("pb"))
+    scored = (
+        w1.join(w2, "z")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(F.expr("1000000000 div d")).cast("long").alias("ra_e9"),
+        )
+    )
+    cand = scored.join(
+        edges.select(F.col("a").alias("pa"), F.col("b").alias("pb")),
+        ["pa", "pb"],
+        "left_anti",
+    )
+    top = cand.orderBy(F.desc("ra_e9"), "pa", "pb").limit(top_k)
+    w = Window.orderBy(F.desc("ra_e9"), "pa", "pb")
+    return top.select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        "n_common",
+        F.col("ra_e9").alias("ra_score_e9"),
+        F.row_number().over(w).cast("long").alias("lp_rank"),
+    ).orderBy("lp_rank")
+
+
+def q_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted co-purchase links on the part graph."""
+    edges = copurchase_edges(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), min_support=2
+    ).localCheckpoint(eager=False)  # adjacency (x2) + the anti-join side
+    return link_prediction_ra(edges, top_k=50)

@@ -512,3 +512,45 @@ def test_stitch_overlap_is_exact_definition(spark):
             if a != b and len(wa) >= 2 and len(wb) >= 2 and wa[-2:] == wb[:2]:
                 want.add((a, b))
     assert got == want
+
+
+def test_source_minhash_overlap_planted(spark):
+    """Identical sources -> every signature component matches (est =
+    true = 1e6); disjoint sources -> zero matches and zero Jaccard."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+        source_minhash_overlap,
+    )
+
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [
+            (1, same, "srcA"),
+            (2, same, "srcB"),
+            (3, other, "srcC"),
+            (4, "", "srcC"),  # blank: must not alias into shared grams
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {(r["source_a"], r["source_b"]): r
+           for r in source_minhash_overlap(docs, k=32).collect()}
+    ab = out[("srcA", "srcB")]
+    assert ab["n_match"] == 32
+    assert ab["est_jaccard_ppm"] == 1_000_000
+    assert ab["true_jaccard_ppm"] == 1_000_000
+    for pair in (("srcA", "srcC"), ("srcB", "srcC")):
+        assert out[pair]["n_match"] == 0
+        assert out[pair]["true_jaccard_ppm"] == 0
+
+
+def test_source_minhash_sketch_error_band(spark, sf=None):
+    """On the real corpus the 32-perm estimate stays within a loose
+    4-sigma band of the exact Jaccard (se ~ sqrt(J(1-J)/32) <= 0.09)."""
+    from conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+        q_source_minhash_overlap,
+    )
+
+    for r in q_source_minhash_overlap(spark, SF_SMALL).collect():
+        assert abs(r["est_jaccard_ppm"] - r["true_jaccard_ppm"]) <= 360_000

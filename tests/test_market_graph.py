@@ -673,3 +673,22 @@ def test_kcore_peel_known_graph(spark):
     assert nodes[1] == nodes[2] == nodes[3] == [1, 2, 3, 4]
     n_edges = rounds[0].count()
     assert n_edges == 12  # 6 undirected clique edges, both directions
+
+
+def test_link_prediction_ra_hand_graph(spark):
+    """Square 1-2-3-4-1: the two diagonals are the only non-adjacent
+    pairs, each with two common neighbors of degree 2 -> RA = 1e9."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.graph import (
+        link_prediction_ra,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["a", "b"]
+    )
+    out = {(r["part_a"], r["part_b"]): r for r in link_prediction_ra(edges).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    for r in out.values():
+        assert r["n_common"] == 2
+        assert r["ra_score_e9"] == 1_000_000_000  # 2 * (1e9 div 2)
+    # deterministic tie-break: equal scores rank by (part_a, part_b)
+    assert out[(1, 3)]["lp_rank"] == 1 and out[(2, 4)]["lp_rank"] == 2
