@@ -183,6 +183,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_interval": analytics.q_conformal_interval,
         "source_minhash_overlap": dedup.q_source_minhash_overlap,
         "link_prediction_ra": graph.q_link_prediction_ra,
+        "duplicated_ngram_coverage": dedup.q_duplicated_ngram_coverage,
+        "dictionary_tag": text.q_dictionary_tag,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
@@ -689,6 +691,66 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pa AS part_a, pb AS part_b, n_common, ra_e9 AS ra_score_e9, "
             "CAST(row_number() OVER (ORDER BY ra_e9 DESC, pa, pb) AS BIGINT) "
             "AS lp_rank FROM cand ORDER BY ra_e9 DESC, pa, pb LIMIT 50"
+        ),
+        "duplicated_ngram_coverage": (
+            # Lee-et-al exact-substring memorization share: 5-token
+            # window digests (md5 60-bit), duplicated = total occurrence
+            # count >= 2, coverage = gaps-and-islands span union
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, {_NTOK} AS n_tokens "
+            "FROM documents), "
+            "b AS (SELECT doc_id, n_tokens, "
+            "[('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 15))::BIGINT "
+            "FOR i IN generate_series(1, len(tk) - 4)] AS grams FROM t), "
+            "occ AS (SELECT doc_id, unnest(grams) AS g, "
+            "generate_subscripts(grams, 1) - 1 AS pos FROM b), "
+            "dup AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2), "
+            "hits AS (SELECT doc_id, pos, pos + 4 AS e FROM occ JOIN dup USING (g)), "
+            "isl AS (SELECT doc_id, pos, e, CASE WHEN max(e) OVER "
+            "(PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+            "OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "THEN 1 ELSE 0 END AS ni FROM hits), "
+            "isl2 AS (SELECT doc_id, pos, e, SUM(ni) OVER "
+            "(PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl), "
+            "cov AS (SELECT doc_id, CAST(SUM(span) AS BIGINT) AS covered FROM "
+            "(SELECT doc_id, island, MAX(e) - MIN(pos) + 1 AS span FROM isl2 "
+            "GROUP BY 1, 2) GROUP BY 1), "
+            "nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows "
+            "FROM occ GROUP BY 1), "
+            "nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows "
+            "FROM hits GROUP BY 1) "
+            "SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens, "
+            "COALESCE(nw.n_windows, 0) AS n_windows, "
+            "COALESCE(nd.n_dup_windows, 0) AS n_dup_windows, "
+            "COALESCE(cov.covered, 0) AS covered_tokens, "
+            "CASE WHEN b.n_tokens > 0 THEN (1000000 * COALESCE(cov.covered, 0)) "
+            "// b.n_tokens ELSE 0 END AS coverage_ppm "
+            "FROM b LEFT JOIN nw USING (doc_id) LEFT JOIN nd USING (doc_id) "
+            "LEFT JOIN cov USING (doc_id)"
+        ),
+        "dictionary_tag": (
+            # token-boundary-exact keyword taxonomy; dominant = CASE in
+            # sorted category order (lexicographically-first argmax)
+            f"WITH d AS (SELECT doc_id, {_TOKS} AS tk, {_NTOK} AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(len(list_filter(tk, t -> list_contains(['table','row','column',"
+            "'key','value','line','part','vector','window'], t))) AS BIGINT) "
+            "AS n_objects, "
+            "CAST(len(list_filter(tk, t -> list_contains(['agg','join','sort',"
+            "'filter','scan','merge','group'], t))) AS BIGINT) AS n_ops, "
+            "CAST(len(list_filter(tk, t -> list_contains(['fast','slow','small',"
+            "'big','batch','stream'], t))) AS BIGINT) AS n_perf FROM d) "
+            "SELECT doc_id, n_tokens, n_objects, n_ops, n_perf, "
+            "n_objects + n_ops + n_perf AS n_tagged, "
+            "CASE WHEN n_tokens > 0 THEN (1000000 * (n_objects + n_ops + n_perf)) "
+            "// n_tokens ELSE 0 END AS tag_ppm, "
+            "CASE WHEN n_objects + n_ops + n_perf = 0 THEN 'none' "
+            "WHEN n_objects >= n_ops AND n_objects >= n_perf THEN 'objects' "
+            "WHEN n_ops >= n_perf THEN 'ops' ELSE 'perf' END AS dominant "
+            "FROM c"
         ),
         "k_anonymity": (
             "SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey, "

@@ -1869,3 +1869,110 @@ def source_minhash_overlap(
 def q_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return source_minhash_overlap(docs, k=32, n=3)
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-n-gram coverage (exact-substring memorization share)
+# ---------------------------------------------------------------------------
+
+def duplicated_ngram_coverage(
+    docs: DataFrame, window: int = 5
+) -> DataFrame:
+    """Per-document share of token POSITIONS covered by a duplicated
+    token window — the exact-substring memorization metric behind
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2021): a ``window``-token span is duplicated when its digest
+    occurs >= 2 times ANYWHERE in the corpus (other docs or the same
+    doc), and a doc's coverage is the length of the UNION of its
+    duplicated spans.  dedup_exact/jaccard decide which DOCS to drop;
+    this measures how much of each surviving doc is still verbatim
+    boilerplate — the per-doc number a span-level dedup pass (or a
+    loss-masking policy) keys on.
+
+    Plan shape: token arrays and the per-position digest array are
+    projected BELOW the explode (the Generate re-evaluation rule,
+    SCALE.md round 6), so only skinny (doc, pos, digest60) rows
+    shuffle — bodies never.  One digest hash-agg finds duplicated
+    windows, one equi-join marks occurrences, and the span union is
+    gaps-and-islands (running-max end) per doc — no interval self-join.
+    Output is one row per doc regardless of corpus size.
+
+    Exactness: digests are the engine-standard md5 60-bit integers,
+    spans are integer positions, coverage is integer ppm — the oracle
+    replays the identical recipe."""
+    toks = tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(toks)).alias("n_tokens"),
+        F.when(
+            (F.trim(F.col("text")) != "") & (F.size(toks) >= window),
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - window),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))), 1, 15
+                    ),
+                    16, 10,
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>")).alias("grams"),
+    )
+    occ = base.select(
+        "doc_id", F.posexplode("grams").alias("pos", "g")
+    ).localCheckpoint(eager=False)  # counted once, probed once
+    dup = occ.groupBy("g").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
+    hits = occ.join(dup.select("g"), "g").select(
+        "doc_id", "pos", (F.col("pos") + window - 1).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        "doc_id", "pos", "end",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0).alias("new_island"),
+    ).select(
+        "doc_id", "pos", "end",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("island"),
+    )
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("end") - F.min("pos") + 1).alias("span"))
+        .groupBy("doc_id")
+        .agg(F.sum("span").cast("long").alias("covered_tokens"))
+    )
+    stats = occ.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows")
+    ).join(
+        hits.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_dup_windows")
+        ),
+        "doc_id", "left",
+    )
+    return (
+        base.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .join(stats, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN (1000000 * coalesce(covered_tokens, 0)) "
+                "div n_tokens ELSE 0 END"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+def q_duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_if_narrow(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        spark.sparkContext.defaultParallelism,
+    )
+    return duplicated_ngram_coverage(docs, window=5)

@@ -2440,3 +2440,77 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     return char_entropy_profile(docs)
+
+
+# ---------------------------------------------------------------------------
+# Dictionary tagging (FlashText-style taxonomy labels)
+# ---------------------------------------------------------------------------
+
+# Public taxonomy over the corpus vocabulary — the stand-in for a real
+# brand-safety / domain keyword dictionary.  Categories sorted, terms
+# exact-match on whitespace tokens (the FlashText contract: dictionary
+# matching is token-boundary-exact, unlike substring contains()).
+TAG_DICTIONARY: dict[str, tuple[str, ...]] = {
+    "ops": ("agg", "join", "sort", "filter", "scan", "merge", "group"),
+    "objects": ("table", "row", "column", "key", "value", "line", "part",
+                "vector", "window"),
+    "perf": ("fast", "slow", "small", "big", "batch", "stream"),
+}
+
+
+def dictionary_tag(docs: DataFrame) -> DataFrame:
+    """Taxonomy tagging against a fixed keyword dictionary — the
+    brand-safety / topic-routing gate every curation pipeline runs
+    (FlashText / Aho-Corasick class, Singh 2017): count per-category
+    keyword OCCURRENCES per doc and emit the dominant category.
+
+    Plan shape: ZERO shuffle — each category count is an in-row
+    ``size(filter(tokens, t -> array_contains(dict, t)))`` over the
+    scan projection, so the whole operator is map-only (the dictionary
+    is a literal array in the plan; for 10⁵+-term dictionaries switch
+    to a broadcast map lookup, same semantics).  Dominant-category
+    tie-break is alphabetical (the CASE chain tests categories in
+    sorted order with >=), 'none' when no keyword hits."""
+    toks = tokens("text")
+    cats = sorted(TAG_DICTIONARY)
+
+    def _in_terms(terms: tuple[str, ...]):
+        # single-arg closure: a two-parameter lambda would be read by
+        # F.filter as the (element, index) signature
+        return lambda t: t.isin(*terms)
+
+    counts = [
+        F.size(F.filter(toks, _in_terms(TAG_DICTIONARY[cat])))
+        .cast("long").alias(f"n_{cat}")
+        for cat in cats
+    ]
+    base = docs.select(
+        "doc_id",
+        F.when(F.trim(F.col("text")) == "", 0)
+        .otherwise(F.size(toks)).cast("long").alias("n_tokens"),
+        *counts,
+    )
+    total = sum(F.col(f"n_{c}") for c in cats[1:]) + F.col(f"n_{cats[0]}")
+    # lexicographically-first argmax: test categories in sorted order,
+    # each >= all LATER ones — first hit wins (mirrors the oracle CASE)
+    dominant = F.when(total == 0, F.lit("none"))
+    for i, cat in enumerate(cats[:-1]):
+        cond = F.lit(True)
+        for o in cats[i + 1:]:
+            cond = cond & (F.col(f"n_{cat}") >= F.col(f"n_{o}"))
+        dominant = dominant.when(cond, F.lit(cat))
+    dominant = dominant.otherwise(F.lit(cats[-1]))
+    return base.select(
+        "doc_id", "n_tokens", *[f"n_{c}" for c in cats],
+        total.cast("long").alias("n_tagged"),
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (1000000 * ("
+            + " + ".join(f"n_{c}" for c in cats)
+            + ")) div n_tokens ELSE 0 END"
+        ).alias("tag_ppm"),
+        dominant.alias("dominant"),
+    )
+
+
+def q_dictionary_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dictionary_tag(spark.read.parquet(f"{sf_dir}/documents.parquet"))

@@ -554,3 +554,33 @@ def test_source_minhash_sketch_error_band(spark, sf=None):
 
     for r in q_source_minhash_overlap(spark, SF_SMALL).collect():
         assert abs(r["est_jaccard_ppm"] - r["true_jaccard_ppm"]) <= 360_000
+
+
+def test_duplicated_ngram_coverage_hand_case(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+        duplicated_ngram_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8"),      # shares one 5-gram with doc 2
+            (2, "x1 t3 t4 t5 t6 t7 x2"),
+            (3, "a b c"),                        # too short for any window
+            (4, ""),                             # blank
+            (5, "r s u v w r s u v w r s u v w"),  # self-repeating
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in duplicated_ngram_coverage(docs, window=5).collect()}
+    assert out[1]["n_windows"] == 4 and out[1]["n_dup_windows"] == 1
+    assert out[1]["covered_tokens"] == 5
+    assert out[1]["coverage_ppm"] == 5_000_000 // 8
+    assert out[2]["n_windows"] == 3 and out[2]["n_dup_windows"] == 1
+    assert out[2]["covered_tokens"] == 5
+    assert out[2]["coverage_ppm"] == 5_000_000 // 7
+    assert out[3]["n_windows"] == 0 and out[3]["covered_tokens"] == 0
+    assert out[4]["n_tokens"] == 0 and out[4]["coverage_ppm"] == 0
+    # every window of the periodic doc recurs -> full coverage
+    assert out[5]["n_dup_windows"] == out[5]["n_windows"] == 11
+    assert out[5]["covered_tokens"] == 15
+    assert out[5]["coverage_ppm"] == 1_000_000

@@ -1029,3 +1029,28 @@ def test_char_entropy_hand_computed(spark):
     r2 = got[2]
     assert r2.distinct_chars == 8 and r2.sum_nlogn_1e6 == 0
     assert r2.entropy_keep is True
+
+
+def test_dictionary_tag_hand_case(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        dictionary_tag,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "agg table fast"),        # three-way tie -> alphabetical
+            (2, "agg join table zzz"),    # ops dominates
+            (3, "zzz yyy"),               # no hits
+            (4, ""),                      # blank
+            (5, "fast fast table"),       # repeats count as occurrences
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dictionary_tag(docs).collect()}
+    assert out[1]["dominant"] == "objects"  # tie: objects < ops < perf
+    assert (out[1]["n_ops"], out[1]["n_objects"], out[1]["n_perf"]) == (1, 1, 1)
+    assert out[2]["dominant"] == "ops" and out[2]["n_tagged"] == 3
+    assert out[3]["dominant"] == "none" and out[3]["tag_ppm"] == 0
+    assert out[4]["n_tokens"] == 0 and out[4]["dominant"] == "none"
+    assert out[5]["n_perf"] == 2 and out[5]["dominant"] == "perf"
+    assert out[5]["tag_ppm"] == 1_000_000
