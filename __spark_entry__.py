@@ -185,6 +185,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_ra": graph.q_link_prediction_ra,
         "duplicated_ngram_coverage": dedup.q_duplicated_ngram_coverage,
         "dictionary_tag": text.q_dictionary_tag,
+        "kmeans_topics": similarity.q_kmeans_topics,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
@@ -599,6 +600,51 @@ def _kcenter_sql(k: int = 8) -> str:
     )
 
 
+def _kmeans_sql(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled SQL for fixed-round integer Lloyd's k-means
+    (similarity.kmeans_topics): exact int64 squared L2 over the shared
+    int8 quantization, (dd, cid) argmin assignment, +127-shifted
+    positive-operand floor means, empty clusters carry forward."""
+    d2 = "(CAST(x AS BIGINT) - y) * (CAST(x AS BIGINT) - y)"
+    parts = [
+        f"e AS (SELECT vec_id, {_QV} AS qv FROM embeddings)",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) "
+        "AS cid, list_transform(qv, x -> CAST(x AS BIGINT)) AS cv FROM "
+        f"(SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT {k}))",
+    ]
+    for r in range(1, rounds + 2):  # `rounds` update rounds + final assignment
+        parts += [
+            f"z{r} AS (SELECT e.vec_id, c.cid, unnest(e.qv) AS x, "
+            f"unnest(c.cv) AS y FROM e CROSS JOIN c{r - 1} c)",
+            f"d{r} AS (SELECT vec_id, cid, CAST(SUM({d2}) AS BIGINT) AS dd "
+            f"FROM z{r} GROUP BY 1, 2)",
+            f"a{r} AS (SELECT vec_id, cid, dd FROM (SELECT vec_id, cid, dd, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn "
+            f"FROM d{r}) WHERE rn = 1)",
+        ]
+        if r <= rounds:
+            parts += [
+                f"u{r} AS (SELECT cid, pos, CAST((SUM(x + 127) // COUNT(*)) - 127 "
+                f"AS BIGINT) AS v FROM (SELECT a{r}.cid, unnest(e.qv) AS x, "
+                f"generate_subscripts(e.qv, 1) AS pos FROM a{r} JOIN e "
+                "USING (vec_id)) GROUP BY 1, 2)",
+                f"n{r} AS (SELECT cid, list(v ORDER BY pos) AS cv FROM u{r} "
+                "GROUP BY 1)",
+                f"c{r} AS (SELECT c.cid, COALESCE(n.cv, c.cv) AS cv FROM "
+                f"c{r - 1} c LEFT JOIN n{r} n USING (cid))",
+            ]
+    fin = rounds + 1
+    return (
+        "WITH " + ", ".join(parts) + ", "
+        f"st AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points, "
+        f"CAST(SUM(dd) AS BIGINT) AS inertia FROM a{fin} GROUP BY 1) "
+        "SELECT c.cid AS cluster_id, COALESCE(st.n_points, 0) AS n_points, "
+        "COALESCE(st.inertia, 0) AS inertia, "
+        "array_to_string(c.cv, ',') AS centroid_csv "
+        f"FROM c{rounds} c LEFT JOIN st USING (cid)"
+    )
+
+
 _EN = "['the','and','of','to','a','in']"
 _ES = "['el','la','de','y','que','los']"
 _FR = "['le','la','et','les','des','un']"
@@ -611,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         # ---- round-8 additions (late batch)
         "bradley_terry": _bradley_terry_sql(5),
         "kcenter_coreset": _kcenter_sql(8),
+        "kmeans_topics": _kmeans_sql(4, 3),
         "poisson_bootstrap": (
             # Poisson(1) replicate weights from the same md5 ppb uniform
             # + hard-coded inverse-CDF thresholds (analytics.POISSON1_CUM_PPB)

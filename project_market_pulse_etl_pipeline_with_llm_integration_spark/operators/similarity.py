@@ -1360,3 +1360,110 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-center greedy coreset over the embeddings table."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return kcenter_coreset(emb, k=8)
+
+
+def kmeans_topics(
+    emb: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-round Lloyd's k-means over the embedding table — the
+    canonical topic/cluster profile of a corpus (and the coarse
+    quantizer ann_ivf trains with spherical semantics; this is the
+    plain-L2 edition exposed as a first-class clustering operator).
+
+    Exactness contract (the kcenter/pagerank fixed-round recipe):
+    distances are EXACT int64 squared L2 over the shared int8
+    quantization; assignment argmin tie-breaks on ascending cluster id
+    (min over (d2, cid) structs); centroid updates are PER-DIMENSION
+    integer floor means computed on +127-SHIFTED components so both
+    engines stay on the positive-operand floor-division path (Spark
+    `div` truncates toward zero, DuckDB `//` floors — they only agree
+    for non-negative operands); empty clusters keep their previous
+    centroid.  Every number in the output is an integer or a CSV of
+    integers, so the unrolled-SQL oracle matches bit-for-bit.
+
+    Scale shape: each round is one broadcast of the k-row centroid
+    table across one scan of the (id, qvec) state (k·dim longs —
+    dozens of KB), one argmin hash agg keyed on the point id, and one
+    (cid, dim) hash agg for the update — no pairwise blow-up, no
+    global sort; rounds are FIXED (the streaming-friendly minibatch
+    escalation is documented in SCALE.md).  Centroid frames sit behind
+    lazy localCheckpoints so lineage stays O(1) per round.
+
+    Output: one row per cluster — cluster_id, n_points, inertia (sum
+    of member min-d2 under the FINAL centroids), centroid_csv."""
+    if k < 1 or rounds < 1:
+        raise ValueError("kmeans_topics needs k >= 1, rounds >= 1")
+    pts = emb.select(
+        F.col(id_col).alias("pid"),
+        quantize_embedding(F.col(vec_col)).alias("qv"),
+    ).localCheckpoint(eager=False)
+    d2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x.cast("long") - y) * (x.cast("long") - y)),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    w0 = W.orderBy("pid")
+    centers = (
+        pts.orderBy("pid")
+        .limit(k)
+        .select(
+            (F.row_number().over(w0) - 1).cast("long").alias("cid"),
+            F.transform("qv", lambda x: x.cast("long")).alias("cv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        return (
+            pts.crossJoin(F.broadcast(c))
+            .select("pid", "qv", "cid", d2(F.col("qv"), F.col("cv")).alias("dd"))
+            .groupBy("pid")
+            .agg(F.min(F.struct("dd", "cid")).alias("m"))
+            .select("pid", F.col("m.cid").alias("cid"), F.col("m.dd").alias("d2"))
+        )
+
+    for _ in range(rounds):
+        asg = assign(centers)
+        upd = (
+            asg.join(pts, "pid")
+            .select("cid", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("(sum(x + 127) div count(*)) - 127").alias("v"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("cv_new")
+            )
+        )
+        centers = (
+            centers.join(upd, "cid", "left")
+            .select("cid", F.coalesce("cv_new", "cv").alias("cv"))
+            .localCheckpoint(eager=False)
+        )
+    final = assign(centers)
+    stats = final.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("d2").cast("long").alias("inertia"),
+    )
+    return (
+        centers.join(stats, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.coalesce("n_points", F.lit(0)).cast("long").alias("n_points"),
+            F.coalesce("inertia", F.lit(0)).cast("long").alias("inertia"),
+            F.concat_ws(",", F.transform("cv", lambda v: v.cast("string")))
+            .alias("centroid_csv"),
+        )
+    )
+
+
+def q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-cluster, 3-round integer Lloyd's over the embeddings table."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_topics(emb, k=4, rounds=3)

@@ -503,3 +503,47 @@ def test_lsh_topk_multi_probe_radius_monotone(spark):
     got = {r.query_id: r.vec_id for r in full.filter("sim_rank = 1").collect()}
     want = {r.query_id: r.vec_id for r in brute.filter("sim_rank = 1").collect()}
     assert got == want
+
+
+def test_kmeans_hand_layout(spark):
+    """Two separable blobs, k=2: assignment, +127-shifted floor means,
+    and inertia all hand-checked."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        kmeans_topics,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),    # qv 127
+            (1, [-1.0, 0.0]),   # qv -127
+            (2, [0.99, 0.0]),   # qv 126
+            (3, [-0.99, 0.0]),  # qv -126
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r["cluster_id"]: r for r in kmeans_topics(emb, k=2, rounds=2).collect()}
+    assert set(out) == {0, 1}
+    # floor means: (127+126) -> 126;  (-127-126) -> floor(-253/2) = -127
+    assert out[0]["centroid_csv"] == "126,0"
+    assert out[1]["centroid_csv"] == "-127,0"
+    assert out[0]["n_points"] == 2 and out[1]["n_points"] == 2
+    assert out[0]["inertia"] == 1  # (127-126)^2 + (126-126)^2
+    assert out[1]["inertia"] == 1  # (-127+127)^2 + (-126+127)^2
+
+
+def test_kmeans_empty_cluster_carries_centroid(spark):
+    """Duplicate seed points: the losing center keeps its centroid and
+    reports n_points = 0 (ties argmin to the smaller cluster id)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        kmeans_topics,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["cluster_id"]: r for r in kmeans_topics(emb, k=3, rounds=2).collect()}
+    assert out[0]["n_points"] == 2 and out[0]["inertia"] == 0
+    assert out[1]["n_points"] == 0 and out[1]["inertia"] == 0
+    assert out[1]["centroid_csv"] == "0,0"  # carried, not dropped
+    assert out[2]["n_points"] == 1 and out[2]["centroid_csv"] == "127,127"
