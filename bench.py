@@ -188,6 +188,14 @@ HEADLINE = [
     # greedy k-center coreset selection
     "bradley_terry",
     "kcenter_coreset",
+    "poisson_bootstrap",
+    "k_anonymity",
+    "conformal_interval",
+    "source_minhash_overlap",
+    "link_prediction_ra",
+    "duplicated_ngram_coverage",
+    "dictionary_tag",
+    "kmeans_topics",
 ]
 
 

@@ -174,3 +174,54 @@ def test_round8_late_ops_empty(spark):
     kout = S.kcenter_coreset(emb, k=3)
     assert kout.count() == 0
     assert kout.columns == ["sel_round", "center_id", "d2_prior", "coverage_d2"]
+
+
+def test_session8_new_ops_empty(spark):
+    """Round-8 second-batch operators over empty inputs: empty output,
+    right schema, no crash."""
+    import pyspark.sql.types as T
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        dedup as D,
+        graph as G,
+        similarity as S,
+        text as X,
+    )
+
+    docs = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ])
+    )
+    assert D.source_minhash_overlap(docs).count() == 0
+    cov = D.duplicated_ngram_coverage(docs)
+    assert cov.count() == 0
+    assert cov.columns == [
+        "doc_id", "n_tokens", "n_windows", "n_dup_windows",
+        "covered_tokens", "coverage_ppm",
+    ]
+    tag = X.dictionary_tag(docs)
+    assert tag.count() == 0
+    assert tag.columns[-1] == "dominant"
+
+    edges = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+        ])
+    )
+    lp = G.link_prediction_ra(edges)
+    assert lp.count() == 0
+    assert lp.columns == ["part_a", "part_b", "n_common", "ra_score_e9", "lp_rank"]
+
+    emb = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ])
+    )
+    km = S.kmeans_topics(emb, k=3, rounds=2)
+    assert km.count() == 0
+    assert km.columns == ["cluster_id", "n_points", "inertia", "centroid_csv"]
