@@ -645,6 +645,52 @@ def _kmeans_sql(k: int = 4, rounds: int = 3) -> str:
     )
 
 
+def _source_minhash_sql(k: int = 32) -> str:
+    """Source-level MinHash oracle (dedup.source_minhash_overlap): one
+    md5 per gram reduced mod 2^31-1, k universal-hash permutation mins
+    as columns of ONE source-keyed agg (constants regenerated from the
+    same public formula), pairwise component-match counts, plus the
+    exact distinct-shingle Jaccard audit."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_perm_constants,
+    )
+
+    consts = minhash_perm_constants(k)
+    mins = ", ".join(
+        f"MIN(({a} * hm + {b}) % {MINHASH_PRIME}) AS m{p}"
+        for p, (a, b) in enumerate(consts)
+    )
+    nmatch = " + ".join(
+        f"(CASE WHEN a.m{p} = b.m{p} THEN 1 ELSE 0 END)" for p in range(k)
+    )
+    return (
+        f"WITH t AS (SELECT source, {_TOKS} AS tk FROM documents "
+        "WHERE trim(text) <> ''), "
+        "g0 AS (SELECT source, unnest(list_distinct("
+        "[array_to_string(tk[i:i+2], ' ') FOR i IN "
+        "generate_series(1, greatest(len(tk)-2, 1))])) AS gram FROM t), "
+        "g AS (SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT "
+        "AS gram FROM g0), "
+        f"hg AS (SELECT source, gram % {MINHASH_PRIME} AS hm FROM g), "
+        f"sig AS (SELECT source, {mins} FROM hg GROUP BY 1), "
+        "m AS (SELECT a.source AS source_a, b.source AS source_b, "
+        f"CAST({nmatch} AS BIGINT) AS n_match FROM sig a JOIN sig b "
+        "ON a.source < b.source), "
+        "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1), "
+        "xi AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "CAST(COUNT(*) AS BIGINT) AS inter FROM g a JOIN g b "
+        "ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2) "
+        f"SELECT m.source_a, m.source_b, CAST({k} AS BIGINT) AS n_perms, "
+        f"m.n_match, (1000000 * m.n_match) // {k} AS est_jaccard_ppm, "
+        "(1000000 * COALESCE(xi.inter, 0)) // "
+        "(sa.n + sb.n - COALESCE(xi.inter, 0)) AS true_jaccard_ppm "
+        "FROM m JOIN sz sa ON m.source_a = sa.source "
+        "JOIN sz sb ON m.source_b = sb.source "
+        "LEFT JOIN xi ON m.source_a = xi.source_a AND m.source_b = xi.source_b"
+    )
+
+
 _EN = "['the','and','of','to','a','in']"
 _ES = "['el','la','de','y','que','los']"
 _FR = "['le','la','et','les','des','un']"
@@ -688,37 +734,7 @@ def oracle_sql() -> dict[str, str]:
             "b.boot_hi_ppm, b.boot_hi_ppm - b.boot_lo_ppm AS boot_spread_ppm "
             "FROM point p JOIN band b USING (source)"
         ),
-        "source_minhash_overlap": (
-            # source-level MinHash (Broder resemblance at the source
-            # grain) + the exact distinct-shingle Jaccard audit; h_p =
-            # md5 60-bit of 'gram#p', blanks excluded structurally
-            f"WITH t AS (SELECT source, {_TOKS} AS tk FROM documents "
-            "WHERE trim(text) <> ''), "
-            "g0 AS (SELECT source, unnest(list_distinct("
-            "[array_to_string(tk[i:i+2], ' ') FOR i IN "
-            "generate_series(1, greatest(len(tk)-2, 1))])) AS gram FROM t), "
-            "g AS (SELECT DISTINCT source, gram FROM g0), "
-            "p AS (SELECT unnest(generate_series(0, 31)) AS perm), "
-            "h AS (SELECT source, perm, ('0x' || substr(md5(gram || '#' || "
-            "CAST(perm AS VARCHAR)), 1, 15))::BIGINT AS hv "
-            "FROM g CROSS JOIN p), "
-            "sig AS (SELECT source, perm, MIN(hv) AS mh FROM h GROUP BY 1, 2), "
-            "m AS (SELECT a.source AS source_a, b.source AS source_b, "
-            "CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) "
-            "AS n_match FROM sig a JOIN sig b ON a.perm = b.perm "
-            "AND a.source < b.source GROUP BY 1, 2), "
-            "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1), "
-            "xi AS (SELECT a.source AS source_a, b.source AS source_b, "
-            "CAST(COUNT(*) AS BIGINT) AS inter FROM g a JOIN g b "
-            "ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2) "
-            "SELECT m.source_a, m.source_b, CAST(32 AS BIGINT) AS n_perms, "
-            "m.n_match, (1000000 * m.n_match) // 32 AS est_jaccard_ppm, "
-            "(1000000 * COALESCE(xi.inter, 0)) // "
-            "(sa.n + sb.n - COALESCE(xi.inter, 0)) AS true_jaccard_ppm "
-            "FROM m JOIN sz sa ON m.source_a = sa.source "
-            "JOIN sz sb ON m.source_b = sb.source "
-            "LEFT JOIN xi ON m.source_a = xi.source_a AND m.source_b = xi.source_b"
-        ),
+        "source_minhash_overlap": _source_minhash_sql(32),
         "link_prediction_ra": (
             # resource-allocation index over non-adjacent co-purchase
             # pairs: per-term integer floors (1e9 // deg) summed

@@ -1784,6 +1784,23 @@ def q_doc_stitch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Source-level MinHash overlap matrix
 # ---------------------------------------------------------------------------
 
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1: operands < 2^31, a·h + b < 2^62
+
+
+def minhash_perm_constants(k: int = 32) -> list[tuple[int, int]]:
+    """(a_p, b_p) for the universal-hash permutation family h_p(x) =
+    (a_p·x + b_p) mod 2^31-1, derived from public mixing primes
+    (Knuth 2654435761, xxhash 2246822519 / 3266489917) — no RNG, so the
+    DuckDB oracle regenerates the identical table (the jl_sign_matrix
+    pattern)."""
+    out = []
+    for p in range(k):
+        a = (2654435761 * (p + 1)) % MINHASH_PRIME
+        b = (2246822519 * (p + 1) + 3266489917) % MINHASH_PRIME
+        out.append((a or 1, b))
+    return out
+
+
 def source_minhash_overlap(
     docs: DataFrame, k: int = 32, n: int = 3
 ) -> DataFrame:
@@ -1795,51 +1812,69 @@ def source_minhash_overlap(
     the source grain: signature_p(S) = min over S's distinct shingles g
     of h_p(g), and E[share of matching components] = Jaccard(S_a, S_b).
 
-    Determinism: h_p(g) is the engine-standard md5 60-bit integer of
-    ``gram # p`` — no seeded RNG, so signatures are engine/cluster/
-    rerun-stable and the DuckDB oracle regenerates them exactly.  The
-    output also carries the EXACT distinct-shingle Jaccard per pair, so
-    every row self-audits its own sketch error.
+    Determinism: each gram is md5-hashed ONCE to the engine-standard
+    60-bit integer, reduced mod 2^31-1, and the k permutations are the
+    universal-hash family (a_p·h + b_p) mod 2^31-1 with PUBLIC
+    constants (minhash_perm_constants) — no seeded RNG, so signatures
+    are engine/cluster/rerun-stable and the DuckDB oracle regenerates
+    them exactly.  The output also carries the EXACT distinct-shingle
+    Jaccard per pair, so every row self-audits its own sketch error.
 
-    Scale shape: the signature half is one doc scan -> skinny (source,
-    gram) distinct -> k min-aggregates riding ONE (source, perm) hash
-    agg; output is |sources|² rows of integers regardless of corpus
-    size.  The exact half (the audit) self-joins (source, gram) on
-    gram — Σ_g |sources(g)|² work, fine for catalog-scale source counts
-    but the first thing to drop at 10⁶ sources, where the sketch IS
-    the answer (SCALE.md).  Blank docs are excluded structurally (the
-    winnow rule): they have no shingles, and ''-grams would otherwise
-    alias all blanks across sources into one fake shared shingle."""
-    grams = (
+    Scale shape: gram strings are digested to 60-bit longs INSIDE the
+    scan projection (below the explode, the round-6 Generate rule), so
+    the distinct shuffle and everything after it carries only (source,
+    long) rows — text never leaves the scan.  The signature half is
+    then k min-COLUMNS riding ONE source-keyed hash agg (k codegen
+    int-mixes per gram — never k hashes of the string, never a k-way
+    explode); output is |sources|² rows of integers regardless of
+    corpus size.  The exact half (the audit) self-joins (source,
+    digest) on the digest — Σ_g |sources(g)|² work, fine for
+    catalog-scale source counts but the first thing to drop at 10⁶
+    sources, where the sketch IS the answer (SCALE.md).  Blank docs are
+    excluded structurally (the winnow rule): they have no shingles, and
+    ''-grams would otherwise alias all blanks across sources into one
+    fake shared shingle."""
+    gh_arr = F.transform(
+        shingles("text", n),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    # barrier ON the array projection (the ngram_novelty lesson): the
+    # interpreted-HOF gram build is the CPU bottleneck and must run
+    # exactly once, at scan parallelism
+    arr = (
         docs.filter(F.trim(F.col("text")) != "")
-        .select("source", F.explode(shingles("text", n)).alias("gram"))
+        .select("source", gh_arr.alias("ghs"))
+        .localCheckpoint(eager=False)
+    )
+    grams = (
+        arr.select("source", F.explode("ghs").alias("gram"))
         .distinct()
         .localCheckpoint(eager=False)  # reused: signatures + sizes + exact
     )
-    perm = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("perm")
-    hv = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("gram"), F.lit("#"), F.col("perm").cast("string"))),
-            1, 15,
-        ),
-        16, 10,
-    ).cast("long")
-    sig = (
-        grams.select("source", "gram", perm)
-        .select("source", "perm", hv.alias("mh"))
-        .groupBy("source", "perm")
-        .agg(F.min("mh").alias("mh"))
+    hm = F.col("gram") % F.lit(MINHASH_PRIME)
+    consts = minhash_perm_constants(k)
+    sig = grams.select("source", hm.alias("hm")).groupBy("source").agg(
+        *[
+            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(MINHASH_PRIME))
+            .alias(f"m{p}")
+            for p, (a, b) in enumerate(consts)
+        ]
     )
-    a = sig.select(F.col("source").alias("source_a"), "perm", F.col("mh").alias("mh_a"))
-    b = sig.select(F.col("source").alias("source_b"), "perm", F.col("mh").alias("mh_b"))
+    siga = sig.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"m{p}").alias(f"ma{p}") for p in range(k)],
+    )
+    sigb = sig.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"m{p}").alias(f"mb{p}") for p in range(k)],
+    )
+    n_match = sum(
+        F.when(F.col(f"ma{p}") == F.col(f"mb{p}"), 1).otherwise(0) for p in range(k)
+    )
     match = (
-        a.join(b, "perm")
+        siga.crossJoin(F.broadcast(sigb))
         .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(
-            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
-            .cast("long").alias("n_match")
-        )
+        .select("source_a", "source_b", n_match.cast("long").alias("n_match"))
     )
     sz = grams.groupBy("source").agg(F.count("*").cast("long").alias("n"))
     ga = grams.select(F.col("source").alias("source_a"), "gram")
@@ -1867,7 +1902,10 @@ def source_minhash_overlap(
 
 
 def q_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread_if_narrow(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        spark.sparkContext.defaultParallelism,
+    )
     return source_minhash_overlap(docs, k=32, n=3)
 
 
