@@ -186,6 +186,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_ngram_coverage": dedup.q_duplicated_ngram_coverage,
         "dictionary_tag": text.q_dictionary_tag,
         "kmeans_topics": similarity.q_kmeans_topics,
+        "churn_rate": analytics.q_churn_rate,
+        "bandit_replay": analytics.q_bandit_replay,
+        "retrieval_ndcg": text.q_retrieval_ndcg,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
@@ -691,6 +694,49 @@ def _source_minhash_sql(k: int = 32) -> str:
     )
 
 
+def _ndcg_sql() -> str:
+    """NDCG@20 oracle (text.q_retrieval_ndcg): the retrieval_eval BM25
+    prefix + the integer micro discount tables regenerated from
+    text.NDCG_W / NDCG_CUM (public math constants)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        NDCG_CUM,
+        NDCG_W,
+    )
+
+    w = "list_value(" + ", ".join(str(x) for x in NDCG_W) + ")"
+    c = "list_value(" + ", ".join(str(x) for x in NDCG_CUM) + ")"
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, {_NTOK} AS ntok "
+        "FROM documents), "
+        "s AS (SELECT count(*) AS n_docs, avg(ntok) AS avgdl FROM t), "
+        "p AS (SELECT doc_id, ntok AS dl, unnest(tk) AS token FROM t), "
+        "tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM p WHERE token IN "
+        "('join', 'hash', 'spark', 'window', 'customer') GROUP BY 1, 2, 3), "
+        "dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), "
+        "sc AS (SELECT tf.doc_id, sum(CAST(floor("
+        "ln(1 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) * "
+        "((tf.tf * CAST(2.2 AS DOUBLE)) / (tf.tf + CAST(1.2 AS DOUBLE) * "
+        "(0.25 + 0.75 * tf.dl / s.avgdl))) "
+        "* 1000000.0) AS BIGINT)) AS score_1e6 "
+        "FROM tf JOIN dfr ON tf.token = dfr.token CROSS JOIN s GROUP BY 1), "
+        "bm AS (SELECT doc_id, row_number() OVER (ORDER BY score_1e6 DESC, "
+        "doc_id) AS bm_rank FROM sc QUALIFY bm_rank <= 20), "
+        "rel AS (SELECT doc_id FROM t WHERE len(list_intersect("
+        "list_distinct(tk), ['join', 'hash', 'spark', 'window', 'customer']"
+        ")) >= 3), "
+        "nr AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel), "
+        "h AS (SELECT bm_rank FROM bm JOIN rel USING (doc_id)), "
+        f"d AS (SELECT CAST(COALESCE(SUM(({w})[bm_rank]), 0) AS BIGINT) "
+        "AS dcg_micro FROM h) "
+        "SELECT nr.n_relevant, d.dcg_micro, "
+        f"CAST(CASE WHEN nr.n_relevant > 0 THEN ({c})[least(nr.n_relevant, 20)] "
+        "ELSE 0 END AS BIGINT) AS idcg_micro, "
+        "CAST(CASE WHEN nr.n_relevant > 0 THEN (1000000 * d.dcg_micro) // "
+        f"(({c})[least(nr.n_relevant, 20)]) ELSE 0 END AS BIGINT) AS ndcg_ppm "
+        "FROM d CROSS JOIN nr"
+    )
+
+
 _EN = "['the','and','of','to','a','in']"
 _ES = "['el','la','de','y','que','los']"
 _FR = "['le','la','et','les','des','un']"
@@ -815,6 +861,56 @@ def oracle_sql() -> dict[str, str]:
             "WHEN n_ops >= n_perf THEN 'ops' ELSE 'perf' END AS dominant "
             "FROM c"
         ),
+        "churn_rate": (
+            "WITH au AS (SELECT DISTINCT user_id AS u, "
+            "CAST(date_trunc('week', ts) AS DATE) AS wk FROM events), "
+            "cur AS (SELECT u, wk, 1 AS cur FROM au), "
+            "pre AS (SELECT u, CAST(wk + INTERVAL 7 DAY AS DATE) AS wk, 1 AS pre "
+            "FROM au), "
+            "j AS (SELECT COALESCE(cur.u, pre.u) AS u, "
+            "COALESCE(cur.wk, pre.wk) AS wk, cur.cur, pre.pre FROM cur "
+            "FULL OUTER JOIN pre ON cur.u = pre.u AND cur.wk = pre.wk), "
+            "wks AS (SELECT DISTINCT wk FROM au), "
+            "g AS (SELECT j.wk, CAST(SUM(COALESCE(cur, 0)) AS BIGINT) AS n_active, "
+            "CAST(SUM(COALESCE(pre, 0)) AS BIGINT) AS prev_active, "
+            "CAST(SUM(CASE WHEN cur IS NOT NULL AND pre IS NOT NULL THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_retained, "
+            "CAST(SUM(CASE WHEN cur IS NULL AND pre IS NOT NULL THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_churned, "
+            "CAST(SUM(CASE WHEN cur IS NOT NULL AND pre IS NULL THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_entering "
+            "FROM j JOIN wks ON j.wk = wks.wk GROUP BY 1) "
+            "SELECT wk, prev_active, n_active, n_retained, n_churned, n_entering, "
+            "CASE WHEN prev_active > 0 THEN (1000000 * n_churned) // prev_active "
+            "END AS churn_ppm, "
+            "CASE WHEN prev_active > 0 THEN (1000000 * n_retained) // prev_active "
+            "END AS retention_ppm FROM g"
+        ),
+        "bandit_replay": (
+            "WITH ev AS (SELECT event_id, user_id, event_type AS action, "
+            "CAST(round(value * 100) AS BIGINT) AS cents, "
+            "('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':bandit'), 1, 15))"
+            "::BIGINT % 2 AS half FROM events), "
+            "c AS (SELECT user_id, action, COUNT(*) AS cnt FROM ev "
+            "WHERE half = 0 GROUP BY 1, 2), "
+            "pol AS (SELECT user_id, action AS rec FROM (SELECT user_id, action, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, action) "
+            "AS rn FROM c) WHERE rn = 1), "
+            "r AS (SELECT pol.rec, ev.action, ev.cents FROM ev "
+            "JOIN pol USING (user_id) WHERE ev.half = 1) "
+            "SELECT rec, CAST(COUNT(*) AS BIGINT) AS n_eval, "
+            "CAST(SUM(CASE WHEN action = rec THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_matched, "
+            "CAST(SUM(CASE WHEN action = rec THEN cents ELSE 0 END) AS BIGINT) "
+            "AS matched_cents, "
+            "(1000000 * CAST(SUM(CASE WHEN action = rec THEN 1 ELSE 0 END) "
+            "AS BIGINT)) // COUNT(*) AS match_ppm, "
+            "CASE WHEN SUM(CASE WHEN action = rec THEN 1 ELSE 0 END) > 0 THEN "
+            "CAST(SUM(CASE WHEN action = rec THEN cents ELSE 0 END) AS BIGINT) // "
+            "SUM(CASE WHEN action = rec THEN 1 ELSE 0 END) END "
+            "AS avg_matched_cents FROM r GROUP BY 1"
+        ),
+        "retrieval_ndcg": _ndcg_sql(),
         "k_anonymity": (
             "SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey, "
             "(CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000 AS bal_band, "

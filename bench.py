@@ -196,6 +196,9 @@ HEADLINE = [
     "duplicated_ngram_coverage",
     "dictionary_tag",
     "kmeans_topics",
+    "churn_rate",
+    "bandit_replay",
+    "retrieval_ndcg",
 ]
 
 

@@ -1325,3 +1325,140 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.col("qhat_ppm")).alias("width_ppm"),
         )
     )
+
+
+def weekly_churn(events: DataFrame) -> DataFrame:
+    """Weekly churn / retention flow: for every observed activity week,
+    how many of the PREVIOUS week's active users came back (retained),
+    left (churned), and how many actives were not there last week
+    (entering) — the product-health counterpart of cohort_retention's
+    triangle (that view follows fixed cohorts forward; this one audits
+    week-over-week flow).
+
+    Plan: distinct (user, week) once, self-aligned by a +7-day shift
+    and ONE user+week-keyed full-outer join — no windows over users, no
+    |weeks|-way self-join; counts ride one week-keyed agg.  Output is
+    O(weeks) regardless of user count.  Weeks are calendar
+    date_trunc('week') dates (engine-identical Mondays), ppm shares are
+    integer floor-div with zero-denominator guards (the first observed
+    week has no previous week: prev_active = 0, ppms NULL — loud, not
+    faked)."""
+    au = (
+        events
+        .select(
+            F.col("user_id").alias("u"),
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # current side + shifted side + week list
+    )
+    cur = au.select("u", "wk", F.lit(1).alias("cur"))
+    pre = au.select("u", F.date_add("wk", 7).alias("wk"), F.lit(1).alias("pre"))
+    flow = (
+        cur.join(pre, ["u", "wk"], "full_outer")
+        .join(au.select("wk").distinct(), "wk")  # only observed weeks
+        .groupBy("wk")
+        .agg(
+            F.sum(F.coalesce("cur", F.lit(0))).cast("long").alias("n_active"),
+            F.sum(F.coalesce("pre", F.lit(0))).cast("long").alias("prev_active"),
+            F.sum(
+                F.when(F.col("cur").isNotNull() & F.col("pre").isNotNull(), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_retained"),
+            F.sum(
+                F.when(F.col("cur").isNull() & F.col("pre").isNotNull(), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_churned"),
+            F.sum(
+                F.when(F.col("cur").isNotNull() & F.col("pre").isNull(), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_entering"),
+        )
+    )
+    return flow.select(
+        "wk", "prev_active", "n_active", "n_retained", "n_churned", "n_entering",
+        F.expr(
+            "CASE WHEN prev_active > 0 THEN (1000000 * n_churned) div prev_active END"
+        ).alias("churn_ppm"),
+        F.expr(
+            "CASE WHEN prev_active > 0 THEN (1000000 * n_retained) div prev_active END"
+        ).alias("retention_ppm"),
+    )
+
+
+def q_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weekly_churn(read_events(spark, sf_dir))
+
+
+def bandit_replay(events: DataFrame) -> DataFrame:
+    """Offline policy evaluation by REPLAY (Li et al. 2011, "Unbiased
+    offline evaluation of contextual-bandit-based news article
+    recommendation"): learn a per-user recommendation (the user's modal
+    action) on a hash-designated training half of the event log, then
+    score it on the held-out half by keeping exactly the events where
+    the logged action equals the policy's action — the standard way to
+    evaluate a recommender change WITHOUT an online A/B.
+
+    Determinism: the split is the engine-standard md5 hash of the
+    event id; the modal action tie-breaks lexicographically via one
+    (count desc, action asc) row_number window over the per-(user,
+    action) counts; rewards are integer cents.  Users with no training
+    history are excluded by the inner join (documented — replay has no
+    estimate for them).
+
+    Plan: one (user, action) hash agg on the train half, a user-keyed
+    window over per-user action counts (bounded by the action
+    vocabulary), one user-keyed join onto the eval half, one final agg
+    keyed by recommended action.  All exact integers."""
+    ev = events.select(
+        "event_id", "user_id",
+        F.col("event_type").alias("action"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_id").cast("string"),
+                                   F.lit(":bandit"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % 2
+        ).alias("half"),
+    )
+    counts = (
+        ev.filter(F.col("half") == 0)
+        .groupBy("user_id", "action")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("cnt"), "action")
+    policy = (
+        counts.select(
+            "user_id", F.col("action").alias("rec"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "rec")
+    )
+    replay = ev.filter(F.col("half") == 1).join(policy, "user_id")
+    return (
+        replay.groupBy("rec")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.sum(F.when(F.col("action") == F.col("rec"), 1).otherwise(0))
+            .cast("long").alias("n_matched"),
+            F.sum(
+                F.when(F.col("action") == F.col("rec"), F.col("cents")).otherwise(0)
+            ).cast("long").alias("matched_cents"),
+        )
+        .select(
+            "rec", "n_eval", "n_matched", "matched_cents",
+            F.expr("(1000000 * n_matched) div n_eval").alias("match_ppm"),
+            F.expr(
+                "CASE WHEN n_matched > 0 THEN matched_cents div n_matched END"
+            ).alias("avg_matched_cents"),
+        )
+    )
+
+
+def q_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bandit_replay(read_events(spark, sf_dir))

@@ -2514,3 +2514,81 @@ def dictionary_tag(docs: DataFrame) -> DataFrame:
 
 def q_dictionary_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dictionary_tag(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+# Integer NDCG discount table: NDCG_W[i-1] = floor(1e6 / log2(i + 1))
+# for rank i = 1..20, NDCG_CUM[j-1] = W1 + ... + Wj.  Public math
+# constants hard-coded identically in the engine and the oracle so the
+# graded ranking metric never hashes a transcendental (the repo
+# determinism rule).
+NDCG_W = [
+    1000000, 630929, 500000, 430676, 386852, 356207, 333333, 315464,
+    301029, 289064, 278942, 270238, 262649, 255958, 250000, 244650,
+    239812, 235408, 231378, 227670,
+]
+NDCG_CUM = [
+    1000000, 1630929, 2130929, 2561605, 2948457, 3304664, 3637997,
+    3953461, 4254490, 4543554, 4822496, 5092734, 5355383, 5611341,
+    5861341, 6105991, 6345803, 6581211, 6812589, 7040259,
+]
+
+
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 of the engine's BM25 stack — the graded companion to
+    retrieval_eval's P@k/MRR row (NDCG is what ranking changes are
+    actually judged on; with binary relevance it reduces to the
+    position-discounted hit sum over the ideal prefix).  Relevance is
+    the same EXACT rule (>= 3 distinct query terms present), so the
+    qrels are engine-derivable, and every discount weight is a
+    hard-coded integer micro (floor(1e6/log2(rank+1))) — DCG and IDCG
+    are plain integer sums, NDCG an integer floor-div ppm.
+
+    Plan: bm25_topk's distributed top-20 (TakeOrdered) joined to the
+    one-scan relevance labeling; both frames are k-row/broadcast-size;
+    the NDCG arithmetic is a two-literal-array lookup."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ranking = bm25_topk(docs, BM25_QUERY_TERMS, topk=20).select("doc_id", "bm_rank")
+    rel = (
+        docs.select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(tokens("text")),
+                    F.array([F.lit(t) for t in BM25_QUERY_TERMS]),
+                )
+            ).alias("n_terms"),
+        )
+        .filter(F.col("n_terms") >= 3)
+        .select("doc_id")
+    )
+    n_rel = rel.agg(F.count("*").cast("long").alias("n_relevant"))
+    w_arr = F.array([F.lit(w).cast("long") for w in NDCG_W])
+    cum_arr = F.array([F.lit(c).cast("long") for c in NDCG_CUM])
+    dcg = (
+        ranking.join(rel, "doc_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.element_at(w_arr, F.col("bm_rank").cast("int"))), F.lit(0)
+            ).cast("long").alias("dcg_micro")
+        )
+    )
+    return (
+        dcg.crossJoin(F.broadcast(n_rel))
+        .select(
+            "n_relevant",
+            "dcg_micro",
+            F.when(
+                F.col("n_relevant") > 0,
+                F.element_at(
+                    cum_arr, F.least(F.col("n_relevant"), F.lit(20)).cast("int")
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("idcg_micro"),
+        )
+        .select(
+            "n_relevant", "dcg_micro", "idcg_micro",
+            F.expr(
+                "CASE WHEN idcg_micro > 0 THEN (1000000 * dcg_micro) div idcg_micro "
+                "ELSE 0 END"
+            ).alias("ndcg_ppm"),
+        )
+    )

@@ -518,3 +518,48 @@ def test_conformal_interval_laws(spark):
     # clamped to n_cal on tiny groups, realized coverage sits well above
     # it — allow finite-sample slack but catch a broken residual rule
     assert tot_cov * 1_000_000 >= 700_000 * tot_eval
+
+
+def test_weekly_churn_hand_case(spark):
+    # weeks are Mondays: 2026-01-05, -12, -19
+    rows = [
+        (1, datetime(2026, 1, 5, 10, 0)), (1, datetime(2026, 1, 13, 10, 0)),
+        (2, datetime(2026, 1, 6, 10, 0)),
+        (3, datetime(2026, 1, 14, 10, 0)), (3, datetime(2026, 1, 20, 10, 0)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {str(r["wk"]): r for r in analytics.weekly_churn(ev).collect()}
+    w1, w2, w3 = out["2026-01-05"], out["2026-01-12"], out["2026-01-19"]
+    assert (w1["n_active"], w1["prev_active"], w1["n_entering"]) == (2, 0, 2)
+    assert w1["churn_ppm"] is None  # no previous week: loud NULL, not 0
+    assert (w2["n_active"], w2["n_retained"], w2["n_churned"]) == (2, 1, 1)
+    assert w2["churn_ppm"] == 500_000 and w2["retention_ppm"] == 500_000
+    assert (w3["n_active"], w3["n_retained"], w3["n_churned"]) == (1, 1, 1)
+    assert w3["n_entering"] == 0
+
+
+def test_bandit_replay_hand_case(spark):
+    """Force a known split by picking event ids per half, then check
+    the modal policy and the replay accounting."""
+    import hashlib
+
+    def half(eid):
+        return int(hashlib.md5(f"{eid}:bandit".encode()).hexdigest()[:15], 16) % 2
+
+    train_ids = iter([e for e in range(1000) if half(e) == 0])
+    eval_ids = iter([e for e in range(1000) if half(e) == 1])
+    rows = []
+    # user 1 trains to 'click' (2 clicks vs 1 view)
+    for a in ("click", "click", "view"):
+        rows.append((next(train_ids), 1, a, 1.00))
+    # eval: one matching click at 2.50, one non-matching view
+    rows.append((next(eval_ids), 1, "click", 2.50))
+    rows.append((next(eval_ids), 1, "view", 9.99))
+    # user 2 has ONLY eval events -> excluded (no policy)
+    rows.append((next(eval_ids), 2, "click", 5.00))
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "value"])
+    out = {r["rec"]: r for r in analytics.bandit_replay(ev).collect()}
+    assert set(out) == {"click"}
+    r = out["click"]
+    assert (r["n_eval"], r["n_matched"], r["matched_cents"]) == (2, 1, 250)
+    assert r["match_ppm"] == 500_000 and r["avg_matched_cents"] == 250

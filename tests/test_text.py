@@ -1054,3 +1054,19 @@ def test_dictionary_tag_hand_case(spark):
     assert out[4]["n_tokens"] == 0 and out[4]["dominant"] == "none"
     assert out[5]["n_perf"] == 2 and out[5]["dominant"] == "perf"
     assert out[5]["tag_ppm"] == 1_000_000
+
+
+def test_retrieval_ndcg_laws(spark):
+    from conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        NDCG_CUM,
+        q_retrieval_ndcg,
+    )
+
+    row = q_retrieval_ndcg(spark, SF_SMALL).collect()[0]
+    assert 0 <= row["ndcg_ppm"] <= 1_000_000
+    assert row["dcg_micro"] <= row["idcg_micro"]
+    assert row["idcg_micro"] == NDCG_CUM[min(row["n_relevant"], 20) - 1]
+    if row["n_relevant"] > 0:
+        assert row["ndcg_ppm"] == 1_000_000 * row["dcg_micro"] // row["idcg_micro"]
