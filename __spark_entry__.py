@@ -189,6 +189,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churn_rate": analytics.q_churn_rate,
         "bandit_replay": analytics.q_bandit_replay,
         "retrieval_ndcg": text.q_retrieval_ndcg,
+        "corpus_manifest": dedup.q_corpus_manifest,
+        "dup_span_mask": dedup.q_dup_span_mask,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
@@ -911,6 +913,43 @@ def oracle_sql() -> dict[str, str]:
             "AS avg_matched_cents FROM r GROUP BY 1"
         ),
         "retrieval_ndcg": _ndcg_sql(),
+        "corpus_manifest": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes, "
+            "CAST(bit_xor(dg) AS BIGINT) AS content_xor, "
+            "CAST(SUM(dg % 1000003) % 1000003 AS BIGINT) AS content_modsum, "
+            "CAST(MIN(doc_id) AS BIGINT) AS min_doc_id, "
+            "CAST(MAX(doc_id) AS BIGINT) AS max_doc_id "
+            "FROM (SELECT source, doc_id, text, "
+            "('0x' || substr(md5(text), 1, 15))::BIGINT AS dg FROM documents) "
+            "GROUP BY 1"
+        ),
+        "dup_span_mask": (
+            # the coverage oracle's island chain, emitted as spans
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk, {_NTOK} AS n_tokens "
+            "FROM documents), "
+            "b AS (SELECT doc_id, n_tokens, "
+            "[('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 15))::BIGINT "
+            "FOR i IN generate_series(1, len(tk) - 4)] AS grams FROM t), "
+            "occ AS (SELECT doc_id, unnest(grams) AS g, "
+            "generate_subscripts(grams, 1) - 1 AS pos FROM b), "
+            "dup AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2), "
+            "hits AS (SELECT doc_id, pos, pos + 4 AS e FROM occ JOIN dup USING (g)), "
+            "isl AS (SELECT doc_id, pos, e, CASE WHEN max(e) OVER "
+            "(PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+            "OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "THEN 1 ELSE 0 END AS ni FROM hits), "
+            "isl2 AS (SELECT doc_id, pos, e, SUM(ni) OVER "
+            "(PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl) "
+            "SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, "
+            "CAST(MAX(e) + 1 AS BIGINT) AS span_end_excl, "
+            "CAST(MAX(e) + 1 - MIN(pos) AS BIGINT) AS span_len "
+            "FROM isl2 GROUP BY doc_id, island "
+            "HAVING MAX(e) + 1 - MIN(pos) >= 5"
+        ),
         "k_anonymity": (
             "SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey, "
             "(CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000 AS bal_band, "

@@ -199,6 +199,8 @@ HEADLINE = [
     "churn_rate",
     "bandit_replay",
     "retrieval_ndcg",
+    "corpus_manifest",
+    "dup_span_mask",
 ]
 
 

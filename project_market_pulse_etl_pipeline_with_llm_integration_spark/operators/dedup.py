@@ -1913,31 +1913,11 @@ def q_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Duplicated-n-gram coverage (exact-substring memorization share)
 # ---------------------------------------------------------------------------
 
-def duplicated_ngram_coverage(
-    docs: DataFrame, window: int = 5
-) -> DataFrame:
-    """Per-document share of token POSITIONS covered by a duplicated
-    token window — the exact-substring memorization metric behind
-    "Deduplicating Training Data Makes Language Models Better" (Lee et
-    al. 2021): a ``window``-token span is duplicated when its digest
-    occurs >= 2 times ANYWHERE in the corpus (other docs or the same
-    doc), and a doc's coverage is the length of the UNION of its
-    duplicated spans.  dedup_exact/jaccard decide which DOCS to drop;
-    this measures how much of each surviving doc is still verbatim
-    boilerplate — the per-doc number a span-level dedup pass (or a
-    loss-masking policy) keys on.
-
-    Plan shape: token arrays and the per-position digest array are
-    projected BELOW the explode (the Generate re-evaluation rule,
-    SCALE.md round 6), so only skinny (doc, pos, digest60) rows
-    shuffle — bodies never.  One digest hash-agg finds duplicated
-    windows, one equi-join marks occurrences, and the span union is
-    gaps-and-islands (running-max end) per doc — no interval self-join.
-    Output is one row per doc regardless of corpus size.
-
-    Exactness: digests are the engine-standard md5 60-bit integers,
-    spans are integer positions, coverage is integer ppm — the oracle
-    replays the identical recipe."""
+def _dup_islands(docs: DataFrame, window: int):
+    """Shared core of duplicated_ngram_coverage / dup_span_mask:
+    (base, islands, occ, hits) — per-doc token counts + window-digest
+    arrays, all duplicated-window occurrences, and their merged spans
+    (gaps-and-islands over running-max end)."""
     toks = tokens("text")
     base = docs.select(
         "doc_id",
@@ -1977,6 +1957,35 @@ def duplicated_ngram_coverage(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("island"),
     )
+    return base, islands, occ, hits
+
+
+def duplicated_ngram_coverage(
+    docs: DataFrame, window: int = 5
+) -> DataFrame:
+    """Per-document share of token POSITIONS covered by a duplicated
+    token window — the exact-substring memorization metric behind
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2021): a ``window``-token span is duplicated when its digest
+    occurs >= 2 times ANYWHERE in the corpus (other docs or the same
+    doc), and a doc's coverage is the length of the UNION of its
+    duplicated spans.  dedup_exact/jaccard decide which DOCS to drop;
+    this measures how much of each surviving doc is still verbatim
+    boilerplate — the per-doc number a span-level dedup pass (or a
+    loss-masking policy) keys on.
+
+    Plan shape: token arrays and the per-position digest array are
+    projected BELOW the explode (the Generate re-evaluation rule,
+    SCALE.md round 6), so only skinny (doc, pos, digest60) rows
+    shuffle — bodies never.  One digest hash-agg finds duplicated
+    windows, one equi-join marks occurrences, and the span union is
+    gaps-and-islands (running-max end) per doc — no interval self-join.
+    Output is one row per doc regardless of corpus size.
+
+    Exactness: digests are the engine-standard md5 60-bit integers,
+    spans are integer positions, coverage is integer ppm — the oracle
+    replays the identical recipe."""
+    base, islands, occ, hits = _dup_islands(docs, window)
     per_doc = (
         islands.groupBy("doc_id", "island")
         .agg((F.max("end") - F.min("pos") + 1).alias("span"))
@@ -2014,3 +2023,85 @@ def q_duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism,
     )
     return duplicated_ngram_coverage(docs, window=5)
+
+
+def dup_span_mask(
+    docs: DataFrame, window: int = 5, min_span: int = 5
+) -> DataFrame:
+    """The ACTIONABLE half of duplicated_ngram_coverage: one row per
+    maskable duplicated span — (doc_id, span_start, span_end_excl,
+    span_len) for every merged run of duplicated ``window``-token
+    grams at least ``min_span`` tokens long.  This is what a span-level
+    dedup pass (Lee et al. 2021 cut these from the training text) or a
+    loss-masking data loader consumes; the coverage query is the
+    monitoring view, this is the work order.
+
+    Same plan as the coverage op up to the islands (digests below the
+    explode, one hash agg, one equi-join, gaps-and-islands) — the final
+    shape is one bounded agg per (doc, island).  Positions are
+    0-based token offsets; span_end_excl = last covered token + 1, so
+    span_len = span_end_excl - span_start always."""
+    _, islands, _, _ = _dup_islands(docs, window)
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("end") + 1).cast("long").alias("span_end_excl"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end_excl",
+            (F.col("span_end_excl") - F.col("span_start")).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_span)
+    )
+
+
+def q_dup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_if_narrow(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        spark.sparkContext.defaultParallelism,
+    )
+    return dup_span_mask(docs, window=5, min_span=5)
+
+
+# ---------------------------------------------------------------------------
+# Corpus manifest (content-addressed snapshot fingerprint)
+# ---------------------------------------------------------------------------
+
+def corpus_manifest(docs: DataFrame) -> DataFrame:
+    """Per-source content-addressed manifest — the dataset-versioning
+    primitive: two corpus snapshots are byte-identical per source iff
+    their manifest rows are equal, computable in ONE scan with
+    ORDER-INDEPENDENT aggregates only (xor and modular sum commute, so
+    a 1000-way partitioned run fingerprints identically to a local
+    one — the property a float sum or a concat-hash lacks).
+
+    content_xor folds every doc's 60-bit md5 digest with bit_xor (an
+    insertion/deletion flips it; a swap of two equal docs does not —
+    exact-dup multiplicity is what content_modsum adds: digests summed
+    mod 1,000,003, so duplicate-count changes move it).  Bytes and doc
+    counts complete the manifest.  Used before/after every pipeline
+    stage as the cheap "did anything change, and where" check."""
+    dg = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    return (
+        docs.select(
+            "source",
+            dg.alias("dg"),
+            F.octet_length("text").cast("long").alias("nb"),
+            "doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nb").cast("long").alias("n_bytes"),
+            F.expr("bit_xor(dg)").cast("long").alias("content_xor"),
+            (F.sum(F.col("dg") % F.lit(1_000_003)) % F.lit(1_000_003))
+            .cast("long").alias("content_modsum"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+
+
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_manifest(spark.read.parquet(f"{sf_dir}/documents.parquet"))

@@ -584,3 +584,66 @@ def test_duplicated_ngram_coverage_hand_case(spark):
     assert out[5]["n_dup_windows"] == out[5]["n_windows"] == 11
     assert out[5]["covered_tokens"] == 15
     assert out[5]["coverage_ppm"] == 1_000_000
+
+
+def test_dup_span_mask_matches_coverage(spark):
+    """The mask rows are exactly the coverage op's islands: per doc,
+    sum(span_len) == covered_tokens (min_span = window so no island is
+    dropped), spans are disjoint and ordered."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+        dup_span_mask,
+        duplicated_ngram_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8"),
+            (2, "x1 t3 t4 t5 t6 t7 x2"),
+            (5, "r s u v w r s u v w r s u v w"),
+            (6, "q q2 q3 t3 t4 t5 t6 t7 z1 z2 z3 z4 z5 t1 t2 t3 t4 t5 t6 t7"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = dup_span_mask(docs, window=5, min_span=5).collect()
+    cov = {r["doc_id"]: r["covered_tokens"]
+           for r in duplicated_ngram_coverage(docs, window=5).collect()}
+    per_doc: dict[int, list] = {}
+    for r in spans:
+        assert r["span_len"] == r["span_end_excl"] - r["span_start"] >= 5
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end_excl"])
+        )
+    for d, ivs in per_doc.items():
+        ivs.sort()
+        assert sum(e - s for s, e in ivs) == cov[d]
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert e1 < s2  # disjoint with a real gap (else merged)
+    # doc 6 has two separate duplicated runs -> two spans
+    assert len(per_doc[6]) == 2
+
+
+def test_corpus_manifest_detects_change(spark):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+        corpus_manifest,
+    )
+
+    base = [(1, "alpha beta", "s1"), (2, "gamma delta", "s1"), (3, "x", "s2")]
+    a = spark.createDataFrame(base, ["doc_id", "text", "source"])
+    m1 = {r["source"]: r for r in corpus_manifest(a).collect()}
+    # identical content, different row order -> identical manifest
+    b = spark.createDataFrame(list(reversed(base)), ["doc_id", "text", "source"])
+    m2 = {r["source"]: r for r in corpus_manifest(b).collect()}
+    assert m1 == m2
+    # one doc edited -> that source's fingerprints move, the other's don't
+    edited = [(1, "alpha beta!", "s1"), (2, "gamma delta", "s1"), (3, "x", "s2")]
+    m3 = {r["source"]: r for r in corpus_manifest(
+        spark.createDataFrame(edited, ["doc_id", "text", "source"])).collect()}
+    assert m3["s2"] == m1["s2"]
+    assert m3["s1"]["content_xor"] != m1["s1"]["content_xor"]
+    # duplicating an existing doc is invisible to xor-of-pairs but NOT
+    # to the modular sum (multiplicity signal)
+    duped = base + [(4, "alpha beta", "s2"), (5, "alpha beta", "s2")]
+    m4 = {r["source"]: r for r in corpus_manifest(
+        spark.createDataFrame(duped, ["doc_id", "text", "source"])).collect()}
+    assert m4["s2"]["content_xor"] == m1["s2"]["content_xor"]  # pair cancels
+    assert m4["s2"]["content_modsum"] != m1["s2"]["content_modsum"]
