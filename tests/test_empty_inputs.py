@@ -225,3 +225,37 @@ def test_session8_new_ops_empty(spark):
     km = S.kmeans_topics(emb, k=3, rounds=2)
     assert km.count() == 0
     assert km.columns == ["cluster_id", "n_points", "inertia", "centroid_csv"]
+
+
+def test_session8_batch34_ops_empty(spark):
+    """churn / bandit-replay / manifest / span-mask over empty inputs."""
+    import pyspark.sql.types as T
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics as A,
+        dedup as D,
+    )
+
+    ev = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ])
+    )
+    assert A.weekly_churn(ev).count() == 0
+    assert A.bandit_replay(ev).count() == 0
+
+    docs = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ])
+    )
+    assert D.corpus_manifest(docs).count() == 0
+    mask = D.dup_span_mask(docs)
+    assert mask.count() == 0
+    assert mask.columns == ["doc_id", "span_start", "span_end_excl", "span_len"]
