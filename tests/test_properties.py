@@ -313,3 +313,110 @@ def test_kcenter_greedy_invariants(spark, vecs):
     sel = [r.d2_prior for r in rows[1:]]
     assert all(a >= b for a, b in zip(sel, sel[1:]))
     assert all(r.coverage_d2 <= sel[-1] for r in rows) if sel else True
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, width=32),
+            min_size=3, max_size=3,
+        ),
+        min_size=2, max_size=10,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_kmeans_matches_python_lloyd(spark, vecs, k):
+    """Random small embeddings: the engine's fixed-round integer
+    Lloyd's must equal a pure-Python replay of the same quantize /
+    argmin / +127-shifted-floor-mean recipe."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        kmeans_topics,
+    )
+
+    rounds = 2
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    q = {
+        i: [round(max(min(float(x), 1.0), -1.0) * 127.0) for x in v]
+        for i, v in enumerate(vecs)
+    }
+    kk = min(k, len(vecs))
+    centers = {c: [int(x) for x in q[c]] for c in range(kk)}
+
+    def assign(cs):
+        out = {}
+        for i, v in q.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, cs[c])), c) for c in cs
+            )
+            out[i] = best  # (d2, cid)
+        return out
+
+    for _ in range(rounds):
+        asg = assign(centers)
+        for c in list(centers):
+            members = [q[i] for i, (_, cc) in asg.items() if cc == c]
+            if members:
+                centers[c] = [
+                    (sum(x + 127 for x in dim) // len(members)) - 127
+                    for dim in zip(*members)
+                ]
+    final = assign(centers)
+    exp = {}
+    for c in centers:
+        pts = [(d, i) for i, (d, cc) in final.items() if cc == c]
+        exp[c] = (
+            len(pts),
+            sum(d for d, _ in pts),
+            ",".join(str(x) for x in centers[c]),
+        )
+    got = {
+        r["cluster_id"]: (r["n_points"], r["inertia"], r["centroid_csv"])
+        for r in kmeans_topics(emb, k=kk, rounds=rounds).collect()
+    }
+    assert got == exp
+
+
+@_slow
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_dup_coverage_matches_bruteforce(spark, docs_txt):
+    """Random corpora: coverage equals a brute-force Python union of
+    duplicated 3-token windows (window=3 so short random docs still
+    produce them)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+        duplicated_ngram_coverage,
+    )
+
+    W = 3
+    toks = {i: t.split() for i, t in enumerate(docs_txt) if t.strip()}
+    toks.update({i: [] for i, t in enumerate(docs_txt) if not t.strip()})
+    grams: dict = {}
+    for i, tk in toks.items():
+        for p in range(max(len(tk) - W + 1, 0)):
+            g = " ".join(tk[p:p + W])
+            grams[g] = grams.get(g, 0) + 1
+    exp = {}
+    for i, tk in toks.items():
+        pos = [p for p in range(max(len(tk) - W + 1, 0))
+               if grams[" ".join(tk[p:p + W])] >= 2]
+        covered: set = set()
+        for p in pos:
+            covered.update(range(p, p + W))
+        n_tok = len(tk)
+        exp[i] = (
+            n_tok, max(len(tk) - W + 1, 0), len(pos), len(covered),
+            (1_000_000 * len(covered)) // n_tok if n_tok else 0,
+        )
+    df = spark.createDataFrame(
+        list(enumerate(docs_txt)), ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_windows"], r["n_dup_windows"],
+            r["covered_tokens"], r["coverage_ppm"],
+        )
+        for r in duplicated_ngram_coverage(df, window=W).collect()
+    }
+    assert got == exp

@@ -71,6 +71,12 @@ STRESS_QUERIES = [
     # adversarial), KN model-size growth, graph peeling rounds, the
     # scan-local entropy fold (linear control)
     "doc_stitch_overlap", "perplexity_kn", "kcore_peel", "char_entropy",
+    # round-8 session-2 additions: the 10-copy near-dup corpus is
+    # adversarial for the window-digest dup detectors (every 5-gram
+    # recurs ~10x, so coverage ~100% and hit volume ~ row count x 10),
+    # the source-pair gram self-join, and the wedge enumeration
+    "duplicated_ngram_coverage", "dup_span_mask",
+    "source_minhash_overlap", "link_prediction_ra",
 ]
 
 
