@@ -191,6 +191,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_ndcg": text.q_retrieval_ndcg,
         "corpus_manifest": dedup.q_corpus_manifest,
         "dup_span_mask": dedup.q_dup_span_mask,
+        "pq_encode": similarity.q_pq_encode,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
@@ -739,6 +740,57 @@ def _ndcg_sql() -> str:
     )
 
 
+def _pq_sql(m: int = 8, k: int = 4, rounds: int = 1) -> str:
+    """Unrolled SQL for product quantization (similarity.pq_encode):
+    per contiguous subspace, the kmeans recipe (first-k init, (dd, cid)
+    argmin, +127-shifted floor means, empty-cluster carry) for
+    ``rounds`` rounds + a final assignment; codes and exact recon_d2
+    joined back per vector."""
+    d2 = "(CAST(x AS BIGINT) - y) * (CAST(x AS BIGINT) - y)"
+    dim = 64 // m
+    parts = [f"e AS (SELECT vec_id, {_QV} AS qv FROM embeddings)"]
+    fin = rounds + 1
+    for sx in range(m):
+        lo, hi = sx * dim + 1, (sx + 1) * dim
+        parts += [
+            f"es{sx} AS (SELECT vec_id, qv[{lo}:{hi}] AS sv FROM e)",
+            f"c0s{sx} AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+            "AS BIGINT) AS cid, list_transform(sv, x -> CAST(x AS BIGINT)) AS cv "
+            f"FROM (SELECT vec_id, sv FROM es{sx} ORDER BY vec_id LIMIT {k}))",
+        ]
+        for r in range(1, fin + 1):
+            parts += [
+                f"z{r}s{sx} AS (SELECT t.vec_id, c.cid, unnest(t.sv) AS x, "
+                f"unnest(c.cv) AS y FROM es{sx} t CROSS JOIN c{r - 1}s{sx} c)",
+                f"d{r}s{sx} AS (SELECT vec_id, cid, CAST(SUM({d2}) AS BIGINT) "
+                f"AS dd FROM z{r}s{sx} GROUP BY 1, 2)",
+                f"a{r}s{sx} AS (SELECT vec_id, cid, dd FROM (SELECT vec_id, cid, "
+                "dd, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) "
+                f"AS rn FROM d{r}s{sx}) WHERE rn = 1)",
+            ]
+            if r <= rounds:
+                parts += [
+                    f"u{r}s{sx} AS (SELECT cid, pos, CAST((SUM(x + 127) // "
+                    "COUNT(*)) - 127 AS BIGINT) AS v FROM (SELECT a.cid, "
+                    f"unnest(t.sv) AS x, generate_subscripts(t.sv, 1) AS pos "
+                    f"FROM a{r}s{sx} a JOIN es{sx} t USING (vec_id)) GROUP BY 1, 2)",
+                    f"n{r}s{sx} AS (SELECT cid, list(v ORDER BY pos) AS cv "
+                    f"FROM u{r}s{sx} GROUP BY 1)",
+                    f"c{r}s{sx} AS (SELECT c.cid, COALESCE(n.cv, c.cv) AS cv "
+                    f"FROM c{r - 1}s{sx} c LEFT JOIN n{r}s{sx} n USING (cid))",
+                ]
+    code = " || ',' || ".join(f"CAST(a{fin}s{sx}.cid AS VARCHAR)" for sx in range(m))
+    recon = " + ".join(f"a{fin}s{sx}.dd" for sx in range(m))
+    joins = f"a{fin}s0" + "".join(
+        f" JOIN a{fin}s{sx} USING (vec_id)" for sx in range(1, m)
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        f"SELECT vec_id, {code} AS code_csv, CAST({recon} AS BIGINT) AS recon_d2 "
+        f"FROM {joins}"
+    )
+
+
 _EN = "['the','and','of','to','a','in']"
 _ES = "['el','la','de','y','que','los']"
 _FR = "['le','la','et','les','des','un']"
@@ -752,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "bradley_terry": _bradley_terry_sql(5),
         "kcenter_coreset": _kcenter_sql(8),
         "kmeans_topics": _kmeans_sql(4, 3),
+        "pq_encode": _pq_sql(8, 4, 1),
         "poisson_bootstrap": (
             # Poisson(1) replicate weights from the same md5 ppb uniform
             # + hard-coded inverse-CDF thresholds (analytics.POISSON1_CUM_PPB)

@@ -201,6 +201,7 @@ HEADLINE = [
     "retrieval_ndcg",
     "corpus_manifest",
     "dup_span_mask",
+    "pq_encode",
 ]
 
 

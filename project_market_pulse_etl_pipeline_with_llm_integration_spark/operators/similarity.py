@@ -1362,45 +1362,13 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_coreset(emb, k=8)
 
 
-def kmeans_topics(
-    emb: DataFrame,
-    k: int = 4,
-    rounds: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Fixed-round Lloyd's k-means over the embedding table — the
-    canonical topic/cluster profile of a corpus (and the coarse
-    quantizer ann_ivf trains with spherical semantics; this is the
-    plain-L2 edition exposed as a first-class clustering operator).
-
-    Exactness contract (the kcenter/pagerank fixed-round recipe):
-    distances are EXACT int64 squared L2 over the shared int8
-    quantization; assignment argmin tie-breaks on ascending cluster id
-    (min over (d2, cid) structs); centroid updates are PER-DIMENSION
-    integer floor means computed on +127-SHIFTED components so both
-    engines stay on the positive-operand floor-division path (Spark
-    `div` truncates toward zero, DuckDB `//` floors — they only agree
-    for non-negative operands); empty clusters keep their previous
-    centroid.  Every number in the output is an integer or a CSV of
-    integers, so the unrolled-SQL oracle matches bit-for-bit.
-
-    Scale shape: each round is one broadcast of the k-row centroid
-    table across one scan of the (id, qvec) state (k·dim longs —
-    dozens of KB), one argmin hash agg keyed on the point id, and one
-    (cid, dim) hash agg for the update — no pairwise blow-up, no
-    global sort; rounds are FIXED (the streaming-friendly minibatch
-    escalation is documented in SCALE.md).  Centroid frames sit behind
-    lazy localCheckpoints so lineage stays O(1) per round.
-
-    Output: one row per cluster — cluster_id, n_points, inertia (sum
-    of member min-d2 under the FINAL centroids), centroid_csv."""
-    if k < 1 or rounds < 1:
-        raise ValueError("kmeans_topics needs k >= 1, rounds >= 1")
-    pts = emb.select(
-        F.col(id_col).alias("pid"),
-        quantize_embedding(F.col(vec_col)).alias("qv"),
-    ).localCheckpoint(eager=False)
+def _lloyd(pts: DataFrame, k: int, rounds: int):
+    """Fixed-round integer Lloyd's core over a checkpointed (pid, qv)
+    frame: (final centers, final assignment (pid, cid, d2)).  Shared by
+    kmeans_topics (full vectors) and pq_encode (per-subspace slices);
+    the exactness recipe — (d2, cid) struct argmin, +127-shifted
+    positive-operand floor means, empty-cluster carry — is documented
+    on kmeans_topics."""
     d2 = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x.cast("long") - y) * (x.cast("long") - y)),
         F.lit(0).cast("long"),
@@ -1446,7 +1414,49 @@ def kmeans_topics(
             .select("cid", F.coalesce("cv_new", "cv").alias("cv"))
             .localCheckpoint(eager=False)
         )
-    final = assign(centers)
+    return centers, assign(centers)
+
+
+def kmeans_topics(
+    emb: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-round Lloyd's k-means over the embedding table — the
+    canonical topic/cluster profile of a corpus (and the coarse
+    quantizer ann_ivf trains with spherical semantics; this is the
+    plain-L2 edition exposed as a first-class clustering operator).
+
+    Exactness contract (the kcenter/pagerank fixed-round recipe):
+    distances are EXACT int64 squared L2 over the shared int8
+    quantization; assignment argmin tie-breaks on ascending cluster id
+    (min over (d2, cid) structs); centroid updates are PER-DIMENSION
+    integer floor means computed on +127-SHIFTED components so both
+    engines stay on the positive-operand floor-division path (Spark
+    `div` truncates toward zero, DuckDB `//` floors — they only agree
+    for non-negative operands); empty clusters keep their previous
+    centroid.  Every number in the output is an integer or a CSV of
+    integers, so the unrolled-SQL oracle matches bit-for-bit.
+
+    Scale shape: each round is one broadcast of the k-row centroid
+    table across one scan of the (id, qvec) state (k·dim longs —
+    dozens of KB), one argmin hash agg keyed on the point id, and one
+    (cid, dim) hash agg for the update — no pairwise blow-up, no
+    global sort; rounds are FIXED (the streaming-friendly minibatch
+    escalation is documented in SCALE.md).  Centroid frames sit behind
+    lazy localCheckpoints so lineage stays O(1) per round.
+
+    Output: one row per cluster — cluster_id, n_points, inertia (sum
+    of member min-d2 under the FINAL centroids), centroid_csv."""
+    if k < 1 or rounds < 1:
+        raise ValueError("kmeans_topics needs k >= 1, rounds >= 1")
+    pts = emb.select(
+        F.col(id_col).alias("pid"),
+        quantize_embedding(F.col(vec_col)).alias("qv"),
+    ).localCheckpoint(eager=False)
+    centers, final = _lloyd(pts, k, rounds)
     stats = final.groupBy("cid").agg(
         F.count("*").cast("long").alias("n_points"),
         F.sum("d2").cast("long").alias("inertia"),
@@ -1467,3 +1477,69 @@ def q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-cluster, 3-round integer Lloyd's over the embeddings table."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return kmeans_topics(emb, k=4, rounds=3)
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 4,
+    rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou/Douze/Schmid 2011) over the shared
+    int8 quantization: the 64-dim vector splits into ``m`` contiguous
+    subspaces, each trained with the fixed-round integer Lloyd's core
+    (_lloyd) to a ``k``-centroid codebook, and every vector is encoded
+    as its per-subspace nearest-centroid codes — the memory layout that
+    takes an embedding table from 64 int8s to m small codes (here
+    8 × 2 bits) while keeping an additive distance approximation
+    (ADC): recon_d2, the exact int64 squared error of the encoding, IS
+    the per-vector term that bounds the ADC error.
+
+    This completes the engine's quantization ladder: int8 scalar
+    (ann_quantized) → JL dim-reduction (jl_projection) → PQ codes.
+    Training budget is deliberately small and FIXED (k codewords,
+    ``rounds`` Lloyd rounds from the first-k-ids init — the kmeans
+    seeding rule), so the whole operator is engine-exact and the
+    unrolled oracle replays it; production-scale codebooks (k=256,
+    more rounds) change constants, not shape.
+
+    Scale shape: one (pid, qv) checkpoint feeds m independent
+    subspace pipelines, each the kmeans plan on an m-times-narrower
+    slice (broadcast k-row codebook, argmin hash agg, one update agg);
+    the final join of m skinny (pid, code, d2) frames is pid-keyed.
+    Output: vec_id, code_csv (m codes), recon_d2."""
+    if 64 % m != 0:
+        raise ValueError("pq_encode: m must divide the 64-dim layout")
+    dim = 64 // m
+    pts = emb.select(
+        F.col(id_col).alias("pid"),
+        quantize_embedding(F.col(vec_col)).alias("qv_full"),
+    ).localCheckpoint(eager=False)
+    joined = None
+    for s in range(m):
+        sub = pts.select(
+            "pid", F.slice("qv_full", s * dim + 1, dim).alias("qv")
+        )
+        _, asg = _lloyd(sub, k, rounds)
+        part = asg.select(
+            "pid",
+            F.col("cid").alias(f"code{s}"),
+            F.col("d2").alias(f"d2_{s}"),
+        )
+        joined = part if joined is None else joined.join(part, "pid")
+    recon = sum(F.col(f"d2_{s}") for s in range(m))
+    return joined.select(
+        F.col("pid").alias("vec_id"),
+        F.concat_ws(",", *[F.col(f"code{s}").cast("string") for s in range(m)])
+        .alias("code_csv"),
+        recon.cast("long").alias("recon_d2"),
+    )
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8x8 product quantization of the embeddings table, 4 codewords
+    per subspace, one Lloyd round."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_encode(emb, m=8, k=4, rounds=1)

@@ -547,3 +547,39 @@ def test_kmeans_empty_cluster_carries_centroid(spark):
     assert out[1]["n_points"] == 0 and out[1]["inertia"] == 0
     assert out[1]["centroid_csv"] == "0,0"  # carried, not dropped
     assert out[2]["n_points"] == 1 and out[2]["centroid_csv"] == "127,127"
+
+
+def test_pq_encode_self_codebook_zero_error(spark):
+    """k = n distinct vectors: every point is its own codeword after
+    the update round, so recon_d2 = 0 and vec i codes to i in every
+    subspace."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    vecs = [
+        (0, [0.5] * 64),
+        (1, [-0.5] * 64),
+        (2, [1.0] * 32 + [-1.0] * 32),
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in pq_encode(emb, m=8, k=3, rounds=1).collect()}
+    for i in range(3):
+        assert out[i]["recon_d2"] == 0
+        assert out[i]["code_csv"] == ",".join([str(i)] * 8)
+
+
+def test_pq_encode_corpus_laws(spark):
+    from conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    rows = pq_encode(emb, m=8, k=4, rounds=1).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        codes = [int(c) for c in r["code_csv"].split(",")]
+        assert len(codes) == 8 and all(0 <= c < 4 for c in codes)
+        assert r["recon_d2"] >= 0
