@@ -95,6 +95,8 @@ SIZE_FILTER_OK = {
                       "operator (postings filtered pre-shuffle)",
     "doc_stitch_overlap": "explicit >= k-token gate before the boundary "
                           "grams; split runs in the scan stage only",
+    "retrieval_ndcg": "same scan-side query-term-overlap relevance rule "
+                      "as retrieval_eval — the filter IS the qrels",
 }
 
 
