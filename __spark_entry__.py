@@ -192,6 +192,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_manifest": dedup.q_corpus_manifest,
         "dup_span_mask": dedup.q_dup_span_mask,
         "pq_encode": similarity.q_pq_encode,
+        "pq_adc_topk": similarity.q_pq_adc_topk,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
@@ -740,12 +741,11 @@ def _ndcg_sql() -> str:
     )
 
 
-def _pq_sql(m: int = 8, k: int = 4, rounds: int = 1) -> str:
-    """Unrolled SQL for product quantization (similarity.pq_encode):
-    per contiguous subspace, the kmeans recipe (first-k init, (dd, cid)
-    argmin, +127-shifted floor means, empty-cluster carry) for
-    ``rounds`` rounds + a final assignment; codes and exact recon_d2
-    joined back per vector."""
+def _pq_parts(m: int, k: int, rounds: int) -> tuple[list, int]:
+    """Shared per-subspace CTE chain for the PQ oracles (pq_encode /
+    pq_adc_topk): the kmeans recipe (first-k init, (dd, cid) argmin,
+    +127-shifted floor means, empty-cluster carry) for ``rounds``
+    rounds + a final assignment per subspace."""
     d2 = "(CAST(x AS BIGINT) - y) * (CAST(x AS BIGINT) - y)"
     dim = 64 // m
     parts = [f"e AS (SELECT vec_id, {_QV} AS qv FROM embeddings)"]
@@ -779,6 +779,12 @@ def _pq_sql(m: int = 8, k: int = 4, rounds: int = 1) -> str:
                     f"c{r}s{sx} AS (SELECT c.cid, COALESCE(n.cv, c.cv) AS cv "
                     f"FROM c{r - 1}s{sx} c LEFT JOIN n{r}s{sx} n USING (cid))",
                 ]
+    return parts, fin
+
+
+def _pq_sql(m: int = 8, k: int = 4, rounds: int = 1) -> str:
+    """pq_encode oracle: codes and exact recon_d2 joined per vector."""
+    parts, fin = _pq_parts(m, k, rounds)
     code = " || ',' || ".join(f"CAST(a{fin}s{sx}.cid AS VARCHAR)" for sx in range(m))
     recon = " + ".join(f"a{fin}s{sx}.dd" for sx in range(m))
     joins = f"a{fin}s0" + "".join(
@@ -788,6 +794,39 @@ def _pq_sql(m: int = 8, k: int = 4, rounds: int = 1) -> str:
         "WITH " + ", ".join(parts) + " "
         f"SELECT vec_id, {code} AS code_csv, CAST({recon} AS BIGINT) AS recon_d2 "
         f"FROM {joins}"
+    )
+
+
+def _pq_adc_sql(
+    m: int = 8, k: int = 4, rounds: int = 1,
+    n_queries: int = 3, topk: int = 10,
+) -> str:
+    """pq_adc_topk oracle: the PQ chain + per-query (subspace, code)
+    distance tables, summed per (query, vector), ranked per query."""
+    d2 = "(CAST(x AS BIGINT) - y) * (CAST(x AS BIGINT) - y)"
+    parts, fin = _pq_parts(m, k, rounds)
+    parts.append(
+        f"qids AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT {n_queries})"
+    )
+    for sx in range(m):
+        parts += [
+            f"qs{sx} AS (SELECT t.vec_id AS query_id, t.sv FROM es{sx} t "
+            "JOIN qids ON t.vec_id = qids.vec_id)",
+            f"dtz{sx} AS (SELECT q.query_id, c.cid, unnest(q.sv) AS x, "
+            f"unnest(c.cv) AS y FROM qs{sx} q CROSS JOIN c{rounds}s{sx} c)",
+            f"dt{sx} AS (SELECT query_id, cid, CAST(SUM({d2}) AS BIGINT) AS dq "
+            f"FROM dtz{sx} GROUP BY 1, 2)",
+            f"term{sx} AS (SELECT dt.query_id, a.vec_id, dt.dq "
+            f"FROM a{fin}s{sx} a JOIN dt{sx} dt ON a.cid = dt.cid)",
+        ]
+    union = " UNION ALL ".join(f"SELECT * FROM term{sx}" for sx in range(m))
+    return (
+        "WITH " + ", ".join(parts) + ", "
+        f"adc AS (SELECT query_id, vec_id, CAST(SUM(dq) AS BIGINT) AS adc_d2 "
+        f"FROM ({union}) WHERE vec_id <> query_id GROUP BY 1, 2) "
+        "SELECT query_id, vec_id, adc_d2, CAST(row_number() OVER "
+        "(PARTITION BY query_id ORDER BY adc_d2, vec_id) AS BIGINT) AS adc_rank "
+        f"FROM adc QUALIFY adc_rank <= {topk}"
     )
 
 
@@ -805,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_coreset": _kcenter_sql(8),
         "kmeans_topics": _kmeans_sql(4, 3),
         "pq_encode": _pq_sql(8, 4, 1),
+        "pq_adc_topk": _pq_adc_sql(8, 4, 1, 3, 10),
         "poisson_bootstrap": (
             # Poisson(1) replicate weights from the same md5 ppb uniform
             # + hard-coded inverse-CDF thresholds (analytics.POISSON1_CUM_PPB)

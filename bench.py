@@ -202,6 +202,7 @@ HEADLINE = [
     "corpus_manifest",
     "dup_span_mask",
     "pq_encode",
+    "pq_adc_topk",
 ]
 
 

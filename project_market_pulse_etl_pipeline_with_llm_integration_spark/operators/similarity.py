@@ -1512,6 +1512,30 @@ def pq_encode(
     updates are one (s, cid, pos) hash agg — never m separate job
     chains (measured 6.4 -> 2.7 s at sf0.1 vs the per-subspace loop).
     Output: vec_id, code_csv (m codes), recon_d2."""
+    _, _, final = _pq_train(emb, m, k, rounds, id_col, vec_col)
+    return (
+        final.groupBy("pid")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("s", "cid"))),
+                    lambda st: st["cid"].cast("string"),
+                ),
+            ).alias("code_csv"),
+            F.sum("d2").cast("long").alias("recon_d2"),
+        )
+        .select(F.col("pid").alias("vec_id"), "code_csv", "recon_d2")
+    )
+
+
+def _pq_train(
+    emb: DataFrame, m: int, k: int, rounds: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+):
+    """Shared PQ training core: (sub (pid, s, sv), codebook (s, cid,
+    cv), final assignment (pid, s, cid, d2)) — consumed by pq_encode
+    (codes + recon error) and pq_adc_topk (ADC retrieval)."""
     if 64 % m != 0:
         raise ValueError("pq_encode: m must divide the 64-dim layout")
     dim = 64 // m
@@ -1583,21 +1607,7 @@ def pq_encode(
             .select("s", "cid", F.coalesce("cv_new", "cv").alias("cv"))
             .localCheckpoint(eager=False)
         )
-    final = assign(centers)
-    return (
-        final.groupBy("pid")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("s", "cid"))),
-                    lambda st: st["cid"].cast("string"),
-                ),
-            ).alias("code_csv"),
-            F.sum("d2").cast("long").alias("recon_d2"),
-        )
-        .select(F.col("pid").alias("vec_id"), "code_csv", "recon_d2")
-    )
+    return sub, centers, assign(centers)
 
 
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1605,3 +1615,68 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per subspace, one Lloyd round."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return pq_encode(emb, m=8, k=4, rounds=1)
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = 3,
+    topk: int = 10,
+    m: int = 8,
+    k: int = 4,
+    rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) retrieval over the PQ codes — what PQ
+    exists FOR (Jégou et al. 2011 §III): the query keeps its (int8)
+    components un-coded while every corpus vector is its m codes, so
+    the scan cost per query is ONE m·k-entry distance-table build plus
+    a code lookup per vector, never a full-vector distance.
+    approx_d2(q, x) =
+    Σ_s d2(q_s, codebook[s, code_s(x)]) — exact int64 given the codes,
+    so the whole retrieval hash-matches the unrolled oracle.
+
+    Plan: the m·k·n_queries distance table (dozens of rows) broadcasts
+    into one (s, cid)-keyed join against the skinny code rows, one
+    (query, vec) hash agg sums the per-subspace terms, and the top-k
+    is a query-partitioned rank window over the aggregated frame —
+    scan-shaped, no pairwise full-vector work anywhere.  Self-matches
+    are excluded (the ann_bruteforce convention)."""
+    sub, centers, final = _pq_train(emb, m, k, rounds, id_col, vec_col)
+    d2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x.cast("long") - y) * (x.cast("long") - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qsub = sub.join(
+        F.broadcast(
+            emb.select(F.col(id_col).alias("pid"))
+            .orderBy("pid").limit(n_queries)
+        ),
+        "pid",
+    ).select(F.col("pid").alias("query_id"), "s", F.col("sv").alias("qsv"))
+    dt = qsub.join(centers, "s").select(
+        "query_id", "s", "cid", d2(F.col("qsv"), F.col("cv")).alias("dq")
+    )
+    adc = (
+        final.select("pid", "s", "cid")
+        .join(F.broadcast(dt), ["s", "cid"])
+        .groupBy("query_id", "pid")
+        .agg(F.sum("dq").cast("long").alias("adc_d2"))
+        .filter(F.col("pid") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_d2", "pid")
+    return (
+        adc.select(
+            "query_id", F.col("pid").alias("vec_id"), "adc_d2",
+            F.row_number().over(w).cast("long").alias("adc_rank"),
+        )
+        .filter(F.col("adc_rank") <= topk)
+    )
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 for the 3 smallest vec_ids over the 8x8/4-codeword
+    PQ encoding."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_adc_topk(emb, n_queries=3, topk=10, m=8, k=4, rounds=1)

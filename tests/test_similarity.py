@@ -583,3 +583,54 @@ def test_pq_encode_corpus_laws(spark):
         codes = [int(c) for c in r["code_csv"].split(",")]
         assert len(codes) == 8 and all(0 <= c < 4 for c in codes)
         assert r["recon_d2"] >= 0
+
+
+def test_pq_adc_exact_when_codebook_is_corpus(spark):
+    """k = n distinct vectors and 1 round -> codes reconstruct exactly,
+    so ADC distances equal the true int8 squared distances and the ADC
+    ranking equals brute force."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    vecs = [
+        (0, [0.5] * 64),
+        (1, [-0.5] * 64),
+        (2, [1.0] * 32 + [-1.0] * 32),
+        (3, [0.25] * 64),
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = pq_adc_topk(emb, n_queries=2, topk=3, m=8, k=4, rounds=1).collect()
+    q = {i: [round(max(min(x, 1.0), -1.0) * 127) for x in v] for i, v in vecs}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    got = {(r["query_id"], r["vec_id"]): (r["adc_d2"], r["adc_rank"]) for r in out}
+    for qid in (0, 1):
+        exact = sorted(
+            (d2(q[qid], q[v]), v) for v in q if v != qid
+        )
+        for rank, (dd, v) in enumerate(exact, start=1):
+            assert got[(qid, v)] == (dd, rank)
+
+
+def test_pq_adc_corpus_laws(spark):
+    from conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    rows = pq_adc_topk(emb).collect()
+    per_q: dict = {}
+    for r in rows:
+        assert r["query_id"] != r["vec_id"]
+        per_q.setdefault(r["query_id"], []).append((r["adc_rank"], r["adc_d2"]))
+    assert len(per_q) == 3
+    for ranks in per_q.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == list(range(1, 11))
+        dists = [d for _, d in ranks]
+        assert dists == sorted(dists)  # rank order == distance order
