@@ -259,3 +259,24 @@ def test_session8_batch34_ops_empty(spark):
     mask = D.dup_span_mask(docs)
     assert mask.count() == 0
     assert mask.columns == ["doc_id", "span_start", "span_end_excl", "span_len"]
+
+
+def test_pq_ops_empty(spark):
+    import pyspark.sql.types as T
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ])
+    )
+    enc = S.pq_encode(emb, m=8, k=4, rounds=1)
+    assert enc.count() == 0
+    assert enc.columns == ["vec_id", "code_csv", "recon_d2"]
+    adc = S.pq_adc_topk(emb)
+    assert adc.count() == 0
+    assert adc.columns == ["query_id", "vec_id", "adc_d2", "adc_rank"]
