@@ -634,3 +634,32 @@ def test_pq_adc_corpus_laws(spark):
         assert [r for r, _ in ranks] == list(range(1, 11))
         dists = [d for _, d in ranks]
         assert dists == sorted(dists)  # rank order == distance order
+
+
+def test_pq_adc_triangle_band(spark):
+    """ADC error guarantee: for L2 norms, |d(q,x) - d(q,c(x))| <=
+    d(x,c(x)), i.e. the true distance lies in [ |sqrt(adc)-sqrt(recon)|,
+    sqrt(adc)+sqrt(recon) ] — the bound recon_d2 exists to provide."""
+    import math
+
+    from conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        quantize_embedding,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    adc = {(r["query_id"], r["vec_id"]): r["adc_d2"]
+           for r in pq_adc_topk(emb).collect()}
+    recon = {r["vec_id"]: r["recon_d2"]
+             for r in pq_encode(emb, m=8, k=4, rounds=1).collect()}
+    qv = {r["vec_id"]: r["q"] for r in emb.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("q")).collect()}
+    for (qid, vid), a in adc.items():
+        true = sum((x - y) ** 2 for x, y in zip(qv[qid], qv[vid]))
+        lo = max(math.sqrt(a) - math.sqrt(recon[vid]), 0.0) ** 2
+        hi = (math.sqrt(a) + math.sqrt(recon[vid])) ** 2
+        assert lo - 1e-6 <= true <= hi + 1e-6, (qid, vid, a, recon[vid], true)
