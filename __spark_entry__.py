@@ -193,6 +193,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_mask": dedup.q_dup_span_mask,
         "pq_encode": similarity.q_pq_encode,
         "pq_adc_topk": similarity.q_pq_adc_topk,
+        "cuped_adjustment": analytics.q_cuped_adjustment,
+        "corpus_diversity": text.q_corpus_diversity,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
@@ -1043,6 +1045,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM isl2 GROUP BY doc_id, island "
             "HAVING MAX(e) + 1 - MIN(pos) >= 5"
         ),
+        "cuped_adjustment": "WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, ts < TIMESTAMP '2024-01-16' AS pre, ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15))::BIGINT % 2 AS arm FROM events), u AS (SELECT user_id, arm, SUM(CASE WHEN pre THEN cents ELSE 0 END) // 100 AS x, SUM(CASE WHEN pre THEN 0 ELSE cents END) // 100 AS y FROM ev GROUP BY 1, 2), p0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(y * y) AS BIGINT) AS syy FROM u), p AS (SELECT n, sx, sy, n * sxy - sx * sy AS cov_n, n * sxx - sx * sx AS varx_n, n * syy - sy * sy AS vary_n FROM p0), p2 AS (SELECT *, CASE WHEN varx_n > 0 THEN (CASE WHEN 1000 * cov_n >= 0 THEN (1000 * cov_n) // (varx_n) ELSE -((-(1000 * cov_n)) // (varx_n)) END) END AS theta_milli, CASE WHEN vary_n > 0 THEN (CASE WHEN 1000 * cov_n >= 0 THEN (1000 * cov_n) // (vary_n) ELSE -((-(1000 * cov_n)) // (vary_n)) END) END AS beta_milli FROM p), a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(x) AS BIGINT) AS ax, CAST(SUM(y) AS BIGINT) AS ay FROM u GROUP BY 1) SELECT CAST(a.arm AS BIGINT) AS arm, a.n_users, (1000 * ax) // n_users AS mean_pre_milli, (1000 * ay) // n_users AS mean_post_milli, (1000 * ay) // n_users - (CASE WHEN p2.theta_milli * ((1000 * ax) // n_users - (1000 * p2.sx) // p2.n) >= 0 THEN (p2.theta_milli * ((1000 * ax) // n_users - (1000 * p2.sx) // p2.n)) // (1000) ELSE -((-(p2.theta_milli * ((1000 * ax) // n_users - (1000 * p2.sx) // p2.n))) // (1000)) END) AS adj_mean_milli, CAST(p2.theta_milli AS BIGINT) AS theta_milli, CAST(p2.theta_milli * p2.beta_milli AS BIGINT) AS vr_ppm FROM a CROSS JOIN p2",
+        "corpus_diversity": 'WITH per AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2) SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_langs, (1000000 * CAST(SUM(c * c) AS BIGINT)) // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS simpson_ppm, (1000 * CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) // CAST(SUM(c * c) AS BIGINT) AS effective_langs_milli FROM per GROUP BY 1',
         "k_anonymity": (
             "SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey, "
             "(CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000 AS bal_band, "

@@ -203,6 +203,8 @@ HEADLINE = [
     "dup_span_mask",
     "pq_encode",
     "pq_adc_topk",
+    "cuped_adjustment",
+    "corpus_diversity",
 ]
 
 

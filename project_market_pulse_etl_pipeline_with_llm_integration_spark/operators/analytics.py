@@ -1462,3 +1462,104 @@ def bandit_replay(events: DataFrame) -> DataFrame:
 
 def q_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bandit_replay(read_events(spark, sf_dir))
+
+
+def _sdiv(a: str, b: str) -> str:
+    """SQL text for signed floor-div-toward-zero, valid in BOTH Spark
+    SQL and DuckDB after s/ div / \\/\\/ /: both engines evaluate the
+    negative branch as a negated positive-operand floor division, so
+    the truncation semantics are identical by construction (Spark's
+    `div` truncates, DuckDB's `//` floors — they disagree ONLY on
+    negative operands, which this CASE never feeds them)."""
+    return f"(CASE WHEN {a} >= 0 THEN ({a}) div ({b}) ELSE -((-({a})) div ({b})) END)"
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi, Walker
+    2013 — "Improving the sensitivity of online controlled
+    experiments"): users hash into two arms, the PRE-period spend (the
+    covariate the experiment cannot have affected) absorbs
+    between-user variance from the POST-period metric via
+    y_adj = y - theta·(x - x̄), theta = cov(x,y)/var(x).  This is the
+    standard way experimentation platforms cut weeks off test
+    duration; here the whole pipeline — covariance, theta, per-arm
+    adjusted means, variance-reduction share — is EXACT integer
+    arithmetic so the readout is engine/cluster/rerun-identical.
+
+    Determinism: per-user cents sum exactly, then floor to whole units
+    (positive-operand div); theta_milli and every signed ratio use a
+    sign-decomposed truncating division (_sdiv) so Spark's `div` and
+    DuckDB's `//` never see a negative operand; the pre/post boundary
+    is a fixed calendar literal.  vr_ppm = theta·beta = 1e6·rho² — the
+    share of post-metric variance the covariate removes.
+
+    Plan: ONE (user, arm) aggregation builds the covariate table; the
+    five pooled sums ride one tiny agg; per-arm output joins two
+    broadcast-size frames.  At 10⁸+ users the int64 headroom on
+    n·Σxy needs DECIMAL(38,0) — documented, same shape."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("pre"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % 2
+        ).alias("arm"),
+    )
+    users = ev.groupBy("user_id", "arm").agg(
+        F.expr("sum(CASE WHEN pre THEN cents ELSE 0 END) div 100").alias("x"),
+        F.expr("sum(CASE WHEN pre THEN 0 ELSE cents END) div 100").alias("y"),
+    )
+    pooled = users.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).select(
+        "n", "sx", "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_n"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx_n"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary_n"),
+    ).select(
+        "n", "sx", "sy", "cov_n", "varx_n", "vary_n",
+        F.expr(
+            "CASE WHEN varx_n > 0 THEN "
+            + _sdiv("1000 * cov_n", "varx_n")
+            + " END"
+        ).alias("theta_milli"),
+        F.expr(
+            "CASE WHEN vary_n > 0 THEN "
+            + _sdiv("1000 * cov_n", "vary_n")
+            + " END"
+        ).alias("beta_milli"),
+    )
+    arms = users.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").alias("ax"),
+        F.sum("y").alias("ay"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            "n_users",
+            F.expr("(1000 * ax) div n_users").alias("mean_pre_milli"),
+            F.expr("(1000 * ay) div n_users").alias("mean_post_milli"),
+            F.expr(
+                "(1000 * ay) div n_users - "
+                + _sdiv(
+                    "theta_milli * ((1000 * ax) div n_users - (1000 * sx) div n)",
+                    "1000",
+                )
+            ).alias("adj_mean_milli"),
+            F.col("theta_milli").cast("long").alias("theta_milli"),
+            (F.col("theta_milli") * F.col("beta_milli")).cast("long").alias("vr_ppm"),
+        )
+    )

