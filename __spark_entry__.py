@@ -869,8 +869,10 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY source ORDER BY m DESC, rep DESC) AS rd "
             "FROM valid), "
             "band AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_reps, "
-            "MIN(CASE WHEN ra = 2 THEN m END) AS boot_lo_ppm, "
-            "MIN(CASE WHEN rd = 2 THEN m END) AS boot_hi_ppm FROM ranked GROUP BY 1), "
+            "CASE WHEN COUNT(*) >= 3 THEN MIN(CASE WHEN ra = 2 THEN m END) END "
+            "AS boot_lo_ppm, "
+            "CASE WHEN COUNT(*) >= 3 THEN MIN(CASE WHEN rd = 2 THEN m END) END "
+            "AS boot_hi_ppm FROM ranked GROUP BY 1), "
             "point AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "SUM(q) // COUNT(*) AS mean_ppm FROM d GROUP BY 1) "
             "SELECT p.source, p.n_docs, p.mean_ppm, b.n_reps, b.boot_lo_ppm, "
@@ -967,7 +969,7 @@ def oracle_sql() -> dict[str, str]:
             "j AS (SELECT COALESCE(cur.u, pre.u) AS u, "
             "COALESCE(cur.wk, pre.wk) AS wk, cur.cur, pre.pre FROM cur "
             "FULL OUTER JOIN pre ON cur.u = pre.u AND cur.wk = pre.wk), "
-            "wks AS (SELECT DISTINCT wk FROM au), "
+            "mw AS (SELECT MAX(wk) AS max_wk FROM au), "
             "g AS (SELECT j.wk, CAST(SUM(COALESCE(cur, 0)) AS BIGINT) AS n_active, "
             "CAST(SUM(COALESCE(pre, 0)) AS BIGINT) AS prev_active, "
             "CAST(SUM(CASE WHEN cur IS NOT NULL AND pre IS NOT NULL THEN 1 "
@@ -976,7 +978,7 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0 END) AS BIGINT) AS n_churned, "
             "CAST(SUM(CASE WHEN cur IS NOT NULL AND pre IS NULL THEN 1 "
             "ELSE 0 END) AS BIGINT) AS n_entering "
-            "FROM j JOIN wks ON j.wk = wks.wk GROUP BY 1) "
+            "FROM j CROSS JOIN mw WHERE j.wk <= mw.max_wk GROUP BY 1) "
             "SELECT wk, prev_active, n_active, n_retained, n_churned, n_entering, "
             "CASE WHEN prev_active > 0 THEN (1000000 * n_churned) // prev_active "
             "END AS churn_ppm, "

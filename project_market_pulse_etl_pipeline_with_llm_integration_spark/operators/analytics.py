@@ -1174,17 +1174,21 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves the scan projection — then ONE (source, replicate) hash agg
     with map-side combine, then rank windows over |sources|·32 rows.
     Replicates with zero total weight (only possible for near-empty
-    sources) are dropped and reported via n_reps.
+    sources) are dropped and reported via n_reps; if fewer than 3
+    replicates survive, the rank-2 selections would cross (for n = 2
+    the 2nd-smallest IS the largest), so the band goes NULL — loud,
+    never inverted.
     """
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
         quality_ppm,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    b = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep")
-    scored = docs.select(
+    scored0 = docs.select(
         "source", "doc_id", quality_ppm("text").alias("q_ppm")
-    ).select("source", "doc_id", "q_ppm", b)
+    ).localCheckpoint(eager=False)  # replicates + point estimate: ONE scan
+    b = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep")
+    scored = scored0.select("source", "doc_id", "q_ppm", b)
     w = poisson_weight(F.col("doc_id"), F.col("rep"))
     reps = (
         scored.select("source", "rep", w.alias("w"), (w * F.col("q_ppm")).alias("wq"))
@@ -1202,12 +1206,14 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     band = ranked.groupBy("source").agg(
         F.count("*").cast("long").alias("n_reps"),
-        F.min(F.when(F.col("ra") == 2, F.col("rep_mean_ppm"))).alias("boot_lo_ppm"),
-        F.min(F.when(F.col("rd") == 2, F.col("rep_mean_ppm"))).alias("boot_hi_ppm"),
+        F.min(F.when(F.col("ra") == 2, F.col("rep_mean_ppm"))).alias("lo_raw"),
+        F.min(F.when(F.col("rd") == 2, F.col("rep_mean_ppm"))).alias("hi_raw"),
+    ).select(
+        "source", "n_reps",
+        F.when(F.col("n_reps") >= 3, F.col("lo_raw")).alias("boot_lo_ppm"),
+        F.when(F.col("n_reps") >= 3, F.col("hi_raw")).alias("boot_hi_ppm"),
     )
-    point = docs.select("source", quality_ppm("text").alias("q_ppm")).groupBy(
-        "source"
-    ).agg(
+    point = scored0.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.expr("sum(q_ppm) div count(*)").alias("mean_ppm"),
     )
@@ -1266,9 +1272,15 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All hashed columns integer: residuals are |q - pred| in ppm, ranks
     are row_numbers under (value, doc_id) total order, coverage is
-    integer ppm.  Plan: one scan, two source-keyed windows on the
-    calibration half, one broadcast join of the per-source model onto
-    the eval half."""
+    integer ppm.  Plan: ONE scan (the scored frame sits behind a lazy
+    checkpoint and feeds median, residuals, and eval), two source-keyed
+    windows on the calibration half, one broadcast join of the
+    per-source model onto the eval half.
+
+    Exclusion contract (the bandit_replay convention): a source whose
+    docs all hash into one half has either no model or no eval rows and
+    is dropped by the inner joins — conformal calibration needs both
+    halves, so absence from the output IS the 'cannot audit' signal."""
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
         quality_ppm,
     )
@@ -1280,7 +1292,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                  F.lit("conf"))), 1, 15), 16, 10)
             .cast("long") % 2
         ).alias("half"),
-    )
+    ).localCheckpoint(eager=False)  # cal (x2 windows) + eval: one scan
     cal = docs.filter(F.col("half") == 0)
     ev = docs.filter(F.col("half") == 1)
     wq = W.partitionBy("source").orderBy("q_ppm", "doc_id")
@@ -1342,7 +1354,11 @@ def weekly_churn(events: DataFrame) -> DataFrame:
     date_trunc('week') dates (engine-identical Mondays), ppm shares are
     integer floor-div with zero-denominator guards (the first observed
     week has no previous week: prev_active = 0, ppms NULL — loud, not
-    faked)."""
+    faked).  A MID-SERIES week with zero actives still emits its row
+    (n_active = 0, churn_ppm = 1e6 — total churn is the loudest signal
+    the series has); only the phantom week after the data's last
+    observed week is dropped, since 'everyone churned after the dataset
+    ends' is an artifact of the extract, not a fact."""
     au = (
         events
         .select(
@@ -1350,13 +1366,15 @@ def weekly_churn(events: DataFrame) -> DataFrame:
             F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # current side + shifted side + week list
+        .localCheckpoint(eager=False)  # current side + shifted side + max week
     )
     cur = au.select("u", "wk", F.lit(1).alias("cur"))
     pre = au.select("u", F.date_add("wk", 7).alias("wk"), F.lit(1).alias("pre"))
+    maxwk = au.agg(F.max("wk").alias("max_wk"))
     flow = (
         cur.join(pre, ["u", "wk"], "full_outer")
-        .join(au.select("wk").distinct(), "wk")  # only observed weeks
+        .crossJoin(F.broadcast(maxwk))
+        .filter(F.col("wk") <= F.col("max_wk"))  # drop only the phantom tail
         .groupBy("wk")
         .agg(
             F.sum(F.coalesce("cur", F.lit(0))).cast("long").alias("n_active"),

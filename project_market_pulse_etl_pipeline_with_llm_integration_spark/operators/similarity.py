@@ -1251,6 +1251,18 @@ def semantic_decontaminate_lsh(
     )
 
 
+def _int_sq_l2(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 between two int-component arrays — the
+    single shared distance kernel of the kcenter / kmeans / PQ family
+    (any change here is an engine/oracle-parity change: the unrolled
+    SQL oracles replay this exact expression)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("long") - y) * (x.cast("long") - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def kcenter_coreset(
     emb: DataFrame,
     k: int = 8,
@@ -1302,11 +1314,7 @@ def kcenter_coreset(
         F.col(id_col).alias("pid"),
         quantize_embedding(F.col(vec_col)).alias("qv"),
     ).localCheckpoint(eager=False)
-    d2 = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x.cast("long") - y) * (x.cast("long") - y)),
-        F.lit(0).cast("long"),
-        lambda s, x: s + x,
-    )
+    d2 = _int_sq_l2
     seed = (
         pts.orderBy("pid")
         .limit(1)
@@ -1369,11 +1377,7 @@ def _lloyd(pts: DataFrame, k: int, rounds: int):
     the exactness recipe — (d2, cid) struct argmin, +127-shifted
     positive-operand floor means, empty-cluster carry — is documented
     on kmeans_topics."""
-    d2 = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x.cast("long") - y) * (x.cast("long") - y)),
-        F.lit(0).cast("long"),
-        lambda s, x: s + x,
-    )
+    d2 = _int_sq_l2
     w0 = W.orderBy("pid")
     centers = (
         pts.orderBy("pid")
@@ -1489,8 +1493,9 @@ def pq_encode(
 ) -> DataFrame:
     """Product quantization (Jégou/Douze/Schmid 2011) over the shared
     int8 quantization: the 64-dim vector splits into ``m`` contiguous
-    subspaces, each trained with the fixed-round integer Lloyd's core
-    (_lloyd) to a ``k``-centroid codebook, and every vector is encoded
+    subspaces, each trained with the fixed-round integer Lloyd's
+    recipe (_pq_train — the grouped twin of _lloyd) to a ``k``-centroid
+    codebook, and every vector is encoded
     as its per-subspace nearest-centroid codes — the memory layout that
     takes an embedding table from 64 int8s to m small codes (here
     8 × 2 bits) while keeping an additive distance approximation
@@ -1555,11 +1560,7 @@ def _pq_train(
         .select("pid", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
         .localCheckpoint(eager=False)  # every round's assignment + update
     )
-    d2 = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x.cast("long") - y) * (x.cast("long") - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _int_sq_l2
     w0 = W.partitionBy("s").orderBy("pid")
     centers = (
         sub.join(
@@ -1643,11 +1644,7 @@ def pq_adc_topk(
     scan-shaped, no pairwise full-vector work anywhere.  Self-matches
     are excluded (the ann_bruteforce convention)."""
     sub, centers, final = _pq_train(emb, m, k, rounds, id_col, vec_col)
-    d2 = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x.cast("long") - y) * (x.cast("long") - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _int_sq_l2
     qsub = sub.join(
         F.broadcast(
             emb.select(F.col(id_col).alias("pid"))

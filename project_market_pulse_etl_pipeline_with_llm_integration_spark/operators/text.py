@@ -2604,7 +2604,13 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     language count collapses between snapshots has a crawl problem.
 
     Plan: one (source, lang) hash agg, one source agg — map-side
-    combine on both, output O(sources)."""
+    combine on both, output O(sources).
+
+    Headroom (the cuped_adjustment convention): 1e6·Σc² stays inside
+    int64 up to ~3M docs in a single (source, lang) cell; beyond that
+    move ssq to DECIMAL(38,0) — same shape, and the oracle moves with
+    it (DuckDB raises on BIGINT overflow rather than wrapping, so an
+    overflow is loud before it is wrong)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     per = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
     return (

@@ -640,3 +640,26 @@ def test_corpus_diversity_laws(spark):
         # Simpson in [1/n_langs, 1]; effective langs in [1, n_langs]
         assert 1_000_000 // r["n_langs"] <= r["simpson_ppm"] <= 1_000_000
         assert 1_000 <= r["effective_langs_milli"] <= 1_000 * r["n_langs"]
+
+
+def test_weekly_churn_total_churn_week_not_dropped(spark):
+    """A mid-series week with ZERO actives must still emit its row
+    (churn_ppm = 1e6) — only the phantom week past the last observed
+    week is dropped (review finding, round 8)."""
+    rows = [
+        (1, datetime(2026, 1, 5, 10, 0)),   # week 1
+        (2, datetime(2026, 1, 6, 10, 0)),   # week 1
+        (1, datetime(2026, 1, 19, 10, 0)),  # week 3 (week 2 empty)
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {str(r["wk"]): r for r in analytics.weekly_churn(ev).collect()}
+    assert set(out) == {"2026-01-05", "2026-01-12", "2026-01-19"}
+    dead = out["2026-01-12"]
+    assert dead["n_active"] == 0 and dead["n_churned"] == 2
+    assert dead["churn_ppm"] == 1_000_000 and dead["retention_ppm"] == 0
+    # week 3: nobody was active in empty week 2 -> prev_active = 0,
+    # loud NULL ppms, user 1 re-enters
+    w3 = out["2026-01-19"]
+    assert w3["prev_active"] == 0 and w3["churn_ppm"] is None
+    assert w3["n_entering"] == 1
+    # no phantom 2026-01-26 row
