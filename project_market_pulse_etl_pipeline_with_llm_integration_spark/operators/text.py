@@ -2544,8 +2544,9 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     are plain integer sums, NDCG an integer floor-div ppm.
 
     Plan: bm25_topk's distributed top-20 (TakeOrdered) joined to the
-    one-scan relevance labeling; both frames are k-row/broadcast-size;
-    the NDCG arithmetic is a two-literal-array lookup."""
+    one-scan relevance labeling — the 20-row ranking side broadcasts,
+    the relevance side stays a filtered scan (id column only); the
+    NDCG arithmetic is a two-literal-array lookup."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ranking = bm25_topk(docs, BM25_QUERY_TERMS, topk=20).select("doc_id", "bm_rank")
     rel = (
