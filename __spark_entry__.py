@@ -194,6 +194,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": similarity.q_pq_encode,
         "pq_adc_topk": similarity.q_pq_adc_topk,
         "cuped_adjustment": analytics.q_cuped_adjustment,
+        "ab_uplift_ci": analytics.q_ab_uplift_ci,
         "corpus_diversity": text.q_corpus_diversity,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
@@ -1049,6 +1050,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cuped_adjustment": "WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, ts < TIMESTAMP '2024-01-16' AS pre, ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15))::BIGINT % 2 AS arm FROM events), u AS (SELECT user_id, arm, SUM(CASE WHEN pre THEN cents ELSE 0 END) // 100 AS x, SUM(CASE WHEN pre THEN 0 ELSE cents END) // 100 AS y FROM ev GROUP BY 1, 2), p0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(y * y) AS BIGINT) AS syy FROM u), p AS (SELECT n, sx, sy, n * sxy - sx * sy AS cov_n, n * sxx - sx * sx AS varx_n, n * syy - sy * sy AS vary_n FROM p0), p2 AS (SELECT *, CASE WHEN varx_n > 0 THEN (CASE WHEN 1000 * cov_n >= 0 THEN (1000 * cov_n) // (varx_n) ELSE -((-(1000 * cov_n)) // (varx_n)) END) END AS theta_milli, CASE WHEN vary_n > 0 THEN (CASE WHEN 1000 * cov_n >= 0 THEN (1000 * cov_n) // (vary_n) ELSE -((-(1000 * cov_n)) // (vary_n)) END) END AS beta_milli FROM p), a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(x) AS BIGINT) AS ax, CAST(SUM(y) AS BIGINT) AS ay FROM u GROUP BY 1) SELECT CAST(a.arm AS BIGINT) AS arm, a.n_users, (1000 * ax) // n_users AS mean_pre_milli, (1000 * ay) // n_users AS mean_post_milli, (1000 * ay) // n_users - (CASE WHEN p2.theta_milli * ((1000 * ax) // n_users - (1000 * p2.sx) // p2.n) >= 0 THEN (p2.theta_milli * ((1000 * ax) // n_users - (1000 * p2.sx) // p2.n)) // (1000) ELSE -((-(p2.theta_milli * ((1000 * ax) // n_users - (1000 * p2.sx) // p2.n))) // (1000)) END) AS adj_mean_milli, CAST(p2.theta_milli AS BIGINT) AS theta_milli, CAST(p2.theta_milli * p2.beta_milli AS BIGINT) AS vr_ppm FROM a CROSS JOIN p2",
         "corpus_diversity": 'WITH per AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2) SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_langs, (1000000 * CAST(SUM(c * c) AS BIGINT)) // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS simpson_ppm, (1000 * CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) // CAST(SUM(c * c) AS BIGINT) AS effective_langs_milli FROM per GROUP BY 1',
+        "ab_uplift_ci": "WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15))::BIGINT % 2 AS arm FROM events), u AS (SELECT user_id, arm, CAST(SUM(cents) AS BIGINT) AS c FROM ev GROUP BY 1, 2), pt AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users, (1000 * CAST(SUM(c) AS BIGINT)) // COUNT(*) AS mean_milli FROM u GROUP BY 1), x AS (SELECT u.user_id, u.arm, u.c, r.rep, ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':boot:' || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT % 1000000000 AS uu FROM u CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS rep) r), wts AS (SELECT arm, rep, c, CASE WHEN uu < 367879441 THEN 0 WHEN uu < 735758882 THEN 1 WHEN uu < 919698602 THEN 2 WHEN uu < 981011843 THEN 3 WHEN uu < 996340153 THEN 4 WHEN uu < 999405815 THEN 5 WHEN uu < 999916758 THEN 6 WHEN uu < 999989750 THEN 7 ELSE 8 END AS w FROM x), ar AS (SELECT arm, rep, SUM(w) AS wn, SUM(w * c) AS wcs FROM wts GROUP BY 1, 2), m AS (SELECT arm, rep, (1000 * CAST(wcs AS BIGINT)) // wn AS m FROM ar WHERE wn > 0), ups AS (SELECT r0.rep, r1.m - r0.m AS uplift FROM (SELECT rep, m FROM m WHERE arm = 0) r0 JOIN (SELECT rep, m FROM m WHERE arm = 1) r1 USING (rep)), rk AS (SELECT uplift, row_number() OVER (ORDER BY uplift, rep) AS ra, row_number() OVER (ORDER BY uplift DESC, rep DESC) AS rd FROM ups), band AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps, CASE WHEN COUNT(*) >= 3 THEN MIN(CASE WHEN ra = 2 THEN uplift END) END AS boot_lo_milli, CASE WHEN COUNT(*) >= 3 THEN MIN(CASE WHEN rd = 2 THEN uplift END) END AS boot_hi_milli FROM rk), pa AS (SELECT n_users AS n_users_a, mean_milli AS mean_a_milli FROM pt WHERE arm = 0), pb AS (SELECT n_users AS n_users_b, mean_milli AS mean_b_milli FROM pt WHERE arm = 1) SELECT n_users_a, n_users_b, mean_a_milli, mean_b_milli, mean_b_milli - mean_a_milli AS uplift_milli, n_reps, boot_lo_milli, boot_hi_milli, (boot_lo_milli > 0 OR boot_hi_milli < 0) AS significant FROM pa CROSS JOIN pb CROSS JOIN band",
         "k_anonymity": (
             "SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey, "
             "(CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000 AS bal_band, "

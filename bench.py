@@ -205,6 +205,7 @@ HEADLINE = [
     "pq_adc_topk",
     "cuped_adjustment",
     "corpus_diversity",
+    "ab_uplift_ci",
 ]
 
 

@@ -663,3 +663,20 @@ def test_weekly_churn_total_churn_week_not_dropped(spark):
     assert w3["prev_active"] == 0 and w3["churn_ppm"] is None
     assert w3["n_entering"] == 1
     # no phantom 2026-01-26 row
+
+
+def test_ab_uplift_ci_laws(spark):
+    row = analytics.q_ab_uplift_ci(spark, SF_SMALL).collect()[0]
+    assert row["n_reps"] == 32
+    assert row["boot_lo_milli"] <= row["boot_hi_milli"]
+    assert row["uplift_milli"] == row["mean_b_milli"] - row["mean_a_milli"]
+    # the point uplift sits inside (or at worst at the edge of) the
+    # ~94% replicate band on a null-effect random split
+    assert row["boot_lo_milli"] - abs(row["uplift_milli"]) <= row["uplift_milli"]
+    assert row["significant"] == (
+        row["boot_lo_milli"] > 0 or row["boot_hi_milli"] < 0
+    )
+    # arms are a hash split of the same population: no true effect, so
+    # the CI should straddle zero (deterministic given the data; this
+    # pins the null-effect verdict)
+    assert row["significant"] is False

@@ -80,6 +80,7 @@ NOPART_WINDOW_OK = {
     "skyline_pareto": "phase-2 input = partition-local frontier survivors",
     "rfm_segments": "post-agg |customers| frame; ranked method proven "
                     "identical by test is the 100 TB path",
+    "ab_uplift_ci": "replicate-uplift frame bounded by B = 32 rows",
 }
 
 # Queries whose size(<expensive call>) Filter is an EXPLICIT semantic
