@@ -429,3 +429,85 @@ def test_dup_coverage_matches_bruteforce(spark, docs_txt):
         for r in duplicated_ngram_coverage(df, window=W).collect()
     }
     assert got == exp
+
+
+@_slow
+@given(st.lists(st.tuples(texts, st.sampled_from(["s1", "s2", "s3"])),
+                min_size=1, max_size=10))
+def test_source_minhash_matches_python(spark, docs):
+    """Random corpora: signatures and pairwise match counts equal a
+    pure-Python replay of the md5 + universal-hash permutation recipe."""
+    import hashlib
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_perm_constants,
+        source_minhash_overlap,
+    )
+
+    k = 8
+    consts = minhash_perm_constants(k)
+    grams: dict = {}
+    for txt, src in docs:
+        toks = txt.split()
+        if not toks:
+            continue
+        n = len(toks)
+        gs = {" ".join(toks[i:i + 3]) for i in range(max(n - 2, 1))}
+        grams.setdefault(src, set()).update(gs)
+    sigs = {}
+    for src, gs in grams.items():
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % MINHASH_PRIME
+              for g in gs]
+        sigs[src] = [min((a * h + b) % MINHASH_PRIME for h in hs)
+                     for a, b in consts]
+    exp = {}
+    srcs = sorted(grams)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            inter = len(grams[sa] & grams[sb])
+            union = len(grams[sa] | grams[sb])
+            exp[(sa, sb)] = (
+                sum(1 for x, y in zip(sigs[sa], sigs[sb]) if x == y),
+                (1_000_000 * inter) // union,
+            )
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(docs)],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_match"], r["true_jaccard_ppm"])
+        for r in source_minhash_overlap(df, k=k).collect()
+    }
+    assert got == exp
+
+
+@_slow
+@given(st.lists(texts, min_size=1, max_size=10))
+def test_dictionary_tag_matches_python(spark, docs_txt):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        TAG_DICTIONARY,
+        dictionary_tag,
+    )
+
+    cats = sorted(TAG_DICTIONARY)
+    exp = {}
+    for i, txt in enumerate(docs_txt):
+        toks = txt.split()
+        counts = {c: sum(t in TAG_DICTIONARY[c] for t in toks) for c in cats}
+        total = sum(counts.values())
+        if total == 0:
+            dom = "none"
+        else:
+            best = max(counts.values())
+            dom = min(c for c in cats if counts[c] == best)
+        exp[i] = (len(toks), *(counts[c] for c in cats), total, dom)
+    df = spark.createDataFrame(list(enumerate(docs_txt)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], *(r[f"n_{c}"] for c in cats), r["n_tagged"],
+            r["dominant"],
+        )
+        for r in dictionary_tag(df).collect()
+    }
+    assert got == exp
