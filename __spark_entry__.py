@@ -151,15 +151,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS: the driver's correctness gate checks exactly the
-    # FIRST 50 entries each round.  ROUND-8 WINDOW: the only entries
-    # without a green driver row are (a) the 7 round-7 additions (sat
-    # just below the r7 window), (b) jl_projection (r7 RED: array output
-    # crashed the driver's pandas canonicalizer; fixed this round by
-    # CSV-serializing — see similarity.q_jl_projection), and (c) any
-    # round-8 additions.  All of those live at the TOP here; every entry
-    # from position ~15 down already has a green row from r1-r7, so
-    # wherever the 50-entry boundary falls, the window certifies the
-    # whole registry.
+    # FIRST 50 entries each round.  ROUND-9 WINDOW: (a) the three r8
+    # driver-red rows (poisson_bootstrap, bandit_replay, ab_uplift_ci —
+    # root cause: their oracles leaked HUGEINT/float64 through the
+    # driver's pandas canonicalizer; casts fixed this round), (b) their
+    # five stage-decomposition law rows, (c) the five quality_ppm
+    # consumers re-certified after the integer-exact rewrite
+    # (text.quality_ppm), and (d) any round-9 additions.  Everything
+    # below the marker has a green driver row from r1-r8 and is
+    # byte-unchanged this round.
+        "division_semantics_law": analytics.q_division_semantics_law,
+        "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
+        "poisson_weight_law": analytics.q_poisson_weight_law,
+        "boot_rep_sums_law": analytics.q_boot_rep_sums_law,
+        "bandit_policy_law": analytics.q_bandit_policy_law,
+        # NEW-IN-ROUND-9 INSERTION POINT: add new entries HERE (keep the
+        # total never-certified count <= 50 so the window covers them).
+        # moved up for r9 re-certification: quality_ppm consumers whose
+        # values may shift with the integer-exact rewrite
+        "quality_percentile_norm": text.q_quality_percentile_norm,
+        "dedup_best_survivor": dedup.q_dedup_best_survivor,
+        "jackknife_spread": analytics.q_jackknife_spread,
         "tokenizer_fertility": text.q_tokenizer_fertility,
         "ngram_novelty": text.q_ngram_novelty,
         "label_propagation": graph.q_label_propagation,
@@ -168,8 +180,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": text.q_classifier_auc,
         "phrase_search": text.q_phrase_search,
         "jl_projection": similarity.q_jl_projection,
-        # NEW-IN-ROUND-8 INSERTION POINT: add new entries HERE (keep
-        # additions <= ~7 so they stay inside the 50-entry window).
         "kcore_peel": graph.q_kcore_peel,
         "hard_negative_mining": similarity.q_hard_negative_mining,
         "perplexity_kn": text.q_perplexity_kn,
@@ -221,8 +231,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": text.q_dsir_select,
         "pmi_cooccur": text.q_pmi_cooccur,
         "retrieval_eval": text.q_retrieval_eval,
-        "quality_percentile_norm": text.q_quality_percentile_norm,
-        "dedup_best_survivor": dedup.q_dedup_best_survivor,
         "session_concurrency": analytics.q_session_concurrency,
         "ann_quantized": similarity.q_ann_quantized,
         "source_overlap": dedup.q_source_overlap,
@@ -236,7 +244,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_union": analytics.q_interval_union,
         "skew_report": skew.q_skew_report,
         "rate_spikes": analytics.q_rate_spikes,
-        "jackknife_spread": analytics.q_jackknife_spread,
         "classifier_calibration": text.q_classifier_calibration,
         "embedding_drift": similarity.q_embedding_drift,
         "dedup_winnow": dedup.q_dedup_winnow,
@@ -454,17 +461,30 @@ _TOKS = "string_split_regex(trim(text), '\\s+')"
 _NTOK = f"(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END)"
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-# integer-ppm quality score (the quality_score formula without the
-# /1e6 round-trip) — shared by quality_percentile_norm / dedup_exact_best
-_QPPM = ("CAST(floor((0.5 * (least(" + _NTOK + ", 64) / 64.0) + "
-         "0.5 * (CASE WHEN " + _NTOK + " > 0 THEN "
-         "CAST(len(list_distinct(" + _TOKS + ")) AS DOUBLE) / " + _NTOK + " "
-         "ELSE 0.0 END)) * 1e6) AS BIGINT)")
+# integer-ppm quality score — the EXACT rational floor of the
+# quality_score formula, zero float arithmetic (r9: matches the pure-
+# int64 engine form in text.quality_ppm; common denominator 128·n):
+#   (1e6·(min(n,64)·n + 64·d)) // (128·n),  0 when n = 0
+_QPPM = ("CAST((CASE WHEN " + _NTOK + " > 0 THEN "
+         "(1000000 * (least(" + _NTOK + ", 64) * " + _NTOK + " + "
+         "64 * len(list_distinct(" + _TOKS + ")))) // (128 * " + _NTOK + ") "
+         "ELSE 0 END) AS BIGINT)")
 # int8-quantized embedding (the embedding_quantize recipe, shared by the
 # JL-projection oracles)
 _QV = (
     "list_transform(embedding, x -> CAST(round(greatest(least("
     "CAST(x AS DOUBLE), 1.0), -1.0) * 127.0) AS INT))"
+)
+
+# Poisson(1) weight from the md5-ppb uniform `u` — hard-coded inverse-CDF
+# thresholds (analytics.POISSON1_CUM_PPB); shared by the bootstrap
+# oracles and the r9 stage-decomposition law rows
+_POIS_W = (
+    "CASE WHEN u < 367879441 THEN 0 WHEN u < 735758882 THEN 1 "
+    "WHEN u < 919698602 THEN 2 WHEN u < 981011843 THEN 3 "
+    "WHEN u < 996340153 THEN 4 WHEN u < 999405815 THEN 5 "
+    "WHEN u < 999916758 THEN 6 WHEN u < 999989750 THEN 7 "
+    "ELSE 8 END"
 )
 
 
@@ -842,6 +862,59 @@ _PLEN = f"({_PROMPT_BASE} + length('doc-' || CAST(doc_id AS VARCHAR)) + length(t
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # ---- round-9 stage-decomposition law rows (all-BIGINT outputs:
+        # every aggregate cast at the source so no HUGEINT reaches the
+        # driver's pandas canonicalizer — the r8 red-row root cause)
+        "division_semantics_law": (
+            "SELECT CAST((-7) // 2 AS BIGINT) AS neg_div_pos, "
+            "CAST(7 // (-2) AS BIGINT) AS pos_div_neg, "
+            "CAST((-7) // (-2) AS BIGINT) AS neg_div_neg, "
+            "CAST((-7) % 2 AS BIGINT) AS neg_mod_pos, "
+            "CAST(7 % (-2) AS BIGINT) AS pos_mod_neg, "
+            "CAST((-1000001) // 1000 AS BIGINT) AS big_neg_div"
+        ),
+        "ab_arm_assign_law": (
+            "WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) "
+            "AS cents, ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), "
+            "1, 15))::BIGINT % 2 AS arm FROM events) "
+            "SELECT CAST(arm AS BIGINT) AS arm, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents FROM ev GROUP BY 1"
+        ),
+        "poisson_weight_law": (
+            "WITH x AS (SELECT r.rep, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) "
+            "|| ':boot:' || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT "
+            "% 1000000000 AS u FROM documents "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS rep) r), "
+            f"w AS (SELECT rep, {_POIS_W} AS w FROM x) "
+            "SELECT CAST(rep AS BIGINT) AS rep, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(w) AS BIGINT) AS sum_w, "
+            "CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero "
+            "FROM w GROUP BY 1"
+        ),
+        "boot_rep_sums_law": (
+            f"WITH d AS (SELECT doc_id, source, {_QPPM} AS q FROM documents), "
+            "x AS (SELECT d.source, d.q, r.rep, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':boot:' || "
+            "CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT % 1000000000 AS u "
+            "FROM d CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS rep) r), "
+            f"wts AS (SELECT source, rep, q, {_POIS_W} AS w FROM x) "
+            "SELECT source, CAST(rep AS BIGINT) AS rep, "
+            "CAST(SUM(w) AS BIGINT) AS wn, CAST(SUM(w * q) AS BIGINT) AS wsum "
+            "FROM wts GROUP BY 1, 2"
+        ),
+        "bandit_policy_law": (
+            "WITH ev AS (SELECT event_id, user_id, event_type AS action, "
+            "('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':bandit'), 1, 15))"
+            "::BIGINT % 2 AS half FROM events), "
+            "c AS (SELECT user_id, action, COUNT(*) AS cnt FROM ev "
+            "WHERE half = 0 GROUP BY 1, 2) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, action AS rec, "
+            "CAST(cnt AS BIGINT) AS n_train FROM "
+            "(SELECT user_id, action, cnt, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY cnt DESC, action) AS rn FROM c) "
+            "WHERE rn = 1"
+        ),
         # ---- round-8 additions (late batch)
         "bradley_terry": _bradley_terry_sql(5),
         "kcenter_coreset": _kcenter_sql(8),
@@ -862,8 +935,11 @@ def oracle_sql() -> dict[str, str]:
             "WHEN u < 996340153 THEN 4 WHEN u < 999405815 THEN 5 "
             "WHEN u < 999916758 THEN 6 WHEN u < 999989750 THEN 7 "
             "ELSE 8 END AS w FROM x), "
-            "reps AS (SELECT source, rep, SUM(w) AS wn, SUM(w * q) AS wsum "
-            "FROM wts GROUP BY 1, 2), "
+            # CAST the sums: DuckDB SUM(BIGINT) is HUGEINT, which the
+            # driver's pandas canonicalizer renders float64 ('1234.0')
+            # — the r8 hash-mismatch root cause
+            "reps AS (SELECT source, rep, CAST(SUM(w) AS BIGINT) AS wn, "
+            "CAST(SUM(w * q) AS BIGINT) AS wsum FROM wts GROUP BY 1, 2), "
             "valid AS (SELECT source, rep, wsum // wn AS m FROM reps WHERE wn > 0), "
             "ranked AS (SELECT source, m, "
             "row_number() OVER (PARTITION BY source ORDER BY m, rep) AS ra, "
@@ -875,7 +951,7 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN COUNT(*) >= 3 THEN MIN(CASE WHEN rd = 2 THEN m END) END "
             "AS boot_hi_ppm FROM ranked GROUP BY 1), "
             "point AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
-            "SUM(q) // COUNT(*) AS mean_ppm FROM d GROUP BY 1) "
+            "CAST(SUM(q) AS BIGINT) // COUNT(*) AS mean_ppm FROM d GROUP BY 1) "
             "SELECT p.source, p.n_docs, p.mean_ppm, b.n_reps, b.boot_lo_ppm, "
             "b.boot_hi_ppm, b.boot_hi_ppm - b.boot_lo_ppm AS boot_spread_ppm "
             "FROM point p JOIN band b USING (source)"
@@ -1007,7 +1083,9 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) // COUNT(*) AS match_ppm, "
             "CASE WHEN SUM(CASE WHEN action = rec THEN 1 ELSE 0 END) > 0 THEN "
             "CAST(SUM(CASE WHEN action = rec THEN cents ELSE 0 END) AS BIGINT) // "
-            "SUM(CASE WHEN action = rec THEN 1 ELSE 0 END) END "
+            # divisor must be cast too: BIGINT // HUGEINT is HUGEINT →
+            # float64 under the driver's pandas canonicalizer (r8 red)
+            "CAST(SUM(CASE WHEN action = rec THEN 1 ELSE 0 END) AS BIGINT) END "
             "AS avg_matched_cents FROM r GROUP BY 1"
         ),
         "retrieval_ndcg": _ndcg_sql(),
@@ -1050,7 +1128,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cuped_adjustment": "WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, ts < TIMESTAMP '2024-01-16' AS pre, ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15))::BIGINT % 2 AS arm FROM events), u AS (SELECT user_id, arm, SUM(CASE WHEN pre THEN cents ELSE 0 END) // 100 AS x, SUM(CASE WHEN pre THEN 0 ELSE cents END) // 100 AS y FROM ev GROUP BY 1, 2), p0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(y * y) AS BIGINT) AS syy FROM u), p AS (SELECT n, sx, sy, n * sxy - sx * sy AS cov_n, n * sxx - sx * sx AS varx_n, n * syy - sy * sy AS vary_n FROM p0), p2 AS (SELECT *, CASE WHEN varx_n > 0 THEN (CASE WHEN 1000 * cov_n >= 0 THEN (1000 * cov_n) // (varx_n) ELSE -((-(1000 * cov_n)) // (varx_n)) END) END AS theta_milli, CASE WHEN vary_n > 0 THEN (CASE WHEN 1000 * cov_n >= 0 THEN (1000 * cov_n) // (vary_n) ELSE -((-(1000 * cov_n)) // (vary_n)) END) END AS beta_milli FROM p), a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(x) AS BIGINT) AS ax, CAST(SUM(y) AS BIGINT) AS ay FROM u GROUP BY 1) SELECT CAST(a.arm AS BIGINT) AS arm, a.n_users, (1000 * ax) // n_users AS mean_pre_milli, (1000 * ay) // n_users AS mean_post_milli, (1000 * ay) // n_users - (CASE WHEN p2.theta_milli * ((1000 * ax) // n_users - (1000 * p2.sx) // p2.n) >= 0 THEN (p2.theta_milli * ((1000 * ax) // n_users - (1000 * p2.sx) // p2.n)) // (1000) ELSE -((-(p2.theta_milli * ((1000 * ax) // n_users - (1000 * p2.sx) // p2.n))) // (1000)) END) AS adj_mean_milli, CAST(p2.theta_milli AS BIGINT) AS theta_milli, CAST(p2.theta_milli * p2.beta_milli AS BIGINT) AS vr_ppm FROM a CROSS JOIN p2",
         "corpus_diversity": 'WITH per AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2) SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_langs, (1000000 * CAST(SUM(c * c) AS BIGINT)) // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS simpson_ppm, (1000 * CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) // CAST(SUM(c * c) AS BIGINT) AS effective_langs_milli FROM per GROUP BY 1',
-        "ab_uplift_ci": "WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15))::BIGINT % 2 AS arm FROM events), u AS (SELECT user_id, arm, CAST(SUM(cents) AS BIGINT) AS c FROM ev GROUP BY 1, 2), pt AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users, (1000 * CAST(SUM(c) AS BIGINT)) // COUNT(*) AS mean_milli FROM u GROUP BY 1), x AS (SELECT u.user_id, u.arm, u.c, r.rep, ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':boot:' || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT % 1000000000 AS uu FROM u CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS rep) r), wts AS (SELECT arm, rep, c, CASE WHEN uu < 367879441 THEN 0 WHEN uu < 735758882 THEN 1 WHEN uu < 919698602 THEN 2 WHEN uu < 981011843 THEN 3 WHEN uu < 996340153 THEN 4 WHEN uu < 999405815 THEN 5 WHEN uu < 999916758 THEN 6 WHEN uu < 999989750 THEN 7 ELSE 8 END AS w FROM x), ar AS (SELECT arm, rep, SUM(w) AS wn, SUM(w * c) AS wcs FROM wts GROUP BY 1, 2), m AS (SELECT arm, rep, (1000 * CAST(wcs AS BIGINT)) // wn AS m FROM ar WHERE wn > 0), ups AS (SELECT r0.rep, r1.m - r0.m AS uplift FROM (SELECT rep, m FROM m WHERE arm = 0) r0 JOIN (SELECT rep, m FROM m WHERE arm = 1) r1 USING (rep)), rk AS (SELECT uplift, row_number() OVER (ORDER BY uplift, rep) AS ra, row_number() OVER (ORDER BY uplift DESC, rep DESC) AS rd FROM ups), band AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps, CASE WHEN COUNT(*) >= 3 THEN MIN(CASE WHEN ra = 2 THEN uplift END) END AS boot_lo_milli, CASE WHEN COUNT(*) >= 3 THEN MIN(CASE WHEN rd = 2 THEN uplift END) END AS boot_hi_milli FROM rk), pa AS (SELECT n_users AS n_users_a, mean_milli AS mean_a_milli FROM pt WHERE arm = 0), pb AS (SELECT n_users AS n_users_b, mean_milli AS mean_b_milli FROM pt WHERE arm = 1) SELECT n_users_a, n_users_b, mean_a_milli, mean_b_milli, mean_b_milli - mean_a_milli AS uplift_milli, n_reps, boot_lo_milli, boot_hi_milli, (boot_lo_milli > 0 OR boot_hi_milli < 0) AS significant FROM pa CROSS JOIN pb CROSS JOIN band",
+        "ab_uplift_ci": "WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15))::BIGINT % 2 AS arm FROM events), u AS (SELECT user_id, arm, CAST(SUM(cents) AS BIGINT) AS c FROM ev GROUP BY 1, 2), pt AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users, (1000 * CAST(SUM(c) AS BIGINT)) // COUNT(*) AS mean_milli FROM u GROUP BY 1), x AS (SELECT u.user_id, u.arm, u.c, r.rep, ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':boot:' || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT % 1000000000 AS uu FROM u CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS rep) r), wts AS (SELECT arm, rep, c, CASE WHEN uu < 367879441 THEN 0 WHEN uu < 735758882 THEN 1 WHEN uu < 919698602 THEN 2 WHEN uu < 981011843 THEN 3 WHEN uu < 996340153 THEN 4 WHEN uu < 999405815 THEN 5 WHEN uu < 999916758 THEN 6 WHEN uu < 999989750 THEN 7 ELSE 8 END AS w FROM x), ar AS (SELECT arm, rep, CAST(SUM(w) AS BIGINT) AS wn, CAST(SUM(w * c) AS BIGINT) AS wcs FROM wts GROUP BY 1, 2), m AS (SELECT arm, rep, (1000 * wcs) // wn AS m FROM ar WHERE wn > 0), ups AS (SELECT r0.rep, r1.m - r0.m AS uplift FROM (SELECT rep, m FROM m WHERE arm = 0) r0 JOIN (SELECT rep, m FROM m WHERE arm = 1) r1 USING (rep)), rk AS (SELECT uplift, row_number() OVER (ORDER BY uplift, rep) AS ra, row_number() OVER (ORDER BY uplift DESC, rep DESC) AS rd FROM ups), band AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps, CASE WHEN COUNT(*) >= 3 THEN MIN(CASE WHEN ra = 2 THEN uplift END) END AS boot_lo_milli, CASE WHEN COUNT(*) >= 3 THEN MIN(CASE WHEN rd = 2 THEN uplift END) END AS boot_hi_milli FROM rk), pa AS (SELECT n_users AS n_users_a, mean_milli AS mean_a_milli FROM pt WHERE arm = 0), pb AS (SELECT n_users AS n_users_b, mean_milli AS mean_b_milli FROM pt WHERE arm = 1) SELECT n_users_a, n_users_b, mean_a_milli, mean_b_milli, mean_b_milli - mean_a_milli AS uplift_milli, n_reps, boot_lo_milli, boot_hi_milli, (boot_lo_milli > 0 OR boot_hi_milli < 0) AS significant FROM pa CROSS JOIN pb CROSS JOIN band",
         "k_anonymity": (
             "SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey, "
             "(CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000 AS bal_band, "

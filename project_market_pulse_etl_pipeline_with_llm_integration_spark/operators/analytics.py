@@ -1670,3 +1670,140 @@ def q_ab_uplift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("significant"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 stage-decomposition law rows (VERDICT r8 #1).  The three r8
+# driver-red rows (poisson_bootstrap, bandit_replay, ab_uplift_ci) were
+# green under the local fetchall()-based replica gate but red under the
+# driver's pandas canonicalizer: their oracles leaked HUGEINT (uncast
+# DuckDB SUM) into the output, which pandas renders float64.  Beyond
+# fixing the casts, each pipeline STAGE below is certified separately at
+# the driver, so any future cross-engine divergence localizes to one
+# stage instead of one opaque parent hash.
+# ---------------------------------------------------------------------------
+
+
+def q_division_semantics_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins the negative-operand integer-division semantics of BOTH
+    engines against each other IN THE DRIVER'S ENVIRONMENT.  Spark's
+    `div` truncates toward zero; DuckDB 1.0's `//` also truncates
+    ((-7)//2 = -3, measured) — the 'DuckDB floors' assumption behind the
+    r7/r8 positive-shift recipes is version lore, not observed behavior.
+    This row makes the actual semantics a certified artifact: if the
+    driver ever runs a DuckDB whose `//` floors (or changes `%` sign
+    rules), THIS row goes red, immediately indicting every signed
+    division in the registry rather than leaving the divergence to
+    surface as an unexplained parent-query mismatch."""
+    return spark.range(1).select(
+        F.expr("(-7) div 2").cast("long").alias("neg_div_pos"),
+        F.expr("7 div (-2)").cast("long").alias("pos_div_neg"),
+        F.expr("(-7) div (-2)").cast("long").alias("neg_div_neg"),
+        F.expr("(-7) % 2").cast("long").alias("neg_mod_pos"),
+        F.expr("7 % (-2)").cast("long").alias("pos_mod_neg"),
+        F.expr("(-1000001) div 1000").cast("long").alias("big_neg_div"),
+    )
+
+
+def q_ab_arm_assign_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1 of cuped_adjustment / ab_uplift_ci in isolation: the md5
+    arm assignment and the raw cents aggregation, with NO division
+    anywhere — if this row is green while ab_uplift_ci is red, the
+    divergence is in the replicate/band arithmetic, not the split."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % 2
+        ).alias("arm"),
+    )
+    return ev.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(F.col("arm").cast("long").alias("arm"), "n_events", "n_users", "sum_cents")
+
+
+def q_poisson_weight_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 2 (the Poisson(1) weight machinery) in isolation: for every
+    replicate, the total weight and the count of nonzero weights over
+    the documents table.  Certifies the md5-ppb uniform + inverse-CDF
+    threshold chain end-to-end with no downstream arithmetic; 32 rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    b = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep")
+    w = poisson_weight(F.col("doc_id"), F.col("rep"))
+    return (
+        docs.select("doc_id", b)
+        .select(F.col("rep").cast("long").alias("rep"), w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("w").cast("long").alias("sum_w"),
+            F.sum(F.when(F.col("w") > 0, 1).otherwise(0)).cast("long").alias("n_nonzero"),
+        )
+    )
+
+
+def q_boot_rep_sums_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 3 of poisson_bootstrap PRE-DIVISION: the per-(source,
+    replicate) weight and weighted-quality sums exactly as the parent
+    computes them, surfaced raw.  Green here + red parent indicts the
+    rank-band/readout arithmetic; red here indicts quality_ppm or the
+    weights (cross-checked by q_poisson_weight_law)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        quality_ppm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select("source", "doc_id", quality_ppm("text").alias("q_ppm"))
+    b = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep")
+    scored = scored.select("source", "doc_id", "q_ppm", b)
+    w = poisson_weight(F.col("doc_id"), F.col("rep"))
+    return (
+        scored.select("source", F.col("rep").cast("long").alias("rep"),
+                      w.alias("w"), (w * F.col("q_ppm")).alias("wq"))
+        .groupBy("source", "rep")
+        .agg(F.sum("w").cast("long").alias("wn"), F.sum("wq").cast("long").alias("wsum"))
+    )
+
+
+def q_bandit_policy_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-2 of bandit_replay in isolation: the md5 half split
+    (counts per half, no arithmetic) joined wide with the learned
+    modal-action policy rows themselves — the exact (user, rec) table
+    the replay join consumes, so a red parent with this row green
+    indicts only the replay accounting."""
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("event_type").alias("action"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_id").cast("string"),
+                                   F.lit(":bandit"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % 2
+        ).alias("half"),
+    )
+    counts = (
+        ev.filter(F.col("half") == 0)
+        .groupBy("user_id", "action")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("cnt"), "action")
+    return (
+        counts.select(
+            "user_id", F.col("action").alias("rec"),
+            F.col("cnt").cast("long").alias("n_train"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("user_id").cast("long").alias("user_id"), "rec", "n_train")
+    )

@@ -175,6 +175,7 @@ def bloom_semi_join(
     bits_per_key: int = 10,
     n_hashes: int = 5,
     n_bits: int | None = None,
+    max_literal_bits: int = 1 << 22,
 ) -> DataFrame:
     """Semi join with a Bloom-filter prefilter on the probe side — the
     classic runtime-filter pattern for selective big⋈small joins at
@@ -196,9 +197,24 @@ def bloom_semi_join(
     (~0.8% at 10 bits/key, 5 hashes) then meet an exact left-semi join,
     so the OUTPUT is exactly the semi join's — the bloom only shrinks
     the shuffle: at 100 TB a 1%-selectivity semi join moves 1% of the
-    probe side instead of all of it.  Returns the filtered big side."""
-    bitmap, n_bits = bloom_bitmap(small, small_key, bits_per_key, n_hashes, n_bits)
-    prefiltered = bloom_prefilter(big, big_key, bitmap, n_bits, n_hashes)
+    probe side instead of all of it.  Returns the filtered big side.
+
+    Size gate (verdict r8 #3): the plan-literal bitmap is a driver/plan
+    bottleneck once the build side is large (10⁸ keys → ~10⁹ bits → a
+    16M-element literal).  Above ``max_literal_bits`` (default 2²² bits
+    = 64 K words ≈ 512 KB) the bitmap therefore STAYS DISTRIBUTED as a
+    (word, mask) DataFrame probed by broadcast hash joins
+    (``bloom_prefilter_join``); both paths feed the same residual exact
+    join, so the output is identical (pinned by test)."""
+    if n_bits is None:
+        n = small.count()
+        n_bits = 1 << max(14, (bits_per_key * max(n, 1) - 1).bit_length())
+    if n_bits <= max_literal_bits:
+        bitmap, n_bits = bloom_bitmap(small, small_key, bits_per_key, n_hashes, n_bits)
+        prefiltered = bloom_prefilter(big, big_key, bitmap, n_bits, n_hashes)
+    else:
+        words = bloom_words(small, small_key, n_bits, n_hashes)
+        prefiltered = bloom_prefilter_join(big, big_key, words, n_bits, n_hashes)
     return prefiltered.join(
         small.select(F.col(small_key).alias("__bsj_k")).distinct(),
         F.col(big_key) == F.col("__bsj_k"),
@@ -223,13 +239,27 @@ def bloom_bitmap(
     if n_bits is None:
         n = small.count()
         n_bits = 1 << max(14, (bits_per_key * max(n, 1) - 1).bit_length())
+    words = bloom_words(small, key, n_bits, n_hashes).collect()
+    bitmap = [0] * (n_bits // 64)
+    for r in words:
+        bitmap[r["word"]] = r["mask"]
+    return bitmap, n_bits
+
+
+def bloom_words(
+    small: DataFrame, key: str, n_bits: int, n_hashes: int = 5
+) -> DataFrame:
+    """The Bloom bitmap as a DataFrame of its NON-ZERO 64-bit words:
+    (word int, mask long).  One explode + one hash agg; ≤ n_bits/64
+    rows.  The literal path collects this; the scale path keeps it
+    distributed and probes it with broadcast joins."""
     positions = F.array(
         *[
             F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
             for i in range(n_hashes)
         ]
     )
-    words = (
+    return (
         small.select(F.explode(positions).alias("p"))
         .select(
             (F.col("p") / 64).cast("int").alias("word"),
@@ -238,12 +268,48 @@ def bloom_bitmap(
         )
         .groupBy("word")
         .agg(F.bit_or("bit").alias("mask"))
-        .collect()
     )
-    bitmap = [0] * (n_bits // 64)
-    for r in words:
-        bitmap[r["word"]] = r["mask"]
-    return bitmap, n_bits
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    key: str,
+    words: DataFrame,
+    n_bits: int,
+    n_hashes: int = 5,
+    broadcast_words: bool = True,
+) -> DataFrame:
+    """Scale variant of ``bloom_prefilter``: the bitmap never touches
+    the driver or the plan — each probe row hash-joins its ``n_hashes``
+    word indices against the distributed (word, mask) frame and keeps
+    the row only if every addressed bit is set.
+
+    The joins are INNER on the word index, so a key addressing an
+    all-zero (absent) word drops immediately — same semantics as a zero
+    mask.  With the broadcast hint (default) each join is an in-memory
+    hash probe on the big side: no shuffle of the probe rows, n_hashes
+    map-side lookups per row — the distributed analogue of the literal
+    path's codegen bit test.  For bitmaps too big even to broadcast
+    (≳2³⁰ bits), pass ``broadcast_words=False`` and AQE plans a shuffle
+    join keyed on the word index instead; the probe side shuffles once
+    per hash, which is why the literal/broadcast tiers are preferred
+    whenever they fit."""
+    wd = F.broadcast(words) if broadcast_words else words
+    out = big
+    for i in range(n_hashes):
+        p = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
+        wi, mi = f"__blw{i}", f"__blm{i}"
+        out = out.join(
+            wd.select(F.col("word").alias(wi), F.col("mask").alias(mi)),
+            (p / 64).cast("int") == F.col(wi),
+            "inner",
+        ).filter(
+            F.call_function(
+                "shiftrightunsigned", F.col(mi), (p % 64).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+    return out.drop(*[c for i in range(n_hashes) for c in (f"__blw{i}", f"__blm{i}")])
 
 
 def bloom_prefilter(

@@ -1724,15 +1724,31 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quality_ppm(text_col: str = "text") -> Column:
-    """Integer-ppm form of ``with_quality_score``'s formula — the same
-    floor((0.5·length + 0.5·diversity)·1e6) WITHOUT the /1e6 round-trip,
-    so downstream integer arithmetic (ranking, survivor packing) never
-    touches a float."""
+    """Integer-ppm form of ``with_quality_score``'s formula, computed as
+    the EXACT rational floor with zero float arithmetic:
+
+        floor((0.5·min(n,64)/64 + 0.5·d/n) · 1e6)
+          = (1e6 · (min(n,64)·n + 64·d)) div (128·n)      (n > 0)
+
+    (common denominator 128·n; numerator ≤ 1e6·128·n — int64-safe up to
+    n ≈ 7·10¹⁰ tokens/doc).  Round 9 change: the previous form evaluated
+    the same value through double division + F.floor, which is exact
+    per-op under IEEE 754 but exposed to FMA-contraction / evaluation-
+    order differences between the JVM and a C++ oracle build — the only
+    float left anywhere in the poisson_bootstrap path.  The pure-int64
+    form is bit-identical by construction on any engine.  May differ by
+    1 ppm from floor(quality_score·1e6) on docs where the double round-
+    trip rounded across the floor boundary — the two are separate
+    certified surfaces."""
     toks = tokens(text_col)
     n_tok = token_count(text_col)
-    diversity = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(0.0)
-    length_score = F.least(n_tok, F.lit(64)) / F.lit(64.0)
-    return F.floor((0.5 * length_score + 0.5 * diversity) * 1e6).cast("long")
+    d = F.size(F.array_distinct(toks)).cast("long")
+    num = F.lit(1000000) * (F.least(n_tok, F.lit(64)) * n_tok + F.lit(64) * d)
+    return (
+        F.when(n_tok > 0, F.call_function("div", num, F.lit(128) * n_tok))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
 
 
 def q_quality_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -373,6 +373,47 @@ def test_bloom_semi_join_exact_and_selective(spark):
     assert fp / 50000 < 0.05
 
 
+def test_bloom_semi_join_literal_vs_distributed_paths_equal(spark):
+    """Verdict r8 #3: the size gate must be a pure execution-strategy
+    switch.  Forcing the SAME query down the plan-literal path and the
+    distributed (word, mask)-join path (max_literal_bits=0) must give
+    identical rows, both equal to the plain semi join; and the
+    distributed prefilter alone must pass every true key while holding
+    the disjoint-probe false-positive rate."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        bloom_prefilter_join,
+        bloom_semi_join,
+        bloom_words,
+    )
+
+    small = spark.range(200).select((F.col("id") * 7 - 300).alias("sk"))
+    big = spark.range(20000).select((F.col("id") - 5000).alias("k"))
+    lit_rows = sorted(
+        r.k for r in bloom_semi_join(big, small, "k", "sk").collect()
+    )
+    dist_rows = sorted(
+        r.k
+        for r in bloom_semi_join(
+            big, small, "k", "sk", max_literal_bits=0
+        ).collect()
+    )
+    want = sorted(
+        r.k
+        for r in big.join(small, F.col("k") == F.col("sk"), "left_semi").collect()
+    )
+    assert lit_rows == dist_rows == want and len(want) > 0
+
+    n_bits = 1 << 14
+    words = bloom_words(small, "sk", n_bits)
+    kept = bloom_prefilter_join(big, "k", words, n_bits)
+    assert {r.k for r in kept.collect()} >= set(want)  # no false negatives
+    disjoint = spark.range(50000).select((F.col("id") + 10_000_000).alias("k"))
+    fp = bloom_prefilter_join(disjoint, "k", words, n_bits).count()
+    assert fp / 50000 < 0.05
+    # schema passes through clean: no helper word/mask columns leak
+    assert kept.columns == ["k"]
+
+
 def test_quantile_bins_cover_all_rows(spark):
     """Quartiles partition each group exactly: counts sum to the group
     size, sizes differ by at most 1, and bucket ranges are ordered."""

@@ -65,6 +65,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # advice r8: an unknown name / stray flag used to silently select
+    # zero queries and print a vacuous "0 failures"
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -100,12 +107,37 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [d[0] for d in rel.description]
-            orows = rel.fetchall()
+            odf = rel.df()
+            orows = [tuple(r) for r in rel.fetchall()]
         except Exception as exc:
             failures.append(name)
             print(f"FAIL  {name:28s} duckdb error: {exc}")
             continue
         problems = []
+        # r8 red-row class: the DRIVER canonicalizes through pandas, where
+        # an uncast DuckDB HUGEINT (any un-CAST SUM) becomes float64 and
+        # hashes '1234.0' against Spark's '1234'.  fetchall() can't see
+        # this (HUGEINT -> Python int), so check the pandas dtypes the
+        # driver will actually hash.  float64-with-NaN is fine for an
+        # integral Spark column (a nullable long goes float64 on BOTH
+        # engines, symmetrically).
+        sfam = {
+            f.name: (
+                "int"
+                if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+                else "float"
+                if f.dataType.simpleString() in ("float", "double")
+                else "other"
+            )
+            for f in sdf.schema.fields
+        }
+        for col in odf.columns:
+            dt = str(odf[col].dtype)
+            fam = sfam.get(col)
+            if fam == "int" and dt.startswith("float") and not odf[col].isna().any():
+                problems.append(f"dtype {col}: oracle float64, spark integral (uncast HUGEINT?)")
+            elif fam == "float" and (dt.startswith("int") or dt == "bool"):
+                problems.append(f"dtype {col}: oracle {dt}, spark floating")
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
