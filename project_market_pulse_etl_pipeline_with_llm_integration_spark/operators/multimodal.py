@@ -12,13 +12,30 @@ real and tested.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FEATURE_DIM = 8
+
+# Pluggable media decoder (verdict r8 #6), mirroring enrich.set_transport:
+# a real deployment installs PIL/torchaudio/ffmpeg here and every feature
+# operator picks it up WITHOUT any operator change.  bytes -> feature
+# vector; must be cloudpickle-shippable to Python workers (a local/
+# nested function or one from a worker-importable module — NOT a
+# function from a module only the driver can import, which pickles by
+# reference and fails on the worker).  Module globals do NOT propagate
+# to worker processes, so the operators capture the codec at plan-build
+# time exactly like enrich captures its transport (enrich.py:168).
+Codec = Callable[[bytes], list[float]]
+_codec: Codec | None = None
+
+
+def set_codec(fn: Codec | None) -> None:
+    global _codec
+    _codec = fn
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -51,23 +68,33 @@ def decode_stub(payload: bytes, real_codec: bool = False) -> list[float]:
     return [round(f / total, 6) for f in feats]
 
 
-def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", codec: Codec | None = None
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.  Input columns
     pass through; appends array<double> ``features`` (FEATURE_DIM-wide).
-    Arrow moves the binary batches; Python touches each blob once."""
+    Arrow moves the binary batches; Python touches each blob once.
+    Decode = the installed codec (``set_codec`` / the ``codec`` arg),
+    falling back to the deterministic stub."""
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     out_schema += ", features array<double>"
+    codec_fn = codec or _codec  # captured at plan-build time (see Codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["features"] = [decode_stub(bytes(p)) for p in pdf[payload_col]]
+            pdf["features"] = [
+                list(codec_fn(bytes(p))) if codec_fn is not None else decode_stub(bytes(p))
+                for p in pdf[payload_col]
+            ]
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
 
 
-def extract_features_arrow(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def extract_features_arrow(
+    df: DataFrame, payload_col: str = "payload", codec: Codec | None = None
+) -> DataFrame:
     """``mapInArrow`` twin of :func:`extract_features`: the batch stays
     a pyarrow RecordBatch end-to-end — no Arrow->pandas->Arrow
     round-trip, which for binary-heavy columns skips two full copies of
@@ -81,11 +108,17 @@ def extract_features_arrow(df: DataFrame, payload_col: str = "payload") -> DataF
     names = [f.name for f in df.schema.fields]
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     out_schema += ", features array<double>"
+    codec_fn = codec or _codec  # captured at plan-build time (see Codec)
 
     def run(batches):
         for batch in batches:
             payloads = batch.column(names.index(payload_col))
-            feats = [decode_stub(p.as_py() or b"") for p in payloads]
+            feats = [
+                list(codec_fn(p.as_py() or b""))
+                if codec_fn is not None
+                else decode_stub(p.as_py() or b"")
+                for p in payloads
+            ]
             arrays = [batch.column(i) for i in range(batch.num_columns)]
             arrays.append(pa.array(feats, type=pa.list_(pa.float64())))
             yield pa.RecordBatch.from_arrays(arrays, names=[*names, "features"])

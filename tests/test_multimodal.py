@@ -101,3 +101,39 @@ def test_multimodal_dedup_collapses_identical_payloads(spark, tmp_path):
     assert rows[1].payload_bytes == len(b"same bytes")
     assert rows[1].wasted_bytes == len(b"same bytes")  # one redundant copy
     assert rows[2].dup_count == 1 and rows[2].wasted_bytes == 0
+
+
+def test_codec_hook_drops_in_without_touching_operators(spark):
+    """Verdict r8 #6: a real decoder installs via set_codec (the
+    enrich.set_transport pattern) and BOTH feature paths pick it up
+    through the plan-build-time capture; removing it restores the
+    deterministic stub.  The explicit codec= arg takes precedence."""
+    # a LOCAL function: cloudpickle ships it by value inside the closure
+    # (a function in a non-shipped module would fail to import on the
+    # worker) — the documented contract for set_codec plugins
+    def _fake_codec(payload: bytes) -> list[float]:
+        return [float(len(payload)), float(payload[0]) if payload else -1.0]
+
+    df = multimodal.with_binary_payload(
+        spark.createDataFrame([(1, "abcdefgh"), (2, "zz")], "doc_id long, text string")
+    ).select("doc_id", "payload")
+    try:
+        multimodal.set_codec(_fake_codec)
+        got_p = {r.doc_id: r.features for r in multimodal.extract_features(df).collect()}
+        got_a = {
+            r.doc_id: r.features
+            for r in multimodal.extract_features_arrow(df).collect()
+        }
+        assert got_p == got_a == {1: [8.0, 97.0], 2: [2.0, 122.0]}
+    finally:
+        multimodal.set_codec(None)
+    # stub restored: FEATURE_DIM-wide normalized histogram again
+    rows = {r.doc_id: r.features for r in multimodal.extract_features(df).collect()}
+    assert len(rows[1]) == multimodal.FEATURE_DIM
+    assert abs(sum(rows[1]) - 1.0) < 1e-6
+    # explicit arg wins over the module default
+    via_arg = {
+        r.doc_id: r.features
+        for r in multimodal.extract_features(df, codec=_fake_codec).collect()
+    }
+    assert via_arg[2] == [2.0, 122.0]
