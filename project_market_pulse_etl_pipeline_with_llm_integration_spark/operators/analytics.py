@@ -1601,7 +1601,21 @@ def q_ab_uplift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replicates missing either arm are dropped via the inner rep-join;
     fewer than 3 surviving replicates NULLs the band (the
     poisson_bootstrap degeneracy rule)."""
-    ev = read_events(spark, sf_dir).select(
+    users = ab_user_state(read_events(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )  # point estimate + replicates: one build
+    return ab_uplift_readout(users)
+
+
+def ab_user_state(events: DataFrame) -> DataFrame:
+    """The per-(user, arm) spend state behind the A/B readout:
+    user_id, md5-assigned arm, summed cents.  Sum is a commutative
+    monoid, so this frame is MERGEABLE (merge_agg_states) — the unit of
+    incremental/streaming maintenance: a stored state table absorbs
+    each micro-batch's partial and ab_uplift_readout recomputes the
+    verdict from state alone, never rescanning history (pinned
+    replay == batch by test_streaming)."""
+    ev = events.select(
         "user_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         (
@@ -1614,9 +1628,13 @@ def q_ab_uplift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long") % 2
         ).alias("arm"),
     )
-    users = ev.groupBy("user_id", "arm").agg(
-        F.sum("cents").alias("c")
-    ).localCheckpoint(eager=False)  # point estimate + replicates: one build
+    return ev.groupBy("user_id", "arm").agg(F.sum("cents").alias("c"))
+
+
+def ab_uplift_readout(users: DataFrame) -> DataFrame:
+    """The full ab_uplift_ci verdict (point uplift + Poisson-replicate
+    band + significance) computed from a (user_id, arm, c) state frame —
+    shared by the one-shot batch query and the streaming state table."""
     point = users.groupBy("arm").agg(
         F.count("*").cast("long").alias("n_users"),
         F.expr("(1000 * sum(c)) div count(*)").alias("mean_milli"),

@@ -406,3 +406,53 @@ def test_streaming_through_python_datasource_sink(spark, tmp_path):
                     total += sum(json.loads(line)["count"] for line in fh)
     assert total == spark.read.parquet(src).count()
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_ab_readout_equals_batch(spark, tmp_path):
+    """Streaming-native A/B readout (verdict r8 #7): the per-(user, arm)
+    spend state is maintained incrementally — each micro-batch's
+    ab_user_state partial merges into a stored state table via
+    merge_agg_states inside foreachBatch — and after replaying the whole
+    event log, the FULL ab_uplift_ci verdict (point uplift, Poisson
+    bootstrap band, significance) computed from state alone must equal
+    the one-shot batch query row-for-row.  This works because the state
+    is a sum-monoid and every downstream quantity (md5 arms, Poisson
+    replicate weights, rank-selected band) is a deterministic function
+    of the state — the experiment dashboard never rescans history."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        ab_uplift_readout,
+        ab_user_state,
+        q_ab_uplift_ci,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = _events_dir(spark, tmp_path)
+    state_dir = str(tmp_path / "ab_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = ab_user_state(batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["user_id", "arm"])
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    stream = SE.read_events_stream(spark, src, max_files=1)
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = ab_uplift_readout(spark.read.parquet(state_dir)).collect()
+    want = q_ab_uplift_ci(spark, SF_SMALL).collect()
+    assert len(got) == len(want) == 1
+    assert got[0].asDict() == want[0].asDict()
+    # the band actually materialized (not the degenerate NULL case)
+    assert want[0].n_reps >= 3 and want[0].boot_lo_milli is not None
+    shutil.rmtree(src, ignore_errors=True)
