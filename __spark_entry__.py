@@ -167,6 +167,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bandit_policy_law": analytics.q_bandit_policy_law,
         # NEW-IN-ROUND-9 INSERTION POINT: add new entries HERE (keep the
         # total never-certified count <= 50 so the window covers them).
+        "mmr_rerank": similarity.q_mmr_rerank,
+        "dp_noisy_counts": analytics.q_dp_noisy_counts,
+        "epoch_shuffle": sampling.q_epoch_shuffle,
         # moved up for r9 re-certification: quality_ppm consumers whose
         # values may shift with the integer-exact rewrite
         "quality_percentile_norm": text.q_quality_percentile_norm,
@@ -630,6 +633,67 @@ def _kcenter_sql(k: int = 8) -> str:
     )
 
 
+def _dlap_sql() -> str:
+    """DP noisy-counts oracle (analytics.q_dp_noisy_counts): regenerates
+    the truncated discrete-Laplace inverse-CDF CASE chain from the same
+    DLAP_CUM_PPB literal table the engine compiles in."""
+    cases = " ".join(
+        f"WHEN u < {b} THEN {i - 9}" for i, b in enumerate(analytics.DLAP_CUM_PPB)
+    )
+    return (
+        "WITH g AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY 1, 2), "
+        "uu AS (SELECT source, lang, n, "
+        "('0x' || substr(md5(source || '|' || lang || ':dp'), 1, 15))::BIGINT "
+        "% 1000000000 AS u FROM g) "
+        f"SELECT source, lang, CAST(GREATEST(n + (CASE {cases} ELSE 9 END), 0) "
+        "AS BIGINT) AS noisy_count FROM uu"
+    )
+
+
+def _mmr_sql(n_cand: int = 20, k: int = 6) -> str:
+    """Unrolled SQL for λ=1/2 MMR re-ranking (similarity.mmr_rerank):
+    exact int64 squared L2 over the shared int8 quantization, score =
+    min_ds − dq with the _MMR_BIG no-selection sentinel, (score DESC,
+    vec_id) argmax per round, picked rows leave the pool."""
+    d2 = "(CAST(x AS BIGINT) - y) * (CAST(x AS BIGINT) - y)"
+    big = 1 << 40
+    parts = [
+        f"e AS (SELECT vec_id, {_QV} AS qv FROM embeddings)",
+        "q AS (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 1)",
+        "z0 AS (SELECT e.vec_id, unnest(e.qv) AS x, unnest(q.qv) AS y "
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.vec_id)",
+        "dqt AS (SELECT vec_id, CAST(SUM(" + d2 + ") AS BIGINT) AS dq "
+        "FROM z0 GROUP BY 1)",
+        "s0 AS (SELECT d.vec_id, e.qv, d.dq, "
+        f"CAST({big} AS BIGINT) AS mind FROM dqt d JOIN e USING (vec_id) "
+        f"ORDER BY d.dq, d.vec_id LIMIT {n_cand})",
+    ]
+    for r in range(1, k + 1):
+        parts += [
+            f"c{r} AS (SELECT vec_id, qv, dq, mind FROM s{r - 1} "
+            "ORDER BY (mind - dq) DESC, vec_id LIMIT 1)",
+            f"z{r} AS (SELECT s.vec_id, s.dq, s.mind AS old, unnest(s.qv) AS x, "
+            f"unnest(c.qv) AS y FROM s{r - 1} s CROSS JOIN c{r} c "
+            "WHERE s.vec_id <> c.vec_id)",
+            f"m{r} AS (SELECT vec_id, MAX(dq) AS dq, "
+            f"CAST(LEAST(MAX(old), SUM({d2})) AS BIGINT) AS mind "
+            f"FROM z{r} GROUP BY 1)",
+            f"s{r} AS (SELECT e.vec_id, e.qv, m{r}.dq, m{r}.mind FROM e "
+            f"JOIN m{r} USING (vec_id))",
+        ]
+    picks = [
+        "SELECT CAST(1 AS BIGINT) AS sel_round, (SELECT vec_id FROM c1) AS vec_id, "
+        "CAST((SELECT dq FROM c1) AS BIGINT) AS rel_d2, CAST(0 AS BIGINT) AS div_d2"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT), (SELECT vec_id FROM c{r}), "
+        f"CAST((SELECT dq FROM c{r}) AS BIGINT), "
+        f"CAST((SELECT mind FROM c{r}) AS BIGINT)"
+        for r in range(2, k + 1)
+    ]
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(picks)
+
+
 def _kmeans_sql(k: int = 4, rounds: int = 3) -> str:
     """Unrolled SQL for fixed-round integer Lloyd's k-means
     (similarity.kmeans_topics): exact int64 squared L2 over the shared
@@ -914,6 +978,24 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT user_id, action, cnt, row_number() OVER "
             "(PARTITION BY user_id ORDER BY cnt DESC, action) AS rn FROM c) "
             "WHERE rn = 1"
+        ),
+        "mmr_rerank": _mmr_sql(20, 6),
+        "dp_noisy_counts": _dlap_sql(),
+        "epoch_shuffle": (
+            "WITH ids AS (SELECT doc_id AS id, r.epoch FROM documents "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS epoch) r), "
+            "a AS (SELECT id, CAST(epoch AS BIGINT) AS epoch, "
+            "CAST(row_number() OVER (PARTITION BY epoch ORDER BY "
+            "('0x' || substr(md5(CAST(id AS VARCHAR) || ':ep:' || "
+            "CAST(epoch AS VARCHAR)), 1, 15))::BIGINT, id) AS BIGINT) AS pos "
+            "FROM ids) "
+            "SELECT epoch, CAST((pos - 1) % 8 AS BIGINT) AS shard, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(MIN(pos) AS BIGINT) AS first_pos, "
+            "CAST(MAX(pos) AS BIGINT) AS last_pos, "
+            "CAST(bit_xor(('0x' || substr(md5(CAST(pos AS VARCHAR) || '@' || "
+            "CAST(id AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT) AS perm_digest "
+            "FROM a GROUP BY 1, 2"
         ),
         # ---- round-8 additions (late batch)
         "bradley_terry": _bradley_terry_sql(5),

@@ -1825,3 +1825,66 @@ def q_bandit_policy_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select(F.col("user_id").cast("long").alias("user_id"), "rec", "n_train")
     )
+
+
+# Truncated two-sided-geometric (discrete Laplace) inverse CDF in ppb —
+# the geometric mechanism of Ghosh, Roughgarden & Sundararajan 2012
+# ("Universally utility-maximizing privacy mechanisms") with decay
+# a = 1/2 (ε = ln 2 at sensitivity 1), support folded to [-9, 9] (the
+# |k| > 9 tail mass, 2·(1/2)^9/(3/2) ≈ 2.6e-3, lands in the extreme
+# bins).  DLAP_CUM_PPB[i] = floor(P(X <= i-9) · 1e9), computed from the
+# exact fractions; ELSE branch = +9.  Same hard-coded-literal-table
+# recipe as POISSON1_CUM_PPB so engine and oracle match bit-for-bit.
+DLAP_CUM_PPB = [
+    1302083, 2604166, 5208333, 10416666, 20833333, 41666666, 83333333,
+    166666666, 333333333, 666666666, 833333333, 916666666, 958333333,
+    979166666, 989583333, 994791666, 997395833, 998697916,
+]
+
+
+def dlap_noise(key: Column) -> Column:
+    """Deterministic discrete-Laplace noise for a release cell: the
+    engine-standard md5-ppb uniform of ``key || ':dp'`` mapped through
+    DLAP_CUM_PPB.  Seed-derived noise makes the release rerun/cluster/
+    oracle-stable — the right property for pipeline CERTIFICATION; a
+    production DP deployment swaps the hash uniform for calibrated
+    secure randomness (same one-line seam as enrich.set_transport) and
+    keeps everything downstream."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(":dp"))), 1, 15), 16, 10
+        ).cast("long")
+        % F.lit(1_000_000_000)
+    )
+    w: Column = F.lit(9)
+    for i in range(len(DLAP_CUM_PPB) - 1, -1, -1):
+        w = F.when(u < DLAP_CUM_PPB[i], F.lit(i - 9)).otherwise(w)
+    return w.cast("long")
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release of the corpus: per
+    (source, lang) document counts with discrete-Laplace noise (the
+    geometric mechanism — ε = ln 2, sensitivity 1 for add/remove-one-
+    document neighbors), clamped at zero.  The privacy-preserving
+    twin of k_anonymity: that operator AUDITS re-identification risk
+    before a release, this one PRODUCES the release (the true counts
+    never appear in the output).
+
+    Plan: one (source, lang) hash agg with map-side combine, then a
+    per-cell hash + CASE chain — output bounded by |sources|·|langs|
+    regardless of corpus size, nothing but the tiny release shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "source",
+            "lang",
+            F.greatest(
+                F.col("n")
+                + dlap_noise(F.concat(F.col("source"), F.lit("|"), F.col("lang"))),
+                F.lit(0),
+            ).cast("long").alias("noisy_count"),
+        )
+    )

@@ -516,3 +516,89 @@ def q_split_leakage_law(spark, sf_dir: str):
             (F.col("n_leaky_safe") == 0).alias("law_holds"),
         )
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame, n_epochs: int = 3, n_shards: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reproducible multi-epoch training-data shuffling + sharding: for
+    each epoch, every doc gets a position in a hash-derived permutation
+    (order by the md5-60-bit uniform of ``id || ':ep:' || epoch``, ties
+    on id) and a round-robin shard = (pos − 1) % n_shards.  This is the
+    data-order layer of a training run made a pure function of
+    (corpus, epoch): rerun/cluster/engine-identical, epochs mutually
+    decorrelated, shards balanced within one row by construction — no
+    RNG state to checkpoint, no coordinator.
+
+    Output: one row per (epoch, shard) — count, positional span, and
+    perm_digest = bit_xor over md5-60(pos || '@' || id), an
+    order-SENSITIVE fingerprint (each term binds a doc to its exact
+    position, xor makes the fold order-free) so two permutations match
+    iff every doc sits at the same position.  The wide (id, epoch, pos,
+    shard) assignment frame is the real product; the digest rows are
+    its certifiable summary.
+
+    Scale shape: one explode (n_epochs ×) + one epoch-partitioned
+    window sort + one hash agg; at 100 TB replace the exact global
+    row_number with the dense_id range-partitioned rank recipe — the
+    permutation semantics (order by hash) are unchanged."""
+    from pyspark.sql import Window as W
+
+    e = F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch")
+    ids = docs.select(F.col(id_col).alias("id")).select("id", e)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("id").cast("string"),
+                        F.lit(":ep:"),
+                        F.col("epoch").cast("string"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+    )
+    w = W.partitionBy("epoch").orderBy("h", "id")
+    assigned = (
+        ids.select("id", "epoch", h.alias("h"))
+        .select(
+            "id",
+            F.col("epoch").cast("long").alias("epoch"),
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .select(
+            "id", "epoch", "pos", ((F.col("pos") - 1) % n_shards).alias("shard")
+        )
+    )
+    dg = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("pos").cast("string"), F.lit("@"), F.col("id").cast("string")
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+    )
+    return (
+        assigned.select("epoch", "shard", dg.alias("dg"), "pos")
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.max("pos").cast("long").alias("last_pos"),
+            F.expr("bit_xor(dg)").cast("long").alias("perm_digest"),
+        )
+    )
+
+
+def q_epoch_shuffle(spark, sf_dir: str) -> DataFrame:
+    """3-epoch, 8-shard shuffle plan over the documents table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return epoch_shuffle(docs, n_epochs=3, n_shards=8)

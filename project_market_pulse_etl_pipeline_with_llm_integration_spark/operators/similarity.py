@@ -1677,3 +1677,109 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ encoding."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return pq_adc_topk(emb, n_queries=3, topk=10, m=8, k=4, rounds=1)
+
+
+# Round-1 selection uses min_ds = _MMR_BIG (sentinel "no selected set
+# yet"): argmax(min_ds - dq) then reduces to pure relevance.  Must
+# exceed any real distance gap: max int8 squared L2 is dim·254² ≈ 4.1e6
+# at dim 64 — 2^40 clears it with int64 headroom to spare.
+_MMR_BIG = 1 << 40
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    k: int = 6,
+    n_candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of a retrieval page: from the top-``n_candidates`` nearest
+    neighbors of the query (the smallest-id vector, the ann_bruteforce
+    convention), greedily select ``k`` results balancing relevance
+    against redundancy — the diversity re-ranker every RAG stack puts
+    between ANN retrieval and the context window, so near-duplicate
+    hits don't crowd out coverage.
+
+    Exactness contract (the kcenter recipe): λ = 1/2 MMR over NEGATED
+    exact int64 squared L2 distances on the shared int8 quantization —
+    score·2 = min_d2(candidate, selected) − d2(candidate, query), ties
+    broken on ascending id; the diversity state updates incrementally
+    (LEAST against the newest pick only) and picked rows leave the
+    candidate pool (unlike kcenter, MMR must never re-select).  Every
+    hashed column is integer, so the unrolled oracle matches
+    bit-for-bit.
+
+    Scale shape: MMR is a PER-QUERY operator over a bounded page —
+    candidate generation is the certified ANN family's job; this
+    touches n_candidates rows k times (one broadcast of a single pick
+    per round).  At fleet scale the same shape runs grouped by
+    query_id over each query's page; n_candidates stays ≤ ~100 by
+    construction, so cost is O(k·n) per query regardless of corpus
+    size.
+
+    Output: (sel_round, vec_id, rel_d2 = exact d2 to the query,
+    div_d2 = exact min-d2 to the already-selected set at selection
+    time; 0 for the first pick)."""
+    if k < 1 or n_candidates < k:
+        raise ValueError("mmr_rerank needs 1 <= k <= n_candidates")
+    pts = emb.select(
+        F.col(id_col).alias("pid"),
+        quantize_embedding(F.col(vec_col)).alias("qv"),
+    )
+    qrow = (
+        pts.orderBy("pid")
+        .limit(1)
+        .select(F.col("pid").alias("qid"), F.col("qv").alias("qqv"))
+        .localCheckpoint(eager=False)
+    )
+    state = (
+        pts.crossJoin(F.broadcast(qrow))
+        .filter(F.col("pid") != F.col("qid"))
+        .select("pid", "qv", _int_sq_l2(F.col("qv"), F.col("qqv")).alias("dq"))
+        .orderBy("dq", "pid")
+        .limit(n_candidates)
+        .withColumn("min_ds", F.lit(_MMR_BIG).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    picks = None
+    for r in range(1, k + 1):
+        nxt = (
+            state.withColumn("score", F.col("min_ds") - F.col("dq"))
+            .orderBy(F.desc("score"), "pid")
+            .limit(1)
+            .select(
+                F.col("pid").alias("cid"),
+                F.col("qv").alias("cqv"),
+                F.col("dq").alias("sel_dq"),
+                F.col("min_ds").alias("sel_ds"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        row = nxt.select(
+            F.lit(r).cast("long").alias("sel_round"),
+            F.col("cid").alias("vec_id"),
+            F.col("sel_dq").cast("long").alias("rel_d2"),
+            (F.lit(0) if r == 1 else F.col("sel_ds")).cast("long").alias("div_d2"),
+        )
+        picks = row if picks is None else picks.unionAll(row)
+        state = (
+            state.crossJoin(F.broadcast(nxt.select("cid", "cqv")))
+            .filter(F.col("pid") != F.col("cid"))
+            .select(
+                "pid",
+                "qv",
+                "dq",
+                F.least(F.col("min_ds"), _int_sq_l2(F.col("qv"), F.col("cqv"))).alias(
+                    "min_ds"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return picks
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-rank: 6 diverse picks from the query's top-20 page."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mmr_rerank(emb, k=6, n_candidates=20)

@@ -680,3 +680,43 @@ def test_ab_uplift_ci_laws(spark):
     # the CI should straddle zero (deterministic given the data; this
     # pins the null-effect verdict)
     assert row["significant"] is False
+
+
+def test_dp_noisy_counts_bounded_clamped_deterministic(spark):
+    """The DP release must (a) stay within the truncated noise support
+    of the true histogram (|noisy - true| <= 9 pre-clamp), (b) clamp at
+    zero, (c) be rerun-identical, and (d) NOT expose true counts: at
+    least one cell's noise is nonzero on this corpus (the mechanism is
+    actually perturbing, not an identity pass)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    truth = {
+        (r.source, r.lang): r.n
+        for r in docs.groupBy("source", "lang").agg(F.count("*").alias("n")).collect()
+    }
+    out1 = {
+        (r.source, r.lang): r.noisy_count
+        for r in analytics.q_dp_noisy_counts(spark, SF_SMALL).collect()
+    }
+    out2 = {
+        (r.source, r.lang): r.noisy_count
+        for r in analytics.q_dp_noisy_counts(spark, SF_SMALL).collect()
+    }
+    assert out1 == out2 and set(out1) == set(truth)
+    assert all(v >= 0 for v in out1.values())
+    assert all(abs(out1[k] - truth[k]) <= 9 for k in truth)
+    assert any(out1[k] != truth[k] for k in truth)
+
+
+def test_dlap_noise_support_and_distribution_shape(spark):
+    """Over many cells the deterministic noise must cover the support
+    and concentrate at 0 like the a=1/2 geometric mechanism (P(0)=1/3):
+    a loose sanity band, not a statistical test."""
+    from pyspark.sql import functions as F
+
+    cells = spark.range(2000).select(F.col("id").cast("string").alias("key"))
+    noise = [r.w for r in cells.select(analytics.dlap_noise(F.col("key")).alias("w")).collect()]
+    assert min(noise) >= -9 and max(noise) <= 9
+    frac0 = sum(1 for w in noise if w == 0) / len(noise)
+    assert 0.28 < frac0 < 0.39

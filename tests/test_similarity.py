@@ -663,3 +663,61 @@ def test_pq_adc_triangle_band(spark):
         lo = max(math.sqrt(a) - math.sqrt(recon[vid]), 0.0) ** 2
         hi = (math.sqrt(a) + math.sqrt(recon[vid])) ** 2
         assert lo - 1e-6 <= true <= hi + 1e-6, (qid, vid, a, recon[vid], true)
+
+
+def test_mmr_rerank_matches_python_greedy_replay(spark):
+    """Engine MMR == a pure-Python replay of λ=1/2 greedy MMR over the
+    same int8 quantization: identical pick order, relevance and
+    diversity distances.  The corpus is built so diversity matters: a
+    tight near-duplicate cluster around the query and one far outlier —
+    pure top-k would take the whole cluster, MMR must interleave."""
+    vecs = {
+        0: [0.0, 0.0, 0.0, 0.0],     # query (smallest id)
+        1: [0.1, 0.0, 0.0, 0.0],
+        2: [0.1, 0.02, 0.0, 0.0],    # near-dup of 1
+        3: [0.12, 0.0, 0.02, 0.0],   # near-dup of 1
+        4: [0.9, 0.9, 0.9, 0.9],     # far outlier
+        5: [-0.8, 0.7, -0.6, 0.5],   # another direction
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r.sel_round: (r.vec_id, r.rel_d2, r.div_d2)
+        for r in similarity.mmr_rerank(emb, k=4, n_candidates=5).collect()
+    }
+
+    def qz(v):
+        return [round(max(min(x, 1.0), -1.0) * 127.0) for x in v]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    q = qz(vecs[0])
+    cand = {i: qz(v) for i, v in vecs.items() if i != 0}
+    dq = {i: d2(v, q) for i, v in cand.items()}
+    mind = {i: 1 << 40 for i in cand}
+    want = {}
+    for r in range(1, 5):
+        pick = max(cand, key=lambda i: (mind[i] - dq[i], -i))
+        want[r] = (pick, dq[pick], 0 if r == 1 else mind[pick])
+        pv = cand.pop(pick)
+        mind.pop(pick)
+        for i, v in cand.items():
+            mind[i] = min(mind[i], d2(v, pv))
+    assert out == want
+    # diversity actually reordered the page: pure relevance order is
+    # 1, 2, 3, 5 (the near-dup cluster first), but MMR promotes the
+    # far direction 5 to round 2 ahead of the cluster's near-dups
+    assert sorted(dq, key=dq.__getitem__)[:3] == [1, 2, 3]
+    assert out[1][0] == 1 and out[2][0] == 5
+
+
+def test_mmr_rerank_guards(spark):
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [(0, [0.0]), (1, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError):
+        similarity.mmr_rerank(emb, k=3, n_candidates=2)

@@ -170,3 +170,46 @@ def test_stratified_kfold_contract(spark):
     assert all(len(s) == 1 for s in folds_by_text.values())
     with pytest.raises(ValueError):
         stratified_kfold(docs, k=1)
+
+
+def test_epoch_shuffle_permutation_laws(spark):
+    """Every epoch is a full permutation (counts sum to n_docs, shard
+    sizes within 1, positions span 1..n), epochs are decorrelated
+    (pairwise-distinct digest multisets), and the digest replays a
+    pure-Python md5 walk of the same permutation."""
+    import hashlib
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import (
+        epoch_shuffle,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_docs = docs.count()
+    rows = epoch_shuffle(docs, n_epochs=3, n_shards=4).collect()
+    by_epoch = defaultdict(list)
+    for r in rows:
+        by_epoch[r.epoch].append(r)
+    assert set(by_epoch) == {0, 1, 2}
+    for e, shards in by_epoch.items():
+        assert sum(r.n_docs for r in shards) == n_docs
+        sizes = [r.n_docs for r in shards]
+        assert max(sizes) - min(sizes) <= 1
+        assert min(r.first_pos for r in shards) == 1
+        assert max(r.last_pos for r in shards) == n_docs
+    digs = [tuple(sorted(r.perm_digest for r in by_epoch[e])) for e in (0, 1, 2)]
+    assert len(set(digs)) == 3
+
+    # pure-Python replay of epoch 1's permutation digest
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    order = sorted(ids, key=lambda i: (h60(f"{i}:ep:1"), i))
+    want = defaultdict(int)
+    for pos, i in enumerate(order, start=1):
+        want[(pos - 1) % 4] ^= h60(f"{pos}@{i}")
+    got = {r.shard: r.perm_digest for r in by_epoch[1]}
+    assert got == dict(want)
