@@ -170,6 +170,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": similarity.q_mmr_rerank,
         "dp_noisy_counts": analytics.q_dp_noisy_counts,
         "epoch_shuffle": sampling.q_epoch_shuffle,
+        "embedding_dim_profile": similarity.q_embedding_dim_profile,
         # moved up for r9 re-certification: quality_ppm consumers whose
         # values may shift with the integer-exact rewrite
         "quality_percentile_norm": text.q_quality_percentile_norm,
@@ -981,6 +982,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mmr_rerank": _mmr_sql(20, 6),
         "dp_noisy_counts": _dlap_sql(),
+        "embedding_dim_profile": (
+            f"WITH e AS (SELECT vec_id AS pid, {_QV} AS qv FROM embeddings), "
+            "p AS (SELECT pid, generate_subscripts(qv, 1) - 1 AS pos, "
+            "unnest(qv) AS v FROM e), "
+            "s AS (SELECT pos, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(MIN(v) AS BIGINT) AS dmin, CAST(MAX(v) AS BIGINT) AS dmax, "
+            "CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct, "
+            "CAST(SUM(CASE WHEN ABS(v) = 127 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_clipped FROM p GROUP BY 1), "
+            "m AS (SELECT pos, CAST(v AS BIGINT) AS med FROM "
+            "(SELECT pos, v, row_number() OVER (PARTITION BY pos ORDER BY v, pid) "
+            "AS rn, COUNT(*) OVER (PARTITION BY pos) AS nn FROM p) "
+            "WHERE rn = (nn + 1) // 2) "
+            "SELECT CAST(s.pos AS BIGINT) AS pos, n, dmin, dmax, n_distinct, "
+            "n_clipped, med FROM s JOIN m USING (pos)"
+        ),
         "epoch_shuffle": (
             "WITH ids AS (SELECT doc_id AS id, r.epoch FROM documents "
             "CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS epoch) r), "

@@ -206,6 +206,12 @@ HEADLINE = [
     "cuped_adjustment",
     "corpus_diversity",
     "ab_uplift_ci",
+    # round 9: MMR page re-rank, DP histogram release, epoch shuffle plan,
+    # per-dimension embedding QA
+    "mmr_rerank",
+    "dp_noisy_counts",
+    "epoch_shuffle",
+    "embedding_dim_profile",
 ]
 
 

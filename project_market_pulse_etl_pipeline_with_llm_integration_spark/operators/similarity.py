@@ -1783,3 +1783,53 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR re-rank: 6 diverse picks from the query's top-20 page."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return mmr_rerank(emb, k=6, n_candidates=20)
+
+
+def embedding_dim_profile(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension QA profile of an embedding table over the shared
+    int8 quantization: min/max, distinct-value count, clip count
+    (|v| = 127 — mass pinned at the quantizer's edge means the clip
+    range is too tight), and the exact lower median.  The table a
+    vector-pipeline owner reads before trusting ANN recall: dead
+    dimensions (n_distinct = 1) and saturated ones (high n_clipped)
+    silently degrade every distance in the index.
+
+    Plan: one posexplode to (pos, v) scalar ints — dim× the row count
+    but 16 bytes wide — then ONE (pos) hash agg for the range stats and
+    one (pos)-partitioned window for the median; output is exactly
+    ``dim`` rows.  At 100 TB swap the exact median for approx_percentile
+    per pos (same shape, documented trade)."""
+    pts = emb.select(
+        F.col(id_col).alias("pid"),
+        quantize_embedding(F.col(vec_col)).alias("qv"),
+    ).select("pid", F.posexplode("qv").alias("pos", "v"))
+    stats = pts.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("v").cast("long").alias("dmin"),
+        F.max("v").cast("long").alias("dmax"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+        F.sum(F.when(F.abs(F.col("v")) == 127, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped"),
+    )
+    w = W.partitionBy("pos").orderBy("v", "pid")
+    med = (
+        pts.select(
+            "pos", "v",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(W.partitionBy("pos")).alias("nn"),
+        )
+        .filter(F.col("rn") == F.expr("(nn + 1) div 2"))
+        .select("pos", F.col("v").cast("long").alias("med"))
+    )
+    return stats.join(med, "pos").select(
+        F.col("pos").cast("long").alias("pos"),
+        "n", "dmin", "dmax", "n_distinct", "n_clipped", "med",
+    )
+
+
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dim_profile(emb)

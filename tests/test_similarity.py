@@ -721,3 +721,26 @@ def test_mmr_rerank_guards(spark):
     )
     with _pytest.raises(ValueError):
         similarity.mmr_rerank(emb, k=3, n_candidates=2)
+
+
+def test_embedding_dim_profile_hand_case(spark):
+    """Hand-computable 3-dim profile: a dead dimension, a clipped
+    dimension, and exact lower medians under the (v, pid) order."""
+    emb = spark.createDataFrame(
+        [
+            (1, [0.5, 1.0, -0.1]),
+            (2, [0.5, -1.0, 0.0]),
+            (3, [0.5, 1.0, 0.3]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.pos: r for r in similarity.embedding_dim_profile(emb).collect()}
+    # dim 0: constant 64 -> dead
+    assert (out[0].n_distinct, out[0].dmin, out[0].dmax, out[0].n_clipped) == (1, 64, 64, 0)
+    assert out[0].med == 64
+    # dim 1: fully clipped at +-127
+    assert out[1].n_clipped == 3 and out[1].dmin == -127 and out[1].dmax == 127
+    assert out[1].med == 127  # sorted [-127, 127, 127], lower median = rn 2
+    # dim 2: [-13, 0, 38] -> median 0
+    assert (out[2].dmin, out[2].dmax, out[2].med, out[2].n_clipped) == (-13, 38, 0, 0)
+    assert all(out[p].n == 3 for p in (0, 1, 2))
