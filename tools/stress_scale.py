@@ -77,6 +77,11 @@ STRESS_QUERIES = [
     # the source-pair gram self-join, and the wedge enumeration
     "duplicated_ngram_coverage", "dup_span_mask",
     "source_minhash_overlap", "link_prediction_ra",
+    # round-9 additions: the per-epoch global permutation sort (the one
+    # corpus-proportional window among the new ops) and the dim-explode
+    # profile (dim x rows, linear control); mmr_rerank is page-bounded
+    # and dp_noisy_counts is agg-only — both scale-free by construction
+    "epoch_shuffle", "embedding_dim_profile",
 ]
 
 
