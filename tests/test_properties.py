@@ -511,3 +511,131 @@ def test_dictionary_tag_matches_python(spark, docs_txt):
         for r in dictionary_tag(df).collect()
     }
     assert got == exp
+
+
+@_slow
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=50),
+        st.lists(
+            st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+            min_size=3, max_size=3,
+        ),
+        min_size=3, max_size=9,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_mmr_engine_equals_python_greedy_on_random_pages(spark, vecs, k):
+    """Engine MMR == pure-Python λ=1/2 greedy replay for ANY small
+    embedding set (random ids, random float components incl. values the
+    int8 quantizer clips): pick order, relevance distances, and
+    diversity distances all identical — the kmeans-property-test
+    precedent applied to the re-ranker."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        similarity,
+    )
+
+    n_cand = len(vecs) - 1
+    if k > n_cand:
+        k = max(1, n_cand)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.sel_round: (r.vec_id, r.rel_d2, r.div_d2)
+        for r in similarity.mmr_rerank(emb, k=k, n_candidates=n_cand).collect()
+    }
+
+    def qz(v):
+        # round-half-away-from-zero, matching Spark/DuckDB round()
+        import math
+
+        return [
+            int(math.copysign(math.floor(abs(max(min(x, 1.0), -1.0) * 127.0) + 0.5), x))
+            for x in v
+        ]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    qid = min(vecs)
+    q = qz(vecs[qid])
+    dq_all = {i: d2(qz(v), q) for i, v in vecs.items() if i != qid}
+    page = sorted(dq_all, key=lambda i: (dq_all[i], i))[:n_cand]
+    cand = {i: qz(vecs[i]) for i in page}
+    dq = {i: dq_all[i] for i in page}
+    mind = {i: 1 << 40 for i in page}
+    want = {}
+    for r in range(1, k + 1):
+        pick = max(cand, key=lambda i: (mind[i] - dq[i], -i))
+        want[r] = (pick, dq[pick], 0 if r == 1 else mind[pick])
+        pv = cand.pop(pick)
+        mind.pop(pick)
+        for i, v in cand.items():
+            mind[i] = min(mind[i], d2(v, pv))
+    assert out == want
+
+
+@_slow
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60, unique=True))
+def test_epoch_shuffle_digest_replays_for_any_id_set(spark, ids):
+    """epoch_shuffle's per-(epoch, shard) digests equal a pure-Python
+    md5 replay of the same permutation for ANY id set — the permutation
+    is a pure function of (ids, epoch), independent of input order or
+    partitioning."""
+    import hashlib
+    from collections import defaultdict
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import (
+        epoch_shuffle,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long").repartition(3)
+    rows = epoch_shuffle(docs, n_epochs=2, n_shards=3).collect()
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for e in (0, 1):
+        order = sorted(ids, key=lambda i: (h60(f"{i}:ep:{e}"), i))
+        digs = defaultdict(int)
+        counts = defaultdict(int)
+        for pos, i in enumerate(order, start=1):
+            digs[(pos - 1) % 3] ^= h60(f"{pos}@{i}")
+            counts[(pos - 1) % 3] += 1
+        for sh, dg in digs.items():
+            want[(e, sh)] = (counts[sh], dg)
+    got = {(r.epoch, r.shard): (r.n_docs, r.perm_digest) for r in rows}
+    assert got == want
+
+
+@_slow
+@given(st.lists(st.text(alphabet="abcdef|:", min_size=0, max_size=12), min_size=1, max_size=40, unique=True))
+def test_dlap_noise_replays_and_stays_in_support(spark, keys):
+    """dlap_noise == a pure-Python inverse-CDF walk of the same md5
+    uniform for ANY key strings (incl. the '|'/':' delimiters), always
+    within the truncated [-9, 9] support."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        DLAP_CUM_PPB,
+        dlap_noise,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {r.key: r.w for r in df.select("key", dlap_noise(F.col("key")).alias("w")).collect()}
+
+    def replay(key: str) -> int:
+        u = int(hashlib.md5(f"{key}:dp".encode()).hexdigest()[:15], 16) % 10**9
+        for i, b in enumerate(DLAP_CUM_PPB):
+            if u < b:
+                return i - 9
+        return 9
+
+    want = {k: replay(k) for k in keys}
+    assert got == want
+    assert all(-9 <= w <= 9 for w in got.values())
