@@ -171,11 +171,18 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noisy_counts": analytics.q_dp_noisy_counts,
         "epoch_shuffle": sampling.q_epoch_shuffle,
         "embedding_dim_profile": similarity.q_embedding_dim_profile,
+        "ab_sequential_looks": analytics.q_ab_sequential_looks,
+        "mixture_waterfill": sampling.q_mixture_waterfill,
         # moved up for r9 re-certification: quality_ppm consumers whose
         # values may shift with the integer-exact rewrite
         "quality_percentile_norm": text.q_quality_percentile_norm,
         "dedup_best_survivor": dedup.q_dedup_best_survivor,
         "jackknife_spread": analytics.q_jackknife_spread,
+        # the three r8-red parents, re-certifying against the cast-fixed
+        # oracles — kept adjacent to their decomposition law rows
+        "poisson_bootstrap": analytics.q_poisson_bootstrap,
+        "bandit_replay": analytics.q_bandit_replay,
+        "ab_uplift_ci": analytics.q_ab_uplift_ci,
         "tokenizer_fertility": text.q_tokenizer_fertility,
         "ngram_novelty": text.q_ngram_novelty,
         "label_propagation": graph.q_label_propagation,
@@ -192,7 +199,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_kfold": sampling.q_stratified_kfold,
         "bradley_terry": analytics.q_bradley_terry,
         "kcenter_coreset": similarity.q_kcenter_coreset,
-        "poisson_bootstrap": analytics.q_poisson_bootstrap,
         "k_anonymity": analytics.q_k_anonymity,
         "conformal_interval": analytics.q_conformal_interval,
         "source_minhash_overlap": dedup.q_source_minhash_overlap,
@@ -201,14 +207,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_tag": text.q_dictionary_tag,
         "kmeans_topics": similarity.q_kmeans_topics,
         "churn_rate": analytics.q_churn_rate,
-        "bandit_replay": analytics.q_bandit_replay,
         "retrieval_ndcg": text.q_retrieval_ndcg,
         "corpus_manifest": dedup.q_corpus_manifest,
         "dup_span_mask": dedup.q_dup_span_mask,
         "pq_encode": similarity.q_pq_encode,
         "pq_adc_topk": similarity.q_pq_adc_topk,
         "cuped_adjustment": analytics.q_cuped_adjustment,
-        "ab_uplift_ci": analytics.q_ab_uplift_ci,
         "corpus_diversity": text.q_corpus_diversity,
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
@@ -982,6 +986,61 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mmr_rerank": _mmr_sql(20, 6),
         "dp_noisy_counts": _dlap_sql(),
+        "ab_sequential_looks": (
+            "WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) "
+            "AS cents, CAST(date_trunc('week', ts) AS DATE) AS wk, "
+            "('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15))"
+            "::BIGINT % 2 AS arm FROM events), "
+            "wks AS (SELECT DISTINCT wk FROM ev), "
+            "arms AS (SELECT CAST(unnest([0, 1]) AS BIGINT) AS arm), "
+            "sp AS (SELECT arm, wk, CAST(SUM(cents) AS BIGINT) AS wk_cents "
+            "FROM ev GROUP BY 1, 2), "
+            "en AS (SELECT arm, wk, CAST(COUNT(*) AS BIGINT) AS new_users FROM "
+            "(SELECT user_id, arm, MIN(wk) AS wk FROM ev GROUP BY 1, 2) "
+            "GROUP BY 1, 2), "
+            "g AS (SELECT a.arm, w.wk, COALESCE(sp.wk_cents, 0) AS wk_cents, "
+            "COALESCE(en.new_users, 0) AS new_users FROM wks w CROSS JOIN arms a "
+            "LEFT JOIN sp ON sp.arm = a.arm AND sp.wk = w.wk "
+            "LEFT JOIN en ON en.arm = a.arm AND en.wk = w.wk), "
+            "c AS (SELECT arm, wk, CAST(SUM(wk_cents) OVER "
+            "(PARTITION BY arm ORDER BY wk ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS cum_cents, CAST(SUM(new_users) OVER "
+            "(PARTITION BY arm ORDER BY wk ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS cum_users FROM g), "
+            "l AS (SELECT wk, "
+            "CAST(SUM(CASE WHEN arm = 0 THEN cum_users END) AS BIGINT) AS n_users_a, "
+            "CAST(SUM(CASE WHEN arm = 1 THEN cum_users END) AS BIGINT) AS n_users_b, "
+            "CAST(SUM(CASE WHEN arm = 0 THEN cum_cents END) AS BIGINT) AS cum_a_cents, "
+            "CAST(SUM(CASE WHEN arm = 1 THEN cum_cents END) AS BIGINT) AS cum_b_cents "
+            "FROM c GROUP BY 1) "
+            "SELECT wk, n_users_a, n_users_b, cum_a_cents, cum_b_cents, "
+            "CAST(CASE WHEN n_users_a > 0 AND n_users_b > 0 THEN "
+            "(1000 * cum_b_cents) // n_users_b - (1000 * cum_a_cents) // n_users_a "
+            "END AS BIGINT) AS cum_uplift_milli FROM l"
+        ),
+        "mixture_waterfill": (
+            f"WITH s AS (SELECT source, CAST(SUM({_NTOK}) AS BIGINT) AS supply "
+            "FROM documents GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(supply) AS BIGINT) AS total_supply, "
+            "CAST(COUNT(*) AS BIGINT) AS n_src FROM s), "
+            "t2 AS (SELECT n_src, (total_supply * 400000) // 1000000 AS budget "
+            "FROM t), "
+            "r AS (SELECT source, supply, budget, n_src, "
+            "CAST(row_number() OVER (ORDER BY supply, source) AS BIGINT) AS rk, "
+            "CAST(COALESCE(SUM(supply) OVER (ORDER BY supply, source "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS prefix FROM s CROSS JOIN t2), "
+            "r2 AS (SELECT *, supply * (n_src - rk + 1) + prefix <= budget "
+            "AS capped FROM r), "
+            "lv AS (SELECT CAST(CASE WHEN MIN(n_src) > "
+            "SUM(CASE WHEN capped THEN 1 ELSE 0 END) THEN "
+            "(MIN(budget) - COALESCE(SUM(CASE WHEN capped THEN supply END), 0)) "
+            "// (MIN(n_src) - SUM(CASE WHEN capped THEN 1 ELSE 0 END)) END "
+            "AS BIGINT) AS water_level FROM r2) "
+            "SELECT source, supply, CAST(budget AS BIGINT) AS budget, capped, "
+            "CAST(CASE WHEN capped THEN supply ELSE water_level END AS BIGINT) "
+            "AS alloc, water_level FROM r2 CROSS JOIN lv"
+        ),
         "embedding_dim_profile": (
             f"WITH e AS (SELECT vec_id AS pid, {_QV} AS qv FROM embeddings), "
             "p AS (SELECT pid, generate_subscripts(qv, 1) - 1 AS pos, "

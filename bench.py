@@ -212,6 +212,8 @@ HEADLINE = [
     "dp_noisy_counts",
     "epoch_shuffle",
     "embedding_dim_profile",
+    "ab_sequential_looks",
+    "mixture_waterfill",
 ]
 
 

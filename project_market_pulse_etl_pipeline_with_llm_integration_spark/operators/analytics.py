@@ -1888,3 +1888,78 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("noisy_count"),
         )
     )
+
+
+def q_ab_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment PEEKING CURVE: per calendar week, the cumulative
+    per-arm user counts, spend, and running mean-per-user uplift — the
+    week-by-week readout an experimenter watches while ab_uplift_ci's
+    bootstrap band decides significance at the end.  Surfacing the
+    whole curve (instead of one peeked look) is what makes early-stop
+    temptation auditable.
+
+    Determinism: the arm split is the engine-standard md5 recipe
+    (identical to cuped/ab_uplift_ci, so the curves describe the SAME
+    experiment); weeks are date_trunc('week') dates; cumulative users
+    count each (user, arm) at its FIRST week (cumulative-distinct as a
+    running sum of first-appearances — no windowed COUNT DISTINCT).
+    Divisions are plain `div` on sums that follow events.value's sign:
+    safe because division_semantics_law pins both engines to identical
+    truncation on ANY operand sign.
+
+    Plan: one (user, arm) first-week agg + one (arm, week) spend agg,
+    both map-side combined; the cumulative windows and the a/b pivot
+    run on O(weeks) rows."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % 2
+        ).alias("arm"),
+    )
+    weeks = ev.select("wk").distinct()
+    arms = spark.range(2).select(F.col("id").cast("long").alias("arm"))
+    spend = ev.groupBy("arm", "wk").agg(F.sum("cents").alias("wk_cents"))
+    entrants = (
+        ev.groupBy("user_id", "arm")
+        .agg(F.min("wk").alias("wk"))
+        .groupBy("arm", "wk")
+        .agg(F.count("*").alias("new_users"))
+    )
+    grid = (
+        weeks.crossJoin(arms)
+        .join(spend, ["arm", "wk"], "left")
+        .join(entrants, ["arm", "wk"], "left")
+        .select(
+            "arm", "wk",
+            F.coalesce("wk_cents", F.lit(0)).alias("wk_cents"),
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+    )
+    wcum = W.partitionBy("arm").orderBy("wk").rowsBetween(W.unboundedPreceding, 0)
+    cum = grid.select(
+        "arm", "wk",
+        F.sum("wk_cents").over(wcum).alias("cum_cents"),
+        F.sum("new_users").over(wcum).alias("cum_users"),
+    )
+    looks = cum.groupBy("wk").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("cum_users"))).cast("long").alias("n_users_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cum_users"))).cast("long").alias("n_users_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cum_cents"))).cast("long").alias("cum_a_cents"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cum_cents"))).cast("long").alias("cum_b_cents"),
+    )
+    return looks.select(
+        "wk", "n_users_a", "n_users_b", "cum_a_cents", "cum_b_cents",
+        F.expr(
+            "CASE WHEN n_users_a > 0 AND n_users_b > 0 THEN "
+            "(1000 * cum_b_cents) div n_users_b - (1000 * cum_a_cents) div n_users_a "
+            "END"
+        ).cast("long").alias("cum_uplift_milli"),
+    )

@@ -602,3 +602,93 @@ def q_epoch_shuffle(spark, sf_dir: str) -> DataFrame:
     """3-epoch, 8-shard shuffle plan over the documents table."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return epoch_shuffle(docs, n_epochs=3, n_shards=8)
+
+
+def mixture_waterfill(
+    docs: DataFrame, budget_ratio_ppm: int = 400_000
+) -> DataFrame:
+    """Water-filling token-budget allocation across sources: give every
+    source an equal share of the token budget, except sources whose
+    entire supply fits under the water level, which contribute all they
+    have and release the surplus to the rest — the standard way a
+    pretraining mix spends a fixed token budget over unequal corpora
+    WITHOUT oversampling small sources (the cap) or letting one giant
+    source starve the rest (the level).
+
+    Closed form, no iteration: sort sources by supply ascending with
+    prefix sums; source at rank i is CAPPED iff
+    s_i · (n − i + 1) + P_{i−1} <= B (its full supply fits its fair
+    share among the not-yet-capped); capping is prefix-closed under
+    this order, so the water level is t = (B − P_K) div (n − K) for
+    K = #capped, and alloc_i = s_i if capped else t.  All int64; floor
+    semantics leave < (n − K) tokens of the budget unspent (documented).
+    Budget = budget_ratio_ppm of the total token supply, so the
+    operator is scale-free.
+
+    Plan: one corpus scan for per-source token sums, then every window/
+    join runs on |sources| rows.  Output: per source — supply, the
+    allocation, the capped flag, and the shared water level."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+        token_count,
+    )
+    from pyspark.sql import Window as W
+
+    supplies = (
+        docs.select("source", token_count("text").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("supply"))
+    )
+    tot = supplies.agg(
+        F.sum("supply").alias("total_supply"),
+        F.count("*").cast("long").alias("n_src"),
+    ).select(
+        "total_supply", "n_src",
+        F.expr(f"(total_supply * {budget_ratio_ppm}) div 1000000").alias("budget"),
+    )
+    w = W.orderBy("supply", "source")  # |sources| rows — bounded window
+    ranked = (
+        supplies.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "supply", "budget", "n_src",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.coalesce(
+                F.sum("supply").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long").alias("prefix"),
+        )
+        .withColumn(
+            "capped",
+            F.expr("supply * (n_src - rk + 1) + prefix <= budget"),
+        )
+    )
+    level = ranked.agg(
+        F.sum(F.when(F.col("capped"), F.col("supply"))).alias("p_k"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("k"),
+        F.min("budget").alias("budget"),
+        F.min("n_src").alias("n_src"),
+    ).select(
+        F.expr(
+            "CASE WHEN n_src > k THEN "
+            "(budget - coalesce(p_k, 0)) div (n_src - k) END"
+        ).cast("long").alias("water_level"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(level))
+        .select(
+            "source",
+            "supply",
+            F.col("budget").cast("long").alias("budget"),
+            "capped",
+            F.when(F.col("capped"), F.col("supply"))
+            .otherwise(F.col("water_level"))
+            .cast("long")
+            .alias("alloc"),
+            "water_level",
+        )
+    )
+
+
+def q_mixture_waterfill(spark, sf_dir: str) -> DataFrame:
+    """40%-of-supply token budget water-filled across sources."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_waterfill(docs, budget_ratio_ppm=400_000)

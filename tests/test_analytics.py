@@ -720,3 +720,39 @@ def test_dlap_noise_support_and_distribution_shape(spark):
     assert min(noise) >= -9 and max(noise) <= 9
     frac0 = sum(1 for w in noise if w == 0) / len(noise)
     assert 0.28 < frac0 < 0.39
+
+
+def test_ab_sequential_looks_final_week_equals_point_readout(spark):
+    """The peeking curve's LAST row must agree with the experiment's
+    overall point readout (same arms, same users, same spend), and the
+    cumulative columns must be non-decreasing week over week."""
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        ab_user_state,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_events,
+    )
+
+    rows = sorted(
+        analytics.q_ab_sequential_looks(spark, SF_SMALL).collect(),
+        key=lambda r: r.wk,
+    )
+    assert len(rows) >= 2
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_users_a >= a.n_users_a and b.n_users_b >= a.n_users_b
+        assert b.cum_a_cents >= a.cum_a_cents and b.cum_b_cents >= a.cum_b_cents
+    users = ab_user_state(read_events(spark, SF_SMALL))
+    want = {
+        r.arm: (r.n, r.c)
+        for r in users.groupBy("arm")
+        .agg(F.count("*").alias("n"), F.sum("c").alias("c"))
+        .collect()
+    }
+    last = rows[-1]
+    assert (last.n_users_a, last.cum_a_cents) == want[0]
+    assert (last.n_users_b, last.cum_b_cents) == want[1]
+    assert last.cum_uplift_milli == (1000 * want[1][1]) // want[1][0] - (
+        1000 * want[0][1]
+    ) // want[0][0]

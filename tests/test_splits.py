@@ -213,3 +213,35 @@ def test_epoch_shuffle_permutation_laws(spark):
         want[(pos - 1) % 4] ^= h60(f"{pos}@{i}")
     got = {r.shard: r.perm_digest for r in by_epoch[1]}
     assert got == dict(want)
+
+
+def test_mixture_waterfill_laws_and_hand_case(spark):
+    """Water-filling invariants on a hand corpus (supplies 2/5/100 at a
+    40% budget): the small sources cap at full supply, the giant gets
+    the level, the budget is spent to within the floor remainder, and
+    nobody exceeds their supply.  Saturation (budget >= supply) caps
+    everyone."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import (
+        mixture_waterfill,
+    )
+
+    def corpus(sizes: dict):
+        rows = [(src, " ".join(["w"] * n)) for src, n in sizes.items()]
+        return spark.createDataFrame(rows, "source string, text string")
+
+    out = {r.source: r for r in mixture_waterfill(corpus({"a": 2, "b": 5, "c": 100})).collect()}
+    # total 107, budget = 107*0.4 = 42 (floor); a and b fit their fair
+    # share -> capped; c gets the level (42-7)//1 = 35
+    assert out["a"].capped and out["a"].alloc == 2
+    assert out["b"].capped and out["b"].alloc == 5
+    assert not out["c"].capped and out["c"].alloc == 35 == out["c"].water_level
+    assert all(r.budget == 42 for r in out.values())
+    spent = sum(r.alloc for r in out.values())
+    n_uncapped = sum(1 for r in out.values() if not r.capped)
+    assert spent <= 42 and 42 - spent < max(n_uncapped, 1)
+    assert all(r.alloc <= r.supply for r in out.values())
+
+    # saturation: budget >= total supply -> everyone capped at supply
+    sat = {r.source: r for r in mixture_waterfill(corpus({"a": 3, "b": 4}), budget_ratio_ppm=2_000_000).collect()}
+    assert all(r.capped and r.alloc == r.supply for r in sat.values())
+    assert all(r.water_level is None for r in sat.values())
