@@ -167,6 +167,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bandit_policy_law": analytics.q_bandit_policy_law,
         # NEW-IN-ROUND-9 INSERTION POINT: add new entries HERE (keep the
         # total never-certified count <= 50 so the window covers them).
+        "mann_whitney": analytics.q_mann_whitney,
+        "ks_two_sample": analytics.q_ks_two_sample,
+        "gini_concentration": analytics.q_gini_concentration,
+        "did_readout": analytics.q_did_readout,
         "mmr_rerank": similarity.q_mmr_rerank,
         "dp_noisy_counts": analytics.q_dp_noisy_counts,
         "epoch_shuffle": sampling.q_epoch_shuffle,
@@ -986,6 +990,110 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mmr_rerank": _mmr_sql(20, 6),
         "dp_noisy_counts": _dlap_sql(),
+        # ---- round-9 batch A: nonparametric two-sample tests +
+        # concentration (shared per-user-cents frame, same :ab arms).
+        # Oracles use the simple single-window rank form — value-
+        # identical to the engine's bucketed distributed prefix because
+        # rank statistics depend only on the value histogram.
+        "mann_whitney": (
+            "WITH u AS (SELECT user_id, ('0x' || substr(md5(CAST(user_id "
+            "AS VARCHAR) || ':ab'), 1, 15))::BIGINT % 2 AS arm, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM events GROUP BY 1, 2), "
+            "h AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v "
+            "FROM u GROUP BY 1), "
+            "p AS (SELECT cents, cnt, na_v, CAST(COALESCE(SUM(cnt) OVER "
+            "(ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "0) AS BIGINT) AS pfx FROM h), "
+            "s AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a, "
+            "CAST(SUM(cnt - na_v) AS BIGINT) AS n_b, "
+            "CAST(SUM(na_v * (2 * pfx + cnt + 1)) AS BIGINT) AS r2a FROM p) "
+            "SELECT n_a, n_b, "
+            "CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a, "
+            "CAST(2 * n_a * n_b - (r2a - n_a * (n_a + 1)) AS BIGINT) AS u2_b, "
+            "CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN "
+            "(CASE WHEN 1000000 * ((r2a - n_a * (n_a + 1)) - n_a * n_b) >= 0 "
+            "THEN (1000000 * ((r2a - n_a * (n_a + 1)) - n_a * n_b)) "
+            "// (n_a * n_b) "
+            "ELSE -((-(1000000 * ((r2a - n_a * (n_a + 1)) - n_a * n_b))) "
+            "// (n_a * n_b)) END) END AS BIGINT) AS rb_ppm FROM s"
+        ),
+        "ks_two_sample": (
+            "WITH u AS (SELECT user_id, ('0x' || substr(md5(CAST(user_id "
+            "AS VARCHAR) || ':ab'), 1, 15))::BIGINT % 2 AS arm, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM events GROUP BY 1, 2), "
+            "h AS (SELECT cents, "
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v, "
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_v "
+            "FROM u GROUP BY 1), "
+            "c AS (SELECT cents, CAST(SUM(na_v) OVER (ORDER BY cents ROWS "
+            "UNBOUNDED PRECEDING) AS BIGINT) AS cum_a, "
+            "CAST(SUM(nb_v) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) "
+            "AS BIGINT) AS cum_b FROM h), "
+            "t AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a, "
+            "CAST(SUM(nb_v) AS BIGINT) AS n_b FROM h), "
+            "d AS (SELECT cents, n_a, n_b, "
+            "ABS(n_b * cum_a - n_a * cum_b) AS dv FROM c CROSS JOIN t), "
+            "mx AS (SELECT CAST(MAX(dv) AS BIGINT) AS d_num FROM d) "
+            "SELECT n_a, n_b, d_num, "
+            "CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN "
+            "(1000000 * d_num) // (n_a * n_b) END AS BIGINT) AS ks_ppm, "
+            "CAST(MIN(cents) AS BIGINT) AS d_at_cents "
+            "FROM d JOIN mx ON d.dv = mx.d_num GROUP BY 1, 2, 3"
+        ),
+        "gini_concentration": (
+            "WITH u AS (SELECT user_id, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM events GROUP BY 1), "
+            "h AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM u "
+            "WHERE cents > 0 GROUP BY 1), "
+            "p AS (SELECT cents, cnt, CAST(COALESCE(SUM(cnt) OVER "
+            "(ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "0) AS BIGINT) AS pfx FROM h), "
+            "s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_users, "
+            "CAST(SUM(cents * cnt) AS BIGINT) AS total_cents, "
+            "CAST(SUM(cents * (cnt * pfx + (cnt * (cnt + 1)) // 2)) AS BIGINT) "
+            "AS si FROM p) "
+            "SELECT n_users, total_cents, "
+            "CAST(CASE WHEN n_users > 0 AND total_cents > 0 THEN "
+            "(((2 * si - (n_users + 1) * total_cents) * 1000) "
+            "// (n_users * total_cents)) * 1000 + "
+            "(((2 * si - (n_users + 1) * total_cents) * 1000) "
+            "% (n_users * total_cents)) * 1000 "
+            "// (n_users * total_cents) END AS BIGINT) AS gini_ppm FROM s"
+        ),
+        "did_readout": (
+            "WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) "
+            "AS cents, ts < TIMESTAMP '2024-01-16' AS pre, "
+            "('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15))"
+            "::BIGINT % 2 AS arm FROM events), "
+            "uc AS (SELECT user_id, arm, pre, CAST(SUM(cents) AS BIGINT) "
+            "AS ucents FROM ev GROUP BY 1, 2, 3), "
+            "cells AS (SELECT arm, pre, CAST(COUNT(*) AS BIGINT) AS n_users, "
+            "CAST(SUM(ucents) AS BIGINT) AS cents FROM uc GROUP BY 1, 2), "
+            "f AS (SELECT "
+            "CAST(SUM(CASE WHEN arm = 0 AND pre THEN n_users END) AS BIGINT) AS n_pre_a, "
+            "CAST(SUM(CASE WHEN arm = 0 AND NOT pre THEN n_users END) AS BIGINT) AS n_post_a, "
+            "CAST(SUM(CASE WHEN arm = 1 AND pre THEN n_users END) AS BIGINT) AS n_pre_b, "
+            "CAST(SUM(CASE WHEN arm = 1 AND NOT pre THEN n_users END) AS BIGINT) AS n_post_b, "
+            "CAST(SUM(CASE WHEN arm = 0 AND pre THEN cents END) AS BIGINT) AS cents_pre_a, "
+            "CAST(SUM(CASE WHEN arm = 0 AND NOT pre THEN cents END) AS BIGINT) AS cents_post_a, "
+            "CAST(SUM(CASE WHEN arm = 1 AND pre THEN cents END) AS BIGINT) AS cents_pre_b, "
+            "CAST(SUM(CASE WHEN arm = 1 AND NOT pre THEN cents END) AS BIGINT) AS cents_post_b "
+            "FROM cells) "
+            "SELECT n_pre_a, n_post_a, n_pre_b, n_post_b, "
+            "CAST(CASE WHEN n_pre_a > 0 THEN (1000 * cents_pre_a) // n_pre_a END AS BIGINT) AS mean_pre_a_milli, "
+            "CAST(CASE WHEN n_post_a > 0 THEN (1000 * cents_post_a) // n_post_a END AS BIGINT) AS mean_post_a_milli, "
+            "CAST(CASE WHEN n_pre_b > 0 THEN (1000 * cents_pre_b) // n_pre_b END AS BIGINT) AS mean_pre_b_milli, "
+            "CAST(CASE WHEN n_post_b > 0 THEN (1000 * cents_post_b) // n_post_b END AS BIGINT) AS mean_post_b_milli, "
+            "CAST(((CASE WHEN n_post_b > 0 THEN (1000 * cents_post_b) // n_post_b END) - "
+            "(CASE WHEN n_pre_b > 0 THEN (1000 * cents_pre_b) // n_pre_b END)) - "
+            "((CASE WHEN n_post_a > 0 THEN (1000 * cents_post_a) // n_post_a END) - "
+            "(CASE WHEN n_pre_a > 0 THEN (1000 * cents_pre_a) // n_pre_a END)) "
+            "AS BIGINT) AS did_milli FROM f"
+        ),
         "ab_sequential_looks": (
             "WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) "
             "AS cents, CAST(date_trunc('week', ts) AS DATE) AS wk, "

@@ -214,6 +214,12 @@ HEADLINE = [
     "embedding_dim_profile",
     "ab_sequential_looks",
     "mixture_waterfill",
+    # round 9 batch A: nonparametric tests + concentration (shared
+    # bucketed distributed prefix-sum core) and diff-in-differences
+    "mann_whitney",
+    "ks_two_sample",
+    "gini_concentration",
+    "did_readout",
 ]
 
 

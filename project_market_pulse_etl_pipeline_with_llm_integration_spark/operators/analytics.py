@@ -1963,3 +1963,300 @@ def q_ab_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "END"
         ).cast("long").alias("cum_uplift_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nonparametric two-sample tests + concentration (round 9, batch A)
+# ---------------------------------------------------------------------------
+
+def _arm_col() -> Column:
+    """The engine-standard experiment arm: md5 60-bit user hash mod 2
+    (identical to cuped_adjustment / ab_uplift_ci / ab_sequential_looks,
+    so every readout in the family describes the SAME experiment)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 2
+    ).alias("arm")
+
+
+def _user_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user total spend in exact integer cents plus the hash arm —
+    ONE events scan + one (user)-keyed agg, the shared entry frame of
+    the nonparametric readout family."""
+    return (
+        read_events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            _arm_col(),
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.sum("cents").alias("cents"))
+    )
+
+
+def _bucketed_prefix(
+    hist: DataFrame, value_col: str, cols: list[str], n_buckets: int = 1024
+) -> DataFrame:
+    """Distributed STRICT-prefix sums over a value histogram: for each
+    distinct value row, appends ``prefix_<c>`` = sum of ``c`` over all
+    rows with a strictly smaller value.
+
+    Scale design: a naive rank needs one global-sort window over every
+    distinct value (a single-task funnel at 10⁹ users).  Instead the
+    value range splits into ``n_buckets`` fixed range buckets computed
+    from the broadcast (min, max): within-bucket running sums use a
+    bucket-PARTITIONED window, and only the O(n_buckets) per-bucket
+    totals ride the one global carry window — bounded at 1024 rows BY
+    CONSTRUCTION (plan-audit allowlisted).  Rank statistics depend only
+    on the value histogram, never on physical order, so this is
+    value-identical to the single-window form the DuckDB oracles use."""
+    mm = hist.agg(
+        F.min(value_col).alias("_minv"), F.max(value_col).alias("_maxv")
+    )
+    b = hist.crossJoin(F.broadcast(mm)).withColumn(
+        "_bkt",
+        F.expr(
+            f"(({value_col} - _minv) * {n_buckets}) div (_maxv - _minv + 1)"
+        ),
+    )
+    w_in = (
+        W.partitionBy("_bkt")
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    for c in cols:
+        b = b.withColumn(f"_win_{c}", F.sum(c).over(w_in))
+    btot = b.groupBy("_bkt").agg(
+        *[F.sum(c).alias(f"_tot_{c}") for c in cols]
+    )
+    w_b = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    boff = btot.select(
+        "_bkt",
+        *[
+            F.coalesce(F.sum(f"_tot_{c}").over(w_b), F.lit(0)).alias(f"_off_{c}")
+            for c in cols
+        ],
+    )
+    out = b.join(F.broadcast(boff), "_bkt")
+    for c in cols:
+        out = out.withColumn(
+            f"prefix_{c}", F.col(f"_off_{c}") + F.col(f"_win_{c}") - F.col(c)
+        )
+    drop = ["_bkt", "_minv", "_maxv"]
+    drop += [f"_win_{c}" for c in cols] + [f"_off_{c}" for c in cols]
+    return out.drop(*drop)
+
+
+def mann_whitney(users: DataFrame) -> DataFrame:
+    """Mann-Whitney U rank-sum test statistic between the two arms of a
+    per-user metric frame (columns ``arm`` in {0,1}, ``cents``) — the
+    standard nonparametric uplift check when spend is heavy-tailed and
+    a means test is fragile.  Exact integers throughout: ranks are
+    tie-averaged, carried DOUBLED (2·avg_rank = 2·prefix + cnt + 1 for
+    a tie group of ``cnt`` starting after ``prefix`` smaller rows) so
+    no half ever appears; ``u2_a`` = 2·U_A, and the rank-biserial
+    effect size r = 2U_A/(n_A·n_B) − 1 lands as a sign-safe ppm.
+
+    Plan: one (cents) histogram agg, the bucketed distributed prefix
+    (see _bucketed_prefix — no full-size global window), one closing
+    single-row agg.  int64 headroom: rank sums are O(n²) — fine to
+    ~3·10⁹ users/arm, far beyond any per-experiment population."""
+    hist = users.groupBy("cents").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na_v"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb_v"),
+    )
+    p = _bucketed_prefix(hist, "cents", ["cnt"])
+    agg = p.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+        F.sum(
+            F.col("na_v") * (2 * F.col("prefix_cnt") + F.col("cnt") + 1)
+        ).cast("long").alias("r2a"),
+    )
+    return agg.select(
+        "n_a", "n_b",
+        F.expr("r2a - n_a * (n_a + 1)").cast("long").alias("u2_a"),
+        F.expr("2 * n_a * n_b - (r2a - n_a * (n_a + 1))")
+        .cast("long").alias("u2_b"),
+        F.expr(
+            "CASE WHEN n_a > 0 AND n_b > 0 THEN "
+            + _sdiv(
+                "1000000 * ((r2a - n_a * (n_a + 1)) - n_a * n_b)",
+                "n_a * n_b",
+            )
+            + " END"
+        ).cast("long").alias("rb_ppm"),
+    )
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mann_whitney(_user_cents(spark, sf_dir))
+
+
+def ks_two_sample(users: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the arms' per-user
+    spend DISTRIBUTIONS — catches shape changes (e.g. the treatment
+    shifting a quantile, not the mean) that U and t both miss.  The
+    statistic is exact-integer: D·n_A·n_B = max over distinct values v
+    of |n_B·cumA(v) − n_A·cumB(v)| (cum = inclusive count ≤ v), plus
+    the smallest value attaining it and the ppm-scaled D.
+
+    Plan: same histogram + bucketed-prefix core as mann_whitney, then
+    one max agg and one equality filter + min agg (both O(distinct
+    values)); no full-size global window anywhere."""
+    hist = users.groupBy("cents").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na_v"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb_v"),
+    )
+    p = _bucketed_prefix(hist, "cents", ["na_v", "nb_v"])
+    tot = p.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    d = (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "cents", "n_a", "n_b",
+            F.abs(
+                F.col("n_b") * (F.col("prefix_na_v") + F.col("na_v"))
+                - F.col("n_a") * (F.col("prefix_nb_v") + F.col("nb_v"))
+            ).alias("dv"),
+        )
+    )
+    dmax = d.agg(F.max("dv").alias("d_num"))
+    return (
+        d.join(F.broadcast(dmax), F.col("dv") == F.col("d_num"))
+        .groupBy("n_a", "n_b", "d_num")
+        .agg(F.min("cents").cast("long").alias("d_at_cents"))
+        .select(
+            "n_a", "n_b",
+            F.col("d_num").cast("long").alias("d_num"),
+            F.expr(
+                "CASE WHEN n_a > 0 AND n_b > 0 THEN "
+                "(1000000 * d_num) div (n_a * n_b) END"
+            ).cast("long").alias("ks_ppm"),
+            "d_at_cents",
+        )
+    )
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ks_two_sample(_user_cents(spark, sf_dir))
+
+
+def gini_concentration(users: DataFrame) -> DataFrame:
+    """Gini coefficient of per-user spend concentration (the "do 1% of
+    users carry the revenue" audit; equally the token-share-per-source
+    balance check when pointed at a corpus).  Only positive totals
+    enter (Gini is defined for non-negative mass; zero/negative users
+    are excluded and counted).  Exact integers: with users sorted
+    ascending, G = (2·Σi·xᵢ − (n+1)·S)/(n·S); a tie group of ``cnt``
+    copies of v after ``prefix`` smaller rows contributes
+    v·(cnt·prefix + cnt(cnt+1)/2) to Σi·xᵢ (cnt(cnt+1) is even, so the
+    halving is exact).  The ppm lands via the two-step exact rational
+    floor ((q·1000 + r·1000 div d) with q,r from num·1000 divmod d) so
+    nothing exceeds int64 while n·S < 9.2·10¹⁵ — documented bound, ~100×
+    the sf100 frame; beyond that, segment the Gini per cohort.
+
+    Plan: histogram + bucketed prefix + one single-row agg — the same
+    no-full-global-window shape as mann_whitney."""
+    pos = users.filter(F.col("cents") > 0)
+    hist = pos.groupBy("cents").agg(F.count("*").alias("cnt"))
+    p = _bucketed_prefix(hist, "cents", ["cnt"])
+    agg = p.agg(
+        F.sum("cnt").cast("long").alias("n_users"),
+        F.sum(F.col("cents") * F.col("cnt")).cast("long").alias("total_cents"),
+        F.sum(
+            F.col("cents")
+            * (
+                F.col("cnt") * F.col("prefix_cnt")
+                + F.expr("(cnt * (cnt + 1)) div 2")
+            )
+        ).cast("long").alias("si"),
+    )
+    return agg.select(
+        "n_users", "total_cents",
+        F.expr(
+            "CASE WHEN n_users > 0 AND total_cents > 0 THEN "
+            "(((2 * si - (n_users + 1) * total_cents) * 1000) "
+            "div (n_users * total_cents)) * 1000 + "
+            "(((2 * si - (n_users + 1) * total_cents) * 1000) "
+            "% (n_users * total_cents)) * 1000 "
+            "div (n_users * total_cents) END"
+        ).cast("long").alias("gini_ppm"),
+    )
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gini_concentration(_user_cents(spark, sf_dir))
+
+
+def did_readout(events: DataFrame, boundary: str = "2024-01-16") -> DataFrame:
+    """Difference-in-differences readout: the treatment effect as
+    (post−pre) mean-per-user spend change in arm B minus the same
+    change in arm A — the design that nets out seasonality and
+    arm-composition drift that a plain post-period diff absorbs.  The
+    pre/post boundary is the cuped_adjustment calendar literal; arms
+    are the engine-standard md5 user hash, so cuped / uplift-CI / DiD
+    all describe one experiment.  Cell means are milli-cents-per-user
+    via plain `div` — sign-safe because division_semantics_law pins
+    both engines to identical truncation on any operand sign.
+
+    Plan: ONE events scan, one (user, arm, period) pre-agg for exact
+    distinct-user counts, one 4-cell conditional pivot — O(1) output."""
+    ev = events.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("ts") < F.lit(boundary).cast("timestamp")).alias("pre"),
+        _arm_col(),
+    )
+    cells = (
+        ev.groupBy("user_id", "arm", "pre")
+        .agg(F.sum("cents").alias("ucents"))
+        .groupBy("arm", "pre")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("ucents").alias("cents"),
+        )
+    )
+    flat = cells.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("arm") == a) & (F.col("pre") == pre), F.col(c)
+                )
+            ).cast("long").alias(f"{name}_{'pre' if pre else 'post'}_{'a' if a == 0 else 'b'}")
+            for c, name in (("n_users", "n"), ("cents", "cents"))
+            for a in (0, 1)
+            for pre in (True, False)
+        ]
+    )
+    def mean(c: str, n: str) -> str:
+        return f"CASE WHEN {n} > 0 THEN (1000 * {c}) div {n} END"
+
+    m = {
+        cell: mean(f"cents_{cell}", f"n_{cell}")
+        for cell in ("pre_a", "post_a", "pre_b", "post_b")
+    }
+    return flat.select(
+        "n_pre_a", "n_post_a", "n_pre_b", "n_post_b",
+        *[
+            F.expr(m[cell]).cast("long").alias(f"mean_{cell}_milli")
+            for cell in ("pre_a", "post_a", "pre_b", "post_b")
+        ],
+        F.expr(
+            f"(({m['post_b']}) - ({m['pre_b']})) - "
+            f"(({m['post_a']}) - ({m['pre_a']}))"
+        ).cast("long").alias("did_milli"),
+    )
+
+
+def q_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return did_readout(read_events(spark, sf_dir))

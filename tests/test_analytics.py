@@ -756,3 +756,184 @@ def test_ab_sequential_looks_final_week_equals_point_readout(spark):
     assert last.cum_uplift_milli == (1000 * want[1][1]) // want[1][0] - (
         1000 * want[0][1]
     ) // want[0][0]
+
+
+# ---------------------------------------------------------------------------
+# round 9 batch A: nonparametric two-sample tests + concentration
+# ---------------------------------------------------------------------------
+
+
+def _collect_user_cents(spark):
+    from conftest import SF_SMALL
+
+    return [
+        (r["arm"], r["cents"])
+        for r in analytics._user_cents(spark, SF_SMALL).collect()
+    ]
+
+
+def test_mann_whitney_python_replay(spark):
+    from conftest import SF_SMALL
+
+    users = _collect_user_cents(spark)
+    a = sorted(c for arm, c in users if arm == 0)
+    b = sorted(c for arm, c in users if arm == 1)
+    allv = sorted(c for _, c in users)
+    # doubled tie-averaged rank of value v: 2*avg(rank) = 2*before + cnt + 1
+    from collections import Counter
+
+    cnt = Counter(allv)
+    before, r2 = 0, {}
+    for v in sorted(cnt):
+        r2[v] = 2 * before + cnt[v] + 1
+        before += cnt[v]
+    r2a = sum(r2[v] for v in a)
+    n_a, n_b = len(a), len(b)
+    u2_a = r2a - n_a * (n_a + 1)
+    out = analytics.q_mann_whitney(spark, SF_SMALL).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    assert row["u2_a"] == u2_a
+    assert row["u2_b"] == 2 * n_a * n_b - u2_a
+    # completeness law: the two U statistics partition the pair count
+    assert row["u2_a"] + row["u2_b"] == 2 * n_a * n_b
+    num = 1_000_000 * (u2_a - n_a * n_b)
+    d = n_a * n_b
+    expect_rb = num // d if num >= 0 else -((-num) // d)
+    assert row["rb_ppm"] == expect_rb
+    assert -1_000_000 <= row["rb_ppm"] <= 1_000_000
+
+
+def test_ks_two_sample_python_replay(spark):
+    from conftest import SF_SMALL
+
+    users = _collect_user_cents(spark)
+    a = sorted(c for arm, c in users if arm == 0)
+    b = sorted(c for arm, c in users if arm == 1)
+    n_a, n_b = len(a), len(b)
+    import bisect
+
+    best, best_at = -1, None
+    for v in sorted(set(a) | set(b)):
+        cum_a = bisect.bisect_right(a, v)
+        cum_b = bisect.bisect_right(b, v)
+        dv = abs(n_b * cum_a - n_a * cum_b)
+        if dv > best:
+            best, best_at = dv, v
+    out = analytics.q_ks_two_sample(spark, SF_SMALL).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    assert row["d_num"] == best
+    assert row["d_at_cents"] == best_at
+    assert row["ks_ppm"] == (1_000_000 * best) // (n_a * n_b)
+    assert 0 <= row["ks_ppm"] <= 1_000_000
+
+
+def test_gini_python_replay(spark):
+    from conftest import SF_SMALL
+
+    users = _collect_user_cents(spark)
+    xs = sorted(c for _, c in users if c > 0)
+    n, s = len(xs), sum(xs)
+    si = sum(i * x for i, x in enumerate(xs, start=1))
+    num, d = 2 * si - (n + 1) * s, n * s
+    expect = ((num * 1000) // d) * 1000 + ((num * 1000) % d) * 1000 // d
+    out = analytics.q_gini_concentration(spark, SF_SMALL).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["n_users"], row["total_cents"]) == (n, s)
+    assert row["gini_ppm"] == expect
+    assert 0 <= row["gini_ppm"] < 1_000_000
+
+
+def test_gini_hand_cases(spark):
+    # all-equal spend => perfect equality => gini 0
+    eq = spark.createDataFrame(
+        [(i, 0, 500) for i in range(4)], ["user_id", "arm", "cents"]
+    )
+    assert analytics.gini_concentration(eq).collect()[0]["gini_ppm"] == 0
+    # one user holds everything among n=4 => G = (n-1)/n = 0.75
+    conc = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 0), (3, 0, 0), (4, 0, 1000)],
+        ["user_id", "arm", "cents"],
+    )
+    row = analytics.gini_concentration(conc).collect()[0]
+    # zero-spend users are excluded: n=1 survivor => gini 0 by definition
+    assert row["n_users"] == 1 and row["gini_ppm"] == 0
+    mixed = spark.createDataFrame(
+        [(1, 0, 1), (2, 0, 1), (3, 0, 1), (4, 0, 997)],
+        ["user_id", "arm", "cents"],
+    )
+    row = analytics.gini_concentration(mixed).collect()[0]
+    # exact: n=4, S=1000, SI = 1+2+3+4*997 = 3994
+    # G = (2*3994 - 5*1000)/(4*1000) = 2988/4000 = 0.747
+    assert row["gini_ppm"] == 747_000
+
+
+def test_bucketed_prefix_matches_naive(spark):
+    import random
+
+    rng = random.Random(9)
+    vals = [rng.randint(-500, 500) for _ in range(300)]
+    from collections import Counter
+
+    cnt = Counter(vals)
+    hist = spark.createDataFrame(
+        [(v, c) for v, c in cnt.items()], ["v", "cnt"]
+    )
+    out = {
+        r["v"]: r["prefix_cnt"]
+        for r in analytics._bucketed_prefix(hist, "v", ["cnt"]).collect()
+    }
+    before = 0
+    for v in sorted(cnt):
+        assert out[v] == before
+        before += cnt[v]
+    # degenerate single-value histogram: one bucket, empty prefix
+    one = spark.createDataFrame([(7, 3)], ["v", "cnt"])
+    assert analytics._bucketed_prefix(one, "v", ["cnt"]).collect()[0][
+        "prefix_cnt"
+    ] == 0
+
+
+def test_did_readout_hand_case(spark):
+    import hashlib
+    import tempfile
+
+    # find two user ids per arm so every cell is populated
+    def arm(uid):
+        return int(hashlib.md5(f"{uid}:ab".encode()).hexdigest()[:15], 16) % 2
+
+    ids_a = [u for u in range(100) if arm(u) == 0][:2]
+    ids_b = [u for u in range(100) if arm(u) == 1][:2]
+    rows, eid = [], 0
+    # arm A: pre mean 10.00, post mean 14.00; arm B: pre 10.00, post 20.00
+    for uid in ids_a:
+        rows.append((eid, uid, "buy", 10.0, datetime(2024, 1, 10, 12, 0)))
+        rows.append((eid + 1, uid, "buy", 14.0, datetime(2024, 1, 20, 12, 0)))
+        eid += 2
+    for uid in ids_b:
+        rows.append((eid, uid, "buy", 10.0, datetime(2024, 1, 10, 12, 0)))
+        rows.append((eid + 1, uid, "buy", 20.0, datetime(2024, 1, 20, 12, 0)))
+        eid += 2
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    row = analytics.q_did_readout(spark, d).collect()[0]
+    assert (row["n_pre_a"], row["n_post_a"]) == (2, 2)
+    assert (row["n_pre_b"], row["n_post_b"]) == (2, 2)
+    # means are milli-CENTS per user: $10.00 -> 1_000_000
+    assert row["mean_pre_a_milli"] == 1_000_000
+    assert row["mean_post_a_milli"] == 1_400_000
+    assert row["mean_pre_b_milli"] == 1_000_000
+    assert row["mean_post_b_milli"] == 2_000_000
+    # DiD = (20 - 10) - (14 - 10) = 6.00 per user
+    assert row["did_milli"] == 600_000
+    # identity: did == (post_b - pre_b) - (post_a - pre_a) from the cells
+    assert row["did_milli"] == (
+        row["mean_post_b_milli"] - row["mean_pre_b_milli"]
+    ) - (row["mean_post_a_milli"] - row["mean_pre_a_milli"])

@@ -81,6 +81,14 @@ NOPART_WINDOW_OK = {
     "rfm_segments": "post-agg |customers| frame; ranked method proven "
                     "identical by test is the 100 TB path",
     "ab_uplift_ci": "replicate-uplift frame bounded by B = 32 rows",
+    "mixture_waterfill": "post-agg per-source supply frame — O(|sources|) "
+                         "rows (tens), the water-level cut windows",
+    "mann_whitney": "bucket-offset carry bounded at 1024 range buckets "
+                    "by construction (_bucketed_prefix)",
+    "ks_two_sample": "bucket-offset carry bounded at 1024 range buckets "
+                     "by construction (_bucketed_prefix)",
+    "gini_concentration": "bucket-offset carry bounded at 1024 range "
+                          "buckets by construction (_bucketed_prefix)",
 }
 
 # Queries whose size(<expensive call>) Filter is an EXPLICIT semantic
