@@ -2016,6 +2016,10 @@ def _bucketed_prefix(
     CONSTRUCTION (plan-audit allowlisted).  Rank statistics depend only
     on the value histogram, never on physical order, so this is
     value-identical to the single-window form the DuckDB oracles use."""
+    # post-agg histogram is O(distinct values) and fans out to three
+    # consumers (min/max, bucket totals, the joined frame) — a lazy
+    # barrier stops each branch re-running the upstream scan+agg
+    hist = hist.localCheckpoint(eager=False)
     mm = hist.agg(
         F.min(value_col).alias("_minv"), F.max(value_col).alias("_maxv")
     )
@@ -2129,6 +2133,8 @@ def ks_two_sample(users: DataFrame) -> DataFrame:
                 - F.col("n_a") * (F.col("prefix_nb_v") + F.col("nb_v"))
             ).alias("dv"),
         )
+        # O(distinct values); read twice (max + argmax join)
+        .localCheckpoint(eager=False)
     )
     dmax = d.agg(F.max("dv").alias("d_num"))
     return (
