@@ -167,6 +167,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bandit_policy_law": analytics.q_bandit_policy_law,
         # NEW-IN-ROUND-9 INSERTION POINT: add new entries HERE (keep the
         # total never-certified count <= 50 so the window covers them).
+        "benford_audit": analytics.q_benford_audit,
+        "embedding_outliers": similarity.q_embedding_outliers,
+        "vocab_growth": text.q_vocab_growth,
         "mann_whitney": analytics.q_mann_whitney,
         "ks_two_sample": analytics.q_ks_two_sample,
         "gini_concentration": analytics.q_gini_concentration,
@@ -990,6 +993,72 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mmr_rerank": _mmr_sql(20, 6),
         "dp_noisy_counts": _dlap_sql(),
+        # ---- round-9 batch B: data-quality audits ----
+        "benford_audit": (
+            "WITH a AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "
+            "AS cents FROM orders), "
+            "o AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) "
+            "AS digit, CAST(COUNT(*) AS BIGINT) AS n FROM a WHERE cents > 0 "
+            "GROUP BY 1), "
+            "e(digit, exp_ppm) AS (VALUES (1, 301029), (2, 176091), "
+            "(3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991), "
+            "(8, 51152), (9, 45757)), "
+            "t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM o) "
+            "SELECT CAST(e.digit AS BIGINT) AS digit, "
+            "CAST(COALESCE(o.n, 0) AS BIGINT) AS n, "
+            "CAST(CASE WHEN total > 0 THEN (1000000 * COALESCE(o.n, 0)) "
+            "// total ELSE 0 END AS BIGINT) AS obs_ppm, "
+            "CAST(e.exp_ppm AS BIGINT) AS exp_ppm, "
+            "CAST((CASE WHEN total > 0 THEN (1000000 * COALESCE(o.n, 0)) "
+            "// total ELSE 0 END) - e.exp_ppm AS BIGINT) AS dev_ppm "
+            "FROM e LEFT JOIN o ON o.digit = e.digit CROSS JOIN t"
+        ),
+        "embedding_outliers": (
+            f"WITH e AS (SELECT vec_id, label, {_QV} AS qv FROM embeddings), "
+            "x AS (SELECT vec_id, label, generate_subscripts(qv, 1) - 1 AS pos, "
+            "unnest(qv) AS v FROM e), "
+            "s AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s FROM x "
+            "GROUP BY 1, 2), "
+            "nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM e "
+            "GROUP BY 1), "
+            "s2 AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS ss2 FROM s "
+            "GROUP BY 1), "
+            "pv AS (SELECT x.vec_id, x.label, CAST(SUM(x.v * s.s) AS BIGINT) "
+            "AS dot, CAST(SUM(x.v * x.v) AS BIGINT) AS sq FROM x "
+            "JOIN s ON s.label = x.label AND s.pos = x.pos GROUP BY 1, 2), "
+            "d AS (SELECT pv.label, pv.vec_id, nn.n, "
+            "CAST(nn.n * nn.n * pv.sq - 2 * nn.n * pv.dot + s2.ss2 AS BIGINT) "
+            "AS d2n FROM pv JOIN nn USING (label) JOIN s2 USING (label)) "
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(vec_id AS BIGINT) AS vec_id, n, d2n, rnk FROM "
+            "(SELECT *, CAST(row_number() OVER (PARTITION BY label "
+            "ORDER BY d2n DESC, vec_id) AS BIGINT) AS rnk FROM d) "
+            "WHERE rnk <= 5"
+        ),
+        "vocab_growth": (
+            "WITH mm AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS mn, "
+            "CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents), "
+            f"d AS (SELECT doc_id, text, ((doc_id - mn) * 20) // "
+            f"(mx - mn + 1) AS bin, {_NTOK} AS ntok FROM documents "
+            "CROSS JOIN mm), "
+            "pb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(ntok) AS BIGINT) AS bin_tokens FROM d GROUP BY 1), "
+            "fb AS (SELECT fbin, CAST(COUNT(*) AS BIGINT) AS new_words FROM "
+            f"(SELECT word, MIN(bin) AS fbin FROM (SELECT bin, unnest({_TOKS}) "
+            "AS word FROM d WHERE trim(text) <> '') GROUP BY 1) GROUP BY 1), "
+            "g AS (SELECT CAST(unnest(generate_series(0, 19)) AS BIGINT) "
+            "AS bin), "
+            "gr AS (SELECT g.bin, CAST(COALESCE(pb.n_docs, 0) AS BIGINT) "
+            "AS n_docs, CAST(COALESCE(pb.bin_tokens, 0) AS BIGINT) "
+            "AS bin_tokens, CAST(COALESCE(fb.new_words, 0) AS BIGINT) "
+            "AS new_words FROM g LEFT JOIN pb ON pb.bin = g.bin "
+            "LEFT JOIN fb ON fb.fbin = g.bin) "
+            "SELECT bin, n_docs, bin_tokens, new_words, "
+            "CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs, "
+            "CAST(SUM(bin_tokens) OVER w AS BIGINT) AS cum_tokens, "
+            "CAST(SUM(new_words) OVER w AS BIGINT) AS cum_vocab FROM gr "
+            "WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)"
+        ),
         # ---- round-9 batch A: nonparametric two-sample tests +
         # concentration (shared per-user-cents frame, same :ab arms).
         # Oracles use the simple single-window rank form — value-

@@ -220,6 +220,10 @@ HEADLINE = [
     "ks_two_sample",
     "gini_concentration",
     "did_readout",
+    # round 9 batch B: data-quality audits
+    "benford_audit",
+    "embedding_outliers",
+    "vocab_growth",
 ]
 
 

@@ -2266,3 +2266,67 @@ def did_readout(events: DataFrame, boundary: str = "2024-01-16") -> DataFrame:
 
 def q_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return did_readout(read_events(spark, sf_dir))
+
+
+# Benford first-digit expectation, floor(log10(1+1/d)·1e6) — hard-coded
+# literal ppm table (the engine's standing recipe for transcendentals:
+# both engines consume the same integers, so no libm ulp can flip a hash)
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_audit(amounts: DataFrame, amount_col: str = "cents") -> DataFrame:
+    """Benford's-law first-significant-digit audit over a positive
+    integer amount column — the classic fabricated-data / broken-feed
+    screen for financial event streams: real multiplicative amounts
+    follow P(d) = log10(1+1/d); a flat or spiked digit histogram is a
+    red flag.  The first significant digit comes from the decimal
+    string head (exact — no log10 at query time), the expectation is
+    the hard-coded ppm table above, and dev_ppm = observed − expected
+    is a plain signed subtraction.  All nine digit rows always emit
+    (zero-count digits included) so the report shape is fixed.
+
+    Plan: one scan + one 9-group agg, then a 9-row literal-grid left
+    join — O(1) output, map-side combined."""
+    digits = amounts.sparkSession.createDataFrame(
+        [(d, BENFORD_PPM[d]) for d in range(1, 10)], ["digit", "exp_ppm"]
+    )
+    obs = (
+        amounts.filter(F.col(amount_col) > 0)
+        .select(
+            F.substring(F.col(amount_col).cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    return (
+        digits.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr(
+                "CASE WHEN total > 0 THEN "
+                "(1000000 * coalesce(n, 0)) div total ELSE 0 END"
+            ).cast("long").alias("obs_ppm"),
+            F.col("exp_ppm").cast("long").alias("exp_ppm"),
+            F.expr(
+                "CASE WHEN total > 0 THEN "
+                "(1000000 * coalesce(n, 0)) div total ELSE 0 END - exp_ppm"
+            ).cast("long").alias("dev_ppm"),
+        )
+    )
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return benford_audit(
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        )
+    )

@@ -1833,3 +1833,71 @@ def embedding_dim_profile(
 def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_dim_profile(emb)
+
+
+def embedding_outliers(emb: DataFrame, topk: int = 5) -> DataFrame:
+    """Per-label embedding OUTLIER report: the ``topk`` vectors farthest
+    from their label's centroid — the mislabeled/garbage-embedding
+    screen read next to embedding_dim_profile before trusting ANN
+    recall or cluster assignments.
+
+    Exact-integer trick: the centroid c = s/n never materializes (it
+    would be a float and unhashable cross-engine).  Instead the ranking
+    key is the SCALED squared distance ‖n·x − s‖² = n²·Σx² − 2n·(x·s) +
+    Σs² over the int8-quantized components — a pure int64 that orders
+    identically to ‖x − c‖² because the n² factor is constant within a
+    label.  int64 headroom: (n·127)²·dim < 2⁶³ holds to n ≈ 10⁷ vectors
+    per label at dim 64 — beyond that, rescale s once to milli-centroid
+    integers (documented swap, same shape).
+
+    Plan: one posexplode, one (label, pos) sum agg (the O(labels·dim)
+    centroid-sum frame — broadcast), one component join + (vec, label)
+    agg, then a per-label top-k window on WindowGroupLimit.  No
+    all-pairs anything; the only shuffles are the two keyed aggs."""
+    e = emb.select(
+        "vec_id", "label", quantize_embedding(F.col("embedding")).alias("qv")
+    )
+    ex = e.select(
+        "vec_id", "label", F.posexplode("qv").alias("pos", "v")
+    )
+    s = ex.groupBy("label", "pos").agg(F.sum("v").alias("s"))
+    s = s.localCheckpoint(eager=False)  # O(labels*dim); read twice
+    nn = e.groupBy("label").agg(F.count("*").alias("n"))
+    ss2 = s.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("ss2"))
+    pv = (
+        ex.join(F.broadcast(s), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("s")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("sq"),
+        )
+    )
+    d = (
+        pv.join(F.broadcast(nn), "label")
+        .join(F.broadcast(ss2), "label")
+        .select(
+            "label", "vec_id",
+            F.col("n").cast("long").alias("n"),
+            (
+                F.col("n") * F.col("n") * F.col("sq")
+                - 2 * F.col("n") * F.col("dot")
+                + F.col("ss2")
+            ).cast("long").alias("d2n"),
+        )
+    )
+    w = W.partitionBy("label").orderBy(F.col("d2n").desc(), "vec_id")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "n", "d2n",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_outliers(emb)

@@ -2643,3 +2643,74 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * n_docs * n_docs) div ssq").alias("effective_langs_milli"),
         )
     )
+
+
+VOCAB_GROWTH_BINS = 20
+
+
+def vocab_growth(docs: DataFrame) -> DataFrame:
+    """Heaps-law vocabulary GROWTH CURVE: cumulative distinct-word
+    count as the corpus grows in doc_id order, reported over a fixed
+    20-bin grid — the diminishing-returns audit behind "will more of
+    this source still add new vocabulary?" (healthy scraped corpora
+    grow ~n^0.5; a flat curve means the source is exhausted, a linear
+    one means unfiltered noise).
+
+    Determinism + scale: bins are ((doc_id − min)·20) div (range+1) —
+    FIXED at 20 by construction, so the cumulative windows run on a
+    20-row frame (plan-audit allowlisted) no matter the corpus size.
+    Cumulative-distinct never materializes: each word contributes at
+    its FIRST bin (min-bin agg), and the curve is a running sum of
+    first appearances — the ab_sequential_looks recipe applied to
+    vocabulary.  Blank docs are excluded from tokenization but still
+    counted in the doc/token columns' denominator bins.
+
+    Plan: one (min, max) agg broadcast, one explode + (word) min-agg +
+    (bin) count-agg for new words, one (bin) doc/token agg, a 20-row
+    grid join and 20-row windows.  The explode's (word) agg is the
+    only big shuffle — identical shape to zipf_law's vocab agg."""
+    mm = docs.agg(
+        F.min("doc_id").alias("_minid"), F.max("doc_id").alias("_maxid")
+    )
+    nb = VOCAB_GROWTH_BINS
+    d = docs.crossJoin(F.broadcast(mm)).select(
+        "doc_id", "text",
+        F.expr(
+            f"((doc_id - _minid) * {nb}) div (_maxid - _minid + 1)"
+        ).alias("bin"),
+        token_count("text").alias("ntok"),
+    )
+    per_bin = d.groupBy("bin").agg(
+        F.count("*").alias("n_docs"), F.sum("ntok").alias("bin_tokens")
+    )
+    first_bin = (
+        d.filter(F.trim("text") != "")
+        .select("bin", F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.min("bin").alias("fbin"))
+        .groupBy("fbin")
+        .agg(F.count("*").alias("new_words"))
+    )
+    grid = (
+        docs.sparkSession.range(nb)
+        .select(F.col("id").cast("long").alias("bin"))
+        .join(per_bin, "bin", "left")
+        .join(first_bin, F.col("bin") == F.col("fbin"), "left")
+        .select(
+            "bin",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("bin_tokens", F.lit(0)).cast("long").alias("bin_tokens"),
+            F.coalesce("new_words", F.lit(0)).cast("long").alias("new_words"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return grid.select(
+        "bin", "n_docs", "bin_tokens", "new_words",
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+        F.sum("bin_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_growth(spark.read.parquet(f"{sf_dir}/documents.parquet"))

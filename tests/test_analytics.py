@@ -937,3 +937,26 @@ def test_did_readout_hand_case(spark):
     assert row["did_milli"] == (
         row["mean_post_b_milli"] - row["mean_pre_b_milli"]
     ) - (row["mean_post_a_milli"] - row["mean_pre_a_milli"])
+
+
+def test_benford_audit_python_replay(spark):
+    import math
+
+    import pandas as pd
+    from conftest import SF_SMALL
+
+    # the hard-coded expectation table IS floor(log10(1+1/d)*1e6)
+    for d, ppm in analytics.BENFORD_PPM.items():
+        assert ppm == math.floor(math.log10(1 + 1 / d) * 1e6)
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    cents = cents[cents > 0]
+    counts = cents.astype(str).str[0].astype(int).value_counts().to_dict()
+    total = sum(counts.values())
+    out = {r["digit"]: r for r in analytics.q_benford_audit(spark, SF_SMALL).collect()}
+    assert sorted(out) == list(range(1, 10))  # fixed 9-row shape
+    for d in range(1, 10):
+        n = counts.get(d, 0)
+        assert out[d]["n"] == n
+        assert out[d]["obs_ppm"] == (1_000_000 * n) // total
+        assert out[d]["dev_ppm"] == out[d]["obs_ppm"] - out[d]["exp_ppm"]

@@ -744,3 +744,46 @@ def test_embedding_dim_profile_hand_case(spark):
     # dim 2: [-13, 0, 38] -> median 0
     assert (out[2].dmin, out[2].dmax, out[2].med, out[2].n_clipped) == (-13, 38, 0, 0)
     assert all(out[p].n == 3 for p in (0, 1, 2))
+
+
+def test_embedding_outliers_python_replay(spark):
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+    from conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        q_embedding_outliers,
+    )
+
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+
+    def q(x):
+        # HALF_UP (away from zero), matching Spark/DuckDB round()
+        return int(math.copysign(
+            math.floor(abs(max(min(float(x), 1.0), -1.0) * 127.0) + 0.5), x))
+
+    vecs = {
+        int(r.vec_id): (int(r.label), [q(x) for x in r.embedding])
+        for r in emb.itertuples()
+    }
+    s = defaultdict(lambda: None)
+    n = defaultdict(int)
+    for _, (lab, v) in vecs.items():
+        n[lab] += 1
+        s[lab] = v if s[lab] is None else [a + b for a, b in zip(s[lab], v)]
+    expect = defaultdict(list)
+    for vid, (lab, v) in vecs.items():
+        d2n = sum((n[lab] * x - sx) ** 2 for x, sx in zip(v, s[lab]))
+        expect[lab].append((d2n, vid))
+    out = q_embedding_outliers(spark, SF_SMALL).collect()
+    got = defaultdict(list)
+    for r in out:
+        got[r["label"]].append((r["rnk"], r["vec_id"], r["d2n"], r["n"]))
+    for lab, pairs in expect.items():
+        top = sorted(pairs, key=lambda t: (-t[0], t[1]))[:5]
+        rows = sorted(got[lab])
+        assert len(rows) == min(5, len(pairs))
+        for (rnk, vid, d2n, nn), (ed2n, evid) in zip(rows, top):
+            assert (vid, d2n, nn) == (evid, ed2n, n[lab])

@@ -1070,3 +1070,47 @@ def test_retrieval_ndcg_laws(spark):
     assert row["idcg_micro"] == NDCG_CUM[min(row["n_relevant"], 20) - 1]
     if row["n_relevant"] > 0:
         assert row["ndcg_ppm"] == 1_000_000 * row["dcg_micro"] // row["idcg_micro"]
+
+
+def test_vocab_growth_python_replay(spark):
+    import re
+    from collections import defaultdict
+
+    import pandas as pd
+    from conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        q_vocab_growth,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    mn, mx = int(docs.doc_id.min()), int(docs.doc_id.max())
+    nbins = 20
+    first, per = {}, defaultdict(lambda: [0, 0])
+    for r in docs.itertuples():
+        b = ((int(r.doc_id) - mn) * nbins) // (mx - mn + 1)
+        per[b][0] += 1
+        t = r.text.strip()
+        toks = re.split(r"\s+", t) if t else []
+        per[b][1] += len(toks)
+        for w in toks:
+            if w not in first or first[w] > b:
+                first[w] = b
+    out = {r["bin"]: r for r in q_vocab_growth(spark, SF_SMALL).collect()}
+    assert sorted(out) == list(range(nbins))
+    cd = ct = cv = 0
+    newb = defaultdict(int)
+    for w, b in first.items():
+        newb[b] += 1
+    for b in range(nbins):
+        nd, nt = per.get(b, (0, 0))
+        cd, ct, cv = cd + nd, ct + nt, cv + newb[b]
+        row = out[b]
+        assert (row["n_docs"], row["bin_tokens"], row["new_words"]) == (
+            nd, nt, newb[b],
+        )
+        assert (row["cum_docs"], row["cum_tokens"], row["cum_vocab"]) == (
+            cd, ct, cv,
+        )
+    assert out[nbins - 1]["cum_vocab"] == len(first)
+    assert out[nbins - 1]["cum_docs"] == len(docs)

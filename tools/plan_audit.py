@@ -89,6 +89,8 @@ NOPART_WINDOW_OK = {
                      "by construction (_bucketed_prefix)",
     "gini_concentration": "bucket-offset carry bounded at 1024 range "
                           "buckets by construction (_bucketed_prefix)",
+    "vocab_growth": "curve frame fixed at 20 doc-id range bins by "
+                    "construction (VOCAB_GROWTH_BINS)",
 }
 
 # Queries whose size(<expensive call>) Filter is an EXPLICIT semantic
