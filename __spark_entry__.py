@@ -167,6 +167,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bandit_policy_law": analytics.q_bandit_policy_law,
         # NEW-IN-ROUND-9 INSERTION POINT: add new entries HERE (keep the
         # total never-certified count <= 50 so the window covers them).
+        "srm_check": analytics.q_srm_check,
+        "acf_daily": analytics.q_acf_daily,
+        "union_by_name": R.q_union_by_name,
         "benford_audit": analytics.q_benford_audit,
         "embedding_outliers": similarity.q_embedding_outliers,
         "vocab_growth": text.q_vocab_growth,
@@ -993,6 +996,65 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mmr_rerank": _mmr_sql(20, 6),
         "dp_noisy_counts": _dlap_sql(),
+        # ---- round-9 batch C: experiment guardrail + seasonality +
+        # schema-evolution union ----
+        "srm_check": (
+            "WITH ev AS (SELECT user_id, event_id, ('0x' || substr(md5("
+            "CAST(user_id AS VARCHAR) || ':ab'), 1, 15))::BIGINT % 2 AS arm "
+            "FROM events), "
+            "u AS (SELECT user_id, arm, CAST(COUNT(*) AS BIGINT) AS n_ev "
+            "FROM ev GROUP BY 1, 2), "
+            "a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users, "
+            "CAST(SUM(n_ev) AS BIGINT) AS n_events FROM u GROUP BY 1), "
+            "f AS (SELECT "
+            "CAST(SUM(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n_users_a, "
+            "CAST(SUM(CASE WHEN arm = 1 THEN n_users END) AS BIGINT) AS n_users_b, "
+            "CAST(SUM(CASE WHEN arm = 0 THEN n_events END) AS BIGINT) AS n_events_a, "
+            "CAST(SUM(CASE WHEN arm = 1 THEN n_events END) AS BIGINT) AS n_events_b "
+            "FROM a) "
+            "SELECT n_users_a, n_users_b, n_events_a, n_events_b, "
+            "CAST(CASE WHEN n_users_a + n_users_b > 0 THEN "
+            "(CASE WHEN 1000000 * (n_users_a - n_users_b) >= 0 THEN "
+            "(1000000 * (n_users_a - n_users_b)) // (n_users_a + n_users_b) "
+            "ELSE -((-(1000000 * (n_users_a - n_users_b))) "
+            "// (n_users_a + n_users_b)) END) END AS BIGINT) AS user_dev_ppm, "
+            "(n_users_a - n_users_b) * (n_users_a - n_users_b) > "
+            "9 * (n_users_a + n_users_b) AS srm_user_flag, "
+            "(n_events_a - n_events_b) * (n_events_a - n_events_b) > "
+            "9 * (n_events_a + n_events_b) AS srm_event_flag FROM f"
+        ),
+        "acf_daily": (
+            "WITH d AS (SELECT CAST(ts AS DATE) AS day, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT) "
+            "AS x FROM events GROUP BY 1), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS s FROM d), "
+            "dn AS (SELECT CAST(SUM((t.n * d.x - t.s) * (t.n * d.x - t.s)) "
+            "AS BIGINT) AS den FROM d CROSS JOIN t), "
+            "l AS (SELECT CAST(unnest(generate_series(1, 7)) AS INT) AS lag), "
+            "p AS (SELECT l.lag, a.x AS x0, b.x AS x1 FROM d a CROSS JOIN l "
+            "JOIN d b ON b.day = a.day + l.lag), "
+            "n2 AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+            "CAST(SUM((t.n * x0 - t.s) * (t.n * x1 - t.s)) AS BIGINT) AS num "
+            "FROM p CROSS JOIN t GROUP BY 1) "
+            "SELECT CAST(lag AS BIGINT) AS lag, n_pairs, "
+            "CAST(CASE WHEN den > 0 THEN (CASE WHEN num >= 0 THEN "
+            "((num * 1000) // den) * 1000 + "
+            "((num * 1000) % den) * 1000 // den "
+            "ELSE -((((-num) * 1000) // den) * 1000 + "
+            "(((-num) * 1000) % den) * 1000 // den) END) "
+            "END AS BIGINT) AS acf_ppm FROM n2 CROSS JOIN dn"
+        ),
+        "union_by_name": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, "
+            "CAST(NULL AS DOUBLE) AS c_acctbal, "
+            "CAST(NULL AS VARCHAR) AS c_mktsegment, "
+            "CAST(1 AS BIGINT) AS gen FROM customer "
+            "UNION ALL "
+            "SELECT CAST(c_custkey AS BIGINT), CAST(NULL AS VARCHAR), "
+            "CAST(c_acctbal AS DOUBLE), c_mktsegment, CAST(2 AS BIGINT) "
+            "FROM customer"
+        ),
         # ---- round-9 batch B: data-quality audits ----
         "benford_audit": (
             "WITH a AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "

@@ -224,6 +224,10 @@ HEADLINE = [
     "benford_audit",
     "embedding_outliers",
     "vocab_growth",
+    # round 9 batch C: experiment guardrail, seasonality, schema union
+    "srm_check",
+    "acf_daily",
+    "union_by_name",
 ]
 
 

@@ -2330,3 +2330,133 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
         )
     )
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio Mismatch guardrail — the FIRST thing an experiment
+    readout checks: if the md5 arms don't split ~50/50, every downstream
+    uplift number is suspect (broken assignment, bot traffic, logging
+    loss).  The 3-sigma test stays in exact integers: under H0 each
+    user is Bernoulli(1/2), Var(n_a − n_b) = n, so the flag is
+    (n_a − n_b)² > 9·n — no sqrt, no float, engine-identical.  Reported
+    for both distinct users (the assignment unit) and raw events (the
+    logging-loss detector), plus signed imbalance ppm.
+
+    Plan: one scan, one (user, arm) pre-agg for exact distinct counts,
+    one 2-row pivot — O(1) output."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_id", _arm_col())
+    users = (
+        ev.groupBy("user_id", "arm")
+        .agg(F.count("*").alias("n_ev"))
+        .groupBy("arm")
+        .agg(F.count("*").alias("n_users"), F.sum("n_ev").alias("n_events"))
+    )
+    flat = users.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n_users"))).cast("long").alias("n_users_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_users"))).cast("long").alias("n_users_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_events"))).cast("long").alias("n_events_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_events"))).cast("long").alias("n_events_b"),
+    )
+    return flat.select(
+        "n_users_a", "n_users_b", "n_events_a", "n_events_b",
+        F.expr(
+            "CASE WHEN n_users_a + n_users_b > 0 THEN "
+            + _sdiv("1000000 * (n_users_a - n_users_b)", "n_users_a + n_users_b")
+            + " END"
+        ).cast("long").alias("user_dev_ppm"),
+        F.expr(
+            "(n_users_a - n_users_b) * (n_users_a - n_users_b) > "
+            "9 * (n_users_a + n_users_b)"
+        ).alias("srm_user_flag"),
+        F.expr(
+            "(n_events_a - n_events_b) * (n_events_a - n_events_b) > "
+            "9 * (n_events_a + n_events_b)"
+        ).alias("srm_event_flag"),
+    )
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return srm_check(spark, sf_dir)
+
+
+def acf_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Sample autocorrelation of DAILY revenue at calendar lags 1..7 —
+    the seasonality detector read before trusting any week-over-week
+    comparison (a strong lag-7 spike says "weekday effect: compare to
+    last week, not yesterday"; seasonal_backtest is the forecasting
+    consumer of this diagnosis).
+
+    Exactness: the mean never materializes — multiplying the centered
+    products through by n² gives r_k·1e6 = 1e6·Σ(n·x_t − S)(n·x_{t+k} −
+    S) div Σ(n·x_t − S)² with S = Σx, all int64 and sign-safe.  Daily
+    sums floor to whole units (the cuped recipe) and the ppm lands via
+    the signed two-step exact rational floor (divmod by den, then scale
+    the remainder — the gini_concentration trick), so the documented
+    int64 bound is den < 9.2·10¹⁵ (≈ sf100 of this stream; beyond that,
+    aggregate weekly or center on floor-mean residuals — DuckDB's
+    HUGEINT raised on the naive 1e6·num form, which Spark would have
+    wrapped silently).  Pairs are CALENDAR lags (date_add), so a
+    missing day drops its pairs instead of injecting a fake zero.
+
+    Plan: one scan + one (day) agg → the series frame is O(days); the
+    lag pairing is a broadcast self-join on date_add over that tiny
+    frame, and the close is one 7-row agg."""
+    daily = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.expr("sum(cents) div 100").alias("x"))
+        .localCheckpoint(eager=False)  # O(days); read three times
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").alias("s")
+    )
+    lags = daily.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select(F.col("day").alias("d0"), F.col("x").alias("x0"))
+    b = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("d1") == F.expr("date_add(d0, lag)"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    den = (
+        daily.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("x") - F.col("s"))
+            ).alias("den")
+        )
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            (F.col("n") * F.col("x0") - F.col("s"))
+            * (F.col("n") * F.col("x1") - F.col("s"))
+        ).alias("num"),
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            F.expr(
+                "CASE WHEN den > 0 THEN (CASE WHEN num >= 0 THEN "
+                "((num * 1000) div den) * 1000 + "
+                "((num * 1000) % den) * 1000 div den "
+                "ELSE -((((-num) * 1000) div den) * 1000 + "
+                "(((-num) * 1000) % den) * 1000 div den) END) END"
+            ).cast("long").alias("acf_ppm"),
+        )
+    )
+
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return acf_daily(read_events(spark, sf_dir))

@@ -3066,3 +3066,30 @@ SQL_LATERAL_TEXT = (
     "WHERE o_custkey = c.c_custkey "
     "ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o"
 )
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two generations of the same feed whose
+    column sets drifted (v1 carries name, v2 carries balance + segment)
+    union BY NAME with missing columns null-filled — the
+    ``unionByName(allowMissingColumns=True)`` surface every long-lived
+    ingestion hits, vs positional UNION ALL which would silently
+    misalign.  A ``gen`` literal tags provenance.
+
+    Plan: one scan feeding both projections (Spark reuses the
+    exchange-free scan), zero shuffles — union is plan-level."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    v1 = cust.select(
+        "c_custkey", "c_name", F.lit(1).cast("long").alias("gen")
+    )
+    v2 = cust.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit(2).cast("long").alias("gen"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+        "gen",
+    )

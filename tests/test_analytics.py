@@ -960,3 +960,79 @@ def test_benford_audit_python_replay(spark):
         assert out[d]["n"] == n
         assert out[d]["obs_ppm"] == (1_000_000 * n) // total
         assert out[d]["dev_ppm"] == out[d]["obs_ppm"] - out[d]["exp_ppm"]
+
+
+def test_srm_check_hand_cases(spark):
+    import hashlib
+    import tempfile
+
+    def arm(uid):
+        return int(hashlib.md5(f"{uid}:ab".encode()).hexdigest()[:15], 16) % 2
+
+    ids_a = [u for u in range(200) if arm(u) == 0]
+    ids_b = [u for u in range(200) if arm(u) == 1]
+
+    def build(na, nb, ev_per_b=1):
+        rows, eid = [], 0
+        for uid in ids_a[:na]:
+            rows.append((eid, uid, "buy", 1.0, datetime(2024, 1, 10, 12, 0)))
+            eid += 1
+        for uid in ids_b[:nb]:
+            for _ in range(ev_per_b):
+                rows.append((eid, uid, "buy", 1.0, datetime(2024, 1, 11, 9, 0)))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "value", "ts"]
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return analytics.q_srm_check(spark, d).collect()[0]
+
+    # balanced 20/20: no flag, zero imbalance
+    r = build(20, 20)
+    assert (r["n_users_a"], r["n_users_b"]) == (20, 20)
+    assert r["user_dev_ppm"] == 0
+    assert not r["srm_user_flag"] and not r["srm_event_flag"]
+    # 30 vs 2: diff^2 = 784 > 9*32 = 288 -> user flag fires
+    r = build(30, 2)
+    assert r["srm_user_flag"]
+    assert r["user_dev_ppm"] == (1_000_000 * 28) // 32
+    # balanced users but one arm logs 9x the events -> event flag only
+    r = build(20, 20, ev_per_b=9)
+    assert not r["srm_user_flag"] and r["srm_event_flag"]
+    assert (r["n_events_a"], r["n_events_b"]) == (20, 180)
+
+
+def test_acf_daily_python_replay(spark):
+    from collections import defaultdict
+
+    import pandas as pd
+    from conftest import SF_SMALL
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    daily = defaultdict(int)
+    for r in ev.itertuples():
+        daily[r.ts.date()] += int(round(r.value * 100))
+    series = {d: c // 100 for d, c in daily.items()}
+    n, s = len(series), sum(series.values())
+    den = sum((n * x - s) ** 2 for x in series.values())
+
+    def ppm(num):
+        if num >= 0:
+            return ((num * 1000) // den) * 1000 + ((num * 1000) % den) * 1000 // den
+        return -((((-num) * 1000) // den) * 1000 + (((-num) * 1000) % den) * 1000 // den)
+
+    from datetime import timedelta
+
+    out = {r["lag"]: r for r in analytics.q_acf_daily(spark, SF_SMALL).collect()}
+    assert sorted(out) == list(range(1, 8))
+    for k in range(1, 8):
+        pairs = [
+            (series[d], series[d + timedelta(days=k)])
+            for d in series
+            if d + timedelta(days=k) in series
+        ]
+        num = sum((n * a - s) * (n * b - s) for a, b in pairs)
+        assert out[k]["n_pairs"] == len(pairs)
+        assert out[k]["acf_ppm"] == ppm(num)
+        assert -1_100_000 < out[k]["acf_ppm"] < 1_100_000

@@ -888,3 +888,24 @@ def test_join_lateral_topk_per_customer(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_union_by_name_schema_evolution(spark):
+    from conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        q_union_by_name,
+    )
+
+    n = spark.read.parquet(f"{SF_SMALL}/customer.parquet").count()
+    out = q_union_by_name(spark, SF_SMALL)
+    assert out.columns == ["c_custkey", "c_name", "c_acctbal", "c_mktsegment", "gen"]
+    rows = out.collect()
+    assert len(rows) == 2 * n
+    g1 = [r for r in rows if r["gen"] == 1]
+    g2 = [r for r in rows if r["gen"] == 2]
+    assert len(g1) == n and len(g2) == n
+    # missing columns null-fill per generation; present ones never null
+    assert all(r["c_acctbal"] is None and r["c_mktsegment"] is None for r in g1)
+    assert all(r["c_name"] is None for r in g2)
+    assert all(r["c_name"] is not None for r in g1)
