@@ -3597,7 +3597,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM nz, unnest(generate_series(1, length(text))) AS u(i)), "
             "g AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY 1, 2), "
             "s AS (SELECT doc_id, sum(CASE WHEN n <= 1 THEN 0 ELSE "
-            "CAST(floor((CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) "
+            "CAST(n AS BIGINT) * CAST(floor(ln(CAST(n AS DOUBLE)) "
             "* 1000000.0) AS BIGINT) END) AS s_nlogn, "
             "CAST(count(*) AS BIGINT) AS d FROM g GROUP BY 1) "
             "SELECT nz.doc_id, CAST(nz.n_chars AS BIGINT) AS n_chars, "

@@ -2376,10 +2376,14 @@ def char_entropy_profile(docs: DataFrame, min_nats_1e6: int = 2_000_000) -> Data
 
     Exactness (the perplexity recipe, applied per CHARACTER RUN): the
     char stream is sorted IN-ROW (array_sort of the 1-char split) and
-    folded once, each run's n_c·ln(n_c) term floor-scaled to a long
-    BEFORE the sum — so the hashed contract is exact integers and the
-    float only ever appears inside one fixed expression tree.  The
-    keep gate compares in pure integer space:
+    folded once, each run contributing n_c·floor(ln(n_c)·1e6) to the
+    sum — the INTEGER multiple of a floored small float, not the floor
+    of a big float: tools/float_boundary_audit.py measured that
+    floor(n·ln(n)·1e6) sits EXACTLY on a floor boundary at n = 22988
+    (ulp grows with the value, so big-float floors are structurally
+    flippable across engines), while ln(n)·1e6 stays >= hundreds of
+    ulps clear of every boundary for all n <= 10⁶.  The keep gate
+    compares in pure integer space:
     N·floor(ln(N)·1e6) - S >= min_nats_1e6·N.
 
     Scale shape: ZERO shuffles and zero explodes — the whole profile
@@ -2393,7 +2397,7 @@ def char_entropy_profile(docs: DataFrame, min_nats_1e6: int = 2_000_000) -> Data
     def term(nc):
         d = nc.cast("double")
         return F.when(nc <= 1, F.lit(0).cast("long")).otherwise(
-            F.floor((d * F.log(d)) * F.lit(1000000.0)).cast("long")
+            nc * F.floor(F.log(d) * F.lit(1000000.0)).cast("long")
         )
 
     zero = F.struct(

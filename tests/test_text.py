@@ -1114,3 +1114,19 @@ def test_vocab_growth_python_replay(spark):
         )
     assert out[nbins - 1]["cum_vocab"] == len(first)
     assert out[nbins - 1]["cum_docs"] == len(docs)
+
+
+def test_float_boundary_audit_margins():
+    """The floor-boundary audit (ADVICE r8 item 3): every floored
+    transcendental long in char_entropy / perplexity_kn must sit far
+    from an integer boundary, else a 1-ulp JVM-vs-libm log difference
+    could flip a hashed value."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import float_boundary_audit as fba
+
+    worst, _ = fba.audit_char_entropy(20000)
+    assert worst > fba.MARGIN_ULPS
+    kn_worst, _, n_terms = fba.audit_perplexity_kn("/root/testdata/sf0.001")
+    assert n_terms > 0 and kn_worst > fba.MARGIN_ULPS
