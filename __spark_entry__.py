@@ -167,6 +167,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bandit_policy_law": analytics.q_bandit_policy_law,
         # NEW-IN-ROUND-9 INSERTION POINT: add new entries HERE (keep the
         # total never-certified count <= 50 so the window covers them).
+        "robust_uplift": analytics.q_robust_uplift,
+        "quantile_treatment_effect": analytics.q_quantile_treatment_effect,
         "srm_check": analytics.q_srm_check,
         "acf_daily": analytics.q_acf_daily,
         "union_by_name": R.q_union_by_name,
@@ -996,6 +998,68 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mmr_rerank": _mmr_sql(20, 6),
         "dp_noisy_counts": _dlap_sql(),
+        # ---- round-9 batch D: robust/distributional uplift on the
+        # shared prefix core ----
+        "robust_uplift": (
+            "WITH u AS (SELECT user_id, ('0x' || substr(md5(CAST(user_id "
+            "AS VARCHAR) || ':ab'), 1, 15))::BIGINT % 2 AS arm, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM events GROUP BY 1, 2), "
+            "h AS (SELECT cents, "
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v, "
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_v "
+            "FROM u GROUP BY 1), "
+            "p AS (SELECT cents, na_v, nb_v, CAST(COALESCE(SUM(na_v) OVER "
+            "(ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "0) AS BIGINT) AS pa, CAST(COALESCE(SUM(nb_v) OVER (ORDER BY cents "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS pb FROM h), "
+            "t AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a, "
+            "CAST(SUM(nb_v) AS BIGINT) AS n_b FROM h), "
+            "k AS (SELECT cents, n_a, n_b, "
+            "greatest(0, least(pa + na_v, n_a - (n_a * 5) // 100) - "
+            "greatest(pa, (n_a * 5) // 100)) AS keep_a, "
+            "greatest(0, least(pb + nb_v, n_b - (n_b * 5) // 100) - "
+            "greatest(pb, (n_b * 5) // 100)) AS keep_b "
+            "FROM p CROSS JOIN t), "
+            "a AS (SELECT n_a, n_b, CAST(SUM(keep_a) AS BIGINT) AS kept_a, "
+            "CAST(SUM(keep_b) AS BIGINT) AS kept_b, "
+            "CAST(SUM(cents * keep_a) AS BIGINT) AS tsum_a, "
+            "CAST(SUM(cents * keep_b) AS BIGINT) AS tsum_b FROM k "
+            "GROUP BY 1, 2) "
+            "SELECT n_a, n_b, kept_a, kept_b, tsum_a, tsum_b, "
+            "CAST(CASE WHEN kept_a > 0 AND kept_b > 0 THEN "
+            "(1000 * tsum_b) // kept_b - (1000 * tsum_a) // kept_a END "
+            "AS BIGINT) AS trimmed_uplift_milli FROM a"
+        ),
+        "quantile_treatment_effect": (
+            "WITH u AS (SELECT user_id, ('0x' || substr(md5(CAST(user_id "
+            "AS VARCHAR) || ':ab'), 1, 15))::BIGINT % 2 AS arm, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM events GROUP BY 1, 2), "
+            "h AS (SELECT cents, "
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v, "
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_v "
+            "FROM u GROUP BY 1), "
+            "p AS (SELECT cents, na_v, nb_v, CAST(COALESCE(SUM(na_v) OVER "
+            "(ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "0) AS BIGINT) AS pa, CAST(COALESCE(SUM(nb_v) OVER (ORDER BY cents "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS pb FROM h), "
+            "t AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a, "
+            "CAST(SUM(nb_v) AS BIGINT) AS n_b FROM h), "
+            "d AS (SELECT CAST(unnest(generate_series(1, 9)) * 10 AS BIGINT) "
+            "AS pct), "
+            "g AS (SELECT * FROM p CROSS JOIN t CROSS JOIN d), "
+            "q AS (SELECT pct, n_a, n_b, "
+            "CAST(MIN(CASE WHEN na_v > 0 AND pa + na_v >= "
+            "(pct * n_a + 99) // 100 THEN cents END) AS BIGINT) AS q_a_cents, "
+            "CAST(MIN(CASE WHEN nb_v > 0 AND pb + nb_v >= "
+            "(pct * n_b + 99) // 100 THEN cents END) AS BIGINT) AS q_b_cents "
+            "FROM g GROUP BY 1, 2, 3) "
+            "SELECT pct, n_a, n_b, q_a_cents, q_b_cents, "
+            "CAST(q_b_cents - q_a_cents AS BIGINT) AS qte_cents FROM q"
+        ),
         # ---- round-9 batch C: experiment guardrail + seasonality +
         # schema-evolution union ----
         "srm_check": (

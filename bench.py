@@ -228,6 +228,9 @@ HEADLINE = [
     "srm_check",
     "acf_daily",
     "union_by_name",
+    # round 9 batch D: robust/distributional uplift on the prefix core
+    "robust_uplift",
+    "quantile_treatment_effect",
 ]
 
 

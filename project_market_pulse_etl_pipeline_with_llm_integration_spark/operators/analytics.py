@@ -2460,3 +2460,123 @@ def acf_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
 
 def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_daily(read_events(spark, sf_dir))
+
+
+def robust_uplift(users: DataFrame, trim_pct: int = 5) -> DataFrame:
+    """TRIMMED-mean uplift between the two arms: drop each arm's lowest
+    and highest ``trim_pct``% spenders by exact rank, then diff the
+    means — the robust point estimate read next to mann_whitney when a
+    few whales would otherwise own the readout (trimmed_stats is the
+    same idea per event-type group; this is its A/B-arm edition on the
+    scalable prefix core).
+
+    Exact rank trimming without sorting rows: per arm with n users and
+    k = n·trim_pct div 100, a histogram row holding ``cnt`` users of
+    value v at per-arm rank prefix p contributes
+    v · max(0, min(p + cnt, n − k) − max(p, k)) to the trimmed sum —
+    tie-spanning boundaries take exact partial counts.  All int64;
+    means are milli via plain div (sign-pinned by
+    division_semantics_law).
+
+    Plan: the mann_whitney histogram + bucketed prefix, then ONE
+    single-row agg — no sort, no full-size window."""
+    hist = users.groupBy("cents").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na_v"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb_v"),
+    )
+    p = _bucketed_prefix(hist, "cents", ["na_v", "nb_v"])
+    tot = p.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    t = trim_pct
+    kept = (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "cents", "n_a", "n_b",
+            F.expr(
+                f"greatest(0, least(prefix_na_v + na_v, n_a - (n_a * {t}) div 100) "
+                f"- greatest(prefix_na_v, (n_a * {t}) div 100))"
+            ).alias("keep_a"),
+            F.expr(
+                f"greatest(0, least(prefix_nb_v + nb_v, n_b - (n_b * {t}) div 100) "
+                f"- greatest(prefix_nb_v, (n_b * {t}) div 100))"
+            ).alias("keep_b"),
+        )
+    )
+    agg = kept.groupBy("n_a", "n_b").agg(
+        F.sum(F.col("cents") * F.col("keep_a")).cast("long").alias("tsum_a"),
+        F.sum(F.col("cents") * F.col("keep_b")).cast("long").alias("tsum_b"),
+        F.sum("keep_a").cast("long").alias("kept_a"),
+        F.sum("keep_b").cast("long").alias("kept_b"),
+    )
+    return agg.select(
+        "n_a", "n_b", "kept_a", "kept_b", "tsum_a", "tsum_b",
+        F.expr(
+            "CASE WHEN kept_a > 0 AND kept_b > 0 THEN "
+            "(1000 * tsum_b) div kept_b - (1000 * tsum_a) div kept_a END"
+        ).cast("long").alias("trimmed_uplift_milli"),
+    )
+
+
+def q_robust_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return robust_uplift(_user_cents(spark, sf_dir))
+
+
+def quantile_treatment_effect(users: DataFrame) -> DataFrame:
+    """Quantile treatment effects: per-decile (p10..p90) per-user spend
+    quantile in each arm and their difference — WHERE in the
+    distribution the treatment acts (ks_two_sample says "the shapes
+    differ"; this says "the p80 moved 40 cents, the median didn't").
+    Quantiles are rank-selected DATA VALUES (type-1: the smallest value
+    whose inclusive per-arm rank reaches r = ceil(p·n/100) as the
+    integer (p·n + 99) div 100), so everything is exact int64.
+
+    Plan: the shared histogram + bucketed prefix, a 9-row decile grid
+    broadcast across the O(distinct values) frame, one (p) min-agg —
+    no sort, no full-size window."""
+    hist = users.groupBy("cents").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na_v"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb_v"),
+    )
+    p = _bucketed_prefix(hist, "cents", ["na_v", "nb_v"])
+    tot = p.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    deciles = users.sparkSession.range(1, 10).select(
+        (F.col("id") * 10).cast("long").alias("pct")
+    )
+    g = p.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(deciles))
+    # the quantile must be an ACTUAL arm value: among rows carrying at
+    # least one arm user (na_v/nb_v > 0), the smallest whose inclusive
+    # per-arm rank reaches r — a both-arms histogram row with zero count
+    # for this arm satisfies the rank test but is not this arm's datum
+    out = g.groupBy("pct", "n_a", "n_b").agg(
+        F.min(
+            F.when(
+                F.expr(
+                    "na_v > 0 AND "
+                    "prefix_na_v + na_v >= (pct * n_a + 99) div 100"
+                ),
+                F.col("cents"),
+            )
+        ).cast("long").alias("q_a_cents"),
+        F.min(
+            F.when(
+                F.expr(
+                    "nb_v > 0 AND "
+                    "prefix_nb_v + nb_v >= (pct * n_b + 99) div 100"
+                ),
+                F.col("cents"),
+            )
+        ).cast("long").alias("q_b_cents"),
+    )
+    return out.select(
+        "pct", "n_a", "n_b", "q_a_cents", "q_b_cents",
+        (F.col("q_b_cents") - F.col("q_a_cents")).cast("long").alias("qte_cents"),
+    )
+
+
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantile_treatment_effect(_user_cents(spark, sf_dir))

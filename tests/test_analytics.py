@@ -1036,3 +1036,58 @@ def test_acf_daily_python_replay(spark):
         assert out[k]["n_pairs"] == len(pairs)
         assert out[k]["acf_ppm"] == ppm(num)
         assert -1_100_000 < out[k]["acf_ppm"] < 1_100_000
+
+
+def test_robust_uplift_python_replay(spark):
+    users = _collect_user_cents(spark)
+    a = sorted(c for arm, c in users if arm == 0)
+    b = sorted(c for arm, c in users if arm == 1)
+
+    def trimmed(xs):
+        k = len(xs) * 5 // 100
+        kept = xs[k: len(xs) - k]
+        return sum(kept), len(kept)
+
+    tsa, ka = trimmed(a)
+    tsb, kb = trimmed(b)
+    row = analytics.q_robust_uplift(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert (row["kept_a"], row["kept_b"]) == (ka, kb)
+    assert (row["tsum_a"], row["tsum_b"]) == (tsa, tsb)
+    assert row["trimmed_uplift_milli"] == (1000 * tsb) // kb - (1000 * tsa) // ka
+
+
+def test_robust_uplift_whale_resistance(spark):
+    # one whale in arm 1 moves the plain mean but not the trimmed mean
+    base = [(i, 0, 100) for i in range(40)] + [(100 + i, 1, 100) for i in range(40)]
+    calm = spark.createDataFrame(base, ["user_id", "arm", "cents"])
+    whale = spark.createDataFrame(
+        base[:-1] + [(139, 1, 1_000_000)], ["user_id", "arm", "cents"]
+    )
+    r0 = analytics.robust_uplift(calm).collect()[0]
+    r1 = analytics.robust_uplift(whale).collect()[0]
+    assert r0["trimmed_uplift_milli"] == 0
+    # 5% of 40 = 2 trimmed per end; the single whale falls in the trim
+    assert r1["trimmed_uplift_milli"] == 0
+
+
+def test_quantile_treatment_effect_python_replay(spark):
+    users = _collect_user_cents(spark)
+    a = sorted(c for arm, c in users if arm == 0)
+    b = sorted(c for arm, c in users if arm == 1)
+    out = {
+        r["pct"]: r
+        for r in analytics.q_quantile_treatment_effect(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert sorted(out) == [10, 20, 30, 40, 50, 60, 70, 80, 90]
+    for pct in range(10, 100, 10):
+        ra = (pct * len(a) + 99) // 100
+        rb = (pct * len(b) + 99) // 100
+        row = out[pct]
+        assert row["q_a_cents"] == a[ra - 1]
+        assert row["q_b_cents"] == b[rb - 1]
+        assert row["qte_cents"] == b[rb - 1] - a[ra - 1]

@@ -91,6 +91,11 @@ NOPART_WINDOW_OK = {
                           "buckets by construction (_bucketed_prefix)",
     "vocab_growth": "curve frame fixed at 20 doc-id range bins by "
                     "construction (VOCAB_GROWTH_BINS)",
+    "robust_uplift": "bucket-offset carry bounded at 1024 range buckets "
+                     "by construction (_bucketed_prefix)",
+    "quantile_treatment_effect": "bucket-offset carry bounded at 1024 "
+                                 "range buckets by construction "
+                                 "(_bucketed_prefix)",
 }
 
 # Queries whose size(<expensive call>) Filter is an EXPLICIT semantic
