@@ -1008,7 +1008,7 @@ def oracle_sql() -> dict[str, str]:
             "h AS (SELECT cents, "
             "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v, "
             "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_v "
-            "FROM u GROUP BY 1), "
+            "FROM u WHERE cents IS NOT NULL GROUP BY 1), "
             "p AS (SELECT cents, na_v, nb_v, CAST(COALESCE(SUM(na_v) OVER "
             "(ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
             "0) AS BIGINT) AS pa, CAST(COALESCE(SUM(nb_v) OVER (ORDER BY cents "
@@ -1040,7 +1040,7 @@ def oracle_sql() -> dict[str, str]:
             "h AS (SELECT cents, "
             "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v, "
             "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_v "
-            "FROM u GROUP BY 1), "
+            "FROM u WHERE cents IS NOT NULL GROUP BY 1), "
             "p AS (SELECT cents, na_v, nb_v, CAST(COALESCE(SUM(na_v) OVER "
             "(ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
             "0) AS BIGINT) AS pa, CAST(COALESCE(SUM(nb_v) OVER (ORDER BY cents "
@@ -1063,7 +1063,7 @@ def oracle_sql() -> dict[str, str]:
         # ---- round-9 batch C: experiment guardrail + seasonality +
         # schema-evolution union ----
         "srm_check": (
-            "WITH ev AS (SELECT user_id, event_id, ('0x' || substr(md5("
+            "WITH ev AS (SELECT user_id, ('0x' || substr(md5("
             "CAST(user_id AS VARCHAR) || ':ab'), 1, 15))::BIGINT % 2 AS arm "
             "FROM events), "
             "u AS (SELECT user_id, arm, CAST(COUNT(*) AS BIGINT) AS n_ev "
@@ -1100,14 +1100,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN d b ON b.day = a.day + l.lag), "
             "n2 AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
             "CAST(SUM((t.n * x0 - t.s) * (t.n * x1 - t.s)) AS BIGINT) AS num "
-            "FROM p CROSS JOIN t GROUP BY 1) "
+            "FROM p CROSS JOIN t GROUP BY 1), "
+            "n3 AS (SELECT l.lag, CAST(COALESCE(n2.n_pairs, 0) AS BIGINT) "
+            "AS n_pairs, n2.num FROM l LEFT JOIN n2 ON n2.lag = l.lag) "
             "SELECT CAST(lag AS BIGINT) AS lag, n_pairs, "
             "CAST(CASE WHEN den > 0 THEN (CASE WHEN num >= 0 THEN "
             "((num * 1000) // den) * 1000 + "
             "((num * 1000) % den) * 1000 // den "
             "ELSE -((((-num) * 1000) // den) * 1000 + "
             "(((-num) * 1000) % den) * 1000 // den) END) "
-            "END AS BIGINT) AS acf_ppm FROM n2 CROSS JOIN dn"
+            "END AS BIGINT) AS acf_ppm FROM n3 CROSS JOIN dn"
         ),
         "union_by_name": (
             "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, "
@@ -1133,10 +1135,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(e.digit AS BIGINT) AS digit, "
             "CAST(COALESCE(o.n, 0) AS BIGINT) AS n, "
             "CAST(CASE WHEN total > 0 THEN (1000000 * COALESCE(o.n, 0)) "
-            "// total ELSE 0 END AS BIGINT) AS obs_ppm, "
+            "// total END AS BIGINT) AS obs_ppm, "
             "CAST(e.exp_ppm AS BIGINT) AS exp_ppm, "
-            "CAST((CASE WHEN total > 0 THEN (1000000 * COALESCE(o.n, 0)) "
-            "// total ELSE 0 END) - e.exp_ppm AS BIGINT) AS dev_ppm "
+            "CAST(CASE WHEN total > 0 THEN (1000000 * COALESCE(o.n, 0)) "
+            "// total - e.exp_ppm END AS BIGINT) AS dev_ppm "
             "FROM e LEFT JOIN o ON o.digit = e.digit CROSS JOIN t"
         ),
         "embedding_outliers": (
@@ -1197,7 +1199,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2), "
             "h AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt, "
             "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v "
-            "FROM u GROUP BY 1), "
+            "FROM u WHERE cents IS NOT NULL GROUP BY 1), "
             "p AS (SELECT cents, cnt, na_v, CAST(COALESCE(SUM(cnt) OVER "
             "(ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
             "0) AS BIGINT) AS pfx FROM h), "
@@ -1208,11 +1210,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a, "
             "CAST(2 * n_a * n_b - (r2a - n_a * (n_a + 1)) AS BIGINT) AS u2_b, "
             "CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN "
-            "(CASE WHEN 1000000 * ((r2a - n_a * (n_a + 1)) - n_a * n_b) >= 0 "
-            "THEN (1000000 * ((r2a - n_a * (n_a + 1)) - n_a * n_b)) "
-            "// (n_a * n_b) "
-            "ELSE -((-(1000000 * ((r2a - n_a * (n_a + 1)) - n_a * n_b))) "
-            "// (n_a * n_b)) END) END AS BIGINT) AS rb_ppm FROM s"
+            "(CASE WHEN (r2a - n_a * (n_a + 1)) - n_a * n_b >= 0 THEN "
+            "((((r2a - n_a * (n_a + 1)) - n_a * n_b) * 1000) // (n_a * n_b)) "
+            "* 1000 + (((r2a - n_a * (n_a + 1)) - n_a * n_b) * 1000) "
+            "% (n_a * n_b) * 1000 // (n_a * n_b) "
+            "ELSE -(((((n_a * n_b) - (r2a - n_a * (n_a + 1))) * 1000) "
+            "// (n_a * n_b)) * 1000 + "
+            "(((n_a * n_b) - (r2a - n_a * (n_a + 1))) * 1000) "
+            "% (n_a * n_b) * 1000 // (n_a * n_b)) END) END AS BIGINT) "
+            "AS rb_ppm FROM s"
         ),
         "ks_two_sample": (
             "WITH u AS (SELECT user_id, ('0x' || substr(md5(CAST(user_id "
@@ -1222,7 +1228,7 @@ def oracle_sql() -> dict[str, str]:
             "h AS (SELECT cents, "
             "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v, "
             "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_v "
-            "FROM u GROUP BY 1), "
+            "FROM u WHERE cents IS NOT NULL GROUP BY 1), "
             "c AS (SELECT cents, CAST(SUM(na_v) OVER (ORDER BY cents ROWS "
             "UNBOUNDED PRECEDING) AS BIGINT) AS cum_a, "
             "CAST(SUM(nb_v) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) "
@@ -1234,7 +1240,9 @@ def oracle_sql() -> dict[str, str]:
             "mx AS (SELECT CAST(MAX(dv) AS BIGINT) AS d_num FROM d) "
             "SELECT n_a, n_b, d_num, "
             "CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN "
-            "(1000000 * d_num) // (n_a * n_b) END AS BIGINT) AS ks_ppm, "
+            "((d_num * 1000) // (n_a * n_b)) * 1000 + "
+            "(d_num * 1000) % (n_a * n_b) * 1000 // (n_a * n_b) "
+            "END AS BIGINT) AS ks_ppm, "
             "CAST(MIN(cents) AS BIGINT) AS d_at_cents "
             "FROM d JOIN mx ON d.dv = mx.d_num GROUP BY 1, 2, 3"
         ),

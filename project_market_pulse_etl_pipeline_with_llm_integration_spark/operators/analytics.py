@@ -1987,7 +1987,11 @@ def _arm_col() -> Column:
 def _user_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user total spend in exact integer cents plus the hash arm —
     ONE events scan + one (user)-keyed agg, the shared entry frame of
-    the nonparametric readout family."""
+    the nonparametric readout family.  Users whose every value is NULL
+    (a NULL total) are dropped HERE, mirrored by ``cents IS NOT NULL``
+    in every consumer oracle: a NULL histogram row would otherwise sort
+    NULLS-FIRST in Spark windows but NULLS-LAST in DuckDB's ORDER BY,
+    shifting every prefix sum between engines (review find, round 9)."""
     return (
         read_events(spark, sf_dir)
         .select(
@@ -1997,6 +2001,7 @@ def _user_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "arm")
         .agg(F.sum("cents").alias("cents"))
+        .filter(F.col("cents").isNotNull())
     )
 
 
@@ -2057,6 +2062,42 @@ def _bucketed_prefix(
     return out.drop(*drop)
 
 
+def _arm_value_prefix(users: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The shared frame of the rank-statistic family: per-arm value
+    histogram with distributed strict-prefix counts (prefix_na_v /
+    prefix_nb_v) plus the broadcastable (n_a, n_b) totals frame.
+    mann_whitney / ks_two_sample / robust_uplift /
+    quantile_treatment_effect are all pure consumers (review find,
+    round 9: this block existed as four hand-copies)."""
+    hist = users.groupBy("cents").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na_v"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb_v"),
+    )
+    p = _bucketed_prefix(hist, "cents", ["na_v", "nb_v"])
+    tot = p.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    return p, tot
+
+
+def _ppm2(num: str, den: str) -> str:
+    """SQL text for the SIGNED two-step exact rational floor of
+    1e6·num/den: floor(1e6·|num|/den) built as (q·1000 + r·1000 div
+    den) from divmod(|num|·1000, den), negated on negative num — never
+    forms 1e6·num, which wraps int64 once |num| > 9.2·10¹² (the
+    acf_daily lesson: DuckDB's HUGEINT raises where Spark wraps
+    silently).  Valid in both engines after s/ div / \\/\\/ /.
+    Requires |num|·1000 and den·1000 within int64."""
+    a, d = f"({num})", f"({den})"
+    return (
+        f"(CASE WHEN {a} >= 0 THEN "
+        f"(({a} * 1000) div {d}) * 1000 + (({a} * 1000) % {d}) * 1000 div {d} "
+        f"ELSE -((((-{a}) * 1000) div {d}) * 1000 + "
+        f"(((-{a}) * 1000) % {d}) * 1000 div {d}) END)"
+    )
+
+
 def mann_whitney(users: DataFrame) -> DataFrame:
     """Mann-Whitney U rank-sum test statistic between the two arms of a
     per-user metric frame (columns ``arm`` in {0,1}, ``cents``) — the
@@ -2065,23 +2106,24 @@ def mann_whitney(users: DataFrame) -> DataFrame:
     tie-averaged, carried DOUBLED (2·avg_rank = 2·prefix + cnt + 1 for
     a tie group of ``cnt`` starting after ``prefix`` smaller rows) so
     no half ever appears; ``u2_a`` = 2·U_A, and the rank-biserial
-    effect size r = 2U_A/(n_A·n_B) − 1 lands as a sign-safe ppm.
+    effect size r = 2U_A/(n_A·n_B) − 1 lands as a sign-safe ppm via the
+    two-step rational floor (_ppm2).
 
-    Plan: one (cents) histogram agg, the bucketed distributed prefix
-    (see _bucketed_prefix — no full-size global window), one closing
-    single-row agg.  int64 headroom: rank sums are O(n²) — fine to
-    ~3·10⁹ users/arm, far beyond any per-experiment population."""
-    hist = users.groupBy("cents").agg(
-        F.count("*").alias("cnt"),
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na_v"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb_v"),
-    )
-    p = _bucketed_prefix(hist, "cents", ["cnt"])
+    Plan: the shared _arm_value_prefix frame, one closing single-row
+    agg.  int64 headroom: the ppm conversion holds to n_a·n_b <
+    9.2·10¹⁵ (~10⁸ balanced users — report milli beyond); the rank sum
+    r2a ~ n² is int64 to ~3·10⁹ total users."""
+    p, _ = _arm_value_prefix(users)
     agg = p.agg(
         F.sum("na_v").cast("long").alias("n_a"),
         F.sum("nb_v").cast("long").alias("n_b"),
         F.sum(
-            F.col("na_v") * (2 * F.col("prefix_cnt") + F.col("cnt") + 1)
+            F.col("na_v")
+            * (
+                2 * (F.col("prefix_na_v") + F.col("prefix_nb_v"))
+                + (F.col("na_v") + F.col("nb_v"))
+                + 1
+            )
         ).cast("long").alias("r2a"),
     )
     return agg.select(
@@ -2091,10 +2133,7 @@ def mann_whitney(users: DataFrame) -> DataFrame:
         .cast("long").alias("u2_b"),
         F.expr(
             "CASE WHEN n_a > 0 AND n_b > 0 THEN "
-            + _sdiv(
-                "1000000 * ((r2a - n_a * (n_a + 1)) - n_a * n_b)",
-                "n_a * n_b",
-            )
+            + _ppm2("(r2a - n_a * (n_a + 1)) - n_a * n_b", "n_a * n_b")
             + " END"
         ).cast("long").alias("rb_ppm"),
     )
@@ -2112,18 +2151,11 @@ def ks_two_sample(users: DataFrame) -> DataFrame:
     of |n_B·cumA(v) − n_A·cumB(v)| (cum = inclusive count ≤ v), plus
     the smallest value attaining it and the ppm-scaled D.
 
-    Plan: same histogram + bucketed-prefix core as mann_whitney, then
-    one max agg and one equality filter + min agg (both O(distinct
-    values)); no full-size global window anywhere."""
-    hist = users.groupBy("cents").agg(
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na_v"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb_v"),
-    )
-    p = _bucketed_prefix(hist, "cents", ["na_v", "nb_v"])
-    tot = p.agg(
-        F.sum("na_v").cast("long").alias("n_a"),
-        F.sum("nb_v").cast("long").alias("n_b"),
-    )
+    Plan: the shared _arm_value_prefix frame, then one max agg and one
+    equality filter + min agg (both O(distinct values)); no full-size
+    global window anywhere.  ks_ppm uses _ppm2 (d_num is bounded by
+    n_a·n_b, so the naive 1e6 multiply would wrap at ~3·10⁶ users/arm)."""
+    p, tot = _arm_value_prefix(users)
     d = (
         p.crossJoin(F.broadcast(tot))
         .select(
@@ -2146,7 +2178,8 @@ def ks_two_sample(users: DataFrame) -> DataFrame:
             F.col("d_num").cast("long").alias("d_num"),
             F.expr(
                 "CASE WHEN n_a > 0 AND n_b > 0 THEN "
-                "(1000000 * d_num) div (n_a * n_b) END"
+                + _ppm2("d_num", "n_a * n_b")
+                + " END"
             ).cast("long").alias("ks_ppm"),
             "d_at_cents",
         )
@@ -2191,11 +2224,11 @@ def gini_concentration(users: DataFrame) -> DataFrame:
         "n_users", "total_cents",
         F.expr(
             "CASE WHEN n_users > 0 AND total_cents > 0 THEN "
-            "(((2 * si - (n_users + 1) * total_cents) * 1000) "
-            "div (n_users * total_cents)) * 1000 + "
-            "(((2 * si - (n_users + 1) * total_cents) * 1000) "
-            "% (n_users * total_cents)) * 1000 "
-            "div (n_users * total_cents) END"
+            + _ppm2(
+                "2 * si - (n_users + 1) * total_cents",
+                "n_users * total_cents",
+            )
+            + " END"
         ).cast("long").alias("gini_ppm"),
     )
 
@@ -2310,14 +2343,16 @@ def benford_audit(amounts: DataFrame, amount_col: str = "cents") -> DataFrame:
         .select(
             F.col("digit").cast("long").alias("digit"),
             F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            # NULL (not 0) on an empty feed: dev_ppm = -exp_ppm would
+            # read as a maximally non-Benford feed instead of "no data"
             F.expr(
                 "CASE WHEN total > 0 THEN "
-                "(1000000 * coalesce(n, 0)) div total ELSE 0 END"
+                "(1000000 * coalesce(n, 0)) div total END"
             ).cast("long").alias("obs_ppm"),
             F.col("exp_ppm").cast("long").alias("exp_ppm"),
             F.expr(
                 "CASE WHEN total > 0 THEN "
-                "(1000000 * coalesce(n, 0)) div total ELSE 0 END - exp_ppm"
+                "(1000000 * coalesce(n, 0)) div total - exp_ppm END"
             ).cast("long").alias("dev_ppm"),
         )
     )
@@ -2344,7 +2379,7 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one scan, one (user, arm) pre-agg for exact distinct counts,
     one 2-row pivot — O(1) output."""
-    ev = read_events(spark, sf_dir).select("user_id", "event_id", _arm_col())
+    ev = read_events(spark, sf_dir).select("user_id", _arm_col())
     users = (
         ev.groupBy("user_id", "arm")
         .agg(F.count("*").alias("n_ev"))
@@ -2442,17 +2477,20 @@ def acf_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
             * (F.col("n") * F.col("x1") - F.col("s"))
         ).alias("num"),
     )
+    # fixed 1..7 output shape: a lag with zero calendar pairs reports
+    # n_pairs=0 / acf_ppm NULL instead of silently vanishing
+    num = lags.join(num, "lag", "left").select(
+        "lag",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        "num",
+    )
     return (
         num.crossJoin(F.broadcast(den))
         .select(
             F.col("lag").cast("long").alias("lag"),
             "n_pairs",
             F.expr(
-                "CASE WHEN den > 0 THEN (CASE WHEN num >= 0 THEN "
-                "((num * 1000) div den) * 1000 + "
-                "((num * 1000) % den) * 1000 div den "
-                "ELSE -((((-num) * 1000) div den) * 1000 + "
-                "(((-num) * 1000) % den) * 1000 div den) END) END"
+                "CASE WHEN den > 0 THEN " + _ppm2("num", "den") + " END"
             ).cast("long").alias("acf_ppm"),
         )
     )
@@ -2478,17 +2516,9 @@ def robust_uplift(users: DataFrame, trim_pct: int = 5) -> DataFrame:
     means are milli via plain div (sign-pinned by
     division_semantics_law).
 
-    Plan: the mann_whitney histogram + bucketed prefix, then ONE
-    single-row agg — no sort, no full-size window."""
-    hist = users.groupBy("cents").agg(
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na_v"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb_v"),
-    )
-    p = _bucketed_prefix(hist, "cents", ["na_v", "nb_v"])
-    tot = p.agg(
-        F.sum("na_v").cast("long").alias("n_a"),
-        F.sum("nb_v").cast("long").alias("n_b"),
-    )
+    Plan: the shared _arm_value_prefix frame, then ONE single-row agg —
+    no sort, no full-size window."""
+    p, tot = _arm_value_prefix(users)
     t = trim_pct
     kept = (
         p.crossJoin(F.broadcast(tot))
@@ -2532,18 +2562,10 @@ def quantile_treatment_effect(users: DataFrame) -> DataFrame:
     whose inclusive per-arm rank reaches r = ceil(p·n/100) as the
     integer (p·n + 99) div 100), so everything is exact int64.
 
-    Plan: the shared histogram + bucketed prefix, a 9-row decile grid
+    Plan: the shared _arm_value_prefix frame, a 9-row decile grid
     broadcast across the O(distinct values) frame, one (p) min-agg —
     no sort, no full-size window."""
-    hist = users.groupBy("cents").agg(
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na_v"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb_v"),
-    )
-    p = _bucketed_prefix(hist, "cents", ["na_v", "nb_v"])
-    tot = p.agg(
-        F.sum("na_v").cast("long").alias("n_a"),
-        F.sum("nb_v").cast("long").alias("n_b"),
-    )
+    p, tot = _arm_value_prefix(users)
     deciles = users.sparkSession.range(1, 10).select(
         (F.col("id") * 10).cast("long").alias("pct")
     )

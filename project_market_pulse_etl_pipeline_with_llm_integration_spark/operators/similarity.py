@@ -1846,9 +1846,11 @@ def embedding_outliers(emb: DataFrame, topk: int = 5) -> DataFrame:
     key is the SCALED squared distance ‖n·x − s‖² = n²·Σx² − 2n·(x·s) +
     Σs² over the int8-quantized components — a pure int64 that orders
     identically to ‖x − c‖² because the n² factor is constant within a
-    label.  int64 headroom: (n·127)²·dim < 2⁶³ holds to n ≈ 10⁷ vectors
-    per label at dim 64 — beyond that, rescale s once to milli-centroid
-    integers (documented swap, same shape).
+    label.  int64 headroom: worst-case (n·127)²·dim < 2⁶³ holds to
+    n ≈ 3·10⁶ vectors per label at dim 64 (≈ 10⁷ only for unit-norm
+    embeddings, where Σx² ≈ 127² instead of dim·127²) — beyond that,
+    rescale s once to milli-centroid integers (documented swap, same
+    shape; review find corrected the earlier ~10⁷ claim).
 
     Plan: one posexplode, one (label, pos) sum agg (the O(labels·dim)
     centroid-sum frame — broadcast), one component join + (vec, label)

@@ -1050,9 +1050,9 @@ def test_robust_uplift_python_replay(spark):
 
     tsa, ka = trimmed(a)
     tsb, kb = trimmed(b)
-    row = analytics.q_robust_uplift(
-        spark, "/root/testdata/sf0.001"
-    ).collect()[0]
+    from conftest import SF_SMALL
+
+    row = analytics.q_robust_uplift(spark, SF_SMALL).collect()[0]
     assert (row["n_a"], row["n_b"]) == (len(a), len(b))
     assert (row["kept_a"], row["kept_b"]) == (ka, kb)
     assert (row["tsum_a"], row["tsum_b"]) == (tsa, tsb)
@@ -1074,13 +1074,15 @@ def test_robust_uplift_whale_resistance(spark):
 
 
 def test_quantile_treatment_effect_python_replay(spark):
+    from conftest import SF_SMALL
+
     users = _collect_user_cents(spark)
     a = sorted(c for arm, c in users if arm == 0)
     b = sorted(c for arm, c in users if arm == 1)
     out = {
         r["pct"]: r
         for r in analytics.q_quantile_treatment_effect(
-            spark, "/root/testdata/sf0.001"
+            spark, SF_SMALL
         ).collect()
     }
     assert sorted(out) == [10, 20, 30, 40, 50, 60, 70, 80, 90]
@@ -1091,3 +1093,46 @@ def test_quantile_treatment_effect_python_replay(spark):
         assert row["q_a_cents"] == a[ra - 1]
         assert row["q_b_cents"] == b[rb - 1]
         assert row["qte_cents"] == b[rb - 1] - a[ra - 1]
+
+
+def test_null_cents_user_excluded(spark):
+    import tempfile
+
+    # a user whose every value is NULL must drop from the rank family
+    # (review find: a NULL histogram row sorts NULLS-FIRST in Spark
+    # windows but NULLS-LAST in DuckDB — prefix sums would diverge)
+    rows = [
+        (0, 1, "buy", 10.0, datetime(2024, 1, 10, 12, 0)),
+        (1, 2, "buy", 20.0, datetime(2024, 1, 11, 12, 0)),
+        (2, 3, "buy", None, datetime(2024, 1, 12, 12, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "value double, ts timestamp"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    users = analytics._user_cents(spark, d).collect()
+    assert {r["user_id"] for r in users} == {1, 2}
+    row = analytics.q_mann_whitney(spark, d).collect()[0]
+    assert row["n_a"] + row["n_b"] == 2
+
+
+def test_acf_daily_fixed_shape_on_sparse_days(spark):
+    import tempfile
+
+    # 3 distinct days: lags 3..7 have zero pairs but must still emit
+    rows = [
+        (i, 1, "buy", 10.0 * (i + 1), datetime(2024, 1, 10 + i, 12, 0))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["lag"]: r for r in analytics.q_acf_daily(spark, d).collect()}
+    assert sorted(out) == list(range(1, 8))
+    assert out[1]["n_pairs"] == 2 and out[2]["n_pairs"] == 1
+    for k in range(3, 8):
+        assert out[k]["n_pairs"] == 0 and out[k]["acf_ppm"] is None
