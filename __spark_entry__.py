@@ -155,11 +155,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-red rows (poisson_bootstrap, bandit_replay, ab_uplift_ci —
     # root cause: their oracles leaked HUGEINT/float64 through the
     # driver's pandas canonicalizer; casts fixed this round), (b) their
-    # five stage-decomposition law rows, (c) the five quality_ppm
-    # consumers re-certified after the integer-exact rewrite
-    # (text.quality_ppm), and (d) any round-9 additions.  Everything
-    # below the marker has a green driver row from r1-r8 and is
-    # byte-unchanged this round.
+    # five stage-decomposition law rows, (c) the quality_ppm consumers
+    # re-certified after the integer-exact rewrite, (d) the 23 round-9
+    # additions (session 1: mmr/dp/epoch/dim-profile/looks/waterfill;
+    # session 2: the nonparametric experiment family on the bucketed
+    # prefix core, the data-quality audits, and the schema union), and
+    # (e) char_entropy, re-certifying after the floor-boundary fix
+    # (per-run term is now n·floor(ln n·1e6) — see
+    # tools/float_boundary_audit.py).  Everything below position 50 has
+    # a green driver row from r1-r8 and is byte-unchanged this round.
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,

@@ -82,6 +82,14 @@ STRESS_QUERIES = [
     # profile (dim x rows, linear control); mmr_rerank is page-bounded
     # and dp_noisy_counts is agg-only — both scale-free by construction
     "epoch_shuffle", "embedding_dim_profile",
+    # round-9 session-2 additions: the rank-statistic family scales
+    # with the distinct per-user-total histogram (shape-dependent under
+    # the shifted-key replica corpus), the vocab curve's word-min agg
+    # is gram-volume-dependent (near-dup corpus = adversarially slow
+    # vocab growth), and the outlier report is the labeled linear
+    # control for the embedding family
+    "mann_whitney", "quantile_treatment_effect", "vocab_growth",
+    "embedding_outliers",
 ]
 
 
