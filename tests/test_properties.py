@@ -639,3 +639,104 @@ def test_dlap_noise_replays_and_stays_in_support(spark, keys):
     want = {k: replay(k) for k in keys}
     assert got == want
     assert all(-9 <= w <= 9 for w in got.values())
+
+
+# round-9: rank-statistic family vs pure-Python replays on arbitrary
+# per-user frames — exercises _bucketed_prefix on negatives, heavy
+# ties, point-mass distributions, and one-sided / tiny arms
+user_frames = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),          # arm
+        st.integers(min_value=-500, max_value=500),     # cents
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+def _frame(spark, users):
+    return spark.createDataFrame(
+        [(i, a, c) for i, (a, c) in enumerate(users)],
+        "user_id long, arm long, cents long",
+    )
+
+
+@_slow
+@given(user_frames)
+def test_mann_whitney_matches_python_on_random_frames(spark, users):
+    from collections import Counter
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics,
+    )
+
+    row = analytics.mann_whitney(_frame(spark, users)).collect()[0]
+    a = [c for arm, c in users if arm == 0]
+    b = [c for arm, c in users if arm == 1]
+    cnt = Counter(c for _, c in users)
+    before, r2 = 0, {}
+    for v in sorted(cnt):
+        r2[v] = 2 * before + cnt[v] + 1
+        before += cnt[v]
+    n_a, n_b = len(a), len(b)
+    u2_a = sum(r2[v] for v in a) - n_a * (n_a + 1)
+    assert (row["n_a"], row["n_b"], row["u2_a"]) == (n_a, n_b, u2_a)
+    assert row["u2_a"] + row["u2_b"] == 2 * n_a * n_b
+    if n_a and n_b:
+        num, d = u2_a - n_a * n_b, n_a * n_b
+        if num >= 0:
+            want = ((num * 1000) // d) * 1000 + ((num * 1000) % d) * 1000 // d
+        else:
+            num = -num
+            want = -(((num * 1000) // d) * 1000 + ((num * 1000) % d) * 1000 // d)
+        assert row["rb_ppm"] == want
+    else:
+        assert row["rb_ppm"] is None
+
+
+@_slow
+@given(user_frames)
+def test_robust_uplift_matches_python_on_random_frames(spark, users):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics,
+    )
+
+    row = analytics.robust_uplift(_frame(spark, users)).collect()[0]
+    a = sorted(c for arm, c in users if arm == 0)
+    b = sorted(c for arm, c in users if arm == 1)
+
+    def trimmed(xs):
+        k = len(xs) * 5 // 100
+        kept = xs[k: len(xs) - k] if len(xs) else []
+        return sum(kept), len(kept)
+
+    tsa, ka = trimmed(a)
+    tsb, kb = trimmed(b)
+    assert (row["kept_a"], row["kept_b"]) == (ka, kb)
+    assert (row["tsum_a"], row["tsum_b"]) == (tsa, tsb)
+
+
+@_slow
+@given(user_frames)
+def test_qte_matches_python_on_random_frames(spark, users):
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics,
+    )
+
+    out = {
+        r["pct"]: r
+        for r in analytics.quantile_treatment_effect(
+            _frame(spark, users)
+        ).collect()
+    }
+    a = sorted(c for arm, c in users if arm == 0)
+    b = sorted(c for arm, c in users if arm == 1)
+    assert sorted(out) == [10, 20, 30, 40, 50, 60, 70, 80, 90]
+    for pct in range(10, 100, 10):
+        row = out[pct]
+        for xs, col in ((a, "q_a_cents"), (b, "q_b_cents")):
+            if not xs:
+                assert row[col] is None
+                continue
+            r = (pct * len(xs) + 99) // 100
+            assert row[col] == xs[max(r, 1) - 1]
