@@ -2378,13 +2378,32 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     logging-loss detector), plus signed imbalance ppm.
 
     Plan: one scan, one (user, arm) pre-agg for exact distinct counts,
-    one 2-row pivot — O(1) output."""
+    one 2-row pivot — O(1) output.  The (user, arm, n_ev) pre-agg is a
+    count monoid, so the guardrail is STREAMING-MAINTAINABLE exactly
+    like ab_user_state: merge each micro-batch's partial via
+    merge_agg_states, recompute srm_readout from state alone
+    (replay == batch pinned in test_streaming)."""
     ev = read_events(spark, sf_dir).select("user_id", _arm_col())
-    users = (
-        ev.groupBy("user_id", "arm")
+    return srm_readout(
+        ev.groupBy("user_id", "arm").agg(F.count("*").alias("n_ev"))
+    )
+
+
+def srm_state(events: DataFrame) -> DataFrame:
+    """The mergeable per-(user, arm) event-count state behind srm_check
+    — the SRM twin of ab_user_state (count is a commutative monoid)."""
+    return (
+        events.select("user_id", _arm_col())
+        .groupBy("user_id", "arm")
         .agg(F.count("*").alias("n_ev"))
-        .groupBy("arm")
-        .agg(F.count("*").alias("n_users"), F.sum("n_ev").alias("n_events"))
+    )
+
+
+def srm_readout(users: DataFrame) -> DataFrame:
+    """The SRM verdict from a (user_id, arm, n_ev) state frame — shared
+    by the one-shot batch query and the streaming state table."""
+    users = users.groupBy("arm").agg(
+        F.count("*").alias("n_users"), F.sum("n_ev").alias("n_events")
     )
     flat = users.agg(
         F.sum(F.when(F.col("arm") == 0, F.col("n_users"))).cast("long").alias("n_users_a"),

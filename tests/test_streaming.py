@@ -456,3 +456,45 @@ def test_streaming_ab_readout_equals_batch(spark, tmp_path):
     # the band actually materialized (not the degenerate NULL case)
     assert want[0].n_reps >= 3 and want[0].boot_lo_milli is not None
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_srm_guardrail_equals_batch(spark, tmp_path):
+    """The SRM guardrail maintained incrementally: each micro-batch's
+    (user, arm, n_ev) count-monoid partial merges into a state table
+    via merge_agg_states, and srm_readout from state alone equals the
+    one-shot q_srm_check row — the experiment dashboard's first check
+    never rescans history either."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        q_srm_check,
+        srm_readout,
+        srm_state,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = _events_dir(spark, tmp_path)
+    state_dir = str(tmp_path / "srm_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = srm_state(batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["user_id", "arm"])
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    stream = SE.read_events_stream(spark, src, max_files=1)
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = srm_readout(spark.read.parquet(state_dir)).collect()
+    want = q_srm_check(spark, SF_SMALL).collect()
+    assert len(got) == len(want) == 1
+    assert got[0].asDict() == want[0].asDict()
