@@ -171,6 +171,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bandit_policy_law": analytics.q_bandit_policy_law,
         # NEW-IN-ROUND-9 INSERTION POINT: add new entries HERE (keep the
         # total never-certified count <= 50 so the window covers them).
+        "l_diversity": analytics.q_l_diversity,
         "robust_uplift": analytics.q_robust_uplift,
         "quantile_treatment_effect": analytics.q_quantile_treatment_effect,
         "srm_check": analytics.q_srm_check,
@@ -1002,6 +1003,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mmr_rerank": _mmr_sql(20, 6),
         "dp_noisy_counts": _dlap_sql(),
+        "l_diversity": (
+            "WITH c AS (SELECT c_custkey AS custkey, c_mktsegment AS segment, "
+            "CAST(c_nationkey AS BIGINT) AS nationkey, "
+            "CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000 "
+            "AS BIGINT) AS bal_band FROM customer), "
+            "r AS (SELECT c.segment, c.nationkey, c.bal_band, o.o_custkey, "
+            "o.o_orderpriority AS sensitive FROM orders o "
+            "JOIN c ON c.custkey = o.o_custkey) "
+            "SELECT segment, nationkey, bal_band, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers, "
+            "CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_distinct, "
+            "COUNT(DISTINCT sensitive) < 3 AS violates_l3 "
+            "FROM r GROUP BY 1, 2, 3"
+        ),
         # ---- round-9 batch D: robust/distributional uplift on the
         # shared prefix core ----
         "robust_uplift": (

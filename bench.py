@@ -231,6 +231,7 @@ HEADLINE = [
     # round 9 batch D: robust/distributional uplift on the prefix core
     "robust_uplift",
     "quantile_treatment_effect",
+    "l_diversity",
 ]
 
 

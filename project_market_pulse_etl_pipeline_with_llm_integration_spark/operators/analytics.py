@@ -2621,3 +2621,45 @@ def quantile_treatment_effect(users: DataFrame) -> DataFrame:
 
 def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_treatment_effect(_user_cents(spark, sf_dir))
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — k_anonymity's
+    necessary companion: a released (QI, sensitive) table where every
+    member of a quasi-identifier class shares ONE sensitive value leaks
+    that value even at k ≥ 5 (the homogeneity attack).  Audited release:
+    customers joined to their orders, releasing order priority; QI is
+    the k_anonymity one (segment, nation, 1000-unit balance band).
+    Per class: order count, distinct customers, distinct-l (the number
+    of distinct sensitive values) and the l < 3 violation flag.
+
+    Exactness: the balance band reuses k_anonymity's positive-shifted
+    floor-div.  Plan: one customer-side QI projection broadcast into
+    the orders scan, one QI-keyed agg with two count-distincts — output
+    bounded by |segments|·|nations|·|bands|, never by order volume."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.expr(
+            "(cast(round(c_acctbal * 100) as bigint) + 1000000) div 100000"
+        ).cast("long").alias("bal_band"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("sensitive"),
+    )
+    return (
+        orders.join(F.broadcast(cust), "custkey")
+        .groupBy("segment", "nationkey", "bal_band")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.count_distinct("custkey").cast("long").alias("n_customers"),
+            F.count_distinct("sensitive").cast("long").alias("l_distinct"),
+        )
+        .select(
+            "segment", "nationkey", "bal_band", "n_orders", "n_customers",
+            "l_distinct",
+            (F.col("l_distinct") < 3).alias("violates_l3"),
+        )
+    )

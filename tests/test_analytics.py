@@ -1136,3 +1136,36 @@ def test_acf_daily_fixed_shape_on_sparse_days(spark):
     assert out[1]["n_pairs"] == 2 and out[2]["n_pairs"] == 1
     for k in range(3, 8):
         assert out[k]["n_pairs"] == 0 and out[k]["acf_ppm"] is None
+
+
+def test_l_diversity_homogeneity_detection(spark):
+    from conftest import SF_SMALL
+
+    rows = analytics.q_l_diversity(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # distinct-l can never exceed the sensitive domain (5 TPC-H
+        # priorities) nor the class's own customer/order counts
+        assert 1 <= r["l_distinct"] <= 5
+        assert r["l_distinct"] <= r["n_orders"]
+        assert r["violates_l3"] == (r["l_distinct"] < 3)
+        assert r["n_customers"] <= r["n_orders"]
+    # cross-check one class against a pandas replay
+    import pandas as pd
+
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cust["bal_band"] = ((cust.c_acctbal * 100).round().astype("int64") + 1_000_000) // 100_000
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    g = j.groupby(["c_mktsegment", "c_nationkey", "bal_band"])
+    expect = {
+        (s, int(n), int(b)): (len(df), df.o_custkey.nunique(), df.o_orderpriority.nunique())
+        for (s, n, b), df in g
+    }
+    got = {
+        (r["segment"], r["nationkey"], r["bal_band"]): (
+            r["n_orders"], r["n_customers"], r["l_distinct"],
+        )
+        for r in rows
+    }
+    assert got == expect
