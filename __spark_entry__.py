@@ -171,6 +171,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bandit_policy_law": analytics.q_bandit_policy_law,
         # NEW-IN-ROUND-9 INSERTION POINT: add new entries HERE (keep the
         # total never-certified count <= 50 so the window covers them).
+        "dow_anomaly": analytics.q_dow_anomaly,
         "l_diversity": analytics.q_l_diversity,
         "robust_uplift": analytics.q_robust_uplift,
         "quantile_treatment_effect": analytics.q_quantile_treatment_effect,
@@ -1003,6 +1004,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mmr_rerank": _mmr_sql(20, 6),
         "dp_noisy_counts": _dlap_sql(),
+        "dow_anomaly": (
+            "WITH d AS (SELECT CAST(ts AS DATE) AS day, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT) "
+            "AS x FROM events GROUP BY 1), "
+            "d2 AS (SELECT day, x, CAST(isodow(day) AS BIGINT) AS dow FROM d), "
+            "m AS (SELECT dow, CAST(_v AS BIGINT) AS med FROM "
+            "(SELECT dow, x AS _v, row_number() OVER (PARTITION BY dow "
+            "ORDER BY x, day) AS rn, COUNT(*) OVER (PARTITION BY dow) AS nn "
+            "FROM d2) WHERE rn = (nn + 1) // 2), "
+            "dv AS (SELECT d2.day, d2.dow, d2.x, m.med, "
+            "CAST(ABS(d2.x - m.med) AS BIGINT) AS dev FROM d2 "
+            "JOIN m USING (dow)), "
+            "md AS (SELECT dow, CAST(_v AS BIGINT) AS mad FROM "
+            "(SELECT dow, dev AS _v, row_number() OVER (PARTITION BY dow "
+            "ORDER BY dev, day) AS rn, COUNT(*) OVER (PARTITION BY dow) AS nn "
+            "FROM dv) WHERE rn = (nn + 1) // 2) "
+            "SELECT dv.day, dv.dow, dv.x, dv.med, md.mad, dv.dev, "
+            "dv.dev > 3 * md.mad AS is_anomaly FROM dv JOIN md USING (dow)"
+        ),
         "l_diversity": (
             "WITH c AS (SELECT c_custkey AS custkey, c_mktsegment AS segment, "
             "CAST(c_nationkey AS BIGINT) AS nationkey, "

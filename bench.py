@@ -232,6 +232,7 @@ HEADLINE = [
     "robust_uplift",
     "quantile_treatment_effect",
     "l_diversity",
+    "dow_anomaly",
 ]
 
 

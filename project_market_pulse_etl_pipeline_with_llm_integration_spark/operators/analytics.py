@@ -2667,3 +2667,66 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_distinct") < 3).alias("violates_l3"),
         )
     )
+
+
+def dow_anomaly(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonal anomaly baseline: each calendar day's
+    revenue is judged against ITS OWN WEEKDAY's median ± 3·MAD — the
+    seasonality-aware alarm that a global threshold gets wrong twice
+    (every Saturday pages as a dip; a dead Tuesday hides inside the
+    weekly spread).  acf_daily DIAGNOSES the weekday effect; this is
+    the monitor built on that diagnosis.  cusum_changepoint (level
+    shifts) and rate_spikes (hourly Poisson bursts) are the family's
+    other two alarms.
+
+    Exactness: daily sums floor to whole units (the acf recipe);
+    median and MAD are ACTUAL data values rank-selected per weekday
+    (lower median at rank (n+1) div 2, ties by day), so the
+    |x − med| > 3·MAD flag is pure int64.  Weekday is ISO
+    (weekday()+1 here == isodow in the oracle: 1 = Monday).
+
+    Plan: one scan + one (day) agg, then two weekday-PARTITIONED rank
+    windows over the O(days) series frame and two broadcast joins of
+    the 7-row baselines — no global window, output O(days)."""
+    daily = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.expr("sum(cents) div 100").alias("x"))
+        .withColumn("dow", (F.weekday("day") + 1).cast("long"))
+        .localCheckpoint(eager=False)  # O(days); feeds both rank passes
+    )
+
+    def _lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = W.partitionBy("dow").orderBy(val, "day")
+        ranked = df.select(
+            "dow", F.col(val).alias("_v"),
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(W.partitionBy("dow")).alias("_nn"),
+        )
+        return (
+            ranked.filter(F.expr("_rn = (_nn + 1) div 2"))
+            .select("dow", F.col("_v").alias(out))
+        )
+
+    med = _lower_median(daily, "x", "med")
+    dev = (
+        daily.join(F.broadcast(med), "dow")
+        .withColumn("dev", F.abs(F.col("x") - F.col("med")))
+        .localCheckpoint(eager=False)  # O(days); feeds MAD rank + output
+    )
+    mad = _lower_median(dev, "dev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "dow")
+        .select(
+            "day", "dow", "x", "med", "mad",
+            F.col("dev").cast("long").alias("dev"),
+            (F.col("dev") > 3 * F.col("mad")).alias("is_anomaly"),
+        )
+    )
+
+
+def q_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dow_anomaly(read_events(spark, sf_dir))

@@ -1169,3 +1169,60 @@ def test_l_diversity_homogeneity_detection(spark):
         for r in rows
     }
     assert got == expect
+
+
+def test_dow_anomaly_python_replay(spark):
+    from collections import defaultdict
+
+    import pandas as pd
+    from conftest import SF_SMALL
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    daily = defaultdict(int)
+    for r in ev.itertuples():
+        daily[r.ts.date()] += int(round(r.value * 100))
+    series = {d: c // 100 for d, c in daily.items()}
+
+    def lower_median(pairs):
+        # pairs of (value, tiebreak-day); lower median at rank (n+1)//2
+        s = sorted(pairs)
+        return s[(len(s) + 1) // 2 - 1][0]
+
+    by_dow = defaultdict(list)
+    for d, x in series.items():
+        by_dow[d.isoweekday()].append((x, d))
+    med = {k: lower_median(v) for k, v in by_dow.items()}
+    mad = {
+        k: lower_median([(abs(x - med[k]), d) for x, d in v])
+        for k, v in by_dow.items()
+    }
+    out = {r["day"]: r for r in analytics.q_dow_anomaly(spark, SF_SMALL).collect()}
+    assert sorted(out) == sorted(series)
+    for d, x in series.items():
+        row = out[d]
+        k = d.isoweekday()
+        assert (row["dow"], row["x"]) == (k, x)
+        assert (row["med"], row["mad"]) == (med[k], mad[k])
+        assert row["dev"] == abs(x - med[k])
+        assert row["is_anomaly"] == (abs(x - med[k]) > 3 * mad[k])
+
+
+def test_dow_anomaly_flags_planted_spike(spark):
+    import tempfile
+
+    # four calm Mondays at 100, one at 100000: the spike must flag and
+    # the calm ones must not (their own weekday baseline absorbs them)
+    rows, eid = [], 0
+    for wk, amount in enumerate([100.0, 100.0, 100.0, 100.0, 100000.0]):
+        rows.append((eid, 1, "buy", amount, datetime(2024, 1, 1 + 7 * wk, 9, 0)))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = sorted(
+        analytics.q_dow_anomaly(spark, d).collect(), key=lambda r: r["day"]
+    )
+    assert [r["is_anomaly"] for r in out] == [False] * 4 + [True]
+    assert all(r["dow"] == 1 for r in out)  # 2024-01-01 is a Monday
