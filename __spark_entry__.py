@@ -171,6 +171,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bandit_policy_law": analytics.q_bandit_policy_law,
         # NEW-IN-ROUND-9 INSERTION POINT: add new entries HERE (keep the
         # total never-certified count <= 50 so the window covers them).
+        "funnel_arm_compare": analytics.q_funnel_arm_compare,
+        "growth_accounting": analytics.q_growth_accounting,
+        "ndr_retention": analytics.q_ndr_retention,
         "dow_anomaly": analytics.q_dow_anomaly,
         "l_diversity": analytics.q_l_diversity,
         "robust_uplift": analytics.q_robust_uplift,
@@ -1004,6 +1007,78 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mmr_rerank": _mmr_sql(20, 6),
         "dp_noisy_counts": _dlap_sql(),
+        "funnel_arm_compare": (
+            "WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+            "JOIN v ON v.user_id = e.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1), "
+            "p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+            "JOIN c ON c.user_id = e.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1), "
+            "s AS ("
+            "SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, "
+            "CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) "
+            "|| ':ab'), 1, 15))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS users_a, "
+            "CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) "
+            "|| ':ab'), 1, 15))::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS users_b FROM v "
+            "UNION ALL SELECT CAST(2 AS BIGINT), 'click', "
+            "CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) "
+            "|| ':ab'), 1, 15))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) "
+            "|| ':ab'), 1, 15))::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM c "
+            "UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', "
+            "CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) "
+            "|| ':ab'), 1, 15))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) "
+            "|| ':ab'), 1, 15))::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM p), "
+            "l AS (SELECT step, stage, COALESCE(users_a, 0) AS users_a, "
+            "COALESCE(users_b, 0) AS users_b, "
+            "lag(users_a) OVER (ORDER BY step) AS _pa, "
+            "lag(users_b) OVER (ORDER BY step) AS _pb FROM s) "
+            "SELECT step, stage, users_a, users_b, "
+            "CAST(CASE WHEN _pa > 0 THEN (1000000 * users_a) // _pa END "
+            "AS BIGINT) AS conv_a_ppm, "
+            "CAST(CASE WHEN _pb > 0 THEN (1000000 * users_b) // _pb END "
+            "AS BIGINT) AS conv_b_ppm, "
+            "CAST(CASE WHEN _pa > 0 AND _pb > 0 THEN (1000000 * users_b) "
+            "// _pb - (1000000 * users_a) // _pa END AS BIGINT) AS delta_ppm "
+            "FROM l"
+        ),
+        "growth_accounting": (
+            "WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) "
+            "AS wk, CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "uw AS (SELECT user_id, wk, CAST(SUM(cents) AS BIGINT) AS cents "
+            "FROM ev GROUP BY 1, 2), "
+            "f AS (SELECT user_id, MIN(wk) AS fw FROM uw GROUP BY 1) "
+            "SELECT wk, "
+            "CAST(SUM(CASE WHEN wk = fw THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS new_users, "
+            "CAST(SUM(CASE WHEN wk <> fw THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS ret_users, "
+            "CAST(SUM(CASE WHEN wk = fw THEN cents ELSE 0 END) AS BIGINT) "
+            "AS new_cents, "
+            "CAST(SUM(CASE WHEN wk <> fw THEN cents ELSE 0 END) AS BIGINT) "
+            "AS ret_cents FROM uw JOIN f USING (user_id) GROUP BY 1"
+        ),
+        "ndr_retention": (
+            "WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) "
+            "AS wk, CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "f AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY 1), "
+            "cells AS (SELECT cohort_week, CAST((wk - cohort_week) // 7 "
+            "AS BIGINT) AS week_offset, CAST(SUM(cents) AS BIGINT) AS cents "
+            "FROM ev JOIN f USING (user_id) GROUP BY 1, 2), "
+            "b AS (SELECT cohort_week, cents AS base_cents FROM cells "
+            "WHERE week_offset = 0) "
+            "SELECT c.cohort_week, c.week_offset, c.cents, "
+            "CAST(CASE WHEN b.base_cents > 0 THEN (1000000 * c.cents) "
+            "// b.base_cents END AS BIGINT) AS ndr_ppm "
+            "FROM cells c JOIN b USING (cohort_week)"
+        ),
         "dow_anomaly": (
             "WITH d AS (SELECT CAST(ts AS DATE) AS day, "
             "CAST(SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT) "

@@ -233,6 +233,10 @@ HEADLINE = [
     "quantile_treatment_effect",
     "l_diversity",
     "dow_anomaly",
+    # round 9 batch E: product-analytics readouts
+    "funnel_arm_compare",
+    "growth_accounting",
+    "ndr_retention",
 ]
 
 

@@ -2730,3 +2730,157 @@ def dow_anomaly(events: DataFrame) -> DataFrame:
 
 def q_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dow_anomaly(read_events(spark, sf_dir))
+
+
+def q_funnel_arm_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered view→click→purchase funnel SPLIT BY EXPERIMENT ARM —
+    where in the journey the treatment acts (ab_uplift_ci says "spend
+    moved"; this says "the click→purchase step moved, view→click
+    didn't").  Same ordered-stage semantics as q_funnel (each stage's
+    first qualifying timestamp must follow the previous stage's), same
+    md5 arms as the rest of the experiment family; per-stage conversion
+    ppm from the previous stage per arm, plus the arm delta.
+
+    Plan: three user-keyed conditional min-aggs (exchange-reused, the
+    q_funnel shape) with the arm riding each frame; the close is a
+    3-row pivot — O(1) output."""
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(step: int, name: str, users: DataFrame) -> DataFrame:
+        witharm = users.select("user_id", _arm_col())
+        return witharm.agg(
+            F.lit(step).cast("long").alias("step"),
+            F.lit(name).alias("stage"),
+            # coalesce: an empty stage reports 0 users, not NULL (the
+            # oracle's COALESCE mirrors this)
+            F.coalesce(
+                F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("users_a"),
+            F.coalesce(
+                F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("users_b"),
+        )
+
+    stages = (
+        stage(1, "view", v)
+        .unionByName(stage(2, "click", c))
+        .unionByName(stage(3, "purchase", p))
+    )
+    w = W.orderBy("step")  # 3-row frame: bounded by the funnel depth
+    return (
+        stages.select(
+            "step", "stage", "users_a", "users_b",
+            F.lag("users_a").over(w).alias("_pa"),
+            F.lag("users_b").over(w).alias("_pb"),
+        )
+        .select(
+            "step", "stage", "users_a", "users_b",
+            F.expr(
+                "CASE WHEN _pa > 0 THEN (1000000 * users_a) div _pa END"
+            ).cast("long").alias("conv_a_ppm"),
+            F.expr(
+                "CASE WHEN _pb > 0 THEN (1000000 * users_b) div _pb END"
+            ).cast("long").alias("conv_b_ppm"),
+            F.expr(
+                "CASE WHEN _pa > 0 AND _pb > 0 THEN "
+                "(1000000 * users_b) div _pb - (1000000 * users_a) div _pa END"
+            ).cast("long").alias("delta_ppm"),
+        )
+    )
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: each week's revenue and actives DECOMPOSED
+    into NEW users (first-ever event falls in this week) vs RETURNING —
+    the "is growth acquisition or retention" readout that a single
+    topline hides (flat revenue can be healthy retention or a leaky
+    bucket refilled by acquisition).  cohort_retention is the
+    user-count triangle; this is the week-by-week dollar decomposition.
+
+    Plan: one (user, week) agg + one (user) first-week agg (exchange
+    co-partitioned on user), one O(weeks) close — all exact cents."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    uw = ev.groupBy("user_id", "wk").agg(F.sum("cents").alias("cents"))
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    return (
+        uw.join(first, "user_id")
+        .withColumn("is_new", F.col("wk") == F.col("first_wk"))
+        .groupBy("wk")
+        .agg(
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+            .cast("long").alias("new_users"),
+            F.sum(F.when(~F.col("is_new"), 1).otherwise(0))
+            .cast("long").alias("ret_users"),
+            F.sum(F.when(F.col("is_new"), F.col("cents")).otherwise(0))
+            .cast("long").alias("new_cents"),
+            F.sum(F.when(~F.col("is_new"), F.col("cents")).otherwise(0))
+            .cast("long").alias("ret_cents"),
+        )
+    )
+
+
+def q_ndr_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net dollar retention triangle: per (cohort week, week offset),
+    the cohort's revenue that week as ppm of its FIRST-week revenue —
+    the dollar edition of cohort_retention's user triangle (the SaaS
+    "do cohorts expand or decay" readout; >1e6 ppm = expansion).
+
+    Exactness: all cents sums exact; ndr_ppm = (1e6·cents_k) div
+    cents_0 — int64-safe while a cohort-week's revenue < 9.2e12 cents.
+    Plan: one (user) first-week agg joined back (user-co-partitioned),
+    one (cohort, offset) agg, one broadcast join of the O(cohorts)
+    offset-0 base — output O(weeks²)."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    cells = (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("long").alias("week_offset"),
+            "cents",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("cents").alias("cents"))
+        .localCheckpoint(eager=False)  # O(weeks^2); feeds base + output
+    )
+    base = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("cents").alias("base_cents")
+    )
+    return (
+        cells.join(F.broadcast(base), "cohort_week")
+        .select(
+            "cohort_week", "week_offset",
+            F.col("cents").cast("long").alias("cents"),
+            F.expr(
+                "CASE WHEN base_cents > 0 THEN "
+                "(1000000 * cents) div base_cents END"
+            ).cast("long").alias("ndr_ppm"),
+        )
+    )

@@ -1226,3 +1226,76 @@ def test_dow_anomaly_flags_planted_spike(spark):
     )
     assert [r["is_anomaly"] for r in out] == [False] * 4 + [True]
     assert all(r["dow"] == 1 for r in out)  # 2024-01-01 is a Monday
+
+
+def test_funnel_arm_compare_consistency(spark):
+    from conftest import SF_SMALL
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        q_funnel,
+    )
+
+    rows = {r["step"]: r for r in analytics.q_funnel_arm_compare(spark, SF_SMALL).collect()}
+    plain = {r["step"]: r["users"] for r in q_funnel(spark, SF_SMALL).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    for step in (1, 2, 3):
+        r = rows[step]
+        # arm split partitions the plain funnel's stage population
+        assert r["users_a"] + r["users_b"] == plain[step]
+        if step > 1:
+            prev = rows[step - 1]
+            if prev["users_a"] > 0:
+                assert r["conv_a_ppm"] == (1_000_000 * r["users_a"]) // prev["users_a"]
+            if prev["users_a"] > 0 and prev["users_b"] > 0:
+                assert r["delta_ppm"] == r["conv_b_ppm"] - r["conv_a_ppm"]
+        else:
+            assert r["conv_a_ppm"] is None and r["delta_ppm"] is None
+        # funnel stages only shrink within each arm
+        if step > 1:
+            assert r["users_a"] <= rows[step - 1]["users_a"]
+            assert r["users_b"] <= rows[step - 1]["users_b"]
+
+
+def test_growth_accounting_laws(spark):
+    from collections import defaultdict
+
+    import pandas as pd
+    from conftest import SF_SMALL
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev["wk"] = ev.ts.dt.to_period("W").dt.start_time.dt.date
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    uw = ev.groupby(["user_id", "wk"]).cents.sum()
+    first = {u: min(w for (uu, w) in uw.index if uu == u) for u in ev.user_id.unique()}
+    expect = defaultdict(lambda: [0, 0, 0, 0])
+    for (u, w), c in uw.items():
+        i = 0 if w == first[u] else 1
+        expect[w][i] += 1
+        expect[w][2 + i] += int(c)
+    out = {r["wk"]: r for r in analytics.q_growth_accounting(spark, SF_SMALL).collect()}
+    assert sorted(out) == sorted(expect)
+    for w, (nu, ru, nc, rc) in expect.items():
+        r = out[w]
+        assert (r["new_users"], r["ret_users"]) == (nu, ru)
+        assert (r["new_cents"], r["ret_cents"]) == (nc, rc)
+    # first week is all-new; later weeks' new+returning partition actives
+    w0 = min(expect)
+    assert out[w0]["ret_users"] == 0
+
+
+def test_ndr_retention_laws(spark):
+    from conftest import SF_SMALL
+
+    rows = analytics.q_ndr_retention(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r["week_offset"] == 0:
+            # offset 0 is the base: exactly 1e6 ppm of itself
+            assert r["ndr_ppm"] == 1_000_000
+        assert r["week_offset"] >= 0
+    # total cents across the triangle equals the corpus total
+    total = sum(r["cents"] for r in rows)
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    assert total == int((ev.value * 100).round().astype("int64").sum())

@@ -96,6 +96,8 @@ NOPART_WINDOW_OK = {
     "quantile_treatment_effect": "bucket-offset carry bounded at 1024 "
                                  "range buckets by construction "
                                  "(_bucketed_prefix)",
+    "funnel_arm_compare": "3-row funnel-stage frame (bounded by funnel "
+                          "depth) for the previous-stage lag",
 }
 
 # Queries whose size(<expensive call>) Filter is an EXPLICIT semantic
