@@ -740,3 +740,115 @@ def test_qte_matches_python_on_random_frames(spark, users):
                 continue
             r = (pct * len(xs) + 99) // 100
             assert row[col] == xs[max(r, 1) - 1]
+
+
+events_frames = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),      # user
+        st.integers(min_value=0, max_value=27),     # day offset in Jan
+        st.integers(min_value=-200, max_value=800), # cents
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _events_df(spark, rows):
+    from datetime import datetime, timedelta
+
+    data = [
+        (
+            i,
+            int(u),
+            "buy",
+            c / 100.0,
+            datetime(2024, 1, 1, 12, 0) + timedelta(days=d),
+        )
+        for i, (u, d, c) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, event_type string, "
+        "value double, ts timestamp"
+    )
+
+
+@_slow
+@given(events_frames)
+def test_growth_accounting_matches_python_on_random_frames(spark, rows):
+    import tempfile
+    from collections import defaultdict
+    from datetime import date, timedelta
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        q_growth_accounting,
+    )
+
+    d = tempfile.mkdtemp()
+    _events_df(spark, rows).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    def week_of(day_offset):
+        day = date(2024, 1, 1) + timedelta(days=day_offset)
+        return day - timedelta(days=day.isoweekday() - 1)
+
+    uw = defaultdict(int)
+    for u, doff, c in rows:
+        uw[(u, week_of(doff))] += int(round((c / 100.0) * 100))
+    first = {}
+    for (u, w) in uw:
+        if u not in first or w < first[u]:
+            first[u] = w
+    expect = defaultdict(lambda: [0, 0, 0, 0])
+    for (u, w), c in uw.items():
+        i = 0 if w == first[u] else 1
+        expect[w][i] += 1
+        expect[w][2 + i] += c
+    out = {r["wk"]: r for r in q_growth_accounting(spark, d).collect()}
+    assert sorted(out) == sorted(expect)
+    for w, (nu, ru, nc, rc) in expect.items():
+        r = out[w]
+        assert (r["new_users"], r["ret_users"], r["new_cents"], r["ret_cents"]) == (
+            nu, ru, nc, rc,
+        )
+
+
+@_slow
+@given(events_frames)
+def test_dow_anomaly_matches_python_on_random_frames(spark, rows):
+    import tempfile
+    from collections import defaultdict
+    from datetime import date, timedelta
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        q_dow_anomaly,
+    )
+
+    d = tempfile.mkdtemp()
+    _events_df(spark, rows).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    daily = defaultdict(int)
+    for u, doff, c in rows:
+        daily[date(2024, 1, 1) + timedelta(days=doff)] += int(round((c / 100.0) * 100))
+    # engine floors daily sums to whole units with truncating div
+    series = {
+        dd: (cc // 100 if cc >= 0 else -((-cc) // 100))
+        for dd, cc in daily.items()
+    }
+    by_dow = defaultdict(list)
+    for dd, x in series.items():
+        by_dow[dd.isoweekday()].append((x, dd))
+
+    def lower_median(pairs):
+        s = sorted(pairs)
+        return s[(len(s) + 1) // 2 - 1][0]
+
+    med = {k: lower_median(v) for k, v in by_dow.items()}
+    mad = {
+        k: lower_median([(abs(x - med[k]), dd) for x, dd in v])
+        for k, v in by_dow.items()
+    }
+    out = {r["day"]: r for r in q_dow_anomaly(spark, d).collect()}
+    assert sorted(out) == sorted(series)
+    for dd, x in series.items():
+        r = out[dd]
+        k = dd.isoweekday()
+        assert (r["dow"], r["x"], r["med"], r["mad"]) == (k, x, med[k], mad[k])
+        assert r["is_anomaly"] == (abs(x - med[k]) > 3 * mad[k])
