@@ -1449,7 +1449,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1), "
             "t AS (SELECT CAST(SUM(supply) AS BIGINT) AS total_supply, "
             "CAST(COUNT(*) AS BIGINT) AS n_src FROM s), "
-            "t2 AS (SELECT n_src, (total_supply * 400000) // 1000000 AS budget "
+            "t2 AS (SELECT n_src, (total_supply // 1000000) * 400000 "
+            "+ ((total_supply % 1000000) * 400000) // 1000000 AS budget "
             "FROM t), "
             "r AS (SELECT source, supply, budget, n_src, "
             "CAST(row_number() OVER (ORDER BY supply, source) AS BIGINT) AS rk, "

@@ -1495,12 +1495,15 @@ def q_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sdiv(a: str, b: str) -> str:
-    """SQL text for signed floor-div-toward-zero, valid in BOTH Spark
-    SQL and DuckDB after s/ div / \\/\\/ /: both engines evaluate the
-    negative branch as a negated positive-operand floor division, so
-    the truncation semantics are identical by construction (Spark's
-    `div` truncates, DuckDB's `//` floors — they disagree ONLY on
-    negative operands, which this CASE never feeds them)."""
+    """SQL text for signed division-toward-zero, valid in BOTH Spark
+    SQL and DuckDB after s/ div / \\/\\/ /.  MEASURED semantics (pinned
+    at the driver by ``division_semantics_law``): Spark's ``div`` AND
+    DuckDB 1.0's ``//`` both TRUNCATE toward zero on negative operands
+    ((-7) div 2 = (-7)//2 = -3), so the engines already agree.  The
+    CASE that routes negatives through a negated positive-operand
+    division is belt-and-suspenders — it pins the semantics by
+    construction so a future engine version that switches to flooring
+    cannot silently change certified outputs."""
     return f"(CASE WHEN {a} >= 0 THEN ({a}) div ({b}) ELSE -((-({a})) div ({b})) END)"
 
 
@@ -1881,7 +1884,18 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     document neighbors), clamped at zero.  The privacy-preserving
     twin of k_anonymity: that operator AUDITS re-identification risk
     before a release, this one PRODUCES the release (the true counts
-    never appear in the output).
+    never appear verbatim in the output).
+
+    SECURITY CAVEAT — certification noise, not deployable privacy: the
+    shipped ``dlap_noise`` is a DETERMINISTIC function of the public
+    cell key (md5(source|lang:dp)), so anyone can recompute the noise
+    and subtract it; as shipped this release provides ZERO actual
+    differential privacy.  Hash-seeded noise exists so the release is
+    rerun/cluster/oracle-stable for pipeline certification.  A real DP
+    deployment MUST swap the hash uniform for calibrated secure
+    randomness via the documented one-line seam in ``dlap_noise``
+    (same pattern as enrich.set_transport); the ε/sensitivity math and
+    everything downstream then apply unchanged.
 
     Plan: one (source, lang) hash agg with map-side combine, then a
     per-cell hash + CASE chain — output bounded by |sources|·|langs|
@@ -2643,9 +2657,13 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     of distinct sensitive values) and the l < 3 violation flag.
 
     Exactness: the balance band reuses k_anonymity's positive-shifted
-    floor-div.  Plan: one customer-side QI projection broadcast into
-    the orders scan, one QI-keyed agg with two count-distincts — output
-    bounded by |segments|·|nations|·|bands|, never by order volume."""
+    floor-div.  Plan: one customer-side QI projection joined into the
+    orders scan (no forced broadcast — the QI frame is one row PER
+    CUSTOMER, so an explicit hint would bypass the size threshold and
+    risk executor OOM at large SF; AQE broadcasts it when it actually
+    fits and falls back to a shuffle join when it doesn't), one
+    QI-keyed agg with two count-distincts — output bounded by
+    |segments|·|nations|·|bands|, never by order volume."""
     cust = customer_qi(
         spark.read.parquet(f"{sf_dir}/customer.parquet"), keep_key=True
     )
@@ -2654,7 +2672,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("sensitive"),
     )
     return (
-        orders.join(F.broadcast(cust), "custkey")
+        orders.join(cust, "custkey")
         .groupBy("segment", "nationkey", "bal_band")
         .agg(
             F.count("*").cast("long").alias("n_orders"),

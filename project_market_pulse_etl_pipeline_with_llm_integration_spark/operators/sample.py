@@ -643,7 +643,14 @@ def mixture_waterfill(
         F.count("*").cast("long").alias("n_src"),
     ).select(
         "total_supply", "n_src",
-        F.expr(f"(total_supply * {budget_ratio_ppm}) div 1000000").alias("budget"),
+        # Two-step rational floor: never form total_supply * ppm directly —
+        # it wraps int64 silently in Spark once total tokens exceed ~9.2e12
+        # (the 100 TB regime), while DuckDB HUGEINT would raise.  Exact for
+        # total_supply >= 0: floor(t*p/1e6) = (t div 1e6)*p + ((t%1e6)*p) div 1e6.
+        F.expr(
+            f"(total_supply div 1000000) * {budget_ratio_ppm} "
+            f"+ ((total_supply % 1000000) * {budget_ratio_ppm}) div 1000000"
+        ).alias("budget"),
     )
     w = W.orderBy("supply", "source")  # |sources| rows — bounded window
     ranked = (
