@@ -169,8 +169,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_weight_law": analytics.q_poisson_weight_law,
         "boot_rep_sums_law": analytics.q_boot_rep_sums_law,
         "bandit_policy_law": analytics.q_bandit_policy_law,
-        # NEW-IN-ROUND-9 INSERTION POINT: add new entries HERE (keep the
-        # total never-certified count <= 50 so the window covers them).
+        # NEW-IN-ROUND-10 INSERTION POINT: add new entries HERE (keep
+        # the total never-certified count <= 50 so the window covers
+        # them).  R10 additions: the BPE inference half (encode +
+        # decode-roundtrip law) and rfm_segments re-certifying after the
+        # ranked method became the default path.
+        "bpe_encode": text.q_bpe_encode,
+        "bpe_roundtrip_law": text.q_bpe_roundtrip_law,
+        "rfm_segments": market.q_rfm_segments,
+        # ROUND-9 window below (all driver-green in CORRECTNESS_r09)
         "funnel_arm_compare": analytics.q_funnel_arm_compare,
         "growth_accounting": analytics.q_growth_accounting,
         "ndr_retention": analytics.q_ndr_retention,
@@ -238,7 +245,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- certified fillers (green rows in CORRECTNESS_r07) ----
         "latency_percentiles": analytics.q_latency_percentiles,
         "item_similarity": market.q_item_similarity,
-        "rfm_segments": market.q_rfm_segments,
+        # rfm_segments moved to the r10 window top (ranked-default
+        # re-certification)
         "kwic": text.q_kwic,
         "pyds_scan": R.q_pyds_scan,
         "variant_extract": R.q_variant_extract,
@@ -536,6 +544,57 @@ def _bpe_sql(n_merges: int = 3) -> str:
     oracle pattern: iterative Spark state, fixed-round SQL twin).  Each
     round mirrors text.bpe_train_merges exactly: lead-paired counts,
     (cnt desc, a, b) winner, gaps-and-islands even-offset merge."""
+    parts = _bpe_parts(n_merges)
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, a AS left_sym, "
+        f"b AS right_sym, CAST(cnt AS BIGINT) AS pair_weight FROM win{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + finals
+
+
+def _bpe_encode_sql(n_merges: int = 3) -> str:
+    """Oracle for q_bpe_encode: the train rounds' FINAL state s{n} IS
+    the corpus encoded under its own learned rules (text.bpe_apply_
+    merges replays the rules to the same state — pinned by pytest), so
+    the encode profile is a type-level symbol count joined back to the
+    per-doc token stream."""
+    parts = _bpe_parts(n_merges) + [
+        f"enc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms "
+        f"FROM s{n_merges} GROUP BY 1)",
+        f"dw AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents "
+        "WHERE trim(text) <> '')",
+    ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(length(word)) AS BIGINT) AS n_chars, "
+        "CAST(SUM(n_syms) AS BIGINT) AS n_symbols "
+        "FROM dw JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"
+    )
+
+
+def _bpe_roundtrip_sql(n_merges: int = 3) -> str:
+    """Oracle for q_bpe_roundtrip_law: reassemble every word type from
+    its final symbols in position order and count decode mismatches."""
+    parts = _bpe_parts(n_merges) + [
+        "dec AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms, "
+        "string_agg(sym, '' ORDER BY pos) AS decoded "
+        f"FROM s{n_merges} GROUP BY word)",
+    ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(n_syms) AS BIGINT) AS n_syms_total, "
+        "CAST(SUM(length(word)) AS BIGINT) AS n_chars_total, "
+        "CAST(SUM(CASE WHEN decoded <> word THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_decode_mismatch FROM dec"
+    )
+
+
+def _bpe_parts(n_merges: int = 3) -> list[str]:
+    """Shared WITH-clause round parts for the BPE oracles; s{r} is the
+    word-type symbol state after r merge rounds."""
     parts = [
         "w AS (SELECT word, COUNT(*) AS freq FROM "
         f"(SELECT unnest({_TOKS}) AS word FROM documents "
@@ -568,12 +627,7 @@ def _bpe_sql(n_merges: int = 3) -> str:
             "CASE WHEN mflag THEN sym || nxt ELSE sym END AS sym "
             f"FROM k{r} WHERE NOT consumed)",
         ]
-    finals = " UNION ALL ".join(
-        f"SELECT CAST({r} AS BIGINT) AS merge_round, a AS left_sym, "
-        f"b AS right_sym, CAST(cnt AS BIGINT) AS pair_weight FROM win{r}"
-        for r in range(1, n_merges + 1)
-    )
-    return "WITH " + ", ".join(parts) + " " + finals
+    return parts
 
 
 def _bradley_terry_sql(rounds: int = 5) -> str:
@@ -3763,6 +3817,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # 3 unrolled BPE training rounds (the pagerank oracle pattern)
         "bpe_train": _bpe_sql(3),
+        "bpe_encode": _bpe_encode_sql(3),
+        "bpe_roundtrip_law": _bpe_roundtrip_sql(3),
         # content-keyed 90/5/5 split: u = first-15-hex of md5(norm) mod 1e6
         # tail-gram = head-gram equi-join IS the predicate (no verify
         # pass); docs under k tokens excluded on both sides

@@ -237,6 +237,8 @@ HEADLINE = [
     "funnel_arm_compare",
     "growth_accounting",
     "ndr_retention",
+    # round 10: BPE inference half (train + apply + per-doc profile)
+    "bpe_encode",
 ]
 
 
@@ -265,7 +267,43 @@ def _select_queries() -> list[str]:
     return names
 
 
+# Iterative/graph + checkpoint-heavy queries whose wall time proved the
+# most position-sensitive in the r9 driver window (six >2x movers on
+# byte-identical plans — VERDICT r9 #2): measured min-of-5 so one GC
+# pause or JIT recompile can't own the recorded number.
+HEAVY_TIER = {
+    "pagerank",
+    "triangle_count",
+    "shortest_hops",
+    "label_propagation",
+    "kcore_peel",
+    "mad_outliers",
+    "bpe_pair_counts",
+    "rolling_features",
+    "conformal_interval",
+    "semantic_decontaminate",
+}
+
+# Fixed JIT-warming pre-pass: one untimed execution of a plan from each
+# major physical family (scan+hash agg, SMJ shuffle join, global window,
+# array-intrinsic dedup, iterative checkpoint loop, mapInPandas UDF) so
+# the codegen compiler and C2 see every hot path before the first timed
+# rep — without it, the first queries in list order pay shared-infra
+# warmup that later queries never see, skewing cross-position
+# comparisons.
+WARM_PASS = [
+    "tpch_q1",
+    "tpch_q3",
+    "window_rank",
+    "dedup_minhash",
+    "pagerank",
+    "enrich_offline",
+]
+
+
 def main() -> int:
+    import gc
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="market-pulse-bench")
@@ -276,6 +314,21 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
+    for name in WARM_PASS:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def _drain_blocks() -> None:
+        # The ContextCleaner only unpersists dropped localCheckpoint /
+        # broadcast blocks after a JVM GC proves them unreachable, and
+        # its fallback periodic GC fires every 30 min — never inside
+        # one bench run.  Left alone, every query's checkpoint blocks
+        # accumulate in the block manager for the whole run and the
+        # resulting heap pressure lands on whichever queries run LATE
+        # in list order (the r9 positional movers).  Python GC first so
+        # py4j releases the JVM-side refs, then one explicit full GC
+        # between queries — never during a timed rep.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     # min-of-3 per query: the first run pays page-cache/JIT/codegen
     # warmup and this host's large scheduling noise (observed 2-10x
@@ -286,14 +339,15 @@ def main() -> int:
         fn = queries[name]
         best = float("inf")
         # array-intrinsic-heavy dedup plans need ~4 executions before C2
-        # reaches steady state (SCALE.md round-3 notes); everything else
-        # is stable by run 2
-        reps = 5 if name.startswith("dedup_") else 3
+        # reaches steady state (SCALE.md round-3 notes); the HEAVY_TIER
+        # movers get 5 reps too; everything else is stable by run 2
+        reps = 5 if (name.startswith("dedup_") or name in HEAVY_TIER) else 3
         for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        _drain_blocks()
 
     total = round(sum(times.values()), 3)
     detail = {

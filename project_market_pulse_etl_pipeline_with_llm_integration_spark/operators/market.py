@@ -260,16 +260,18 @@ def _ntile_from_rank(rn: F.Column, n: int, k: int) -> F.Column:
     ).otherwise(F.lit(r) + _idiv(rn - F.lit(boundary) - 1, q) + 1)
 
 
-def rfm_scores(per_cust: DataFrame, method: str = "window") -> DataFrame:
+def rfm_scores(per_cust: DataFrame, method: str = "ranked") -> DataFrame:
     """Quartile scores for the three RFM metrics under pinned total
     orders (metric DESC, o_custkey ASC).  Two physical strategies with
     identical output (pinned by test — the ``dense_id`` multi-method
     precedent):
 
-    * ``"window"`` (default) — three global ``ntile(4)`` windows over
-      the post-aggregate one-row-per-customer frame.  Serial, fine for
-      dim-sized customer tables; this is the in-gate path.
-    * ``"ranked"`` — the 100 TB path: per metric, a global 1-based rank
+    * ``"window"`` — three global ``ntile(4)`` windows over the
+      post-aggregate one-row-per-customer frame.  Serial (one task
+      sorts |customers| rows three times); kept as the test-pinned
+      equivalence oracle for the ranked path.
+    * ``"ranked"`` (default) — the 100 TB path: per metric, a global
+      1-based rank
       via the range-partitioned dense-id machinery
       (``ids.with_dense_id`` method="boundaries": driver-embedded
       quantile boundaries, fully parallel shuffles, no full-table
@@ -323,19 +325,20 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts/dates are exact; spend accumulates in DECIMAL
     (money_sum); every ntile orders by (metric, customer id) — a total
     order, so quartile boundaries are engine-stable (the quantile_bins
-    argument).  One shuffle for the per-customer agg; the three ntiles
-    run over the already-aggregated customer table (rows = customers,
-    not orders).  The serial global windows here are the in-gate form;
-    ``rfm_scores(method="ranked")`` is the proven 100 TB alternative
-    (range-partitioned rank + ntile arithmetic, output pinned identical
-    by test)."""
+    argument).  One shuffle for the per-customer agg; scoring runs the
+    DEFAULT ``"ranked"`` method — range-partitioned rank (dense-id
+    boundaries machinery, no single-task global sort) + ntile recovered
+    as pure (rank, n) arithmetic — so the scale-safe path is the one
+    the registry certifies.  ``rfm_scores(method="window")`` is the
+    serial ntile twin, pinned output-identical by test (the dense_id
+    multi-method precedent)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         money_sum(F.col("o_totalprice")).alias("monetary"),
     )
-    scored = rfm_scores(per_cust, method="window")
+    scored = rfm_scores(per_cust, method="ranked")
     return scored.select(
         "o_custkey",
         "last_order",

@@ -1374,29 +1374,8 @@ def bpe_train_merges(
     discipline as pagerank's fixed-point loop.  At 100 TB the word
     table is the TYPE vocabulary (millions of rows, not billions), so
     every round is cheap regardless of corpus size."""
-    words = (
-        df.filter(F.trim(F.col(text_col)) != "")
-        .select(F.explode(tokens(text_col)).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
+    state = bpe_word_state(df, text_col).localCheckpoint(eager=False)
     w_word = Window.partitionBy("word").orderBy("pos")
-    # split("", regex) can emit an empty trailing element; filter it and
-    # re-rank so positions are DENSE — the consumed/lag logic below
-    # relies on pos p-1 being the physically previous symbol
-    state = (
-        words.select(
-            "word",
-            "freq",
-            F.posexplode(F.split("word", "")).alias("pos", "sym"),
-        )
-        .filter(F.col("sym") != "")
-        .select(
-            "word", "freq", (F.row_number().over(w_word) - 1).alias("pos"), "sym"
-        )
-    )
-    state = state.localCheckpoint(eager=False)
     learned = []
     for rnd in range(1, n_merges + 1):
         paired = state.withColumn("nxt", F.lead("sym").over(w_word))
@@ -1423,42 +1402,179 @@ def bpe_train_merges(
                 F.col("win_cnt").cast("long").alias("pair_weight"),
             )
         )
-        # gaps-and-islands run id over equal symbols; even offsets merge
-        run_w = Window.partitionBy("word", "sym").orderBy("pos")
-        st = (
-            paired.crossJoin(F.broadcast(winner))
-            .withColumn("rg", F.col("pos") - F.row_number().over(run_w))
-            .withColumn(
-                "off",
-                F.col("pos")
-                - F.min("pos").over(Window.partitionBy("word", "sym", "rg")),
-            )
-            .withColumn(
-                "mflag",
-                (F.col("sym") == F.col("win_a"))
-                & (F.col("nxt") == F.col("win_b"))
-                & (
-                    (F.col("win_a") != F.col("win_b"))
-                    | (F.col("off") % 2 == 0)
-                ),
-            )
-            .withColumn("consumed", F.coalesce(F.lag("mflag").over(w_word), F.lit(False)))
-            .filter(~F.col("consumed"))
-            .select(
-                "word",
-                "freq",
-                (F.row_number().over(w_word) - 1).alias("pos"),
-                F.when(
-                    F.col("mflag"), F.concat(F.col("sym"), F.col("nxt"))
-                ).otherwise(F.col("sym")).alias("sym"),
-            )
-        )
-        state = st.localCheckpoint(eager=False)
+        state = _bpe_rewrite(paired, winner).localCheckpoint(eager=False)
 
     out = learned[0]
     for extra in learned[1:]:
         out = out.unionAll(extra)
     return out
+
+
+def bpe_word_state(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-word-TYPE symbol state (word, freq, pos, sym) — the shared
+    starting relation of BPE training and BPE encoding.  |distinct
+    words| x avg word length rows, independent of corpus row count."""
+    words = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w_word = Window.partitionBy("word").orderBy("pos")
+    # split("", regex) can emit an empty trailing element; filter it and
+    # re-rank so positions are DENSE — the consumed/lag logic in
+    # _bpe_rewrite relies on pos p-1 being the physically previous symbol
+    return (
+        words.select(
+            "word",
+            "freq",
+            F.posexplode(F.split("word", "")).alias("pos", "sym"),
+        )
+        .filter(F.col("sym") != "")
+        .select(
+            "word", "freq", (F.row_number().over(w_word) - 1).alias("pos"), "sym"
+        )
+    )
+
+
+def _bpe_rewrite(paired: DataFrame, winner: DataFrame) -> DataFrame:
+    """One left-to-right greedy merge rewrite of the (word, freq, pos,
+    sym, nxt) state against a 1-row winner (win_a, win_b) relation —
+    the shared core of training (winner = this round's argmax pair) and
+    encoding (winner = the shipped merge rule for this round).
+
+    Equal-symbol runs merge at even offsets only ("aaaa" -> "aa aa",
+    never "a aa a") via a gaps-and-islands run id — exact left-to-right
+    BPE semantics with no sequential fold."""
+    w_word = Window.partitionBy("word").orderBy("pos")
+    run_w = Window.partitionBy("word", "sym").orderBy("pos")
+    return (
+        paired.crossJoin(F.broadcast(winner.select("win_a", "win_b")))
+        .withColumn("rg", F.col("pos") - F.row_number().over(run_w))
+        .withColumn(
+            "off",
+            F.col("pos")
+            - F.min("pos").over(Window.partitionBy("word", "sym", "rg")),
+        )
+        .withColumn(
+            "mflag",
+            (F.col("sym") == F.col("win_a"))
+            & (F.col("nxt") == F.col("win_b"))
+            & (
+                (F.col("win_a") != F.col("win_b"))
+                | (F.col("off") % 2 == 0)
+            ),
+        )
+        .withColumn("consumed", F.coalesce(F.lag("mflag").over(w_word), F.lit(False)))
+        .filter(~F.col("consumed"))
+        .select(
+            "word",
+            "freq",
+            (F.row_number().over(w_word) - 1).alias("pos"),
+            F.when(
+                F.col("mflag"), F.concat(F.col("sym"), F.col("nxt"))
+            ).otherwise(F.col("sym")).alias("sym"),
+        )
+    )
+
+
+def bpe_apply_merges(
+    state: DataFrame, merges: DataFrame, n_merges: int = 3
+) -> DataFrame:
+    """BPE ENCODING: apply a FIXED, ordered merge table (the artifact
+    ``bpe_train_merges`` ships — columns merge_round, left_sym,
+    right_sym) to a symbol state, rule by rule in rank order — the
+    inference-time half of the tokenizer that training alone never
+    exercises.  Applying rules learned on the same corpus reproduces
+    the trainer's final state exactly (pinned by test); on UNSEEN text
+    the rules apply wherever their pair occurs, the real encode
+    semantics.
+
+    Plan shape per round: the rule is a broadcast 1-row relation
+    (filter merge_round = r on the checkpointed merge table — never a
+    driver collect), then the shared gaps-and-islands rewrite: one
+    word-keyed window pass.  State stays |word types| x symbols;
+    ``localCheckpoint`` (lazy) pins each round, the bpe_train_merges /
+    pagerank fixed-loop discipline."""
+    merges = merges.localCheckpoint(eager=False)  # rules re-read per round
+    w_word = Window.partitionBy("word").orderBy("pos")
+    st = state
+    for rnd in range(1, n_merges + 1):
+        rule = merges.filter(F.col("merge_round") == rnd).select(
+            F.col("left_sym").alias("win_a"), F.col("right_sym").alias("win_b")
+        )
+        paired = st.withColumn("nxt", F.lead("sym").over(w_word))
+        st = _bpe_rewrite(paired, rule).localCheckpoint(eager=False)
+    return st
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE encoding profile: learn the corpus's first 3
+    merges (``bpe_train_merges``), ENCODE every document by applying
+    that merge table (``bpe_apply_merges``), and report exact per-doc
+    (n_tokens, n_chars, n_symbols) — symbol count strictly between
+    n_tokens (full merge) and n_chars (no merge applies), the
+    compression readout a tokenizer team tracks per corpus slice.
+
+    Encoding happens at the word-TYPE level (a word's encoding depends
+    only on the word), then joins back to the per-doc token stream —
+    so the expensive rewrite runs over the vocabulary, never the
+    corpus, and the join key is the word string.  All longs; the
+    oracle unrolls the same 3 train rounds + the type-level symbol
+    count in SQL (the bpe_train twin extended to its final state)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train_merges(docs, n_merges=3)
+    encoded = bpe_apply_merges(bpe_word_state(docs), merges, n_merges=3)
+    per_word = encoded.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_syms")
+    )
+    doc_words = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        doc_words.join(per_word, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_symbols"),
+        )
+    )
+
+
+def q_bpe_roundtrip_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer DECODE law for the BPE path, one row: encode every
+    word type with the learned merge table, reassemble each word by
+    concatenating its symbols in position order, and prove the decode
+    equals the original word for ALL types (n_decode_mismatch = 0) —
+    the lossless-encode contract (``vocab_roundtrip`` precedent) that
+    certifies the consumed/lag rewrite never drops, duplicates or
+    reorders a symbol.  Also pins the aggregate merge effect:
+    n_syms_total strictly below total chars once any rule fired."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train_merges(docs, n_merges=3)
+    encoded = bpe_apply_merges(bpe_word_state(docs), merges, n_merges=3)
+    per_word = encoded.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_syms"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda s: s["sym"],
+            ),
+            "",
+        ).alias("decoded"),
+    )
+    return per_word.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_syms").cast("long").alias("n_syms_total"),
+        F.sum(F.length("word")).cast("long").alias("n_chars_total"),
+        F.sum(
+            F.when(F.col("decoded") != F.col("word"), 1).otherwise(0)
+        ).cast("long").alias("n_decode_mismatch"),
+    )
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import text
 
 
@@ -1130,3 +1132,112 @@ def test_float_boundary_audit_margins():
     assert worst > fba.MARGIN_ULPS
     kn_worst, _, n_terms = fba.audit_perplexity_kn("/root/testdata/sf0.001")
     assert n_terms > 0 and kn_worst > fba.MARGIN_ULPS
+
+
+def test_bpe_apply_reproduces_train_final_state(spark):
+    """Encoding the corpus with its own learned merge table reproduces
+    the trainer's final symbol state exactly (the train->encode
+    consistency law), checked against the sequential greedy reference
+    on sf0.001."""
+    import collections
+    import re as _re
+
+    from conftest import SF_SMALL
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_train_merges,
+        bpe_word_state,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    merges = bpe_train_merges(docs, n_merges=3)
+    encoded = bpe_apply_merges(bpe_word_state(docs), merges, n_merges=3)
+    got = {
+        r.word: r.syms
+        for r in encoded.groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda s: s["sym"],
+            ).alias("syms")
+        )
+        .collect()
+    }
+
+    freq = collections.Counter()
+    for r in docs.select("text").collect():
+        t = (r.text or "").strip()
+        if not t:
+            continue
+        for w in _re.split(r"\s+", t):
+            if w:
+                freq[w] += 1
+    state = {w: list(w) for w in freq}
+    for _ in range(3):
+        cnt = collections.Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += freq[w]
+        (a, b), _c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    assert got == {w: syms for w, syms in state.items()}
+
+
+def test_bpe_apply_fixed_rules_on_unseen_text(spark):
+    """The encode half applies a SHIPPED merge table to text the rules
+    were never trained on — including the even-offset run semantics
+    ('aaaaa' under (a,a) then (aa,aa) -> ['aaaa', 'a'])."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_word_state,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaa baab")], "doc_id long, text string"
+    )
+    merges = spark.createDataFrame(
+        [(1, "a", "a", 0), (2, "aa", "aa", 0), (3, "b", "aa", 0)],
+        "merge_round long, left_sym string, right_sym string, "
+        "pair_weight long",
+    )
+    got = {
+        r.word: r.syms
+        for r in bpe_apply_merges(bpe_word_state(docs), merges, n_merges=3)
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda s: s["sym"],
+            ).alias("syms")
+        )
+        .collect()
+    }
+    # aaaaa: r1 even offsets -> [aa, aa, a]; r2 -> [aaaa, a]; r3 no-op
+    # baab:  r1 -> [b, aa, b]; r2 no-op; r3 (b,aa) -> [baa, b]
+    assert got == {"aaaaa": ["aaaa", "a"], "baab": ["baa", "b"]}
+
+
+def test_bpe_encode_and_roundtrip_law(spark):
+    """q_bpe_encode bounds (n_tokens <= n_symbols <= n_chars per doc,
+    with real compression somewhere) and the decode law (zero
+    reassembly mismatches) on sf0.001."""
+    from conftest import SF_SMALL
+
+    rows = text.q_bpe_encode(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r.n_tokens <= r.n_symbols <= r.n_chars for r in rows)
+    assert any(r.n_symbols < r.n_chars for r in rows)
+
+    law = text.q_bpe_roundtrip_law(spark, SF_SMALL).collect()[0]
+    assert law.n_decode_mismatch == 0
+    assert law.n_words > 0
+    assert law.n_syms_total < law.n_chars_total

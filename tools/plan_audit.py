@@ -78,8 +78,6 @@ NOPART_WINDOW_OK = {
     "vocab_encode": "vocab capped at 200 rows by contract",
     "vocab_roundtrip": "vocab capped at 200 rows by contract",
     "skyline_pareto": "phase-2 input = partition-local frontier survivors",
-    "rfm_segments": "post-agg |customers| frame; ranked method proven "
-                    "identical by test is the 100 TB path",
     "ab_uplift_ci": "replicate-uplift frame bounded by B = 32 rows",
     "mixture_waterfill": "post-agg per-source supply frame — O(|sources|) "
                          "rows (tens), the water-level cut windows",
