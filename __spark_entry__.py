@@ -177,6 +177,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": text.q_bpe_encode,
         "bpe_roundtrip_law": text.q_bpe_roundtrip_law,
         "rfm_segments": market.q_rfm_segments,
+        "overdispersion_check": analytics.q_overdispersion_check,
+        "precedence_mining": analytics.q_precedence_mining,
+        "user_feature_matrix": analytics.q_user_feature_matrix,
+        "degree_distribution": graph.q_degree_distribution,
         # ROUND-9 window below (all driver-green in CORRECTNESS_r09)
         "funnel_arm_compare": analytics.q_funnel_arm_compare,
         "growth_accounting": analytics.q_growth_accounting,
@@ -3819,6 +3823,65 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_sql(3),
         "bpe_encode": _bpe_encode_sql(3),
         "bpe_roundtrip_law": _bpe_roundtrip_sql(3),
+        # ---- round-10 additions ----
+        "overdispersion_check": (
+            "WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+            "st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, "
+            "CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS sq "
+            "FROM d GROUP BY 1), "
+            "x AS (SELECT event_type, n_days, s, "
+            "CAST(CASE WHEN s > 0 THEN "
+            "(((n_days * sq - s * s) * 1000) // (n_days * s)) * 1000 + "
+            "(((n_days * sq - s * s) * 1000) % (n_days * s)) * 1000 "
+            "// (n_days * s) END AS BIGINT) AS disp FROM st) "
+            "SELECT event_type, n_days, s AS n_events, "
+            "CAST((1000 * s) // n_days AS BIGINT) AS mean_milli, "
+            "disp AS dispersion_ppm, disp > 2000000 AS overdispersed "
+            "FROM x"
+        ),
+        "precedence_mining": (
+            "WITH f AS (SELECT user_id, event_type, MIN(ts) AS first_ts "
+            "FROM events GROUP BY 1, 2), "
+            "p AS (SELECT a.event_type AS ante, b.event_type AS cons, "
+            "CAST(COUNT(*) AS BIGINT) AS n_both, "
+            "CAST(SUM(CASE WHEN a.first_ts < b.first_ts THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_ante_first "
+            "FROM f a JOIN f b ON a.user_id = b.user_id "
+            "AND a.event_type <> b.event_type GROUP BY 1, 2) "
+            "SELECT ante, cons, n_both, n_ante_first, "
+            "CAST((1000000 * n_ante_first) // n_both AS BIGINT) AS prec_ppm "
+            "FROM p"
+        ),
+        "user_feature_matrix": (
+            "SELECT user_id, "
+            + ", ".join(
+                "CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+                "AS BIGINT) AS n_{t}".format(t=t)
+                for t in analytics.FEATURE_EVENT_TYPES
+            )
+            + ", CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN "
+            "CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) "
+            "AS purchase_cents, "
+            "CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) "
+            "AS n_active_days FROM events GROUP BY user_id"
+        ),
+        "degree_distribution": (
+            "WITH rel AS (SELECT DISTINCT o.o_custkey AS cust, "
+            "-l.l_suppkey AS supp FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey), "
+            "e AS (SELECT cust AS src FROM rel "
+            "UNION ALL SELECT supp FROM rel), "
+            "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg "
+            "FROM e GROUP BY 1), "
+            "h AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+            "FROM deg GROUP BY 1), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM deg) "
+            "SELECT deg AS degree, n_nodes, "
+            "CAST((1000000 * n_nodes) // n_total AS BIGINT) AS share_ppm "
+            "FROM h CROSS JOIN t"
+        ),
         # content-keyed 90/5/5 split: u = first-15-hex of md5(norm) mod 1e6
         # tail-gram = head-gram equi-join IS the predicate (no verify
         # pass); docs under k tokens excluded on both sides

@@ -2902,3 +2902,136 @@ def q_ndr_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("ndr_ppm"),
         )
     )
+
+
+def q_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion audit of the per-type daily event counts:
+    the variance-to-mean ratio (index of dispersion) per event_type,
+    with the >2x flag — the check that decides whether rate_spikes'
+    Poisson burst thresholds are even applicable (bursty/clumped
+    arrivals have D >> 1 and need a negative-binomial model; a D near 1
+    validates the Poisson assumption).
+
+    Exactness: population variance over daily counts c_1..c_n never
+    forms a float — D·1e6 = 1e6·(n·Σc² − S²) / (n·S) with S = Σc, the
+    numerator nonnegative by Cauchy-Schwarz, floored via the signed
+    two-step rational form (``_ppm2``), so the hashed ppm is engine-
+    exact.  Headroom: needs n_days·Σc²·1000 < 2⁶³ — at 1e4 days of 1e6
+    events/day/type that is 1e19·1e3... out of range at ~1e5 mean daily
+    events, so shard by type-month first at that scale (documented
+    bound, same class as acf_daily).
+
+    Plan: one scan, one (type, day) count agg, one per-type rollup —
+    output bounded by |event types|."""
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    disp = F.expr(
+        "CASE WHEN s > 0 THEN "
+        + _ppm2("n_days * sq - s * s", "n_days * s")
+        + " END"
+    ).cast("long")
+    return stats.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("n_events"),
+        F.expr("(1000 * s) div n_days").cast("long").alias("mean_milli"),
+        disp.alias("dispersion_ppm"),
+        (disp > 2_000_000).alias("overdispersed"),
+    )
+
+
+def q_precedence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence precedence mining over the event log: for every
+    ordered pair of event types (ante, cons), how many users did their
+    FIRST ante strictly before their FIRST cons — the sequential-
+    pattern readout behind onboarding-order questions ('do users view
+    before they sign up?') that event_transitions (adjacent bigrams)
+    cannot answer, because it needs global first-occurrence order, not
+    adjacency.
+
+    Exactness: ties on the min timestamp count in NEITHER direction
+    (strict <), so n_ante_first(a,b) + n_ante_first(b,a) <= n_both —
+    everything is counts and one exact ppm floor.
+
+    Plan: one (user, type) min-ts agg, then a self-join keyed by user
+    — each user contributes at most |types|² pairs (bounded fan-out:
+    the type alphabet is small by contract), output O(|types|²)."""
+    ev = read_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts")
+    )
+    a = firsts.select(
+        "user_id",
+        F.col("event_type").alias("ante"),
+        F.col("first_ts").alias("ta"),
+    )
+    b = firsts.select(
+        "user_id",
+        F.col("event_type").alias("cons"),
+        F.col("first_ts").alias("tb"),
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(
+            F.count("*").cast("long").alias("n_both"),
+            F.sum((F.col("ta") < F.col("tb")).cast("long"))
+            .cast("long")
+            .alias("n_ante_first"),
+        )
+        .select(
+            "ante", "cons", "n_both", "n_ante_first",
+            F.expr("(1000000 * n_ante_first) div n_both")
+            .cast("long")
+            .alias("prec_ppm"),
+        )
+    )
+
+
+# The event-type alphabet the wide feature export pins its schema to —
+# a FIXED, documented contract (sorted), so the output schema is stable
+# regardless of which types a given slice of data contains: missing
+# types zero-fill, types outside the contract count only in n_events.
+# (A data-driven pivot would make the schema a function of the input —
+# unusable as a feature-store export.)
+FEATURE_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user wide feature export (the feature-store surface): one
+    row per user with per-type event counts over the FIXED type
+    alphabet (``FEATURE_EVENT_TYPES``), total events, purchase spend in
+    exact cents, and distinct active days — the classic model-input
+    matrix a churn/LTV trainer consumes.
+
+    Plan: conditional aggregation (one hash agg with map-side combine),
+    NOT a pivot — the pivot operator needs the value list anyway to
+    keep the schema stable, and spelling the conditions out keeps
+    everything in one whole-stage-codegen pass with zero extra jobs.
+    One shuffle on user_id; output O(users)."""
+    ev = read_events(spark, sf_dir)
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{t}")
+        for t in FEATURE_EVENT_TYPES
+    ]
+    aggs += [
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).cast("long").alias("purchase_cents"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("n_active_days"),
+    ]
+    return ev.groupBy("user_id").agg(*aggs)

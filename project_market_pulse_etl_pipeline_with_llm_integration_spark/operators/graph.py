@@ -387,3 +387,29 @@ def q_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"), min_support=2
     ).localCheckpoint(eager=False)  # adjacency (x2) + the anti-join side
     return link_prediction_ra(edges, top_k=50)
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the trade graph: (degree, n_nodes) plus each
+    bucket's share ppm — the graph-health audit read before any
+    iterative op (a hub-dominated distribution says 'salt the joins /
+    raise min_support'; pagerank, triangle_count and link_prediction_ra
+    all have their wedge/contrib costs bounded by exactly this
+    distribution).
+
+    Exact integers end-to-end; plan is two hash aggs (node degree, then
+    histogram) over the bidirectional edge list — output O(distinct
+    degrees), no windows, no collects."""
+    edges = trade_edges(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    hist = deg.groupBy("deg").agg(F.count("*").alias("n_nodes"))
+    total = deg.agg(F.count("*").alias("n_total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        F.col("deg").cast("long").alias("degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.expr("(1000000 * n_nodes) div n_total").cast("long")
+        .alias("share_ppm"),
+    )

@@ -1299,3 +1299,102 @@ def test_ndr_retention_laws(spark):
 
     ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
     assert total == int((ev.value * 100).round().astype("int64").sum())
+
+
+def test_overdispersion_check_hand_case(spark):
+    """Constant daily counts -> dispersion 0; clumped counts -> the
+    exact integer D ppm; the flag fires only past 2x."""
+    import tempfile
+    from datetime import datetime
+
+    rows, eid = [], 0
+    # 'steady': 2 events on each of 3 days -> var 0, D = 0
+    for d in (1, 2, 3):
+        for _ in range(2):
+            rows.append((eid, 1, "steady", 1.0, datetime(2024, 1, d, 12, 0)))
+            eid += 1
+    # 'bursty': daily counts 1, 1, 7 -> S=9, n=3, Sq=51
+    for d, c in ((1, 1), (2, 1), (3, 7)):
+        for _ in range(c):
+            rows.append((eid, 2, "bursty", 1.0, datetime(2024, 1, d, 12, 0)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["event_type"]: r for r in
+           analytics.q_overdispersion_check(spark, d).collect()}
+    assert out["steady"]["dispersion_ppm"] == 0
+    assert not out["steady"]["overdispersed"]
+    # D = (n*Sq - S^2)/(n*S) = (153-81)/27 = 72/27 -> 2666666 ppm
+    assert out["bursty"]["dispersion_ppm"] == 1_000_000 * 72 * 27 // (27 * 27)
+    assert out["bursty"]["overdispersed"]
+    assert out["bursty"]["mean_milli"] == 3000
+
+
+def test_precedence_mining_hand_case(spark):
+    """Strict first-occurrence ordering: ties count neither way, and
+    n_ante_first(a,b) + n_ante_first(b,a) <= n_both."""
+    import tempfile
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 12, m)  # noqa: E731
+    rows = [
+        # user 1: view @1, buy @2  -> view before buy
+        (0, 1, "view", 0.0, t(1)), (1, 1, "buy", 0.0, t(2)),
+        # user 2: buy @1, view @2  -> buy before view
+        (2, 2, "buy", 0.0, t(1)), (3, 2, "view", 0.0, t(2)),
+        # user 3: simultaneous firsts -> tie, counts neither way
+        (4, 3, "view", 0.0, t(5)), (5, 3, "buy", 0.0, t(5)),
+        # user 4: only view -> no pair
+        (6, 4, "view", 0.0, t(1)),
+        # user 1 again later: repeats must not change FIRST order
+        (7, 1, "buy", 0.0, t(0)) ,
+    ]
+    # NOTE user 1's second 'buy' at t(0) makes buy's FIRST occurrence
+    # earlier than view's -> user 1 flips to buy-before-view
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {(r["ante"], r["cons"]): r for r in
+           analytics.q_precedence_mining(spark, d).collect()}
+    assert out[("view", "buy")]["n_both"] == 3
+    assert out[("view", "buy")]["n_ante_first"] == 0
+    assert out[("buy", "view")]["n_ante_first"] == 2
+    assert (out[("view", "buy")]["n_ante_first"]
+            + out[("buy", "view")]["n_ante_first"]) <= 3
+    assert out[("buy", "view")]["prec_ppm"] == 1_000_000 * 2 // 3
+
+
+def test_user_feature_matrix_hand_case(spark):
+    """Fixed-alphabet schema: zero-filled missing types, off-contract
+    types count only in n_events, exact cents, distinct active days."""
+    import tempfile
+    from datetime import datetime
+
+    rows = [
+        (0, 1, "click", 0.0, datetime(2024, 1, 1, 9, 0)),
+        (1, 1, "purchase", 19.99, datetime(2024, 1, 1, 10, 0)),
+        (2, 1, "purchase", 0.015, datetime(2024, 1, 2, 10, 0)),
+        (3, 1, "weird_type", 5.0, datetime(2024, 1, 2, 11, 0)),
+        (4, 2, "view", 1.0, datetime(2024, 1, 3, 8, 0)),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["user_id"]: r for r in
+           analytics.q_user_feature_matrix(spark, d).collect()}
+    u1 = out[1]
+    assert [u1[f"n_{t}"] for t in analytics.FEATURE_EVENT_TYPES] == [
+        1, 0, 2, 0, 0,
+    ]
+    assert u1["n_events"] == 4          # off-contract type still counted
+    assert u1["purchase_cents"] == 1999 + 2  # round(1.5) -> 2, half-even
+    assert u1["n_active_days"] == 2
+    u2 = out[2]
+    assert u2["n_view"] == 1 and u2["purchase_cents"] == 0

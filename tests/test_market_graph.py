@@ -692,3 +692,21 @@ def test_link_prediction_ra_hand_graph(spark):
         assert r["ra_score_e9"] == 1_000_000_000  # 2 * (1e9 div 2)
     # deterministic tie-break: equal scores rank by (part_a, part_b)
     assert out[(1, 3)]["lp_rank"] == 1 and out[(2, 4)]["lp_rank"] == 2
+
+
+def test_degree_distribution_mass_conservation(spark):
+    """The degree histogram must account for every directed edge
+    (sum deg*n_nodes == |edges|) and every node (shares sum to ~1e6,
+    each bucket's ppm floor-exact)."""
+    rows = graph.q_degree_distribution(spark, SF_SMALL).collect()
+    edges = graph.trade_edges(
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet"),
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet"),
+    )
+    n_edges = edges.count()
+    n_nodes = edges.select("src").distinct().count()
+    assert sum(r.degree * r.n_nodes for r in rows) == n_edges
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    assert all(0 < r.share_ppm <= 1_000_000 for r in rows)
+    for r in rows:
+        assert r.share_ppm == 1_000_000 * r.n_nodes // n_nodes
