@@ -181,6 +181,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precedence_mining": analytics.q_precedence_mining,
         "user_feature_matrix": analytics.q_user_feature_matrix,
         "degree_distribution": graph.q_degree_distribution,
+        "embedding_principal": similarity.q_embedding_principal,
+        "rake_keywords": text.q_rake_keywords,
+        "readability": text.q_readability,
         # ROUND-9 window below (all driver-green in CORRECTNESS_r09)
         "funnel_arm_compare": analytics.q_funnel_arm_compare,
         "growth_accounting": analytics.q_growth_accounting,
@@ -593,6 +596,69 @@ def _bpe_roundtrip_sql(n_merges: int = 3) -> str:
         "CAST(SUM(length(word)) AS BIGINT) AS n_chars_total, "
         "CAST(SUM(CASE WHEN decoded <> word THEN 1 ELSE 0 END) AS BIGINT) "
         "AS n_decode_mismatch FROM dec"
+    )
+
+
+def _rake_sql() -> str:
+    """SQL twin of text.q_rake_keywords: stopword-delimited phrase
+    islands, deg/freq word ppms, member-sum phrase scores, top-30.
+    Positions are 1-based here vs Spark's 0-based posexplode — the
+    island id is a constant shift within each doc, so the grouping is
+    identical."""
+    stop = ", ".join(f"'{w}'" for w in text.RAKE_STOPWORDS)
+    return (
+        "WITH tk AS (SELECT doc_id, pos, lower(word) AS w FROM "
+        "(SELECT doc_id, generate_subscripts(toks, 1) AS pos, "
+        f"unnest(toks) AS word FROM (SELECT doc_id, {_TOKS} AS toks "
+        "FROM documents WHERE trim(text) <> '')) WHERE word <> ''), "
+        f"ns AS (SELECT doc_id, pos, w FROM tk WHERE w NOT IN ({stop})), "
+        "isl AS (SELECT doc_id, pos, w, pos - ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS grp FROM ns), "
+        "ph AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS plen, "
+        "string_agg(w, ' ' ORDER BY pos) AS phrase FROM isl GROUP BY 1, 2), "
+        "mem AS (SELECT isl.doc_id, isl.grp, isl.w, ph.plen, ph.phrase "
+        "FROM isl JOIN ph USING (doc_id, grp)), "
+        "sc AS (SELECT w, CAST((1000000 * SUM(plen)) // COUNT(*) "
+        "AS BIGINT) AS s FROM mem GROUP BY 1), "
+        "po AS (SELECT mem.doc_id, mem.grp, mem.phrase, "
+        "CAST(SUM(sc.s) AS BIGINT) AS score FROM mem "
+        "JOIN sc USING (w) GROUP BY 1, 2, 3), "
+        "pd AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur, "
+        "CAST(MAX(score) AS BIGINT) AS score_ppm FROM po GROUP BY 1), "
+        "top AS (SELECT phrase, n_occur, score_ppm FROM pd "
+        "ORDER BY score_ppm DESC, phrase LIMIT 30) "
+        "SELECT phrase, n_occur, score_ppm, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY score_ppm DESC, phrase) AS BIGINT) AS kw_rank FROM top"
+    )
+
+
+def _power_iter_sql(rounds: int = 4) -> str:
+    """Unrolled SQL for similarity.power_iteration_direction: the same
+    fixed-round integer power iteration on the int8 quantization —
+    per-vector dot s = xᵀv, per-dim accumulate w = Σ x·s, renormalize
+    to the 127 grid with truncating div — engine-identical longs."""
+    parts = [
+        f"e AS (SELECT vec_id, {_QV} AS qv FROM embeddings)",
+        "v0 AS (SELECT (SELECT list(CAST(1 AS BIGINT)) FROM range(64)) AS v)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"s{r} AS (SELECT vec_id, CAST(SUM(CAST(x AS BIGINT) * vv) "
+            "AS BIGINT) AS s FROM (SELECT vec_id, unnest(qv) AS x, "
+            f"unnest(vp.v) AS vv FROM e CROSS JOIN v{r - 1} vp) GROUP BY 1)",
+            f"w{r} AS (SELECT dim, CAST(SUM(CAST(x AS BIGINT) * s) "
+            "AS BIGINT) AS w FROM (SELECT generate_subscripts(e.qv, 1) - 1 "
+            f"AS dim, unnest(e.qv) AS x, s{r}.s FROM e "
+            f"JOIN s{r} USING (vec_id)) GROUP BY 1)",
+            f"m{r} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS ma FROM w{r})",
+            f"v{r} AS (SELECT list(CAST((w * 127) // ma AS BIGINT) "
+            f"ORDER BY dim) AS v FROM w{r} CROSS JOIN m{r})",
+        ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT CAST(dim AS BIGINT) AS dim, "
+        f"CAST((w * 127) // ma AS BIGINT) AS comp FROM w{rounds} "
+        f"CROSS JOIN m{rounds}"
     )
 
 
@@ -3866,6 +3932,25 @@ def oracle_sql() -> dict[str, str]:
             "AS purchase_cents, "
             "CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) "
             "AS n_active_days FROM events GROUP BY user_id"
+        ),
+        "embedding_principal": _power_iter_sql(4),
+        "rake_keywords": _rake_sql(),
+        "readability": (
+            "WITH d AS (SELECT source, "
+            f"CAST(len({_TOKS}) AS BIGINT) AS w, "
+            "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) "
+            "AS BIGINT) AS syl, "
+            "GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) "
+            "AS BIGINT), 1) AS sent "
+            "FROM documents WHERE trim(text) <> ''), "
+            "s AS (SELECT source, w, syl, "
+            "206835 - (1015 * w) // sent - (84600 * syl) // w "
+            "AS flesch_milli FROM d WHERE w > 0) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(flesch_milli) // COUNT(*) AS BIGINT) "
+            "AS mean_flesch_milli, "
+            "CAST((100 * SUM(syl)) // SUM(w) AS BIGINT) AS syl_per_100w "
+            "FROM s GROUP BY source"
         ),
         "degree_distribution": (
             "WITH rel AS (SELECT DISTINCT o.o_custkey AS cust, "

@@ -237,8 +237,17 @@ HEADLINE = [
     "funnel_arm_compare",
     "growth_accounting",
     "ndr_retention",
-    # round 10: BPE inference half (train + apply + per-doc profile)
+    # round 10: BPE inference half (train + apply + per-doc profile),
+    # events analytics (dispersion, precedence, feature export), graph
+    # health, integer power iteration, RAKE keywords, readability
     "bpe_encode",
+    "overdispersion_check",
+    "precedence_mining",
+    "user_feature_matrix",
+    "degree_distribution",
+    "embedding_principal",
+    "rake_keywords",
+    "readability",
 ]
 
 

@@ -1903,3 +1903,86 @@ def embedding_outliers(emb: DataFrame, topk: int = 5) -> DataFrame:
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_outliers(emb)
+
+
+PI_ROUNDS = 4
+
+
+def power_iteration_direction(qe: DataFrame, rounds: int = PI_ROUNDS) -> DataFrame:
+    """Top principal direction of the embedding cloud by FIXED-POINT
+    INTEGER power iteration on the (uncentered) second-moment matrix
+    M = Σ x·xᵀ — Gram-free: M·v is computed as Σᵢ xᵢ·(xᵢᵀv), one
+    distributed pass per round, so the dim×dim matrix never
+    materializes and nothing but the 64-long direction vector leaves
+    the aggregation.  (Uncentered is the standard choice for unit-norm
+    embedding clouds, where the mean direction IS signal; centered PCA
+    would need the n²-scaled covariance trick and its tighter int64
+    headroom.)
+
+    Exactness (the pagerank recipe applied to linear algebra): vectors
+    ride the shared int8 quantization; each round computes sᵢ = xᵢᵀv
+    (|s| ≤ 64·127² ≈ 1.03e6), wᵈ = Σᵢ xᵢᵈ·sᵢ (|w| ≤ n·1.3e8 — int64
+    safe to n ≈ 5·10⁸ vectors, documented bound), then renormalizes to
+    the int grid: v'ᵈ = (wᵈ·127) div max|w| — every step integer
+    multiply/sum/truncating-div, so after any fixed round count both
+    engines hold bit-identical direction vectors; the SQL oracle
+    unrolls the same rounds.  Convergence to the dominant eigenvector
+    is geometric in the eigengap; 4 rounds is the certified contract,
+    not a convergence claim (the kcore_peel posture).
+
+    Plan per round: one broadcast of the 1-row direction, one
+    posexplode (n×64 rows), one 64-group hash agg with map-side
+    combine, one 64-row array rebuild.  The loop state is 64 longs —
+    driver never sees data, only plans."""
+    spark = qe.sparkSession
+    v = spark.range(1).select(
+        F.array_repeat(F.lit(1).cast("long"), JL_IN_DIM).alias("v")
+    )
+    for _ in range(rounds):
+        s = qe.crossJoin(F.broadcast(v)).select(
+            "qv",
+            F.aggregate(
+                F.zip_with("qv", "v", lambda a, b: a.cast("long") * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+        w = (
+            s.select(F.posexplode("qv").alias("dim", "x"), "s")
+            .groupBy("dim")
+            .agg(F.sum(F.col("x").cast("long") * F.col("s")).alias("w"))
+        )
+        v = (
+            w.agg(F.array_sort(F.collect_list(F.struct("dim", "w"))).alias("dw"))
+            .select(F.transform("dw", lambda t: t["w"]).alias("wv"))
+            .withColumn(
+                "ma",
+                F.greatest(
+                    F.array_max(F.transform("wv", lambda x: F.abs(x))),
+                    F.lit(1).cast("long"),
+                ),
+            )
+            .select(
+                F.transform(
+                    "wv",
+                    lambda x: F.call_function("div", x * 127, F.col("ma")),
+                ).alias("v")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v
+
+
+def q_embedding_principal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, comp) of the corpus's top principal direction after
+    PI_ROUNDS integer power-iteration rounds — 64 rows, components on
+    the [-127, 127] grid, engine-exact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qe = emb.select(
+        quantize_embedding(F.col("embedding")).alias("qv")
+    ).localCheckpoint(eager=False)  # loop-invariant: read every round
+    v = power_iteration_direction(qe, rounds=PI_ROUNDS)
+    return v.select(F.posexplode("v").alias("dim", "comp")).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("comp").cast("long").alias("comp"),
+    )

@@ -2834,3 +2834,120 @@ def vocab_growth(docs: DataFrame) -> DataFrame:
 
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+# Stopword/delimiter list for RAKE phrase splitting (Rose et al. 2010) —
+# a FIXED public contract shared verbatim with the SQL oracle; real
+# deployments swap in a fuller list, the algorithm is list-agnostic.
+RAKE_STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+    "such", "that", "the", "their", "then", "there", "these", "they",
+    "this", "to", "was", "will", "with",
+]
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs; each word
+    scores deg/freq where freq counts its phrase occurrences and deg
+    sums the lengths of the phrases it appears in (self + co-occurrence
+    degree); a phrase scores the sum of its member word scores.  Top-30
+    phrases by score — the unsupervised keyword surface a corpus
+    curation report leads with.
+
+    Exactness: word score is the exact ppm floor 1e6·deg div freq and
+    phrase scores are integer sums of member ppms (per-term floors, the
+    link_prediction_ra recipe), so ranking and the (score desc, phrase)
+    tie-break are engine-exact.
+
+    Plan: one posexplode, a per-doc window for the gaps-and-islands
+    phrase id (keyed by doc — never global), then hash aggs keyed by
+    (doc, phrase-island), word, and phrase text; top-30 is TakeOrdered.
+    Word bodies shuffle once as short phrase strings — no all-pairs,
+    no global sort."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "word"))
+        .filter(F.col("word") != "")
+        .select("doc_id", "pos", F.lower("word").alias("w"))
+    )
+    ns = tk.filter(~F.col("w").isin(RAKE_STOPWORDS))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = ns.withColumn("grp", F.col("pos") - F.row_number().over(w_doc))
+    ph = isl.groupBy("doc_id", "grp").agg(
+        F.count("*").alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    mem = isl.join(ph, ["doc_id", "grp"]).select("doc_id", "grp", "w", "plen", "phrase")
+    mem = mem.localCheckpoint(eager=False)  # word stats + phrase scores
+    sc = (
+        mem.groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .select("w", F.expr("(1000000 * deg) div freq").alias("s"))
+    )
+    po = (
+        mem.join(sc, "w")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(F.sum("s").alias("score"))
+    )
+    pd = po.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occur"),
+        F.max("score").cast("long").alias("score_ppm"),
+    )
+    top = pd.orderBy(F.desc("score_ppm"), "phrase").limit(30)
+    w = Window.orderBy(F.desc("score_ppm"), "phrase")
+    return top.select(
+        "phrase", "n_occur", "score_ppm",
+        F.row_number().over(w).cast("long").alias("kw_rank"),
+    ).orderBy("kw_rank")
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch-style readability audit: reading ease on the
+    classic 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)
+    scale, in exact milli-points — the curation signal that separates
+    natural prose from keyword-stuffed or run-on boilerplate (both of
+    which read fine to a length/stopword gate).
+
+    Proxies are DECLARED, engine-exact functions: syllables = vowel-
+    group runs [aeiouy]+ (the standard cheap estimator), sentences =
+    terminator runs [.!?]+ floored at 1 (punctuation-free docs count as
+    one sentence — this corpus is word-soup, so the W/S term degrades
+    to words-per-doc there; the formula and the contract stay honest).
+    Every division is a per-term integer floor, so per-doc scores and
+    the per-source rollup hash identically cross-engine.
+
+    Plan: per-doc regexp counts ride the scan projection (one pass,
+    whole-stage codegen), one hash agg by source — output O(|sources|)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = docs.filter(F.trim("text") != "").select(
+        "source",
+        token_count("text").alias("w"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0))
+        .cast("long").alias("syl"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+            F.lit(1),
+        ).cast("long").alias("sent"),
+    ).filter(F.col("w") > 0)
+    scored = per_doc.select(
+        "source", "w", "syl",
+        F.expr(
+            "206835 - (1015 * w) div sent - (84600 * syl) div w"
+        ).alias("flesch_milli"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("sum(flesch_milli) div count(*)").cast("long")
+        .alias("mean_flesch_milli"),
+        F.expr("(100 * sum(syl)) div sum(w)").cast("long")
+        .alias("syl_per_100w"),
+    )

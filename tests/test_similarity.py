@@ -787,3 +787,49 @@ def test_embedding_outliers_python_replay(spark):
         assert len(rows) == min(5, len(pairs))
         for (rnk, vid, d2n, nn), (ed2n, evid) in zip(rows, top):
             assert (vid, d2n, nn) == (evid, ed2n, n[lab])
+
+
+def _pi_replay(qvs, rounds=4):
+    """Pure-Python replay of the integer power iteration (truncating
+    div, like Spark `div` / DuckDB `//`)."""
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    v = [1] * 64
+    for _ in range(rounds):
+        w = [0] * 64
+        for x in qvs:
+            s = sum(a * b for a, b in zip(x, v))
+            for d in range(64):
+                w[d] += x[d] * s
+        ma = max(max(abs(t) for t in w), 1)
+        v = [tdiv(t * 127, ma) for t in w]
+    return v
+
+
+def test_power_iteration_exact_replay_and_dominant_axis(spark):
+    """The distributed integer power iteration equals the sequential
+    replay bit-for-bit, and on an anisotropic cloud (axis 5 carries
+    10x the variance, with MIXED signs) the returned direction is the
+    dominant axis: |comp[5]| = 127, everything else small."""
+    import random
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        power_iteration_direction,
+        quantize_embedding,
+    )
+
+    rng = random.Random(7)
+    qvs = []
+    for _ in range(120):
+        q = [rng.randint(-5, 5) for _ in range(64)]
+        q[5] = rng.choice([-1, 1]) * rng.randint(110, 127)
+        qvs.append(q)
+    rows = [(i, [c / 127.0 for c in q]) for i, q in enumerate(qvs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qe = df.select(quantize_embedding(F.col("embedding")).alias("qv"))
+    got = power_iteration_direction(qe, rounds=4).collect()[0].v
+    assert got == _pi_replay(qvs, rounds=4)
+    assert abs(got[5]) == 127
+    assert all(abs(c) < 64 for i, c in enumerate(got) if i != 5)

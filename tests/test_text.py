@@ -1241,3 +1241,44 @@ def test_bpe_encode_and_roundtrip_law(spark):
     assert law.n_decode_mismatch == 0
     assert law.n_words > 0
     assert law.n_syms_total < law.n_chars_total
+
+
+def test_rake_keywords_hand_case(spark):
+    """Canonical RAKE arithmetic: deg/freq word scores, member-sum
+    phrase scores, longer phrases outrank their sub-phrases."""
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "deep learning models of deep learning and rate limit")],
+        "doc_id long, text string",
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = text.q_rake_keywords(spark, d).collect()
+    got = {r.phrase: (r.score_ppm, r.n_occur, r.kw_rank) for r in rows}
+    # freq: deep 2, learning 2, models 1, rate 1, limit 1
+    # deg:  deep 5, learning 5, models 3, rate 2, limit 2
+    # word ppm: deep/learning 2_500_000; models 3_000_000; rate/limit 2_000_000
+    assert got["deep learning models"] == (8_000_000, 1, 1)
+    assert got["deep learning"] == (5_000_000, 1, 2)
+    assert got["rate limit"] == (4_000_000, 1, 3)
+
+
+def test_readability_hand_case(spark):
+    """Flesch-lite integer arithmetic on a constructed two-sentence
+    doc: exact per-term floors, vowel-run syllables, terminator-run
+    sentences."""
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. it ran!", "en", "srcA", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    row = text.q_readability(spark, d).collect()[0]
+    # w=5 tokens, syl=5 vowel runs, sent=2 terminator runs
+    assert row.source == "srcA"
+    assert row.n_docs == 1
+    assert row.mean_flesch_milli == 206835 - (1015 * 5) // 2 - 84600
+    assert row.syl_per_100w == 100
