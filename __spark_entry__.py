@@ -184,6 +184,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_principal": similarity.q_embedding_principal,
         "rake_keywords": text.q_rake_keywords,
         "readability": text.q_readability,
+        "session_gap_histogram": analytics.q_session_gap_histogram,
+        "tenure_hazard": analytics.q_tenure_hazard,
+        "distinctive_terms": text.q_distinctive_terms,
         # ROUND-9 window below (all driver-green in CORRECTNESS_r09)
         "funnel_arm_compare": analytics.q_funnel_arm_compare,
         "growth_accounting": analytics.q_growth_accounting,
@@ -3935,6 +3938,71 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_principal": _power_iter_sql(4),
         "rake_keywords": _rake_sql(),
+        "session_gap_histogram": (
+            "WITH g AS (SELECT CAST(epoch_us(nxt) - epoch_us(ts) AS BIGINT) "
+            "// 1000000 AS gap_s FROM (SELECT ts, lead(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+            "FROM events) WHERE nxt IS NOT NULL), "
+            "b(bucket, lo_s, hi_s) AS (VALUES "
+            + ", ".join(
+                f"(CAST({b} AS BIGINT), CAST({lo} AS BIGINT), "
+                f"CAST({hi} AS BIGINT))"
+                for b, lo, hi in analytics.GAP_BUCKETS
+            )
+            + "), "
+            "h AS (SELECT bucket, lo_s, hi_s, CAST(COUNT(*) AS BIGINT) "
+            "AS n_gaps FROM g JOIN b ON g.gap_s >= b.lo_s "
+            "AND g.gap_s <= b.hi_s GROUP BY 1, 2, 3), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM g) "
+            "SELECT bucket, lo_s, hi_s, n_gaps, "
+            "CAST((1000000 * n_gaps) // n_total AS BIGINT) AS share_ppm "
+            "FROM h CROSS JOIN t"
+        ),
+        "tenure_hazard": (
+            "WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f, "
+            "MAX(CAST(ts AS DATE)) AS l FROM events GROUP BY 1), "
+            "hz AS (SELECT MAX(CAST(ts AS DATE)) AS d_max FROM events), "
+            "tw AS (SELECT CAST((l - f) AS BIGINT) // 7 AS tw, "
+            "(d_max - l) < 7 AS censored FROM u CROSS JOIN hz), "
+            f"g AS (SELECT CAST(unnest(generate_series(0, "
+            f"{analytics.HAZARD_MAX_WEEK})) AS BIGINT) AS tenure_week), "
+            "c AS (SELECT g.tenure_week, CAST(COUNT(*) AS BIGINT) "
+            "AS n_at_risk, CAST(SUM(CASE WHEN tw.tw = g.tenure_week "
+            "AND NOT tw.censored THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_churned FROM tw JOIN g ON tw.tw >= g.tenure_week "
+            "GROUP BY 1) "
+            "SELECT g.tenure_week, "
+            "CAST(COALESCE(c.n_at_risk, 0) AS BIGINT) AS n_at_risk, "
+            "CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned, "
+            "CAST(CASE WHEN c.n_at_risk > 0 THEN "
+            "(1000000 * c.n_churned) // c.n_at_risk END AS BIGINT) "
+            "AS hazard_ppm FROM g LEFT JOIN c USING (tenure_week)"
+        ),
+        "distinctive_terms": (
+            "WITH st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a "
+            f"FROM (SELECT source, unnest({_TOKS}) AS term FROM documents "
+            "WHERE trim(text) <> '') WHERE term <> '' GROUP BY 1, 2), "
+            "tt AS (SELECT term, CAST(SUM(a) AS BIGINT) AS t FROM st "
+            "GROUP BY 1), "
+            "ss AS (SELECT source, CAST(SUM(a) AS BIGINT) AS n_s FROM st "
+            "GROUP BY 1), "
+            "na AS (SELECT CAST(SUM(a) AS BIGINT) AS n_all FROM st), "
+            "sc AS (SELECT st.source, st.term, st.a AS n_in_source, "
+            "tt.t - st.a AS n_elsewhere, "
+            "((st.a * (na.n_all - ss.n_s) * 1000) // "
+            "(ss.n_s * (tt.t - st.a + 1))) * 1000 + "
+            "(((st.a * (na.n_all - ss.n_s) * 1000) % "
+            "(ss.n_s * (tt.t - st.a + 1))) * 1000) // "
+            "(ss.n_s * (tt.t - st.a + 1)) AS rr_ppm "
+            "FROM st JOIN tt USING (term) JOIN ss USING (source) "
+            "CROSS JOIN na WHERE st.a >= 5) "
+            "SELECT source, term, n_in_source, n_elsewhere, "
+            "CAST(rr_ppm AS BIGINT) AS rr_ppm, "
+            "CAST(term_rank AS BIGINT) AS term_rank FROM "
+            "(SELECT *, ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY rr_ppm DESC, term) AS term_rank FROM sc) "
+            "WHERE term_rank <= 5"
+        ),
         "readability": (
             "WITH d AS (SELECT source, "
             f"CAST(len({_TOKS}) AS BIGINT) AS w, "

@@ -248,6 +248,9 @@ HEADLINE = [
     "embedding_principal",
     "rake_keywords",
     "readability",
+    "session_gap_histogram",
+    "tenure_hazard",
+    "distinctive_terms",
 ]
 
 

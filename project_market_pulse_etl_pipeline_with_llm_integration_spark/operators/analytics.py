@@ -3035,3 +3035,119 @@ def q_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.to_date("ts")).cast("long").alias("n_active_days"),
     ]
     return ev.groupBy("user_id").agg(*aggs)
+
+
+# Power-of-two gap buckets for the inter-event histogram: bucket b
+# covers [2^b, 2^(b+1)) seconds, bucket 0 covers [0, 2) — a FIXED
+# 32-row literal both engines join against, so floor(log2) never runs
+# through a float log (the float-floor-boundary rule applied to a
+# histogram axis).
+GAP_BUCKETS = [(b, 0 if b == 0 else 2 ** b, 2 ** (b + 1) - 1) for b in range(32)]
+
+
+def q_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the gaps between a user's consecutive events, in
+    power-of-two second buckets — the EVIDENCE behind any sessionize
+    threshold choice (the classic bimodal shape: within-session gaps
+    mass in the seconds-to-minutes buckets, a valley, then the
+    between-session mass; the threshold belongs in the valley, not at a
+    folklore 30 minutes).
+
+    Exactness: gaps are whole-second floors of the microsecond
+    timestamp difference; bucketing is a range join against the fixed
+    GAP_BUCKETS literal (broadcast, 32 rows) — no float log2 anywhere.
+    Plan: one per-user lead window (keyed by user — never global), one
+    broadcast range join, one 32-key hash agg; share ppm over total
+    gaps.  Output <= 32 rows."""
+    ev = read_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("nxt", F.lead("ts").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            # ts is TIMESTAMP_NTZ; the cast shifts both endpoints by the
+            # same session-tz offset, so the difference is exact
+            F.expr(
+                "(unix_micros(cast(nxt as timestamp)) - "
+                "unix_micros(cast(ts as timestamp))) div 1000000"
+            ).alias("gap_s")
+        )
+    )
+    buckets = spark.createDataFrame(
+        GAP_BUCKETS, "bucket long, lo_s long, hi_s long"
+    )
+    hist = (
+        gaps.join(
+            F.broadcast(buckets),
+            (F.col("gap_s") >= F.col("lo_s")) & (F.col("gap_s") <= F.col("hi_s")),
+        )
+        .groupBy("bucket", "lo_s", "hi_s")
+        .agg(F.count("*").alias("n_gaps"))
+    )
+    total = gaps.agg(F.count("*").alias("n_total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "bucket", "lo_s", "hi_s",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.expr("(1000000 * n_gaps) div n_total").cast("long")
+        .alias("share_ppm"),
+    )
+
+
+HAZARD_MAX_WEEK = 12
+
+
+def q_tenure_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard by tenure week (the survival-analysis
+    readout churn_rate's single number hides): h(w) = users whose LAST
+    activity fell in tenure week w, over users still at risk at week w
+    — where in the lifecycle users actually leave (an onboarding cliff
+    at w=0 and a subscription cliff at w=4 need different fixes; both
+    average into the same flat churn_rate).
+
+    Right-censoring is handled the Kaplan-Meier way: users whose last
+    event is within 7 days of the observation horizon (global max day)
+    are censored — they stay in every at-risk denominator their tenure
+    covers but never count as churned (we cannot yet distinguish
+    'quiet this week' from 'gone').  All counts + exact ppm floors;
+    FIXED 0..HAZARD_MAX_WEEK output grid via a literal left join (the
+    benford fixed-shape rule).
+
+    Plan: one per-user min/max agg, a 13-row broadcast grid join for
+    the at-risk counts, one grid-keyed agg — output 13 rows."""
+    ev = read_events(spark, sf_dir)
+    users = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"),
+        F.max(F.to_date("ts")).alias("l"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("d_max"))
+    u = users.crossJoin(F.broadcast(horizon)).select(
+        F.expr("datediff(l, f) div 7").alias("tw"),
+        (F.datediff(F.col("d_max"), F.col("l")) < 7).alias("censored"),
+    )
+    grid = spark.range(HAZARD_MAX_WEEK + 1).select(
+        F.col("id").cast("long").alias("tenure_week")
+    )
+    cells = (
+        u.join(F.broadcast(grid), F.col("tw") >= F.col("tenure_week"))
+        .groupBy("tenure_week")
+        .agg(
+            F.count("*").alias("n_at_risk"),
+            F.sum(
+                ((F.col("tw") == F.col("tenure_week")) & ~F.col("censored"))
+                .cast("long")
+            ).alias("n_churned"),
+        )
+    )
+    return (
+        grid.join(cells, "tenure_week", "left")
+        .select(
+            "tenure_week",
+            F.coalesce("n_at_risk", F.lit(0)).cast("long").alias("n_at_risk"),
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+            F.expr(
+                "CASE WHEN n_at_risk > 0 THEN "
+                "(1000000 * n_churned) div n_at_risk END"
+            ).cast("long").alias("hazard_ppm"),
+        )
+    )

@@ -2951,3 +2951,66 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(100 * sum(syl)) div sum(w)").cast("long")
         .alias("syl_per_100w"),
     )
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source: top-5 terms by relative risk
+    RR = (a/n_s) / (b/n_rest) — how over-represented a term is in one
+    source vs the rest of the corpus (the log-odds 'what makes this
+    source different' report, on an exact integer scale).  The corpus-
+    mixture diagnostic behind source weighting decisions: a source
+    whose distinctive terms are spam markers gets down-weighted before
+    any perplexity filter sees it.
+
+    Exactness: rr_ppm = 1e6·(a·n_rest) / (n_s·(b+1)) with Haldane's +1
+    on the out-of-source count (zero-safe), floored via the two-step
+    rational form — a·n_rest can reach corpus-tokens², so the 1e6
+    multiple must never materialize (the acf_daily overflow class;
+    needs a·n_rest·1000 < 2⁶³, i.e. ~3·10⁹ corpus tokens — shard the
+    rest-count at larger scale).  Min support a >= 5 keeps hapax noise
+    out.
+
+    Plan: one token explode + (source, term) agg, a term-total agg
+    joined back (term-keyed shuffle), per-source top-5 via a window
+    PARTITIONED by source (bounded groups — audit-safe)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    st = (
+        docs.filter(F.trim("text") != "")
+        .select("source", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("a"))
+        .localCheckpoint(eager=False)  # term totals + source totals
+    )
+    term_tot = st.groupBy("term").agg(F.sum("a").alias("t"))
+    src_tot = st.groupBy("source").agg(F.sum("a").alias("n_s"))
+    n_all = st.agg(F.sum("a").alias("n_all"))
+    scored = (
+        st.join(term_tot, "term")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(n_all))
+        .filter(F.col("a") >= 5)
+        .select(
+            "source", "term", "a",
+            (F.col("t") - F.col("a")).alias("b"),
+            (F.col("n_all") - F.col("n_s")).alias("n_rest"),
+            "n_s",
+        )
+        .select(
+            "source", "term",
+            F.col("a").cast("long").alias("n_in_source"),
+            F.col("b").cast("long").alias("n_elsewhere"),
+            F.expr(
+                "((a * n_rest * 1000) div (n_s * (b + 1))) * 1000 + "
+                "(((a * n_rest * 1000) % (n_s * (b + 1))) * 1000) "
+                "div (n_s * (b + 1))"
+            ).cast("long").alias("rr_ppm"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("rr_ppm"), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= 5)
+    )

@@ -1398,3 +1398,64 @@ def test_user_feature_matrix_hand_case(spark):
     assert u1["n_active_days"] == 2
     u2 = out[2]
     assert u2["n_view"] == 1 and u2["purchase_cents"] == 0
+
+
+def test_session_gap_histogram_hand_case(spark):
+    """Known gaps land in their power-of-two buckets with exact shares;
+    cross-user boundaries contribute nothing."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (0, 1, "e", 0.0, t0),
+        (1, 1, "e", 0.0, t0 + timedelta(seconds=1)),    # gap 1  -> b0
+        (2, 1, "e", 0.0, t0 + timedelta(seconds=4)),    # gap 3  -> b1
+        (3, 1, "e", 0.0, t0 + timedelta(seconds=104)),  # gap 100 -> b6
+        (4, 2, "e", 0.0, t0 + timedelta(days=30)),      # lone event: no gap
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["bucket"]: r for r in
+           analytics.q_session_gap_histogram(spark, d).collect()}
+    assert set(out) == {0, 1, 6}
+    assert out[0]["n_gaps"] == out[1]["n_gaps"] == out[6]["n_gaps"] == 1
+    assert out[6]["lo_s"] == 64 and out[6]["hi_s"] == 127
+    assert out[0]["share_ppm"] == 1_000_000 // 3
+
+
+def test_tenure_hazard_hand_case(spark):
+    """Kaplan-Meier style censoring: users quiet within 7 days of the
+    horizon never count as churned but stay in every at-risk set their
+    tenure covers."""
+    import tempfile
+    from datetime import datetime
+
+    def ev_row(eid, uid, day):
+        return (eid, uid, "e", 0.0, datetime(2024, 1, day, 12, 0))
+
+    rows = [
+        # user 1: single day tenure (tw=0), long before horizon -> churned@0
+        ev_row(0, 1, 1),
+        # user 2: f=1, l=29 (tw=4) and l == horizon -> censored
+        ev_row(1, 2, 1), ev_row(2, 2, 29),
+        # user 3: f=1, l=10 (tw=1), horizon-l=19 -> churned@1
+        ev_row(3, 3, 1), ev_row(4, 3, 10),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["tenure_week"]: r for r in
+           analytics.q_tenure_hazard(spark, d).collect()}
+    assert len(out) == analytics.HAZARD_MAX_WEEK + 1  # fixed grid
+    assert (out[0]["n_at_risk"], out[0]["n_churned"]) == (3, 1)
+    assert (out[1]["n_at_risk"], out[1]["n_churned"]) == (2, 1)
+    assert (out[4]["n_at_risk"], out[4]["n_churned"]) == (1, 0)  # censored
+    assert out[5]["n_at_risk"] == 0 and out[5]["hazard_ppm"] is None
+    assert out[0]["hazard_ppm"] == 333_333
+    assert out[1]["hazard_ppm"] == 500_000

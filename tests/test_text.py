@@ -1282,3 +1282,32 @@ def test_readability_hand_case(spark):
     assert row.n_docs == 1
     assert row.mean_flesch_milli == 206835 - (1015 * 5) // 2 - 84600
     assert row.syl_per_100w == 100
+
+
+def test_distinctive_terms_hand_case(spark):
+    """Relative-risk arithmetic with the Haldane +1: a term exclusive
+    to one source tops that source's list; terms under min-support
+    never appear."""
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["spamword"] * 6 + ["common"] * 4), "en", "A", 0),
+            (2, " ".join(["common"] * 10), "en", "B", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {(r.source, r.term): r for r in
+           text.q_distinctive_terms(spark, d).collect()}
+    # A: n_s=10, spamword a=6 b=0, n_rest=10 -> rr = 1e6*60/10 = 6e6
+    r = out[("A", "spamword")]
+    assert (r.n_in_source, r.n_elsewhere) == (6, 0)
+    assert r.rr_ppm == 1_000_000 * 6 * 10 // (10 * 1)
+    assert r.term_rank == 1
+    # 'common' in A: a=4 < min support 5 -> absent
+    assert ("A", "common") not in out
+    # 'common' in B: a=10, b=4, n_rest=10, n_s=10 -> 1e6*100//(10*5)=2e6
+    rb = out[("B", "common")]
+    assert rb.rr_ppm == 2_000_000 and rb.term_rank == 1
