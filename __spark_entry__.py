@@ -186,6 +186,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": text.q_readability,
         "session_gap_histogram": analytics.q_session_gap_histogram,
         "tenure_hazard": analytics.q_tenure_hazard,
+        "km_survival": analytics.q_km_survival,
         "distinctive_terms": text.q_distinctive_terms,
         # ROUND-9 window below (all driver-green in CORRECTNESS_r09)
         "funnel_arm_compare": analytics.q_funnel_arm_compare,
@@ -632,6 +633,46 @@ def _rake_sql() -> str:
         "ORDER BY score_ppm DESC, phrase LIMIT 30) "
         "SELECT phrase, n_occur, score_ppm, CAST(ROW_NUMBER() OVER "
         "(ORDER BY score_ppm DESC, phrase) AS BIGINT) AS kw_rank FROM top"
+    )
+
+
+def _km_sql() -> str:
+    """Unrolled SQL twin of analytics.q_km_survival: the same fixed
+    13-week grid, conditional-agg pivot, and chained per-step ppm
+    floors (each step's factor CASEd into numerator/denominator so the
+    previous term appears once — linear expression growth)."""
+    weeks = range(analytics.HAZARD_MAX_WEEK + 1)
+    naggs = ", ".join(
+        f"CAST(SUM(CASE WHEN tw >= {w} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n{w}"
+        for w in weeks
+    )
+    daggs = ", ".join(
+        f"CAST(SUM(CASE WHEN tw = {w} AND NOT censored THEN 1 ELSE 0 "
+        f"END) AS BIGINT) AS d{w}"
+        for w in weeks
+    )
+    surv = "1000000"
+    scols = []
+    for w in weeks:
+        surv = (
+            f"(({surv}) * (CASE WHEN n{w} > 0 THEN n{w} - d{w} ELSE 1 "
+            f"END)) // (CASE WHEN n{w} > 0 THEN n{w} ELSE 1 END)"
+        )
+        scols.append(f"CAST({surv} AS BIGINT) AS s{w}")
+    stack = " UNION ALL ".join(
+        f"SELECT CAST({w} AS BIGINT) AS tenure_week, n{w} AS n_at_risk, "
+        f"d{w} AS n_churned, s{w} AS surv_ppm FROM wide"
+        for w in weeks
+    )
+    return (
+        "WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f, "
+        "MAX(CAST(ts AS DATE)) AS l FROM events GROUP BY 1), "
+        "hz AS (SELECT MAX(CAST(ts AS DATE)) AS d_max FROM events), "
+        "tw AS (SELECT CAST((l - f) AS BIGINT) // 7 AS tw, "
+        "(d_max - l) < 7 AS censored FROM u CROSS JOIN hz), "
+        f"flat AS (SELECT {naggs}, {daggs} FROM tw), "
+        f"wide AS (SELECT *, {', '.join(scols)} FROM flat) " + stack
     )
 
 
@@ -3978,6 +4019,7 @@ def oracle_sql() -> dict[str, str]:
             "(1000000 * c.n_churned) // c.n_at_risk END AS BIGINT) "
             "AS hazard_ppm FROM g LEFT JOIN c USING (tenure_week)"
         ),
+        "km_survival": _km_sql(),
         "distinctive_terms": (
             "WITH st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a "
             f"FROM (SELECT source, unnest({_TOKS}) AS term FROM documents "

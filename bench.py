@@ -250,6 +250,7 @@ HEADLINE = [
     "readability",
     "session_gap_histogram",
     "tenure_hazard",
+    "km_survival",
     "distinctive_terms",
 ]
 

@@ -3151,3 +3151,76 @@ def q_tenure_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("hazard_ppm"),
         )
     )
+
+
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve over tenure weeks:
+    S(w) = Π_{j<=w} (1 − d_j/n_j) with the same censoring as
+    q_tenure_hazard — the 'what share of users survives w weeks'
+    curve the hazard table implies, in exact integer ppm.
+
+    The product is NON-associative once floored, so it cannot ride a
+    running-sum window; but the grid is FIXED (13 weeks), so the fold
+    unrolls declaratively: the per-week (n_at_risk, n_churned) cells
+    pivot into ONE row via conditional aggregation, S_w columns build
+    iteratively as expressions — S_w·1e6 = (S_{w-1}·1e6·(n_w−d_w)) div
+    n_w, 13 chained integer floors — and stack back to rows.  No
+    window, no collect, no UDF; the oracle unrolls the same 13 steps.
+    Empty weeks (n=0) carry S forward unchanged (no events, no drop).
+
+    Headroom: each step multiplies a ≤1e6 ppm by n_w ≤ |users| before
+    the div — needs |users| < 9.2e12.  Plan: the tenure_hazard cell
+    build + one 1-row pivot + a 13-row stack."""
+    ev = read_events(spark, sf_dir)
+    users = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"),
+        F.max(F.to_date("ts")).alias("l"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("d_max"))
+    u = users.crossJoin(F.broadcast(horizon)).select(
+        F.expr("datediff(l, f) div 7").alias("tw"),
+        (F.datediff(F.col("d_max"), F.col("l")) < 7).alias("censored"),
+    )
+    weeks = range(HAZARD_MAX_WEEK + 1)
+    flat = u.agg(
+        *[
+            F.sum((F.col("tw") >= w).cast("long")).alias(f"n{w}")
+            for w in weeks
+        ],
+        *[
+            F.sum(
+                ((F.col("tw") == w) & ~F.col("censored")).cast("long")
+            ).alias(f"d{w}")
+            for w in weeks
+        ],
+    )
+    # Each step's factor is CASEd into (numerator, denominator) so the
+    # previous survival term appears exactly ONCE per step — the naive
+    # CASE WHEN n>0 THEN f(prev) ELSE prev END doubles the expression
+    # tree per week (2^13 leaf blowup under CollapseProject).
+    surv_prev = "1000000"
+    cols = []
+    for w in weeks:
+        s_w = (
+            f"(({surv_prev}) * (CASE WHEN n{w} > 0 THEN n{w} - d{w} "
+            f"ELSE 1 END)) div (CASE WHEN n{w} > 0 THEN n{w} ELSE 1 END)"
+        )
+        cols.append(F.expr(s_w).cast("long").alias(f"s{w}"))
+        surv_prev = s_w
+    wide = flat.select(*[F.col(f"n{w}") for w in weeks],
+                       *[F.col(f"d{w}") for w in weeks], *cols)
+    stack = ", ".join(
+        f"CAST({w} AS BIGINT), n{w}, d{w}, s{w}" for w in weeks
+    )
+    n = len(list(weeks))
+    return wide.select(
+        F.expr(
+            f"stack({n}, {stack}) AS (tenure_week, n_at_risk, n_churned, "
+            "surv_ppm)"
+        )
+    ).select(
+        "tenure_week",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_churned").cast("long").alias("n_churned"),
+        F.col("surv_ppm").cast("long").alias("surv_ppm"),
+    )

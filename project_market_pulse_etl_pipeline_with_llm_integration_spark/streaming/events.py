@@ -196,6 +196,23 @@ def dedup_events_stream(events_stream: DataFrame, watermark: str = "1 hour") -> 
     return events_stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_events_stream_within(
+    events_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` twin of ``dedup_events_stream``:
+    collapses records sharing an event_id even when their TIMESTAMPS
+    DIFFER (the re-logged/retried duplicate whose second copy carries a
+    fresh ts — plain dropDuplicates keyed on event_id alone handles it
+    only while its unbounded state happens to remember the id; the
+    Within variant GUARANTEES dedup for copies arriving within the
+    watermark of each other AND evicts state by event-time, the
+    bounded-state contract a forever-running ingest needs).  First
+    occurrence wins; state per key lives one watermark interval."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def read_events_stream(spark: SparkSession, path_dir: str, max_files: int = 1) -> DataFrame:
     """File-source stream over an events parquet directory (each file =
     one micro-batch with maxFilesPerTrigger)."""

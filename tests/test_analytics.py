@@ -1459,3 +1459,42 @@ def test_tenure_hazard_hand_case(spark):
     assert out[5]["n_at_risk"] == 0 and out[5]["hazard_ppm"] is None
     assert out[0]["hazard_ppm"] == 333_333
     assert out[1]["hazard_ppm"] == 500_000
+
+
+def test_km_survival_hand_case(spark):
+    """Product-limit arithmetic on the tenure_hazard fixture: per-step
+    ppm floors, censored users never drop the curve, empty weeks carry
+    S forward."""
+    import tempfile
+    from datetime import datetime
+
+    def ev_row(eid, uid, day):
+        return (eid, uid, "e", 0.0, datetime(2024, 1, day, 12, 0))
+
+    rows = [
+        ev_row(0, 1, 1),                  # tw=0, churned@0
+        ev_row(1, 2, 1), ev_row(2, 2, 29),  # tw=4, censored
+        ev_row(3, 3, 1), ev_row(4, 3, 10),  # tw=1, churned@1
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["tenure_week"]: r for r in
+           analytics.q_km_survival(spark, d).collect()}
+    # S0 = 1e6*(3-1)//3 = 666666; S1 = 666666*(2-1)//2 = 333333;
+    # weeks 2-4: one censored user at risk, d=0 -> S flat; weeks 5+:
+    # n=0 -> carried forward unchanged
+    assert out[0]["surv_ppm"] == 666_666
+    assert out[1]["surv_ppm"] == 333_333
+    for w in (2, 3, 4):
+        assert out[w]["surv_ppm"] == 333_333 and out[w]["n_churned"] == 0
+    for w in (5, analytics.HAZARD_MAX_WEEK):
+        assert out[w]["surv_ppm"] == 333_333 and out[w]["n_at_risk"] == 0
+    # agreement with the hazard table's cells
+    hz = {r["tenure_week"]: r for r in
+          analytics.q_tenure_hazard(spark, d).collect()}
+    for w, r in out.items():
+        assert (r["n_at_risk"], r["n_churned"]) == (
+            hz[w]["n_at_risk"], hz[w]["n_churned"])

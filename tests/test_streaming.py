@@ -570,3 +570,35 @@ def test_srm_state_checkpoint_recovery(spark, tmp_path):
     assert len(got) == len(want) == 1
     assert got[0].asDict() == want[0].asDict()
     assert mid_n < state.count()
+
+
+def test_streaming_dedup_within_watermark_collapses_relogged(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a retried event re-logged 30 s
+    later with the SAME event_id but a DIFFERENT ts still collapses to
+    one record (the case an event_id-only dropDuplicates handles only
+    by luck of state retention), and distinct ids all survive."""
+    from datetime import timedelta
+
+    src = str(tmp_path / "ddw_src")
+    ev = read_events(spark, SF_SMALL).filter("user_id < 40").coalesce(1)
+    ev.write.parquet(src)
+    # second copy: same event_ids, ts shifted +30 s (a re-log, not a replay)
+    ev.withColumn(
+        "ts", (F.col("ts") + F.expr("INTERVAL 30 SECONDS"))
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = SE.read_events_stream(spark, src, max_files=1)
+    q = (
+        SE.dedup_events_stream_within(stream, watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("ddw_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select count(*) c, count(distinct event_id) d from ddw_out"
+    ).first()
+    want = ev.count()
+    assert (got.c, got.d) == (want, want)
