@@ -151,19 +151,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS: the driver's correctness gate checks exactly the
-    # FIRST 50 entries each round.  ROUND-9 WINDOW: (a) the three r8
-    # driver-red rows (poisson_bootstrap, bandit_replay, ab_uplift_ci —
-    # root cause: their oracles leaked HUGEINT/float64 through the
-    # driver's pandas canonicalizer; casts fixed this round), (b) their
-    # five stage-decomposition law rows, (c) the quality_ppm consumers
-    # re-certified after the integer-exact rewrite, (d) the 23 round-9
-    # additions (session 1: mmr/dp/epoch/dim-profile/looks/waterfill;
-    # session 2: the nonparametric experiment family on the bucketed
-    # prefix core, the data-quality audits, and the schema union), and
-    # (e) char_entropy, re-certifying after the floor-boundary fix
-    # (per-run term is now n·floor(ln n·1e6) — see
-    # tools/float_boundary_audit.py).  Everything below position 50 has
-    # a green driver row from r1-r8 and is byte-unchanged this round.
+    # FIRST 50 entries each round.  ROUND-10 WINDOW: the whole r9
+    # window came back green (CORRECTNESS_r09: 50/50), so every entry
+    # below position 50 is driver-certified; this round's top block is
+    # the 14 r10 additions (the BPE inference half + its decode law,
+    # rfm_segments re-certifying after the ranked method became the
+    # default, the events-analytics batch: dispersion / precedence /
+    # feature matrix / gap histogram / tenure hazard / KM survival,
+    # graph degree health, integer power iteration, RAKE, readability,
+    # distinctive terms) followed by certified r9 rows as window
+    # filler.
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,
@@ -4055,7 +4052,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE trim(text) <> ''), "
             "s AS (SELECT source, w, syl, "
             "206835 - (1015 * w) // sent - (84600 * syl) // w "
-            "AS flesch_milli FROM d WHERE w > 0) "
+            "AS flesch_milli FROM d) "
             "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(flesch_milli) // COUNT(*) AS BIGINT) "
             "AS mean_flesch_milli, "

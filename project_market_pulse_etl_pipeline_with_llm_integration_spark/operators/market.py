@@ -260,18 +260,30 @@ def _ntile_from_rank(rn: F.Column, n: int, k: int) -> F.Column:
     ).otherwise(F.lit(r) + _idiv(rn - F.lit(boundary) - 1, q) + 1)
 
 
-def rfm_scores(per_cust: DataFrame, method: str = "ranked") -> DataFrame:
+# Below this many customers the three serial ntile windows beat the
+# ranked machinery's three approxQuantile boundary jobs outright
+# (measured 0.41 s vs 2.81 s at sf0.1's 15k customers); above it the
+# single-task sort is the bottleneck and the ranked path takes over.
+# The explicit gate is the bloom-prefilter posture (relational.py:209):
+# the scale-safe method is the DEFAULT branch, the serial one is taken
+# only under a proven-small bound.
+RFM_RANKED_MIN_ROWS = 5_000_000
+
+
+def rfm_scores(
+    per_cust: DataFrame, method: str = "auto", n: int | None = None
+) -> DataFrame:
     """Quartile scores for the three RFM metrics under pinned total
     orders (metric DESC, o_custkey ASC).  Two physical strategies with
     identical output (pinned by test — the ``dense_id`` multi-method
-    precedent):
+    precedent), picked by an explicit size gate when ``method="auto"``:
 
     * ``"window"`` — three global ``ntile(4)`` windows over the
       post-aggregate one-row-per-customer frame.  Serial (one task
-      sorts |customers| rows three times); kept as the test-pinned
-      equivalence oracle for the ranked path.
-    * ``"ranked"`` (default) — the 100 TB path: per metric, a global
-      1-based rank
+      sorts |customers| rows three times); taken only below
+      ``RFM_RANKED_MIN_ROWS``, and kept as the test-pinned equivalence
+      twin of the ranked path.
+    * ``"ranked"`` — the 100 TB path: per metric, a global 1-based rank
       via the range-partitioned dense-id machinery
       (``ids.with_dense_id`` method="boundaries": driver-embedded
       quantile boundaries, fully parallel shuffles, no full-table
@@ -279,6 +291,10 @@ def rfm_scores(per_cust: DataFrame, method: str = "ranked") -> DataFrame:
       (rank, n) — see ``_ntile_from_rank``.  DESC metric orders become
       ASC keys by exact negation (dates via epoch-day), so the total
       order is bit-identical to the window form's."""
+    if method == "auto":
+        if n is None:
+            n = per_cust.count()
+        method = "ranked" if n >= RFM_RANKED_MIN_ROWS else "window"
     if method == "window":
         r_w = W.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
         f_w = W.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
@@ -295,7 +311,8 @@ def rfm_scores(per_cust: DataFrame, method: str = "ranked") -> DataFrame:
         with_dense_id,
     )
 
-    n = per_cust.count()
+    if n is None:
+        n = per_cust.count()
     keyed = per_cust.select(
         "o_custkey", "last_order", "frequency", "monetary",
         (-F.datediff(F.col("last_order"), F.lit("1970-01-01"))).alias("_rk"),
@@ -325,20 +342,20 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts/dates are exact; spend accumulates in DECIMAL
     (money_sum); every ntile orders by (metric, customer id) — a total
     order, so quartile boundaries are engine-stable (the quantile_bins
-    argument).  One shuffle for the per-customer agg; scoring runs the
-    DEFAULT ``"ranked"`` method — range-partitioned rank (dense-id
-    boundaries machinery, no single-task global sort) + ntile recovered
-    as pure (rank, n) arithmetic — so the scale-safe path is the one
-    the registry certifies.  ``rfm_scores(method="window")`` is the
-    serial ntile twin, pinned output-identical by test (the dense_id
-    multi-method precedent)."""
+    argument).  One shuffle for the per-customer agg (materialized via
+    a lazy localCheckpoint so the gate's count never re-scans orders);
+    scoring runs ``method="auto"``: below RFM_RANKED_MIN_ROWS the three
+    serial ntile windows (provably cheap on a dim-sized frame), above
+    it the ranked path — range-partitioned rank + ntile-from-rank
+    arithmetic, no single-task global sort — with both methods pinned
+    output-identical by test (the dense_id multi-method precedent)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         money_sum(F.col("o_totalprice")).alias("monetary"),
-    )
-    scored = rfm_scores(per_cust, method="ranked")
+    ).localCheckpoint(eager=False)  # gate count + scoring: one build
+    scored = rfm_scores(per_cust, method="auto")
     return scored.select(
         "o_custkey",
         "last_order",

@@ -2928,6 +2928,9 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: per-doc regexp counts ride the scan projection (one pass,
     whole-stage codegen), one hash agg by source — output O(|sources|)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # trim != '' already guarantees >= 1 whitespace token, so no w > 0
+    # filter — a size(...) filter would re-evaluate the token split
+    # (the Generate-companion audit class)
     per_doc = docs.filter(F.trim("text") != "").select(
         "source",
         token_count("text").alias("w"),
@@ -2937,7 +2940,7 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
             F.lit(1),
         ).cast("long").alias("sent"),
-    ).filter(F.col("w") > 0)
+    )
     scored = per_doc.select(
         "source", "w", "syl",
         F.expr(

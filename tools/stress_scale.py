@@ -90,6 +90,14 @@ STRESS_QUERIES = [
     # control for the embedding family
     "mann_whitney", "quantile_treatment_effect", "vocab_growth",
     "embedding_outliers",
+    # round-10 additions: BPE apply rounds over the (replica-shifted)
+    # word-type table, the phrase-island + word-stat pipeline, the
+    # per-(source,term) relative-risk fan-out, the n x 64 power-
+    # iteration explode, the per-user lead window feeding the gap
+    # buckets, and the degree/user aggs as linear controls
+    "bpe_encode", "rake_keywords", "distinctive_terms",
+    "embedding_principal", "session_gap_histogram",
+    "degree_distribution", "user_feature_matrix", "precedence_mining",
 ]
 
 
