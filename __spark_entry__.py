@@ -185,6 +185,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tenure_hazard": analytics.q_tenure_hazard,
         "km_survival": analytics.q_km_survival,
         "distinctive_terms": text.q_distinctive_terms,
+        "countmin_topk": text.q_countmin_topk,
+        "stratified_uplift": analytics.q_stratified_uplift,
         # ROUND-9 window below (all driver-green in CORRECTNESS_r09)
         "funnel_arm_compare": analytics.q_funnel_arm_compare,
         "growth_accounting": analytics.q_growth_accounting,
@@ -4017,6 +4019,62 @@ def oracle_sql() -> dict[str, str]:
             "AS hazard_ppm FROM g LEFT JOIN c USING (tenure_week)"
         ),
         "km_survival": _km_sql(),
+        "countmin_topk": (
+            "WITH t AS (SELECT term FROM (SELECT unnest("
+            + _TOKS
+            + ") AS term FROM documents WHERE trim(text) <> '') "
+            "WHERE term <> ''), "
+            "e AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt "
+            "FROM t GROUP BY 1), "
+            "top AS (SELECT term, exact_cnt FROM e "
+            "ORDER BY exact_cnt DESC, term LIMIT 20), "
+            "r AS (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) "
+            "AS r), "
+            "c AS (SELECT r.r, ('0x' || substr(md5(t.term || ':cm' || "
+            "r.r), 1, 15))::BIGINT % 1024 AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM t CROSS JOIN r "
+            "GROUP BY 1, 2), "
+            "p AS (SELECT top.term, top.exact_cnt, r.r, "
+            "('0x' || substr(md5(top.term || ':cm' || r.r), 1, 15))"
+            "::BIGINT % 1024 AS b FROM top CROSS JOIN r), "
+            "est AS (SELECT term, exact_cnt, MIN(c.c) AS cms_est "
+            "FROM p JOIN c USING (r, b) GROUP BY 1, 2) "
+            "SELECT term, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est, "
+            "CAST(cms_est - exact_cnt AS BIGINT) AS overcount FROM est"
+        ),
+        "stratified_uplift": (
+            "WITH ev AS (SELECT user_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents, "
+            "ts < TIMESTAMP '2024-01-16' AS pre, "
+            "('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), "
+            "1, 15))::BIGINT % 2 AS arm FROM events), "
+            "pu AS (SELECT user_id, arm, "
+            "CAST(SUM(CASE WHEN pre THEN cents ELSE 0 END) AS BIGINT) AS x, "
+            "CAST(SUM(CASE WHEN NOT pre THEN cents ELSE 0 END) AS BIGINT) "
+            "AS y FROM ev GROUP BY 1, 2), "
+            "b(stratum, lo, hi) AS (VALUES "
+            + ", ".join(
+                f"(CAST({s} AS BIGINT), CAST({lo} AS BIGINT), "
+                f"CAST({hi} AS BIGINT))"
+                for s, lo, hi in analytics.GAP_BUCKETS
+            )
+            + "), "
+            "cells AS (SELECT b.stratum, "
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, "
+            "CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sa, "
+            "CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sb "
+            "FROM pu JOIN b ON GREATEST(pu.x, 0) >= b.lo "
+            "AND GREATEST(pu.x, 0) <= b.hi GROUP BY 1) "
+            "SELECT stratum, n_a, n_b, "
+            "CAST(CASE WHEN n_a > 0 THEN (1000 * sa) // n_a END AS BIGINT) "
+            "AS mean_a_milli, "
+            "CAST(CASE WHEN n_b > 0 THEN (1000 * sb) // n_b END AS BIGINT) "
+            "AS mean_b_milli, "
+            "CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN "
+            "(1000 * sb) // n_b - (1000 * sa) // n_a END AS BIGINT) "
+            "AS uplift_milli FROM cells"
+        ),
         "distinctive_terms": (
             "WITH st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a "
             f"FROM (SELECT source, unnest({_TOKS}) AS term FROM documents "

@@ -252,6 +252,8 @@ HEADLINE = [
     "tenure_hazard",
     "km_survival",
     "distinctive_terms",
+    "countmin_topk",
+    "stratified_uplift",
 ]
 
 

@@ -3224,3 +3224,65 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_churned").cast("long").alias("n_churned"),
         F.col("surv_ppm").cast("long").alias("surv_ppm"),
     )
+
+
+def q_stratified_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification uplift — the nonparametric sibling of
+    cuped_adjustment: users stratify by PRE-period spend into
+    power-of-two cent buckets (the GAP_BUCKETS literal — a fixed
+    FUNCTION of the covariate, so both engines agree without any
+    quantile negotiation), then the POST-period arm means compare
+    WITHIN each stratum.  Where CUPED assumes the covariate enters
+    linearly, stratification only assumes users in a bucket are
+    comparable — the robustness/variance trade every experimentation
+    platform documents side by side.
+
+    Per-stratum means use plain truncating div on possibly-negative
+    sums (both engines truncate toward zero — pinned by
+    division_semantics_law); strata missing an arm report NULL uplift
+    (the empty-input NULL rule).  Negative pre-spend (refund-only
+    users) clamps to bucket 0.
+
+    Plan: one (user) agg builds (pre_cents, post_cents, arm), a 32-row
+    broadcast range join assigns strata, one stratum-keyed agg —
+    output <= 32 rows."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("pre"),
+        _arm_col(),
+    )
+    per_user = ev.groupBy("user_id", "arm").agg(
+        F.sum(F.when(F.col("pre"), F.col("cents")).otherwise(0)).alias("x"),
+        F.sum(F.when(~F.col("pre"), F.col("cents")).otherwise(0)).alias("y"),
+    )
+    buckets = spark.createDataFrame(
+        GAP_BUCKETS, "stratum long, lo long, hi long"
+    )
+    cl = F.greatest(F.col("x"), F.lit(0))
+    cells = (
+        per_user.join(
+            F.broadcast(buckets),
+            (cl >= F.col("lo")) & (cl <= F.col("hi")),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias("sa"),
+            F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias("sb"),
+        )
+    )
+    return cells.select(
+        "stratum",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr("CASE WHEN n_a > 0 THEN (1000 * sa) div n_a END")
+        .cast("long").alias("mean_a_milli"),
+        F.expr("CASE WHEN n_b > 0 THEN (1000 * sb) div n_b END")
+        .cast("long").alias("mean_b_milli"),
+        F.expr(
+            "CASE WHEN n_a > 0 AND n_b > 0 THEN "
+            "(1000 * sb) div n_b - (1000 * sa) div n_a END"
+        ).cast("long").alias("uplift_milli"),
+    )

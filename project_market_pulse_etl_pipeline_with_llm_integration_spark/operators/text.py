@@ -3017,3 +3017,97 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("term_rank") <= 5)
     )
+
+
+CMS_W = 1024  # counters per hash row
+CMS_D = 4     # independent hash rows
+
+
+def _cms_bucket(term, row: int):
+    """md5-60bit bucket of ``term`` for CMS hash row ``row`` — the
+    repo's standard cross-engine hash recipe, mod CMS_W (positive, so
+    % agrees between engines)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(term, F.lit(f":cm{row}"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long") % CMS_W
+    )
+
+
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit (Cormode & Muthukrishnan 2005) over the
+    corpus term frequencies: build the d=4 x w=1024 counter matrix in
+    one pass, then read the CMS estimate (min over rows of the hashed
+    counter) for the top-20 EXACT terms next to their true counts —
+    the overcount column is the sketch's collision error, measured on
+    the keys that matter.  This is the bounded-memory frequency sketch
+    a 100 TB stream uses when the exact (term, count) table doesn't
+    fit; the audit quantifies what that 16 KB of state costs in
+    accuracy on THIS corpus.
+
+    DETERMINISTIC end-to-end: the hash rows are md5-derived (the
+    public-seed recipe), so unlike most sketches the full CMS — every
+    counter and every estimate — is engine-exact and carries a normal
+    value-hash oracle, not a rows-only law.  The one-sided error law
+    (est >= exact, always) is additionally pinned by test.
+
+    Plan: one explode feeds BOTH the exact counts (term-keyed agg) and
+    the counter build (explode x4 of (row, bucket) ints — 4 tiny longs
+    per token, grouped into <= 4096 counters); estimates join the
+    broadcast counter table; top-20 is TakeOrdered."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = (
+        docs.filter(F.trim("text") != "")
+        .select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .localCheckpoint(eager=False)  # exact counts + counter build
+    )
+    exact = terms.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "term").limit(20)
+    counters = (
+        terms.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("r"),
+                            _cms_bucket(F.col("term"), i).alias("b"),
+                        )
+                        for i in range(CMS_D)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .select("rb.r", "rb.b")
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = top.select(
+        "term", "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        _cms_bucket(F.col("term"), i).alias("b"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", "exact_cnt", "rb.r", "rb.b")
+    est = (
+        probes.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "term",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long")
+        .alias("overcount"),
+    )

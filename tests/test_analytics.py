@@ -1498,3 +1498,48 @@ def test_km_survival_hand_case(spark):
     for w, r in out.items():
         assert (r["n_at_risk"], r["n_churned"]) == (
             hz[w]["n_at_risk"], hz[w]["n_churned"])
+
+
+def test_stratified_uplift_hand_case(spark):
+    """Stratification by pre-period spend: users land in their
+    power-of-two cent bucket, within-stratum arm means are exact, and
+    a one-arm stratum reports NULL uplift."""
+    import hashlib
+    import tempfile
+    from datetime import datetime
+
+    arms = {uid: int(hashlib.md5(f"{uid}:ab".encode()).hexdigest()[:15], 16) % 2
+            for uid in range(1, 30)}
+    a_users = [u for u in range(1, 30) if arms[u] == 0][:2]
+    b_users = [u for u in range(1, 30) if arms[u] == 1][:2]
+    rows, eid = [], 0
+    # all four users: pre spend $1.00 (stratum of 100 cents = bucket 6),
+    # post spend: arm A 10.00, arm B 30.00
+    for u in a_users + b_users:
+        rows.append((eid, u, "purchase", 1.0, datetime(2024, 1, 10, 12, 0)))
+        eid += 1
+        post = 10.0 if u in a_users else 30.0
+        rows.append((eid, u, "purchase", post, datetime(2024, 1, 20, 12, 0)))
+        eid += 1
+    # one refund-only user (negative pre, clamps to bucket 0), arm known
+    ref = [u for u in range(1, 30) if arms[u] == 0][2]
+    rows.append((eid, ref, "refund", -5.0, datetime(2024, 1, 10, 12, 0)))
+    eid += 1
+    rows.append((eid, ref, "purchase", 7.0, datetime(2024, 1, 20, 12, 0)))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["stratum"]: r for r in
+           analytics.q_stratified_uplift(spark, d).collect()}
+    # pre 100 cents -> bucket 6 ([64, 127])
+    s = out[6]
+    assert (s["n_a"], s["n_b"]) == (2, 2)
+    assert s["mean_a_milli"] == 1000 * (1000 + 1000) // 2
+    assert s["mean_b_milli"] == 1000 * (3000 + 3000) // 2
+    assert s["uplift_milli"] == 2_000_000
+    # refund-only user: pre clamps to 0 -> bucket 0, one arm only
+    z = out[0]
+    assert z["n_a"] == 1 and z["n_b"] == 0
+    assert z["uplift_milli"] is None and z["mean_b_milli"] is None

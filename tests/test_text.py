@@ -1311,3 +1311,27 @@ def test_distinctive_terms_hand_case(spark):
     # 'common' in B: a=10, b=4, n_rest=10, n_s=10 -> 1e6*100//(10*5)=2e6
     rb = out[("B", "common")]
     assert rb.rr_ppm == 2_000_000 and rb.term_rank == 1
+
+
+def test_countmin_one_sided_error_and_exactness(spark):
+    """CMS law: the estimate NEVER undercounts (min over rows of a sum
+    that includes every true occurrence), and on a tiny vocabulary
+    with no collisions it is exact."""
+    import tempfile
+
+    from conftest import SF_SMALL
+
+    rows = text.q_countmin_topk(spark, SF_SMALL).collect()
+    assert rows and all(r.overcount >= 0 for r in rows)
+    assert all(r.cms_est >= r.exact_cnt for r in rows)
+
+    # 3 distinct terms in 4x1024 counters: collision probability ~0 —
+    # planted counts read back exactly
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha alpha beta beta gamma")], "doc_id long, text string"
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.term: (r.exact_cnt, r.cms_est) for r in
+           text.q_countmin_topk(spark, d).collect()}
+    assert got == {"alpha": (3, 3), "beta": (2, 2), "gamma": (1, 1)}
