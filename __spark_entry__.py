@@ -4052,6 +4052,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN pre THEN cents ELSE 0 END) AS BIGINT) AS x, "
             "CAST(SUM(CASE WHEN NOT pre THEN cents ELSE 0 END) AS BIGINT) "
             "AS y FROM ev GROUP BY 1, 2), "
+            "puf AS (SELECT * FROM pu WHERE x IS NOT NULL AND y IS NOT NULL), "
             "b(stratum, lo, hi) AS (VALUES "
             + ", ".join(
                 f"(CAST({s} AS BIGINT), CAST({lo} AS BIGINT), "
@@ -4064,8 +4065,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, "
             "CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sa, "
             "CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sb "
-            "FROM pu JOIN b ON GREATEST(pu.x, 0) >= b.lo "
-            "AND GREATEST(pu.x, 0) <= b.hi GROUP BY 1) "
+            "FROM puf JOIN b ON LEAST(GREATEST(puf.x, 0), 4294967295) >= b.lo "
+            "AND LEAST(GREATEST(puf.x, 0), 4294967295) <= b.hi GROUP BY 1) "
             "SELECT stratum, n_a, n_b, "
             "CAST(CASE WHEN n_a > 0 THEN (1000 * sa) // n_a END AS BIGINT) "
             "AS mean_a_milli, "

@@ -3073,6 +3073,7 @@ def q_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "unix_micros(cast(ts as timestamp))) div 1000000"
             ).alias("gap_s")
         )
+        .localCheckpoint(eager=False)  # bucket join + total: one window pass
     )
     buckets = spark.createDataFrame(
         GAP_BUCKETS, "bucket long, lo_s long, hi_s long"
@@ -3097,6 +3098,22 @@ def q_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 HAZARD_MAX_WEEK = 12
 
 
+def _tenure_frame(ev: DataFrame) -> DataFrame:
+    """Per-user (tw, censored) frame shared by q_tenure_hazard and
+    q_km_survival — ONE home for the tenure-week floor and the 7-day
+    right-censoring rule, so the hazard table and the survival curve it
+    implies can never drift apart."""
+    users = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"),
+        F.max(F.to_date("ts")).alias("l"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("d_max"))
+    return users.crossJoin(F.broadcast(horizon)).select(
+        F.expr("datediff(l, f) div 7").alias("tw"),
+        (F.datediff(F.col("d_max"), F.col("l")) < 7).alias("censored"),
+    )
+
+
 def q_tenure_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete-time churn hazard by tenure week (the survival-analysis
     readout churn_rate's single number hides): h(w) = users whose LAST
@@ -3115,16 +3132,7 @@ def q_tenure_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one per-user min/max agg, a 13-row broadcast grid join for
     the at-risk counts, one grid-keyed agg — output 13 rows."""
-    ev = read_events(spark, sf_dir)
-    users = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("f"),
-        F.max(F.to_date("ts")).alias("l"),
-    )
-    horizon = ev.agg(F.max(F.to_date("ts")).alias("d_max"))
-    u = users.crossJoin(F.broadcast(horizon)).select(
-        F.expr("datediff(l, f) div 7").alias("tw"),
-        (F.datediff(F.col("d_max"), F.col("l")) < 7).alias("censored"),
-    )
+    u = _tenure_frame(read_events(spark, sf_dir))
     grid = spark.range(HAZARD_MAX_WEEK + 1).select(
         F.col("id").cast("long").alias("tenure_week")
     )
@@ -3169,18 +3177,9 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     Empty weeks (n=0) carry S forward unchanged (no events, no drop).
 
     Headroom: each step multiplies a ≤1e6 ppm by n_w ≤ |users| before
-    the div — needs |users| < 9.2e12.  Plan: the tenure_hazard cell
+    the div — needs |users| < 9.2e12.  Plan: the shared _tenure_frame
     build + one 1-row pivot + a 13-row stack."""
-    ev = read_events(spark, sf_dir)
-    users = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("f"),
-        F.max(F.to_date("ts")).alias("l"),
-    )
-    horizon = ev.agg(F.max(F.to_date("ts")).alias("d_max"))
-    u = users.crossJoin(F.broadcast(horizon)).select(
-        F.expr("datediff(l, f) div 7").alias("tw"),
-        (F.datediff(F.col("d_max"), F.col("l")) < 7).alias("censored"),
-    )
+    u = _tenure_frame(read_events(spark, sf_dir))
     weeks = range(HAZARD_MAX_WEEK + 1)
     flat = u.agg(
         *[
@@ -3240,8 +3239,13 @@ def q_stratified_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-stratum means use plain truncating div on possibly-negative
     sums (both engines truncate toward zero — pinned by
     division_semantics_law); strata missing an arm report NULL uplift
-    (the empty-input NULL rule).  Negative pre-spend (refund-only
-    users) clamps to bucket 0.
+    (the empty-input NULL rule).  Users whose pre- or post-sum is NULL
+    (every contributing value NULL) are DROPPED, the _user_cents
+    convention — else they'd inflate the denominators while SUM skips
+    their NULL spend.  The covariate clamps into the bucket domain on
+    BOTH sides: negative pre-spend (refund-only users) to bucket 0,
+    and spend past the last bucket bound (2³²−1 cents ≈ $42.9M) into
+    the top bucket — no user silently falls out of the join.
 
     Plan: one (user) agg builds (pre_cents, post_cents, arm), a 32-row
     broadcast range join assigns strata, one stratum-keyed agg —
@@ -3255,11 +3259,12 @@ def q_stratified_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id", "arm").agg(
         F.sum(F.when(F.col("pre"), F.col("cents")).otherwise(0)).alias("x"),
         F.sum(F.when(~F.col("pre"), F.col("cents")).otherwise(0)).alias("y"),
-    )
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     buckets = spark.createDataFrame(
         GAP_BUCKETS, "stratum long, lo long, hi long"
     )
-    cl = F.greatest(F.col("x"), F.lit(0))
+    top_hi = GAP_BUCKETS[-1][2]
+    cl = F.least(F.greatest(F.col("x"), F.lit(0)), F.lit(top_hi))
     cells = (
         per_user.join(
             F.broadcast(buckets),

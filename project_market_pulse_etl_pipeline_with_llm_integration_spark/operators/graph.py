@@ -404,7 +404,10 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/orders.parquet"),
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = (
+        edges.groupBy("src").agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)  # histogram + total: one edge build
+    )
     hist = deg.groupBy("deg").agg(F.count("*").alias("n_nodes"))
     total = deg.agg(F.count("*").alias("n_total"))
     return hist.crossJoin(F.broadcast(total)).select(

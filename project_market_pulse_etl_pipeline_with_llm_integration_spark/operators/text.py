@@ -1498,6 +1498,16 @@ def bpe_apply_merges(
     ``localCheckpoint`` (lazy) pins each round, the bpe_train_merges /
     pagerank fixed-loop discipline."""
     merges = merges.localCheckpoint(eager=False)  # rules re-read per round
+    # Validate the rule table BEFORE the rewrite loop: a missing round
+    # would crossJoin the state against an EMPTY 1-row relation and
+    # silently annihilate every row; a duplicated round would duplicate
+    # them.  O(n_merges) driver state — the dedup.py 1-row-guard class.
+    rounds = [r.merge_round for r in merges.select("merge_round").collect()]
+    if any(rounds.count(r) != 1 for r in range(1, n_merges + 1)):
+        raise ValueError(
+            f"merge table must carry exactly one rule per round 1..{n_merges}; "
+            f"got rounds {sorted(rounds)}"
+        )
     w_word = Window.partitionBy("word").orderBy("pos")
     st = state
     for rnd in range(1, n_merges + 1):

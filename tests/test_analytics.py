@@ -1394,7 +1394,7 @@ def test_user_feature_matrix_hand_case(spark):
         1, 0, 2, 0, 0,
     ]
     assert u1["n_events"] == 4          # off-contract type still counted
-    assert u1["purchase_cents"] == 1999 + 2  # round(1.5) -> 2, half-even
+    assert u1["purchase_cents"] == 1999 + 2  # round(1.5) -> 2 (half-up in both engines)
     assert u1["n_active_days"] == 2
     u2 = out[2]
     assert u2["n_view"] == 1 and u2["purchase_cents"] == 0

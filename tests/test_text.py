@@ -1335,3 +1335,30 @@ def test_countmin_one_sided_error_and_exactness(spark):
     got = {r.term: (r.exact_cnt, r.cms_est) for r in
            text.q_countmin_topk(spark, d).collect()}
     assert got == {"alpha": (3, 3), "beta": (2, 2), "gamma": (1, 1)}
+
+
+def test_bpe_apply_rejects_malformed_merge_tables(spark):
+    """A missing round would silently annihilate the state through the
+    empty-rule crossJoin; a duplicated round would duplicate it — both
+    must raise loudly instead."""
+    import pytest as _pytest
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_word_state,
+    )
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    state = bpe_word_state(docs)
+    schema = (
+        "merge_round long, left_sym string, right_sym string, "
+        "pair_weight long"
+    )
+    missing = spark.createDataFrame([(1, "a", "b", 0), (3, "ab", "ab", 0)], schema)
+    with _pytest.raises(ValueError, match="exactly one rule"):
+        bpe_apply_merges(state, missing, n_merges=3)
+    dup = spark.createDataFrame(
+        [(1, "a", "b", 0), (2, "x", "y", 0), (2, "y", "z", 0)], schema
+    )
+    with _pytest.raises(ValueError, match="exactly one rule"):
+        bpe_apply_merges(state, dup, n_merges=2)
