@@ -187,6 +187,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": text.q_distinctive_terms,
         "countmin_topk": text.q_countmin_topk,
         "stratified_uplift": analytics.q_stratified_uplift,
+        "funnel_windowed": R.q_funnel_windowed,
         # ROUND-9 window below (all driver-green in CORRECTNESS_r09)
         "funnel_arm_compare": analytics.q_funnel_arm_compare,
         "growth_accounting": analytics.q_growth_accounting,
@@ -4019,6 +4020,37 @@ def oracle_sql() -> dict[str, str]:
             "AS hazard_ppm FROM g LEFT JOIN c USING (tenure_week)"
         ),
         "km_survival": _km_sql(),
+        "funnel_windowed": (
+            "WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(v.t1) AS t1 "
+            "FROM events e JOIN v ON e.user_id = v.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > v.t1 "
+            "AND e.ts <= v.t1 + INTERVAL 7 DAY GROUP BY 1), "
+            "p AS (SELECT e.user_id, MIN(e.ts) AS t3, MIN(c.t2) AS t2 "
+            "FROM events e JOIN c ON e.user_id = c.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > c.t2 "
+            "AND e.ts <= c.t2 + INTERVAL 7 DAY GROUP BY 1), "
+            "nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM v), "
+            "nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc, "
+            "CAST(SUM(epoch_us(CAST(t2 AS TIMESTAMP)) - "
+            "epoch_us(CAST(t1 AS TIMESTAMP))) AS BIGINT) AS lc FROM c), "
+            "np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, "
+            "CAST(SUM(epoch_us(CAST(t3 AS TIMESTAMP)) - "
+            "epoch_us(CAST(t2 AS TIMESTAMP))) AS BIGINT) AS lp FROM p), "
+            "w AS (SELECT * FROM nv CROSS JOIN nc CROSS JOIN np) "
+            "SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, "
+            "nv AS users, CAST(NULL AS BIGINT) AS conv_ppm, "
+            "CAST(NULL AS BIGINT) AS mean_lag_s FROM w "
+            "UNION ALL SELECT CAST(2 AS BIGINT), 'click', nc, "
+            "CAST(CASE WHEN nv > 0 THEN (1000000 * nc) // nv END AS BIGINT), "
+            "CAST(CASE WHEN nc > 0 THEN (lc // nc) // 1000000 END AS BIGINT) "
+            "FROM w "
+            "UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', np, "
+            "CAST(CASE WHEN nc > 0 THEN (1000000 * np) // nc END AS BIGINT), "
+            "CAST(CASE WHEN np > 0 THEN (lp // np) // 1000000 END AS BIGINT) "
+            "FROM w"
+        ),
         "countmin_topk": (
             "WITH t AS (SELECT term FROM (SELECT unnest("
             + _TOKS

@@ -254,6 +254,7 @@ HEADLINE = [
     "distinctive_terms",
     "countmin_topk",
     "stratified_uplift",
+    "funnel_windowed",
 ]
 
 

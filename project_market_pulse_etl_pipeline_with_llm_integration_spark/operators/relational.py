@@ -3093,3 +3093,73 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "gen",
     )
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained conversion funnel: view -> click -> purchase
+    where each transition must land within 7 DAYS of the previous
+    stage's first occurrence — the funnel PMs actually read (an
+    unbounded funnel credits a purchase eleven months after the view;
+    the windowed one measures the campaign).  Per stage: surviving
+    users, conversion ppm from the previous stage, and the exact mean
+    transition lag in whole seconds.
+
+    Same three co-keyed conditional min-agg shuffles as q_funnel (the
+    exchange-reuse shape) plus the interval predicate; lags subtract
+    microsecond epochs (NTZ cast — the shift cancels in the
+    difference) and floor via positive-operand div.  Output: 3 rows."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    win = F.expr("INTERVAL 7 DAYS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+
+    def lag_s(a: str, b: str):
+        return F.expr(
+            f"(unix_micros(cast({b} as timestamp)) - "
+            f"unix_micros(cast({a} as timestamp)))"
+        )
+
+    nv = v.agg(F.count("*").alias("nv"))
+    nc = c.agg(
+        F.count("*").alias("nc"), F.sum(lag_s("t1", "t2")).alias("lc")
+    )
+    np_ = p.agg(
+        F.count("*").alias("np"), F.sum(lag_s("t2", "t3")).alias("lp")
+    )
+    wide = nv.crossJoin(nc).crossJoin(np_)
+    return wide.select(
+        F.expr(
+            "stack(3, "
+            "CAST(1 AS BIGINT), 'view', CAST(nv AS BIGINT), "
+            "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+            "CAST(2 AS BIGINT), 'click', CAST(nc AS BIGINT), "
+            "CASE WHEN nv > 0 THEN (1000000 * nc) div nv END, "
+            "CASE WHEN nc > 0 THEN (lc div nc) div 1000000 END, "
+            "CAST(3 AS BIGINT), 'purchase', CAST(np AS BIGINT), "
+            "CASE WHEN nc > 0 THEN (1000000 * np) div nc END, "
+            "CASE WHEN np > 0 THEN (lp div np) div 1000000 END"
+            ") AS (step, stage, users, conv_ppm, mean_lag_s)"
+        )
+    ).select(
+        "step", "stage",
+        F.col("users").cast("long").alias("users"),
+        F.col("conv_ppm").cast("long").alias("conv_ppm"),
+        F.col("mean_lag_s").cast("long").alias("mean_lag_s"),
+    )

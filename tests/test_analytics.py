@@ -1543,3 +1543,45 @@ def test_stratified_uplift_hand_case(spark):
     z = out[0]
     assert z["n_a"] == 1 and z["n_b"] == 0
     assert z["uplift_milli"] is None and z["mean_b_milli"] is None
+
+
+def test_funnel_windowed_hand_case(spark):
+    """The 7-day window gates transitions: a click 8 days after the
+    first view converts in the plain funnel but NOT here; the mean lag
+    is the exact floored second count."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        q_funnel_windowed,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: view, click +2d, purchase +2d2h -> full conversion
+        (0, 1, "view", 0.0, t0),
+        (1, 1, "click", 0.0, t0 + timedelta(days=2)),
+        (2, 1, "purchase", 0.0, t0 + timedelta(days=2, hours=2)),
+        # user 2: view, click +8d (outside window) -> stops at view
+        (3, 2, "view", 0.0, t0),
+        (4, 2, "click", 0.0, t0 + timedelta(days=8)),
+        # user 3: view, click +1d, purchase +9d after click -> stops at click
+        (5, 3, "view", 0.0, t0),
+        (6, 3, "click", 0.0, t0 + timedelta(days=1)),
+        (7, 3, "purchase", 0.0, t0 + timedelta(days=10)),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["stage"]: r for r in q_funnel_windowed(spark, d).collect()}
+    assert out["view"]["users"] == 3
+    assert out["click"]["users"] == 2          # users 1 and 3
+    assert out["purchase"]["users"] == 1       # user 1 only
+    assert out["click"]["conv_ppm"] == 1_000_000 * 2 // 3
+    assert out["purchase"]["conv_ppm"] == 500_000
+    # click lags: 2d (172800s) and 1d (86400s) -> mean 129600s
+    assert out["click"]["mean_lag_s"] == 129_600
+    assert out["purchase"]["mean_lag_s"] == 2 * 3600 + 0
+    assert out["view"]["conv_ppm"] is None

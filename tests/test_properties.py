@@ -852,3 +852,120 @@ def test_dow_anomaly_matches_python_on_random_frames(spark, rows):
         k = dd.isoweekday()
         assert (r["dow"], r["x"], r["med"], r["mad"]) == (k, x, med[k], mad[k])
         assert r["is_anomaly"] == (abs(x - med[k]) > 3 * mad[k])
+
+
+@_slow
+@given(
+    st.lists(texts.filter(lambda t: t.strip()), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=3),
+)
+def test_bpe_apply_equals_greedy_reference(spark, docs, n_merges):
+    """On ARBITRARY corpora, applying the learned merge table through
+    the distributed gaps-and-islands rewrite reproduces the sequential
+    greedy BPE state word-for-word — including equal-symbol runs and
+    single-char words."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_train_merges,
+        bpe_word_state,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    merges = bpe_train_merges(df, n_merges=n_merges)
+    got = {
+        r.word: r.syms
+        for r in bpe_apply_merges(bpe_word_state(df), merges, n_merges=n_merges)
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda s: s["sym"],
+            ).alias("syms")
+        )
+        .collect()
+    }
+
+    freq = collections.Counter(w for t in docs for w in t.split() if w)
+    state = {w: list(w) for w in freq}
+    for _ in range(n_merges):
+        cnt = collections.Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += freq[w]
+        if not cnt:
+            break
+        (a, b), _c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    assert got == state
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),   # user
+            st.integers(min_value=0, max_value=120),  # first-event day
+            st.integers(min_value=0, max_value=120),  # extra span days
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_km_and_hazard_equal_python_replay(spark, users):
+    """tenure_hazard and km_survival equal a pure-Python replay of the
+    censoring + product-limit arithmetic on random user lifespans."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics as A,
+    )
+
+    base = datetime(2024, 1, 1, 12, 0)
+    rows, eid = [], 0
+    span = {}
+    for uid, f, extra in users:
+        l = f + extra
+        span[uid] = (min(span[uid][0], f), max(span[uid][1], l)) if uid in span else (f, l)
+        rows.append((eid, uid, "e", 0.0, base + timedelta(days=f))); eid += 1
+        rows.append((eid, uid, "e", 0.0, base + timedelta(days=l))); eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    d_max = max(l for _, l in span.values())
+    tw = {u: (l - f) // 7 for u, (f, l) in span.items()}
+    cen = {u: (d_max - l) < 7 for u, (f, l) in span.items()}
+    exp_n = {w: sum(1 for u in tw if tw[u] >= w)
+             for w in range(A.HAZARD_MAX_WEEK + 1)}
+    exp_d = {w: sum(1 for u in tw if tw[u] == w and not cen[u])
+             for w in range(A.HAZARD_MAX_WEEK + 1)}
+    got_h = {r["tenure_week"]: r for r in A.q_tenure_hazard(spark, d).collect()}
+    for w in range(A.HAZARD_MAX_WEEK + 1):
+        assert (got_h[w]["n_at_risk"], got_h[w]["n_churned"]) == (
+            exp_n[w], exp_d[w]), w
+
+    s, exp_s = 1_000_000, {}
+    for w in range(A.HAZARD_MAX_WEEK + 1):
+        num = exp_n[w] - exp_d[w] if exp_n[w] > 0 else 1
+        den = exp_n[w] if exp_n[w] > 0 else 1
+        s = (s * num) // den
+        exp_s[w] = s
+    got_s = {r["tenure_week"]: r["surv_ppm"]
+             for r in A.q_km_survival(spark, d).collect()}
+    assert got_s == exp_s
