@@ -188,6 +188,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_topk": text.q_countmin_topk,
         "stratified_uplift": analytics.q_stratified_uplift,
         "funnel_windowed": R.q_funnel_windowed,
+        "discount_ladder": market.q_discount_ladder,
         # ROUND-9 window below (all driver-green in CORRECTNESS_r09)
         "funnel_arm_compare": analytics.q_funnel_arm_compare,
         "growth_accounting": analytics.q_growth_accounting,
@@ -4020,6 +4021,19 @@ def oracle_sql() -> dict[str, str]:
             "AS hazard_ppm FROM g LEFT JOIN c USING (tenure_week)"
         ),
         "km_survival": _km_sql(),
+        "discount_ladder": (
+            "WITH li AS (SELECT CAST(round(l_discount * 100) AS BIGINT) "
+            "AS disc_pct, l_quantity, "
+            "l_extendedprice * (1 - l_discount) AS rev FROM lineitem), "
+            "c AS (SELECT disc_pct, CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(SUM(l_quantity) AS BIGINT) AS total_qty, "
+            "CAST(round(SUM(CAST(rev AS DECIMAL(20,6))) * 100, 0) "
+            "AS BIGINT) AS revenue_cents FROM li GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS tc FROM c) "
+            "SELECT disc_pct, n_items, total_qty, revenue_cents, "
+            "CAST(CASE WHEN tc > 0 THEN (1000000 * revenue_cents) // tc "
+            "END AS BIGINT) AS rev_share_ppm FROM c CROSS JOIN t"
+        ),
         "funnel_windowed": (
             "WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events "
             "WHERE event_type = 'view' GROUP BY 1), "

@@ -255,6 +255,7 @@ HEADLINE = [
     "countmin_topk",
     "stratified_uplift",
     "funnel_windowed",
+    "discount_ladder",
 ]
 
 

@@ -431,3 +431,41 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(30)
     )
+
+
+def q_discount_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and volume by discount step: the pricing ladder —
+    line-item counts, total quantity, and DECIMAL-exact discounted
+    revenue per whole-percent discount bucket, with each bucket's
+    revenue share in exact ppm.  The 'which discount tier actually
+    carries the business' readout behind TPC-H Q19-style promotion
+    analysis.
+
+    The bucket is round(l_discount*100) — discounts are exact
+    few-decimal values so the cast has no tie to round; revenue
+    accumulates in DECIMAL (money_sum) and the share ppm divides the
+    bucket's cents by the grand total's cents, both exact longs.
+    Plan: one scan, one tiny-key hash agg, one broadcast total —
+    output O(discount steps)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    # cents stay inside DECIMAL until the final cast (money_sum's
+    # rationale, but the x100 multiply must happen IN decimal — a
+    # rounded double x100 can land a hair under the integer and
+    # truncate on the long cast)
+    cells = li.groupBy("disc_pct").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+        F.round(F.sum(F.col("rev").cast("decimal(20,6)")) * 100, 0)
+        .cast("long").alias("revenue_cents"),
+    )
+    total = cells.agg(F.sum("revenue_cents").alias("tc"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "disc_pct", "n_items", "total_qty", "revenue_cents",
+        F.expr(
+            "CASE WHEN tc > 0 THEN (1000000 * revenue_cents) div tc END"
+        ).cast("long").alias("rev_share_ppm"),
+    )

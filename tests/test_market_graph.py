@@ -710,3 +710,33 @@ def test_degree_distribution_mass_conservation(spark):
     assert all(0 < r.share_ppm <= 1_000_000 for r in rows)
     for r in rows:
         assert r.share_ppm == 1_000_000 * r.n_nodes // n_nodes
+
+
+def test_discount_ladder_hand_case(spark):
+    """Exact decimal cents per discount bucket and exact ppm shares."""
+    import tempfile
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        q_discount_ladder,
+    )
+
+    rows = [
+        (1, 1, 1, 1, 1.0, 100.0, 0.05, 0.0, "N", "O"),
+        (2, 2, 2, 1, 2.0, 200.0, 0.05, 0.0, "N", "O"),
+        (3, 3, 3, 1, 3.0, 50.0, 0.00, 0.0, "N", "O"),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    )
+    d = tempfile.mkdtemp()
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {r.disc_pct: r for r in q_discount_ladder(spark, d).collect()}
+    assert out[5].n_items == 2 and out[5].total_qty == 3
+    assert out[5].revenue_cents == 9500 + 19000
+    assert out[0].revenue_cents == 5000
+    total = 9500 + 19000 + 5000
+    assert out[5].rev_share_ppm == 1_000_000 * 28500 // total
+    assert out[0].rev_share_ppm == 1_000_000 * 5000 // total
