@@ -161,6 +161,47 @@ def attribute_clicks(
     return c.join(v, cond).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
 
 
+def attribute_clicks_outer(
+    clicks: DataFrame,
+    views: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT-OUTER twin of :func:`attribute_clicks` — the attribution
+    report that also shows the UNattributed clicks (view_id NULL), the
+    number every campaign dashboard leads with.  On streaming inputs
+    this exercises Structured Streaming's hardest join semantics: an
+    unmatched click can only emit its NULL row once the watermark has
+    passed its join window (before that, a matching view could still
+    arrive), so outer results trail the inner ones by watermark +
+    max_delay, and clicks younger than that at stream end stay pending
+    — exactly the state-eviction contract the batch form doesn't have.
+    The test pins streaming == batch on the CLOSABLE region (clicks
+    older than max-event-time − watermark − max_delay)."""
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("ts", watermark)
+    if views.isStreaming:
+        views = views.withWatermark("ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    cond = (
+        (c.user_id == v.view_user)
+        & (c.click_ts >= v.view_ts)
+        & (c.click_ts <= v.view_ts + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return c.join(v, cond, "left_outer").select(
+        "click_id", "view_id", "user_id", "click_ts", "view_ts"
+    )
+
+
 def dedup_events_batch(events: DataFrame) -> DataFrame:
     """Batch form of at-least-once ingestion dedup: collapse events that
     share (user_id, event_type, minute) to the earliest occurrence —

@@ -602,3 +602,74 @@ def test_streaming_dedup_within_watermark_collapses_relogged(spark, tmp_path):
     ).first()
     want = ev.count()
     assert (got.c, got.d) == (want, want)
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Watermarked LEFT-OUTER stream-stream join: matched pairs equal
+    the batch join, and unmatched clicks emit exactly one NULL
+    attribution row once the watermark passes their join window.
+    Structured Streaming does NOT flush pending outer results at query
+    end (they wait for the watermark), so the test appends a far-future
+    sentinel event and restarts from the same checkpoint — the
+    watermark jump deterministically closes every real click's window."""
+    import os
+    from datetime import timedelta
+
+    src = str(tmp_path / "lo_src")
+    out = str(tmp_path / "lo_out")
+    ck = str(tmp_path / "lo_ck")
+    read_events(spark, SF_SMALL).repartition(2).write.parquet(src)
+    batch = spark.read.parquet(src)
+    clicks_b = batch.filter("event_type = 'click'")
+    views_b = batch.filter("event_type = 'view'")
+    want_all = {
+        (r.click_id, r.view_id)
+        for r in SE.attribute_clicks_outer(clicks_b, views_b, "30 minutes").collect()
+    }
+    assert any(v is None for _, v in want_all)  # corpus has unmatched clicks
+    max_ts = batch.agg(F.max("ts")).first()[0]
+
+    def run_once():
+        clicks = SE.read_events_stream(spark, src, max_files=2).filter(
+            "event_type = 'click'"
+        )
+        views = SE.read_events_stream(spark, src, max_files=2).filter(
+            "event_type = 'view'"
+        )
+        def sink(bdf, bid):
+            if bdf.count():
+                bdf.write.mode("append").parquet(out)
+        q = (
+            SE.attribute_clicks_outer(clicks, views, "30 minutes", watermark="1 hour")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run_once()
+    # sentinel: one far-future click+view pair advances BOTH streams'
+    # watermarks far past every real event's join window
+    far = max_ts + timedelta(days=30)
+    spark.createDataFrame(
+        [(90000001, far, 999999991, "click", 0.0, "{}"),
+         (90000002, far, 999999992, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    assert os.path.exists(out)
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.read.parquet(out).collect()
+        if r.click_id < 90000000  # sentinel rows excluded
+    }
+    want_matched = {(c, v) for c, v in want_all if v is not None}
+    assert {(c, v) for c, v in got if v is not None} == want_matched
+    # after the watermark jump, EVERY batch-unmatched click has emitted
+    # its NULL row exactly once
+    assert {c for c, v in got if v is None} == {
+        c for c, v in want_all if v is None
+    }
