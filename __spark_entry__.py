@@ -189,6 +189,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_uplift": analytics.q_stratified_uplift,
         "funnel_windowed": R.q_funnel_windowed,
         "discount_ladder": market.q_discount_ladder,
+        "order_backlog": market.q_order_backlog,
+        "distance_histogram": similarity.q_distance_histogram,
         # ROUND-9 window below (all driver-green in CORRECTNESS_r09)
         "funnel_arm_compare": analytics.q_funnel_arm_compare,
         "growth_accounting": analytics.q_growth_accounting,
@@ -4021,6 +4023,52 @@ def oracle_sql() -> dict[str, str]:
             "AS hazard_ppm FROM g LEFT JOIN c USING (tenure_week)"
         ),
         "km_survival": _km_sql(),
+        "order_backlog": (
+            "WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) "
+            "AS open_day FROM orders), "
+            "cl AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) "
+            "AS close_day FROM lineitem GROUP BY 1), "
+            "iv AS (SELECT open_day, close_day FROM o "
+            "JOIN cl ON o.o_orderkey = cl.l_orderkey), "
+            "b AS (SELECT open_day AS day, 1 AS delta FROM iv "
+            "UNION ALL SELECT close_day + 1, -1 FROM iv), "
+            "d AS (SELECT day, "
+            "CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_opened, "
+            "CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_closed, CAST(SUM(delta) AS BIGINT) AS net "
+            "FROM b GROUP BY 1) "
+            "SELECT day, n_opened, n_closed, "
+            "CAST(SUM(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog FROM d"
+        ),
+        "distance_histogram": (
+            "WITH e AS (SELECT vec_id, "
+            f"{_QV} AS qv, "
+            "('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':dh'), 1, 15))"
+            "::BIGINT AS h FROM embeddings), "
+            "p AS (SELECT vec_id, qv, h, h % 64 AS pb FROM e), "
+            "ld AS (SELECT vec_id, qv, lead(qv) OVER (PARTITION BY pb "
+            "ORDER BY h, vec_id) AS pqv FROM p), "
+            "d2 AS (SELECT vec_id, CAST(SUM((CAST(x AS BIGINT) - y) * "
+            "(CAST(x AS BIGINT) - y)) AS BIGINT) AS d2 FROM "
+            "(SELECT vec_id, unnest(qv) AS x, unnest(pqv) AS y FROM ld "
+            "WHERE pqv IS NOT NULL) GROUP BY 1), "
+            "bk(bucket, lo_d2, hi_d2) AS (VALUES "
+            + ", ".join(
+                f"(CAST({b} AS BIGINT), CAST({lo} AS BIGINT), "
+                f"CAST({hi} AS BIGINT))"
+                for b, lo, hi in analytics.GAP_BUCKETS
+            )
+            + "), "
+            "h AS (SELECT bucket, lo_d2, hi_d2, "
+            "CAST(COUNT(*) AS BIGINT) AS n_pairs FROM d2 JOIN bk "
+            "ON d2.d2 >= bk.lo_d2 AND d2.d2 <= bk.hi_d2 GROUP BY 1, 2, 3), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d2) "
+            "SELECT bucket, lo_d2, hi_d2, n_pairs, "
+            "CAST((1000000 * n_pairs) // n_total AS BIGINT) AS share_ppm "
+            "FROM h CROSS JOIN t"
+        ),
         "discount_ladder": (
             "WITH li AS (SELECT CAST(round(l_discount * 100) AS BIGINT) "
             "AS disc_pct, l_quantity, "

@@ -256,6 +256,8 @@ HEADLINE = [
     "stratified_uplift",
     "funnel_windowed",
     "discount_ladder",
+    "order_backlog",
+    "distance_histogram",
 ]
 
 

@@ -469,3 +469,49 @@ def q_discount_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN tc > 0 THEN (1000000 * revenue_cents) div tc END"
         ).cast("long").alias("rev_share_ppm"),
     )
+
+
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-day order backlog: how many orders are open (placed but
+    not yet fully shipped) on each boundary day — the fulfillment-
+    pressure curve behind staffing and SLA decisions, and the interval
+    sweep-line pattern (session_concurrency) applied to the TPC-H
+    order lifecycle.
+
+    An order is open from its order day through the day its LAST line
+    ships (inclusive); orders with no lineitems are excluded (no
+    observable close).  No interval join: +1 on the open day, −1 the
+    day after close, net per day, and backlog = running sum of nets —
+    the only window is the O(active days) day-carry (allowlisted, the
+    session_concurrency bound).  Only boundary days are emitted; the
+    carry stays correct across silent days because their nets are
+    zero.  All exact integers."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("open_day")
+    )
+    close = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_day"))
+    )
+    iv = orders.join(close, orders["o_orderkey"] == close["l_orderkey"])
+    opens = iv.select(F.col("open_day").alias("day"), F.lit(1).alias("delta"))
+    closes = iv.select(
+        F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("delta")
+    )
+    daily = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_opened"),
+            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("n_closed"),
+            F.sum("delta").alias("net"),
+        )
+    )
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        F.sum("net").over(wc).cast("long").alias("backlog"),
+    )

@@ -1986,3 +1986,70 @@ def q_embedding_principal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("long").alias("dim"),
         F.col("comp").cast("long").alias("comp"),
     )
+
+
+DH_PAIR_BUCKETS = 64
+
+
+def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-geometry probe: the distribution of exact squared L2
+    distances between DETERMINISTICALLY sampled vector pairs, in
+    power-of-two buckets — the 'is this cloud clustered, uniform, or
+    collapsing' audit read before trusting any ANN recall number (a
+    distance histogram piled into one bucket means the index has
+    nothing to discriminate).
+
+    Pairing is hash-random but engine-exact: vectors order by their
+    md5 rank within DH_PAIR_BUCKETS hash buckets and each pairs with
+    its successor (one unpaired row per bucket drops — documented).
+    Distances are exact int64 over the shared int8 quantization (max
+    64·254² ≈ 4.1e6, far inside the power-of-two literal domain); the
+    histogram join is the fixed 32-row broadcast.  Plan: one bucket-
+    PARTITIONED lead window (audit-safe), one zip_with fold, one
+    broadcast range join, one <=32-key agg."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        GAP_BUCKETS,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":dh"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    qe = emb.select(
+        "vec_id",
+        quantize_embedding(F.col("embedding")).alias("qv"),
+        h.alias("h"),
+        (h % DH_PAIR_BUCKETS).alias("pb"),
+    )
+    w = W.partitionBy("pb").orderBy("h", "vec_id")
+    paired = qe.withColumn("pqv", F.lead("qv").over(w)).filter(
+        F.col("pqv").isNotNull()
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "qv", "pqv",
+            lambda a, b: (a.cast("long") - b) * (a.cast("long") - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dists = paired.select(d2.alias("d2")).localCheckpoint(eager=False)
+    buckets = spark.createDataFrame(
+        GAP_BUCKETS, "bucket long, lo_d2 long, hi_d2 long"
+    )
+    hist = (
+        dists.join(
+            F.broadcast(buckets),
+            (F.col("d2") >= F.col("lo_d2")) & (F.col("d2") <= F.col("hi_d2")),
+        )
+        .groupBy("bucket", "lo_d2", "hi_d2")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    total = dists.agg(F.count("*").alias("n_total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "bucket", "lo_d2", "hi_d2",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.expr("(1000000 * n_pairs) div n_total").cast("long")
+        .alias("share_ppm"),
+    )

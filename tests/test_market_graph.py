@@ -740,3 +740,42 @@ def test_discount_ladder_hand_case(spark):
     total = 9500 + 19000 + 5000
     assert out[5].rev_share_ppm == 1_000_000 * 28500 // total
     assert out[0].rev_share_ppm == 1_000_000 * 5000 // total
+
+
+def test_order_backlog_hand_case(spark):
+    """Sweep-line backlog: +1 on the order day, -1 the day after the
+    last ship day; orders with no lineitems never enter."""
+    import tempfile
+    from datetime import datetime
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        q_order_backlog,
+    )
+
+    d = tempfile.mkdtemp()
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 10.0, datetime(2024, 1, 1), "1-URGENT"),
+            (2, 2, "O", 10.0, datetime(2024, 1, 2), "1-URGENT"),
+            (3, 3, "O", 10.0, datetime(2024, 1, 9), "1-URGENT"),  # no lines
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 2)),
+            (2, datetime(2024, 1, 4)),
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    orders.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {str(r.day): (r.n_opened, r.n_closed, r.backlog)
+           for r in q_order_backlog(spark, d).collect()}
+    # order 1: open 1/1..1/2 (last ship 1/2); order 2: open 1/2..1/4
+    assert out["2024-01-01"] == (1, 0, 1)
+    assert out["2024-01-02"] == (1, 0, 2)
+    assert out["2024-01-03"] == (0, 1, 1)   # order 1 closed after 1/2
+    assert out["2024-01-05"] == (0, 1, 0)   # order 2 closed after 1/4
+    assert "2024-01-09" not in out          # lineless order excluded

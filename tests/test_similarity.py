@@ -833,3 +833,46 @@ def test_power_iteration_exact_replay_and_dominant_axis(spark):
     assert got == _pi_replay(qvs, rounds=4)
     assert abs(got[5]) == 127
     assert all(abs(c) < 64 for i, c in enumerate(got) if i != 5)
+
+
+def test_distance_histogram_equals_python_replay(spark):
+    """The deterministic pair sampling + exact int d2 histogram equals
+    a pure-Python replay (md5 ranks, hash buckets, successor pairing,
+    power-of-two bucketing) on the real sf0.001 embeddings."""
+    import hashlib
+
+    from conftest import SF_SMALL
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        DH_PAIR_BUCKETS,
+        q_distance_histogram,
+    )
+
+    emb = {
+        r.vec_id: r.qv
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> cast(round(greatest(least("
+            "cast(x as double), 1.0d), -1.0d) * 127.0d) as int)) as qv",
+        )
+        .collect()
+    }
+    hs = {v: int(hashlib.md5(f"{v}:dh".encode()).hexdigest()[:15], 16)
+          for v in emb}
+    buckets = {}
+    for v in emb:
+        buckets.setdefault(hs[v] % DH_PAIR_BUCKETS, []).append(v)
+    d2s = []
+    for pb, vs in buckets.items():
+        vs.sort(key=lambda v: (hs[v], v))
+        for a, b in zip(vs, vs[1:]):
+            d2s.append(sum((x - y) ** 2 for x, y in zip(emb[a], emb[b])))
+    expect = {}
+    for d2 in d2s:
+        b = max(d2.bit_length() - 1, 0)
+        expect[b] = expect.get(b, 0) + 1
+    got = {r.bucket: r.n_pairs for r in q_distance_histogram(spark, SF_SMALL).collect()}
+    assert got == expect
+    shares = {r.bucket: r.share_ppm for r in q_distance_histogram(spark, SF_SMALL).collect()}
+    n = len(d2s)
+    assert shares == {b: 1_000_000 * c // n for b, c in expect.items()}

@@ -72,6 +72,7 @@ NOPART_WINDOW_OK = {
     # global top-k windows guarded by TakeOrderedAndProject /
     # WindowGroupLimit are excluded by the detector itself, not listed)
     "session_concurrency": "O(active days) day-carry running sum",
+    "order_backlog": "O(active days) day-carry running sum (the session_concurrency bound applied to order lifecycles)",
     "compaction_plan": "O(planned output files) running byte sum",
     "classifier_calibration": "10-row decile frame",
     "vocab_build": "vocab capped at 200 rows by contract",
