@@ -191,6 +191,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_ladder": market.q_discount_ladder,
         "order_backlog": market.q_order_backlog,
         "distance_histogram": similarity.q_distance_histogram,
+        "mix_shift_decomposition": analytics.q_mix_shift_decomposition,
         # ROUND-9 window below (all driver-green in CORRECTNESS_r09)
         "funnel_arm_compare": analytics.q_funnel_arm_compare,
         "growth_accounting": analytics.q_growth_accounting,
@@ -4023,6 +4024,39 @@ def oracle_sql() -> dict[str, str]:
             "AS hazard_ppm FROM g LEFT JOIN c USING (tenure_week)"
         ),
         "km_survival": _km_sql(),
+        "mix_shift_decomposition": (
+            "WITH ev AS (SELECT event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS cents, "
+            "ts < TIMESTAMP '2024-01-16' AS pre FROM events "
+            "WHERE value IS NOT NULL), "
+            "c AS (SELECT event_type, "
+            "CAST(SUM(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre, "
+            "CAST(SUM(CASE WHEN NOT pre THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_post, "
+            "CAST(SUM(CASE WHEN pre THEN cents ELSE 0 END) AS BIGINT) "
+            "AS s_pre, "
+            "CAST(SUM(CASE WHEN NOT pre THEN cents ELSE 0 END) AS BIGINT) "
+            "AS s_post FROM ev GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(n_pre) AS BIGINT) AS t_pre, "
+            "CAST(SUM(n_post) AS BIGINT) AS t_post FROM c), "
+            "m AS (SELECT event_type, n_pre, n_post, "
+            "CAST(CASE WHEN n_pre > 0 THEN (1000 * s_pre) // n_pre END "
+            "AS BIGINT) AS mean_pre_milli, "
+            "CAST(CASE WHEN n_post > 0 THEN (1000 * s_post) // n_post END "
+            "AS BIGINT) AS mean_post_milli, "
+            "CAST(CASE WHEN t_pre > 0 THEN (1000000 * n_pre) // t_pre END "
+            "AS BIGINT) AS share_pre_ppm, "
+            "CAST(CASE WHEN t_post > 0 THEN (1000000 * n_post) // t_post "
+            "END AS BIGINT) AS share_post_ppm FROM c CROSS JOIN t) "
+            "SELECT *, "
+            "CAST(CASE WHEN mean_pre_milli IS NOT NULL AND mean_post_milli "
+            "IS NOT NULL THEN (share_post_ppm * "
+            "(mean_post_milli - mean_pre_milli)) // 1000 END AS BIGINT) "
+            "AS within_micro, "
+            "CAST(CASE WHEN mean_pre_milli IS NOT NULL THEN "
+            "((share_post_ppm - share_pre_ppm) * mean_pre_milli) // 1000 "
+            "END AS BIGINT) AS mix_micro FROM m"
+        ),
         "order_backlog": (
             "WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) "
             "AS open_day FROM orders), "

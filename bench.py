@@ -258,6 +258,7 @@ HEADLINE = [
     "discount_ladder",
     "order_backlog",
     "distance_histogram",
+    "mix_shift_decomposition",
 ]
 
 

@@ -3291,3 +3291,71 @@ def q_stratified_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000 * sb) div n_b - (1000 * sa) div n_a END"
         ).cast("long").alias("uplift_milli"),
     )
+
+
+def q_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-style mix-shift decomposition of the pre/post mean-value
+    change, by event-type segment — the Simpson's-paradox auditor: the
+    overall mean can fall while EVERY segment improves, purely because
+    volume shifted toward cheaper segments.  Per segment this splits
+    the movement into a WITHIN term (post share x mean change — did the
+    segment itself change?) and a MIX term (share change x pre mean —
+    did traffic move?), the decomposition a metrics review reads before
+    blaming a segment.
+
+    Exactness: the terms are exact integer products of the
+    already-floored readouts — within_micro = share_post_ppm x
+    (mean_post_milli − mean_pre_milli) div 1000, mix_micro =
+    (share_post_ppm − share_pre_ppm) x mean_pre_milli div 1000 — so
+    they hash engine-identically by construction (documented as a
+    decomposition over the floored metrics, not of the unfloored
+    rational identity; the residual is bounded by the flooring).
+    Signed divisions ride the truncation agreement pinned by
+    division_semantics_law.  Period boundary is the cuped calendar
+    literal; values in exact cents.
+
+    Plan: one scan, one (segment, period) agg, a 2-row-per-segment
+    pivot — output O(|event types|)."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("pre"),
+    ).filter(F.col("cents").isNotNull())
+    cells = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("pre"), 1).otherwise(0)).alias("n_pre"),
+        F.sum(F.when(~F.col("pre"), 1).otherwise(0)).alias("n_post"),
+        F.sum(F.when(F.col("pre"), F.col("cents")).otherwise(0)).alias("s_pre"),
+        F.sum(F.when(~F.col("pre"), F.col("cents")).otherwise(0)).alias("s_post"),
+    )
+    tot = cells.agg(
+        F.sum("n_pre").alias("t_pre"), F.sum("n_post").alias("t_post")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("n_pre").cast("long").alias("n_pre"),
+            F.col("n_post").cast("long").alias("n_post"),
+            F.expr("CASE WHEN n_pre > 0 THEN (1000 * s_pre) div n_pre END")
+            .cast("long").alias("mean_pre_milli"),
+            F.expr("CASE WHEN n_post > 0 THEN (1000 * s_post) div n_post END")
+            .cast("long").alias("mean_post_milli"),
+            F.expr("CASE WHEN t_pre > 0 THEN (1000000 * n_pre) div t_pre END")
+            .cast("long").alias("share_pre_ppm"),
+            F.expr("CASE WHEN t_post > 0 THEN (1000000 * n_post) div t_post END")
+            .cast("long").alias("share_post_ppm"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CASE WHEN mean_pre_milli IS NOT NULL AND mean_post_milli "
+                "IS NOT NULL THEN (share_post_ppm * "
+                "(mean_post_milli - mean_pre_milli)) div 1000 END"
+            ).cast("long").alias("within_micro"),
+            F.expr(
+                "CASE WHEN mean_pre_milli IS NOT NULL THEN "
+                "((share_post_ppm - share_pre_ppm) * mean_pre_milli) "
+                "div 1000 END"
+            ).cast("long").alias("mix_micro"),
+        )
+    )

@@ -1585,3 +1585,48 @@ def test_funnel_windowed_hand_case(spark):
     assert out["click"]["mean_lag_s"] == 129_600
     assert out["purchase"]["mean_lag_s"] == 2 * 3600 + 0
     assert out["view"]["conv_ppm"] is None
+
+
+def test_mix_shift_decomposition_simpson_flip(spark):
+    """The classic paradox fixture: both segments' means RISE yet the
+    overall mean falls because volume shifts to the cheap segment —
+    the within terms must be positive and the mix term negative and
+    dominant."""
+    import tempfile
+    from datetime import datetime
+
+    pre_t, post_t = datetime(2024, 1, 10, 12, 0), datetime(2024, 1, 20, 12, 0)
+    rows, eid = [], 0
+    # pre: premium 10 events @ $10, basic 10 @ $1
+    for _ in range(10):
+        rows.append((eid, 1, "premium", 10.0, pre_t)); eid += 1
+        rows.append((eid, 1, "basic", 1.0, pre_t)); eid += 1
+    # post: premium 2 @ $11 (mean UP), basic 18 @ $1.20 (mean UP)
+    for _ in range(2):
+        rows.append((eid, 1, "premium", 11.0, post_t)); eid += 1
+    for _ in range(18):
+        rows.append((eid, 1, "basic", 1.2, post_t)); eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["event_type"]: r for r in
+           analytics.q_mix_shift_decomposition(spark, d).collect()}
+    p, b = out["premium"], out["basic"]
+    # means are in MILLI-CENTS: $10 = 1000 cents = 1_000_000 milli
+    assert p["mean_pre_milli"] == 1_000_000 and p["mean_post_milli"] == 1_100_000
+    assert b["mean_pre_milli"] == 100_000 and b["mean_post_milli"] == 120_000
+    assert p["share_pre_ppm"] == 500_000 and p["share_post_ppm"] == 100_000
+    # both within terms positive (every segment improved)
+    assert p["within_micro"] > 0 and b["within_micro"] > 0
+    # premium's mix term is large-negative: volume fled the expensive
+    # segment — and dominates the positive within terms (the paradox:
+    # overall pre mean 5.5, post mean 2.18)
+    assert p["mix_micro"] < 0
+    total = (p["within_micro"] + b["within_micro"]
+             + p["mix_micro"] + b["mix_micro"])
+    assert total < 0
+    # exact arithmetic spot-checks
+    assert p["within_micro"] == (100_000 * 100_000) // 1000
+    assert p["mix_micro"] == ((100_000 - 500_000) * 1_000_000) // 1000
