@@ -192,6 +192,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_backlog": market.q_order_backlog,
         "distance_histogram": similarity.q_distance_histogram,
         "mix_shift_decomposition": analytics.q_mix_shift_decomposition,
+        "fk_integrity_audit": R.q_fk_integrity_audit,
+        "repeat_purchase": analytics.q_repeat_purchase,
         # ROUND-9 window below (all driver-green in CORRECTNESS_r09)
         "funnel_arm_compare": analytics.q_funnel_arm_compare,
         "growth_accounting": analytics.q_growth_accounting,
@@ -4024,6 +4026,53 @@ def oracle_sql() -> dict[str, str]:
             "AS hazard_ppm FROM g LEFT JOIN c USING (tenure_week)"
         ),
         "km_survival": _km_sql(),
+        "fk_integrity_audit": (
+            " UNION ALL ".join(
+                "SELECT '{name}' AS relationship, "
+                "CAST(COUNT(*) AS BIGINT) AS n_child, "
+                "CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) "
+                "AS BIGINT) AS n_orphans, "
+                "CAST(CASE WHEN COUNT(*) > 0 THEN (1000000 * "
+                "SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)) "
+                "// COUNT(*) END AS BIGINT) AS orphan_ppm "
+                "FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} AS k "
+                "FROM {parent}) p ON c.{ck} = p.k".format(
+                    name=name, child=child, ck=ck, parent=parent, pk=pk
+                )
+                for name, child, ck, parent, pk in [
+                    ("lineitem->orders", "lineitem", "l_orderkey",
+                     "orders", "o_orderkey"),
+                    ("lineitem->part", "lineitem", "l_partkey",
+                     "part", "p_partkey"),
+                    ("lineitem->supplier", "lineitem", "l_suppkey",
+                     "supplier", "s_suppkey"),
+                    ("orders->customer", "orders", "o_custkey",
+                     "customer", "c_custkey"),
+                ]
+            )
+        ),
+        "repeat_purchase": (
+            "WITH p AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'purchase'), "
+            "g AS (SELECT CAST(CAST(nxt AS DATE) - CAST(ts AS DATE) "
+            "AS BIGINT) AS gap_d FROM (SELECT ts, lead(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM p) "
+            "WHERE nxt IS NOT NULL), "
+            "pu AS (SELECT user_id, COUNT(*) AS n FROM p GROUP BY 1), "
+            "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers, "
+            "CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_repeat FROM pu), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps FROM g), "
+            "h AS (SELECT gap_d, COUNT(*) AS c FROM g GROUP BY 1), "
+            "m AS (SELECT CAST(MIN(gap_d) AS BIGINT) AS median_gap_d FROM "
+            "(SELECT gap_d, SUM(c) OVER (ORDER BY gap_d ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h) x "
+            "CROSS JOIN t WHERE x.cum * 2 >= t.n_gaps) "
+            "SELECT n_buyers, n_repeat, "
+            "CAST(CASE WHEN n_buyers > 0 THEN (1000000 * n_repeat) "
+            "// n_buyers END AS BIGINT) AS repeat_ppm, n_gaps, "
+            "median_gap_d FROM c CROSS JOIN m CROSS JOIN t"
+        ),
         "mix_shift_decomposition": (
             "WITH ev AS (SELECT event_type, "
             "CAST(round(value * 100) AS BIGINT) AS cents, "

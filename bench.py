@@ -259,6 +259,8 @@ HEADLINE = [
     "order_backlog",
     "distance_histogram",
     "mix_shift_decomposition",
+    "fk_integrity_audit",
+    "repeat_purchase",
 ]
 
 

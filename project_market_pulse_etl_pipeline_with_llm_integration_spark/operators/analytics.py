@@ -3359,3 +3359,57 @@ def q_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("mix_micro"),
         )
     )
+
+
+def q_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase readout, one row: buyers, repeat buyers (>= 2
+    purchases), the repeat rate in exact ppm, and the EXACT median
+    inter-purchase gap in whole days (rank-selected from the per-user
+    consecutive purchase gaps — a data value, engine-exact) — the
+    lifecycle number between churn_rate's week-over-week flow and
+    ndr_retention's dollar triangle: do customers come back, and how
+    fast?
+
+    Plan: one purchase scan, a per-user lead window (user-keyed) for
+    the gaps, one rank selection over the O(gaps) frame via a single
+    ordered row_number window on the distinct-gap histogram (bounded:
+    gaps are whole days, the domain is O(calendar span)) — the
+    latency_percentiles rank-selection recipe."""
+    ev = read_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("nxt", F.lead("ts").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.datediff(F.to_date("nxt"), F.to_date("ts")).alias("gap_d")
+        )
+    ).localCheckpoint(eager=False)  # histogram + count: one window pass
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_purch"))
+    counts = per_user.agg(
+        F.count("*").alias("n_buyers"),
+        F.sum((F.col("n_purch") >= 2).cast("long")).alias("n_repeat"),
+    )
+    hist = gaps.groupBy("gap_d").agg(F.count("*").alias("c"))
+    wg = W.orderBy("gap_d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = gaps.agg(F.count("*").alias("n_gaps"))
+    med = (
+        hist.withColumn("cum", F.sum("c").over(wg))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 2 >= F.col("n_gaps"))
+        .agg(F.min("gap_d").alias("median_gap_d"))
+    )
+    return (
+        counts.crossJoin(med)
+        .crossJoin(tot)
+        .select(
+            F.col("n_buyers").cast("long").alias("n_buyers"),
+            F.col("n_repeat").cast("long").alias("n_repeat"),
+            F.expr(
+                "CASE WHEN n_buyers > 0 THEN (1000000 * n_repeat) "
+                "div n_buyers END"
+            ).cast("long").alias("repeat_ppm"),
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.col("median_gap_d").cast("long").alias("median_gap_d"),
+        )
+    )

@@ -3163,3 +3163,48 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv_ppm").cast("long").alias("conv_ppm"),
         F.col("mean_lag_s").cast("long").alias("mean_lag_s"),
     )
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's foreign
+    keys: per relationship, child rows, orphans (child keys with no
+    parent), and the orphan rate in exact ppm — the data-quality gate a
+    warehouse runs after every load (an orphan lineitem silently
+    vanishes from every inner join downstream; this row makes the loss
+    loud BEFORE the revenue numbers quietly shrink).
+
+    Plan: each check is one LEFT-ANTI join (parent side reduced to its
+    key column, broadcast when dim-sized) plus a count — no row ever
+    widens; NULL child keys count as orphans (they too vanish from
+    inner joins).  Output: one row per audited relationship."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    def audit(name, child, ck, parent, pk):
+        c = child.select(F.col(ck).alias("k"))
+        p = parent.select(F.col(pk).alias("k")).distinct()
+        n = c.agg(F.count("*").alias("n_child"))
+        o = c.join(p, "k", "left_anti").agg(F.count("*").alias("n_orphans"))
+        return n.crossJoin(o).select(
+            F.lit(name).alias("relationship"),
+            F.col("n_child").cast("long").alias("n_child"),
+            F.col("n_orphans").cast("long").alias("n_orphans"),
+            F.expr(
+                "CASE WHEN n_child > 0 THEN (1000000 * n_orphans) "
+                "div n_child END"
+            ).cast("long").alias("orphan_ppm"),
+        )
+
+    rows = [
+        audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        audit("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        audit("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        audit("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1630,3 +1630,66 @@ def test_mix_shift_decomposition_simpson_flip(spark):
     # exact arithmetic spot-checks
     assert p["within_micro"] == (100_000 * 100_000) // 1000
     assert p["mix_micro"] == ((100_000 - 500_000) * 1_000_000) // 1000
+
+
+def test_repeat_purchase_hand_case(spark):
+    """Exact repeat rate and the lower-median inter-purchase gap from
+    rank selection; single-purchase users contribute no gap."""
+    import tempfile
+    from datetime import datetime
+
+    def p(eid, uid, day):
+        return (eid, uid, "purchase", 1.0, datetime(2024, 1, day, 12, 0))
+
+    rows = [
+        p(0, 1, 1), p(1, 1, 3), p(2, 1, 10),   # gaps 2, 7
+        p(3, 2, 5), p(4, 2, 9),                # gap 4
+        p(5, 3, 7),                            # single purchase: no gap
+        (6, 4, "view", 1.0, datetime(2024, 1, 2, 12, 0)),  # not a buyer
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = analytics.q_repeat_purchase(spark, d).collect()[0]
+    assert (r.n_buyers, r.n_repeat, r.n_gaps) == (3, 2, 3)
+    assert r.repeat_ppm == 1_000_000 * 2 // 3
+    # gaps sorted: 2, 4, 7 -> lower median (2*cum >= 3) = 4
+    assert r.median_gap_d == 4
+
+
+def test_fk_integrity_audit_flags_planted_orphans(spark):
+    """Planted orphans (bad FK and NULL FK) are counted; intact
+    relationships report zero."""
+    import tempfile
+    from datetime import datetime
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "o_orderkey long, o_custkey long"
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(10,), (20,)], "c_custkey long"
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame([(100,)], "p_partkey long").write.parquet(
+        f"{d}/part.parquet"
+    )
+    spark.createDataFrame([(1000,)], "s_suppkey long").write.parquet(
+        f"{d}/supplier.parquet"
+    )
+    # lineitem: one clean row, one bad orderkey, one NULL partkey
+    spark.createDataFrame(
+        [(1, 100, 1000), (99, 100, 1000), (2, None, 1000)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        q_fk_integrity_audit,
+    )
+
+    out = {r.relationship: r for r in q_fk_integrity_audit(spark, d).collect()}
+    assert out["lineitem->orders"].n_orphans == 1       # orderkey 99
+    assert out["lineitem->part"].n_orphans == 1         # NULL partkey
+    assert out["lineitem->supplier"].n_orphans == 0
+    assert out["orders->customer"].n_orphans == 0
+    assert out["lineitem->orders"].orphan_ppm == 1_000_000 // 3

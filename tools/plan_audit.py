@@ -73,6 +73,7 @@ NOPART_WINDOW_OK = {
     # WindowGroupLimit are excluded by the detector itself, not listed)
     "session_concurrency": "O(active days) day-carry running sum",
     "order_backlog": "O(active days) day-carry running sum (the session_concurrency bound applied to order lifecycles)",
+    "repeat_purchase": "distinct whole-day gap histogram — O(calendar span) rows for the median rank selection",
     "compaction_plan": "O(planned output files) running byte sum",
     "classifier_calibration": "10-row decile frame",
     "vocab_build": "vocab capped at 200 rows by contract",
