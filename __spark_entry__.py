@@ -4242,8 +4242,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, "
             "CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sa, "
             "CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sb "
-            "FROM puf JOIN b ON LEAST(GREATEST(puf.x, 0), 4294967295) >= b.lo "
-            "AND LEAST(GREATEST(puf.x, 0), 4294967295) <= b.hi GROUP BY 1) "
+            "FROM puf JOIN b ON GREATEST(puf.x, 0) >= b.lo "
+            "AND GREATEST(puf.x, 0) <= b.hi GROUP BY 1) "
             "SELECT stratum, n_a, n_b, "
             "CAST(CASE WHEN n_a > 0 THEN (1000 * sa) // n_a END AS BIGINT) "
             "AS mean_a_milli, "

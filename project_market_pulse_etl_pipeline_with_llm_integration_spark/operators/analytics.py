@@ -14,6 +14,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.guards import (
+    PPM2_LIMIT,
+    guard_int64,
+)
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
     money_sum,
 )
@@ -2904,7 +2908,13 @@ def q_ndr_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+OD_DAILY_CAP = 3_000_000  # events/day/type — layer-1 overflow guard cap
+
+
+def q_overdispersion_check(
+    spark: SparkSession, sf_dir: str,
+    _daily_cap: int = OD_DAILY_CAP, _lim: int = PPM2_LIMIT,
+) -> DataFrame:
     """Poisson overdispersion audit of the per-type daily event counts:
     the variance-to-mean ratio (index of dispersion) per event_type,
     with the >2x flag — the check that decides whether rate_spikes'
@@ -2916,21 +2926,48 @@ def q_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     forms a float — D·1e6 = 1e6·(n·Σc² − S²) / (n·S) with S = Σc, the
     numerator nonnegative by Cauchy-Schwarz, floored via the signed
     two-step rational form (``_ppm2``), so the hashed ppm is engine-
-    exact.  Headroom: needs n_days·Σc²·1000 < 2⁶³ — at 1e4 days of 1e6
-    events/day/type that is 1e19·1e3... out of range at ~1e5 mean daily
-    events, so shard by type-month first at that scale (documented
-    bound, same class as acf_daily).
+    exact.  Headroom: needs n_days·Σc²·1000 < 2⁶³, GUARDED at runtime
+    (VERDICT r10 item 2 — Spark wraps silently past the bound, so the
+    documented limit is a loud ``guard_int64`` invariant, not a
+    docstring promise): layer 1 caps each daily count at ``_daily_cap``
+    (3e6 events/day/type ⇒ c² ≤ 9e12, so Σc² itself cannot wrap before
+    layer 2 under ~1e6 active days — 2,700 years); layer 2 asserts
+    Σc² ≤ (2⁶³−1 div 1000) div n_days, the exact documented bound,
+    via an overflow-safe division (never the product under test).
+    Past either bound the fix is sharding by type-month (same class as
+    acf_daily).
 
     Plan: one scan, one (type, day) count agg, one per-type rollup —
-    output bounded by |event types|."""
+    output bounded by |event types|; the guards are assert-projections
+    inside the same two aggs, zero extra jobs."""
     ev = read_events(spark, sf_dir)
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count("*").alias("c"))
+    daily = guard_int64(
+        daily,
+        F.col("c") <= F.lit(_daily_cap),
+        F.format_string(
+            "overdispersion_check: daily count %s for type '%s' exceeds "
+            f"the {_daily_cap} cap — Σc² headroom void; shard by "
+            "type-month (docstring bound)",
+            F.col("c"), F.col("event_type"),
+        ),
+    )
     stats = daily.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
         F.sum("c").alias("s"),
         F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    stats = guard_int64(
+        stats,
+        F.col("sq") <= F.expr(f"{_lim} div n_days"),
+        F.format_string(
+            "overdispersion_check: n_days·Σc²·1000 exceeds int64 for "
+            "type '%s' (n_days=%s, Σc²=%s) — shard by type-month "
+            "(docstring bound)",
+            F.col("event_type"), F.col("n_days"), F.col("sq"),
+        ),
     )
     disp = F.expr(
         "CASE WHEN s > 0 THEN "
@@ -3041,8 +3078,16 @@ def q_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covers [2^b, 2^(b+1)) seconds, bucket 0 covers [0, 2) — a FIXED
 # 32-row literal both engines join against, so floor(log2) never runs
 # through a float log (the float-floor-boundary rule applied to a
-# histogram axis).
-GAP_BUCKETS = [(b, 0 if b == 0 else 2 ** b, 2 ** (b + 1) - 1) for b in range(32)]
+# histogram axis).  The LAST bucket is open-ended (hi = 2⁶³−1, not
+# 2³²−1): a value past 2³² must land in the top bucket, not silently
+# fall out of the range join while still counting in the share
+# denominator (ADVICE r10 — Σ share_ppm ≈ 1e6 must hold by
+# construction, the no-silent-truncation rule).  Every int64 value is
+# ≤ hi of the last bucket, so the join is total over [0, 2⁶³).
+GAP_BUCKETS = [
+    (b, 0 if b == 0 else 2 ** b, 2 ** 63 - 1 if b == 31 else 2 ** (b + 1) - 1)
+    for b in range(32)
+]
 
 
 def q_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3242,10 +3287,10 @@ def q_stratified_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the empty-input NULL rule).  Users whose pre- or post-sum is NULL
     (every contributing value NULL) are DROPPED, the _user_cents
     convention — else they'd inflate the denominators while SUM skips
-    their NULL spend.  The covariate clamps into the bucket domain on
-    BOTH sides: negative pre-spend (refund-only users) to bucket 0,
-    and spend past the last bucket bound (2³²−1 cents ≈ $42.9M) into
-    the top bucket — no user silently falls out of the join.
+    their NULL spend.  Negative pre-spend (refund-only users) clamps
+    to bucket 0; the top bucket is open-ended (GAP_BUCKETS hi = 2⁶³−1),
+    so any positive spend lands in a bucket by construction — no user
+    silently falls out of the join and no upper clamp is needed.
 
     Plan: one (user) agg builds (pre_cents, post_cents, arm), a 32-row
     broadcast range join assigns strata, one stratum-keyed agg —
@@ -3263,8 +3308,7 @@ def q_stratified_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = spark.createDataFrame(
         GAP_BUCKETS, "stratum long, lo long, hi long"
     )
-    top_hi = GAP_BUCKETS[-1][2]
-    cl = F.least(F.greatest(F.col("x"), F.lit(0)), F.lit(top_hi))
+    cl = F.greatest(F.col("x"), F.lit(0))
     cells = (
         per_user.join(
             F.broadcast(buckets),

@@ -1693,3 +1693,51 @@ def test_fk_integrity_audit_flags_planted_orphans(spark):
     assert out["lineitem->supplier"].n_orphans == 0
     assert out["orders->customer"].n_orphans == 0
     assert out["lineitem->orders"].orphan_ppm == 1_000_000 // 3
+
+
+def test_overdispersion_guard_raises_past_bound(spark):
+    """VERDICT r10 item 2: the documented n_days·Σc²·1000 < 2⁶³ bound
+    is a LOUD runtime invariant, not a docstring promise.  Both guard
+    layers fire (with test-shrunk limits standing in for a 2e8-row
+    corpus — the guard arithmetic is identical, only the literal
+    differs): layer 1 on a single over-cap daily count, layer 2 on the
+    post-agg product bound.  In-bounds data is untouched (the oracle
+    row stays green — checked by the driver gate, and the hand-case
+    test above runs through the default guards)."""
+    import tempfile
+    from datetime import datetime
+
+    import pytest
+
+    rows, eid = [], 0
+    for d, c in ((1, 1), (2, 1), (3, 7)):
+        for _ in range(c):
+            rows.append((eid, 2, "bursty", 1.0, datetime(2024, 1, d, 12, 0)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    # layer 1: daily count 7 > cap 3
+    with pytest.raises(Exception, match="daily count .* exceeds"):
+        analytics.q_overdispersion_check(spark, d, _daily_cap=3).collect()
+    # layer 2: Σc² = 51 > _lim div n_days = 120 div 3 = 40
+    with pytest.raises(Exception, match="exceeds int64"):
+        analytics.q_overdispersion_check(spark, d, _lim=120).collect()
+    # boundary: _lim div n_days = 153 div 3 = 51 = Σc² -> passes
+    out = {r["event_type"]: r for r in
+           analytics.q_overdispersion_check(spark, d, _lim=153).collect()}
+    assert out["bursty"]["dispersion_ppm"] == 1_000_000 * 72 * 27 // (27 * 27)
+
+
+def test_gap_buckets_cover_all_of_int64(spark):
+    """ADVICE r10: the histogram bucket table must be total over
+    [0, 2⁶³) — contiguous, non-overlapping, last bucket open-ended —
+    so Σ share_ppm ≈ 1e6 holds BY CONSTRUCTION (no value can fall out
+    of the range join while still counting in the denominator)."""
+    bs = analytics.GAP_BUCKETS
+    assert bs[0][1] == 0
+    for (b0, lo0, hi0), (b1, lo1, hi1) in zip(bs, bs[1:]):
+        assert b1 == b0 + 1 and lo1 == hi0 + 1 and lo1 <= hi1
+    assert bs[-1][2] == 2 ** 63 - 1
