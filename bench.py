@@ -9,8 +9,10 @@ plan — scan, shuffles, UDFs — without driver-side collect overhead.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -306,6 +308,77 @@ HEAVY_TIER = {
     "semantic_decontaminate",
 }
 
+# ---------------------------------------------------------------------------
+# Executed-plan (post-AQE) fingerprints for the heavy tier (VERDICT r10
+# item 1).  The static plan audit (tools/plan_audit.py) reads the plan
+# BEFORE execution — AQE may re-plan at runtime (coalesce shuffle
+# reads, demote a broadcast, switch a join strategy), and the r9
+# pagerank adjudication had no executed-plan evidence to rule that
+# out.  Here, after a heavy query's timed reps, ONE untimed execution
+# drives the physical plan directly (AdaptiveSparkPlanExec finalizes
+# on first execute) and the FINAL plan's structural skeleton is
+# fingerprinted and stored next to the wall time.  A committed
+# baseline (EXEC_PLANS.json) makes round-over-round drift loud:
+# bench prints any diff, and tools/exec_plan_audit.py is the failing
+# gate in the end-of-round sequence.
+# ---------------------------------------------------------------------------
+
+# join-strategy / side keywords that are structural, kept in skeleton
+_PLAN_KEYWORDS = (
+    "Inner", "LeftOuter", "RightOuter", "FullOuter", "LeftSemi",
+    "LeftAnti", "Cross", "BuildLeft", "BuildRight", "coalesced",
+    "isFinalPlan=true", "isFinalPlan=false",
+)
+
+
+def _plan_skeleton(plan: str) -> list[str]:
+    """Normalize an executed-plan string to its structural skeleton:
+    per line, the tree depth, the node name, and the structural
+    keywords (join type/build side) — exprIds, stat estimates, file
+    paths, partition counts and other run-varying noise dropped.  Two
+    runs of the same code at the same sf produce the same skeleton;
+    a changed join strategy, a lost broadcast, or an extra exchange
+    changes it."""
+    out = []
+    for line in plan.splitlines():
+        # tree depth from the drawing prefix; then strip it
+        i = 0
+        while i < len(line) and line[i] in " +-:*()0123456789":
+            i += 1
+        node = line[i:]
+        if not node or node.startswith(("Arguments", "Input", "Output",
+                                        "Results", "Functions", "Keys",
+                                        "Condition", "ReadSchema",
+                                        "Location", "PushedFilters",
+                                        "Batched", "DataFilters",
+                                        "PartitionFilters")):
+            continue
+        head = re.split(r"[\[(]", node, maxsplit=1)[0].strip()
+        # AQE assigns QueryStage ids in readiness order — can vary
+        # between runs of the same plan; drop trailing ids
+        head = re.sub(r"\s+\d+$", "", head)
+        if not head:
+            continue
+        kws = [k for k in _PLAN_KEYWORDS if k in node]
+        out.append(f"{i // 3}|{head}" + ("|" + ",".join(kws) if kws else ""))
+    return out
+
+
+def _capture_exec_plan(df) -> list[str]:
+    """Force AQE finalization by executing the physical plan directly
+    (one untimed run — ``execute()`` on AdaptiveSparkPlanExec resolves
+    the final plan), then return the final plan's skeleton."""
+    jqe = df._jdf.queryExecution()
+    jqe.executedPlan().execute().count()
+    return _plan_skeleton(jqe.executedPlan().toString())
+
+
+def _exec_plan_baseline_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "EXEC_PLANS.json"
+    )
+
+
 # Fixed JIT-warming pre-pass: one untimed execution of a plan from each
 # major physical family (scan+hash agg, SMJ shuffle join, global window,
 # array-intrinsic dedup, iterative checkpoint loop, mapInPandas UDF) so
@@ -357,6 +430,7 @@ def main() -> int:
     # outliers on identical plans); the min is the steady-state cost of
     # the plan, which is what round-over-round comparisons need.
     times: dict[str, float] = {}
+    exec_plans: dict[str, list[str]] = {}
     for name in selected:
         fn = queries[name]
         best = float("inf")
@@ -369,7 +443,59 @@ def main() -> int:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        if name in HEAVY_TIER:
+            # one extra UNTIMED execution captures the post-AQE final
+            # plan skeleton (VERDICT r10 item 1) — never a timed rep
+            exec_plans[name] = _capture_exec_plan(fn(spark, sf_dir))
         _drain_blocks()
+
+    # exec-plan drift check vs the committed baseline (same-sf only:
+    # AQE coalescing is data-size-dependent, so cross-sf skeletons are
+    # not comparable).  SPARK_GRAFT_UPDATE_EXEC_PLANS=1 (or a missing
+    # baseline) rewrites the baseline instead of diffing against it.
+    exec_plan_diffs: list[str] = []
+    bpath = _exec_plan_baseline_path()
+    fps = {n: hashlib.sha256("\n".join(sk).encode()).hexdigest()[:16]
+           for n, sk in exec_plans.items()}
+    if exec_plans:
+        baseline = None
+        if os.path.exists(bpath):
+            with open(bpath) as fh:
+                baseline = json.load(fh)
+        update = os.environ.get("SPARK_GRAFT_UPDATE_EXEC_PLANS") == "1"
+        if baseline is not None and baseline.get("sf") == sf and not update:
+            for n, sk in exec_plans.items():
+                want = baseline["plans"].get(n)
+                if want is not None and want["skeleton"] != sk:
+                    exec_plan_diffs.append(n)
+                    print(f"EXEC-PLAN DIFF {n}: baseline "
+                          f"{want['fp']} vs current {fps[n]}")
+                    import difflib
+
+                    for dl in difflib.unified_diff(
+                        want["skeleton"], sk, "baseline", "current", n=1
+                    ):
+                        print(f"  {dl}")
+            # new heavy queries join the baseline without failing it
+            new = {n for n in exec_plans if n not in baseline["plans"]}
+            if new:
+                baseline["plans"].update({
+                    n: {"fp": fps[n], "skeleton": exec_plans[n]} for n in new
+                })
+                with open(bpath, "w") as fh:
+                    json.dump(baseline, fh, indent=1, sort_keys=True)
+                    fh.write("\n")
+        elif baseline is None or update or baseline.get("sf") != sf:
+            with open(bpath, "w") as fh:
+                json.dump(
+                    {"sf": sf,
+                     "plans": {n: {"fp": fps[n], "skeleton": sk}
+                               for n, sk in exec_plans.items()}},
+                    fh, indent=1, sort_keys=True,
+                )
+                fh.write("\n")
+            print(f"exec-plan baseline written: {bpath} "
+                  f"({len(exec_plans)} heavy queries)")
 
     total = round(sum(times.values()), 3)
     detail = {
@@ -379,6 +505,8 @@ def main() -> int:
         "queries": times,
         "sf": sf,
         "n_queries": len(times),
+        "exec_plan_fp": fps,
+        "exec_plan_diffs": exec_plan_diffs,
     }
     # Full per-query detail goes to a committed artifact: the 122-entry
     # dict as a single stdout line overflowed the driver's tail-capture
@@ -408,6 +536,8 @@ def main() -> int:
         "n_queries": len(times),
         "queries": slowest,
     }
+    if exec_plans:
+        summary["exec_plan_diffs"] = exec_plan_diffs
     if full_run:
         # only a full run refreshes the artifact; a subset line must not
         # point readers at another run's data
