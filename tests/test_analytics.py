@@ -1741,3 +1741,40 @@ def test_gap_buckets_cover_all_of_int64(spark):
     for (b0, lo0, hi0), (b1, lo1, hi1) in zip(bs, bs[1:]):
         assert b1 == b0 + 1 and lo1 == hi0 + 1 and lo1 <= hi1
     assert bs[-1][2] == 2 ** 63 - 1
+
+
+def test_acf_daily_guard_raises_past_bound(spark):
+    """r11 overflow-sweep find: a single whale day pushes acf's den
+    past the _ppm2 bound at ANY sf and Spark wrapped silently (DuckDB
+    raised).  num/den now accumulate in DECIMAL(38,0) and the guard
+    raises loudly past the bound; at the boundary values are
+    unchanged."""
+    import tempfile
+    from datetime import datetime
+
+    import pytest
+
+    rows = [(i, 1, "purchase", 100.0, datetime(2024, 1, 1 + i, 12, 0))
+            for i in range(4)]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    # daily x = 100 for 4 days -> centered terms 0, den = 0: use a
+    # skewed corpus instead so den > 0
+    rows.append((9, 1, "purchase", 300.0, datetime(2024, 1, 1, 13, 0)))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    # days: 400, 100, 100, 100 -> S=700, n=4; centered: 900,-300x3
+    # den = 810000 + 3*90000 = 1080000
+    out = analytics.acf_daily(
+        spark.read.parquet(f"{d}/events.parquet"), _lim=1_080_000
+    ).collect()  # boundary passes
+    assert len(out) == 7
+    with pytest.raises(Exception, match="exceeds the _ppm2 int64 bound"):
+        analytics.acf_daily(
+            spark.read.parquet(f"{d}/events.parquet"), _lim=1_079_999
+        ).collect()

@@ -65,6 +65,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # ORACLE_REPORT=path: also write {name: "OK"|"rows"|"FAIL ..."} so
+    # tools/last_verified.py can fold a full-replica run into the
+    # per-entry last-verified manifest (VERDICT r10 item 5)
+    report: dict[str, str] = {}
+    report_path = os.environ.get("ORACLE_REPORT")
     # advice r8: an unknown name / stray flag used to silently select
     # zero queries and print a vacuous "0 failures"
     if only:
@@ -99,9 +104,11 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             failures.append(name)
+            report[name] = f"FAIL spark error: {exc}"[:200]
             print(f"FAIL  {name:28s} spark error: {exc}")
             continue
         if name not in oracles:
+            report[name] = "rows"
             print(f"rows  {name:28s} rows={len(srows):7d} (no oracle) [{time.time()-t0:5.1f}s]")
             continue
         try:
@@ -111,6 +118,7 @@ def main() -> int:
             orows = [tuple(r) for r in rel.fetchall()]
         except Exception as exc:
             failures.append(name)
+            report[name] = f"FAIL duckdb error: {exc}"[:200]
             print(f"FAIL  {name:28s} duckdb error: {exc}")
             continue
         problems = []
@@ -146,6 +154,7 @@ def main() -> int:
             problems.append("value hash mismatch")
         if problems:
             failures.append(name)
+            report[name] = "FAIL " + "; ".join(problems)[:200]
             print(f"FAIL  {name:28s} {'; '.join(problems)} [{time.time()-t0:5.1f}s]")
             if "value hash mismatch" in problems and len(srows) == len(orows):
                 order = sorted(range(len(scols)), key=lambda i: scols[i])
@@ -158,7 +167,13 @@ def main() -> int:
                     print(f"        duckdb: {b[:160]}")
                 print(f"        ({len(diffs)} differing lines)")
         else:
+            report[name] = "OK"
             print(f"OK    {name:28s} rows={len(srows):7d} [{time.time()-t0:5.1f}s]")
+    if report_path:
+        import json
+
+        with open(report_path, "w") as fh:
+            json.dump(report, fh, indent=1, sort_keys=True)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
