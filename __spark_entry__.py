@@ -151,46 +151,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS: the driver's correctness gate checks exactly the
-    # FIRST 50 entries each round.  ROUND-10 WINDOW: the whole r9
-    # window came back green (CORRECTNESS_r09: 50/50), so every entry
-    # below position 50 is driver-certified; this round's top block is
-    # the 14 r10 additions (the BPE inference half + its decode law,
-    # rfm_segments re-certifying after the ranked method became the
-    # default, the events-analytics batch: dispersion / precedence /
-    # feature matrix / gap histogram / tenure hazard / KM survival,
-    # graph degree health, integer power iteration, RAKE, readability,
-    # distinctive terms) followed by certified r9 rows as window
-    # filler.
+    # FIRST 50 entries each round.  ROUND-11 WINDOW: the whole r10
+    # window came back green (CORRECTNESS_r10: 50/50), so every entry
+    # below is driver-certified; this round's top block is the 6 r11
+    # distribution/concentration readouts (all on the proven
+    # GAP_BUCKETS broadcast-range-join machinery) plus re-certs for
+    # the operators whose values-adjacent internals were hardened this
+    # round (acf_daily DECIMAL accumulation + guard, the three
+    # open-ended-top-bucket histograms, the two guarded ppm ops —
+    # values unchanged in-bounds, but the driver should re-sample
+    # them), followed by certified rows as window filler.
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,
         "boot_rep_sums_law": analytics.q_boot_rep_sums_law,
         "bandit_policy_law": analytics.q_bandit_policy_law,
-        # NEW-IN-ROUND-10 INSERTION POINT: add new entries HERE (keep
+        # NEW-IN-ROUND-11 INSERTION POINT: add new entries HERE (keep
         # the total never-certified count <= 50 so the window covers
-        # them).  R10 additions: the BPE inference half (encode +
-        # decode-roundtrip law) and rfm_segments re-certifying after the
-        # ranked method became the default path.
+        # them).
+        "user_activity_histogram": analytics.q_user_activity_histogram,
+        "weekday_hour_heatmap": analytics.q_weekday_hour_heatmap,
+        "order_size_histogram": market.q_order_size_histogram,
+        "revenue_concentration": market.q_revenue_concentration,
+        "term_freq_spectrum": text.q_term_freq_spectrum,
+        "vector_norm_histogram": similarity.q_vector_norm_histogram,
+        # r11 re-certs (hardened internals, in-bounds values unchanged)
+        "acf_daily": analytics.q_acf_daily,
+        "session_gap_histogram": analytics.q_session_gap_histogram,
+        "distance_histogram": similarity.q_distance_histogram,
+        "stratified_uplift": analytics.q_stratified_uplift,
+        "overdispersion_check": analytics.q_overdispersion_check,
+        "distinctive_terms": text.q_distinctive_terms,
+        "tenure_hazard": analytics.q_tenure_hazard,
+        "km_survival": analytics.q_km_survival,
         "bpe_encode": text.q_bpe_encode,
         "bpe_roundtrip_law": text.q_bpe_roundtrip_law,
         "rfm_segments": market.q_rfm_segments,
-        "overdispersion_check": analytics.q_overdispersion_check,
         "precedence_mining": analytics.q_precedence_mining,
         "user_feature_matrix": analytics.q_user_feature_matrix,
         "degree_distribution": graph.q_degree_distribution,
         "embedding_principal": similarity.q_embedding_principal,
         "rake_keywords": text.q_rake_keywords,
         "readability": text.q_readability,
-        "session_gap_histogram": analytics.q_session_gap_histogram,
-        "tenure_hazard": analytics.q_tenure_hazard,
-        "km_survival": analytics.q_km_survival,
-        "distinctive_terms": text.q_distinctive_terms,
         "countmin_topk": text.q_countmin_topk,
-        "stratified_uplift": analytics.q_stratified_uplift,
         "funnel_windowed": R.q_funnel_windowed,
         "discount_ladder": market.q_discount_ladder,
         "order_backlog": market.q_order_backlog,
-        "distance_histogram": similarity.q_distance_histogram,
         "mix_shift_decomposition": analytics.q_mix_shift_decomposition,
         "fk_integrity_audit": R.q_fk_integrity_audit,
         "repeat_purchase": analytics.q_repeat_purchase,
@@ -203,7 +209,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_uplift": analytics.q_robust_uplift,
         "quantile_treatment_effect": analytics.q_quantile_treatment_effect,
         "srm_check": analytics.q_srm_check,
-        "acf_daily": analytics.q_acf_daily,
         "union_by_name": R.q_union_by_name,
         "benford_audit": analytics.q_benford_audit,
         "embedding_outliers": similarity.q_embedding_outliers,
@@ -529,6 +534,21 @@ _QV = (
     "list_transform(embedding, x -> CAST(round(greatest(least("
     "CAST(x AS DOUBLE), 1.0), -1.0) * 127.0) AS INT))"
 )
+
+
+def _gap_values(cols: str) -> str:
+    """The GAP_BUCKETS power-of-two literal as a DuckDB VALUES CTE —
+    shared by every histogram oracle so both engines always join the
+    SAME (open-ended-top) bucket table."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        analytics as _an,
+    )
+
+    rows = ", ".join(
+        f"(CAST({b} AS BIGINT), CAST({lo} AS BIGINT), CAST({hi} AS BIGINT))"
+        for b, lo, hi in _an.GAP_BUCKETS
+    )
+    return f"b({cols}) AS (VALUES {rows})"
 
 # Poisson(1) weight from the md5-ppb uniform `u` — hard-coded inverse-CDF
 # thresholds (analytics.POISSON1_CUM_PPB); shared by the bootstrap
@@ -1126,6 +1146,103 @@ _PLEN = f"({_PROMPT_BASE} + length('doc-' || CAST(doc_id AS VARCHAR)) + length(t
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # ---- round-11 distribution/concentration readouts (all on the
+        # shared open-ended GAP_BUCKETS literal via _gap_values)
+        "user_activity_histogram": (
+            "WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev "
+            "FROM events GROUP BY 1), "
+            + _gap_values("bucket, lo_events, hi_events")
+            + ", h AS (SELECT bucket, lo_events, hi_events, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users, "
+            "CAST(SUM(n_ev) AS BIGINT) AS n_events FROM pu JOIN b ON "
+            "pu.n_ev >= b.lo_events AND pu.n_ev <= b.hi_events "
+            "GROUP BY 1, 2, 3), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tu, "
+            "CAST(SUM(n_ev) AS BIGINT) AS te FROM pu) "
+            "SELECT bucket, lo_events, hi_events, n_users, n_events, "
+            "CAST((1000000 * n_users) // tu AS BIGINT) AS user_share_ppm, "
+            "CAST((1000000 * n_events) // te AS BIGINT) AS event_share_ppm "
+            "FROM h CROSS JOIN t"
+        ),
+        "weekday_hour_heatmap": (
+            "WITH c AS (SELECT CAST(datediff('day', DATE '1970-01-05', "
+            "CAST(ts AS DATE)) % 7 AS BIGINT) AS dow, "
+            "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events FROM events "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS te FROM c) "
+            "SELECT dow, hour, n_events, "
+            "CAST((1000000 * n_events) // te AS BIGINT) AS share_ppm "
+            "FROM c CROSS JOIN t"
+        ),
+        "order_size_histogram": (
+            "WITH po AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS "
+            "n_lines FROM lineitem GROUP BY 1), "
+            + _gap_values("bucket, lo_lines, hi_lines")
+            + ", h AS (SELECT bucket, lo_lines, hi_lines, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(n_lines) AS BIGINT) AS n_lines_total FROM po JOIN b "
+            "ON po.n_lines >= b.lo_lines AND po.n_lines <= b.hi_lines "
+            "GROUP BY 1, 2, 3), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS to_, "
+            "CAST(SUM(n_lines) AS BIGINT) AS tl FROM po) "
+            "SELECT bucket, lo_lines, hi_lines, n_orders, n_lines_total, "
+            "CAST((1000000 * n_orders) // to_ AS BIGINT) AS "
+            "order_share_ppm, "
+            "CAST((1000000 * n_lines_total) // tl AS BIGINT) AS "
+            "line_share_ppm FROM h CROSS JOIN t"
+        ),
+        "revenue_concentration": (
+            "WITH pc AS (SELECT o_custkey, CAST(SUM(CAST(round("
+            "o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend "
+            "FROM orders GROUP BY 1), "
+            + _gap_values("bucket, lo_cents, hi_cents")
+            + ", cells AS (SELECT bucket, lo_cents, hi_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_customers, "
+            "CAST(SUM(spend) AS BIGINT) AS revenue_cents FROM pc JOIN b "
+            "ON pc.spend >= b.lo_cents AND pc.spend <= b.hi_cents "
+            "GROUP BY 1, 2, 3), "
+            "cum AS (SELECT c1.bucket, CAST(SUM(c2.revenue_cents) AS "
+            "BIGINT) AS cum_rev FROM cells c1 JOIN cells c2 ON "
+            "c2.bucket >= c1.bucket GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(spend) AS BIGINT) AS tr FROM pc) "
+            "SELECT c.bucket, c.lo_cents, c.hi_cents, c.n_customers, "
+            "c.revenue_cents, "
+            "CAST((1000000 * c.revenue_cents) // tr AS BIGINT) AS "
+            "rev_share_ppm, "
+            "CAST((1000000 * cum.cum_rev) // tr AS BIGINT) AS "
+            "cum_top_share_ppm "
+            "FROM cells c JOIN cum ON cum.bucket = c.bucket CROSS JOIN t"
+        ),
+        "term_freq_spectrum": (
+            "WITH tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM "
+            f"(SELECT unnest({_TOKS}) AS term FROM documents "
+            "WHERE trim(text) <> '') WHERE term <> '' GROUP BY 1), "
+            + _gap_values("bucket, lo_f, hi_f")
+            + ", h AS (SELECT bucket, lo_f, hi_f, "
+            "CAST(COUNT(*) AS BIGINT) AS n_terms, "
+            "CAST(SUM(f) AS BIGINT) AS token_mass FROM tf JOIN b ON "
+            "tf.f >= b.lo_f AND tf.f <= b.hi_f GROUP BY 1, 2, 3), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt, "
+            "CAST(SUM(f) AS BIGINT) AS tm FROM tf) "
+            "SELECT bucket, lo_f, hi_f, n_terms, token_mass, "
+            "CAST((1000000 * n_terms) // tt AS BIGINT) AS term_share_ppm, "
+            "CAST((1000000 * token_mass) // tm AS BIGINT) AS "
+            "mass_share_ppm FROM h CROSS JOIN t"
+        ),
+        "vector_norm_histogram": (
+            "WITH q AS (SELECT vec_id, CAST(SUM(CAST(x AS BIGINT) * x) "
+            f"AS BIGINT) AS n2 FROM (SELECT vec_id, unnest({_QV}) AS x "
+            "FROM embeddings) GROUP BY 1), "
+            + _gap_values("bucket, lo_n2, hi_n2")
+            + ", h AS (SELECT bucket, lo_n2, hi_n2, "
+            "CAST(COUNT(*) AS BIGINT) AS n_vectors FROM q JOIN b ON "
+            "q.n2 >= b.lo_n2 AND q.n2 <= b.hi_n2 GROUP BY 1, 2, 3), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tv FROM q) "
+            "SELECT bucket, lo_n2, hi_n2, n_vectors, "
+            "CAST((1000000 * n_vectors) // tv AS BIGINT) AS share_ppm "
+            "FROM h CROSS JOIN t"
+        ),
         # ---- round-9 stage-decomposition law rows (all-BIGINT outputs:
         # every aggregate cast at the source so no HUGEINT reaches the
         # driver's pandas canonicalizer — the r8 red-row root cause)

@@ -263,6 +263,14 @@ HEADLINE = [
     "mix_shift_decomposition",
     "fk_integrity_audit",
     "repeat_purchase",
+    # round 11: distribution/concentration readouts on the shared
+    # open-ended GAP_BUCKETS broadcast-range-join machinery
+    "user_activity_histogram",
+    "weekday_hour_heatmap",
+    "order_size_histogram",
+    "revenue_concentration",
+    "term_freq_spectrum",
+    "vector_norm_histogram",
 ]
 
 

@@ -3542,3 +3542,87 @@ def q_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("median_gap_d").cast("long").alias("median_gap_d"),
         )
     )
+
+
+def q_user_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-per-user distribution in power-of-two buckets — the
+    engagement-shape readout behind every per-user sampling or
+    state-sizing decision (a long right tail here is the skew that
+    blows up user-keyed shuffles and per-user streaming state; the
+    r11 overflow sweep's 100k-event single key would light up bucket
+    16).  Reports BOTH marginals per bucket: user share (how many
+    users live here) and event mass share (how much of the log they
+    generate) — the '1% of users are 60% of traffic' statement is the
+    gap between the two columns.
+
+    Exactness: counts and two exact ppm floors; the bucket table is
+    the open-ended GAP_BUCKETS literal, total over [0, 2⁶³) by
+    construction.  Plan: one user-keyed count agg (map-side partial),
+    a 32-row broadcast range join, one <=32-key agg — output <=32
+    rows, no windows."""
+    ev = read_events(spark, sf_dir)
+    per_user = (
+        ev.groupBy("user_id").agg(F.count("*").alias("n_ev"))
+        .localCheckpoint(eager=False)  # read twice: hist + totals
+    )
+    buckets = spark.createDataFrame(
+        GAP_BUCKETS, "bucket long, lo_events long, hi_events long"
+    )
+    hist = (
+        per_user.join(
+            F.broadcast(buckets),
+            (F.col("n_ev") >= F.col("lo_events"))
+            & (F.col("n_ev") <= F.col("hi_events")),
+        )
+        .groupBy("bucket", "lo_events", "hi_events")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_ev").alias("n_events"),
+        )
+    )
+    tot = per_user.agg(
+        F.count("*").alias("tu"), F.sum("n_ev").alias("te")
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bucket", "lo_events", "hi_events",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr("(1000000 * n_users) div tu").cast("long")
+        .alias("user_share_ppm"),
+        F.expr("(1000000 * n_events) div te").cast("long")
+        .alias("event_share_ppm"),
+    )
+
+
+def q_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic 7x24 activity heatmap: events by (weekday, hour)
+    with exact traffic share — the capacity-planning / anomaly-context
+    grid every ops dashboard opens with (dow_anomaly tells you Monday
+    is off; this shows WHICH Monday hours carry the load).
+
+    Weekday is engine-neutral arithmetic, not a locale builtin:
+    datediff from the fixed Monday epoch 1970-01-05 mod 7 (0 = Monday)
+    — Spark's dayofweek is Sunday=1 while DuckDB has both dayofweek
+    and isodow, so the literal-epoch form sidesteps the convention
+    negotiation entirely.  Hour is wall-clock on the NTZ timestamp,
+    identical in both engines.
+
+    Plan: one scan, one <=168-key hash agg (map-side partial), one
+    broadcast total — output <=168 rows, no windows."""
+    ev = read_events(spark, sf_dir)
+    cells = (
+        ev.select(
+            F.expr("datediff(to_date(ts), DATE '1970-01-05') % 7")
+            .cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count("*").alias("n_events"))
+    )
+    tot = cells.agg(F.sum("n_events").alias("te"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow", "hour",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr("(1000000 * n_events) div te").cast("long")
+        .alias("share_ppm"),
+    )

@@ -515,3 +515,131 @@ def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_closed").cast("long").alias("n_closed"),
         F.sum("net").over(wc).cast("long").alias("backlog"),
     )
+
+
+def q_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order distribution in power-of-two buckets with both
+    marginals (order share and line mass share) — the order-shape
+    profile behind batch sizing for fulfilment and the join-fan-out
+    expectation for every l_orderkey-keyed plan (a fat bucket-4+ tail
+    means orderkey joins amplify, the same read the dedup family's
+    block guards make before a self-join).
+
+    Exactness: counts + two exact ppm floors over the open-ended
+    GAP_BUCKETS literal.  Plan: one orderkey-keyed count agg, a 32-row
+    broadcast range join, one <=32-key agg — no windows."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        GAP_BUCKETS,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per_order = (
+        li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+        .localCheckpoint(eager=False)  # read twice: hist + totals
+    )
+    buckets = spark.createDataFrame(
+        GAP_BUCKETS, "bucket long, lo_lines long, hi_lines long"
+    )
+    hist = (
+        per_order.join(
+            F.broadcast(buckets),
+            (F.col("n_lines") >= F.col("lo_lines"))
+            & (F.col("n_lines") <= F.col("hi_lines")),
+        )
+        .groupBy("bucket", "lo_lines", "hi_lines")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("n_lines").alias("n_lines_total"),
+        )
+    )
+    tot = per_order.agg(
+        F.count("*").alias("to_"), F.sum("n_lines").alias("tl")
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bucket", "lo_lines", "hi_lines",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_lines_total").cast("long").alias("n_lines_total"),
+        F.expr("(1000000 * n_orders) div to_").cast("long")
+        .alias("order_share_ppm"),
+        F.expr("(1000000 * n_lines_total) div tl").cast("long")
+        .alias("line_share_ppm"),
+    )
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto revenue-concentration table: customers bucket by their
+    lifetime spend (power-of-two cents — a fixed FUNCTION of the
+    value, so no cross-engine rank negotiation), and each bucket
+    reports its customer count, its revenue, its revenue share, and
+    the CUMULATIVE share held by this bucket and every richer one —
+    the 'take the top spend tiers and you hold X% of revenue'
+    statement gini_concentration compresses into one number, here as
+    the full readable ladder.
+
+    Exactness: per-order cents floor once (round(x*100)), sums stay
+    long (bounded by total revenue < 9.2e12 cents — the money-sum
+    family bound), shares are exact ppm floors.  The cumulative sum is
+    a self-JOIN over the <=32-row bucket frame (b2.bucket >= b.bucket),
+    not a window — nothing global ever serializes.
+
+    Plan: one custkey-keyed sum agg, a 32-row broadcast range join,
+    one <=32-key agg, a 32x32 broadcast triangle join — output <=32
+    rows."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        GAP_BUCKETS,
+    )
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (
+        od.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("spend"))
+        .localCheckpoint(eager=False)  # read twice: hist + totals
+    )
+    buckets = spark.createDataFrame(
+        GAP_BUCKETS, "bucket long, lo_cents long, hi_cents long"
+    )
+    cells = (
+        per_cust.join(
+            F.broadcast(buckets),
+            (F.col("spend") >= F.col("lo_cents"))
+            & (F.col("spend") <= F.col("hi_cents")),
+        )
+        .groupBy("bucket", "lo_cents", "hi_cents")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("spend").alias("revenue_cents"),
+        )
+        .localCheckpoint(eager=False)  # read twice: rows + triangle
+    )
+    cum = (
+        cells.alias("hi")
+        .join(
+            cells.select(
+                F.col("bucket").alias("b2"),
+                F.col("revenue_cents").alias("r2"),
+            ).alias("lo2"),
+            F.col("b2") >= F.col("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("r2").alias("cum_rev"))
+    )
+    tot = per_cust.agg(
+        F.count("*").alias("tc"), F.sum("spend").alias("tr")
+    )
+    return (
+        cells.join(cum, "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket", "lo_cents", "hi_cents",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+            F.expr("(1000000 * revenue_cents) div tr").cast("long")
+            .alias("rev_share_ppm"),
+            F.expr("(1000000 * cum_rev) div tr").cast("long")
+            .alias("cum_top_share_ppm"),
+        )
+    )

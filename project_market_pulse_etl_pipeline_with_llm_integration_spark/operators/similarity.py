@@ -2053,3 +2053,48 @@ def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * n_pairs) div n_total").cast("long")
         .alias("share_ppm"),
     )
+
+
+def q_vector_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm distribution in power-of-two buckets over the
+    shared int8 quantization — the collapse/scale audit that pairs
+    with distance_histogram: a norm histogram piled into one bucket
+    with a WIDE distance histogram means the cloud lives on a sphere
+    (healthy for cosine); norms drifting buckets between snapshots is
+    the embedding-version skew embedding_drift quantifies, visible
+    here per-magnitude.  Exact: ||q||² = Σq² is int64 (<= dim·127²),
+    bucketed via the open-ended GAP_BUCKETS literal, shares exact ppm
+    floors.
+
+    Plan: one scan + per-row zip-free fold (aggregate over the
+    quantized array), a 32-row broadcast range join, one <=32-key agg
+    — no shuffle bigger than the 32-key agg, no windows."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        GAP_BUCKETS,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n2 = F.aggregate(
+        quantize_embedding(F.col("embedding")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long") * x,
+    )
+    norms = emb.select(n2.alias("n2")).localCheckpoint(eager=False)
+    buckets = spark.createDataFrame(
+        GAP_BUCKETS, "bucket long, lo_n2 long, hi_n2 long"
+    )
+    hist = (
+        norms.join(
+            F.broadcast(buckets),
+            (F.col("n2") >= F.col("lo_n2")) & (F.col("n2") <= F.col("hi_n2")),
+        )
+        .groupBy("bucket", "lo_n2", "hi_n2")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    tot = norms.agg(F.count("*").alias("tv"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bucket", "lo_n2", "hi_n2",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.expr("(1000000 * n_vectors) div tv").cast("long")
+        .alias("share_ppm"),
+    )

@@ -3152,3 +3152,58 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_est") - F.col("exact_cnt")).cast("long")
         .alias("overcount"),
     )
+
+
+def q_term_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum of the corpus vocabulary
+    (Good-Turing's N_k, the Zipf diagnostic): how many distinct terms
+    occur f times, for f in power-of-two buckets, with the token MASS
+    each bucket carries — the curve that says whether the corpus is
+    natural-language-shaped (hapax-heavy, straight log-log decay) or
+    template/spam-shaped (mass piled in a few high-f buckets).  This
+    is the vocabulary-level readout vocab_growth (docs axis) and
+    countmin_topk (top terms) don't give: the SHAPE of the whole tail,
+    which prices every smoothing decision (KN discounts read directly
+    off N_1/N_2) and every vocab-size cut.
+
+    Exactness: counts + two exact ppm floors over the open-ended
+    GAP_BUCKETS literal.  Plan: one token explode + term agg (the
+    distinctive_terms scan shape), one term-frequency count agg, a
+    32-row broadcast range join, one <=32-key agg — no windows."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        GAP_BUCKETS,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tf = (
+        docs.filter(F.trim("text") != "")
+        .select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+        .localCheckpoint(eager=False)  # read twice: hist + totals
+    )
+    buckets = spark.createDataFrame(
+        GAP_BUCKETS, "bucket long, lo_f long, hi_f long"
+    )
+    hist = (
+        tf.join(
+            F.broadcast(buckets),
+            (F.col("f") >= F.col("lo_f")) & (F.col("f") <= F.col("hi_f")),
+        )
+        .groupBy("bucket", "lo_f", "hi_f")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("f").alias("token_mass"),
+        )
+    )
+    tot = tf.agg(F.count("*").alias("tt"), F.sum("f").alias("tm"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bucket", "lo_f", "hi_f",
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("token_mass").cast("long").alias("token_mass"),
+        F.expr("(1000000 * n_terms) div tt").cast("long")
+        .alias("term_share_ppm"),
+        F.expr("(1000000 * token_mass) div tm").cast("long")
+        .alias("mass_share_ppm"),
+    )

@@ -1778,3 +1778,55 @@ def test_acf_daily_guard_raises_past_bound(spark):
         analytics.acf_daily(
             spark.read.parquet(f"{d}/events.parquet"), _lim=1_079_999
         ).collect()
+
+
+def test_user_activity_histogram_hand_case(spark):
+    """Both marginals exact: users with 1,1,3,5 events land in buckets
+    0/1/2; user shares floor over 4 users, event shares over 10."""
+    import tempfile
+    from datetime import datetime
+
+    rows, eid = [], 0
+    for uid, n in ((1, 1), (2, 1), (3, 3), (4, 5)):
+        for i in range(n):
+            rows.append((eid, uid, "view", 1.0, datetime(2024, 1, 1, 8, i)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["bucket"]: r for r in
+           analytics.q_user_activity_histogram(spark, d).collect()}
+    assert out[0]["n_users"] == 2 and out[0]["n_events"] == 2
+    assert out[1]["n_users"] == 1 and out[1]["n_events"] == 3
+    assert out[2]["n_users"] == 1 and out[2]["n_events"] == 5
+    assert out[0]["user_share_ppm"] == 500_000
+    assert out[1]["event_share_ppm"] == 300_000
+    assert sum(r["user_share_ppm"] for r in out.values()) in (999_999, 1_000_000)
+
+
+def test_weekday_hour_heatmap_hand_case(spark):
+    """Engine-neutral weekday: 2024-01-01 was a Monday -> dow 0;
+    2024-01-07 a Sunday -> dow 6; hour is wall-clock."""
+    import tempfile
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (0, 1, "view", 1.0, datetime(2024, 1, 1, 9, 30)),   # Mon 9
+            (1, 1, "view", 1.0, datetime(2024, 1, 1, 9, 45)),   # Mon 9
+            (2, 2, "view", 1.0, datetime(2024, 1, 7, 23, 5)),   # Sun 23
+            (3, 2, "view", 1.0, datetime(2024, 1, 3, 0, 0)),    # Wed 0
+        ],
+        ["event_id", "user_id", "event_type", "value", "ts"],
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {(r["dow"], r["hour"]): r for r in
+           analytics.q_weekday_hour_heatmap(spark, d).collect()}
+    assert out[(0, 9)]["n_events"] == 2
+    assert out[(0, 9)]["share_ppm"] == 500_000
+    assert out[(6, 23)]["n_events"] == 1
+    assert out[(2, 0)]["n_events"] == 1
+    assert len(out) == 3

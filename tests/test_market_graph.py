@@ -779,3 +779,63 @@ def test_order_backlog_hand_case(spark):
     assert out["2024-01-03"] == (0, 1, 1)   # order 1 closed after 1/2
     assert out["2024-01-05"] == (0, 1, 0)   # order 2 closed after 1/4
     assert "2024-01-09" not in out          # lineless order excluded
+
+
+def test_order_size_histogram_hand_case(spark):
+    """Orders with 1, 2 and 4 lines -> buckets 0, 1, 2; both
+    marginals floor exactly (3 orders / 7 lines)."""
+    import tempfile
+    from datetime import datetime
+
+    rows = []
+    for ok, n in ((1, 1), (2, 2), (3, 4)):
+        for i in range(n):
+            rows.append((ok, 1, 1, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                         datetime(2024, 1, 1)))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    d = tempfile.mkdtemp()
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {r["bucket"]: r for r in
+           market.q_order_size_histogram(spark, d).collect()}
+    assert out[0]["n_orders"] == 1 and out[0]["n_lines_total"] == 1
+    assert out[1]["n_orders"] == 1 and out[1]["n_lines_total"] == 2
+    assert out[2]["n_orders"] == 1 and out[2]["n_lines_total"] == 4
+    assert out[2]["order_share_ppm"] == 1_000_000 // 3
+    assert out[2]["line_share_ppm"] == 4_000_000 // 7
+
+
+def test_revenue_concentration_hand_case(spark):
+    """Pareto ladder: spends 100, 300, 1000 cents -> buckets 6, 8, 9;
+    cumulative-from-top shares are exact floors over 1400 total."""
+    import tempfile
+    from datetime import datetime
+
+    od = spark.createDataFrame(
+        [
+            (1, 10, "F", 1.00, datetime(2024, 1, 1), "1-URGENT"),
+            (2, 20, "F", 2.00, datetime(2024, 1, 2), "1-URGENT"),
+            (3, 20, "F", 1.00, datetime(2024, 1, 3), "1-URGENT"),
+            (4, 30, "F", 10.00, datetime(2024, 1, 4), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = tempfile.mkdtemp()
+    od.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    out = {r["bucket"]: r for r in
+           market.q_revenue_concentration(spark, d).collect()}
+    # cust 10: 100c -> bucket 6 [64,127]; cust 20: 300c -> bucket 8
+    # [256,511]; cust 30: 1000c -> bucket 9 [512,1023]
+    assert out[6]["n_customers"] == 1 and out[6]["revenue_cents"] == 100
+    assert out[8]["revenue_cents"] == 300
+    assert out[9]["revenue_cents"] == 1000
+    assert out[9]["cum_top_share_ppm"] == 1_000_000 * 1000 // 1400
+    assert out[8]["cum_top_share_ppm"] == 1_000_000 * 1300 // 1400
+    assert out[6]["cum_top_share_ppm"] == 1_000_000  # all revenue
+    assert out[9]["rev_share_ppm"] == 1_000_000 * 1000 // 1400

@@ -876,3 +876,25 @@ def test_distance_histogram_equals_python_replay(spark):
     shares = {r.bucket: r.share_ppm for r in q_distance_histogram(spark, SF_SMALL).collect()}
     n = len(d2s)
     assert shares == {b: 1_000_000 * c // n for b, c in expect.items()}
+
+
+def test_vector_norm_histogram_hand_case(spark):
+    """Exact quantized norms: [1,1] -> 2*127^2 = 32258 (bucket 14),
+    the zero vector -> bucket 0; shares floor over 3 vectors."""
+    import tempfile
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0], 0),
+            (2, [0.0, 0.0], 0),
+            (3, [1.0, 1.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = tempfile.mkdtemp()
+    emb.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {r["bucket"]: r for r in
+           similarity.q_vector_norm_histogram(spark, d).collect()}
+    assert out[14]["n_vectors"] == 2      # 32258 in [16384, 32767]
+    assert out[0]["n_vectors"] == 1
+    assert out[14]["share_ppm"] == 2_000_000 // 3

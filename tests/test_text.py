@@ -1392,3 +1392,23 @@ def test_distinctive_terms_guard_raises_past_bound(spark):
     out = {(r.source, r.term): r for r in
            text.q_distinctive_terms(spark, d, _lim=100).collect()}
     assert out[("A", "spamword")].rr_ppm == 6_000_000  # boundary passes
+
+
+def test_term_freq_spectrum_hand_case(spark):
+    """Good-Turing N_k shape: 'a a a b b c' -> f(a)=3, f(b)=2 share
+    bucket 1, f(c)=1 in bucket 0; masses 5 and 1 over 6 tokens."""
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c", "en", "A", 0), (2, "  ", "en", "B", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["bucket"]: r for r in
+           text.q_term_freq_spectrum(spark, d).collect()}
+    assert out[0]["n_terms"] == 1 and out[0]["token_mass"] == 1
+    assert out[1]["n_terms"] == 2 and out[1]["token_mass"] == 5
+    assert out[1]["term_share_ppm"] == 2_000_000 // 3
+    assert out[1]["mass_share_ppm"] == 5_000_000 // 6
+    assert len(out) == 2  # blank doc contributes nothing
