@@ -175,6 +175,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": market.q_revenue_concentration,
         "term_freq_spectrum": text.q_term_freq_spectrum,
         "vector_norm_histogram": similarity.q_vector_norm_histogram,
+        "fulfillment_lag": market.q_fulfillment_lag,
+        "return_rate_by_brand": market.q_return_rate_by_brand,
+        "dim_coverage_audit": R.q_dim_coverage_audit,
+        "hapax_ratio": text.q_hapax_ratio,
         # r11 re-certs (hardened internals, in-bounds values unchanged)
         "acf_daily": analytics.q_acf_daily,
         "session_gap_histogram": analytics.q_session_gap_histogram,
@@ -1242,6 +1246,79 @@ def oracle_sql() -> dict[str, str]:
             "SELECT bucket, lo_n2, hi_n2, n_vectors, "
             "CAST((1000000 * n_vectors) // tv AS BIGINT) AS share_ppm "
             "FROM h CROSS JOIN t"
+        ),
+        "fulfillment_lag": (
+            "WITH ls AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) "
+            "AS last_ship FROM lineitem GROUP BY 1), "
+            "lg AS (SELECT o_orderpriority, CAST(datediff('day', "
+            "CAST(o_orderdate AS DATE), last_ship) AS BIGINT) AS lag_d "
+            "FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey), "
+            "h AS (SELECT o_orderpriority, lag_d, CAST(COUNT(*) AS BIGINT) "
+            "AS cnt FROM lg GROUP BY 1, 2), "
+            "s AS (SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS "
+            "n_orders, CAST(SUM(lag_d * cnt) AS BIGINT) AS lag_sum FROM h "
+            "GROUP BY 1), "
+            "c AS (SELECT o_orderpriority, lag_d, SUM(cnt) OVER "
+            "(PARTITION BY o_orderpriority ORDER BY lag_d) AS cum FROM h), "
+            "m AS (SELECT c.o_orderpriority, CAST(MIN(c.lag_d) AS BIGINT) "
+            "AS median_lag_d FROM c JOIN s USING (o_orderpriority) "
+            "WHERE c.cum >= (s.n_orders + 1) // 2 GROUP BY 1) "
+            "SELECT s.o_orderpriority, s.n_orders, "
+            "CAST((1000 * s.lag_sum) // s.n_orders AS BIGINT) AS "
+            "mean_lag_milli_d, m.median_lag_d "
+            "FROM s JOIN m USING (o_orderpriority)"
+        ),
+        "return_rate_by_brand": (
+            "WITH j AS (SELECT p_brand, (l_returnflag = 'R') AS ret, "
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)) "
+            "AS rev FROM lineitem JOIN part ON l_partkey = p_partkey), "
+            "c AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT) AS "
+            "n_returned, "
+            "CAST(round(SUM(rev) * 100, 0) AS BIGINT) AS cents, "
+            "CAST(round(SUM(CASE WHEN ret THEN rev ELSE "
+            "CAST(0 AS DECIMAL(20,6)) END) * 100, 0) AS BIGINT) AS "
+            "ret_cents FROM j GROUP BY 1) "
+            "SELECT p_brand, n_lines, n_returned, cents, ret_cents, "
+            "CAST((1000000 * n_returned) // n_lines AS BIGINT) AS "
+            "line_return_ppm, "
+            "CAST(CASE WHEN cents > 0 THEN (1000000 * ret_cents) // cents "
+            "END AS BIGINT) AS revenue_return_ppm FROM c"
+        ),
+        "dim_coverage_audit": (
+            "WITH r1 AS (SELECT 'orders->customer' AS relationship, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dim_rows, "
+            "CAST(COUNT(fk) AS BIGINT) AS n_referenced FROM customer "
+            "LEFT JOIN (SELECT DISTINCT o_custkey AS fk FROM orders "
+            "WHERE o_custkey IS NOT NULL) f ON c_custkey = f.fk), "
+            "r2 AS (SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT), "
+            "CAST(COUNT(fk) AS BIGINT) FROM part LEFT JOIN "
+            "(SELECT DISTINCT l_partkey AS fk FROM lineitem "
+            "WHERE l_partkey IS NOT NULL) f ON p_partkey = f.fk), "
+            "r3 AS (SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT), "
+            "CAST(COUNT(fk) AS BIGINT) FROM supplier LEFT JOIN "
+            "(SELECT DISTINCT l_suppkey AS fk FROM lineitem "
+            "WHERE l_suppkey IS NOT NULL) f ON s_suppkey = f.fk), "
+            "u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 "
+            "UNION ALL SELECT * FROM r3) "
+            "SELECT relationship, n_dim_rows, n_referenced, "
+            "CAST(CASE WHEN n_dim_rows > 0 THEN (1000000 * "
+            "(n_dim_rows - n_referenced)) // n_dim_rows END AS BIGINT) "
+            "AS unreferenced_ppm FROM u"
+        ),
+        "hapax_ratio": (
+            "WITH st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) "
+            f"AS f FROM (SELECT source, unnest({_TOKS}) AS term "
+            "FROM documents WHERE trim(text) <> '') WHERE term <> '' "
+            "GROUP BY 1, 2) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms, "
+            "CAST(SUM(f) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS "
+            "n_hapax, "
+            "CAST((1000000 * SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)) // "
+            "COUNT(*) AS BIGINT) AS hapax_term_ppm, "
+            "CAST((1000000 * SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)) // "
+            "SUM(f) AS BIGINT) AS hapax_mass_ppm FROM st GROUP BY 1"
         ),
         # ---- round-9 stage-decomposition law rows (all-BIGINT outputs:
         # every aggregate cast at the source so no HUGEINT reaches the

@@ -271,6 +271,10 @@ HEADLINE = [
     "revenue_concentration",
     "term_freq_spectrum",
     "vector_norm_histogram",
+    "fulfillment_lag",
+    "return_rate_by_brand",
+    "dim_coverage_audit",
+    "hapax_ratio",
 ]
 
 

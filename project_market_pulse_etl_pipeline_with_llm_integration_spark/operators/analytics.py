@@ -3560,11 +3560,23 @@ def q_user_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction.  Plan: one user-keyed count agg (map-side partial),
     a 32-row broadcast range join, one <=32-key agg — output <=32
     rows, no windows."""
-    ev = read_events(spark, sf_dir)
-    per_user = (
-        ev.groupBy("user_id").agg(F.count("*").alias("n_ev"))
-        .localCheckpoint(eager=False)  # read twice: hist + totals
+    return user_activity_from_state(
+        user_activity_state(read_events(spark, sf_dir))
     )
+
+
+def user_activity_state(events: DataFrame) -> DataFrame:
+    """Per-user event-count state — a pure SUM-monoid, so the
+    histogram maintains incrementally via relational.merge_agg_states
+    keyed by user (streaming twin pinned in tests/test_streaming.py)."""
+    return events.groupBy("user_id").agg(F.count("*").alias("n_ev"))
+
+
+def user_activity_from_state(state: DataFrame) -> DataFrame:
+    """The q_user_activity_histogram readout from the per-user count
+    state alone — bucket join + totals, never a history rescan."""
+    spark = state.sparkSession
+    per_user = state.localCheckpoint(eager=False)  # hist + totals
     buckets = spark.createDataFrame(
         GAP_BUCKETS, "bucket long, lo_events long, hi_events long"
     )

@@ -643,3 +643,108 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_top_share_ppm"),
         )
     )
+
+
+def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment lag by priority: days from order date to the
+    LAST line shipment, per o_orderpriority — mean (exact milli-days)
+    and the exact lower median — the ops SLA readout that shows
+    whether '1-URGENT' actually ships faster.
+
+    Exactness: lags are whole-day datediffs (int), the mean is a
+    (1000·Σ) div n floor, and the median is RANK-SELECTED from the
+    per-priority distinct-lag histogram (the repeat_purchase recipe:
+    lower median = smallest lag whose cumulative count reaches
+    (n+1) div 2) — no percentile float, no global sort.
+
+    Plan: one orderkey agg over lineitem (max shipdate), one join to
+    orders (orderkey-keyed — both sides hash-partition on the key),
+    one (priority, lag) histogram agg, a priority-PARTITIONED
+    cumulative window over O(distinct lags) rows (bounded groups —
+    audit-safe), output O(|priorities|)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    lags = (
+        od.join(last_ship, od.o_orderkey == last_ship.l_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff("last_ship", F.to_date("o_orderdate"))
+            .cast("long").alias("lag_d"),
+        )
+    )
+    hist = (
+        lags.groupBy("o_orderpriority", "lag_d")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # stats + median rank selection
+    )
+    stats = hist.groupBy("o_orderpriority").agg(
+        F.sum("cnt").alias("n_orders"),
+        F.sum(F.col("lag_d") * F.col("cnt")).alias("lag_sum"),
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("lag_d")
+    med = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .join(stats.select("o_orderpriority", "n_orders"), "o_orderpriority")
+        .filter(F.expr("cum >= (n_orders + 1) div 2"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("lag_d").alias("median_lag_d"))
+    )
+    return stats.join(med, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.expr("(1000 * lag_sum) div n_orders").cast("long")
+        .alias("mean_lag_milli_d"),
+        F.col("median_lag_d").cast("long").alias("median_lag_d"),
+    )
+
+
+def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per part brand: line share and revenue share of
+    l_returnflag = 'R' lines — the merchandising-quality readout that
+    localizes returns to product families (a brand whose returned
+    REVENUE share outruns its returned LINE share is failing on its
+    expensive items).
+
+    Exactness: revenue cents follow the discount_ladder DECIMAL
+    recipe (extendedprice·(1−discount) accumulates in DECIMAL(20,6),
+    rounds to cents ONCE); shares are exact ppm floors.  Headroom:
+    1e6·brand_cents needs brand revenue < 9.2e12 cents — the money-sum
+    family bound.
+
+    Plan: partkey-keyed join (brand is part-dim-sized; AQE broadcasts
+    the dim side when it fits), one brand agg — output O(|brands|)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").alias("ret"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(20,6)").alias("rev"),
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    cells = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("ret").cast("long")).alias("n_returned"),
+            F.round(F.sum("rev") * 100, 0).cast("long").alias("cents"),
+            F.round(
+                F.sum(F.when(F.col("ret"), F.col("rev"))
+                      .otherwise(F.lit(0).cast("decimal(20,6)"))) * 100, 0
+            ).cast("long").alias("ret_cents"),
+        )
+    )
+    return cells.select(
+        "p_brand",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_returned").cast("long").alias("n_returned"),
+        "cents", "ret_cents",
+        F.expr("(1000000 * n_returned) div n_lines").cast("long")
+        .alias("line_return_ppm"),
+        F.expr("CASE WHEN cents > 0 THEN (1000000 * ret_cents) div cents "
+               "END").cast("long").alias("revenue_return_ppm"),
+    )

@@ -3208,3 +3208,59 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def q_dim_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-coverage audit — the converse of q_fk_integrity_audit:
+    that one finds fact rows pointing at MISSING dimension rows; this
+    one finds dimension rows no fact ever references (dead catalog
+    entries, stale customers, suppliers that never shipped).  High
+    unreferenced ppm is how a star schema quietly accretes load that
+    every broadcast and every dim scan then pays for.
+
+    Per relationship: dimension row count, referenced count (distinct
+    fact keys ∩ dim — NULL fact keys never match, they're the OTHER
+    audit's finding), and the exact unreferenced ppm.
+
+    Plan: per relationship one distinct-key agg over the fact column
+    (map-side partial) + one key join against the dim — at 100 TB the
+    distinct-key side is dim-sized after the agg, so AQE broadcasts
+    it; output exactly 3 rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rels = [
+        ("orders->customer",
+         spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .select(F.col("c_custkey").alias("k")),
+         od.select(F.col("o_custkey").alias("fk"))),
+        ("lineitem->part",
+         spark.read.parquet(f"{sf_dir}/part.parquet")
+         .select(F.col("p_partkey").alias("k")),
+         li.select(F.col("l_partkey").alias("fk"))),
+        ("lineitem->supplier",
+         spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         .select(F.col("s_suppkey").alias("k")),
+         li.select(F.col("l_suppkey").alias("fk"))),
+    ]
+    outs = []
+    for name, dim, fact in rels:
+        refd = fact.filter(F.col("fk").isNotNull()).distinct()
+        outs.append(
+            dim.join(refd, dim.k == refd.fk, "left")
+            .agg(
+                F.lit(name).alias("relationship"),
+                F.count("*").cast("long").alias("n_dim_rows"),
+                F.count("fk").cast("long").alias("n_referenced"),
+            )
+            .select(
+                "relationship", "n_dim_rows", "n_referenced",
+                F.expr(
+                    "CASE WHEN n_dim_rows > 0 THEN (1000000 * "
+                    "(n_dim_rows - n_referenced)) div n_dim_rows END"
+                ).cast("long").alias("unreferenced_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -3207,3 +3207,43 @@ def q_term_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * token_mass) div tm").cast("long")
         .alias("mass_share_ppm"),
     )
+
+
+def q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax legomena profile: the share of a source's
+    DISTINCT vocabulary seen exactly once, and the token-mass share
+    those hapaxes carry — the per-source drill-down of
+    term_freq_spectrum's corpus-level N_1 (natural text runs hapax-
+    heavy; template/boilerplate sources collapse toward zero, and a
+    source whose hapax mass share is high is noise-heavy — both are
+    source-weighting inputs next to distinctive_terms).
+
+    Exactness: counts + two exact ppm floors.  Plan: one token explode
+    + (source, term) agg (the distinctive_terms scan shape), one
+    per-source rollup — output O(|sources|), no windows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    st = (
+        docs.filter(F.trim("text") != "")
+        .select("source", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("f"))
+    )
+    return (
+        st.groupBy("source")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum(F.col("f")).alias("n_tokens"),
+            F.sum((F.col("f") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_hapax").cast("long").alias("n_hapax"),
+            F.expr("(1000000 * n_hapax) div n_terms").cast("long")
+            .alias("hapax_term_ppm"),
+            F.expr("(1000000 * n_hapax) div n_tokens").cast("long")
+            .alias("hapax_mass_ppm"),
+        )
+    )

@@ -839,3 +839,82 @@ def test_revenue_concentration_hand_case(spark):
     assert out[8]["cum_top_share_ppm"] == 1_000_000 * 1300 // 1400
     assert out[6]["cum_top_share_ppm"] == 1_000_000  # all revenue
     assert out[9]["rev_share_ppm"] == 1_000_000 * 1000 // 1400
+
+
+def test_fulfillment_lag_hand_case(spark):
+    """Lower-median rank selection and exact milli-mean: lags 1/3/5
+    give median 3; an even group (2/4) takes the LOWER median 2."""
+    import tempfile
+
+    od = spark.createDataFrame(
+        [
+            (1, 1, "F", 1.0, datetime(2024, 1, 1), "1-URGENT"),
+            (2, 1, "F", 1.0, datetime(2024, 1, 1), "1-URGENT"),
+            (3, 1, "F", 1.0, datetime(2024, 1, 1), "1-URGENT"),
+            (4, 1, "F", 1.0, datetime(2024, 1, 1), "5-LOW"),
+            (5, 1, "F", 1.0, datetime(2024, 1, 1), "5-LOW"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li_rows = []
+    for ok, lag in ((1, 1), (2, 3), (3, 5), (4, 2), (5, 4)):
+        # two lines; only the LAST shipment defines the lag
+        li_rows.append((ok, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                        datetime(2024, 1, 1)))
+        li_rows.append((ok, 1, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                        datetime(2024, 1, 1 + lag)))
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    d = tempfile.mkdtemp()
+    od.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {r["o_orderpriority"]: r for r in
+           market.q_fulfillment_lag(spark, d).collect()}
+    assert out["1-URGENT"]["n_orders"] == 3
+    assert out["1-URGENT"]["mean_lag_milli_d"] == 3000
+    assert out["1-URGENT"]["median_lag_d"] == 3
+    assert out["5-LOW"]["median_lag_d"] == 2  # lower median of {2, 4}
+    assert out["5-LOW"]["mean_lag_milli_d"] == 3000
+
+
+def test_return_rate_by_brand_hand_case(spark):
+    """Line vs revenue return shares diverge when the returned line is
+    the expensive one — the signal the operator exists to expose."""
+    import tempfile
+
+    pt = spark.createDataFrame(
+        [(1, "p1", "B#1", "t", 1, 1.0), (2, "p2", "B#2", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    li_rows = [
+        # B#1: cheap kept line + expensive returned line
+        (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+        (1, 1, 1, 2, 1.0, 900.0, 0.0, 0.0, "R", "O", datetime(2024, 1, 2)),
+        # B#2: nothing returned
+        (2, 2, 1, 1, 1.0, 500.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 3)),
+    ]
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    d = tempfile.mkdtemp()
+    pt.write.mode("overwrite").parquet(f"{d}/part.parquet")
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {r["p_brand"]: r for r in
+           market.q_return_rate_by_brand(spark, d).collect()}
+    b1 = out["B#1"]
+    assert (b1["n_lines"], b1["n_returned"]) == (2, 1)
+    assert b1["line_return_ppm"] == 500_000
+    assert b1["revenue_return_ppm"] == 1_000_000 * 90_000 // 100_000
+    b2 = out["B#2"]
+    assert b2["n_returned"] == 0 and b2["revenue_return_ppm"] == 0

@@ -909,3 +909,54 @@ def test_union_by_name_schema_evolution(spark):
     assert all(r["c_acctbal"] is None and r["c_mktsegment"] is None for r in g1)
     assert all(r["c_name"] is None for r in g2)
     assert all(r["c_name"] is not None for r in g1)
+
+
+def test_dim_coverage_audit_hand_case(spark):
+    """Planted dead dimension rows: 1 of 3 customers never orders, 1 of
+    2 parts never ships; NULL fact keys count for the OTHER audit."""
+    import tempfile
+    from datetime import datetime
+
+    cust = spark.createDataFrame(
+        [(1, "a", 1, 0.0, "M"), (2, "b", 1, 0.0, "M"), (3, "c", 1, 0.0, "M")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    part = spark.createDataFrame(
+        [(1, "p1", "B", "t", 1, 1.0), (2, "p2", "B", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    supp = spark.createDataFrame(
+        [(1, "s1", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    od = spark.createDataFrame(
+        [(1, 1, "F", 1.0, datetime(2024, 1, 1), "1-URGENT"),
+         (2, 2, "F", 1.0, datetime(2024, 1, 2), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+         (1, None, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    d = tempfile.mkdtemp()
+    cust.write.parquet(f"{d}/customer.parquet")
+    part.write.parquet(f"{d}/part.parquet")
+    supp.write.parquet(f"{d}/supplier.parquet")
+    od.write.parquet(f"{d}/orders.parquet")
+    li.write.parquet(f"{d}/lineitem.parquet")
+    out = {r["relationship"]: r for r in
+           R.q_dim_coverage_audit(spark, d).collect()}
+    oc = out["orders->customer"]
+    assert (oc["n_dim_rows"], oc["n_referenced"]) == (3, 2)
+    assert oc["unreferenced_ppm"] == 1_000_000 // 3
+    lp = out["lineitem->part"]
+    assert (lp["n_dim_rows"], lp["n_referenced"]) == (2, 1)  # NULL ignored
+    ls = out["lineitem->supplier"]
+    assert ls["unreferenced_ppm"] == 0

@@ -1412,3 +1412,20 @@ def test_term_freq_spectrum_hand_case(spark):
     assert out[1]["term_share_ppm"] == 2_000_000 // 3
     assert out[1]["mass_share_ppm"] == 5_000_000 // 6
     assert len(out) == 2  # blank doc contributes nothing
+
+
+def test_hapax_ratio_hand_case(spark):
+    """'a a b c' -> 3 distinct terms, 2 hapaxes, 4 tokens: term ppm
+    floors to 666666, mass ppm to 500000."""
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c", "en", "A", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = text.q_hapax_ratio(spark, d).collect()[0]
+    assert (r.n_terms, r.n_tokens, r.n_hapax) == (3, 4, 2)
+    assert r.hapax_term_ppm == 666_666
+    assert r.hapax_mass_ppm == 500_000
