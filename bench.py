@@ -318,6 +318,14 @@ HEAVY_TIER = {
     "rolling_features",
     "conformal_interval",
     "semantic_decontaminate",
+    # r11: the rest of the top-of-profile set (>2.2 s at sf0.1 in the
+    # r10 driver run) — min-of-5 + executed-plan capture for all of
+    # the queries whose absolute seconds dominate the headline total
+    "bpe_encode",
+    "source_minhash_overlap",
+    "table_profile",
+    "countmin_topk",
+    "coactivity_pairs",
 }
 
 # ---------------------------------------------------------------------------
@@ -497,7 +505,11 @@ def main() -> int:
                 with open(bpath, "w") as fh:
                     json.dump(baseline, fh, indent=1, sort_keys=True)
                     fh.write("\n")
-        elif baseline is None or update or baseline.get("sf") != sf:
+        elif selected is HEADLINE:
+            # only a FULL run may (re)write the baseline — a subset
+            # run reaching here (different sf / update flag) would
+            # clobber the committed file down to its few queries and
+            # silently disarm the drift gate for the rest (review r11)
             with open(bpath, "w") as fh:
                 json.dump(
                     {"sf": sf,
@@ -508,6 +520,10 @@ def main() -> int:
                 fh.write("\n")
             print(f"exec-plan baseline written: {bpath} "
                   f"({len(exec_plans)} heavy queries)")
+        else:
+            print("exec-plan baseline NOT updated (subset run at a "
+                  "different sf, or update flag on a subset) — run a "
+                  "full bench to rewrite it")
 
     total = round(sum(times.values()), 3)
     detail = {

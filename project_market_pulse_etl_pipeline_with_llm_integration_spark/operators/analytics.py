@@ -2515,17 +2515,30 @@ def acf_daily(
         .crossJoin(F.broadcast(tot))
     )
     def _c(col: str) -> Column:
-        # centered term in DECIMAL(19,0) so the product/sum ride
-        # DECIMAL(38,0) — exact far past the guarded int64 bound
-        return (F.col("n") * F.col(col) - F.col("s")).cast("decimal(19,0)")
+        # n multiplies x INSIDE decimal (review r11): a plain long
+        # n·x could wrap BEFORE any cast and feed the guard a small
+        # bogus magnitude; in DECIMAL the centered term and its
+        # products ride (38,0) — exact far past the guarded bound
+        return F.col("n").cast("decimal(19,0)") * F.col(col) - F.col("s")
 
+    # A NULL sum with rows present is DECIMAL(38,0) overflow (Spark
+    # non-ANSI nulls it out, >1e38 — astronomically past the bound)
+    # and must fail the guard too, not ride the NULL-pass rule; a NULL
+    # sum with ZERO rows is the legitimate empty-input NULL.
     den = (
         daily.crossJoin(F.broadcast(tot))
-        .agg(F.sum(_c("x") * _c("x")).alias("den_dec"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_c("x") * _c("x")).alias("den_dec"),
+        )
     )
     den = guard_int64(
         den,
-        F.abs(F.col("den_dec")) <= F.lit(_lim).cast("decimal(38,0)"),
+        (F.col("n_rows") == 0)
+        | (
+            F.col("den_dec").isNotNull()
+            & (F.abs(F.col("den_dec")) <= F.lit(_lim).cast("decimal(38,0)"))
+        ),
         F.format_string(
             "acf_daily: den=%s exceeds the _ppm2 int64 bound "
             f"({_lim}) — aggregate weekly or center on floor-mean "
@@ -2539,7 +2552,11 @@ def acf_daily(
     )
     num = guard_int64(
         num,
-        F.abs(F.col("num_dec")) <= F.lit(_lim).cast("decimal(38,0)"),
+        (F.col("n_pairs") == 0)
+        | (
+            F.col("num_dec").isNotNull()
+            & (F.abs(F.col("num_dec")) <= F.lit(_lim).cast("decimal(38,0)"))
+        ),
         F.format_string(
             "acf_daily: |num|=%s at lag %s exceeds the _ppm2 int64 "
             f"bound ({_lim}) — aggregate weekly or center on "
@@ -3114,6 +3131,61 @@ GAP_BUCKETS = [
 ]
 
 
+def pow2_histogram(
+    per_key: DataFrame,
+    value_col: str,
+    *,
+    bucket_cols: tuple[str, str, str],
+    count_alias: str,
+    count_share_alias: str,
+    mass_alias: str | None = None,
+    mass_share_alias: str | None = None,
+) -> DataFrame:
+    """The shared GAP_BUCKETS histogram close (review r11 — six
+    operators had copy-pasted it): broadcast range join against the
+    open-ended power-of-two literal, one <=32-key agg, exact ppm
+    share(s) over the UN-bucketed totals.  ``mass_alias`` adds the
+    second marginal (Σ value per bucket + its share) for the
+    'few keys carry the mass' readouts.  ``per_key`` is read twice
+    (histogram + totals) — pinned here with one lazy localCheckpoint,
+    so callers must NOT pre-checkpoint."""
+    spark = per_key.sparkSession
+    b, lo, hi = bucket_cols
+    src = per_key.localCheckpoint(eager=False)
+    buckets = spark.createDataFrame(
+        GAP_BUCKETS, f"{b} long, {lo} long, {hi} long"
+    )
+    aggs = [F.count("*").alias(count_alias)]
+    tots = [F.count("*").alias("__tc")]
+    if mass_alias:
+        aggs.append(F.sum(value_col).alias(mass_alias))
+        tots.append(F.sum(value_col).alias("__tm"))
+    hist = (
+        src.join(
+            F.broadcast(buckets),
+            (F.col(value_col) >= F.col(lo)) & (F.col(value_col) <= F.col(hi)),
+        )
+        .groupBy(b, lo, hi)
+        .agg(*aggs)
+    )
+    out = [
+        b, lo, hi,
+        F.col(count_alias).cast("long").alias(count_alias),
+    ]
+    if mass_alias:
+        out.append(F.col(mass_alias).cast("long").alias(mass_alias))
+    out.append(
+        F.expr(f"(1000000 * {count_alias}) div __tc").cast("long")
+        .alias(count_share_alias)
+    )
+    if mass_share_alias:
+        out.append(
+            F.expr(f"(1000000 * {mass_alias}) div __tm").cast("long")
+            .alias(mass_share_alias)
+        )
+    return hist.crossJoin(F.broadcast(src.agg(*tots))).select(*out)
+
+
 def q_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of the gaps between a user's consecutive events, in
     power-of-two second buckets — the EVIDENCE behind any sessionize
@@ -3142,25 +3214,13 @@ def q_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "unix_micros(cast(ts as timestamp))) div 1000000"
             ).alias("gap_s")
         )
-        .localCheckpoint(eager=False)  # bucket join + total: one window pass
     )
-    buckets = spark.createDataFrame(
-        GAP_BUCKETS, "bucket long, lo_s long, hi_s long"
-    )
-    hist = (
-        gaps.join(
-            F.broadcast(buckets),
-            (F.col("gap_s") >= F.col("lo_s")) & (F.col("gap_s") <= F.col("hi_s")),
-        )
-        .groupBy("bucket", "lo_s", "hi_s")
-        .agg(F.count("*").alias("n_gaps"))
-    )
-    total = gaps.agg(F.count("*").alias("n_total"))
-    return hist.crossJoin(F.broadcast(total)).select(
-        "bucket", "lo_s", "hi_s",
-        F.col("n_gaps").cast("long").alias("n_gaps"),
-        F.expr("(1000000 * n_gaps) div n_total").cast("long")
-        .alias("share_ppm"),
+    # the shared close checkpoints gaps itself (hist + total: one
+    # window pass)
+    return pow2_histogram(
+        gaps, "gap_s",
+        bucket_cols=("bucket", "lo_s", "hi_s"),
+        count_alias="n_gaps", count_share_alias="share_ppm",
     )
 
 
@@ -3574,35 +3634,13 @@ def user_activity_state(events: DataFrame) -> DataFrame:
 
 def user_activity_from_state(state: DataFrame) -> DataFrame:
     """The q_user_activity_histogram readout from the per-user count
-    state alone — bucket join + totals, never a history rescan."""
-    spark = state.sparkSession
-    per_user = state.localCheckpoint(eager=False)  # hist + totals
-    buckets = spark.createDataFrame(
-        GAP_BUCKETS, "bucket long, lo_events long, hi_events long"
-    )
-    hist = (
-        per_user.join(
-            F.broadcast(buckets),
-            (F.col("n_ev") >= F.col("lo_events"))
-            & (F.col("n_ev") <= F.col("hi_events")),
-        )
-        .groupBy("bucket", "lo_events", "hi_events")
-        .agg(
-            F.count("*").alias("n_users"),
-            F.sum("n_ev").alias("n_events"),
-        )
-    )
-    tot = per_user.agg(
-        F.count("*").alias("tu"), F.sum("n_ev").alias("te")
-    )
-    return hist.crossJoin(F.broadcast(tot)).select(
-        "bucket", "lo_events", "hi_events",
-        F.col("n_users").cast("long").alias("n_users"),
-        F.col("n_events").cast("long").alias("n_events"),
-        F.expr("(1000000 * n_users) div tu").cast("long")
-        .alias("user_share_ppm"),
-        F.expr("(1000000 * n_events) div te").cast("long")
-        .alias("event_share_ppm"),
+    state alone — the shared pow2_histogram close, never a history
+    rescan."""
+    return pow2_histogram(
+        state, "n_ev",
+        bucket_cols=("bucket", "lo_events", "hi_events"),
+        count_alias="n_users", count_share_alias="user_share_ppm",
+        mass_alias="n_events", mass_share_alias="event_share_ppm",
     )
 
 

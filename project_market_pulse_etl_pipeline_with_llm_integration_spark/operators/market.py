@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.guards import (
+    PPM2_LIMIT,
+    guard_int64,
+)
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
     money_sum,
 )
@@ -529,44 +533,22 @@ def q_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     GAP_BUCKETS literal.  Plan: one orderkey-keyed count agg, a 32-row
     broadcast range join, one <=32-key agg — no windows."""
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
-        GAP_BUCKETS,
+        pow2_histogram,
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    per_order = (
-        li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
-        .localCheckpoint(eager=False)  # read twice: hist + totals
-    )
-    buckets = spark.createDataFrame(
-        GAP_BUCKETS, "bucket long, lo_lines long, hi_lines long"
-    )
-    hist = (
-        per_order.join(
-            F.broadcast(buckets),
-            (F.col("n_lines") >= F.col("lo_lines"))
-            & (F.col("n_lines") <= F.col("hi_lines")),
-        )
-        .groupBy("bucket", "lo_lines", "hi_lines")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum("n_lines").alias("n_lines_total"),
-        )
-    )
-    tot = per_order.agg(
-        F.count("*").alias("to_"), F.sum("n_lines").alias("tl")
-    )
-    return hist.crossJoin(F.broadcast(tot)).select(
-        "bucket", "lo_lines", "hi_lines",
-        F.col("n_orders").cast("long").alias("n_orders"),
-        F.col("n_lines_total").cast("long").alias("n_lines_total"),
-        F.expr("(1000000 * n_orders) div to_").cast("long")
-        .alias("order_share_ppm"),
-        F.expr("(1000000 * n_lines_total) div tl").cast("long")
-        .alias("line_share_ppm"),
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return pow2_histogram(
+        per_order, "n_lines",
+        bucket_cols=("bucket", "lo_lines", "hi_lines"),
+        count_alias="n_orders", count_share_alias="order_share_ppm",
+        mass_alias="n_lines_total", mass_share_alias="line_share_ppm",
     )
 
 
-def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_revenue_concentration(
+    spark: SparkSession, sf_dir: str, _lim: int = PPM2_LIMIT
+) -> DataFrame:
     """Pareto revenue-concentration table: customers bucket by their
     lifetime spend (power-of-two cents — a fixed FUNCTION of the
     value, so no cross-engine rank negotiation), and each bucket
@@ -577,8 +559,11 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full readable ladder.
 
     Exactness: per-order cents floor once (round(x*100)), sums stay
-    long (bounded by total revenue < 9.2e12 cents — the money-sum
-    family bound), shares are exact ppm floors.  The cumulative sum is
+    long; shares land via the two-step rational floor ((x·1000 div
+    tr)·1000 + remainder·1000 div tr — never the naive 1e6·cents
+    product, which wraps int64 at ~$92B total revenue, roughly TPC-H
+    sf0.4; the two-step form holds to 9.2e15 cents and a guard_int64
+    on the total raises loudly past THAT).  The cumulative sum is
     a self-JOIN over the <=32-row bucket frame (b2.bucket >= b.bucket),
     not a window — nothing global ever serializes.
 
@@ -627,9 +612,20 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.sum("r2").alias("cum_rev"))
     )
-    tot = per_cust.agg(
-        F.count("*").alias("tc"), F.sum("spend").alias("tr")
+    tot = guard_int64(
+        per_cust.agg(F.count("*").alias("tc"), F.sum("spend").alias("tr")),
+        F.col("tr") <= F.lit(_lim),
+        F.format_string(
+            "revenue_concentration: total revenue %s cents exceeds the "
+            f"two-step ppm bound ({_lim}) — shard by region/"
+            "period first (docstring bound)",
+            F.col("tr"),
+        ),
     )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
     return (
         cells.join(cum, "bucket")
         .crossJoin(F.broadcast(tot))
@@ -637,9 +633,9 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket", "lo_cents", "hi_cents",
             F.col("n_customers").cast("long").alias("n_customers"),
             F.col("revenue_cents").cast("long").alias("revenue_cents"),
-            F.expr("(1000000 * revenue_cents) div tr").cast("long")
+            F.expr(_ppm2("revenue_cents", "tr")).cast("long")
             .alias("rev_share_ppm"),
-            F.expr("(1000000 * cum_rev) div tr").cast("long")
+            F.expr(_ppm2("cum_rev", "tr")).cast("long")
             .alias("cum_top_share_ppm"),
         )
     )
@@ -701,7 +697,9 @@ def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_return_rate_by_brand(
+    spark: SparkSession, sf_dir: str, _lim: int = PPM2_LIMIT
+) -> DataFrame:
     """Return rate per part brand: line share and revenue share of
     l_returnflag = 'R' lines — the merchandising-quality readout that
     localizes returns to product families (a brand whose returned
@@ -710,9 +708,11 @@ def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: revenue cents follow the discount_ladder DECIMAL
     recipe (extendedprice·(1−discount) accumulates in DECIMAL(20,6),
-    rounds to cents ONCE); shares are exact ppm floors.  Headroom:
-    1e6·brand_cents needs brand revenue < 9.2e12 cents — the money-sum
-    family bound.
+    rounds to cents ONCE); the revenue share lands via the two-step
+    rational floor (the naive 1e6·cents form wraps int64 at ~9.2e12
+    cents per brand — with 25 TPC-H brands that is roughly sf10; the
+    two-step form holds to 9.2e15 and guard_int64 raises loudly past
+    that).
 
     Plan: partkey-keyed join (brand is part-dim-sized; AQE broadcasts
     the dim side when it fits), one brand agg — output O(|brands|)."""
@@ -738,6 +738,20 @@ def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("ret_cents"),
         )
     )
+    cells = guard_int64(
+        cells,
+        F.col("cents") <= F.lit(_lim),
+        F.format_string(
+            "return_rate_by_brand: brand '%s' revenue %s cents exceeds "
+            f"the two-step ppm bound ({_lim}) — shard by "
+            "brand-period (docstring bound)",
+            F.col("p_brand"), F.col("cents"),
+        ),
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
     return cells.select(
         "p_brand",
         F.col("n_lines").cast("long").alias("n_lines"),
@@ -745,6 +759,6 @@ def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents", "ret_cents",
         F.expr("(1000000 * n_returned) div n_lines").cast("long")
         .alias("line_return_ppm"),
-        F.expr("CASE WHEN cents > 0 THEN (1000000 * ret_cents) div cents "
-               "END").cast("long").alias("revenue_return_ppm"),
+        F.expr("CASE WHEN cents > 0 THEN " + _ppm2("ret_cents", "cents")
+               + " END").cast("long").alias("revenue_return_ppm"),
     )

@@ -2007,10 +2007,6 @@ def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram join is the fixed 32-row broadcast.  Plan: one bucket-
     PARTITIONED lead window (audit-safe), one zip_with fold, one
     broadcast range join, one <=32-key agg."""
-    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
-        GAP_BUCKETS,
-    )
-
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     h = F.conv(
         F.substring(F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":dh"))), 1, 15),
@@ -2034,24 +2030,15 @@ def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    dists = paired.select(d2.alias("d2")).localCheckpoint(eager=False)
-    buckets = spark.createDataFrame(
-        GAP_BUCKETS, "bucket long, lo_d2 long, hi_d2 long"
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        pow2_histogram,
     )
-    hist = (
-        dists.join(
-            F.broadcast(buckets),
-            (F.col("d2") >= F.col("lo_d2")) & (F.col("d2") <= F.col("hi_d2")),
-        )
-        .groupBy("bucket", "lo_d2", "hi_d2")
-        .agg(F.count("*").alias("n_pairs"))
-    )
-    total = dists.agg(F.count("*").alias("n_total"))
-    return hist.crossJoin(F.broadcast(total)).select(
-        "bucket", "lo_d2", "hi_d2",
-        F.col("n_pairs").cast("long").alias("n_pairs"),
-        F.expr("(1000000 * n_pairs) div n_total").cast("long")
-        .alias("share_ppm"),
+
+    dists = paired.select(d2.alias("d2"))
+    return pow2_histogram(
+        dists, "d2",
+        bucket_cols=("bucket", "lo_d2", "hi_d2"),
+        count_alias="n_pairs", count_share_alias="share_ppm",
     )
 
 
@@ -2070,7 +2057,7 @@ def q_vector_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized array), a 32-row broadcast range join, one <=32-key agg
     — no shuffle bigger than the 32-key agg, no windows."""
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
-        GAP_BUCKETS,
+        pow2_histogram,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2079,22 +2066,16 @@ def q_vector_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x.cast("long") * x,
     )
-    norms = emb.select(n2.alias("n2")).localCheckpoint(eager=False)
-    buckets = spark.createDataFrame(
-        GAP_BUCKETS, "bucket long, lo_n2 long, hi_n2 long"
-    )
-    hist = (
-        norms.join(
-            F.broadcast(buckets),
-            (F.col("n2") >= F.col("lo_n2")) & (F.col("n2") <= F.col("hi_n2")),
-        )
-        .groupBy("bucket", "lo_n2", "hi_n2")
-        .agg(F.count("*").alias("n_vectors"))
-    )
-    tot = norms.agg(F.count("*").alias("tv"))
-    return hist.crossJoin(F.broadcast(tot)).select(
-        "bucket", "lo_n2", "hi_n2",
-        F.col("n_vectors").cast("long").alias("n_vectors"),
-        F.expr("(1000000 * n_vectors) div tv").cast("long")
-        .alias("share_ppm"),
+    # NULL/empty embeddings drop BEFORE the totals (review r11): the
+    # DuckDB oracle's unnest produces zero rows for them, so keeping
+    # them here would inflate the Spark-side share denominator (NULL)
+    # or plant a phantom bucket-0 row (empty array) — the histogram is
+    # over vectors that exist
+    norms = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).select(n2.alias("n2"))
+    return pow2_histogram(
+        norms, "n2",
+        bucket_cols=("bucket", "lo_n2", "hi_n2"),
+        count_alias="n_vectors", count_share_alias="share_ppm",
     )

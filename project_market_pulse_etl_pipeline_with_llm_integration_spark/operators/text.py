@@ -3171,7 +3171,7 @@ def q_term_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinctive_terms scan shape), one term-frequency count agg, a
     32-row broadcast range join, one <=32-key agg — no windows."""
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
-        GAP_BUCKETS,
+        pow2_histogram,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -3181,31 +3181,12 @@ def q_term_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count("*").alias("f"))
-        .localCheckpoint(eager=False)  # read twice: hist + totals
     )
-    buckets = spark.createDataFrame(
-        GAP_BUCKETS, "bucket long, lo_f long, hi_f long"
-    )
-    hist = (
-        tf.join(
-            F.broadcast(buckets),
-            (F.col("f") >= F.col("lo_f")) & (F.col("f") <= F.col("hi_f")),
-        )
-        .groupBy("bucket", "lo_f", "hi_f")
-        .agg(
-            F.count("*").alias("n_terms"),
-            F.sum("f").alias("token_mass"),
-        )
-    )
-    tot = tf.agg(F.count("*").alias("tt"), F.sum("f").alias("tm"))
-    return hist.crossJoin(F.broadcast(tot)).select(
-        "bucket", "lo_f", "hi_f",
-        F.col("n_terms").cast("long").alias("n_terms"),
-        F.col("token_mass").cast("long").alias("token_mass"),
-        F.expr("(1000000 * n_terms) div tt").cast("long")
-        .alias("term_share_ppm"),
-        F.expr("(1000000 * token_mass) div tm").cast("long")
-        .alias("mass_share_ppm"),
+    return pow2_histogram(
+        tf, "f",
+        bucket_cols=("bucket", "lo_f", "hi_f"),
+        count_alias="n_terms", count_share_alias="term_share_ppm",
+        mass_alias="token_mass", mass_share_alias="mass_share_ppm",
     )
 
 

@@ -918,3 +918,43 @@ def test_return_rate_by_brand_hand_case(spark):
     assert b1["revenue_return_ppm"] == 1_000_000 * 90_000 // 100_000
     b2 = out["B#2"]
     assert b2["n_returned"] == 0 and b2["revenue_return_ppm"] == 0
+
+
+def test_revenue_guards_raise_past_bound(spark):
+    """Review r11: the naive 1e6·cents share wrapped int64 at ~$92B
+    total (TPC-H ~sf0.4); both revenue ppm ops now use the two-step
+    floor and raise LOUDLY past ITS bound (test-shrunk limit)."""
+    import tempfile
+
+    import pytest
+
+    od = spark.createDataFrame(
+        [(1, 10, "F", 10.00, datetime(2024, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    pt = spark.createDataFrame(
+        [(1, "p1", "B#1", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "R", "O", datetime(2024, 1, 1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    d = tempfile.mkdtemp()
+    od.write.parquet(f"{d}/orders.parquet")
+    pt.write.parquet(f"{d}/part.parquet")
+    li.write.parquet(f"{d}/lineitem.parquet")
+    # totals are 1000 cents: boundary passes with unchanged values
+    r = market.q_revenue_concentration(spark, d, _lim=1000).collect()[0]
+    assert r["cum_top_share_ppm"] == 1_000_000
+    with pytest.raises(Exception, match="exceeds the two-step ppm bound"):
+        market.q_revenue_concentration(spark, d, _lim=999).collect()
+    r = market.q_return_rate_by_brand(spark, d, _lim=1000).collect()[0]
+    assert r["revenue_return_ppm"] == 1_000_000
+    with pytest.raises(Exception, match="exceeds the two-step ppm bound"):
+        market.q_return_rate_by_brand(spark, d, _lim=999).collect()
