@@ -179,6 +179,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "return_rate_by_brand": market.q_return_rate_by_brand,
         "dim_coverage_audit": R.q_dim_coverage_audit,
         "hapax_ratio": text.q_hapax_ratio,
+        "cohort_ltv": market.q_cohort_ltv,
+        "category_penetration": market.q_category_penetration,
+        "time_to_conversion": analytics.q_time_to_conversion,
+        "nation_modularity": graph.q_nation_modularity,
         # r11 re-certs (hardened internals, in-bounds values unchanged)
         "acf_daily": analytics.q_acf_daily,
         "session_gap_histogram": analytics.q_session_gap_histogram,
@@ -1319,6 +1323,82 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS BIGINT) AS hapax_term_ppm, "
             "CAST((1000000 * SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)) // "
             "SUM(f) AS BIGINT) AS hapax_mass_ppm FROM st GROUP BY 1"
+        ),
+        "cohort_ltv": (
+            "WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) "
+            "AS om, CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+            "FROM orders), "
+            "f AS (SELECT o_custkey, MIN(om) AS cm FROM o GROUP BY 1), "
+            "s AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_customers "
+            "FROM f GROUP BY 1), "
+            "c AS (SELECT cm, CAST(datediff('month', cm, om) AS INT) AS "
+            "month_age, CAST(SUM(cents) AS BIGINT) AS rev_cents "
+            "FROM o JOIN f USING (o_custkey) GROUP BY 1, 2), "
+            "k AS (SELECT cm, month_age, rev_cents, CAST(SUM(rev_cents) "
+            "OVER (PARTITION BY cm ORDER BY month_age) AS BIGINT) AS "
+            "cum_rev_cents FROM c) "
+            "SELECT CAST(cm AS DATE) AS cohort_month, month_age, "
+            "n_customers, rev_cents, cum_rev_cents, "
+            "CAST(cum_rev_cents // n_customers AS BIGINT) AS "
+            "ltv_cents_per_customer FROM k JOIN s USING (cm)"
+        ),
+        "category_penetration": (
+            "WITH buyers AS (SELECT DISTINCT o_custkey, p_brand "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey), "
+            "bb AS (SELECT c_mktsegment, p_brand, CAST(COUNT(*) AS BIGINT) "
+            "AS n_buyers FROM buyers JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1, 2), "
+            "seg AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS "
+            "seg_customers FROM customer GROUP BY 1) "
+            "SELECT c_mktsegment, p_brand, n_buyers, seg_customers, "
+            "CAST((1000000 * n_buyers) // seg_customers AS BIGINT) AS "
+            "penetration_ppm FROM bb JOIN seg USING (c_mktsegment)"
+        ),
+        "time_to_conversion": (
+            "WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "p AS (SELECT e.user_id, v.t1, MIN(e.ts) AS t2 FROM events e "
+            "JOIN v USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts > v.t1 GROUP BY 1, 2), "
+            "g AS (SELECT CAST(epoch_us(t2) - epoch_us(t1) AS BIGINT) "
+            "// 1000000 AS lag_s FROM p), "
+            + _gap_values("bucket, lo_s, hi_s")
+            + ", h AS (SELECT bucket, lo_s, hi_s, CAST(COUNT(*) AS BIGINT) "
+            "AS n_users FROM g JOIN b ON g.lag_s >= b.lo_s "
+            "AND g.lag_s <= b.hi_s GROUP BY 1, 2, 3), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM g) "
+            "SELECT bucket, lo_s, hi_s, n_users, "
+            "CAST((1000000 * n_users) // n_total AS BIGINT) AS share_ppm "
+            "FROM h CROSS JOIN t"
+        ),
+        "nation_modularity": (
+            "WITH e AS (SELECT CAST(c_nationkey AS BIGINT) AS cn, "
+            "CAST(s_nationkey AS BIGINT) AS sn, CAST(COUNT(*) AS BIGINT) "
+            "AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2), "
+            "m AS (SELECT CAST(SUM(n) AS BIGINT) AS m_edges FROM e), "
+            "w AS (SELECT cn AS natkey, CAST(SUM(n) AS BIGINT) AS ew "
+            "FROM e WHERE cn = sn GROUP BY 1), "
+            "d AS (SELECT natkey, CAST(SUM(n) AS BIGINT) AS endpoint_mass "
+            "FROM (SELECT cn AS natkey, n FROM e "
+            "UNION ALL SELECT sn AS natkey, n FROM e) GROUP BY 1), "
+            "per AS (SELECT d.natkey, CAST(COALESCE(w.ew, 0) AS BIGINT) "
+            "AS e_within, d.endpoint_mass, m.m_edges FROM d "
+            "LEFT JOIN w ON d.natkey = w.natkey CROSS JOIN m), "
+            "r AS (SELECT natkey, e_within, endpoint_mass, m_edges, "
+            "CAST((1000000 * e_within) // m_edges AS BIGINT) AS "
+            "within_share_ppm, "
+            "CAST((1000000 * CAST(endpoint_mass AS HUGEINT) * "
+            "endpoint_mass) // (4 * CAST(m_edges AS HUGEINT) * m_edges) "
+            "AS BIGINT) AS expected_ppm FROM per) "
+            "SELECT n_name AS nation, e_within, endpoint_mass, m_edges, "
+            "within_share_ppm, expected_ppm, "
+            "CAST(within_share_ppm - expected_ppm AS BIGINT) AS "
+            "modularity_contrib_ppm FROM r "
+            "JOIN nation ON natkey = CAST(n_nationkey AS BIGINT)"
         ),
         # ---- round-9 stage-decomposition law rows (all-BIGINT outputs:
         # every aggregate cast at the source so no HUGEINT reaches the

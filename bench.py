@@ -275,6 +275,10 @@ HEADLINE = [
     "return_rate_by_brand",
     "dim_coverage_audit",
     "hapax_ratio",
+    "cohort_ltv",
+    "category_penetration",
+    "time_to_conversion",
+    "nation_modularity",
 ]
 
 

@@ -3659,9 +3659,18 @@ def q_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one scan, one <=168-key hash agg (map-side partial), one
     broadcast total — output <=168 rows, no windows."""
-    ev = read_events(spark, sf_dir)
-    cells = (
-        ev.select(
+    return weekday_hour_from_state(
+        weekday_hour_state(read_events(spark, sf_dir))
+    )
+
+
+def weekday_hour_state(events: DataFrame) -> DataFrame:
+    """Per-(weekday, hour) event-count state — a pure SUM-monoid over
+    at most 168 keys, so the heatmap maintains incrementally via
+    relational.merge_agg_states keyed by (dow, hour) (streaming twin
+    pinned in tests/test_streaming.py)."""
+    return (
+        events.select(
             F.expr("datediff(to_date(ts), DATE '1970-01-05') % 7")
             .cast("long").alias("dow"),
             F.hour("ts").cast("long").alias("hour"),
@@ -3669,10 +3678,64 @@ def q_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "hour")
         .agg(F.count("*").alias("n_events"))
     )
-    tot = cells.agg(F.sum("n_events").alias("te"))
-    return cells.crossJoin(F.broadcast(tot)).select(
+
+
+def weekday_hour_from_state(state: DataFrame) -> DataFrame:
+    """The q_weekday_hour_heatmap readout from the <=168-key count
+    state alone — one broadcast total, never a history rescan."""
+    tot = state.agg(F.sum("n_events").alias("te"))
+    return state.crossJoin(F.broadcast(tot)).select(
         "dow", "hour",
         F.col("n_events").cast("long").alias("n_events"),
         F.expr("(1000000 * n_events) div te").cast("long")
         .alias("share_ppm"),
+    )
+
+
+def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the view-to-purchase conversion lag — for every
+    user whose first purchase follows their first view, the
+    whole-second gap between the two, in power-of-two buckets: the
+    SHAPE behind the funnel's mean lag (a bimodal curve here — an
+    impulse mode in minutes and a considered mode in days — is
+    invisible in funnel_windowed's single mean, and it decides
+    retargeting-window and attribution-horizon choices).
+
+    Semantics mirror the funnel family: t1 = the user's FIRST view,
+    t2 = the first purchase STRICTLY after t1; users with no view or
+    no subsequent purchase simply don't contribute a gap.  Gaps are
+    whole-second floors of the microsecond difference; bucketing is
+    the shared open-ended GAP_BUCKETS broadcast range join (total
+    over [0, 2⁶³), Σ share_ppm ≈ 1e6 by construction).
+
+    Plan: one conditional per-user agg for t1 (map-side partial), one
+    user-keyed join of the purchase slice against the O(users) t1
+    table, one min-agg, then the 32-row broadcast range join + <=32
+    key agg.  No windows.  Output <= 32 rows."""
+    ev = read_events(spark, sf_dir)
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    gaps = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("pts"))
+        .join(t1, "user_id")
+        .filter(F.col("pts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("pts").alias("t2"))
+        .select(
+            # ts is TIMESTAMP_NTZ; the cast shifts both endpoints by
+            # the same session-tz offset, so the difference is exact
+            F.expr(
+                "(unix_micros(cast(t2 as timestamp)) - "
+                "unix_micros(cast(t1 as timestamp))) div 1000000"
+            ).alias("lag_s")
+        )
+    )
+    return pow2_histogram(
+        gaps, "lag_s",
+        bucket_cols=("bucket", "lo_s", "hi_s"),
+        count_alias="n_users", count_share_alias="share_ppm",
     )

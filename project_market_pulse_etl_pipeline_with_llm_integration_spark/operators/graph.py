@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.guards import (
+    guard_int64,
+)
+
 
 # Fixed-point scale: ranks are longs in units of 1e-9 "rank mass".
 PR_INIT = 1_000_000_000
@@ -415,4 +419,125 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nodes").cast("long").alias("n_nodes"),
         F.expr("(1000000 * n_nodes) div n_total").cast("long")
         .alias("share_ppm"),
+    )
+
+
+# Decimal-domain bound for the modularity expected-term: the guard
+# keeps 1e6·(2m)² inside DECIMAL(38,0) (and m·1000 inside int64 for the
+# within-share _ppm2), so neither engine can silently NULL/wrap.
+MODULARITY_M_LIMIT = 5_000_000_000_000_000  # 5e15 edges
+
+
+def q_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the customer-supplier trade MULTIGRAPH
+    under the nation partition — "does geography explain the trade
+    structure?".  Every lineitem is one edge between its customer and
+    its supplier node; a node's community is its nation.  Per nation c
+    the readout emits the within-community edge count e_c, the
+    endpoint (degree) mass d_c, and the two modularity terms as exact
+    ppm floors:
+
+        within_share_ppm = floor(1e6 · e_c / m)
+        expected_ppm     = floor(1e6 · d_c² / (4m²))
+        modularity_contrib_ppm = within_share_ppm − expected_ppm
+
+    so Σ_c contrib is the graph's modularity Q in ppm (up to the
+    per-term flooring).  Q ≈ 0 says nations trade uniformly; a large
+    positive Q says trade is geographically clustered — the readout
+    that decides whether nation is a useful blocking/partitioning key
+    for the graph family (pagerank, label_propagation).
+
+    Exactness: the within term uses the two-step rational floor
+    (_ppm2 — 1e6·e_c would wrap past 9.2e12 edges); the expected term
+    forms 1e6·d_c² and 4m² in DECIMAL(38,0) (d_c ≤ 2m, so the guard
+    bound m ≤ 5e15 keeps every intermediate inside 38 digits; DuckDB
+    runs the same formula in HUGEINT) and the quotient ≤ 1e6 fits the
+    BIGINT that Spark's decimal `div` returns.  The subtraction is of
+    two already-floored longs — no signed division anywhere, so
+    truncate-vs-floor never comes up.
+
+    Plan: one orderkey-keyed join (lineitem·orders), one custkey join
+    for the customer nation (AQE broadcasts the dim at small sf,
+    sort-merge above), supplier dim broadcast, then ONE hash agg down
+    to the <= |nations|² (625) origin-destination matrix — everything
+    after that is arithmetic on the tiny matrix (lazily checkpointed:
+    it feeds m, the within slice, and the endpoint rollup).  Output
+    O(|nations|) rows, no windows, no collects."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("cn")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", F.col("s_nationkey").cast("long").alias("sn")
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("natkey"),
+        F.col("n_name").alias("nation"),
+    )
+    mat = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("cn", "sn")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # m + within + endpoints: one pass
+    )
+    m = mat.agg(F.sum("n").cast("long").alias("m"))
+    m = guard_int64(
+        m,
+        F.col("m") <= F.lit(MODULARITY_M_LIMIT),
+        F.format_string(
+            "nation_modularity: %s edges exceeds the DECIMAL(38,0) "
+            f"domain bound ({MODULARITY_M_LIMIT}) for 1e6*(2m)^2 — "
+            "shard by period (docstring bound)",
+            F.col("m"),
+        ),
+    )
+    within = (
+        mat.filter(F.col("cn") == F.col("sn"))
+        .select(F.col("cn").alias("natkey"), F.col("n").alias("e_w"))
+    )
+    ends = (
+        mat.select(F.col("cn").alias("natkey"), "n")
+        .unionAll(mat.select(F.col("sn").alias("natkey"), "n"))
+        .groupBy("natkey")
+        .agg(F.sum("n").cast("long").alias("endpoint_mass"))
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
+    per = (
+        ends.join(F.broadcast(within), "natkey", "left")
+        .withColumn("e_within", F.coalesce(F.col("e_w"), F.lit(0)))
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "within_share_ppm",
+            F.expr(_ppm2("e_within", "m")).cast("long"),
+        )
+        .withColumn(
+            "expected_ppm",
+            F.expr(
+                "cast(1000000 as decimal(38,0)) "
+                "* cast(endpoint_mass as decimal(38,0)) "
+                "* cast(endpoint_mass as decimal(38,0)) "
+                "div (cast(4 as decimal(38,0)) "
+                "* cast(m as decimal(38,0)) * cast(m as decimal(38,0)))"
+            ).cast("long"),
+        )
+    )
+    return per.join(F.broadcast(nat), "natkey").select(
+        "nation",
+        F.col("e_within").cast("long").alias("e_within"),
+        "endpoint_mass",
+        F.col("m").alias("m_edges"),
+        "within_share_ppm",
+        "expected_ppm",
+        (F.col("within_share_ppm") - F.col("expected_ppm"))
+        .cast("long").alias("modularity_contrib_ppm"),
     )

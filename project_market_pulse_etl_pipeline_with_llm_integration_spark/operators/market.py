@@ -762,3 +762,120 @@ def q_return_rate_by_brand(
         F.expr("CASE WHEN cents > 0 THEN " + _ppm2("ret_cents", "cents")
                + " END").cast("long").alias("revenue_return_ppm"),
     )
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per acquisition cohort: customers are
+    cohorted by the month of their FIRST order, and each (cohort,
+    month-age) cell reports that month's revenue, the running
+    cumulative revenue, and the floor per-member LTV in cents — the
+    curve a growth team reads to see whether newer cohorts monetize
+    faster or slower than older ones (cohort_retention answers "do
+    they come back", this answers "what are they worth").
+
+    Exactness: o_totalprice has two decimals, so round(x*100) cast to
+    long is the exact cent value per order; everything downstream is
+    integer sums and one truncating div — no ppm, no float.  Month
+    age is months_between on month-TRUNCATED timestamps (exact whole
+    months, = DuckDB's datediff('month')).  Months where a cohort
+    placed no orders are simply absent (no gap-fill): the cumulative
+    column jumps across the gap, identically in both engines.
+
+    Plan: one custkey agg for the cohort assignment, one custkey-keyed
+    join back (self-join of orders' projection — AQE broadcasts the
+    cohort side when it fits, sort-merge above), one (cohort, age)
+    agg, then a window PARTITIONED by cohort over O(ages) rows and a
+    broadcast join of the O(months) cohort-size table.  Output
+    O(cohort months x ages) <= span² rows.
+
+    100 TB posture: cumulative cents per cohort is bounded by total
+    revenue cents, the money-sum family bound (< 9.2e18 up to roughly
+    TPC-H sf1e5 — SCALE.md money table); the per-member div adds no
+    headroom pressure."""
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("om"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = ords.groupBy("o_custkey").agg(F.min("om").alias("cm"))
+    sizes = first.groupBy("cm").agg(F.count("*").alias("n_customers"))
+    cells = (
+        ords.join(first, "o_custkey")
+        .groupBy(
+            "cm",
+            F.months_between(F.col("om"), F.col("cm")).cast("int")
+            .alias("month_age"),
+        )
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        W.partitionBy("cm").orderBy("month_age")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        cells.withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+        .join(F.broadcast(sizes), "cm")
+        .select(
+            F.col("cm").cast("date").alias("cohort_month"),
+            "month_age",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            F.col("cum_rev_cents").cast("long").alias("cum_rev_cents"),
+            F.expr("cum_rev_cents div n_customers").cast("long")
+            .alias("ltv_cents_per_customer"),
+        )
+    )
+
+
+def q_category_penetration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-penetration matrix: for every (market segment, part
+    brand) cell, how many of the segment's customers have EVER bought
+    the brand, as an exact ppm of the segment's customer base — the
+    cross-sell whitespace map (a low-penetration cell for a brand that
+    is strong in sibling segments is the campaign target).
+
+    Exactness: distinct-buyer counts and one exact ppm floor per cell;
+    the denominator is the segment's FULL customer count (including
+    never-buyers), so cells are comparable across segments.
+
+    Plan: brand dim broadcast into the lineitem scan, orderkey-keyed
+    join for the custkey, distinct on (custkey, brand) BEFORE the
+    customer join (collapses the fact table to <= |customers|·|brands|
+    rows, so the segment join is dim-sized-per-brand, never
+    line-sized), then one small agg + broadcast of the O(segments)
+    totals.  Output <= |segments|·|brands| rows (~125 for TPC-H).
+
+    100 TB posture: the only corpus-sized shuffles are the orderkey
+    join and the (custkey, brand) distinct; 1e6·n_buyers holds to
+    9.2e12 buyers per cell — beyond any customer population."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    buyers = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_mktsegment", "p_brand")
+        .agg(F.count("*").alias("n_buyers"))
+    )
+    seg = cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("seg_customers")
+    )
+    return buyers.join(F.broadcast(seg), "c_mktsegment").select(
+        "c_mktsegment", "p_brand",
+        F.col("n_buyers").cast("long").alias("n_buyers"),
+        F.col("seg_customers").cast("long").alias("seg_customers"),
+        F.expr("(1000000 * n_buyers) div seg_customers").cast("long")
+        .alias("penetration_ppm"),
+    )

@@ -1830,3 +1830,30 @@ def test_weekday_hour_heatmap_hand_case(spark):
     assert out[(6, 23)]["n_events"] == 1
     assert out[(2, 0)]["n_events"] == 1
     assert len(out) == 3
+
+
+def test_time_to_conversion_hand_case(spark, tmp_path):
+    """Pins the funnel-family semantics: lag is first-view -> first
+    purchase STRICTLY after it; purchase-before-view and view-only
+    users contribute nothing; whole-second floor lands in the right
+    power-of-two bucket."""
+    rows = [
+        # user 1: view at t0, purchases at +10s and +100s -> lag 10 (bucket 3)
+        (1, datetime(2026, 1, 1, 12, 0, 0), 1, "view"),
+        (2, datetime(2026, 1, 1, 12, 0, 10), 1, "purchase"),
+        (3, datetime(2026, 1, 1, 12, 1, 40), 1, "purchase"),
+        # user 2: purchase BEFORE its only view -> excluded
+        (4, datetime(2026, 1, 1, 11, 0, 0), 2, "purchase"),
+        (5, datetime(2026, 1, 1, 11, 30, 0), 2, "view"),
+        # user 3: view only -> excluded
+        (6, datetime(2026, 1, 1, 10, 0, 0), 3, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = analytics.q_time_to_conversion(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["bucket"], r["lo_s"], r["hi_s"]) == (3, 8, 15)
+    assert r["n_users"] == 1 and r["share_ppm"] == 1_000_000

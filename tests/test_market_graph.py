@@ -958,3 +958,136 @@ def test_revenue_guards_raise_past_bound(spark):
     assert r["revenue_return_ppm"] == 1_000_000
     with pytest.raises(Exception, match="exceeds the two-step ppm bound"):
         market.q_return_rate_by_brand(spark, d, _lim=999).collect()
+
+
+def test_cohort_ltv_hand_case(spark, tmp_path):
+    """Two customers in the 2026-01 cohort; one returns in month-age 2:
+    the cumulative column must jump across the empty month-age 1 (no
+    gap-fill) and the per-member LTV is the truncating div."""
+    od = spark.createDataFrame(
+        [
+            (1, 1, datetime(2026, 1, 10), 100.00),
+            (2, 1, datetime(2026, 3, 5), 50.00),
+            (3, 2, datetime(2026, 1, 20), 20.00),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    )
+    od.write.parquet(str(tmp_path / "orders.parquet"))
+    rows = {
+        r["month_age"]: r
+        for r in market.q_cohort_ltv(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {0, 2}
+    r0, r2 = rows[0], rows[2]
+    assert r0["n_customers"] == 2 and r2["n_customers"] == 2
+    assert r0["rev_cents"] == 12000 and r0["cum_rev_cents"] == 12000
+    assert r2["rev_cents"] == 5000 and r2["cum_rev_cents"] == 17000
+    assert r0["ltv_cents_per_customer"] == 6000
+    assert r2["ltv_cents_per_customer"] == 8500
+
+
+def test_category_penetration_hand_case(spark, tmp_path):
+    """Denominator is the FULL segment base (incl. never-buyers) and a
+    repeat buyer counts once."""
+    cust = spark.createDataFrame(
+        [(1, "S1"), (2, "S1"), (3, "S2")],
+        "c_custkey long, c_mktsegment string",
+    )
+    od = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 3)],
+        "o_orderkey long, o_custkey long",
+    )
+    pt = spark.createDataFrame(
+        [(100, "B1"), (200, "B2")], "p_partkey long, p_brand string"
+    )
+    li = spark.createDataFrame(
+        # cust 1 buys B1 twice (two orders); cust 3 buys B1 and B2
+        [(10, 100), (11, 100), (12, 100), (12, 200)],
+        "l_orderkey long, l_partkey long",
+    )
+    for name, df in [("customer", cust), ("orders", od),
+                     ("part", pt), ("lineitem", li)]:
+        df.write.parquet(str(tmp_path / f"{name}.parquet"))
+    rows = {
+        (r["c_mktsegment"], r["p_brand"]): r
+        for r in market.q_category_penetration(spark, str(tmp_path)).collect()
+    }
+    # S1: 1 of 2 customers ever bought B1; nobody in S1 bought B2
+    assert rows[("S1", "B1")]["n_buyers"] == 1
+    assert rows[("S1", "B1")]["seg_customers"] == 2
+    assert rows[("S1", "B1")]["penetration_ppm"] == 500_000
+    assert ("S1", "B2") not in rows
+    assert rows[("S2", "B1")]["penetration_ppm"] == 1_000_000
+    assert rows[("S2", "B2")]["penetration_ppm"] == 1_000_000
+
+
+def test_nation_modularity_hand_case(spark, tmp_path):
+    """4-edge bipartite multigraph over two nations — pins the exact
+    modularity arithmetic: m=4, e={2,1}, d={5,3}; Q = 0.75 - 34/64 =
+    0.21875 -> per-nation contribs 109375 + 109375 ppm."""
+    cust = spark.createDataFrame(
+        [(1, 0), (2, 1)], "c_custkey long, c_nationkey int"
+    )
+    supp = spark.createDataFrame(
+        [(7, 0), (8, 1)], "s_suppkey long, s_nationkey int"
+    )
+    nat = spark.createDataFrame(
+        [(0, "N0"), (1, "N1")], "n_nationkey int, n_name string"
+    )
+    od = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 1)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        # c1-s7 x2 (within N0), c2-s8 (within N1), c1-s8 (cross)
+        [(10, 7), (10, 7), (11, 8), (12, 8)],
+        "l_orderkey long, l_suppkey long",
+    )
+    for name, df in [("customer", cust), ("supplier", supp),
+                     ("nation", nat), ("orders", od), ("lineitem", li)]:
+        df.write.parquet(str(tmp_path / f"{name}.parquet"))
+    rows = {
+        r["nation"]: r
+        for r in graph.q_nation_modularity(spark, str(tmp_path)).collect()
+    }
+    n0, n1 = rows["N0"], rows["N1"]
+    assert (n0["e_within"], n0["endpoint_mass"], n0["m_edges"]) == (2, 5, 4)
+    assert (n1["e_within"], n1["endpoint_mass"]) == (1, 3)
+    assert n0["within_share_ppm"] == 500_000
+    assert n0["expected_ppm"] == 390_625          # floor(1e6*25/64)
+    assert n0["modularity_contrib_ppm"] == 109_375
+    assert n1["within_share_ppm"] == 250_000
+    assert n1["expected_ppm"] == 140_625          # floor(1e6*9/64)
+    assert n1["modularity_contrib_ppm"] == 109_375
+
+
+def test_nation_modularity_guard_fires(spark, tmp_path):
+    """Past the DECIMAL(38,0) domain bound the guard must raise loudly
+    (shrunk limit via monkeypatched constant-equivalent: rebuild with a
+    tiny bound by calling the guarded plan on data that exceeds it)."""
+    import pytest
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import (
+        graph as G,
+    )
+
+    cust = spark.createDataFrame([(1, 0)], "c_custkey long, c_nationkey int")
+    supp = spark.createDataFrame([(7, 0)], "s_suppkey long, s_nationkey int")
+    nat = spark.createDataFrame([(0, "N0")], "n_nationkey int, n_name string")
+    od = spark.createDataFrame([(10, 1)], "o_orderkey long, o_custkey long")
+    li = spark.createDataFrame(
+        [(10, 7)] * 3, "l_orderkey long, l_suppkey long"
+    )
+    for name, df in [("customer", cust), ("supplier", supp),
+                     ("nation", nat), ("orders", od), ("lineitem", li)]:
+        df.write.parquet(str(tmp_path / f"{name}.parquet"))
+    orig = G.MODULARITY_M_LIMIT
+    try:
+        G.MODULARITY_M_LIMIT = 2  # 3 edges exceeds the shrunk bound
+        with pytest.raises(Exception, match="DECIMAL"):
+            G.q_nation_modularity(spark, str(tmp_path)).collect()
+        G.MODULARITY_M_LIMIT = 3  # boundary passes, values unchanged
+        r = G.q_nation_modularity(spark, str(tmp_path)).collect()[0]
+        assert r["m_edges"] == 3 and r["within_share_ppm"] == 1_000_000
+    finally:
+        G.MODULARITY_M_LIMIT = orig

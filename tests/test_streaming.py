@@ -823,3 +823,51 @@ def test_streaming_user_activity_histogram_equals_batch(spark, tmp_path):
     want = sorted(r.asDict().items() for r in
                   q_user_activity_histogram(spark, SF_SMALL).collect())
     assert got == want and got
+
+
+def test_streaming_weekday_hour_heatmap_equals_batch(spark, tmp_path):
+    """The 7x24 heatmap is maintainable from the <=168-key COUNT
+    sum-monoid: replaying the log through merge_agg_states keyed by
+    (dow, hour) and reading the heatmap from state alone equals the
+    one-shot batch query row-for-row."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        q_weekday_hour_heatmap,
+        weekday_hour_from_state,
+        weekday_hour_state,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = _events_dir(spark, tmp_path)
+    state_dir = str(tmp_path / "wh_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = weekday_hour_state(batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["dow", "hour"])
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        SE.read_events_stream(spark, src, max_files=1)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    state = spark.read.parquet(state_dir)
+    # tuple-ize before sorting: dict_items compare as SETS (subset
+    # partial order), so sorting them directly does not canonicalize
+    got = sorted(tuple(sorted(r.asDict().items())) for r in
+                 weekday_hour_from_state(state).collect())
+    want = sorted(tuple(sorted(r.asDict().items())) for r in
+                  q_weekday_hour_heatmap(spark, SF_SMALL).collect())
+    assert got == want and got
