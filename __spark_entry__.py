@@ -183,6 +183,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_penetration": market.q_category_penetration,
         "time_to_conversion": analytics.q_time_to_conversion,
         "nation_modularity": graph.q_nation_modularity,
+        "discount_elasticity": market.q_discount_elasticity,
+        "spend_migration": market.q_spend_migration,
         # r11 re-certs (hardened internals, in-bounds values unchanged)
         "acf_daily": analytics.q_acf_daily,
         "session_gap_histogram": analytics.q_session_gap_histogram,
@@ -1371,6 +1373,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT bucket, lo_s, hi_s, n_users, "
             "CAST((1000000 * n_users) // n_total AS BIGINT) AS share_ppm "
             "FROM h CROSS JOIN t"
+        ),
+        "discount_elasticity": (
+            "WITH j AS (SELECT p_brand, CAST(round(100 * l_discount) AS "
+            "BIGINT) AS x, CAST(l_quantity AS BIGINT) AS y FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey), "
+            "a AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+            "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+            "CAST(SUM(x * x) AS BIGINT) AS sxx FROM j GROUP BY 1) "
+            "SELECT p_brand, n AS n_lines, "
+            "CAST(CASE WHEN CAST(n AS HUGEINT) * sxx - "
+            "CAST(sx AS HUGEINT) * sx <> 0 THEN "
+            "(1000000 * (CAST(n AS HUGEINT) * sxy - "
+            "CAST(sx AS HUGEINT) * sy)) // "
+            "(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) "
+            "END AS BIGINT) AS slope_qty_per_pct_ppm, "
+            "CAST((1000 * sy) // n AS BIGINT) AS mean_qty_milli, "
+            "CAST((1000 * sx) // n AS BIGINT) AS mean_disc_pct_milli "
+            "FROM a"
+        ),
+        "spend_migration": (
+            "WITH od AS (SELECT o_custkey, CAST(EXTRACT(year FROM "
+            "o_orderdate) AS BIGINT) AS yr, CAST(round(o_totalprice * 100) "
+            "AS BIGINT) AS cents FROM orders), "
+            "per AS (SELECT o_custkey, yr, CAST(SUM(cents) AS BIGINT) AS "
+            "spend FROM od GROUP BY 1, 2), "
+            + _gap_values("bucket, lo_cents, hi_cents")
+            + ", bk AS (SELECT o_custkey, yr, bucket FROM per JOIN b ON "
+            "per.spend >= b.lo_cents AND per.spend <= b.hi_cents), "
+            "bounds AS (SELECT MIN(yr) AS y_min, MAX(yr) AS y_max FROM bk), "
+            "tr AS (SELECT COALESCE(a.yr, b2.yr - 1) AS from_year, "
+            "COALESCE(a.bucket, -1) AS from_bucket, "
+            "COALESCE(b2.bucket, -1) AS to_bucket "
+            "FROM bk a FULL JOIN bk b2 ON a.o_custkey = b2.o_custkey "
+            "AND b2.yr = a.yr + 1), "
+            "t2 AS (SELECT CAST(from_year AS BIGINT) AS from_year, "
+            "CAST(from_bucket AS BIGINT) AS from_bucket, "
+            "CAST(to_bucket AS BIGINT) AS to_bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n_customers "
+            "FROM tr CROSS JOIN bounds WHERE from_year >= y_min "
+            "AND from_year + 1 <= y_max GROUP BY 1, 2, 3), "
+            "tot AS (SELECT from_year, from_bucket, CAST(SUM(n_customers) "
+            "AS BIGINT) AS cohort_n FROM t2 GROUP BY 1, 2) "
+            "SELECT from_year, from_bucket, to_bucket, n_customers, "
+            "cohort_n, CAST((1000000 * n_customers) // cohort_n AS BIGINT) "
+            "AS share_ppm FROM t2 JOIN tot USING (from_year, from_bucket)"
         ),
         "nation_modularity": (
             "WITH e AS (SELECT CAST(c_nationkey AS BIGINT) AS cn, "

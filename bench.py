@@ -279,6 +279,8 @@ HEADLINE = [
     "category_penetration",
     "time_to_conversion",
     "nation_modularity",
+    "discount_elasticity",
+    "spend_migration",
 ]
 
 

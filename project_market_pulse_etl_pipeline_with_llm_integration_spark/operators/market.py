@@ -879,3 +879,174 @@ def q_category_penetration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * n_buyers) div seg_customers").cast("long")
         .alias("penetration_ppm"),
     )
+
+
+# Decimal-domain bound for the elasticity OLS terms: keeps
+# 1e6·(n·Σxy − Σx·Σy) inside DECIMAL(38,0) (worst case ~500·n² for
+# x<=10, y<=50), with an order of magnitude to spare.
+ELASTICITY_N_LIMIT = 100_000_000_000_000  # 1e14 lines per brand
+
+
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount elasticity: the exact OLS slope of line
+    quantity against the discount percent — does discounting actually
+    move volume for this brand, and by how many units per percentage
+    point?  The pricing readout discount_ladder's marginal totals
+    cannot answer (the ladder shows volume AT each step, the slope
+    controls for the mix of steps a brand actually offered).
+
+    Exactness: x = round(100·l_discount) (TPC-H discounts are exact
+    hundredths, so this is the exact integer percent 0..10), y =
+    integer quantity; the slope is the closed-form rational
+
+        slope_ppm = trunc(1e6 · (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²))
+
+    formed entirely in DECIMAL(38,0) (n·Σxy alone wraps int64 past
+    ~4e8 lines per brand; DuckDB runs the identical formula in
+    HUGEINT) with a LOUD guard at n ≤ 1e14.  Both engines truncate
+    integer division toward zero (pinned by division_semantics_law),
+    so the signed quotient is engine-identical without a sign split.
+    Brands whose lines all carry one discount level have a zero
+    denominator and NULL out (no variance, no slope).  Means are
+    exact milli floors.
+
+    Plan: ONE brand-keyed hash agg over the partkey-joined scan (AQE
+    broadcasts the part dim), then pure column arithmetic on the
+    O(|brands|) frame.  Output O(|brands|) rows, no windows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    agg = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    agg = guard_int64(
+        agg,
+        F.col("n") <= F.lit(ELASTICITY_N_LIMIT),
+        F.format_string(
+            "discount_elasticity: brand '%s' has %s lines, past the "
+            f"DECIMAL(38,0) domain bound ({ELASTICITY_N_LIMIT}) for "
+            "1e6*(n*Sxy - Sx*Sy) — shard by brand-period "
+            "(docstring bound)",
+            F.col("p_brand"), F.col("n"),
+        ),
+    )
+    dec = "cast(%s as decimal(38,0))"
+    num = f"({dec % 'n'} * {dec % 'sxy'} - {dec % 'sx'} * {dec % 'sy'})"
+    den = f"({dec % 'n'} * {dec % 'sxx'} - {dec % 'sx'} * {dec % 'sx'})"
+    return agg.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.expr(f"CASE WHEN {den} <> 0 THEN "
+               f"(cast(1000000 as decimal(38,0)) * {num}) div {den} END")
+        .cast("long").alias("slope_qty_per_pct_ppm"),
+        F.expr("(1000 * sy) div n").cast("long").alias("mean_qty_milli"),
+        F.expr("(1000 * sx) div n").cast("long").alias("mean_disc_pct_milli"),
+    )
+
+
+def q_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer spend migration: for every consecutive
+    year pair, the transition matrix between power-of-two annual-spend
+    buckets, with absence as an explicit state (bucket −1) — the
+    upgrade/downgrade/churn dynamics readout behind any LTV forecast
+    (cohort_ltv shows the average curve; this shows WHO moves between
+    tiers, including lapse-and-return, which presence-only churn_rate
+    cannot see).
+
+    Semantics: a customer contributes one transition row per year pair
+    where they were active in EITHER year; absent→absent is not a
+    state (customers outside both years of a pair don't appear).
+    Phantom edge pairs are excluded — a customer's last active year
+    emits no transition past the corpus's max year, and min-year
+    activity emits no transition from before the corpus.  share_ppm
+    is exact within each (from_year, from_bucket) cohort cell.
+
+    Exactness: annual cents are exact (o_totalprice has two decimals);
+    buckets come from the shared open-ended GAP_BUCKETS literal (spend
+    ≥ 0, top bucket open — every total lands, no silent truncation).
+
+    Plan: one (cust, year) sum agg, a 32-row broadcast range join, one
+    custkey-keyed full-outer self-join with the year+1 offset (the
+    only corpus-sized shuffle after the agg; both sides are the SAME
+    O(customers·years) frame, lazily checkpointed), then two tiny aggs
+    and a broadcast of the O(years·33) cohort totals.  Output
+    O(years · 33 · 33) rows, no windows."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        GAP_BUCKETS,
+    )
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = od.groupBy("o_custkey", "yr").agg(F.sum("cents").alias("spend"))
+    buckets = spark.createDataFrame(
+        GAP_BUCKETS, "bucket long, lo_cents long, hi_cents long"
+    )
+    bucketed = (
+        per.join(
+            F.broadcast(buckets),
+            (F.col("spend") >= F.col("lo_cents"))
+            & (F.col("spend") <= F.col("hi_cents")),
+        )
+        .select("o_custkey", "yr", "bucket")
+        .localCheckpoint(eager=False)  # both self-join sides + bounds
+    )
+    bounds = bucketed.agg(
+        F.min("yr").alias("y_min"), F.max("yr").alias("y_max")
+    )
+    a = bucketed.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("yr").alias("ya"), F.col("bucket").alias("ba"),
+    )
+    b = bucketed.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("yr").alias("yb"), F.col("bucket").alias("bb"),
+    )
+    trans = (
+        a.join(
+            b,
+            (a.cust == b.cust) & (b.yb == a.ya + F.lit(1)),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("ya"), F.col("yb") - 1).alias("from_year"),
+            F.coalesce(F.col("ba"), F.lit(-1)).alias("from_bucket"),
+            F.coalesce(F.col("bb"), F.lit(-1)).alias("to_bucket"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("from_year") >= F.col("y_min"))
+            & (F.col("from_year") + 1 <= F.col("y_max"))
+        )
+        .groupBy("from_year", "from_bucket", "to_bucket")
+        .agg(F.count("*").alias("n_customers"))
+        # matrix + cohort totals: run the self-join once
+        .localCheckpoint(eager=False)
+    )
+    tot = trans.groupBy("from_year", "from_bucket").agg(
+        F.sum("n_customers").alias("cohort_n")
+    )
+    return trans.join(
+        F.broadcast(tot), ["from_year", "from_bucket"]
+    ).select(
+        "from_year", "from_bucket", "to_bucket",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("cohort_n").cast("long").alias("cohort_n"),
+        F.expr("(1000000 * n_customers) div cohort_n").cast("long")
+        .alias("share_ppm"),
+    )

@@ -1091,3 +1091,76 @@ def test_nation_modularity_guard_fires(spark, tmp_path):
         assert r["m_edges"] == 3 and r["within_share_ppm"] == 1_000_000
     finally:
         G.MODULARITY_M_LIMIT = orig
+
+
+def test_discount_elasticity_hand_case(spark, tmp_path):
+    """Pins the exact OLS arithmetic incl. the signed truncating
+    quotient and the zero-variance NULL."""
+    pt = spark.createDataFrame(
+        [(1, "UP"), (2, "DOWN"), (3, "FLAT")],
+        "p_partkey long, p_brand string",
+    )
+    li = spark.createDataFrame(
+        [
+            # UP: (0%,10), (10%,20) -> slope +1 qty/pct
+            (1, 0.00, 10.0), (1, 0.10, 20.0),
+            # DOWN: (0%,20), (10%,10), (5%,15) -> slope exactly -1
+            (2, 0.00, 20.0), (2, 0.10, 10.0), (2, 0.05, 15.0),
+            # FLAT: one discount level only -> zero variance -> NULL
+            (3, 0.05, 7.0), (3, 0.05, 9.0),
+        ],
+        "l_partkey long, l_discount double, l_quantity double",
+    )
+    pt.write.parquet(str(tmp_path / "part.parquet"))
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {
+        r["p_brand"]: r
+        for r in market.q_discount_elasticity(spark, str(tmp_path)).collect()
+    }
+    assert rows["UP"]["slope_qty_per_pct_ppm"] == 1_000_000
+    assert rows["DOWN"]["slope_qty_per_pct_ppm"] == -1_000_000
+    assert rows["FLAT"]["slope_qty_per_pct_ppm"] is None
+    assert rows["UP"]["mean_qty_milli"] == 15_000
+    assert rows["UP"]["mean_disc_pct_milli"] == 5_000
+    # guard fires past a shrunk domain bound, boundary passes unchanged
+    import pytest
+
+    orig = market.ELASTICITY_N_LIMIT
+    try:
+        market.ELASTICITY_N_LIMIT = 2
+        with pytest.raises(Exception, match="DECIMAL"):
+            market.q_discount_elasticity(spark, str(tmp_path)).collect()
+        market.ELASTICITY_N_LIMIT = 3
+        r = market.q_discount_elasticity(spark, str(tmp_path)).collect()
+        assert {x["p_brand"] for x in r} == {"UP", "DOWN", "FLAT"}
+    finally:
+        market.ELASTICITY_N_LIMIT = orig
+
+
+def test_spend_migration_hand_case(spark, tmp_path):
+    """Pins the transition semantics: upgrade path, churn-to-absent,
+    new-from-absent, and the phantom-edge exclusion (no transition out
+    of the corpus's max year or into it from before min year)."""
+    od = spark.createDataFrame(
+        [
+            (1, 1, datetime(2023, 5, 1), 100.00),   # c1 2023: b13
+            (2, 1, datetime(2024, 6, 1), 1.00),     # c1 2024: b6
+            (3, 2, datetime(2023, 7, 1), 0.50),     # c2 2023: b5, gone 2024
+            (4, 3, datetime(2024, 2, 1), 1.00),     # c3 new in 2024: b6
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    )
+    od.write.parquet(str(tmp_path / "orders.parquet"))
+    rows = {
+        (r["from_year"], r["from_bucket"], r["to_bucket"]): r
+        for r in market.q_spend_migration(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {
+        (2023, 13, 6),    # c1 downgrade
+        (2023, 5, -1),    # c2 churn
+        (2023, -1, 6),    # c3 acquisition
+    }
+    for r in rows.values():
+        assert r["n_customers"] == 1 and r["cohort_n"] == 1
+        assert r["share_ppm"] == 1_000_000
