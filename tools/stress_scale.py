@@ -98,6 +98,16 @@ STRESS_QUERIES = [
     "bpe_encode", "rake_keywords", "distinctive_terms",
     "embedding_principal", "session_gap_histogram",
     "degree_distribution", "user_feature_matrix", "precedence_mining",
+    # round-11 additions: the bucket-histogram family (per-key agg +
+    # broadcast range join — linear controls), the vocabulary-state
+    # spectrum ops, the custkey full-outer migration self-join (shape-
+    # dependent: customers x years), the cohort join-back, the distinct
+    # (cust, brand) fan, the user-keyed conversion join, the nation-
+    # pair matrix reduction, and the brand OLS agg (linear control)
+    "user_activity_histogram", "revenue_concentration",
+    "term_freq_spectrum", "hapax_ratio", "fulfillment_lag",
+    "cohort_ltv", "category_penetration", "time_to_conversion",
+    "nation_modularity", "discount_elasticity", "spend_migration",
 ]
 
 
