@@ -792,15 +792,39 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue cents, the money-sum family bound (< 9.2e18 up to roughly
     TPC-H sf1e5 — SCALE.md money table); the per-member div adds no
     headroom pressure."""
-    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_custkey",
-        F.date_trunc("month", F.col("o_orderdate")).alias("om"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    return cohort_ltv_from_state(
+        cohort_ltv_state(spark.read.parquet(f"{sf_dir}/orders.parquet"))
     )
-    first = ords.groupBy("o_custkey").agg(F.min("om").alias("cm"))
+
+
+def cohort_ltv_state(orders: DataFrame) -> DataFrame:
+    """Per-(customer, order month) cents state — a pure SUM-monoid, so
+    the whole LTV curve maintains incrementally via
+    relational.merge_agg_states keyed by (o_custkey, om): the cohort
+    assignment is itself derivable from the state (min month per
+    customer), so no second state table is needed (streaming twin
+    pinned in tests/test_streaming.py).  State is O(customers ·
+    active months) rows of three scalars."""
+    return (
+        orders.select(
+            "o_custkey",
+            F.date_trunc("month", F.col("o_orderdate")).alias("om"),
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey", "om")
+        .agg(F.sum("cents").alias("cents"))
+    )
+
+
+def cohort_ltv_from_state(state: DataFrame) -> DataFrame:
+    """The q_cohort_ltv readout from the (customer, month) cents state
+    alone — never a history rescan."""
+    state = state.localCheckpoint(eager=False)  # cohort assign + cells
+    first = state.groupBy("o_custkey").agg(F.min("om").alias("cm"))
     sizes = first.groupBy("cm").agg(F.count("*").alias("n_customers"))
     cells = (
-        ords.join(first, "o_custkey")
+        state.join(first, "o_custkey")
         .groupBy(
             "cm",
             F.months_between(F.col("om"), F.col("cm")).cast("int")

@@ -871,3 +871,55 @@ def test_streaming_weekday_hour_heatmap_equals_batch(spark, tmp_path):
     want = sorted(tuple(sorted(r.asDict().items())) for r in
                   q_weekday_hour_heatmap(spark, SF_SMALL).collect())
     assert got == want and got
+
+
+def test_streaming_cohort_ltv_equals_batch(spark, tmp_path):
+    """The cohort LTV curve is maintainable from the (customer, month)
+    cents SUM-monoid — the cohort assignment itself derives from state
+    (min month per customer), so ONE state table suffices: replaying
+    the order log through merge_agg_states keyed by (o_custkey, om)
+    and reading the curve from state alone equals the one-shot batch
+    query row-for-row."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        cohort_ltv_from_state,
+        cohort_ltv_state,
+        q_cohort_ltv,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = str(tmp_path / "orders_stream_src")
+    spark.read.parquet(SF_SMALL + "/orders.parquet").repartition(4) \
+        .write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    state_dir = str(tmp_path / "ltv_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = cohort_ltv_state(batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["o_custkey", "om"])
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    state = spark.read.parquet(state_dir)
+    got = sorted(tuple(sorted(r.asDict().items())) for r in
+                 cohort_ltv_from_state(state).collect())
+    want = sorted(tuple(sorted(r.asDict().items())) for r in
+                  q_cohort_ltv(spark, SF_SMALL).collect())
+    assert got == want and got
