@@ -185,6 +185,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_modularity": graph.q_nation_modularity,
         "discount_elasticity": market.q_discount_elasticity,
         "spend_migration": market.q_spend_migration,
+        "join_asof_nearest": R.q_join_asof_nearest,
+        "slo_burn": analytics.q_slo_burn,
         # r11 re-certs (hardened internals, in-bounds values unchanged)
         "acf_daily": analytics.q_acf_daily,
         "session_gap_histogram": analytics.q_session_gap_histogram,
@@ -1392,6 +1394,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000 * sy) // n AS BIGINT) AS mean_qty_milli, "
             "CAST((1000 * sx) // n AS BIGINT) AS mean_disc_pct_milli "
             "FROM a"
+        ),
+        "join_asof_nearest": (
+            "WITH c AS (SELECT event_id AS click_id, user_id, "
+            "epoch_us(ts) AS cus FROM events WHERE event_type = 'click'), "
+            "v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS "
+            "vus FROM events WHERE event_type = 'view'), "
+            "j AS (SELECT c.click_id, c.user_id, v.view_id, "
+            "abs(c.cus - v.vus) AS d, row_number() OVER ("
+            "PARTITION BY c.click_id ORDER BY abs(c.cus - v.vus), "
+            "CASE WHEN v.vus <= c.cus THEN 0 ELSE 1 END, "
+            "CASE WHEN v.vus <= c.cus THEN -v.view_id ELSE v.view_id END"
+            ") AS rn FROM c JOIN v USING (user_id)) "
+            "SELECT click_id, user_id, CAST(view_id AS BIGINT) AS "
+            "nearest_view_id, CAST(d AS BIGINT) AS abs_diff_us "
+            "FROM j WHERE rn = 1"
+        ),
+        "slo_burn": (
+            "WITH hr AS (SELECT epoch_us(date_trunc('hour', ts)) "
+            "// 3600000000 AS hour_id, CAST(COUNT(*) AS BIGINT) AS "
+            "n_events, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_errors FROM events GROUP BY 1), "
+            "r AS (SELECT a.hour_id, a.n_events, a.n_errors, "
+            "CAST(SUM(b.n_events) AS BIGINT) AS ev_6h, "
+            "CAST(SUM(b.n_errors) AS BIGINT) AS err_6h FROM hr a "
+            "JOIN hr b ON b.hour_id <= a.hour_id AND "
+            "b.hour_id >= a.hour_id - 5 GROUP BY 1, 2, 3) "
+            "SELECT make_timestamp(hour_id * 3600000000) AS hour, "
+            "n_events, n_errors, "
+            "CAST((1000000 * n_errors) // n_events AS BIGINT) AS err_ppm, "
+            "ev_6h, err_6h, "
+            "CAST((1000000 * err_6h) // ev_6h AS BIGINT) AS burn_6h_ppm "
+            "FROM r"
         ),
         "spend_migration": (
             "WITH od AS (SELECT o_custkey, CAST(EXTRACT(year FROM "

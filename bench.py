@@ -281,6 +281,8 @@ HEADLINE = [
     "nation_modularity",
     "discount_elasticity",
     "spend_migration",
+    "join_asof_nearest",
+    "slo_burn",
 ]
 
 

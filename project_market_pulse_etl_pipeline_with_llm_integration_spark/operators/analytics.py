@@ -3739,3 +3739,68 @@ def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_cols=("bucket", "lo_s", "hi_s"),
         count_alias="n_users", count_share_alias="share_ppm",
     )
+
+
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn: per hour, the error share of all events
+    as exact ppm, plus the 6-hour trailing burn rate — the two-window
+    readout behind multiwindow burn-rate alerting (Google SRE workbook
+    ch. 5: a short window catches fast burns, the long window rides
+    out blips; an hour whose 6h burn AND 1h burn both exceed the
+    budget line is the page).
+
+    Semantics: hours with zero events are absent from the grid and
+    contribute zero to every trailing sum — correct by construction,
+    since an absent hour has no events and no errors (not a silent
+    gap: the trailing denominators count events, not hours).
+
+    Plan: ONE hash agg down to the O(hours) hourly frame (lazily
+    checkpointed; it feeds both join sides), then a 6-wide broadcast
+    range self-join on the integer hour id and one <=O(hours) agg —
+    no windows, no collect.  At 100 TB the hourly frame is calendar-
+    bounded (10 years ≈ 87k rows), so the self-join is ~0.5M rows
+    regardless of corpus size."""
+    ev = read_events(spark, sf_dir)
+    hr = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(date_trunc('hour', ts) as timestamp))"
+                " div 3600000000"
+            ).alias("hour_id"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("hour_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_err").alias("n_errors"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the range join
+    )
+    past = hr.select(
+        F.col("hour_id").alias("h2"),
+        F.col("n_events").alias("e2"),
+        F.col("n_errors").alias("r2"),
+    )
+    rolled = (
+        hr.join(
+            F.broadcast(past),
+            (F.col("h2") <= F.col("hour_id"))
+            & (F.col("h2") >= F.col("hour_id") - 5),
+        )
+        .groupBy("hour_id", "n_events", "n_errors")
+        .agg(
+            F.sum("e2").alias("ev_6h"),
+            F.sum("r2").alias("err_6h"),
+        )
+    )
+    return rolled.select(
+        F.timestamp_micros(F.col("hour_id") * 3600000000).alias("hour"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_errors").cast("long").alias("n_errors"),
+        F.expr("(1000000 * n_errors) div n_events").cast("long")
+        .alias("err_ppm"),
+        F.col("ev_6h").cast("long").alias("ev_6h"),
+        F.col("err_6h").cast("long").alias("err_6h"),
+        F.expr("(1000000 * err_6h) div ev_6h").cast("long")
+        .alias("burn_6h_ppm"),
+    )

@@ -3264,3 +3264,87 @@ def q_dim_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof(direction='nearest')``):
+    for every 'click', the same-user 'view' with the SMALLEST absolute
+    time distance, looking both ways — the missing direction of the
+    as-of family (q_join_asof backward, q_join_asof_fwd forward).
+
+    Tie contract (pinned in the oracle, since 'nearest' leaves ties
+    implementation-defined): at equal distance the BACKWARD match wins;
+    among equal-ts backward views the MAX view_id (q_join_asof's
+    contract), among equal-ts forward views the MIN view_id
+    (q_join_asof_fwd's).  Distance is exact whole microseconds.
+
+    Plan: the nearest view overall is necessarily either the nearest
+    at-or-before or the nearest at-or-after, so BOTH candidates come
+    from one union + ONE user-keyed sort (two window frames over the
+    same partitioning — one exchange, no theta join, no per-key loop);
+    the argmin is then a row-local comparison.  Same single-shuffle
+    scale shape as the rest of the family."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        read_events,
+    )
+
+    ev = read_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"),
+        F.lit(0).alias("tag"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.lit(1).alias("tag"),
+    )
+    merged = views.unionByName(
+        clicks.withColumn("view_id", F.lit(None).cast("long")),
+        allowMissingColumns=True,
+    )
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    merged = merged.withColumn("us", us)
+    # backward frame: equal-ts views sort before the click (tag 0 < 1)
+    # and last() lands the MAX equal-ts view_id; forward frame: the
+    # same ascending order means first() past the click lands the MIN
+    # view_id, and equal-ts views (earlier in the order) are NOT in the
+    # following frame — they are already the backward candidate at
+    # distance 0, which wins every tie anyway.
+    wb = (
+        W.partitionBy("user_id").orderBy("ts", "tag", "view_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id").orderBy("ts", "tag", "view_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = (
+        merged
+        .withColumn("b_id", F.last("view_id", ignorenulls=True).over(wb))
+        .withColumn(
+            "b_us",
+            F.last(F.when(F.col("tag") == 0, F.col("us")),
+                   ignorenulls=True).over(wb),
+        )
+        .withColumn("f_id", F.first("view_id", ignorenulls=True).over(wf))
+        .withColumn(
+            "f_us",
+            F.first(F.when(F.col("tag") == 0, F.col("us")),
+                    ignorenulls=True).over(wf),
+        )
+    )
+    d_b = F.col("us") - F.col("b_us")
+    d_f = F.col("f_us") - F.col("us")
+    pick_b = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (d_b <= d_f)
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .filter(F.col("b_id").isNotNull() | F.col("f_id").isNotNull())
+        .select(
+            "click_id", "user_id",
+            F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id"))
+            .cast("long").alias("nearest_view_id"),
+            F.when(pick_b, d_b).otherwise(d_f)
+            .cast("long").alias("abs_diff_us"),
+        )
+    )

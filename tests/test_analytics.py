@@ -1857,3 +1857,33 @@ def test_time_to_conversion_hand_case(spark, tmp_path):
     r = out[0]
     assert (r["bucket"], r["lo_s"], r["hi_s"]) == (3, 8, 15)
     assert r["n_users"] == 1 and r["share_ppm"] == 1_000_000
+
+
+def test_slo_burn_hand_case(spark, tmp_path):
+    """Pins the trailing-window semantics: absent hours contribute zero
+    mass (not a gap error), and the 6h burn is errors/events over the
+    trailing six calendar hours."""
+    def ev(i, h, m, typ):
+        return (i, datetime(2026, 1, 1, h, m), 1, typ)
+
+    rows = [
+        ev(1, 0, 5, "view"), ev(2, 0, 10, "error"),
+        ev(3, 0, 20, "view"), ev(4, 0, 30, "view"),   # h0: 4 ev, 1 err
+        ev(5, 1, 15, "view"), ev(6, 1, 45, "view"),   # h1: 2 ev, 0 err
+        ev(7, 7, 1, "error"),                         # h7 after a gap
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["hour"].hour: r for r in
+           analytics.q_slo_burn(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 7}
+    assert (out[0]["n_events"], out[0]["n_errors"]) == (4, 1)
+    assert out[0]["err_ppm"] == 250_000
+    assert (out[1]["ev_6h"], out[1]["err_6h"]) == (6, 1)
+    assert out[1]["burn_6h_ppm"] == 166_666
+    # h7's 6h window is h2..h7: the gap hours carry zero mass, so only
+    # h7's own single error event is in the window
+    assert (out[7]["ev_6h"], out[7]["err_6h"]) == (1, 1)
+    assert out[7]["burn_6h_ppm"] == 1_000_000

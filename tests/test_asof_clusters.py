@@ -70,3 +70,48 @@ def test_dup_clusters_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dup_clusters(pairs, max_iterations=1)
+
+
+def test_asof_nearest_semantics(spark, tmp_path):
+    """Nearest looks both ways; exact ties prefer backward; equal-ts
+    ties take max id backward / min id forward."""
+    from datetime import timedelta
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        q_join_asof_nearest,
+    )
+
+    def _tsec(s):
+        return datetime(2024, 1, 1) + timedelta(seconds=s)
+
+    rows = [
+        # user 1: views @100 (id 10) and @200 (id 20)
+        (10, _tsec(100), 1, "view", 0.0, "{}"),
+        (20, _tsec(200), 1, "view", 0.0, "{}"),
+        (1, _tsec(140), 1, "click", 0.0, "{}"),   # d 40 back vs 60 fwd -> 10
+        (2, _tsec(160), 1, "click", 0.0, "{}"),   # d 60 back vs 40 fwd -> 20
+        (3, _tsec(150), 1, "click", 0.0, "{}"),   # exact tie -> backward 10
+        # user 2: two views at the SAME ts 100 (ids 30, 31)
+        (30, _tsec(100), 2, "view", 0.0, "{}"),
+        (31, _tsec(100), 2, "view", 0.0, "{}"),
+        (4, _tsec(100), 2, "click", 0.0, "{}"),   # d=0 backward -> max id 31
+        (5, _tsec(50), 2, "click", 0.0, "{}"),    # future only -> min id 30
+        # user 3: no views -> dropped
+        (6, _tsec(10), 3, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.click_id: (r.nearest_view_id, r.abs_diff_us)
+        for r in q_join_asof_nearest(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        1: (10, 40_000_000),
+        2: (20, 40_000_000),
+        3: (10, 50_000_000),
+        4: (31, 0),
+        5: (30, 50_000_000),
+    }
