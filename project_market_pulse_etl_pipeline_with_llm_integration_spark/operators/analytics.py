@@ -3760,9 +3760,16 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     no windows, no collect.  At 100 TB the hourly frame is calendar-
     bounded (10 years ≈ 87k rows), so the self-join is ~0.5M rows
     regardless of corpus size."""
-    ev = read_events(spark, sf_dir)
-    hr = (
-        ev.select(
+    return slo_burn_from_state(slo_burn_state(read_events(spark, sf_dir)))
+
+
+def slo_burn_state(events: DataFrame) -> DataFrame:
+    """Per-hour (events, errors) state — a pure SUM-monoid over a
+    calendar-bounded key space, so the burn readout maintains
+    incrementally via relational.merge_agg_states keyed by hour_id
+    (streaming twin pinned in tests/test_streaming.py)."""
+    return (
+        events.select(
             F.expr(
                 "unix_micros(cast(date_trunc('hour', ts) as timestamp))"
                 " div 3600000000"
@@ -3774,8 +3781,13 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum("is_err").alias("n_errors"),
         )
-        .localCheckpoint(eager=False)  # both sides of the range join
     )
+
+
+def slo_burn_from_state(state: DataFrame) -> DataFrame:
+    """The q_slo_burn readout from the hourly state alone — never a
+    history rescan."""
+    hr = state.localCheckpoint(eager=False)  # both range-join sides
     past = hr.select(
         F.col("hour_id").alias("h2"),
         F.col("n_events").alias("e2"),

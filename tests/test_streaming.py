@@ -923,3 +923,49 @@ def test_streaming_cohort_ltv_equals_batch(spark, tmp_path):
     want = sorted(tuple(sorted(r.asDict().items())) for r in
                   q_cohort_ltv(spark, SF_SMALL).collect())
     assert got == want and got
+
+
+def test_streaming_slo_burn_equals_batch(spark, tmp_path):
+    """The SLO burn readout is maintainable from the per-hour
+    (events, errors) SUM-monoid: replaying the log through
+    merge_agg_states keyed by hour_id and reading the burn table from
+    state alone equals the one-shot batch query row-for-row."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        q_slo_burn,
+        slo_burn_from_state,
+        slo_burn_state,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = _events_dir(spark, tmp_path)
+    state_dir = str(tmp_path / "slo_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = slo_burn_state(batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["hour_id"])
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        SE.read_events_stream(spark, src, max_files=1)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    state = spark.read.parquet(state_dir)
+    got = sorted(tuple(sorted(r.asDict().items())) for r in
+                 slo_burn_from_state(state).collect())
+    want = sorted(tuple(sorted(r.asDict().items())) for r in
+                  q_slo_burn(spark, SF_SMALL).collect())
+    assert got == want and got
