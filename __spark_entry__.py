@@ -1331,7 +1331,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_ltv": (
             "WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) "
             "AS om, CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
-            "FROM orders), "
+            "FROM orders WHERE o_totalprice IS NOT NULL), "
             "f AS (SELECT o_custkey, MIN(om) AS cm FROM o GROUP BY 1), "
             "s AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_customers "
             "FROM f GROUP BY 1), "
@@ -1379,7 +1379,8 @@ def oracle_sql() -> dict[str, str]:
         "discount_elasticity": (
             "WITH j AS (SELECT p_brand, CAST(round(100 * l_discount) AS "
             "BIGINT) AS x, CAST(l_quantity AS BIGINT) AS y FROM lineitem "
-            "JOIN part ON l_partkey = p_partkey), "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL), "
             "a AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, "
             "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
             "CAST(SUM(x * y) AS BIGINT) AS sxy, "
@@ -1430,7 +1431,8 @@ def oracle_sql() -> dict[str, str]:
         "spend_migration": (
             "WITH od AS (SELECT o_custkey, CAST(EXTRACT(year FROM "
             "o_orderdate) AS BIGINT) AS yr, CAST(round(o_totalprice * 100) "
-            "AS BIGINT) AS cents FROM orders), "
+            "AS BIGINT) AS cents FROM orders "
+            "WHERE o_totalprice IS NOT NULL), "
             "per AS (SELECT o_custkey, yr, CAST(SUM(cents) AS BIGINT) AS "
             "spend FROM od GROUP BY 1, 2), "
             + _gap_values("bucket, lo_cents, hi_cents")

@@ -812,6 +812,10 @@ def cohort_ltv_state(orders: DataFrame) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long")
             .alias("cents"),
         )
+        # unpriced orders are excluded explicitly: a customer with only
+        # NULL-price orders must not anchor a cohort whose revenue
+        # cells then NULL out (the discount_elasticity NULL rule)
+        .filter(F.col("cents").isNotNull())
         .groupBy("o_custkey", "om")
         .agg(F.sum("cents").alias("cents"))
     )
@@ -937,10 +941,17 @@ def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE brand-keyed hash agg over the partkey-joined scan (AQE
     broadcasts the part dim), then pure column arithmetic on the
     O(|brands|) frame.  Output O(|brands|) rows, no windows."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey",
-        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
-        F.col("l_quantity").cast("long").alias("y"),
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            "l_partkey",
+            F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+            F.col("l_quantity").cast("long").alias("y"),
+        )
+        # a NULL x or y would stay in n while SUM skipped it, silently
+        # deflating the slope — drop the row from BOTH (the
+        # stratified_uplift r10 review lesson)
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     )
     pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_brand"
@@ -1012,10 +1023,18 @@ def q_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         GAP_BUCKETS,
     )
 
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_custkey",
-        F.year("o_orderdate").cast("long").alias("yr"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_custkey",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"),
+        )
+        # an all-NULL-price year would NULL its spend and silently
+        # drop the customer-year from the range join ("absent") —
+        # make unpriced orders an explicit exclusion instead
+        .filter(F.col("cents").isNotNull())
     )
     per = od.groupBy("o_custkey", "yr").agg(F.sum("cents").alias("spend"))
     buckets = spark.createDataFrame(
