@@ -187,6 +187,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spend_migration": market.q_spend_migration,
         "join_asof_nearest": R.q_join_asof_nearest,
         "slo_burn": analytics.q_slo_burn,
+        "trade_balance": graph.q_trade_balance,
+        "class_separation": similarity.q_class_separation,
         # r11 re-certs (hardened internals, in-bounds values unchanged)
         "acf_daily": analytics.q_acf_daily,
         "session_gap_histogram": analytics.q_session_gap_histogram,
@@ -1395,6 +1397,51 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000 * sy) // n AS BIGINT) AS mean_qty_milli, "
             "CAST((1000 * sx) // n AS BIGINT) AS mean_disc_pct_milli "
             "FROM a"
+        ),
+        "trade_balance": (
+            "WITH m AS (SELECT CAST(c_nationkey AS BIGINT) AS cn, "
+            "CAST(s_nationkey AS BIGINT) AS sn, CAST(COUNT(*) AS BIGINT) "
+            "AS n_lines, CAST(round(SUM(CAST(l_extendedprice * "
+            "(1 - l_discount) AS DECIMAL(20,6))) * 100, 0) AS BIGINT) AS "
+            "cents FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE c_nationkey <> s_nationkey GROUP BY 1, 2), "
+            "ab AS (SELECT cn AS nat_a, sn AS nat_b, n_lines AS lines_ab, "
+            "cents AS cents_ab FROM m WHERE cn < sn), "
+            "ba AS (SELECT sn AS nat_a, cn AS nat_b, n_lines AS lines_ba, "
+            "cents AS cents_ba FROM m WHERE sn < cn), "
+            "p AS (SELECT COALESCE(ab.nat_a, ba.nat_a) AS nat_a, "
+            "COALESCE(ab.nat_b, ba.nat_b) AS nat_b, "
+            "CAST(COALESCE(lines_ab, 0) AS BIGINT) AS lines_ab, "
+            "CAST(COALESCE(lines_ba, 0) AS BIGINT) AS lines_ba, "
+            "CAST(COALESCE(cents_ab, 0) AS BIGINT) AS cents_ab, "
+            "CAST(COALESCE(cents_ba, 0) AS BIGINT) AS cents_ba "
+            "FROM ab FULL JOIN ba ON ab.nat_a = ba.nat_a "
+            "AND ab.nat_b = ba.nat_b) "
+            "SELECT na.n_name AS nation_a, nb.n_name AS nation_b, "
+            "lines_ab, lines_ba, cents_ab, cents_ba, "
+            "CAST(CASE WHEN cents_ab + cents_ba > 0 THEN "
+            "(1000000 * CAST(cents_ab - cents_ba AS HUGEINT)) // "
+            "(cents_ab + cents_ba) END AS BIGINT) AS imbalance_ppm "
+            "FROM p JOIN nation na ON nat_a = na.n_nationkey "
+            "JOIN nation nb ON nat_b = nb.n_nationkey"
+        ),
+        "class_separation": (
+            "WITH q AS (SELECT CAST(label AS BIGINT) AS lbl, "
+            "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+            "* 1e6) AS BIGINT)) AS qv FROM embeddings), "
+            "ex AS (SELECT lbl, unnest(qv) AS micro, "
+            "unnest(generate_series(1, len(qv))) AS i FROM q), "
+            "c AS (SELECT lbl, i AS dim, CAST(SUM(micro) AS BIGINT) AS s, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1, 2), "
+            "m AS (SELECT lbl, dim, n, CAST(s // n AS BIGINT) AS m FROM c) "
+            "SELECT a.lbl AS label_a, b.lbl AS label_b, "
+            "CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS "
+            "n_b, CAST(SUM((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS "
+            "d2_micro2 FROM m a JOIN m b ON a.dim = b.dim "
+            "AND a.lbl < b.lbl GROUP BY 1, 2"
         ),
         "join_asof_nearest": (
             "WITH c AS (SELECT event_id AS click_id, user_id, "

@@ -283,6 +283,8 @@ HEADLINE = [
     "spend_migration",
     "join_asof_nearest",
     "slo_burn",
+    "trade_balance",
+    "class_separation",
 ]
 
 

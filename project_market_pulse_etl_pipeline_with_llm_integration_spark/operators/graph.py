@@ -541,3 +541,105 @@ def q_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("within_share_ppm") - F.col("expected_ppm"))
         .cast("long").alias("modularity_contrib_ppm"),
     )
+
+
+def q_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade balance: for every unordered nation pair, the
+    order flow in each direction (customer in A buying from supplier
+    in B, and the reverse) with DECIMAL-exact revenue cents and a
+    SIGNED imbalance ppm — the who-runs-the-surplus readout on the
+    same customer-supplier matrix nation_modularity reduces to
+    (modularity asks "do nations trade inward"; this asks "is the
+    cross-border flow symmetric").
+
+    Exactness: revenue follows the discount_ladder DECIMAL recipe
+    (extendedprice·(1−discount) accumulates in DECIMAL(20,6), rounds
+    to cents once); the imbalance is the signed two-step rational
+    floor _ppm2((cents_ab − cents_ba), (cents_ab + cents_ba)) — range
+    [−1e6, 1e6], +1e6 = all flow A→B.  guard_int64 raises loudly past
+    the _ppm2 domain (pair total ≤ 9.2e15 cents).  Same-nation flow is
+    excluded (the diagonal is nation_modularity's within term).
+
+    Plan: the same two keyed joins + broadcast dims as
+    nation_modularity down to ONE <=625-row (cn, sn) matrix with count
+    and cents, then a mirrored self-join of the tiny matrix on
+    (a < b).  Output O(|nations|²/2) rows, no windows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(20,6)").alias("rev"),
+    )
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("cn")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", F.col("s_nationkey").cast("long").alias("sn")
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("natkey"), "n_name"
+    )
+    mat = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .filter(F.col("cn") != F.col("sn"))
+        .groupBy("cn", "sn")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("rev") * 100, 0).cast("long").alias("cents"),
+        )
+        .localCheckpoint(eager=False)  # both mirrored join sides
+    )
+    ab = mat.select(
+        F.col("cn").alias("nat_a"), F.col("sn").alias("nat_b"),
+        F.col("n_lines").alias("lines_ab"), F.col("cents").alias("cents_ab"),
+    ).filter(F.col("nat_a") < F.col("nat_b"))
+    ba = mat.select(
+        F.col("sn").alias("nat_a"), F.col("cn").alias("nat_b"),
+        F.col("n_lines").alias("lines_ba"), F.col("cents").alias("cents_ba"),
+    ).filter(F.col("nat_a") < F.col("nat_b"))
+    pairs = (
+        ab.join(ba, ["nat_a", "nat_b"], "full_outer")
+        .select(
+            "nat_a", "nat_b",
+            F.coalesce("lines_ab", F.lit(0)).cast("long").alias("lines_ab"),
+            F.coalesce("lines_ba", F.lit(0)).cast("long").alias("lines_ba"),
+            F.coalesce("cents_ab", F.lit(0)).cast("long").alias("cents_ab"),
+            F.coalesce("cents_ba", F.lit(0)).cast("long").alias("cents_ba"),
+        )
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.guards import (
+        PPM2_LIMIT,
+    )
+
+    pairs = guard_int64(
+        pairs,
+        (F.col("cents_ab") + F.col("cents_ba")) <= F.lit(PPM2_LIMIT),
+        F.format_string(
+            "trade_balance: pair (%s, %s) total %s cents exceeds the "
+            f"two-step ppm bound ({PPM2_LIMIT}) — shard by period",
+            F.col("nat_a"), F.col("nat_b"),
+            F.col("cents_ab") + F.col("cents_ba"),
+        ),
+    )
+    na = nat.select(F.col("natkey").alias("nat_a"),
+                    F.col("n_name").alias("nation_a"))
+    nb = nat.select(F.col("natkey").alias("nat_b"),
+                    F.col("n_name").alias("nation_b"))
+    return (
+        pairs.join(F.broadcast(na), "nat_a")
+        .join(F.broadcast(nb), "nat_b")
+        .select(
+            "nation_a", "nation_b",
+            "lines_ab", "lines_ba", "cents_ab", "cents_ba",
+            F.expr("CASE WHEN cents_ab + cents_ba > 0 THEN "
+                   + _ppm2("cents_ab - cents_ba", "cents_ab + cents_ba")
+                   + " END").cast("long").alias("imbalance_ppm"),
+        )
+    )

@@ -32,6 +32,10 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.reader
     parquet_num_rows,
 )
 
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.guards import (
+    guard_int64,
+)
+
 
 def brute_force_topk(
     items: DataFrame,
@@ -2078,4 +2082,81 @@ def q_vector_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         norms, "n2",
         bucket_cols=("bucket", "lo_n2", "hi_n2"),
         count_alias="n_vectors", count_share_alias="share_ppm",
+    )
+
+
+def q_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid separation matrix: for every unordered
+    label pair, the exact squared L2 distance between the classes'
+    centroid vectors on the 1e-6 micro-grid — the
+    is-this-labeling-learnable readout (classes whose centroids nearly
+    coincide won't separate linearly; read next to
+    embedding_principal's axis and distance_histogram's pair
+    geometry).
+
+    Exactness contract: per (label, dim) the component sum of the
+    1e-6-floored values is an exact long; the centroid component is
+    its TRUNCATING div by the class count (micro-grid means —
+    engine-identical per division_semantics_law), and the distance is
+    the plain integer sum of squared component differences.  The 1e-6
+    quantization is the embedding_centroids contract; nothing float
+    ever crosses engines.
+
+    Plan: posexplode to skinny (label, dim, micro) rows, ONE hash agg
+    to the |labels|·dim frame, then a broadcast self-join on dim with
+    label_a < label_b and one <=|labels|² agg.  Output O(|labels|²/2)
+    rows.  100 TB bound: |mean diff| ≤ 2·1e6·max|x|; with |x| ≤ 1e3
+    the 64-dim squared sum stays ≤ 2.6e20/1e3... — concretely, dims ·
+    (2e9)² = 2.6e20 exceeds int64 only past max|x| ~ 38 on this grid;
+    the driver's unit-scale embeddings sit 6 orders inside, and the
+    per-dim diff is guarded below."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ex = emb.select(
+        F.col("label").cast("long").alias("lbl"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1e6).cast("long"),
+            )
+        ).alias("dim", "micro"),
+    )
+    cent = (
+        ex.groupBy("lbl", "dim")
+        .agg(F.sum("micro").alias("s"), F.count("*").alias("n"))
+        .select(
+            "lbl", "dim", "n",
+            F.expr("s div n").alias("m"),
+        )
+    )
+    # |m| <= ~1.2e7 for unit-scale embeddings; 64·(2·3.8e8)² hits int64
+    # — raise loudly rather than wrap if someone feeds huge-magnitude
+    # vectors through the micro grid
+    cent = guard_int64(
+        cent,
+        F.abs(F.col("m")) <= F.lit(380_000_000),
+        F.format_string(
+            "class_separation: |centroid micro component| %s exceeds "
+            "the int64 squared-sum bound (3.8e8) — rescale the "
+            "embeddings (docstring bound)",
+            F.col("m"),
+        ),
+    )
+    a = cent.select(
+        F.col("lbl").alias("label_a"), "dim",
+        F.col("m").alias("ma"), F.col("n").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("lbl").alias("label_b"), "dim",
+        F.col("m").alias("mb"), F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(F.broadcast(b), "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+            .cast("long").alias("d2_micro2"),
+        )
     )

@@ -1164,3 +1164,45 @@ def test_spend_migration_hand_case(spark, tmp_path):
     for r in rows.values():
         assert r["n_customers"] == 1 and r["cohort_n"] == 1
         assert r["share_ppm"] == 1_000_000
+
+
+def test_trade_balance_hand_case(spark, tmp_path):
+    """Pins direction semantics (cents_ab = customer-side A buying from
+    supplier-side B), the one-way pair, and the signed imbalance."""
+    cust = spark.createDataFrame(
+        [(1, 0), (2, 1)], "c_custkey long, c_nationkey int"
+    )
+    supp = spark.createDataFrame(
+        [(7, 0), (8, 1), (9, 2)], "s_suppkey long, s_nationkey int"
+    )
+    nat = spark.createDataFrame(
+        [(0, "N0"), (1, "N1"), (2, "N2")], "n_nationkey int, n_name string"
+    )
+    od = spark.createDataFrame(
+        [(10, 1), (11, 2)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [
+            (10, 8, 100.0, 0.0),   # N0 cust <- N1 supp: 10000 cents A->B
+            (11, 7, 50.0, 0.0),    # N1 cust <- N0 supp: 5000 cents B->A
+            (10, 9, 25.0, 0.0),    # N0 -> N2, one-way
+            (10, 7, 999.0, 0.0),   # within N0: excluded (diagonal)
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double",
+    )
+    for name, df in [("customer", cust), ("supplier", supp),
+                     ("nation", nat), ("orders", od), ("lineitem", li)]:
+        df.write.parquet(str(tmp_path / f"{name}.parquet"))
+    rows = {
+        (r["nation_a"], r["nation_b"]): r
+        for r in graph.q_trade_balance(spark, str(tmp_path)).collect()
+    }
+    p01 = rows[("N0", "N1")]
+    assert (p01["cents_ab"], p01["cents_ba"]) == (10000, 5000)
+    # (10000-5000)/15000 -> 333333 ppm toward A
+    assert p01["imbalance_ppm"] == 333_333
+    p02 = rows[("N0", "N2")]
+    assert (p02["cents_ab"], p02["cents_ba"]) == (2500, 0)
+    assert p02["imbalance_ppm"] == 1_000_000
+    assert ("N0", "N0") not in rows and len(rows) == 2

@@ -898,3 +898,26 @@ def test_vector_norm_histogram_hand_case(spark):
     assert out[14]["n_vectors"] == 2      # 32258 in [16384, 32767]
     assert out[0]["n_vectors"] == 1
     assert out[14]["share_ppm"] == 2_000_000 // 3
+
+
+def test_class_separation_hand_case(spark, tmp_path):
+    """Pins the micro-grid mean (truncating div) and the exact squared
+    distance between class centroids."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        q_class_separation,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.5, 0.0], 0),   # label 0 centroid: (750000, 0)
+            (3, [0.0, 1.0], 1),   # label 1 centroid: (0, 1000000)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+    rows = q_class_separation(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["label_a"], r["label_b"], r["n_a"], r["n_b"]) == (0, 1, 2, 1)
+    assert r["d2_micro2"] == 750_000 ** 2 + 1_000_000 ** 2
