@@ -1502,19 +1502,25 @@ def bpe_apply_merges(
     ``localCheckpoint`` (lazy) pins each round, the bpe_train_merges /
     pagerank fixed-loop discipline."""
     merges = merges.localCheckpoint(eager=False)  # rules re-read per round
-    # Validate the rule table BEFORE the rewrite loop: a missing round
+    # Validate the rule table BEFORE the rewrite loop: a GAP round
     # would crossJoin the state against an EMPTY 1-row relation and
     # silently annihilate every row; a duplicated round would duplicate
-    # them.  O(n_merges) driver state — the dedup.py 1-row-guard class.
-    rounds = [r.merge_round for r in merges.select("merge_round").collect()]
-    if any(rounds.count(r) != 1 for r in range(1, n_merges + 1)):
+    # them.  A SHORT table (rounds exactly 1..k, k < n_merges) is
+    # legitimate — training stops early when no pair is left to merge
+    # (every word already one symbol), and encoding then applies the k
+    # rules that exist.  O(n_merges) driver state — the dedup.py
+    # 1-row-guard class.
+    rounds = sorted(r.merge_round for r in
+                    merges.select("merge_round").collect())
+    if rounds != list(range(1, len(rounds) + 1)) or len(rounds) > n_merges:
         raise ValueError(
-            f"merge table must carry exactly one rule per round 1..{n_merges}; "
-            f"got rounds {sorted(rounds)}"
+            f"merge table must carry exactly one rule per round 1..k "
+            f"(k <= {n_merges}, short only by training exhaustion); "
+            f"got rounds {rounds}"
         )
     w_word = Window.partitionBy("word").orderBy("pos")
     st = state
-    for rnd in range(1, n_merges + 1):
+    for rnd in range(1, len(rounds) + 1):
         rule = merges.filter(F.col("merge_round") == rnd).select(
             F.col("left_sym").alias("win_a"), F.col("right_sym").alias("win_b")
         )

@@ -1362,6 +1362,14 @@ def test_bpe_apply_rejects_malformed_merge_tables(spark):
     )
     with _pytest.raises(ValueError, match="exactly one rule"):
         bpe_apply_merges(state, dup, n_merges=2)
+    # a SHORT contiguous table is legitimate training exhaustion (no
+    # pair left to merge) — encode applies the rules that exist
+    short = spark.createDataFrame([(1, "a", "b", 0)], schema)
+    syms = sorted(
+        (r.word, r.pos, r.sym)
+        for r in bpe_apply_merges(state, short, n_merges=3).collect()
+    )
+    assert syms == [("ab", 0, "ab")]
 
 
 def test_distinctive_terms_guard_raises_past_bound(spark):
