@@ -189,6 +189,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slo_burn": analytics.q_slo_burn,
         "trade_balance": graph.q_trade_balance,
         "class_separation": similarity.q_class_separation,
+        "seasonality_index": market.q_seasonality_index,
         # r11 re-certs (hardened internals, in-bounds values unchanged)
         "acf_daily": analytics.q_acf_daily,
         "session_gap_histogram": analytics.q_session_gap_histogram,
@@ -1397,6 +1398,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000 * sy) // n AS BIGINT) AS mean_qty_milli, "
             "CAST((1000 * sx) // n AS BIGINT) AS mean_disc_pct_milli "
             "FROM a"
+        ),
+        "seasonality_index": (
+            "WITH od AS (SELECT o_custkey, CAST(EXTRACT(month FROM "
+            "o_orderdate) AS BIGINT) AS month, CAST(round(o_totalprice "
+            "* 100) AS BIGINT) AS cents FROM orders "
+            "WHERE o_totalprice IS NOT NULL), "
+            "c AS (SELECT c_mktsegment, month, CAST(COUNT(*) AS BIGINT) "
+            "AS n_orders, CAST(SUM(cents) AS BIGINT) AS rev_cents "
+            "FROM od JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT c_mktsegment, CAST(SUM(rev_cents) AS BIGINT) AS "
+            "seg_cents FROM c GROUP BY 1) "
+            "SELECT c.c_mktsegment, month, n_orders, rev_cents, "
+            "CAST((1000000 * CAST(rev_cents AS HUGEINT)) // seg_cents "
+            "AS BIGINT) AS share_ppm, "
+            "CAST((1000000 * CAST(rev_cents AS HUGEINT)) // seg_cents "
+            "- 83333 AS BIGINT) AS delta_uniform_ppm "
+            "FROM c JOIN t USING (c_mktsegment)"
         ),
         "trade_balance": (
             "WITH m AS (SELECT CAST(c_nationkey AS BIGINT) AS cn, "

@@ -285,6 +285,7 @@ HEADLINE = [
     "slo_burn",
     "trade_balance",
     "class_separation",
+    "seasonality_index",
 ]
 
 

@@ -1093,3 +1093,74 @@ def q_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * n_customers) div cohort_n").cast("long")
         .alias("share_ppm"),
     )
+
+
+def q_seasonality_index(
+    spark: SparkSession, sf_dir: str, _lim: int = PPM2_LIMIT
+) -> DataFrame:
+    """Month-of-year seasonality per market segment: each (segment,
+    calendar month) cell's exact revenue share of its segment, and the
+    signed deviation from the uniform 1/12 line — WHICH segments are
+    seasonal and when (dow_anomaly reads day-of-week noise, acf_daily
+    detects the cycle; this is the planning readout a merchandiser
+    actually schedules against).
+
+    Exactness: order cents are exact (two-decimal totalprice); the
+    share lands via the signed two-step rational floor (segment-month
+    revenue wraps the naive 1e6 form at ~9.2e12 cents ≈ TPC-H sf4 per
+    cell) with guard_int64 raising loudly past the _ppm2 domain; the
+    uniform line is floor(1e6/12) = 83333, so delta sums to ~0 per
+    segment by construction.
+
+    Plan: one custkey-keyed join (AQE broadcasts the dim at small sf),
+    ONE (segment, month) hash agg, a broadcast O(segments) totals
+    join.  Output <= 12·|segments| rows, no windows."""
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_custkey",
+            F.month("o_orderdate").cast("long").alias("month"),
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"),
+        )
+        .filter(F.col("cents").isNotNull())
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        od.join(cust, od.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("rev_cents"),
+        )
+        .localCheckpoint(eager=False)  # cells + segment totals
+    )
+    tot = cells.groupBy("c_mktsegment").agg(
+        F.sum("rev_cents").alias("seg_cents")
+    )
+    out = cells.join(F.broadcast(tot), "c_mktsegment")
+    out = guard_int64(
+        out,
+        F.col("seg_cents") <= F.lit(_lim),
+        F.format_string(
+            "seasonality_index: segment '%s' revenue %s cents exceeds "
+            f"the two-step ppm bound ({_lim}) — shard by year "
+            "(docstring bound)",
+            F.col("c_mktsegment"), F.col("seg_cents"),
+        ),
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
+    return out.select(
+        "c_mktsegment", "month",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.expr(_ppm2("rev_cents", "seg_cents")).cast("long")
+        .alias("share_ppm"),
+        (F.expr(_ppm2("rev_cents", "seg_cents")) - F.lit(83333))
+        .cast("long").alias("delta_uniform_ppm"),
+    )

@@ -1206,3 +1206,36 @@ def test_trade_balance_hand_case(spark, tmp_path):
     assert (p02["cents_ab"], p02["cents_ba"]) == (2500, 0)
     assert p02["imbalance_ppm"] == 1_000_000
     assert ("N0", "N0") not in rows and len(rows) == 2
+
+
+def test_seasonality_index_hand_case(spark, tmp_path):
+    """Shares are exact within segment and deltas measured against the
+    floor(1e6/12) uniform line; guard fires past a shrunk bound."""
+    import pytest
+
+    cust = spark.createDataFrame(
+        [(1, "S1"), (2, "S2")], "c_custkey long, c_mktsegment string"
+    )
+    od = spark.createDataFrame(
+        [
+            (1, 1, datetime(2026, 1, 5), 30.00),
+            (2, 1, datetime(2026, 7, 5), 10.00),
+            (3, 2, datetime(2026, 3, 1), 5.00),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    )
+    cust.write.parquet(str(tmp_path / "customer.parquet"))
+    od.write.parquet(str(tmp_path / "orders.parquet"))
+    rows = {
+        (r["c_mktsegment"], r["month"]): r
+        for r in market.q_seasonality_index(spark, str(tmp_path)).collect()
+    }
+    assert rows[("S1", 1)]["share_ppm"] == 750_000
+    assert rows[("S1", 1)]["delta_uniform_ppm"] == 750_000 - 83_333
+    assert rows[("S1", 7)]["share_ppm"] == 250_000
+    assert rows[("S2", 3)]["share_ppm"] == 1_000_000
+    with pytest.raises(Exception, match="exceeds the two-step ppm bound"):
+        market.q_seasonality_index(spark, str(tmp_path), _lim=3999).collect()
+    r = market.q_seasonality_index(spark, str(tmp_path), _lim=4000).collect()
+    assert len(r) == 3
