@@ -1411,10 +1411,12 @@ def oracle_sql() -> dict[str, str]:
             "t AS (SELECT c_mktsegment, CAST(SUM(rev_cents) AS BIGINT) AS "
             "seg_cents FROM c GROUP BY 1) "
             "SELECT c.c_mktsegment, month, n_orders, rev_cents, "
-            "CAST((1000000 * CAST(rev_cents AS HUGEINT)) // seg_cents "
-            "AS BIGINT) AS share_ppm, "
-            "CAST((1000000 * CAST(rev_cents AS HUGEINT)) // seg_cents "
-            "- 83333 AS BIGINT) AS delta_uniform_ppm "
+            "CAST(CASE WHEN seg_cents > 0 THEN (1000000 * "
+            "CAST(rev_cents AS HUGEINT)) // seg_cents END AS BIGINT) "
+            "AS share_ppm, "
+            "CAST(CASE WHEN seg_cents > 0 THEN (1000000 * "
+            "CAST(rev_cents AS HUGEINT)) // seg_cents - 83333 END "
+            "AS BIGINT) AS delta_uniform_ppm "
             "FROM c JOIN t USING (c_mktsegment)"
         ),
         "trade_balance": (

@@ -1155,12 +1155,15 @@ def q_seasonality_index(
         _ppm2,
     )
 
+    # seg_cents == 0 (every order zero-priced) must NULL the shares in
+    # BOTH engines, not diverge (Spark div-by-zero NULLs, DuckDB //
+    # raises) — the return_rate_by_brand CASE pattern
+    share = "CASE WHEN seg_cents > 0 THEN " + _ppm2("rev_cents", "seg_cents") + " END"
     return out.select(
         "c_mktsegment", "month",
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("rev_cents").cast("long").alias("rev_cents"),
-        F.expr(_ppm2("rev_cents", "seg_cents")).cast("long")
-        .alias("share_ppm"),
-        (F.expr(_ppm2("rev_cents", "seg_cents")) - F.lit(83333))
-        .cast("long").alias("delta_uniform_ppm"),
+        F.expr(share).cast("long").alias("share_ppm"),
+        F.expr(f"({share}) - 83333").cast("long")
+        .alias("delta_uniform_ppm"),
     )

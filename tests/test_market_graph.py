@@ -1239,3 +1239,21 @@ def test_seasonality_index_hand_case(spark, tmp_path):
         market.q_seasonality_index(spark, str(tmp_path), _lim=3999).collect()
     r = market.q_seasonality_index(spark, str(tmp_path), _lim=4000).collect()
     assert len(r) == 3
+
+
+def test_seasonality_index_zero_segment_nulls(spark, tmp_path):
+    """A segment whose every order is zero-priced NULLs its shares
+    (both engines) instead of diverging or dividing by zero."""
+    cust = spark.createDataFrame(
+        [(1, "Z")], "c_custkey long, c_mktsegment string"
+    )
+    od = spark.createDataFrame(
+        [(1, 1, datetime(2026, 2, 1), 0.00)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    )
+    cust.write.parquet(str(tmp_path / "customer.parquet"))
+    od.write.parquet(str(tmp_path / "orders.parquet"))
+    r = market.q_seasonality_index(spark, str(tmp_path)).collect()[0]
+    assert r["rev_cents"] == 0
+    assert r["share_ppm"] is None and r["delta_uniform_ppm"] is None
