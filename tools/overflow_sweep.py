@@ -69,6 +69,18 @@ TIER_A = [
     "discount_ladder", "order_backlog", "fk_integrity_audit",
     "rfm_segments", "mad_outliers", "quantile_bins", "trimmed_stats",
     "jackknife_spread",
+    # r11 batch: distribution/concentration readouts ($5e12-cents
+    # whale exercises the two-step revenue floors and the open-ended
+    # top bucket), the cohort/migration/seasonality revenue curves,
+    # the OLS slope decimals, the trade matrix ppm terms, and the
+    # planted ts tie hits join_asof_nearest's d=0 backward branch
+    "user_activity_histogram", "weekday_hour_heatmap",
+    "order_size_histogram", "revenue_concentration",
+    "fulfillment_lag", "return_rate_by_brand", "dim_coverage_audit",
+    "cohort_ltv", "category_penetration", "time_to_conversion",
+    "nation_modularity", "discount_elasticity", "spend_migration",
+    "join_asof_nearest", "slo_burn", "trade_balance",
+    "seasonality_index",
 ]
 
 # linear-cents-sum ops that tolerate an 8e12-cents group sum (the
