@@ -190,6 +190,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_balance": graph.q_trade_balance,
         "class_separation": similarity.q_class_separation,
         "seasonality_index": market.q_seasonality_index,
+        "price_realization": market.q_price_realization,
+        "supply_concentration": market.q_supply_concentration,
         # r11 re-certs (hardened internals, in-bounds values unchanged)
         "acf_daily": analytics.q_acf_daily,
         "session_gap_histogram": analytics.q_session_gap_histogram,
@@ -1398,6 +1400,43 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000 * sy) // n AS BIGINT) AS mean_qty_milli, "
             "CAST((1000 * sx) // n AS BIGINT) AS mean_disc_pct_milli "
             "FROM a"
+        ),
+        "price_realization": (
+            "WITH j AS (SELECT p_brand, CAST(l_quantity AS DECIMAL(20,6)) "
+            "AS qty, CAST(l_extendedprice * (1 - l_discount) AS "
+            "DECIMAL(20,6)) AS rev, CAST(p_retailprice AS DECIMAL(20,6)) "
+            "AS retail FROM lineitem JOIN part ON l_partkey = p_partkey), "
+            "c AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(round(SUM(qty * retail) * 100, 0) AS BIGINT) AS "
+            "list_cents, CAST(round(SUM(rev) * 100, 0) AS BIGINT) AS "
+            "realized_cents FROM j GROUP BY 1) "
+            "SELECT p_brand, n_lines, list_cents, realized_cents, "
+            "CAST(CASE WHEN list_cents > 0 THEN (1000000 * "
+            "CAST(realized_cents AS HUGEINT)) // list_cents END AS BIGINT) "
+            "AS realization_ppm FROM c"
+        ),
+        "supply_concentration": (
+            "WITH j AS (SELECT p_brand, l_suppkey, "
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)) AS "
+            "rev FROM lineitem JOIN part ON l_partkey = p_partkey), "
+            "s AS (SELECT p_brand, l_suppkey, CAST(round(SUM(rev) * 100, "
+            "0) AS BIGINT) AS c FROM j GROUP BY 1, 2), "
+            "b AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS "
+            "n_suppliers, CAST(SUM(c) AS BIGINT) AS total_cents, "
+            "SUM(CAST(c AS HUGEINT) * c) AS sum_c2 FROM s GROUP BY 1), "
+            "t AS (SELECT p_brand, CAST(l_suppkey AS BIGINT) AS "
+            "top_suppkey, c AS top_cents, row_number() OVER ("
+            "PARTITION BY p_brand ORDER BY c DESC, l_suppkey) AS rn "
+            "FROM s) "
+            "SELECT b.p_brand, n_suppliers, total_cents, top_suppkey, "
+            "top_cents, "
+            "CAST(CASE WHEN total_cents > 0 THEN (1000000 * "
+            "CAST(top_cents AS HUGEINT)) // total_cents END AS BIGINT) AS "
+            "top_share_ppm, "
+            "CAST(CASE WHEN total_cents > 0 THEN (1000000 * sum_c2) // "
+            "(CAST(total_cents AS HUGEINT) * total_cents) END AS BIGINT) "
+            "AS hhi_ppm FROM b JOIN t ON b.p_brand = t.p_brand "
+            "AND t.rn = 1"
         ),
         "seasonality_index": (
             "WITH od AS (SELECT o_custkey, CAST(EXTRACT(month FROM "

@@ -286,6 +286,8 @@ HEADLINE = [
     "trade_balance",
     "class_separation",
     "seasonality_index",
+    "price_realization",
+    "supply_concentration",
 ]
 
 

@@ -1167,3 +1167,142 @@ def q_seasonality_index(
         F.expr(f"({share}) - 83333").cast("long")
         .alias("delta_uniform_ppm"),
     )
+
+
+def q_price_realization(
+    spark: SparkSession, sf_dir: str, _lim: int = PPM2_LIMIT
+) -> DataFrame:
+    """Price realization per brand: realized revenue (extended price
+    net of discount) as an exact ppm of LIST value (quantity x the
+    part's retail price) — the pricing-discipline audit: a brand
+    realizing 90% of list is discounting away a tenth of its book
+    (discount_elasticity asks whether those discounts buy volume;
+    this measures what they cost).
+
+    Exactness: both sides accumulate in DECIMAL(20,6) and round to
+    cents ONCE (the discount_ladder recipe — retail·quantity and
+    extendedprice·(1−discount) are exact few-decimal products); the
+    ratio is the two-step rational floor with guard_int64 raising
+    loudly past the _ppm2 domain (9.2e15 cents per brand).  Zero list
+    value NULLs the ratio in both engines.
+
+    Plan: brand+retail dim broadcast into the lineitem scan, ONE brand
+    hash agg — output O(|brands|), no windows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(20,6)").alias("qty"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(20,6)").alias("rev"),
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand",
+        F.col("p_retailprice").cast("decimal(20,6)").alias("retail"),
+    )
+    cells = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("qty") * F.col("retail")) * 100, 0)
+            .cast("long").alias("list_cents"),
+            F.round(F.sum("rev") * 100, 0).cast("long")
+            .alias("realized_cents"),
+        )
+    )
+    cells = guard_int64(
+        cells,
+        F.col("list_cents") <= F.lit(_lim),
+        F.format_string(
+            "price_realization: brand '%s' list value %s cents exceeds "
+            f"the two-step ppm bound ({_lim}) — shard by brand-period "
+            "(docstring bound)",
+            F.col("p_brand"), F.col("list_cents"),
+        ),
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
+    return cells.select(
+        "p_brand",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "list_cents", "realized_cents",
+        F.expr("CASE WHEN list_cents > 0 THEN "
+               + _ppm2("realized_cents", "list_cents")
+               + " END").cast("long").alias("realization_ppm"),
+    )
+
+
+# Decimal-domain bound for the HHI ratio: 1e6·C² must fit DECIMAL(38,0)
+# -> brand revenue C <= ~3e15 cents (an order under the _ppm2 bound).
+HHI_C_LIMIT = 3_000_000_000_000_000
+
+
+def q_supply_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration per brand: how much of each brand's
+    revenue flows through its top supplier, and the Herfindahl index
+    of its supplier mix — the single-source-risk audit (an HHI near
+    1e6 says one supplier failure takes the brand out; the procurement
+    twin of revenue_concentration's customer-side Pareto).
+
+    Exactness: per-(brand, supplier) cents are DECIMAL-exact; the
+    top-supplier share is the two-step rational floor; the HHI is
+    floor(1e6 · Σ c_i² / C²) formed entirely in DECIMAL(38,0) (Σ c_i²
+    wraps int64 past ~3e9 cents per supplier; DuckDB runs the same
+    formula in HUGEINT) under a LOUD guard at C ≤ 3e15 cents.  Both
+    quotients ≤ 1e6 fit the BIGINT decimal `div` returns.
+
+    Plan: brand dim broadcast, ONE (brand, supplier) hash agg, one
+    brand rollup (max_by for the top supplier, decimal sums for the
+    HHI terms).  Output O(|brands|), no windows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(20,6)").alias("rev"),
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    per_supp = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.round(F.sum("rev") * 100, 0).cast("long").alias("c"))
+    )
+    brands = per_supp.groupBy("p_brand").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.sum("c").cast("long").alias("total_cents"),
+        # deterministic top supplier: max cents, ties -> min suppkey
+        F.max_by(
+            F.col("l_suppkey"), F.struct(F.col("c"), -F.col("l_suppkey"))
+        ).cast("long").alias("top_suppkey"),
+        F.max("c").cast("long").alias("top_cents"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("sum_c2"),
+    )
+    brands = guard_int64(
+        brands,
+        F.col("total_cents") <= F.lit(HHI_C_LIMIT),
+        F.format_string(
+            "supply_concentration: brand '%s' revenue %s cents exceeds "
+            f"the DECIMAL(38,0) HHI domain bound ({HHI_C_LIMIT}) — "
+            "shard by period (docstring bound)",
+            F.col("p_brand"), F.col("total_cents"),
+        ),
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
+    return brands.select(
+        "p_brand", "n_suppliers", "total_cents", "top_suppkey", "top_cents",
+        F.expr("CASE WHEN total_cents > 0 THEN "
+               + _ppm2("top_cents", "total_cents")
+               + " END").cast("long").alias("top_share_ppm"),
+        F.expr(
+            "CASE WHEN total_cents > 0 THEN "
+            "cast(1000000 as decimal(38,0)) * sum_c2 "
+            "div (cast(total_cents as decimal(38,0)) "
+            "* cast(total_cents as decimal(38,0))) END"
+        ).cast("long").alias("hhi_ppm"),
+    )

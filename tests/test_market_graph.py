@@ -1257,3 +1257,62 @@ def test_seasonality_index_zero_segment_nulls(spark, tmp_path):
     r = market.q_seasonality_index(spark, str(tmp_path)).collect()[0]
     assert r["rev_cents"] == 0
     assert r["share_ppm"] is None and r["delta_uniform_ppm"] is None
+
+
+def test_price_realization_hand_case(spark, tmp_path):
+    """Realized vs list: a 10% discount on at-list pricing realizes
+    900000 ppm; zero list value NULLs the ratio."""
+    pt = spark.createDataFrame(
+        [(1, "B1", 10.00), (2, "B0", 0.00)],
+        "p_partkey long, p_brand string, p_retailprice double",
+    )
+    li = spark.createDataFrame(
+        # B1: qty 2 @ list 10 -> list 20.00; extended 20.00 at 10% off
+        [(1, 1, 2.0, 20.00, 0.10), (2, 2, 1.0, 0.00, 0.00)],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double",
+    )
+    pt.write.parquet(str(tmp_path / "part.parquet"))
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {
+        r["p_brand"]: r
+        for r in market.q_price_realization(spark, str(tmp_path)).collect()
+    }
+    b1 = rows["B1"]
+    assert (b1["list_cents"], b1["realized_cents"]) == (2000, 1800)
+    assert b1["realization_ppm"] == 900_000
+    assert rows["B0"]["realization_ppm"] is None
+
+
+def test_supply_concentration_hand_case(spark, tmp_path):
+    """Pins the HHI arithmetic and the deterministic top-supplier
+    tie-break (max cents, ties -> min suppkey)."""
+    pt = spark.createDataFrame(
+        [(1, "B1"), (2, "B2")], "p_partkey long, p_brand string"
+    )
+    li = spark.createDataFrame(
+        [
+            # B1: suppliers 7 (60.00) and 8 (40.00): HHI = .6²+.4² = .52
+            (1, 1, 7, 60.00, 0.0),
+            (2, 1, 8, 40.00, 0.0),
+            # B2: suppliers 5 and 6 tie at 10.00 -> top is min suppkey 5
+            (3, 2, 6, 10.00, 0.0),
+            (4, 2, 5, 10.00, 0.0),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_extendedprice double, l_discount double",
+    )
+    pt.write.parquet(str(tmp_path / "part.parquet"))
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {
+        r["p_brand"]: r
+        for r in market.q_supply_concentration(spark, str(tmp_path)).collect()
+    }
+    b1 = rows["B1"]
+    assert (b1["n_suppliers"], b1["total_cents"]) == (2, 10000)
+    assert (b1["top_suppkey"], b1["top_cents"]) == (7, 6000)
+    assert b1["top_share_ppm"] == 600_000
+    assert b1["hhi_ppm"] == 520_000
+    b2 = rows["B2"]
+    assert (b2["top_suppkey"], b2["top_cents"]) == (5, 1000)
+    assert b2["hhi_ppm"] == 500_000
