@@ -80,7 +80,7 @@ TIER_A = [
     "cohort_ltv", "category_penetration", "time_to_conversion",
     "nation_modularity", "discount_elasticity", "spend_migration",
     "join_asof_nearest", "slo_burn", "trade_balance",
-    "seasonality_index",
+    "seasonality_index", "price_realization", "supply_concentration",
 ]
 
 # linear-cents-sum ops that tolerate an 8e12-cents group sum (the
