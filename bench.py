@@ -499,6 +499,12 @@ def main() -> int:
         if baseline is not None and baseline.get("sf") == sf and not update:
             for n, sk in exec_plans.items():
                 want = baseline["plans"].get(n)
+                # adjudicated bistable plans carry the accepted
+                # alternates in alt_fps (e.g. an AQE build-side pick
+                # on a near-tie join flips run-to-run); a fingerprint
+                # outside the accepted SET still fails loudly
+                if want is not None and fps[n] in want.get("alt_fps", []):
+                    continue
                 if want is not None and want["skeleton"] != sk:
                     exec_plan_diffs.append(n)
                     print(f"EXEC-PLAN DIFF {n}: baseline "

@@ -50,9 +50,15 @@ def main() -> int:
         want = base["plans"].get(name)
         if want is None:
             missing.append(name)
-        elif want["fp"] != fp:
+        elif want["fp"] != fp and fp not in want.get("alt_fps", []):
+            # alt_fps: adjudicated bistable alternates (AQE near-tie
+            # build-side flips); anything outside the set still fails
             diffs.append(name)
-    recorded = detail.get("exec_plan_diffs", [])
+    recorded = [
+        n for n in detail.get("exec_plan_diffs", [])
+        if not (base["plans"].get(n)
+                and fps.get(n) in base["plans"][n].get("alt_fps", []))
+    ]
     print(f"{len(fps)} heavy-tier executed plans checked against baseline")
     print(f"fingerprint diffs: {diffs or 'NONE'}")
     if recorded:
