@@ -969,3 +969,128 @@ def test_km_and_hazard_equal_python_replay(spark, users):
     got_s = {r["tenure_week"]: r["surv_ppm"]
              for r in A.q_km_survival(spark, d).collect()}
     assert got_s == exp_s
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),      # user
+            st.integers(min_value=0, max_value=500),    # seconds offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_join_asof_nearest_equals_bruteforce(spark, tmp_path_factory, evs):
+    """On arbitrary event streams, the single-sort nearest as-of join
+    equals a brute-force argmin with the documented tie contract
+    (min |d|; exact ties prefer backward; equal-ts ties max-id
+    backward / min-id forward)."""
+    from datetime import datetime, timedelta
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        q_join_asof_nearest,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=s), u, t)
+        for i, (u, s, t) in enumerate(evs)
+    ]
+    d = str(tmp_path_factory.mktemp("asof_nearest"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(f"{d}/events.parquet")
+    got = {
+        r.click_id: (r.nearest_view_id, r.abs_diff_us)
+        for r in q_join_asof_nearest(spark, d).collect()
+    }
+    # brute force with the documented tie order
+    views = [(i, u, s) for i, (u, s, t) in enumerate(evs) if t == "view"]
+    want = {}
+    for ci, (cu, cs, ct) in enumerate(evs):
+        if ct != "click":
+            continue
+        cands = [
+            (abs(cs - vs) * 1_000_000,
+             0 if vs <= cs else 1,
+             -vi if vs <= cs else vi,
+             vi)
+            for vi, vu, vs in views if vu == cu
+        ]
+        if cands:
+            best = min(cands)
+            want[ci] = (best[3], best[0])
+    assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),       # customer
+            st.integers(min_value=2020, max_value=2024), # year
+            st.integers(min_value=0, max_value=10**7),   # cents
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_spend_migration_equals_replay(spark, tmp_path_factory, orders):
+    """On arbitrary order sets, the full-outer migration matrix equals
+    a pure-Python replay of the bucket/transition/phantom-exclusion
+    semantics."""
+    import collections
+    from datetime import datetime
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        GAP_BUCKETS,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        q_spend_migration,
+    )
+
+    rows = [
+        (i, cu, datetime(y, 6, 15), c / 100.0)
+        for i, (cu, y, c) in enumerate(orders)
+    ]
+    d = str(tmp_path_factory.mktemp("spend_mig"))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    ).write.parquet(f"{d}/orders.parquet")
+    got = {
+        (r.from_year, r.from_bucket, r.to_bucket):
+            (r.n_customers, r.cohort_n, r.share_ppm)
+        for r in q_spend_migration(spark, d).collect()
+    }
+
+    def bucket(spend):
+        for b, lo, hi in GAP_BUCKETS:
+            if lo <= spend <= hi:
+                return b
+        raise AssertionError(spend)
+
+    spend = collections.Counter()
+    for cu, y, c in orders:
+        spend[(cu, y)] += c
+    bk = {(cu, y): bucket(s) for (cu, y), s in spend.items()}
+    years = sorted({y for _, y in bk})
+    y_min, y_max = years[0], years[-1]
+    trans = collections.Counter()
+    custs = {cu for cu, _ in bk}
+    for cu in custs:
+        for y in range(y_min, y_max):
+            a, b = bk.get((cu, y)), bk.get((cu, y + 1))
+            if a is None and b is None:
+                continue
+            trans[(y, a if a is not None else -1,
+                   b if b is not None else -1)] += 1
+    tot = collections.Counter()
+    for (y, fb, tb), n in trans.items():
+        tot[(y, fb)] += n
+    want = {
+        k: (n, tot[(k[0], k[1])], 1_000_000 * n // tot[(k[0], k[1])])
+        for k, n in trans.items()
+    }
+    assert got == want
