@@ -194,6 +194,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_index": market.q_seasonality_index,
         "price_realization": market.q_price_realization,
         "supply_concentration": market.q_supply_concentration,
+        "basket_brand_diversity": market.q_basket_brand_diversity,
         # r11 re-certs (hardened internals, in-bounds values unchanged)
         "acf_daily": analytics.q_acf_daily,
         "session_gap_histogram": analytics.q_session_gap_histogram,
@@ -1402,6 +1403,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000 * sy) // n AS BIGINT) AS mean_qty_milli, "
             "CAST((1000 * sx) // n AS BIGINT) AS mean_disc_pct_milli "
             "FROM a"
+        ),
+        "basket_brand_diversity": (
+            "WITH ob AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey), "
+            "po AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS "
+            "n_brands FROM ob GROUP BY 1), "
+            + _gap_values("bucket, lo_brands, hi_brands")
+            + ", h AS (SELECT bucket, lo_brands, hi_brands, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, CAST(SUM(n_brands) AS "
+            "BIGINT) AS n_brand_slots FROM po JOIN b ON "
+            "po.n_brands >= b.lo_brands AND po.n_brands <= b.hi_brands "
+            "GROUP BY 1, 2, 3), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tc, "
+            "CAST(SUM(n_brands) AS BIGINT) AS tm FROM po) "
+            "SELECT bucket, lo_brands, hi_brands, n_orders, n_brand_slots, "
+            "CAST((1000000 * n_orders) // tc AS BIGINT) AS order_share_ppm, "
+            "CAST((1000000 * n_brand_slots) // tm AS BIGINT) AS "
+            "slot_share_ppm FROM h CROSS JOIN t"
         ),
         "price_realization": (
             "WITH j AS (SELECT p_brand, CAST(l_quantity AS DECIMAL(20,6)) "

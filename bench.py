@@ -288,6 +288,7 @@ HEADLINE = [
     "seasonality_index",
     "price_realization",
     "supply_concentration",
+    "basket_brand_diversity",
 ]
 
 

@@ -532,14 +532,30 @@ def q_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: counts + two exact ppm floors over the open-ended
     GAP_BUCKETS literal.  Plan: one orderkey-keyed count agg, a 32-row
     broadcast range join, one <=32-key agg — no windows."""
+    return order_size_from_state(
+        order_size_state(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    )
+
+
+def order_size_state(lineitem: DataFrame) -> DataFrame:
+    """Per-order line-count state — a pure SUM-monoid keyed by
+    orderkey (order lines arrive incrementally in a real ingest), so
+    the histogram maintains via relational.merge_agg_states (streaming
+    twin pinned in tests/test_streaming.py)."""
+    return lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines")
+    )
+
+
+def order_size_from_state(state: DataFrame) -> DataFrame:
+    """The q_order_size_histogram readout from the per-order count
+    state alone — never a history rescan."""
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
         pow2_histogram,
     )
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
     return pow2_histogram(
-        per_order, "n_lines",
+        state, "n_lines",
         bucket_cols=("bucket", "lo_lines", "hi_lines"),
         count_alias="n_orders", count_share_alias="order_share_ppm",
         mass_alias="n_lines_total", mass_share_alias="line_share_ppm",
@@ -1305,4 +1321,42 @@ def q_supply_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (cast(total_cents as decimal(38,0)) "
             "* cast(total_cents as decimal(38,0))) END"
         ).cast("long").alias("hhi_ppm"),
+    )
+
+
+def q_basket_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-brands-per-order distribution in power-of-two buckets —
+    the cross-category basket shape (order_size_histogram counts
+    LINES; this counts distinct BRANDS, and the gap between the two is
+    repeat-same-brand buying): the evidence behind bundle design and
+    the market_basket pair-mining support threshold.
+
+    Exactness: distinct (order, brand) BEFORE the count, then the
+    shared open-ended GAP_BUCKETS close with both marginals (order
+    share and brand-slot mass share).  Plan: brand dim broadcast into
+    the lineitem scan, one (order, brand) distinct, one orderkey
+    count agg, the 32-row broadcast range join — no windows, output
+    <= 32 rows."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        pow2_histogram,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    per_order = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_brands"))
+    )
+    return pow2_histogram(
+        per_order, "n_brands",
+        bucket_cols=("bucket", "lo_brands", "hi_brands"),
+        count_alias="n_orders", count_share_alias="order_share_ppm",
+        mass_alias="n_brand_slots", mass_share_alias="slot_share_ppm",
     )

@@ -1316,3 +1316,28 @@ def test_supply_concentration_hand_case(spark, tmp_path):
     b2 = rows["B2"]
     assert (b2["top_suppkey"], b2["top_cents"]) == (5, 1000)
     assert b2["hhi_ppm"] == 500_000
+
+
+def test_basket_brand_diversity_hand_case(spark, tmp_path):
+    """Distinct brands per order: a repeat-same-brand order counts the
+    brand once (bucket 0 = one brand), a two-brand order lands in
+    bucket 1."""
+    pt = spark.createDataFrame(
+        [(1, "B1"), (2, "B2")], "p_partkey long, p_brand string"
+    )
+    li = spark.createDataFrame(
+        # order 10: B1 twice + B2 -> 2 distinct brands (bucket 1)
+        # order 11: B1 three times -> 1 distinct brand (bucket 0)
+        [(10, 1), (10, 1), (10, 2), (11, 1), (11, 1), (11, 1)],
+        "l_orderkey long, l_partkey long",
+    )
+    pt.write.parquet(str(tmp_path / "part.parquet"))
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {
+        r["bucket"]: r
+        for r in market.q_basket_brand_diversity(spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["n_orders"] == 1 and rows[0]["n_brand_slots"] == 1
+    assert rows[1]["n_orders"] == 1 and rows[1]["n_brand_slots"] == 2
+    assert rows[0]["order_share_ppm"] == 500_000
+    assert rows[1]["slot_share_ppm"] == 666_666

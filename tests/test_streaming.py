@@ -969,3 +969,56 @@ def test_streaming_slo_burn_equals_batch(spark, tmp_path):
     want = sorted(tuple(sorted(r.asDict().items())) for r in
                   q_slo_burn(spark, SF_SMALL).collect())
     assert got == want and got
+
+
+def test_streaming_order_size_histogram_equals_batch(spark, tmp_path):
+    """The order-shape histogram is maintainable from the per-order
+    line-count SUM-monoid — order lines arriving across micro-batches
+    accumulate per orderkey: replaying the lineitem table through
+    merge_agg_states and reading the histogram from state alone
+    equals the one-shot batch query row-for-row."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        order_size_from_state,
+        order_size_state,
+        q_order_size_histogram,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = str(tmp_path / "lineitem_stream_src")
+    # repartition WITHOUT keying: the same order's lines land in
+    # different micro-batch files, exercising the cross-batch merge
+    spark.read.parquet(SF_SMALL + "/lineitem.parquet").repartition(4) \
+        .write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    state_dir = str(tmp_path / "os_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = order_size_state(batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["l_orderkey"])
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    state = spark.read.parquet(state_dir)
+    got = sorted(tuple(sorted(r.asDict().items())) for r in
+                 order_size_from_state(state).collect())
+    want = sorted(tuple(sorted(r.asDict().items())) for r in
+                  q_order_size_histogram(spark, SF_SMALL).collect())
+    assert got == want and got
