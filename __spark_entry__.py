@@ -195,6 +195,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_realization": market.q_price_realization,
         "supply_concentration": market.q_supply_concentration,
         "basket_brand_diversity": market.q_basket_brand_diversity,
+        "attribution_linear": market.q_attribution_linear,
         # r11 re-certs (hardened internals, in-bounds values unchanged)
         "acf_daily": analytics.q_acf_daily,
         "session_gap_histogram": analytics.q_session_gap_histogram,
@@ -1403,6 +1404,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000 * sy) // n AS BIGINT) AS mean_qty_milli, "
             "CAST((1000 * sx) // n AS BIGINT) AS mean_disc_pct_milli "
             "FROM a"
+        ),
+        "attribution_linear": (
+            "WITH c AS (SELECT event_id AS conversion_id, user_id, ts AS "
+            "cts FROM events WHERE event_type = 'purchase'), "
+            "t AS (SELECT user_id AS tu, event_id AS touch_event_id, "
+            "event_type AS touch_type, ts AS tts FROM events "
+            "WHERE event_type IN ('click', 'view')), "
+            "p AS (SELECT c.conversion_id, c.user_id, t.touch_event_id, "
+            "t.touch_type FROM c LEFT JOIN t ON c.user_id = t.tu "
+            "AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 24 HOURS), "
+            "n AS (SELECT conversion_id, user_id, touch_event_id, "
+            "touch_type, CAST(COUNT(touch_event_id) OVER ("
+            "PARTITION BY conversion_id) AS BIGINT) AS n_touches FROM p) "
+            "SELECT conversion_id, user_id, touch_event_id, touch_type, "
+            "n_touches, CAST(CASE WHEN touch_event_id IS NOT NULL THEN "
+            "1000000 // n_touches END AS BIGINT) AS credit_ppm FROM n"
         ),
         "basket_brand_diversity": (
             "WITH ob AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem "

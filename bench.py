@@ -289,6 +289,7 @@ HEADLINE = [
     "price_realization",
     "supply_concentration",
     "basket_brand_diversity",
+    "attribution_linear",
 ]
 
 

@@ -1360,3 +1360,57 @@ def q_basket_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_alias="n_orders", count_share_alias="order_share_ppm",
         mass_alias="n_brand_slots", mass_share_alias="slot_share_ppm",
     )
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution: every qualifying
+    touch (click/view by the same user within the 24 h lookback
+    strictly before the conversion) gets an equal exact-ppm share of
+    the conversion's credit — the multi-touch counterpart of
+    q_attribution's last-touch rule (last-touch over-credits the
+    bottom of the funnel; the delta between the two readouts IS the
+    mid-funnel contribution).
+
+    Exactness: credit_ppm = floor(1e6 / n_touches) per touch — the
+    undistributed remainder (< n_touches ppm) is a documented floor
+    artifact, not silent loss: Σ credit = 1e6 − (1e6 mod n).
+    Touchless conversions emit one row with NULL touch and NULL
+    credit (kept — an unattributed conversion is a result).
+
+    Plan: one user-keyed self-join of the conversion slice against
+    the touch slice with the time-range residual (the coactivity
+    family shape; both sides are slices of ONE scan), a per-conversion
+    count window over the joined pairs (partitioned by conversion —
+    never global), then the credit projection.  At 100 TB the join is
+    user-keyed and the fan-out is touches-per-user-per-day, the same
+    bounded quantity the funnel family rides."""
+    ev = read_events(spark, sf_dir)
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conversion_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_id").alias("touch_event_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("tts"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("user_id") == F.col("tu"))
+        & (F.col("tts") < F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 24 HOURS")),
+        "left",
+    )
+    w = W.partitionBy("conversion_id")
+    return pairs.select(
+        "conversion_id", "user_id", "touch_event_id", "touch_type",
+        F.count("touch_event_id").over(w).cast("long").alias("n_touches"),
+    ).withColumn(
+        "credit_ppm",
+        F.when(
+            F.col("touch_event_id").isNotNull(),
+            F.expr("1000000 div n_touches"),
+        ).cast("long"),
+    )

@@ -1341,3 +1341,36 @@ def test_basket_brand_diversity_hand_case(spark, tmp_path):
     assert rows[1]["n_orders"] == 1 and rows[1]["n_brand_slots"] == 2
     assert rows[0]["order_share_ppm"] == 500_000
     assert rows[1]["slot_share_ppm"] == 666_666
+
+
+def test_attribution_linear_hand_case(spark, tmp_path):
+    """Equal split with the floor remainder documented; strictly-before
+    and 24h-lookback boundaries; touchless conversions keep a NULL
+    row."""
+    from datetime import timedelta
+
+    base = datetime(2026, 1, 2, 12, 0, 0)
+    rows = [
+        # user 1: 3 touches in window, one outside (25h), one AT cts
+        (1, base - timedelta(hours=1), 1, "click"),
+        (2, base - timedelta(hours=2), 1, "view"),
+        (3, base - timedelta(hours=23), 1, "view"),
+        (4, base - timedelta(hours=25), 1, "click"),   # outside lookback
+        (5, base, 1, "view"),                          # not strictly before
+        (6, base, 1, "purchase"),
+        # user 2: touchless conversion
+        (7, base, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = market.q_attribution_linear(spark, str(tmp_path)).collect()
+    u1 = [r for r in out if r["conversion_id"] == 6]
+    assert sorted(r["touch_event_id"] for r in u1) == [1, 2, 3]
+    assert all(r["n_touches"] == 3 and r["credit_ppm"] == 333_333
+               for r in u1)
+    u2 = [r for r in out if r["conversion_id"] == 7]
+    assert len(u2) == 1
+    assert u2[0]["touch_event_id"] is None and u2[0]["credit_ppm"] is None
+    assert u2[0]["n_touches"] == 0
