@@ -1269,7 +1269,8 @@ def oracle_sql() -> dict[str, str]:
             "AS last_ship FROM lineitem GROUP BY 1), "
             "lg AS (SELECT o_orderpriority, CAST(datediff('day', "
             "CAST(o_orderdate AS DATE), last_ship) AS BIGINT) AS lag_d "
-            "FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey), "
+            "FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey "
+            "WHERE o.o_orderdate IS NOT NULL AND last_ship IS NOT NULL), "
             "h AS (SELECT o_orderpriority, lag_d, CAST(COUNT(*) AS BIGINT) "
             "AS cnt FROM lg GROUP BY 1, 2), "
             "s AS (SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS "
@@ -1456,7 +1457,8 @@ def oracle_sql() -> dict[str, str]:
         "supply_concentration": (
             "WITH j AS (SELECT p_brand, l_suppkey, "
             "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)) AS "
-            "rev FROM lineitem JOIN part ON l_partkey = p_partkey), "
+            "rev FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_suppkey IS NOT NULL), "
             "s AS (SELECT p_brand, l_suppkey, CAST(round(SUM(rev) * 100, "
             "0) AS BIGINT) AS c FROM j GROUP BY 1, 2), "
             "b AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS "

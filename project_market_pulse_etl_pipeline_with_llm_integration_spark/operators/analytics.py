@@ -2525,12 +2525,30 @@ def acf_daily(
     # non-ANSI nulls it out, >1e38 — astronomically past the bound)
     # and must fail the guard too, not ride the NULL-pass rule; a NULL
     # sum with ZERO rows is the legitimate empty-input NULL.
-    den = (
-        daily.crossJoin(F.broadcast(tot))
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(_c("x") * _c("x")).alias("den_dec"),
-        )
+    #
+    # That rule is only sound when overflow hits the ACCUMULATOR:
+    # SUM skips NULL *inputs*, so a single per-TERM product past 1e38
+    # would vanish from the sum and hand the guard a small bogus
+    # den_dec (review r11).  Close the gap at the source: every
+    # centered term is bounded per-row BEFORE squaring — |t| <= 9.2e18
+    # keeps t² <= 8.5e37 inside DECIMAL(38,0), so per-term NULLs
+    # cannot occur and the NULL-with-rows rule again catches exactly
+    # the accumulator-overflow case.  Every x in the pair join also
+    # flows through this frame, so the one guard covers num too.
+    dt = guard_int64(
+        daily.crossJoin(F.broadcast(tot)),
+        F.abs(_c("x"))
+        <= F.lit(9_200_000_000_000_000_000).cast("decimal(38,0)"),
+        F.format_string(
+            "acf_daily: |n*x - s| = %s exceeds the DECIMAL(38,0) "
+            "square domain (9.2e18) — aggregate weekly "
+            "(docstring bound)",
+            F.abs(_c("x")),
+        ),
+    )
+    den = dt.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_c("x") * _c("x")).alias("den_dec"),
     )
     den = guard_int64(
         den,
@@ -3168,6 +3186,23 @@ def pow2_histogram(
         .groupBy(b, lo, hi)
         .agg(*aggs)
     )
+    # shares via the two-step rational floor (review r11: the naive
+    # 1e6·mass form wraps int64 silently once a total passes 9.2e12 —
+    # e.g. the token-mass marginal on a >9e12-token corpus; _ppm2
+    # holds to 9.2e15 and the guard raises loudly past THAT)
+    tot = src.agg(*tots)
+    guard_cols = ["__tc"] + (["__tm"] if mass_alias else [])
+    for gc in guard_cols:
+        tot = guard_int64(
+            tot,
+            F.col(gc) <= F.lit(PPM2_LIMIT),
+            F.format_string(
+                f"pow2_histogram: total {gc} = %s exceeds the two-step "
+                f"ppm bound ({PPM2_LIMIT}) — shard the corpus "
+                "(docstring bound)",
+                F.col(gc),
+            ),
+        )
     out = [
         b, lo, hi,
         F.col(count_alias).cast("long").alias(count_alias),
@@ -3175,15 +3210,15 @@ def pow2_histogram(
     if mass_alias:
         out.append(F.col(mass_alias).cast("long").alias(mass_alias))
     out.append(
-        F.expr(f"(1000000 * {count_alias}) div __tc").cast("long")
+        F.expr(_ppm2(count_alias, "__tc")).cast("long")
         .alias(count_share_alias)
     )
     if mass_share_alias:
         out.append(
-            F.expr(f"(1000000 * {mass_alias}) div __tm").cast("long")
+            F.expr(_ppm2(mass_alias, "__tm")).cast("long")
             .alias(mass_share_alias)
         )
-    return hist.crossJoin(F.broadcast(src.agg(*tots))).select(*out)
+    return hist.crossJoin(F.broadcast(tot)).select(*out)
 
 
 def q_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -423,9 +423,13 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Decimal-domain bound for the modularity expected-term: the guard
-# keeps 1e6·(2m)² inside DECIMAL(38,0) (and m·1000 inside int64 for the
-# within-share _ppm2), so neither engine can silently NULL/wrap.
-MODULARITY_M_LIMIT = 5_000_000_000_000_000  # 5e15 edges
+# keeps 1e6·(2m)² STRICTLY inside DECIMAL(38,0) (and m·1000 inside
+# int64 for the within-share _ppm2), so neither engine can silently
+# NULL/wrap.  4e6·m² < 10³⁸ needs m < 5e15 strictly — at exactly 5e15
+# the worst-case d_c = 2m numerator lands ON 1e38 and Spark's
+# non-ANSI decimal NULLs it silently (review r11); 4.9e15 leaves a
+# real margin (9.6e37).
+MODULARITY_M_LIMIT = 4_900_000_000_000_000  # 4.9e15 edges
 
 
 def q_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:

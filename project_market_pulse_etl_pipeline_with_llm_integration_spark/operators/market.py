@@ -629,7 +629,7 @@ def q_revenue_concentration(
         .agg(F.sum("r2").alias("cum_rev"))
     )
     tot = guard_int64(
-        per_cust.agg(F.count("*").alias("tc"), F.sum("spend").alias("tr")),
+        per_cust.agg(F.sum("spend").alias("tr")),
         F.col("tr") <= F.lit(_lim),
         F.format_string(
             "revenue_concentration: total revenue %s cents exceeds the "
@@ -686,6 +686,11 @@ def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("last_ship", F.to_date("o_orderdate"))
             .cast("long").alias("lag_d"),
         )
+        # a NULL lag (NULL orderdate / all-NULL shipdates) would sort
+        # NULLS FIRST in Spark's cumulative window but LAST in
+        # DuckDB's, shifting the rank-selected median — exclude
+        # unlagged orders explicitly (review r11 NULL rule)
+        .filter(F.col("lag_d").isNotNull())
     )
     hist = (
         lags.groupBy("o_orderpriority", "lag_d")
@@ -1271,10 +1276,17 @@ def q_supply_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: brand dim broadcast, ONE (brand, supplier) hash agg, one
     brand rollup (max_by for the top supplier, decimal sums for the
     HHI terms).  Output O(|brands|), no windows."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey", "l_suppkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .cast("decimal(20,6)").alias("rev"),
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            "l_partkey", "l_suppkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(20,6)").alias("rev"),
+        )
+        # a NULL-suppkey group would be counted by the oracle's group
+        # COUNT but skipped by countDistinct, and its revenue would
+        # ride the HHI under a phantom supplier — exclude explicitly
+        .filter(F.col("l_suppkey").isNotNull())
     )
     pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_brand"

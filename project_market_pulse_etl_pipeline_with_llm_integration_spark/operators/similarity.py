@@ -2128,15 +2128,18 @@ def q_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("s div n").alias("m"),
         )
     )
-    # |m| <= ~1.2e7 for unit-scale embeddings; 64·(2·3.8e8)² hits int64
-    # — raise loudly rather than wrap if someone feeds huge-magnitude
-    # vectors through the micro grid
+    # |m| <= ~1.2e7 for unit-scale embeddings.  Sound bound: the worst
+    # per-dim diff is 2·L for components bounded by L, so the 64-dim
+    # squared sum needs 64·(2L)² <= 2⁶³−1 -> L <= 1.89e8 (review r11:
+    # the earlier 3.8e8 bounded the DIFF, not each component, and
+    # admitted a silent 2x wrap at ±3.8e8 components).  Raise loudly
+    # rather than wrap if someone feeds huge-magnitude vectors.
     cent = guard_int64(
         cent,
-        F.abs(F.col("m")) <= F.lit(380_000_000),
+        F.abs(F.col("m")) <= F.lit(189_000_000),
         F.format_string(
             "class_separation: |centroid micro component| %s exceeds "
-            "the int64 squared-sum bound (3.8e8) — rescale the "
+            "the int64 squared-sum bound (1.89e8) — rescale the "
             "embeddings (docstring bound)",
             F.col("m"),
         ),
