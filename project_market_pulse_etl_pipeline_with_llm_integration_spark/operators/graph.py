@@ -483,14 +483,34 @@ def q_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("long").alias("natkey"),
         F.col("n_name").alias("nation"),
     )
-    mat = (
+    mat = trade_matrix_state(li, ords, cust, supp)
+    return nation_modularity_from_matrix(mat, nat)
+
+
+def trade_matrix_state(
+    li: DataFrame, ords: DataFrame, cust: DataFrame, supp: DataFrame
+) -> DataFrame:
+    """The <=|nations|² (cn, sn) edge-count matrix — a pure SUM-monoid,
+    so the whole modularity readout maintains incrementally from a
+    lineitem STREAM: each micro-batch dim-joins its lines and folds
+    its partial matrix into state via relational.merge_agg_states
+    keyed (cn, sn) (streaming twin pinned in tests/test_streaming.py —
+    a GRAPH readout maintained from 625 rows of state)."""
+    return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("cn", "sn")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)  # m + within + endpoints: one pass
     )
+
+
+def nation_modularity_from_matrix(
+    mat: DataFrame, nat: DataFrame
+) -> DataFrame:
+    """The q_nation_modularity readout from the (cn, sn) matrix state
+    alone — tiny-frame arithmetic, never an edge rescan."""
+    mat = mat.localCheckpoint(eager=False)  # m + within + endpoints
     m = mat.agg(F.sum("n").cast("long").alias("m"))
     m = guard_int64(
         m,

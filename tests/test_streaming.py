@@ -1022,3 +1022,71 @@ def test_streaming_order_size_histogram_equals_batch(spark, tmp_path):
     want = sorted(tuple(sorted(r.asDict().items())) for r in
                   q_order_size_histogram(spark, SF_SMALL).collect())
     assert got == want and got
+
+
+def test_streaming_nation_modularity_equals_batch(spark, tmp_path):
+    """A GRAPH readout maintained from streaming state: each lineitem
+    micro-batch dim-joins its lines (stream-static joins inside
+    foreachBatch) down to a partial (cn, sn) matrix and folds it into
+    the <=625-row SUM-monoid; the full modularity table recomputed
+    from state alone equals the one-shot batch query row-for-row."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.graph import (
+        nation_modularity_from_matrix,
+        q_nation_modularity,
+        trade_matrix_state,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = str(tmp_path / "li_stream_src")
+    spark.read.parquet(SF_SMALL + "/lineitem.parquet").repartition(4) \
+        .write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    state_dir = str(tmp_path / "tm_state")
+    ords = spark.read.parquet(SF_SMALL + "/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(SF_SMALL + "/customer.parquet").select(
+        "c_custkey", F2.col("c_nationkey").cast("long").alias("cn")
+    )
+    supp = spark.read.parquet(SF_SMALL + "/supplier.parquet").select(
+        "s_suppkey", F2.col("s_nationkey").cast("long").alias("sn")
+    )
+
+    def merge_batch(batch_df, batch_id):
+        fresh = trade_matrix_state(
+            batch_df.select("l_orderkey", "l_suppkey"), ords, cust, supp
+        )
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["cn", "sn"])
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    state = spark.read.parquet(state_dir)
+    nat = spark.read.parquet(SF_SMALL + "/nation.parquet").select(
+        F2.col("n_nationkey").cast("long").alias("natkey"),
+        F2.col("n_name").alias("nation"),
+    )
+    got = sorted(tuple(sorted(r.asDict().items())) for r in
+                 nation_modularity_from_matrix(state, nat).collect())
+    want = sorted(tuple(sorted(r.asDict().items())) for r in
+                  q_nation_modularity(spark, SF_SMALL).collect())
+    assert got == want and got
