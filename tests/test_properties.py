@@ -1094,3 +1094,60 @@ def test_spend_migration_equals_replay(spark, tmp_path_factory, orders):
         for k, n in trans.items()
     }
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),        # customer
+            st.integers(min_value=0, max_value=23),       # month offset
+            st.integers(min_value=0, max_value=10**6),    # cents
+        ),
+        min_size=1, max_size=30,
+    )
+)
+def test_cohort_ltv_equals_replay(spark, tmp_path_factory, orders):
+    """On arbitrary order sets, the cohort LTV curve equals a
+    pure-Python replay: first-order-month cohorts, per-(cohort, age)
+    cents, cumulative across OBSERVED ages only (no gap-fill), floor
+    per-member LTV."""
+    import collections
+    from datetime import datetime
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        q_cohort_ltv,
+    )
+
+    rows = [
+        (i, cu, datetime(2020 + mo // 12, mo % 12 + 1, 10), c / 100.0)
+        for i, (cu, mo, c) in enumerate(orders)
+    ]
+    d = str(tmp_path_factory.mktemp("cohort_ltv"))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    ).write.parquet(f"{d}/orders.parquet")
+    got = {
+        (r.cohort_month.isoformat(), r.month_age):
+            (r.n_customers, r.rev_cents, r.cum_rev_cents,
+             r.ltv_cents_per_customer)
+        for r in q_cohort_ltv(spark, d).collect()
+    }
+
+    first = {}
+    for cu, mo, c in orders:
+        first[cu] = min(first.get(cu, mo), mo)
+    sizes = collections.Counter(first.values())
+    cells = collections.Counter()
+    for cu, mo, c in orders:
+        cells[(first[cu], mo - first[cu])] += c
+    want = {}
+    for cm in sizes:
+        cum = 0
+        for age in sorted(a for (m, a) in cells if m == cm):
+            cum += cells[(cm, age)]
+            key = (f"{2020 + cm // 12}-{cm % 12 + 1:02d}-01", age)
+            want[key] = (sizes[cm], cells[(cm, age)], cum,
+                         cum // sizes[cm])
+    assert got == want
