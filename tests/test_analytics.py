@@ -1887,3 +1887,28 @@ def test_slo_burn_hand_case(spark, tmp_path):
     # h7's own single error event is in the window
     assert (out[7]["ev_6h"], out[7]["err_6h"]) == (1, 1)
     assert out[7]["burn_6h_ppm"] == 1_000_000
+
+
+def test_pow2_histogram_guard_fires_past_bound(spark, tmp_path):
+    """Review r11: the shared histogram close's ppm totals are guarded
+    — past the two-step bound it must raise loudly, at the boundary it
+    passes with unchanged values."""
+    import pytest
+
+    rows = [(i, datetime(2026, 1, 1, 12, 0, 0), i, "view")
+            for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    orig = analytics.PPM2_LIMIT
+    try:
+        analytics.PPM2_LIMIT = 3  # 4 users exceeds the shrunk bound
+        with pytest.raises(Exception, match="pow2_histogram: total"):
+            analytics.q_user_activity_histogram(spark, str(tmp_path)).collect()
+        analytics.PPM2_LIMIT = 4  # boundary passes unchanged
+        out = analytics.q_user_activity_histogram(spark, str(tmp_path)).collect()
+        assert sum(r["n_users"] for r in out) == 4
+        assert sum(r["user_share_ppm"] for r in out) == 1_000_000
+    finally:
+        analytics.PPM2_LIMIT = orig
