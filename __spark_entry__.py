@@ -196,6 +196,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supply_concentration": market.q_supply_concentration,
         "basket_brand_diversity": market.q_basket_brand_diversity,
         "attribution_linear": market.q_attribution_linear,
+        "revenue_growth": market.q_revenue_growth,
         # r11 re-certs (hardened internals, in-bounds values unchanged)
         "acf_daily": analytics.q_acf_daily,
         "session_gap_histogram": analytics.q_session_gap_histogram,
@@ -1405,6 +1406,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000 * sy) // n AS BIGINT) AS mean_qty_milli, "
             "CAST((1000 * sx) // n AS BIGINT) AS mean_disc_pct_milli "
             "FROM a"
+        ),
+        "revenue_growth": (
+            "WITH od AS (SELECT o_custkey, date_trunc('month', "
+            "o_orderdate) AS mth, CAST(round(o_totalprice * 100) AS "
+            "BIGINT) AS cents FROM orders WHERE o_totalprice IS NOT "
+            "NULL), "
+            "c AS (SELECT c_mktsegment, mth, CAST(COUNT(*) AS BIGINT) AS "
+            "n_orders, CAST(SUM(cents) AS BIGINT) AS rev_cents FROM od "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2) "
+            "SELECT a.c_mktsegment, CAST(a.mth AS DATE) AS month, "
+            "a.n_orders, a.rev_cents, b.rev_cents AS prev_cents, "
+            "CAST(CASE WHEN b.rev_cents > 0 THEN (1000000 * "
+            "CAST(a.rev_cents - b.rev_cents AS HUGEINT)) // b.rev_cents "
+            "END AS BIGINT) AS growth_ppm "
+            "FROM c a LEFT JOIN c b ON a.c_mktsegment = b.c_mktsegment "
+            "AND a.mth = b.mth + INTERVAL 1 MONTH"
         ),
         "attribution_linear": (
             "WITH c AS (SELECT event_id AS conversion_id, user_id, ts AS "

@@ -290,6 +290,7 @@ HEADLINE = [
     "supply_concentration",
     "basket_brand_diversity",
     "attribution_linear",
+    "revenue_growth",
 ]
 
 

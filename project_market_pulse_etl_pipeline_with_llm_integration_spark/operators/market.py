@@ -1426,3 +1426,85 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 div n_touches"),
         ).cast("long"),
     )
+
+
+def q_revenue_growth(
+    spark: SparkSession, sf_dir: str, _lim: int = PPM2_LIMIT
+) -> DataFrame:
+    """Month-over-month revenue growth per market segment, as a SIGNED
+    exact ppm of the prior month — the sequential-trend readout
+    completing the time trio (seasonality_index: within-year shape;
+    cohort_ltv: cohort curves; this: is the business growing month to
+    month, and in which segments).
+
+    Exactness: exact cents per (segment, month); growth_ppm =
+    trunc(1e6·(cents − prev) / prev) via the signed two-step floor —
+    engine-identical per division_semantics_law.  The first observed
+    month (no prior) and a zero prior month emit NULL growth in both
+    engines.  guard_int64 raises past the _ppm2 domain (9.2e15 cents
+    per segment-month).
+
+    Plan: one custkey join + ONE (segment, month) agg (lazily
+    checkpointed — it feeds both sides of the month-offset self-join
+    of the O(segments·months) frame).  No windows."""
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_custkey",
+            F.date_trunc("month", F.col("o_orderdate")).alias("mth"),
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"),
+        )
+        .filter(F.col("cents").isNotNull())
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        od.join(cust, od.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "mth")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("rev_cents"),
+        )
+        .localCheckpoint(eager=False)  # both month-offset join sides
+    )
+    cells = guard_int64(
+        cells,
+        F.col("rev_cents") <= F.lit(_lim),
+        F.format_string(
+            "revenue_growth: segment '%s' month revenue %s cents "
+            f"exceeds the two-step ppm bound ({_lim}) — shard by "
+            "region (docstring bound)",
+            F.col("c_mktsegment"), F.col("rev_cents"),
+        ),
+    )
+    prev = cells.select(
+        F.col("c_mktsegment").alias("ps"),
+        F.add_months(F.col("mth"), 1).alias("pm"),
+        F.col("rev_cents").alias("prev_cents"),
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
+    return (
+        cells.join(
+            prev,
+            (F.col("c_mktsegment") == F.col("ps"))
+            & (F.col("mth") == F.col("pm")),
+            "left",
+        )
+        .select(
+            "c_mktsegment",
+            F.col("mth").cast("date").alias("month"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            F.col("prev_cents").cast("long").alias("prev_cents"),
+            F.expr(
+                "CASE WHEN prev_cents > 0 THEN "
+                + _ppm2("rev_cents - prev_cents", "prev_cents")
+                + " END"
+            ).cast("long").alias("growth_ppm"),
+        )
+    )

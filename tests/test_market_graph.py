@@ -1374,3 +1374,33 @@ def test_attribution_linear_hand_case(spark, tmp_path):
     assert len(u2) == 1
     assert u2[0]["touch_event_id"] is None and u2[0]["credit_ppm"] is None
     assert u2[0]["n_touches"] == 0
+
+
+def test_revenue_growth_hand_case(spark, tmp_path):
+    """Signed growth ppm with the truncating two-step floor; first
+    month and zero-prior NULL out; guard fires past a shrunk bound."""
+    import pytest
+
+    cust = spark.createDataFrame(
+        [(1, "S1")], "c_custkey long, c_mktsegment string"
+    )
+    od = spark.createDataFrame(
+        [
+            (1, 1, datetime(2026, 1, 5), 40.00),
+            (2, 1, datetime(2026, 2, 5), 50.00),   # +25%
+            (3, 1, datetime(2026, 3, 5), 30.00),   # -40%
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    )
+    cust.write.parquet(str(tmp_path / "customer.parquet"))
+    od.write.parquet(str(tmp_path / "orders.parquet"))
+    rows = {r["month"].month: r for r in
+            market.q_revenue_growth(spark, str(tmp_path)).collect()}
+    assert rows[1]["growth_ppm"] is None and rows[1]["prev_cents"] is None
+    assert rows[2]["growth_ppm"] == 250_000
+    assert rows[3]["growth_ppm"] == -400_000
+    with pytest.raises(Exception, match="exceeds the two-step ppm bound"):
+        market.q_revenue_growth(spark, str(tmp_path), _lim=4999).collect()
+    assert len(market.q_revenue_growth(spark, str(tmp_path),
+                                       _lim=5000).collect()) == 3

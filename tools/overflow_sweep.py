@@ -81,7 +81,7 @@ TIER_A = [
     "nation_modularity", "discount_elasticity", "spend_migration",
     "join_asof_nearest", "slo_burn", "trade_balance",
     "seasonality_index", "price_realization", "supply_concentration",
-    "basket_brand_diversity", "attribution_linear",
+    "basket_brand_diversity", "attribution_linear", "revenue_growth",
 ]
 
 # linear-cents-sum ops that tolerate an 8e12-cents group sum (the
