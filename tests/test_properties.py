@@ -1151,3 +1151,77 @@ def test_cohort_ltv_equals_replay(spark, tmp_path_factory, orders):
             want[key] = (sizes[cm], cells[(cm, age)], cum,
                          cum // sizes[cm])
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # cust nation
+            st.integers(min_value=0, max_value=2),     # supp nation
+            st.integers(min_value=1, max_value=10**6), # cents
+        ),
+        min_size=1, max_size=30,
+    )
+)
+def test_trade_balance_equals_replay(spark, tmp_path_factory, lines):
+    """On arbitrary flow sets (incl. one-way pairs and diagonals), the
+    mirrored-pair balance equals a pure-Python replay with the signed
+    truncating ppm."""
+    import collections
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.graph import (
+        q_trade_balance,
+    )
+
+    cust = spark.createDataFrame(
+        [(i, i) for i in range(3)], "c_custkey long, c_nationkey int"
+    )
+    supp = spark.createDataFrame(
+        [(10 + i, i) for i in range(3)], "s_suppkey long, s_nationkey int"
+    )
+    nat = spark.createDataFrame(
+        [(i, f"N{i}") for i in range(3)], "n_nationkey int, n_name string"
+    )
+    od = spark.createDataFrame(
+        [(100 + cn, cn) for cn in range(3)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(100 + cn, 10 + sn, c / 100.0, 0.0)
+         for cn, sn, c in lines],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double",
+    )
+    d = str(tmp_path_factory.mktemp("trade_bal"))
+    for name, df in [("customer", cust), ("supplier", supp),
+                     ("nation", nat), ("orders", od), ("lineitem", li)]:
+        df.write.parquet(f"{d}/{name}.parquet")
+    got = {
+        (r.nation_a, r.nation_b):
+            (r.lines_ab, r.lines_ba, r.cents_ab, r.cents_ba,
+             r.imbalance_ppm)
+        for r in q_trade_balance(spark, d).collect()
+    }
+
+    flow_n = collections.Counter()
+    flow_c = collections.Counter()
+    for cn, sn, c in lines:
+        if cn != sn:
+            flow_n[(cn, sn)] += 1
+            flow_c[(cn, sn)] += c
+    want = {}
+    pairs = {(min(a, b), max(a, b)) for a, b in flow_n}
+    for a, b in pairs:
+        cab, cba = flow_c.get((a, b), 0), flow_c.get((b, a), 0)
+        tot = cab + cba
+        # signed truncating two-step ppm (toward zero)
+        num = cab - cba
+        imb = None
+        if tot > 0:
+            s = -1 if num < 0 else 1
+            n = abs(num)
+            imb = s * ((n * 1000) // tot * 1000 + (n * 1000) % tot * 1000 // tot)
+        want[(f"N{a}", f"N{b}")] = (
+            flow_n.get((a, b), 0), flow_n.get((b, a), 0), cab, cba, imb
+        )
+    assert got == want
