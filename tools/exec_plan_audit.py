@@ -1,8 +1,9 @@
 """Executed-plan (post-AQE) drift gate (VERDICT r10 item 1).
 
-``bench.py`` captures each HEAVY_TIER query's FINAL executed plan
-skeleton (one untimed execution after the timed reps — AQE finalizes
-on first execute) and records a fingerprint per query in
+``bench.py`` captures the FINAL executed-plan skeleton of every
+HEAVY_TIER query, every query over 0.5 s, and every query already in
+the committed baseline (one untimed execution after the timed reps —
+AQE finalizes on first execute) and records a fingerprint per query in
 ``BENCH_DETAIL.json`` while maintaining the committed baseline
 ``EXEC_PLANS.json``.  This tool is the loud gate: it compares the
 latest bench capture against the baseline and exits non-zero on any
@@ -59,7 +60,7 @@ def main() -> int:
         if not (base["plans"].get(n)
                 and fps.get(n) in base["plans"][n].get("alt_fps", []))
     ]
-    print(f"{len(fps)} heavy-tier executed plans checked against baseline")
+    print(f"{len(fps)} executed plans checked against baseline")
     print(f"fingerprint diffs: {diffs or 'NONE'}")
     if recorded:
         print(f"bench-run recorded skeleton diffs: {recorded}")
