@@ -75,6 +75,80 @@ def _make_deterministic_transport():
     return transport
 
 
+def _make_flaky_transport():
+    """Deterministic FLAKY transport for the retry-policy contract row
+    (VERDICT r11 item 7): by prompt length mod 7 it (0) raises, (1)
+    returns non-JSON, (2) returns JSON missing every expected key, and
+    otherwise returns the valid triple — counting its own invocations
+    per prompt and stamping the attempt number into the summary.  The
+    reference policy is SINGLE-attempt with in-band sentinels and no
+    retry loop (Main.py:87,101,124): every successful summary must
+    therefore read 'attempt 1 ...', and both failure modes must fold
+    into the ERROR_API sentinel row — never an exception, never a
+    second call.  The DuckDB oracle replays the same mod-7 taxonomy in
+    SQL, so a silently-added retry (attempt 2 in any summary) or a
+    leaked exception hash-fails the driver's compare."""
+
+    def transport(prompt: str) -> str:
+        import json as _json
+
+        calls: dict = transport.__dict__.setdefault("calls", {})
+        k = calls[prompt] = calls.get(prompt, 0) + 1
+        n = len(prompt)
+        m = n % 7
+        if m == 0:
+            raise RuntimeError("transport down")
+        if m == 1:
+            return "{not json"
+        if m == 2:
+            return _json.dumps({"unexpected": "keys"})
+        sentiments = ["Positive", "Negative", "Neutral"]
+        return _json.dumps(
+            {
+                "sentiment": sentiments[n % 3],
+                "category": "TECH",
+                "summary": f"attempt {k} len {n}",
+            }
+        )
+
+    return transport
+
+
+def q_enrich_flaky_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-policy / error-taxonomy contract row (VERDICT r11 item 7):
+    the full mapInPandas enrichment under the injected flaky transport,
+    per-document — transport exceptions and JSON-parse failures land as
+    the in-band ERROR_API sentinel row (Main.py:87,101,124), missing
+    keys land as per-field 'N/A' defaults (Main.py:117-119), successes
+    carry 'attempt 1' proving the single-attempt policy.  The outcome
+    column is the taxonomy rollup key; values are hash-compared
+    row-for-row against the SQL replay."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("title"),
+        F.col("text").alias("content"),
+    )
+    out = enrich(
+        docs,
+        rate_delay=0.0,
+        run_timestamp=_ENRICH_TS,
+        transport=_make_flaky_transport(),
+        disabled=False,
+    )
+    return out.select(
+        "doc_id",
+        "sentiment_llm",
+        "category_llm",
+        "market_impact_summary",
+        F.when(F.col("sentiment_llm") == "ERROR_API", F.lit("error_inband"))
+        .when(F.col("sentiment_llm") == "N/A", F.lit("missing_keys_default"))
+        .otherwise(F.lit("ok"))
+        .alias("outcome"),
+    )
+
+
 def q_enrich_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full enrichment operator (SURVEY §2 O13/O14/O18) over documents
     with the deterministic transport; exercises mapInPandas, JSON-mode
@@ -184,6 +258,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": market.q_cohort_ltv,
         "category_penetration": market.q_category_penetration,
         "time_to_conversion": analytics.q_time_to_conversion,
+        "first_touch_conversion": analytics.q_first_touch_conversion,
         "nation_modularity": graph.q_nation_modularity,
         "discount_elasticity": market.q_discount_elasticity,
         "spend_migration": market.q_spend_migration,
@@ -500,6 +575,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": similarity.q_embedding_near_dup,
         "embedding_neardup_recall": similarity.q_embedding_neardup_recall,
         "enrich_offline": q_enrich_offline,
+        "enrich_flaky_contract": q_enrich_flaky_contract,
         "fingerprint": text.q_fingerprint,
         "grouped_zscore": udfs.q_grouped_zscore,
         "hll_error_bound": R.q_hll_error_bound,
@@ -1378,6 +1454,22 @@ def oracle_sql() -> dict[str, str]:
             "AND e.ts > v.t1 GROUP BY 1, 2), "
             "g AS (SELECT CAST(epoch_us(t2) - epoch_us(t1) AS BIGINT) "
             "// 1000000 AS lag_s FROM p), "
+            + _gap_values("bucket, lo_s, hi_s")
+            + ", h AS (SELECT bucket, lo_s, hi_s, CAST(COUNT(*) AS BIGINT) "
+            "AS n_users FROM g JOIN b ON g.lag_s >= b.lo_s "
+            "AND g.lag_s <= b.hi_s GROUP BY 1, 2, 3), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM g) "
+            "SELECT bucket, lo_s, hi_s, n_users, "
+            "CAST((1000000 * n_users) // n_total AS BIGINT) AS share_ppm "
+            "FROM h CROSS JOIN t"
+        ),
+        "first_touch_conversion": (
+            "WITH s AS (SELECT user_id, "
+            "MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv, "
+            "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp "
+            "FROM events GROUP BY 1), "
+            "g AS (SELECT CAST(epoch_us(fp) - epoch_us(fv) AS BIGINT) "
+            "// 1000000 AS lag_s FROM s WHERE fp > fv), "
             + _gap_values("bucket, lo_s, hi_s")
             + ", h AS (SELECT bucket, lo_s, hi_s, CAST(COUNT(*) AS BIGINT) "
             "AS n_users FROM g JOIN b ON g.lag_s >= b.lo_s "
@@ -3719,6 +3811,24 @@ def oracle_sql() -> dict[str, str]:
         "literal_stamp": (
             "SELECT r_regionkey, r_name, 'run-0001' AS run_tag, "
             "TIMESTAMP '2026-01-01 00:00:00' AS stamped_at FROM region"
+        ),
+        "enrich_flaky_contract": (
+            f"SELECT doc_id, "
+            f"CASE WHEN ({_PLEN} % 7) IN (0, 1) THEN 'ERROR_API' "
+            f"WHEN ({_PLEN} % 7) = 2 THEN 'N/A' "
+            f"ELSE CASE ({_PLEN} % 3) WHEN 0 THEN 'Positive' "
+            "WHEN 1 THEN 'Negative' ELSE 'Neutral' END END AS sentiment_llm, "
+            f"CASE WHEN ({_PLEN} % 7) IN (0, 1) THEN 'ERROR_API' "
+            f"WHEN ({_PLEN} % 7) = 2 THEN 'N/A' ELSE 'TECH' END "
+            "AS category_llm, "
+            f"CASE WHEN ({_PLEN} % 7) IN (0, 1) THEN "
+            "'Error generating summary.' "
+            f"WHEN ({_PLEN} % 7) = 2 THEN 'N/A' "
+            f"ELSE 'attempt 1 len ' || CAST({_PLEN} AS VARCHAR) END "
+            "AS market_impact_summary, "
+            f"CASE WHEN ({_PLEN} % 7) IN (0, 1) THEN 'error_inband' "
+            f"WHEN ({_PLEN} % 7) = 2 THEN 'missing_keys_default' "
+            "ELSE 'ok' END AS outcome FROM documents"
         ),
         "enrich_offline": (
             f"SELECT doc_id, CASE ({_PLEN} % 3) WHEN 0 THEN 'Positive' WHEN 1 THEN 'Negative' "

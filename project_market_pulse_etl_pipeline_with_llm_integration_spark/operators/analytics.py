@@ -3776,6 +3776,102 @@ def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conversion_state(events: DataFrame) -> DataFrame:
+    """Per-user (first_view, first_purchase) timestamps — a pure
+    MIN-monoid (conditional mins commute with any split of the log),
+    exactly maintainable incrementally via merge_conversion_states:
+    streaming twin #8's state (VERDICT r11 item 4), with one honest
+    correction to the verdict's sketch.  The EXACT q_time_to_conversion
+    semantics — first purchase STRICTLY AFTER the first view — are NOT
+    a function of this state, and no finite per-user state computes
+    them: the answer is the SUCCESSOR of t1 in the user's purchase set,
+    and a later batch can lower t1 below a purchase that was already
+    discarded.  Counterexample: user {purchase@2, view@5, purchase@10}.
+    Batch: t1=5, t2=min{p>5}=10, lag 5 s.  A state that folded
+    {purchase@2, purchase@10, view@15} first holds (first_view=15,
+    first_purchase=2) and nothing obliges it to retain purchase@10;
+    when the view@5 batch arrives, the qualifying purchase@10 is
+    unrecoverable.  Answering min{p > t} for every future
+    t below the current first_view requires the user's whole purchase
+    set below it — the same unbounded-candidate-set class as
+    funnel_windowed (see tenure_state's adjudication).  The
+    monoid-sound sibling is the FIRST-TOUCH readout below (strict
+    view-before-any-purchase journeys), which coincides with
+    q_time_to_conversion for every user who never purchases before
+    their first view — pinned divergent on the counterexample in
+    tests/test_streaming.py."""
+    return events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("first_purchase"),
+    )
+
+
+def merge_conversion_states(prev: DataFrame, fresh: DataFrame) -> DataFrame:
+    """Fold a batch's conversion_state partial into the stored state:
+    full-outer on user, MIN of each conditional first (the min/min
+    sibling of merge_tenure_states; NULL means 'no such event yet' and
+    loses to any timestamp)."""
+    cond = F.col("__a.user_id").eqNullSafe(F.col("__d.user_id"))
+    return (
+        prev.alias("__a")
+        .join(fresh.alias("__d"), cond, "full_outer")
+        .select(
+            F.coalesce(F.col("__a.user_id"), F.col("__d.user_id"))
+            .alias("user_id"),
+            *[
+                F.least(
+                    F.coalesce(F.col(f"__a.{c}"), F.col(f"__d.{c}")),
+                    F.coalesce(F.col(f"__d.{c}"), F.col(f"__a.{c}")),
+                ).alias(c)
+                for c in ("first_view", "first_purchase")
+            ],
+        )
+    )
+
+
+def first_touch_conversion_from_state(state: DataFrame) -> DataFrame:
+    """The q_first_touch_conversion readout from the per-user
+    (first_view, first_purchase) min-state alone — never a history
+    rescan.  NULL endpoints (user never viewed / never purchased) fall
+    out of the strict > filter."""
+    gaps = state.filter(F.col("first_purchase") > F.col("first_view")).select(
+        # same micro-exact difference as q_time_to_conversion: the cast
+        # shifts both endpoints by the same session-tz offset
+        F.expr(
+            "(unix_micros(cast(first_purchase as timestamp)) - "
+            "unix_micros(cast(first_view as timestamp))) div 1000000"
+        ).alias("lag_s")
+    )
+    return pow2_histogram(
+        gaps, "lag_s",
+        bucket_cols=("bucket", "lo_s", "hi_s"),
+        count_alias="n_users", count_share_alias="share_ppm",
+    )
+
+
+def q_first_touch_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion lag distribution: for every user whose
+    FIRST-EVER purchase strictly follows their first view (the strict
+    view-led journey — no purchase history before the first view), the
+    whole-second gap between the two, in power-of-two buckets.  The
+    incremental-dashboard sibling of q_time_to_conversion: same
+    buckets, same exact-ppm close, but a readout of the per-user
+    (first_view, first_purchase) MIN-monoid — so a stream maintains it
+    from O(users) state while the exact strictly-after-first-view
+    variant needs a history rescan (see conversion_state's
+    adjudication).  The two coincide on users who never purchase
+    before their first view.
+
+    Plan: one conditional-min per-user agg (map-side partial), then
+    the 32-row broadcast range join + <=32-key agg.  No windows, no
+    joins against the log.  Output <= 32 rows."""
+    return first_touch_conversion_from_state(
+        conversion_state(read_events(spark, sf_dir))
+    )
+
+
 def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLO error-budget burn: per hour, the error share of all events
     as exact ppm, plus the 6-hour trailing burn rate — the two-window

@@ -1090,3 +1090,146 @@ def test_streaming_nation_modularity_equals_batch(spark, tmp_path):
     want = sorted(tuple(sorted(r.asDict().items())) for r in
                   q_nation_modularity(spark, SF_SMALL).collect())
     assert got == want and got
+
+
+def _conversion_replay(spark, tmp_path, name, split_recover=False):
+    """Replay harness for the per-user (first_view, first_purchase)
+    MIN-monoid (streaming twin #8, VERDICT r11 item 4): fold each
+    micro-batch's conversion_state partial into a parquet state table
+    via merge_conversion_states.  The default split (repartition(4),
+    one file per trigger) scatters a user's events across micro-batches
+    — views and purchases arrive in arbitrary interleavings, the merge
+    must commute.  With split_recover, phase 1 streams half the log
+    with a checkpoint, stops, appends the rest, and restarts from the
+    SAME checkpoint (offset resume, no loss; the loss-side check is
+    that phase 1 was really partial)."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        conversion_state,
+        merge_conversion_states,
+    )
+
+    src = str(tmp_path / (name + "_src"))
+    ck = str(tmp_path / (name + "_ck"))
+    state_dir = str(tmp_path / name)
+    ev = read_events(spark, SF_SMALL)
+    if split_recover:
+        ev.filter("user_id % 2 = 0").coalesce(1).write.parquet(src)
+    else:
+        ev.repartition(4).write.parquet(src)
+
+    def merge_batch(batch_df, batch_id):
+        fresh = conversion_state(batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_conversion_states(prev, fresh)
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    def run_once():
+        q = (
+            SE.read_events_stream(spark, src, max_files=1)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run_once()
+    mid_rows = spark.read.parquet(state_dir).count()
+    if split_recover:
+        ev.filter("user_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+        run_once()
+    return mid_rows, spark.read.parquet(state_dir)
+
+
+def test_streaming_first_touch_conversion_equals_batch(spark, tmp_path):
+    """Streaming twin #8 (VERDICT r11 item 4): after replaying the
+    whole event log through the incremental (first_view,
+    first_purchase) min-state, the first-touch conversion histogram
+    computed from state alone equals the one-shot batch query
+    row-for-row."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        first_touch_conversion_from_state,
+        q_first_touch_conversion,
+    )
+
+    _, state = _conversion_replay(spark, tmp_path, "conv_state")
+    got = sorted(r.asDict().items() for r in
+                 first_touch_conversion_from_state(state).collect())
+    want = sorted(r.asDict().items() for r in
+                  q_first_touch_conversion(spark, SF_SMALL).collect())
+    assert got == want and got
+
+
+def test_conversion_state_checkpoint_recovery(spark, tmp_path):
+    """Stop/restart recovery for the conversion state: the restarted
+    stream resumes from recorded offsets (phase 1 really partial), and
+    the final first-touch readout equals the batch query — no user's
+    first view or first purchase lost at the stop boundary."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        first_touch_conversion_from_state,
+        q_first_touch_conversion,
+    )
+
+    mid_n, state = _conversion_replay(spark, tmp_path, "conv_rec",
+                                      split_recover=True)
+    got = sorted(r.asDict().items() for r in
+                 first_touch_conversion_from_state(state).collect())
+    want = sorted(r.asDict().items() for r in
+                  q_first_touch_conversion(spark, SF_SMALL).collect())
+    assert got == want
+    assert mid_n < state.count()
+
+
+def test_time_to_conversion_exact_semantics_are_non_monoid(spark):
+    """The adjudication pin for why twin #8 reads out FIRST-TOUCH
+    semantics and not q_time_to_conversion's exact strictly-after-t1
+    semantics (conversion_state's docstring): on the counterexample
+    user {purchase@2s, view@5s, purchase@10s}, the exact batch answer
+    is a 5-second lag (t2 = min purchase AFTER the first view = 10),
+    while the (first_view, first_purchase) min-state — the ONLY finite
+    per-user state a merge can maintain — holds (5, 2) and necessarily
+    reads out 'no view-led conversion'.  Both readings are asserted so
+    the divergence (and the reason the exact twin does not exist) is
+    pinned, not just narrated."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        conversion_state,
+        first_touch_conversion_from_state,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (7, "purchase", "1970-01-01 00:00:02"),
+            (7, "view", "1970-01-01 00:00:05"),
+            (7, "purchase", "1970-01-01 00:00:10"),
+        ],
+        "user_id long, event_type string, ts_s string",
+    ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    # exact batch semantics (q_time_to_conversion's definition inline)
+    t1 = (ev.filter("event_type = 'view'")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    exact = (
+        ev.filter("event_type = 'purchase'")
+        .select("user_id", F.col("ts").alias("pts"))
+        .join(t1, "user_id")
+        .filter(F.col("pts") > F.col("t1"))
+        .groupBy("user_id", "t1").agg(F.min("pts").alias("t2"))
+        .select(F.expr("(unix_micros(t2) - unix_micros(t1)) div 1000000")
+                .alias("lag_s"))
+        .collect()
+    )
+    assert [r.lag_s for r in exact] == [5]
+
+    # the min-state view of the same user excludes it: first purchase
+    # (t=2) precedes first view (t=5)
+    st = conversion_state(ev).collect()
+    assert len(st) == 1 and st[0].first_purchase < st[0].first_view
+    assert first_touch_conversion_from_state(conversion_state(ev)).count() == 0
