@@ -172,6 +172,45 @@ def _prefix_len(sz: Column, threshold: float) -> Column:
     return (sz - ceil_t_sz + 1).cast("int")
 
 
+# "auto" strategy switch point: when the average number of
+# within-block pairs PER EMITTED ROW exceeds this, the blocked
+# strategy's quadratic enumeration term dominates and "indexed" wins.
+# Calibrated r12 on the realistic-sf1 fixture (tools/sf1_validate.py):
+# at 785 pairs/row (sf0.1) blocked wins 1.3 s vs 3.4 s; at 6529
+# pairs/row (sf1) indexed wins 13.1 s vs 69.9 s — the raw crossover is
+# ~3000 pairs/row, and the threshold sits below it because the failure
+# mode is asymmetric (blocked degrades QUADRATICALLY past the
+# crossover; indexed is only ~2.7x worse below it).
+AUTO_INDEXED_PAIRS_PER_ROW = 1024
+
+
+def _auto_strategy(skinny: DataFrame) -> str:
+    """Pick the physical pair-generation strategy from the measured
+    block profile: ONE scalar agg over a skinny block-key-only
+    projection (tokenize + size, NO shingle hashing — measured ~0.2 s
+    at sf0.1 vs ~0.85 s when the agg was fed the full shingle frame).
+    Blocked enumerates EVERY within-block pair before the prefix
+    filter can reject it — cost Σ_blk n²/2 regardless of
+    true-duplicate volume — so the decision statistic is that
+    enumeration volume per row.  Returns a plan-time choice (a bounded
+    1-row collect, the documented driver-side pattern); the two
+    strategies are output-identical (pinned by test), so the switch
+    can never change results."""
+    st = (
+        skinny.groupBy("blk")
+        .count()
+        .agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2.0).alias("pairs"),
+            F.sum("count").alias("rows"),
+        )
+        .collect()[0]
+    )
+    rows, pairs = st["rows"] or 0, st["pairs"] or 0.0
+    if rows and pairs / rows > AUTO_INDEXED_PAIRS_PER_ROW:
+        return "indexed"
+    return "blocked"
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -229,9 +268,30 @@ def jaccard_pairs(
       ~(true near-dups + shared-prefix noise); this is the 100 TB
       regime where blocks hold 10^5+ docs and enumerating block pairs —
       even to reject them cheaply — is itself the bottleneck.  Costs ~3
-      extra shuffles, so it loses at small scale."""
+      extra shuffles, so it loses at small scale.
+
+    * ``"auto"`` — measure the within-block pair volume with one scalar
+      agg over the skinny frame and pick between the two (see
+      ``_auto_strategy``; threshold ``AUTO_INDEXED_PAIRS_PER_ROW``).
+      The r12 sf1 validation caught the blocked default going 54x on a
+      realistic 10x corpus (block population grows linearly with corpus
+      size at fixed length distribution, so block PAIRS grow
+      quadratically) — auto is the scale-safe default for corpus-sized
+      inputs."""
     if num_partitions:
         df = spread_if_narrow(df, num_partitions)
+    if strategy == "auto":
+        # decide BEFORE building the shingle frame, from a block-key-
+        # only projection (the same emission rule as the real blocking
+        # below: custom key once, default length bucket own+next)
+        if block_col is not None:
+            skinny = df.select(block_col.alias("blk"))
+        else:
+            _bk = (F.size(tokens(text_col)) / _JACCARD_BLOCK_WIDTH).cast("int")
+            skinny = df.select(
+                F.explode(F.array(_bk, _bk + 1)).alias("blk")
+            )
+        strategy = _auto_strategy(skinny)
     if block_col is not None:
         base = df.select(
             F.col(id_col).alias("id"),
@@ -378,7 +438,9 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copied passages.
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return jaccard_pairs(
-        df, n=3, threshold=0.6, num_partitions=spark.sparkContext.defaultParallelism
+        df, n=3, threshold=0.6,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        strategy="auto",
     )
 
 
@@ -872,7 +934,8 @@ def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
     exact = (
-        jaccard_pairs(df, n=3, threshold=0.6, num_partitions=par)
+        jaccard_pairs(df, n=3, threshold=0.6, num_partitions=par,
+                      strategy="auto")
         .select("id_a", "id_b")
         .withColumn("in_exact", F.lit(1))
     )

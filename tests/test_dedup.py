@@ -183,6 +183,40 @@ def test_jaccard_strategies_identical_output(spark):
     }
     assert blocked == indexed
     assert len(blocked) > 0
+    # "auto" resolves to one of the two, so it must match both
+    auto = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            docs, n=3, threshold=0.6, strategy="auto"
+        ).collect()
+    }
+    assert auto == blocked
+
+
+def test_jaccard_auto_strategy_decision(spark):
+    """_auto_strategy picks by measured within-block pair volume (the
+    r12 sf1 finding: the blocked default went 54x on a realistic 10x
+    corpus because block pairs grow quadratically): a spread corpus
+    stays 'blocked'; a degenerate one-block corpus with pair volume
+    past AUTO_INDEXED_PAIRS_PER_ROW flips to 'indexed'."""
+    from pyspark.sql import functions as F
+
+    # 60 docs spread over many length buckets: ~2 docs/block -> blocked
+    spread = _docs(
+        spark, [" ".join(f"w{i}t{j}" for j in range(4 + 16 * (i % 20)))
+                for i in range(60)]
+    )
+    base_s = spread.select(
+        F.col("doc_id").alias("id"),
+        (F.size(F.split("text", " ")) / 16).cast("int").alias("blk"),
+    )
+    assert dedup._auto_strategy(base_s) == "blocked"
+    # one block, n docs where (n-1)/2 > threshold -> indexed
+    n = 2 * dedup.AUTO_INDEXED_PAIRS_PER_ROW + 3
+    one_block = spark.range(n).select(
+        F.col("id"), F.lit(0).alias("blk")
+    )
+    assert dedup._auto_strategy(one_block) == "indexed"
 
 
 def test_simhash_hot_bucket_guard(spark):
