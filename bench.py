@@ -395,6 +395,12 @@ def _plan_skeleton(plan: str) -> list[str]:
         # AQE assigns QueryStage ids in readiness order — can vary
         # between runs of the same plan; drop trailing ids
         head = re.sub(r"\s+\d+$", "", head)
+        # expression ids (col#1234) are session-assigned and leak into
+        # heads whose condition precedes any bracket (e.g. "Filter
+        # token#7765 IN (..." splits at the paren AFTER the exprId) —
+        # found r12 when 5 of 146 fresh-session fingerprints "drifted"
+        # on nothing but these ids
+        head = re.sub(r"#\d+", "", head)
         if not head:
             continue
         kws = [k for k in _PLAN_KEYWORDS if k in node]

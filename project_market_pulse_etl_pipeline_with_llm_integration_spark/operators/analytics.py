@@ -1676,7 +1676,12 @@ def ab_uplift_readout(users: DataFrame) -> DataFrame:
     )
     r0 = arm_reps.filter(F.col("arm") == 0).select("rep", F.col("m").alias("m0"))
     r1 = arm_reps.filter(F.col("arm") == 1).select("rep", F.col("m").alias("m1"))
-    ups = r0.join(r1, "rep").select("rep", (F.col("m1") - F.col("m0")).alias("u"))
+    # r0/r1 are <=32-row slices of the same frame — the second AQE
+    # build-side near-tie in this query; broadcast pins it (see the
+    # final crossJoin's comment)
+    ups = r0.join(F.broadcast(r1), "rep").select(
+        "rep", (F.col("m1") - F.col("m0")).alias("u")
+    )
     asc = W.orderBy("u", "rep")
     desc = W.orderBy(F.desc("u"), F.desc("rep"))
     band = (
@@ -1697,7 +1702,11 @@ def ab_uplift_readout(users: DataFrame) -> DataFrame:
         )
     )
     return (
-        a.crossJoin(b).crossJoin(F.broadcast(band))
+        # both sides are 1-row slices of the same frame — a perfect
+        # AQE build-side near-tie that produced THREE skeleton shapes
+        # across r12 capture sessions; the explicit broadcast pins the
+        # build side so the plan fingerprint is deterministic
+        a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(band))
         .select(
             "n_users_a", "n_users_b", "mean_a_milli", "mean_b_milli",
             (F.col("mean_b_milli") - F.col("mean_a_milli")).alias("uplift_milli"),
