@@ -2700,8 +2700,23 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers.  At 100 TB the recursive union materializes one
     generation per step with the same keyed-shuffle shape as the
     unrolled BFS in graph.shortest_hops — the CTE form simply lets the
-    planner own the loop."""
-    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    planner own the loop.
+
+    Scale note (r12 sf1 sweep): Spark's runaway-recursion guard
+    ``spark.sql.cteRecursionRowLimit`` defaults to 1e6 rows, which a
+    >=48k-part catalog legitimately exceeds (each part walks one
+    generation per decimal digit of its key: <= 20 generations + the
+    seed, so <= 21*n_parts rows total — RECURSION_ROW_LIMIT_EXCEEDED
+    fired at 2M parts).  The guard is scaled to that provable bound —
+    never disabled — via one bounded driver-side count (the documented
+    collect pattern); the 100-level depth guard stays far above the
+    walk's 20."""
+    part = _t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part")
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit",
+        str(max(1_000_000, part.count() * 21)),
+    )
     return spark.sql(RECURSIVE_CTE_TEXT)
 
 

@@ -27,6 +27,10 @@ cores idle, so <10x is common); anything well past ~12-13x is flagged
 SUPER-LINEAR for adjudication in SCALE.md.
 
 Usage: python tools/sf1_validate.py [replicas=10] [query ...]
+       python tools/sf1_validate.py all          # every benched query,
+           sf0.1 denominators read from BENCH_DETAIL.json (latest full
+           quiet bench at this HEAD) instead of re-measured — halves
+           the sweep and keeps the denominators the committed ones
 Writes /tmp/sf1_real (re-used if present; delete to rebuild) and
 prints one JSON line per query: {"query", "sf01_s", "sf1_s", "ratio"}.
 """
@@ -131,6 +135,16 @@ def main() -> int:
     args = sys.argv[1:]
     replicas = int(args[0]) if args and args[0].isdigit() else 10
     names = [a for a in args if not a.isdigit()] or VALIDATE_QUERIES
+    bench_times = None
+    if names == ["all"]:
+        import bench
+
+        names = list(bench.HEADLINE)
+        with open(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_DETAIL.json",
+        )) as fh:
+            bench_times = json.load(fh)["queries"]
     out_dir = "/tmp/sf1_real"
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="sf1-validate")
@@ -147,12 +161,22 @@ def main() -> int:
                 "overwrite"
             ).save()
             best = min(best, time.perf_counter() - t0)
+        # bench.py's _drain_blocks lesson: dropped localCheckpoint /
+        # broadcast blocks are only unpersisted after a JVM GC proves
+        # them unreachable — without an explicit drain, a long sweep
+        # piles every query's blocks onto whoever runs LATE (at sf1
+        # sizes that read as fake SUPER-LINEAR flags; adjudicate any
+        # flag with an isolated re-run before believing it)
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         return best
 
     results = []
     for name in names:
         try:
-            s01 = run(name, SRC)
+            s01 = bench_times[name] if bench_times else run(name, SRC)
             s1 = run(name, out_dir)
             ratio = round(s1 / s01, 2) if s01 > 0 else None
             row = {"query": name, "sf01_s": round(s01, 3),
