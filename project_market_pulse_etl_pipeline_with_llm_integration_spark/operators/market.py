@@ -586,20 +586,38 @@ def q_revenue_concentration(
     Plan: one custkey-keyed sum agg, a 32-row broadcast range join,
     one <=32-key agg, a 32x32 broadcast triangle join — output <=32
     rows."""
-    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
-        GAP_BUCKETS,
-    )
-
     od = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    per_cust = (
-        od.select(
+    return revenue_concentration_from_state(revenue_state(od), _lim)
+
+
+def revenue_state(orders: DataFrame) -> DataFrame:
+    """Per-customer lifetime spend in exact cents — a pure SUM-monoid,
+    so the Pareto ladder maintains incrementally via
+    relational.merge_agg_states keyed by o_custkey (streaming twin #9;
+    replay==batch pinned in tests/test_streaming.py)."""
+    return (
+        orders.select(
             "o_custkey",
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
         .groupBy("o_custkey")
         .agg(F.sum("cents").alias("spend"))
-        .localCheckpoint(eager=False)  # read twice: hist + totals
     )
+
+
+def revenue_concentration_from_state(
+    state: DataFrame, _lim: int = PPM2_LIMIT
+) -> DataFrame:
+    """The q_revenue_concentration ladder from the per-customer spend
+    state alone — never a history rescan (same plan from the per-cust
+    agg down: 32-row broadcast range join, <=32-key agg, triangle
+    join)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        GAP_BUCKETS,
+    )
+
+    spark = state.sparkSession
+    per_cust = state.localCheckpoint(eager=False)  # read twice: hist + totals
     buckets = spark.createDataFrame(
         GAP_BUCKETS, "bucket long, lo_cents long, hi_cents long"
     )

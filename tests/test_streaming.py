@@ -1233,3 +1233,57 @@ def test_time_to_conversion_exact_semantics_are_non_monoid(spark):
     st = conversion_state(ev).collect()
     assert len(st) == 1 and st[0].first_purchase < st[0].first_view
     assert first_touch_conversion_from_state(conversion_state(ev)).count() == 0
+
+
+def test_streaming_revenue_concentration_equals_batch(spark, tmp_path):
+    """Streaming twin #9: the Pareto revenue ladder reads out of the
+    per-customer spend SUM-monoid — orders replayed file-by-file, each
+    micro-batch's revenue_state partial folded via merge_agg_states
+    keyed by o_custkey (a customer's orders deliberately scattered
+    across micro-batches by the repartition); the ladder computed from
+    state alone equals the one-shot batch query row-for-row."""
+    import os
+
+    from pyspark.sql import functions as F2  # noqa: F401
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        q_revenue_concentration,
+        revenue_concentration_from_state,
+        revenue_state,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = str(tmp_path / "orders_stream_src")
+    spark.read.parquet(SF_SMALL + "/orders.parquet").repartition(4) \
+        .write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    state_dir = str(tmp_path / "rev_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = revenue_state(batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["o_custkey"])
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    state = spark.read.parquet(state_dir)
+    got = sorted(tuple(sorted(r.asDict().items())) for r in
+                 revenue_concentration_from_state(state).collect())
+    want = sorted(tuple(sorted(r.asDict().items())) for r in
+                  q_revenue_concentration(spark, SF_SMALL).collect())
+    assert got == want and got
