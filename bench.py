@@ -379,6 +379,12 @@ def _plan_skeleton(plan: str) -> list[str]:
     changes it."""
     out = []
     for line in plan.splitlines():
+        # whole-stage-codegen markers ("*(14) ") are part of the
+        # counted prefix, and codegen ids are assigned in stage-compile
+        # order — an id crossing a digit boundary between runs shifts
+        # the count by one and flips depth//3 (r12: funnel_windowed's
+        # whole "drift" was this).  Pin the marker to a fixed width.
+        line = re.sub(r"\*\(\d+\) ", "*(0) ", line)
         # tree depth from the drawing prefix; then strip it
         i = 0
         while i < len(line) and line[i] in " +-:*()0123456789":

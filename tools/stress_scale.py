@@ -108,6 +108,15 @@ STRESS_QUERIES = [
     "term_freq_spectrum", "hapax_ratio", "fulfillment_lag",
     "cohort_ltv", "category_penetration", "time_to_conversion",
     "nation_modularity", "discount_elasticity", "spend_migration",
+    # round-12 additions: the conditional-min conversion state (linear
+    # control over events), the Arrow-batched flaky-transport contract
+    # row (mapInPandas throughput over the near-dup corpus).
+    # dedup_jaccard is already in the list above — it now runs its
+    # r12 "auto" strategy here, and the 10-copy corpus is auto's
+    # adversarial case (block pair volume AND true-pair volume both
+    # explode, so auto must flip to indexed and stay linear in true
+    # pairs).
+    "first_touch_conversion", "enrich_flaky_contract",
 ]
 
 
@@ -151,6 +160,8 @@ def main() -> int:
     build(spark, out_dir, replicas)
     print(f"build: {time.perf_counter() - t0:.1f}s -> {out_dir}")
     queries = entrymod.queries()
+    import gc
+
     for name in STRESS_QUERIES:
         t0 = time.perf_counter()
         try:
@@ -158,6 +169,13 @@ def main() -> int:
             print(f"{name}: {time.perf_counter() - t0:.2f}s")
         except Exception as e:  # noqa: BLE001
             print(f"{name}: FAILED {str(e)[:200]}")
+        # bench.py's _drain_blocks lesson (re-learned TWICE in r12
+        # sweeps): without an explicit GC between queries, dropped
+        # localCheckpoint/broadcast blocks pile heap pressure onto
+        # late list positions — dedup_winnow read 119 s in-sweep vs
+        # 8.2 s isolated at the same HEAD before this drain existed
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     return 0
 
 
