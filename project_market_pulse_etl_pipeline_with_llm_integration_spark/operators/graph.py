@@ -25,13 +25,16 @@ PR_NUM, PR_DEN = 85, 100
 PR_TELEPORT = (100 - PR_NUM) * PR_INIT // PR_DEN  # 0.15 * INIT
 
 
-def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """Bidirectional customer<->supplier edge list from the order flow:
-    an edge per distinct trading relationship.  Node ids are disjoint
-    (customers keep their key, suppliers are offset to the negative
-    range) so one rank vector covers both sides of the bipartite
-    graph."""
-    rel = (
+def trade_rel(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The distinct customer<->supplier relationship set behind the
+    trade graph — and streaming twin #10's state: set union is a
+    commutative IDEMPOTENT monoid, so the relationship catalog
+    maintains incrementally (each lineitem micro-batch stream-static
+    joins its orders slice and union+distincts into the stored set;
+    re-delivered lines are absorbed by idempotence — no counting
+    state to corrupt).  O(relationships) rows: the relationship
+    catalog, not the order log."""
+    return (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(orders.select("o_orderkey", "o_custkey"),
               lineitem["l_orderkey"] == orders["o_orderkey"])
@@ -41,9 +44,23 @@ def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def trade_edges_from_rel(rel: DataFrame) -> DataFrame:
+    """Bidirectional edge list from the relationship set (twin #10
+    readout path shares it with every batch graph query)."""
     fwd = rel.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
     rev = rel.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     return fwd.unionAll(rev)
+
+
+def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Bidirectional customer<->supplier edge list from the order flow:
+    an edge per distinct trading relationship.  Node ids are disjoint
+    (customers keep their key, suppliers are offset to the negative
+    range) so one rank vector covers both sides of the bipartite
+    graph."""
+    return trade_edges_from_rel(trade_rel(orders, lineitem))
 
 
 def pagerank_fixed_point(edges: DataFrame, iters: int = 5) -> DataFrame:
@@ -404,12 +421,17 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integers end-to-end; plan is two hash aggs (node degree, then
     histogram) over the bidirectional edge list — output O(distinct
     degrees), no windows, no collects."""
-    edges = trade_edges(
+    return degree_distribution_from_rel(trade_rel(
         spark.read.parquet(f"{sf_dir}/orders.parquet"),
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
-    )
+    ))
+
+
+def degree_distribution_from_rel(rel: DataFrame) -> DataFrame:
+    """The q_degree_distribution histogram from the relationship-set
+    state alone (streaming twin #10) — never a log rescan."""
     deg = (
-        edges.groupBy("src").agg(F.count("*").alias("deg"))
+        trade_edges_from_rel(rel).groupBy("src").agg(F.count("*").alias("deg"))
         .localCheckpoint(eager=False)  # histogram + total: one edge build
     )
     hist = deg.groupBy("deg").agg(F.count("*").alias("n_nodes"))

@@ -1287,3 +1287,59 @@ def test_streaming_revenue_concentration_equals_batch(spark, tmp_path):
     want = sorted(tuple(sorted(r.asDict().items())) for r in
                   q_revenue_concentration(spark, SF_SMALL).collect())
     assert got == want and got
+
+
+def test_streaming_degree_distribution_equals_batch(spark, tmp_path):
+    """Streaming twin #10: the trade-graph degree histogram reads out
+    of the distinct (cust, supp) relationship SET — set union is an
+    idempotent commutative monoid, so each lineitem micro-batch
+    stream-static joins its orders slice and union+distincts into the
+    stored set.  One batch file is delivered TWICE (copied into the
+    source dir) to exercise the idempotence: re-delivered lines must
+    not change the set.  Histogram from state == one-shot batch query
+    row-for-row."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.graph import (
+        degree_distribution_from_rel,
+        q_degree_distribution,
+        trade_rel,
+    )
+
+    src = str(tmp_path / "li_rel_src")
+    li = spark.read.parquet(SF_SMALL + "/lineitem.parquet")
+    li.repartition(3).write.parquet(src)
+    # duplicate one part file -> one micro-batch replays its lines
+    part = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+    import shutil as _sh
+    _sh.copy(os.path.join(src, part), os.path.join(src, "dup-" + part))
+    schema = spark.read.parquet(src).schema
+    ords = spark.read.parquet(SF_SMALL + "/orders.parquet")
+    state_dir = str(tmp_path / "rel_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = trade_rel(ords, batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = prev.unionByName(fresh).distinct()
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    state = spark.read.parquet(state_dir)
+    got = sorted(tuple(sorted(r.asDict().items())) for r in
+                 degree_distribution_from_rel(state).collect())
+    want = sorted(tuple(sorted(r.asDict().items())) for r in
+                  q_degree_distribution(spark, SF_SMALL).collect())
+    assert got == want and got
