@@ -225,18 +225,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS: the driver's correctness gate checks exactly the
-    # FIRST 50 entries each round.  ROUND-11 WINDOW: the whole r10
-    # window came back green (CORRECTNESS_r10: 50/50), so every entry
-    # below is driver-certified; this round's top block is the 23
-    # never-certified r11 operators (distribution/concentration
-    # readouts, cohort/migration/seasonality revenue curves, the OLS
-    # elasticity, the nation modularity/balance matrix pair, the
-    # nearest as-of join, SLO burn, class separation, price
-    # realization, supplier HHI) plus re-certs for operators whose
-    # values-adjacent internals were hardened this round (acf_daily
-    # DECIMAL accumulation + guard, the open-ended-top-bucket
-    # histograms, guarded ppm ops — values unchanged in-bounds),
-    # followed by certified rows as window filler.
+    # FIRST 50 entries each round.  ROUND-13 WINDOW: r12 came back
+    # 50/50 green (fourth consecutive fully-clean window).  The single
+    # registry entry with no direct driver row is enrich_flaky_contract
+    # (it sat below the window cut in r12) — per the r12 verdict it now
+    # heads the window to restore 355/355 direct certification.  The
+    # rest of the window is unchanged from r12 (all certified filler),
+    # so the one entry that falls off the tail (repeat_purchase) is
+    # already driver-green from CORRECTNESS_r09/r12.
+        "enrich_flaky_contract": q_enrich_flaky_contract,
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,
@@ -575,7 +572,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": similarity.q_embedding_near_dup,
         "embedding_neardup_recall": similarity.q_embedding_neardup_recall,
         "enrich_offline": q_enrich_offline,
-        "enrich_flaky_contract": q_enrich_flaky_contract,
         "fingerprint": text.q_fingerprint,
         "grouped_zscore": udfs.q_grouped_zscore,
         "hll_error_bound": R.q_hll_error_bound,
