@@ -405,7 +405,16 @@ def _plan_skeleton(plan: str) -> list[str]:
         # heads whose condition precedes any bracket (e.g. "Filter
         # token#7765 IN (..." splits at the paren AFTER the exprId) —
         # found r12 when 5 of 146 fresh-session fingerprints "drifted"
-        # on nothing but these ids
+        # on nothing but these ids.  SENSITIVITY TRADEOFF (review r12):
+        # deleting exprIds means a plan change that differs ONLY in
+        # which column instance a node references (e.g. swapped
+        # self-join sides whose columns share names) no longer changes
+        # the fingerprint.  Accepted deliberately: such a swap always
+        # co-occurs with a BuildLeft/BuildRight or child-order change
+        # at the join node itself (kept structural by _PLAN_KEYWORDS),
+        # and normalizing ids to per-plan ordinals instead would
+        # re-fingerprint all 177 baselines and orphan the adjudicated
+        # alt_fps history for zero caught-drift gain observed so far.
         head = re.sub(r"#\d+", "", head)
         if not head:
             continue
@@ -495,6 +504,13 @@ def main() -> int:
     # the plan, which is what round-over-round comparisons need.
     times: dict[str, float] = {}
     exec_plans: dict[str, list[str]] = {}
+    # SPARK_GRAFT_SKIP_CAPTURE=1 disables the per-query untimed
+    # capture execution (and hence the drift gate) for THIS run only —
+    # the A/B lever for measuring whether the capture tier's ~150
+    # extra heavy executes contaminate the timed minimums (VERDICT r12
+    # item 3).  Never set it on a driver/recorded run: a capture-off
+    # run leaves plan drift invisible.
+    skip_capture = os.environ.get("SPARK_GRAFT_SKIP_CAPTURE") == "1"
     for name in selected:
         fn = queries[name]
         best = float("inf")
@@ -507,6 +523,9 @@ def main() -> int:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        if skip_capture:
+            _drain_blocks()
+            continue
         if name in HEAVY_TIER or best > 0.5 or name in baseline_names:
             # one extra UNTIMED execution captures the post-AQE final
             # plan skeleton (VERDICT r10 item 1) — never a timed rep.
@@ -557,8 +576,15 @@ def main() -> int:
                         want["skeleton"], sk, "baseline", "current", n=1
                     ):
                         print(f"  {dl}")
-            # new heavy queries join the baseline without failing it
-            new = {n for n in exec_plans if n not in baseline["plans"]}
+            # new heavy queries join the baseline without failing it —
+            # but only from a FULL run (review r12): a subset/isolated
+            # run can capture an AQE shape under readiness-order
+            # conditions a full session never reproduces, and the
+            # >0.5 s capture threshold makes subset enrollment
+            # timing-dependent; a shape first enrolled that way would
+            # bake a provisional plan in as the baseline.
+            new = ({n for n in exec_plans if n not in baseline["plans"]}
+                   if selected is HEADLINE else set())
             if new:
                 baseline["plans"].update({
                     n: {"fp": fps[n], "skeleton": exec_plans[n]} for n in new

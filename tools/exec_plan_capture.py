@@ -16,9 +16,12 @@ Usage:
       observed fingerprint set per query (invoke the script more than
       once for cross-session evidence — AQE stat-readiness order can
       differ between JVMs).
-  python tools/exec_plan_capture.py --admit NAME FP
+  python tools/exec_plan_capture.py --admit NAME FP [SKELETON.json]
       add FP to EXEC_PLANS.json's alt_fps accepted set for NAME
-      (after the drift is adjudicated as bistable).
+      (after the drift is adjudicated as bistable), persisting the
+      adjudicated skeleton into alt_skeletons alongside it — sourced
+      from BENCH_DETAIL.json's drift record, or the optional JSON
+      file.  Refuses a tree-less admit.
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def admit(name: str, fp: str) -> int:
+def admit(name: str, fp: str, skeleton_json: str | None = None) -> int:
     path = os.path.join(ROOT, "EXEC_PLANS.json")
     with open(path) as fh:
         base = json.load(fh)
@@ -43,24 +46,56 @@ def admit(name: str, fp: str) -> int:
     if fp == entry["fp"] or fp in entry.get("alt_fps", []):
         print(f"{name}: {fp} already accepted")
         return 0
+    # an admitted alternate without its tree is unverifiable later
+    # (review r12: the r11 bd6d0069 admit left only a fingerprint
+    # behind, blocking the tree-read the adjudication rule requires) —
+    # pull the skeleton from BENCH_DETAIL's drift record, or take it
+    # explicitly as a JSON file argument
+    skeleton = None
+    if skeleton_json is not None:
+        with open(skeleton_json) as fh:
+            skeleton = json.load(fh)
+            if isinstance(skeleton, dict):
+                skeleton = skeleton[fp] if fp in skeleton else skeleton[name]
+    else:
+        detail_path = os.path.join(ROOT, "BENCH_DETAIL.json")
+        if os.path.exists(detail_path):
+            with open(detail_path) as fh:
+                drifts = json.load(fh).get("exec_plan_drift_skeletons", {})
+            sk = drifts.get(name)
+            if sk is not None:
+                import hashlib as _h
+                if _h.sha256("\n".join(sk).encode()).hexdigest()[:16] == fp:
+                    skeleton = sk
+    if skeleton is None:
+        print(f"{name}: refusing to admit {fp} without its skeleton — "
+              f"pass a skeleton JSON file as the third argument, or "
+              f"re-run bench so BENCH_DETAIL.json records the drift "
+              f"tree for this fingerprint")
+        return 1
     entry.setdefault("alt_fps", []).append(fp)
+    entry.setdefault("alt_skeletons", {})[fp] = skeleton
     with open(path, "w") as fh:
         json.dump(base, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(f"{name}: admitted {fp} to alt_fps (accepted set now "
-          f"{[entry['fp']] + entry['alt_fps']})")
+    print(f"{name}: admitted {fp} to alt_fps with its skeleton stored "
+          f"(accepted set now {[entry['fp']] + entry['alt_fps']})")
     return 0
 
 
 def main() -> int:
     argv = sys.argv[1:]
     if argv[:1] == ["--admit"]:
-        return admit(argv[1], argv[2])
+        return admit(argv[1], argv[2],
+                     argv[3] if len(argv) > 3 else None)
     reps = 5
     if "--reps" in argv:
         i = argv.index("--reps")
         reps = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    backfill = "--backfill" in argv
+    if backfill:
+        argv.remove("--backfill")
     names = argv
     import bench  # noqa: E402  (repo-root harness; shares the skeletonizer)
     import __spark_entry__ as entrymod  # noqa: E402
@@ -95,6 +130,24 @@ def main() -> int:
             "outside_accepted": sorted(set(fps) - set(accepted)),
         }
         print(json.dumps({name: out[name]}))
+        # --backfill: an observed fp that is ALREADY an accepted
+        # alternate but has no stored tree (pre-r13 admits) gets its
+        # skeleton persisted now, making the historical adjudication
+        # tree-verifiable (review r12)
+        if backfill and want:
+            missing = [fp for fp in set(fps)
+                       if fp in want.get("alt_fps", [])
+                       and fp not in want.get("alt_skeletons", {})]
+            if missing:
+                with open(base_path) as fh:
+                    base_full = json.load(fh)
+                entry = base_full["plans"][name]
+                for fp in missing:
+                    entry.setdefault("alt_skeletons", {})[fp] = skels[fp]
+                with open(base_path, "w") as fh:
+                    json.dump(base_full, fh, indent=1, sort_keys=True)
+                    fh.write("\n")
+                print(f"  backfilled alt_skeletons for {name}: {missing}")
         # on a novel shape, print the diff vs baseline for adjudication
         for fp in out[name]["outside_accepted"]:
             if want.get("skeleton"):
