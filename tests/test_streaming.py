@@ -1343,3 +1343,56 @@ def test_streaming_degree_distribution_equals_batch(spark, tmp_path):
     want = sorted(tuple(sorted(r.asDict().items())) for r in
                   q_degree_distribution(spark, SF_SMALL).collect())
     assert got == want and got
+
+
+def test_streaming_user_activity_histogram_equals_batch(spark, tmp_path):
+    """Streaming twin #11: the events-per-user power-of-two histogram
+    reads out of the per-user event-count SUM-monoid — events replayed
+    file-by-file, each micro-batch's user_activity_state partial folded
+    via merge_agg_states keyed by user_id (one user's events scattered
+    across micro-batches by the staging repartition, so correctness
+    requires the cross-batch fold, not per-batch counting); the
+    histogram computed from state alone equals the one-shot batch query
+    row-for-row.  Nearly free by design (VERDICT r12 item 5): the
+    activity-count state is the same table q_user_activity_histogram
+    already factors through, and the readout is its shared
+    pow2_histogram close."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        q_user_activity_histogram,
+        user_activity_from_state,
+        user_activity_state,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = _events_dir(spark, tmp_path)
+    state_dir = str(tmp_path / "ua_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = user_activity_state(batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["user_id"])
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        SE.read_events_stream(spark, src, max_files=1)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    state = spark.read.parquet(state_dir)
+    got = sorted(tuple(sorted(r.asDict().items())) for r in
+                 user_activity_from_state(state).collect())
+    want = sorted(tuple(sorted(r.asDict().items())) for r in
+                  q_user_activity_histogram(spark, SF_SMALL).collect())
+    assert got == want and got
