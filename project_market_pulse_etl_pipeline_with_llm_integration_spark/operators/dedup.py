@@ -196,6 +196,12 @@ def _auto_strategy(skinny: DataFrame) -> str:
     1-row collect, the documented driver-side pattern); the two
     strategies are output-identical (pinned by test), so the switch
     can never change results."""
+    if _block_pairs_per_row(skinny) > AUTO_INDEXED_PAIRS_PER_ROW:
+        return "indexed"
+    return "blocked"
+
+
+def _block_pairs_per_row(skinny: DataFrame) -> float:
     st = (
         skinny.groupBy("blk")
         .count()
@@ -206,9 +212,32 @@ def _auto_strategy(skinny: DataFrame) -> str:
         .collect()[0]
     )
     rows, pairs = st["rows"] or 0, st["pairs"] or 0.0
-    if rows and pairs / rows > AUTO_INDEXED_PAIRS_PER_ROW:
-        return "indexed"
-    return "blocked"
+    return (pairs / rows) if rows else 0.0
+
+
+def _jaccard_block_skinny(
+    df: DataFrame, text_col: str, block_col: Column | None
+) -> DataFrame:
+    """The block-key-only projection under jaccard_pairs' emission rule
+    (custom key once; default length bucket own+next)."""
+    if block_col is not None:
+        return df.select(block_col.alias("blk"))
+    _bk = (F.size(tokens(text_col)) / _JACCARD_BLOCK_WIDTH).cast("int")
+    return df.select(F.explode(F.array(_bk, _bk + 1)).alias("blk"))
+
+
+def jaccard_block_pairs_per_row(
+    df: DataFrame, text_col: str = "text", block_col: Column | None = None
+) -> float:
+    """Measured within-block pair volume per emitted row under
+    ``jaccard_pairs``' blocking — the decision statistic behind
+    ``strategy="auto"``.  Runs ONE bounded Spark job (a 1-row scalar
+    agg over a block-key-only projection).  Public (review r12) so
+    callers that need pure-lazy ``jaccard_pairs`` construction can run
+    the probe at a time of their choosing and pass an explicit
+    strategy: ``"indexed"`` past ``AUTO_INDEXED_PAIRS_PER_ROW``, else
+    ``"blocked"``."""
+    return _block_pairs_per_row(_jaccard_block_skinny(df, text_col, block_col))
 
 
 def jaccard_pairs(
@@ -277,21 +306,25 @@ def jaccard_pairs(
       realistic 10x corpus (block population grows linearly with corpus
       size at fixed length distribution, so block PAIRS grow
       quadratically) — auto is the scale-safe default for corpus-sized
-      inputs."""
+      inputs.
+
+      LAZINESS CONTRACT: ``strategy="auto"`` runs that probe — one
+      bounded Spark job (a 1-row scalar agg) — EAGERLY at
+      DataFrame-construction time, freezing the physical choice before
+      execution; ``"blocked"`` and ``"indexed"`` construct purely
+      lazily.  Callers that only compose or inspect the returned frame
+      (no action intended yet) and must not trigger cluster work
+      should probe themselves via ``jaccard_block_pairs_per_row`` —
+      or skip it — and pass an explicit strategy."""
     if num_partitions:
         df = spread_if_narrow(df, num_partitions)
     if strategy == "auto":
         # decide BEFORE building the shingle frame, from a block-key-
         # only projection (the same emission rule as the real blocking
-        # below: custom key once, default length bucket own+next)
-        if block_col is not None:
-            skinny = df.select(block_col.alias("blk"))
-        else:
-            _bk = (F.size(tokens(text_col)) / _JACCARD_BLOCK_WIDTH).cast("int")
-            skinny = df.select(
-                F.explode(F.array(_bk, _bk + 1)).alias("blk")
-            )
-        strategy = _auto_strategy(skinny)
+        # below) — this is the documented EAGER probe (one bounded
+        # Spark job at construction time; see the docstring's laziness
+        # contract)
+        strategy = _auto_strategy(_jaccard_block_skinny(df, text_col, block_col))
     if block_col is not None:
         base = df.select(
             F.col(id_col).alias("id"),

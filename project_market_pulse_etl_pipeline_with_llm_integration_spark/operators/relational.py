@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.ids import with_dense_id
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import exact_sample
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.session import ensure_engine_confs
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2694,6 +2695,12 @@ RECURSIVE_CTE_TEXT = (
 )
 
 
+# per-process cache of the part-catalog row count feeding the
+# recursion guard's provable bound (review r12: the eager count ran
+# on every invocation, timed bench reps included)
+_PART_COUNT_CACHE: dict[str, int] = {}
+
+
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive-CTE ancestor walk (Spark 4 surface).  The engine and
     the oracle run the VERY SAME statement; all outputs are exact
@@ -2710,14 +2717,26 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     fired at 2M parts).  The guard is scaled to that provable bound —
     never disabled — via one bounded driver-side count (the documented
     collect pattern); the 100-level depth guard stays far above the
-    walk's 20."""
-    part = _t(spark, sf_dir, "part")
-    part.createOrReplaceTempView("part")
-    spark.conf.set(
+    walk's 20.
+
+    Guard scoping (review r12): the raised limit and the ``part`` temp
+    view live on a child session (``spark.newSession()`` — shared
+    SparkContext/cached data, ISOLATED SQLConf + view catalog), so the
+    runaway-recursion guard on the caller's session is untouched for
+    every later recursive query; and the driver-side count is cached
+    per (sf_dir) so repeated invocations — bench timed reps included —
+    pay it once per process."""
+    n_parts = _PART_COUNT_CACHE.get(sf_dir)
+    if n_parts is None:
+        n_parts = _PART_COUNT_CACHE[sf_dir] = _t(spark, sf_dir, "part").count()
+    sub = spark.newSession()
+    ensure_engine_confs(sub)
+    _t(sub, sf_dir, "part").createOrReplaceTempView("part")
+    sub.conf.set(
         "spark.sql.cteRecursionRowLimit",
-        str(max(1_000_000, part.count() * 21)),
+        str(max(1_000_000, n_parts * 21)),
     )
-    return spark.sql(RECURSIVE_CTE_TEXT)
+    return sub.sql(RECURSIVE_CTE_TEXT)
 
 
 # ---------------------------------------------------------------------------
