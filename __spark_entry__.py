@@ -234,6 +234,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the one entry that falls off the tail (repeat_purchase) is
     # already driver-green from CORRECTNESS_r09/r12.
         "enrich_flaky_contract": q_enrich_flaky_contract,
+        # NEW-IN-ROUND-13: the three r13 readouts (repurchase cadence,
+        # price-band assortment mix, DAU/MAU stickiness)
+        "interpurchase_time": market.q_interpurchase_time,
+        "price_band_mix": market.q_price_band_mix,
+        "dau_mau_stickiness": analytics.q_dau_mau_stickiness,
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,
@@ -4613,6 +4618,58 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_principal": _power_iter_sql(4),
         "rake_keywords": _rake_sql(),
+        "interpurchase_time": (
+            "WITH g AS (SELECT CAST(CAST(nxt AS DATE) - "
+            "CAST(o_orderdate AS DATE) AS BIGINT) AS gap_d FROM "
+            "(SELECT o_orderdate, lead(o_orderdate) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+            "AS nxt FROM orders) WHERE nxt IS NOT NULL), "
+            + _gap_values("bucket, lo_days, hi_days")
+            + ", h AS (SELECT bucket, lo_days, hi_days, "
+            "CAST(COUNT(*) AS BIGINT) AS n_gaps FROM g JOIN b "
+            "ON g.gap_d >= b.lo_days AND g.gap_d <= b.hi_days "
+            "GROUP BY 1, 2, 3), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM g) "
+            "SELECT bucket, lo_days, hi_days, n_gaps, "
+            "CAST((1000000 * n_gaps) // n_total AS BIGINT) "
+            "AS gap_share_ppm FROM h CROSS JOIN t"
+        ),
+        "price_band_mix": (
+            "WITH p AS (SELECT p_partkey, CAST(floor(p_retailprice / 10) "
+            "AS BIGINT) AS band FROM part), "
+            "cat AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_parts "
+            "FROM p GROUP BY 1), "
+            "s AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS "
+            "DECIMAL(20,6))) * 100, 0) AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN p ON l_partkey = p_partkey GROUP BY 1), "
+            "mix AS (SELECT cat.band, CAST(cat.band * 10 AS BIGINT) AS "
+            "band_lo_dollars, cat.n_parts, "
+            "CAST(COALESCE(s.n_lines, 0) AS BIGINT) AS n_lines, "
+            "CAST(COALESCE(s.revenue_cents, 0) AS BIGINT) AS revenue_cents "
+            "FROM cat LEFT JOIN s USING (band)), "
+            "t AS (SELECT CAST(SUM(n_parts) AS BIGINT) AS tp, "
+            "CAST(SUM(revenue_cents) AS BIGINT) AS tr FROM mix) "
+            "SELECT band, band_lo_dollars, n_parts, n_lines, revenue_cents, "
+            "CAST((1000000 * n_parts) // tp AS BIGINT) AS part_share_ppm, "
+            "CAST(CASE WHEN tr > 0 THEN (1000000 * revenue_cents) // tr "
+            "END AS BIGINT) AS rev_share_ppm FROM mix CROSS JOIN t"
+        ),
+        "dau_mau_stickiness": (
+            "WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events), "
+            "daily AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS dau FROM e GROUP BY 1), "
+            "pm AS (SELECT CAST(date_trunc('month', d) AS DATE) AS month, "
+            "CAST(SUM(dau) AS BIGINT) AS sum_dau, "
+            "CAST(COUNT(*) AS BIGINT) AS n_active_days FROM daily "
+            "GROUP BY 1), "
+            "mm AS (SELECT CAST(date_trunc('month', d) AS DATE) AS month, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM e "
+            "GROUP BY 1) "
+            "SELECT pm.month, n_active_days, sum_dau, mau, "
+            "CAST((1000000 * sum_dau) // (n_active_days * mau) AS BIGINT) "
+            "AS stickiness_ppm FROM pm JOIN mm ON pm.month = mm.month"
+        ),
         "session_gap_histogram": (
             "WITH g AS (SELECT CAST(epoch_us(nxt) - epoch_us(ts) AS BIGINT) "
             "// 1000000 AS gap_s FROM (SELECT ts, lead(ts) OVER "

@@ -3956,3 +3956,46 @@ def slo_burn_from_state(state: DataFrame) -> DataFrame:
         F.expr("(1000000 * err_6h) div ev_6h").cast("long")
         .alias("burn_6h_ppm"),
     )
+
+
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month: the average daily active
+    users (over the month's ACTIVE days) divided by monthly actives —
+    the habit-formation ratio product teams track (20% = the typical
+    "good" consumer bar; a rising MAU with flat stickiness is reach
+    without retention).
+
+    Exactness: both actives are exact COUNT(DISTINCT user_id); the
+    ratio is the exact ppm floor of sum_dau / (n_active_days · mau)
+    via the two-step rational (_ppm2 — wrap-safe while sum_dau ≤
+    9.2e15 user-days, far past any real log).  n_active_days counts
+    days WITH activity, so a sparse month is not diluted by silent
+    days — the denominator choice is pinned here and mirrored in the
+    oracle.
+
+    Plan: one (day)-keyed distinct agg, one (month)-keyed distinct
+    agg (both partial-aggregated map-side before their keyed
+    shuffles), a months-sized join.  Output O(#months) rows."""
+    ev = read_events(spark, sf_dir).select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    daily = ev.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    per_month = (
+        daily.groupBy(F.date_trunc("month", F.col("d")).cast("date").alias("month"))
+        .agg(
+            F.sum("dau").alias("sum_dau"),
+            F.count("*").alias("n_active_days"),
+        )
+    )
+    mau = (
+        ev.groupBy(F.date_trunc("month", F.col("d")).cast("date").alias("month"))
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return per_month.join(mau, "month").select(
+        "month",
+        F.col("n_active_days").cast("long").alias("n_active_days"),
+        F.col("sum_dau").cast("long").alias("sum_dau"),
+        F.col("mau").cast("long").alias("mau"),
+        F.expr(_ppm2("sum_dau", "n_active_days * mau")).cast("long")
+        .alias("stickiness_ppm"),
+    )

@@ -1526,3 +1526,122 @@ def q_revenue_growth(
             ).cast("long").alias("growth_ppm"),
         )
     )
+
+
+def q_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the days between a customer's consecutive
+    orders, in power-of-two day buckets — the repurchase-cadence
+    readout behind replenishment-reminder timing and the churn
+    window choice (a customer is only "late" relative to where this
+    histogram's mass sits, not relative to a folklore 90 days).
+
+    Exactness: gaps are exact integer differences of the order DATEs
+    under a deterministic tie-break (o_orderdate, o_orderkey — two
+    same-day orders contribute a 0-day gap whichever engine orders
+    them); bucketing is a range join against the fixed GAP_BUCKETS
+    literal (broadcast, 32 rows), share is the exact ppm floor over
+    total gaps.
+
+    Plan: one per-customer lead window (keyed by o_custkey — never
+    global), a 32-row broadcast range join, one <=32-key agg.  Output
+    <= 32 rows.  At 100 TB the only wide op is the custkey window's
+    keyed shuffle."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        pow2_histogram,
+    )
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        od.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("nxt", F.lead("o_orderdate").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.datediff(
+                F.col("nxt").cast("date"), F.col("o_orderdate").cast("date")
+            ).cast("long").alias("gap_d")
+        )
+    )
+    return pow2_histogram(
+        gaps, "gap_d",
+        bucket_cols=("bucket", "lo_days", "hi_days"),
+        count_alias="n_gaps", count_share_alias="gap_share_ppm",
+    )
+
+
+def q_price_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue mix by catalog price band ($10-wide bands of
+    p_retailprice): how much of the revenue the cheap-seats bands
+    carry vs the premium bands, next to how much of the CATALOG sits
+    in each band — the assortment-vs-monetization gap readout (a band
+    holding 30% of parts but 3% of revenue is dead inventory; the
+    reverse is a thin premium line carrying the business).
+
+    Exactness: band = floor(p_retailprice / 10) — float division and
+    floor of the same IEEE double in both engines, deterministic;
+    revenue follows the trade_balance DECIMAL recipe (extendedprice·
+    (1−discount) accumulates in DECIMAL(20,6), rounds to cents once);
+    shares are exact ppm floors (_ppm2 — wrap-safe to 9.2e15).
+
+    Plan: the part side reduces to (band, n_parts) with one agg before
+    anything joins; the lineitem side is one keyed join on l_partkey
+    against the two-column (p_partkey, band) projection, then a
+    few-hundred-key agg (map-side partial).  A LEFT join from the
+    part-side band table keeps zero-revenue bands visible.  Output
+    O(#bands) rows; at 100 TB the only wide ops are the partkey join
+    and the narrow band agg."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") / 10).cast("long").alias("band"),
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(20,6)").alias("rev"),
+    )
+    catalog = part.groupBy("band").agg(F.count("*").alias("n_parts"))
+    sales = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("rev") * 100, 0).cast("long").alias("revenue_cents"),
+        )
+    )
+    mix = (
+        catalog.join(sales, "band", "left")
+        .select(
+            "band",
+            (F.col("band") * 10).cast("long").alias("band_lo_dollars"),
+            F.col("n_parts").cast("long").alias("n_parts"),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce(F.col("revenue_cents"), F.lit(0)).cast("long")
+            .alias("revenue_cents"),
+        )
+        .localCheckpoint(eager=False)  # read twice: rows + totals
+    )
+    tot = mix.agg(
+        F.sum("n_parts").alias("__tp"),
+        F.sum("revenue_cents").alias("__tr"),
+    )
+    for gc in ("__tp", "__tr"):
+        tot = guard_int64(
+            tot,
+            F.col(gc) <= F.lit(PPM2_LIMIT),
+            F.format_string(
+                f"price_band_mix: total {gc} = %s exceeds the two-step "
+                f"ppm bound ({PPM2_LIMIT}) — shard the ledger "
+                "(docstring bound)",
+                F.col(gc),
+            ),
+        )
+    return mix.crossJoin(F.broadcast(tot)).select(
+        "band", "band_lo_dollars", "n_parts", "n_lines", "revenue_cents",
+        F.expr(_ppm2("n_parts", "__tp")).cast("long").alias("part_share_ppm"),
+        F.expr(
+            "CASE WHEN __tr > 0 THEN " + _ppm2("revenue_cents", "__tr") + " END"
+        ).cast("long").alias("rev_share_ppm"),
+    )

@@ -1912,3 +1912,32 @@ def test_pow2_histogram_guard_fires_past_bound(spark, tmp_path):
         assert sum(r["user_share_ppm"] for r in out) == 1_000_000
     finally:
         analytics.PPM2_LIMIT = orig
+
+
+def test_dau_mau_stickiness_hand_case(spark, tmp_path):
+    """Two months, hand-computed: Jan has days {1: users 1,2; 2: user 2}
+    -> sum_dau 3, n_active_days 2, mau 2, stickiness floor(1e6*3/4) =
+    750000; Feb has one day with users 1,2,3 -> 3/(1*3) = 1000000.
+    Silent days do NOT dilute (n_active_days counts active days only)."""
+    from datetime import datetime
+
+    rows = [
+        (0, 1, "view", 1.0, datetime(2024, 1, 1, 8, 0)),
+        (1, 2, "view", 1.0, datetime(2024, 1, 1, 9, 0)),
+        (2, 2, "view", 1.0, datetime(2024, 1, 2, 9, 0)),
+        (3, 2, "view", 1.0, datetime(2024, 1, 2, 10, 0)),  # same user+day
+        (4, 1, "view", 1.0, datetime(2024, 2, 7, 8, 0)),
+        (5, 2, "view", 1.0, datetime(2024, 2, 7, 8, 1)),
+        (6, 3, "view", 1.0, datetime(2024, 2, 7, 8, 2)),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["month"].month: r for r in
+           analytics.q_dau_mau_stickiness(spark, str(tmp_path)).collect()}
+    jan, feb = out[1], out[2]
+    assert (jan["n_active_days"], jan["sum_dau"], jan["mau"]) == (2, 3, 2)
+    assert jan["stickiness_ppm"] == 750_000
+    assert (feb["n_active_days"], feb["sum_dau"], feb["mau"]) == (1, 3, 3)
+    assert feb["stickiness_ppm"] == 1_000_000

@@ -1404,3 +1404,59 @@ def test_revenue_growth_hand_case(spark, tmp_path):
         market.q_revenue_growth(spark, str(tmp_path), _lim=4999).collect()
     assert len(market.q_revenue_growth(spark, str(tmp_path),
                                        _lim=5000).collect()) == 3
+
+
+def test_interpurchase_time_hand_case(spark, tmp_path):
+    """Gaps 0 (same-day pair), 3, and 28 days land in buckets 0, 1, 4;
+    a single-order customer contributes no gap; shares floor over 3."""
+    od = spark.createDataFrame(
+        [
+            (1, 1, datetime(2024, 1, 1), 10.0),
+            (2, 1, datetime(2024, 1, 1), 10.0),   # same day -> gap 0
+            (3, 1, datetime(2024, 1, 4), 10.0),   # gap 3
+            (4, 1, datetime(2024, 2, 1), 10.0),   # gap 28
+            (5, 2, datetime(2024, 6, 1), 10.0),   # lone order: no gap
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    )
+    od.write.parquet(str(tmp_path / "orders.parquet"))
+    out = {r["bucket"]: r for r in
+           market.q_interpurchase_time(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 4}
+    assert all(r["n_gaps"] == 1 for r in out.values())
+    assert (out[4]["lo_days"], out[4]["hi_days"]) == (16, 31)
+    assert all(r["gap_share_ppm"] == 333_333 for r in out.values())
+
+
+def test_price_band_mix_hand_case(spark, tmp_path):
+    """$10 bands; a zero-revenue band stays visible with rev_share 0;
+    part shares floor over the catalog, revenue shares over cents."""
+    part = spark.createDataFrame(
+        [
+            (1, 905.0),    # band 90
+            (2, 950.0),    # band 95
+            (3, 999.9),    # band 99, never sold
+        ],
+        "p_partkey long, p_retailprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.1),   # rev 90.00 -> 9000 cents
+            (2, 200.0, 0.0),   # rev 200.00 -> 20000 cents
+        ],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    part.write.parquet(str(tmp_path / "part.parquet"))
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["band"]: r for r in
+           market.q_price_band_mix(spark, str(tmp_path)).collect()}
+    assert set(out) == {90, 95, 99}
+    assert out[90]["band_lo_dollars"] == 900
+    assert out[90]["revenue_cents"] == 9000
+    assert out[95]["revenue_cents"] == 20000
+    assert (out[99]["n_lines"], out[99]["revenue_cents"]) == (0, 0)
+    assert out[90]["rev_share_ppm"] == 310_344     # floor(1e6*9000/29000)
+    assert out[95]["rev_share_ppm"] == 689_655
+    assert out[99]["rev_share_ppm"] == 0
+    assert all(r["part_share_ppm"] == 333_333 for r in out.values())

@@ -63,6 +63,9 @@ VALIDATE_QUERIES = [
     "table_profile", "countmin_topk", "coactivity_pairs",
     "source_minhash_overlap", "bpe_pair_counts", "mad_outliers",
     "rolling_features", "conformal_interval",
+    # r12's two real scale fixes, standing members so their sf1
+    # readings re-pin every round (VERDICT r12 item 6)
+    "recursive_cte",
     # dedup family
     "dedup_exact", "dedup_minhash", "dedup_jaccard", "dedup_simhash",
     "dedup_containment", "dedup_winnow", "dedup_clusters",
