@@ -82,6 +82,11 @@ TIER_A = [
     "join_asof_nearest", "slo_burn", "trade_balance",
     "seasonality_index", "price_realization", "supply_concentration",
     "basket_brand_diversity", "attribution_linear", "revenue_growth",
+    # r13 readouts: interpurchase hits the planted ts tie (same-day
+    # 0-gap) + whale order volume; price_band_mix runs its cents floor
+    # over the refund-mirrored lineitem; dau_mau's distinct-count ratio
+    # meets the 100k single (user, day) key
+    "interpurchase_time", "price_band_mix", "dau_mau_stickiness",
 ]
 
 # linear-cents-sum ops that tolerate an 8e12-cents group sum (the
