@@ -4651,8 +4651,18 @@ def oracle_sql() -> dict[str, str]:
             "t AS (SELECT CAST(SUM(n_parts) AS BIGINT) AS tp, "
             "CAST(SUM(revenue_cents) AS BIGINT) AS tr FROM mix) "
             "SELECT band, band_lo_dollars, n_parts, n_lines, revenue_cents, "
-            "CAST((1000000 * n_parts) // tp AS BIGINT) AS part_share_ppm, "
-            "CAST(CASE WHEN tr > 0 THEN (1000000 * revenue_cents) // tr "
+            # shares in the TWO-STEP rational floor (the sweep's
+            # refund-mirrored whale pushes tr past the naive 1e6·x
+            # bound of 9.2e12 cents — DuckDB's INT64 multiply raised
+            # where the Spark side's _ppm2 was already wrap-safe;
+            # caught by the r13 tier-A run, the exact failure class
+            # the sweep exists for)
+            "CAST(((n_parts * 1000) // tp) * 1000 + "
+            "(((n_parts * 1000) % tp) * 1000) // tp AS BIGINT) "
+            "AS part_share_ppm, "
+            "CAST(CASE WHEN tr > 0 THEN "
+            "((revenue_cents * 1000) // tr) * 1000 + "
+            "(((revenue_cents * 1000) % tr) * 1000) // tr "
             "END AS BIGINT) AS rev_share_ppm FROM mix CROSS JOIN t"
         ),
         "dau_mau_stickiness": (
