@@ -239,6 +239,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpurchase_time": market.q_interpurchase_time,
         "price_band_mix": market.q_price_band_mix,
         "dau_mau_stickiness": analytics.q_dau_mau_stickiness,
+        "session_length_histogram": analytics.q_session_length_histogram,
+        "degree_assortativity": graph.q_degree_assortativity,
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,
@@ -4679,6 +4681,62 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pm.month, n_active_days, sum_dau, mau, "
             "CAST((1000000 * sum_dau) // (n_active_days * mau) AS BIGINT) "
             "AS stickiness_ppm FROM pm JOIN mm ON pm.month = mm.month"
+        ),
+        "session_length_histogram": (
+            "WITH flagged AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL THEN 1 "
+            "WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 "
+            "ELSE 0 END AS new_sess FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sid AS (SELECT user_id, ts, CAST(SUM(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS "
+            "session_seq FROM flagged), "
+            "s AS (SELECT user_id, session_seq, MIN(ts) AS st, "
+            "MAX(ts) AS en FROM sid GROUP BY 1, 2), "
+            "g AS (SELECT CAST(epoch_us(en) - epoch_us(st) AS BIGINT) "
+            "// 1000000 AS dur_s FROM s), "
+            + _gap_values("bucket, lo_s, hi_s")
+            + ", h AS (SELECT bucket, lo_s, hi_s, "
+            "CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+            "CAST(SUM(dur_s) AS BIGINT) AS sum_dur_s FROM g JOIN b "
+            "ON g.dur_s >= b.lo_s AND g.dur_s <= b.hi_s "
+            "GROUP BY 1, 2, 3), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tc, "
+            "CAST(SUM(dur_s) AS BIGINT) AS tm FROM g) "
+            "SELECT bucket, lo_s, hi_s, n_sessions, sum_dur_s, "
+            "CAST(((n_sessions * 1000) // tc) * 1000 + "
+            "(((n_sessions * 1000) % tc) * 1000) // tc AS BIGINT) "
+            "AS session_share_ppm, "
+            "CAST(((sum_dur_s * 1000) // tm) * 1000 + "
+            "(((sum_dur_s * 1000) % tm) * 1000) // tm AS BIGINT) "
+            "AS dur_share_ppm FROM h CROSS JOIN t"
+        ),
+        "degree_assortativity": (
+            "WITH rel AS (SELECT DISTINCT o_custkey AS cust, "
+            "-l_suppkey AS supp FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "dc AS (SELECT cust, CAST(COUNT(*) AS HUGEINT) AS dc "
+            "FROM rel GROUP BY 1), "
+            "ds AS (SELECT supp, CAST(COUNT(*) AS HUGEINT) AS ds "
+            "FROM rel GROUP BY 1), "
+            "a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(dc) AS HUGEINT) AS sx, "
+            "CAST(SUM(ds) AS HUGEINT) AS sy, "
+            "CAST(SUM(dc * ds) AS HUGEINT) AS sxy, "
+            "CAST(SUM(dc * dc) AS HUGEINT) AS sxx, "
+            "CAST(SUM(ds * ds) AS HUGEINT) AS syy "
+            "FROM rel JOIN dc USING (cust) JOIN ds USING (supp)) "
+            "SELECT CAST(n AS BIGINT) AS n_edges, "
+            "CAST(sx AS BIGINT) AS sum_dc, CAST(sy AS BIGINT) AS sum_ds, "
+            "CAST(sxy AS BIGINT) AS sum_dcds, "
+            "CAST(sxx AS BIGINT) AS sum_dc2, "
+            "CAST(syy AS BIGINT) AS sum_ds2, "
+            "CAST(CASE WHEN (n * sxx - sx * sx) > 0 AND "
+            "(n * syy - sy * sy) > 0 THEN "
+            "(1000000 * (n * sxy - sx * sy) * abs(n * sxy - sx * sy)) "
+            "// ((n * sxx - sx * sx) * (n * syy - sy * sy)) END "
+            "AS BIGINT) AS assort_r2_signed_ppm FROM a"
         ),
         "session_gap_histogram": (
             "WITH g AS (SELECT CAST(epoch_us(nxt) - epoch_us(ts) AS BIGINT) "

@@ -297,6 +297,8 @@ HEADLINE = [
     "interpurchase_time",
     "price_band_mix",
     "dau_mau_stickiness",
+    "session_length_histogram",
+    "degree_assortativity",
 ]
 
 

@@ -3999,3 +3999,38 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ppm2("sum_dau", "n_active_days * mau")).cast("long")
         .alias("stickiness_ppm"),
     )
+
+
+def q_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session DURATION distribution in power-of-two second buckets
+    with the time-mass marginal — the engagement-depth readout
+    complementing session_gap_histogram (gaps say where sessions END;
+    this says how long they LIVE, and the gap between the session-count
+    share and the duration-mass share is the 'a few marathon sessions
+    carry most engaged time' statement).
+
+    Composes the sessionize surface verbatim: the per-session frame is
+    streaming.events.q_sessionize's output (30-min gap rule, lag flag +
+    running sum), durations are whole-second floors of the microsecond
+    span, bucketing is the shared open-ended GAP_BUCKETS close.
+    Single-event sessions land in bucket 0 with zero mass.
+
+    Plan: the sessionize window stack (user-keyed — never global), one
+    (user, session)-keyed agg, the 32-row broadcast range join, one
+    <=32-key agg.  Output <= 32 rows."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.streaming.events import (
+        q_sessionize,
+    )
+
+    sess = q_sessionize(spark, sf_dir).select(
+        F.expr(
+            "(unix_micros(cast(session_end as timestamp)) - "
+            "unix_micros(cast(session_start as timestamp))) div 1000000"
+        ).cast("long").alias("dur_s")
+    )
+    return pow2_histogram(
+        sess, "dur_s",
+        bucket_cols=("bucket", "lo_s", "hi_s"),
+        count_alias="n_sessions", count_share_alias="session_share_ppm",
+        mass_alias="sum_dur_s", mass_share_alias="dur_share_ppm",
+    )

@@ -689,3 +689,85 @@ def q_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + " END").cast("long").alias("imbalance_ppm"),
         )
     )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the bipartite trade graph (Newman 2002):
+    across the distinct customer<->supplier relationships, do
+    high-degree customers trade with high-degree suppliers?  Positive =
+    hub-to-hub concentration (correlated fragility: one big supplier
+    outage hits the biggest buyers), negative = hub-to-periphery
+    (star-like supply).  The one-number companion of
+    degree_distribution's two marginals.
+
+    Exactness: the Pearson correlation needs a sqrt, which would put a
+    transcendental in the contract — so the readout is the SIGNED
+    SQUARED correlation in ppm, sign(r)·r²·1e6 = (1e6·num·|num|) div
+    (varx·vary), every term an exact integer: num = n·Σxy − Σx·Σy,
+    varx/vary the matching variance terms, moments accumulated in
+    DECIMAL(38,0) and guarded (|num|, varx, vary ≤ 3.1e15 keeps
+    1e6·num² inside DECIMAL(38,0)/HUGEINT; the raw moments are
+    additionally guarded into int64 before they're emitted).  The
+    signed division truncates toward zero in BOTH engines (pinned by
+    division_semantics_law); degenerate zero-variance graphs NULL out.
+
+    Plan: one distinct (the relationship catalog), two tiny degree
+    aggs joined back on their keys, one scalar agg — output exactly 1
+    row; at 100 TB the wide ops are the distinct and the two keyed
+    degree joins, all on two-long rows."""
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rel = trade_rel(ords, li).localCheckpoint(eager=False)  # read 3x
+    dc = rel.groupBy("cust").agg(F.count("*").alias("dc"))
+    ds = rel.groupBy("supp").agg(F.count("*").alias("ds"))
+    dec = "cast(%s as decimal(38,0))"
+    agg = (
+        rel.join(dc, "cust").join(ds, "supp")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"sum({dec % 'dc'})").alias("sx"),
+            F.expr(f"sum({dec % 'ds'})").alias("sy"),
+            F.expr(f"sum({dec % 'dc'} * {dec % 'ds'})").alias("sxy"),
+            F.expr(f"sum({dec % 'dc'} * {dec % 'dc'})").alias("sxx"),
+            F.expr(f"sum({dec % 'ds'} * {dec % 'ds'})").alias("syy"),
+        )
+    )
+    for m in ("sx", "sy", "sxy", "sxx", "syy"):
+        agg = guard_int64(
+            agg,
+            F.col(m) <= F.lit(2 ** 63 - 1).cast("decimal(38,0)"),
+            F.format_string(
+                f"degree_assortativity: moment {m} = %s exceeds int64 — "
+                "shard the relationship catalog (docstring bound)",
+                F.col(m),
+            ),
+        )
+    num = f"({dec % 'n'} * sxy - sx * sy)"
+    vx = f"({dec % 'n'} * sxx - sx * sx)"
+    vy = f"({dec % 'n'} * syy - sy * sy)"
+    lim = "cast(3100000000000000 as decimal(38,0))"
+    agg = guard_int64(
+        agg,
+        F.expr(
+            f"abs({num}) <= {lim} AND {vx} <= {lim} AND {vy} <= {lim}"
+        ),
+        F.format_string(
+            "degree_assortativity: |num|/var terms %s/%s/%s exceed the "
+            "DECIMAL(38,0) square domain (3.1e15) — shard the catalog "
+            "(docstring bound)",
+            F.expr(f"abs({num})"), F.expr(vx), F.expr(vy),
+        ),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.col("sx").cast("long").alias("sum_dc"),
+        F.col("sy").cast("long").alias("sum_ds"),
+        F.col("sxy").cast("long").alias("sum_dcds"),
+        F.col("sxx").cast("long").alias("sum_dc2"),
+        F.col("syy").cast("long").alias("sum_ds2"),
+        F.expr(
+            f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+            f"(cast(1000000 as decimal(38,0)) * {num} * abs({num})) "
+            f"div ({vx} * {vy}) END"
+        ).cast("long").alias("assort_r2_signed_ppm"),
+    )

@@ -1941,3 +1941,34 @@ def test_dau_mau_stickiness_hand_case(spark, tmp_path):
     assert jan["stickiness_ppm"] == 750_000
     assert (feb["n_active_days"], feb["sum_dau"], feb["mau"]) == (1, 3, 3)
     assert feb["stickiness_ppm"] == 1_000_000
+
+
+def test_session_length_histogram_hand_case(spark, tmp_path):
+    """Sessions of 10s, 0s (single event after a >30min gap), and 100s
+    land in buckets 3/0/6; duration-mass shares floor over 110 total
+    seconds while session-count shares floor over 3."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (0, 1, "view", 1.0, t0),
+        (1, 1, "view", 1.0, t0 + timedelta(seconds=10)),
+        (2, 1, "view", 1.0, t0 + timedelta(seconds=3000)),  # new session
+        (3, 2, "view", 1.0, t0),
+        (4, 2, "view", 1.0, t0 + timedelta(seconds=100)),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["bucket"]: r for r in
+           analytics.q_session_length_histogram(spark, str(tmp_path))
+           .collect()}
+    assert set(out) == {0, 3, 6}
+    assert (out[0]["sum_dur_s"], out[3]["sum_dur_s"],
+            out[6]["sum_dur_s"]) == (0, 10, 100)
+    assert all(r["n_sessions"] == 1 for r in out.values())
+    assert all(r["session_share_ppm"] == 333_333 for r in out.values())
+    assert out[0]["dur_share_ppm"] == 0
+    assert out[3]["dur_share_ppm"] == 90_909    # floor(1e6*10/110)
+    assert out[6]["dur_share_ppm"] == 909_090   # floor(1e6*100/110)

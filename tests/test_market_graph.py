@@ -1460,3 +1460,24 @@ def test_price_band_mix_hand_case(spark, tmp_path):
     assert out[95]["rev_share_ppm"] == 689_655
     assert out[99]["rev_share_ppm"] == 0
     assert all(r["part_share_ppm"] == 333_333 for r in out.values())
+
+
+def test_degree_assortativity_hand_case(spark, tmp_path):
+    """Three-edge graph (c1-s1, c1-s2, c2-s2): edge degree pairs
+    (2,1),(2,2),(1,2) give Pearson r = -1/2, so the signed squared
+    readout is -250000; the integer moments are pinned exactly."""
+    od = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(1, 101), (2, 102), (3, 102),
+         (1, 101)],   # duplicate line: the relationship set dedups
+        "l_orderkey long, l_suppkey long",
+    )
+    od.write.parquet(str(tmp_path / "orders.parquet"))
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    r = graph.q_degree_assortativity(spark, str(tmp_path)).collect()[0]
+    assert r["n_edges"] == 3
+    assert (r["sum_dc"], r["sum_ds"]) == (5, 5)
+    assert (r["sum_dcds"], r["sum_dc2"], r["sum_ds2"]) == (8, 9, 9)
+    assert r["assort_r2_signed_ppm"] == -250_000

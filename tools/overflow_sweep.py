@@ -87,6 +87,7 @@ TIER_A = [
     # over the refund-mirrored lineitem; dau_mau's distinct-count ratio
     # meets the 100k single (user, day) key
     "interpurchase_time", "price_band_mix", "dau_mau_stickiness",
+    "session_length_histogram", "degree_assortativity",
 ]
 
 # linear-cents-sum ops that tolerate an 8e12-cents group sum (the
