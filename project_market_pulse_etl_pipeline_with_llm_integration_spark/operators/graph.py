@@ -717,7 +717,17 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree joins, all on two-long rows."""
     ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    rel = trade_rel(ords, li).localCheckpoint(eager=False)  # read 3x
+    return degree_assortativity_from_rel(trade_rel(ords, li))
+
+
+def degree_assortativity_from_rel(rel: DataFrame) -> DataFrame:
+    """The q_degree_assortativity readout from the distinct
+    relationship SET alone — the same idempotent union+distinct state
+    streaming twin #10 maintains (set union absorbs re-delivered
+    batches), so the assortativity number maintains incrementally with
+    zero extra state (streaming twin #12, pinned replay==batch in
+    tests/test_streaming.py)."""
+    rel = rel.localCheckpoint(eager=False)  # read 3x
     dc = rel.groupBy("cust").agg(F.count("*").alias("dc"))
     ds = rel.groupBy("supp").agg(F.count("*").alias("ds"))
     dec = "cast(%s as decimal(38,0))"

@@ -1396,3 +1396,56 @@ def test_streaming_user_activity_histogram_equals_batch(spark, tmp_path):
     want = sorted(tuple(sorted(r.asDict().items())) for r in
                   q_user_activity_histogram(spark, SF_SMALL).collect())
     assert got == want and got
+
+
+def test_streaming_degree_assortativity_equals_batch(spark, tmp_path):
+    """Streaming twin #12: the trade-graph assortativity number reads
+    out of the SAME idempotent relationship SET as twin #10 — zero
+    extra state.  One batch file is delivered twice (copied into the
+    source dir); idempotent union+distinct absorbs the replay, and the
+    signed squared correlation recomputed from state equals the
+    one-shot batch query row-for-row."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.graph import (
+        degree_assortativity_from_rel,
+        q_degree_assortativity,
+        trade_rel,
+    )
+
+    src = str(tmp_path / "li_assort_src")
+    li = spark.read.parquet(SF_SMALL + "/lineitem.parquet")
+    li.repartition(3).write.parquet(src)
+    part = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+    import shutil as _sh
+    _sh.copy(os.path.join(src, part), os.path.join(src, "dup-" + part))
+    schema = spark.read.parquet(src).schema
+    ords = spark.read.parquet(SF_SMALL + "/orders.parquet")
+    state_dir = str(tmp_path / "rel_assort_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = trade_rel(ords, batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = prev.unionByName(fresh).distinct()
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    state = spark.read.parquet(state_dir)
+    got = [tuple(sorted(r.asDict().items())) for r in
+           degree_assortativity_from_rel(state).collect()]
+    want = [tuple(sorted(r.asDict().items())) for r in
+            q_degree_assortativity(spark, SF_SMALL).collect()]
+    assert got == want and got
