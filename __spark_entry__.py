@@ -241,6 +241,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dau_mau_stickiness": analytics.q_dau_mau_stickiness,
         "session_length_histogram": analytics.q_session_length_histogram,
         "degree_assortativity": graph.q_degree_assortativity,
+        "credit_exposure": market.q_credit_exposure,
+        "tax_effective_rate": market.q_tax_effective_rate,
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,
@@ -4681,6 +4683,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pm.month, n_active_days, sum_dau, mau, "
             "CAST((1000000 * sum_dau) // (n_active_days * mau) AS BIGINT) "
             "AS stickiness_ppm FROM pm JOIN mm ON pm.month = mm.month"
+        ),
+        "credit_exposure": (
+            "WITH cust AS (SELECT c_custkey, CAST(round(c_acctbal * 100) "
+            "AS BIGINT) AS bal_cents FROM customer), "
+            "po AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS "
+            "n_orders, CAST(SUM(CAST(round(o_totalprice * 100) AS "
+            "BIGINT)) AS BIGINT) AS exposure_cents FROM orders "
+            "GROUP BY 1), "
+            + _gap_values("bucket, lo_cents, hi_cents")
+            + ", banded AS (SELECT CAST(sign(bal_cents) AS BIGINT) AS "
+            "sign, bucket, lo_cents, hi_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_customers, "
+            "CAST(SUM(bal_cents) AS BIGINT) AS balance_cents, "
+            "CAST(COALESCE(SUM(n_orders), 0) AS BIGINT) AS n_orders, "
+            "CAST(COALESCE(SUM(exposure_cents), 0) AS BIGINT) AS "
+            "exposure_cents FROM cust JOIN b ON abs(bal_cents) >= "
+            "lo_cents AND abs(bal_cents) <= hi_cents LEFT JOIN po ON "
+            "c_custkey = o_custkey GROUP BY 1, 2, 3, 4), "
+            "t AS (SELECT CAST(SUM(exposure_cents) AS BIGINT) AS te "
+            "FROM banded) "
+            "SELECT sign, bucket, lo_cents, hi_cents, n_customers, "
+            "balance_cents, n_orders, exposure_cents, "
+            "CAST(CASE WHEN te > 0 THEN "
+            "((exposure_cents * 1000) // te) * 1000 + "
+            "(((exposure_cents * 1000) % te) * 1000) // te "
+            "END AS BIGINT) AS exposure_share_ppm "
+            "FROM banded CROSS JOIN t"
+        ),
+        "tax_effective_rate": (
+            "WITH li AS (SELECT l_suppkey, "
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)) "
+            "AS base, "
+            "CAST(l_extendedprice * (1 - l_discount) * l_tax AS "
+            "DECIMAL(20,6)) AS tax_amt FROM lineitem), "
+            "a AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(round(SUM(base) * 100, 0) AS BIGINT) AS base_cents, "
+            "CAST(round(SUM(tax_amt) * 100, 0) AS BIGINT) AS tax_cents "
+            "FROM li JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1) "
+            "SELECT n_name, n_lines, base_cents, tax_cents, "
+            "CAST(CASE WHEN base_cents > 0 THEN "
+            "((tax_cents * 1000) // base_cents) * 1000 + "
+            "(((tax_cents * 1000) % base_cents) * 1000) // base_cents "
+            "END AS BIGINT) AS tax_rate_ppm FROM a"
         ),
         "session_length_histogram": (
             "WITH flagged AS (SELECT user_id, ts, event_id, "

@@ -299,6 +299,8 @@ HEADLINE = [
     "dau_mau_stickiness",
     "session_length_histogram",
     "degree_assortativity",
+    "credit_exposure",
+    "tax_effective_rate",
 ]
 
 

@@ -1645,3 +1645,158 @@ def q_price_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN __tr > 0 THEN " + _ppm2("revenue_cents", "__tr") + " END"
         ).cast("long").alias("rev_share_ppm"),
     )
+
+
+def q_credit_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order exposure by customer account-balance band — the
+    credit-risk concentration readout: how much order volume sits on
+    customers in each (signed) balance tier, and in particular on the
+    NEGATIVE-balance book (sign −1 rows are receivables risk; a large
+    exposure share there is the finding).
+
+    Banding: sign(acctbal) × the shared open-ended power-of-two cent
+    buckets of |acctbal| — a fixed FUNCTION of the value (no quantile
+    negotiation), signed so over-extended and flush customers never
+    share a band; balance exactly 0 is its own (0, bucket 0) band.
+
+    Exactness: balances and order totals floor to cents once
+    (round(x·100)); shares are the wrap-safe two-step ppm floor over
+    total exposure with the PPM2 guard.  Customers with no orders
+    still count in n_customers (left join), keeping the denominator
+    the whole book.
+
+    Plan: one custkey-keyed sum agg over orders, a broadcast 32-row
+    range join on the customer side, one <=65-key agg.  Output
+    O(bands) rows; at 100 TB the wide ops are the order agg and the
+    customer-order keyed join."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        GAP_BUCKETS,
+        _ppm2,
+    )
+
+    spark_ = spark
+    cust = spark_.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    od = (
+        spark_.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("exposure_cents"),
+        )
+    )
+    buckets = spark_.createDataFrame(
+        GAP_BUCKETS, "bucket long, lo_cents long, hi_cents long"
+    )
+    banded = (
+        cust.join(
+            F.broadcast(buckets),
+            (F.abs(F.col("bal_cents")) >= F.col("lo_cents"))
+            & (F.abs(F.col("bal_cents")) <= F.col("hi_cents")),
+        )
+        .withColumn("sign", F.signum("bal_cents").cast("long"))
+        .join(od, cust["c_custkey"] == od["o_custkey"], "left")
+        .groupBy("sign", "bucket", "lo_cents", "hi_cents")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("bal_cents").alias("balance_cents"),
+            F.coalesce(F.sum("n_orders"), F.lit(0)).cast("long")
+            .alias("n_orders"),
+            F.coalesce(F.sum("exposure_cents"), F.lit(0)).cast("long")
+            .alias("exposure_cents"),
+        )
+        .localCheckpoint(eager=False)  # read twice: rows + total
+    )
+    tot = guard_int64(
+        banded.agg(F.sum("exposure_cents").alias("__te")),
+        F.col("__te") <= F.lit(PPM2_LIMIT),
+        F.format_string(
+            f"credit_exposure: total exposure %s exceeds the two-step "
+            f"ppm bound ({PPM2_LIMIT}) — shard the book (docstring "
+            "bound)",
+            F.col("__te"),
+        ),
+    )
+    return banded.crossJoin(F.broadcast(tot)).select(
+        "sign", "bucket", "lo_cents", "hi_cents", "n_customers",
+        "balance_cents", "n_orders", "exposure_cents",
+        F.expr(
+            "CASE WHEN __te > 0 THEN "
+            + _ppm2("exposure_cents", "__te")
+            + " END"
+        ).cast("long").alias("exposure_share_ppm"),
+    )
+
+
+def q_tax_effective_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective tax rate by supplier nation: taxed amount as an exact
+    ppm of the discounted base — the jurisdiction-mix readout (a
+    nation whose effective rate drifts from its statutory band is a
+    data-quality or routing finding; the tpch_q1 charge expression,
+    reduced to the rate itself).
+
+    Exactness: base = extendedprice·(1−discount), tax amount =
+    base·tax — both accumulate in DECIMAL(20,6) (the operands carry
+    two decimals each, so six fractional digits hold the products
+    exactly) and round to cents once; the rate is the wrap-safe
+    two-step ppm floor with the PPM2 guard.
+
+    Plan: one keyed join to the supplier dim (broadcast at catalog
+    sizes, AQE owns the pick), a broadcast nation-name join, one
+    <=25-key agg.  Output O(|nations|) rows."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(20,6)").alias("base"),
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            * F.col("l_tax")
+        ).cast("decimal(20,6)").alias("tax_amt"),
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    agg = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("base") * 100, 0).cast("long").alias("base_cents"),
+            F.round(F.sum("tax_amt") * 100, 0).cast("long")
+            .alias("tax_cents"),
+        )
+    )
+    agg = guard_int64(
+        agg,
+        F.col("base_cents") <= F.lit(PPM2_LIMIT),
+        F.format_string(
+            f"tax_effective_rate: nation '%s' base %s exceeds the "
+            f"two-step ppm bound ({PPM2_LIMIT}) — shard by period "
+            "(docstring bound)",
+            F.col("n_name"), F.col("base_cents"),
+        ),
+    )
+    return agg.select(
+        "n_name",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "base_cents", "tax_cents",
+        F.expr(
+            "CASE WHEN base_cents > 0 THEN "
+            + _ppm2("tax_cents", "base_cents")
+            + " END"
+        ).cast("long").alias("tax_rate_ppm"),
+    )

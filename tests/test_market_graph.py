@@ -1481,3 +1481,56 @@ def test_degree_assortativity_hand_case(spark, tmp_path):
     assert (r["sum_dc"], r["sum_ds"]) == (5, 5)
     assert (r["sum_dcds"], r["sum_dc2"], r["sum_ds2"]) == (8, 9, 9)
     assert r["assort_r2_signed_ppm"] == -250_000
+
+
+def test_credit_exposure_hand_case(spark, tmp_path):
+    """Signed banding: -5000 cents lands in (sign -1, bucket 12), a
+    zero balance is its own (0, bucket 0) band, +10000 cents in
+    (1, bucket 13); an orderless customer still counts; exposure
+    shares floor over 8000 total cents."""
+    cust = spark.createDataFrame(
+        [(1, -50.0), (2, 0.0), (3, 100.0)],
+        "c_custkey long, c_acctbal double",
+    )
+    od = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 20.0), (3, 3, 50.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    cust.write.parquet(str(tmp_path / "customer.parquet"))
+    od.write.parquet(str(tmp_path / "orders.parquet"))
+    out = {(r["sign"], r["bucket"]): r for r in
+           market.q_credit_exposure(spark, str(tmp_path)).collect()}
+    assert set(out) == {(-1, 12), (0, 0), (1, 13)}
+    neg = out[(-1, 12)]
+    assert (neg["n_customers"], neg["balance_cents"],
+            neg["n_orders"], neg["exposure_cents"]) == (1, -5000, 2, 3000)
+    assert neg["exposure_share_ppm"] == 375_000
+    zero = out[(0, 0)]
+    assert (zero["n_orders"], zero["exposure_cents"],
+            zero["exposure_share_ppm"]) == (0, 0, 0)
+    assert out[(1, 13)]["exposure_share_ppm"] == 625_000
+
+
+def test_tax_effective_rate_hand_case(spark, tmp_path):
+    """Exact rates: 5% on an undiscounted line, 10% on a half-
+    discounted one — the discount reduces the BASE, not the rate."""
+    li = spark.createDataFrame(
+        [(1, 101, 100.0, 0.0, 0.05), (2, 102, 200.0, 0.5, 0.10)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, l_tax double",
+    )
+    sup = spark.createDataFrame(
+        [(101, 1), (102, 2)], "s_suppkey long, s_nationkey long"
+    )
+    nat = spark.createDataFrame(
+        [(1, "N1"), (2, "N2")], "n_nationkey long, n_name string"
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    sup.write.parquet(str(tmp_path / "supplier.parquet"))
+    nat.write.parquet(str(tmp_path / "nation.parquet"))
+    out = {r["n_name"]: r for r in
+           market.q_tax_effective_rate(spark, str(tmp_path)).collect()}
+    assert (out["N1"]["base_cents"], out["N1"]["tax_cents"]) == (10000, 500)
+    assert out["N1"]["tax_rate_ppm"] == 50_000
+    assert (out["N2"]["base_cents"], out["N2"]["tax_cents"]) == (10000, 1000)
+    assert out["N2"]["tax_rate_ppm"] == 100_000
