@@ -243,6 +243,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": graph.q_degree_assortativity,
         "credit_exposure": market.q_credit_exposure,
         "tax_effective_rate": market.q_tax_effective_rate,
+        "metadata_consistency_audit": text.q_metadata_consistency_audit,
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,
@@ -4683,6 +4684,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pm.month, n_active_days, sum_dau, mau, "
             "CAST((1000000 * sum_dau) // (n_active_days * mau) AS BIGINT) "
             "AS stickiness_ppm FROM pm JOIN mm ON pm.month = mm.month"
+        ),
+        "metadata_consistency_audit": (
+            "WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS "
+            "BIGINT) AS n_null_meta, "
+            "CAST(SUM(CASE WHEN n_chars IS NOT NULL AND "
+            "n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS "
+            "n_mismatch, "
+            "CAST(COALESCE(MAX(CASE WHEN n_chars IS NOT NULL THEN "
+            "abs(n_chars - length(text)) END), 0) AS BIGINT) AS "
+            "max_abs_delta FROM documents GROUP BY 1) "
+            "SELECT source, n_docs, n_null_meta, n_mismatch, "
+            "CAST(((n_mismatch * 1000) // n_docs) * 1000 + "
+            "(((n_mismatch * 1000) % n_docs) * 1000) // n_docs "
+            "AS BIGINT) AS mismatch_ppm, max_abs_delta FROM a"
         ),
         "credit_exposure": (
             "WITH cust AS (SELECT c_custkey, CAST(round(c_acctbal * 100) "

@@ -301,6 +301,7 @@ HEADLINE = [
     "degree_assortativity",
     "credit_exposure",
     "tax_effective_rate",
+    "metadata_consistency_audit",
 ]
 
 

@@ -1750,11 +1750,22 @@ def q_tax_effective_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one keyed join to the supplier dim (broadcast at catalog
     sizes, AQE owns the pick), a broadcast nation-name join, one
     <=25-key agg.  Output O(|nations|) rows."""
-    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
-        _ppm2,
-    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return tax_rate_from_state(tax_state(li, sup, nat))
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+
+def tax_state(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation (n_lines, DECIMAL base/tax sums) — a pure SUM-monoid
+    over DECIMAL-exact addends, so the tax-rate table maintains
+    incrementally via relational.merge_agg_states keyed by n_name; the
+    cents rounding happens ONCE in the readout, never in the state, so
+    merged state rounds identically to a one-shot pass (streaming twin
+    #13, replay==batch pinned in tests/test_streaming.py)."""
+    li = lineitem.select(
         "l_suppkey",
         (F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .cast("decimal(20,6)").alias("base"),
@@ -1763,22 +1774,31 @@ def q_tax_effective_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("l_tax")
         ).cast("decimal(20,6)").alias("tax_amt"),
     )
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        "s_suppkey", "s_nationkey"
-    )
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        "n_nationkey", "n_name"
-    )
-    agg = (
+    sup = supplier.select("s_suppkey", "s_nationkey")
+    nat = nation.select("n_nationkey", "n_name")
+    return (
         li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
         .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(F.sum("base") * 100, 0).cast("long").alias("base_cents"),
-            F.round(F.sum("tax_amt") * 100, 0).cast("long")
-            .alias("tax_cents"),
+            F.sum("base").alias("base_sum"),
+            F.sum("tax_amt").alias("tax_sum"),
         )
+    )
+
+
+def tax_rate_from_state(state: DataFrame) -> DataFrame:
+    """The q_tax_effective_rate readout from the per-nation DECIMAL
+    state alone — rounds to cents once, guards, floors the ppm."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
+    agg = state.groupBy("n_name").agg(
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.round(F.sum("base_sum") * 100, 0).cast("long").alias("base_cents"),
+        F.round(F.sum("tax_sum") * 100, 0).cast("long").alias("tax_cents"),
     )
     agg = guard_int64(
         agg,

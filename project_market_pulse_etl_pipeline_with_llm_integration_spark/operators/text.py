@@ -3234,3 +3234,55 @@ def q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hapax_mass_ppm"),
         )
     )
+
+
+def q_metadata_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-actual metadata audit: per source, how many
+    documents' stored ``n_chars`` disagrees with the text's real
+    length — the stale-metadata screen every pipeline that TRUSTS a
+    metadata column for sampling/banding/stats (length_proportional
+    sampling, trimmed_stats, length_bucket_batches all read n_chars
+    here) should run first.  A nonzero mismatch rate means some
+    upstream rewrite (truncation, re-encoding, PII scrub) forgot to
+    refresh the column; max_abs_delta sizes the worst lie.
+
+    Exactness: all counts exact; mismatch_ppm is the wrap-safe
+    two-step floor; max_abs_delta is an exact integer max (0 when the
+    source is fully consistent); NULL n_chars counts separately (a
+    NULL is missing, not wrong).  Both engines count length() in
+    Unicode code points.
+
+    Plan: ONE scan, one source-keyed agg (map-side partial).  Output
+    O(|sources|) rows."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mism = (
+        F.col("n_chars").isNotNull()
+        & (F.col("n_chars") != F.length("text"))
+    ).cast("long")
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").isNull().cast("long")).alias("n_null_meta"),
+        F.sum(mism).alias("n_mismatch"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("n_chars").isNotNull(),
+                    F.abs(F.col("n_chars") - F.length("text")),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("max_abs_delta"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_null_meta").cast("long").alias("n_null_meta"),
+        F.col("n_mismatch").cast("long").alias("n_mismatch"),
+        F.expr(_ppm2("n_mismatch", "n_docs")).cast("long")
+        .alias("mismatch_ppm"),
+        "max_abs_delta",
+    )

@@ -1449,3 +1449,57 @@ def test_streaming_degree_assortativity_equals_batch(spark, tmp_path):
     want = [tuple(sorted(r.asDict().items())) for r in
             q_degree_assortativity(spark, SF_SMALL).collect()]
     assert got == want and got
+
+
+def test_streaming_tax_rate_equals_batch(spark, tmp_path):
+    """Streaming twin #13: the per-nation effective-tax table reads
+    out of a DECIMAL sum-monoid state — lineitem replayed file-by-file
+    (stream-static supplier/nation joins per micro-batch), partials
+    folded via merge_agg_states keyed by n_name.  The cents rounding
+    lives in the READOUT, not the state, so the merged state rounds
+    identically to the one-shot batch query — pinned row-for-row."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        q_tax_effective_rate,
+        tax_rate_from_state,
+        tax_state,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = str(tmp_path / "li_tax_src")
+    spark.read.parquet(SF_SMALL + "/lineitem.parquet").repartition(4) \
+        .write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sup = spark.read.parquet(SF_SMALL + "/supplier.parquet")
+    nat = spark.read.parquet(SF_SMALL + "/nation.parquet")
+    state_dir = str(tmp_path / "tax_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = tax_state(batch_df, sup, nat)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["n_name"])
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    state = spark.read.parquet(state_dir)
+    got = sorted(tuple(sorted(r.asDict().items())) for r in
+                 tax_rate_from_state(state).collect())
+    want = sorted(tuple(sorted(r.asDict().items())) for r in
+                  q_tax_effective_rate(spark, SF_SMALL).collect())
+    assert got == want and got

@@ -1437,3 +1437,33 @@ def test_hapax_ratio_hand_case(spark):
     assert (r.n_terms, r.n_tokens, r.n_hapax) == (3, 4, 2)
     assert r.hapax_term_ppm == 666_666
     assert r.hapax_mass_ppm == 500_000
+
+
+def test_metadata_consistency_audit_hand_case(spark, tmp_path):
+    """Planted stale metadata: one doc lies by 7 chars, one has NULL
+    n_chars (missing, not wrong), two are consistent — mismatch ppm
+    floors over ALL docs and max_abs_delta sizes the worst lie."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        q_metadata_consistency_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello", "en", "s1", 5),      # consistent
+            (2, "hello!", "en", "s1", 13),    # lies by 7
+            (3, "abc", "en", "s1", None),     # NULL metadata
+            (4, "abcd", "en", "s2", 4),       # consistent
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in
+           q_metadata_consistency_audit(spark, str(tmp_path)).collect()}
+    s1 = out["s1"]
+    assert (s1["n_docs"], s1["n_null_meta"], s1["n_mismatch"]) == (3, 1, 1)
+    assert s1["mismatch_ppm"] == 333_333
+    assert s1["max_abs_delta"] == 7
+    s2 = out["s2"]
+    assert (s2["n_mismatch"], s2["mismatch_ppm"],
+            s2["max_abs_delta"]) == (0, 0, 0)

@@ -91,6 +91,14 @@ TIER_A = [
     "credit_exposure", "tax_effective_rate",
 ]
 
+# documents-side audits exercised on the UNDOCTORED documents table the
+# sweep copies verbatim (the doctored whale lives in events/orders/
+# lineitem) — included so the registry's sweep coverage stays complete
+TIER_A_DOCS = [
+    "metadata_consistency_audit",
+]
+TIER_A = TIER_A + TIER_A_DOCS
+
 # linear-cents-sum ops that tolerate an 8e12-cents group sum (the
 # 1e6·sum ppm edge).  Squared/cross-product ops are excluded: cuped &
 # ab_uplift_ci (n·Σxy, n·Σx²), gini_concentration (Σrank·cents ~ n·S),
