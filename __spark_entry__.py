@@ -244,6 +244,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "credit_exposure": market.q_credit_exposure,
         "tax_effective_rate": market.q_tax_effective_rate,
         "metadata_consistency_audit": text.q_metadata_consistency_audit,
+        "line_number_integrity": R.q_line_number_integrity,
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,
@@ -4685,6 +4686,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000000 * sum_dau) // (n_active_days * mau) AS BIGINT) "
             "AS stickiness_ppm FROM pm JOIN mm ON pm.month = mm.month"
         ),
+        "line_number_integrity": (
+            "WITH po AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS "
+            "n_lines, CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS "
+            "n_distinct, MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx "
+            "FROM lineitem GROUP BY 1), "
+            "f AS (SELECT o_orderstatus, CASE WHEN mn <> 1 OR "
+            "mx <> n_lines OR n_distinct <> n_lines THEN 1 ELSE 0 END "
+            "AS gapped, n_lines FROM po JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "a AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS "
+            "n_orders, CAST(SUM(gapped) AS BIGINT) AS n_gapped, "
+            "CAST(MAX(n_lines) AS BIGINT) AS max_lines FROM f "
+            "GROUP BY 1) "
+            "SELECT o_orderstatus, n_orders, n_gapped, "
+            "CAST(((n_gapped * 1000) // n_orders) * 1000 + "
+            "(((n_gapped * 1000) % n_orders) * 1000) // n_orders "
+            "AS BIGINT) AS gapped_ppm, max_lines FROM a"
+        ),
         "metadata_consistency_audit": (
             "WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS "
@@ -4796,8 +4815,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(syy AS BIGINT) AS sum_ds2, "
             "CAST(CASE WHEN (n * sxx - sx * sx) > 0 AND "
             "(n * syy - sy * sy) > 0 THEN "
-            "(1000000 * (n * sxy - sx * sy) * abs(n * sxy - sx * sy)) "
-            "// ((n * sxx - sx * sx) * (n * syy - sy * sy)) END "
+            "(CASE WHEN (n * sxy - sx * sy) >= 0 THEN "
+            "((((n * sxy - sx * sy) * (n * sxy - sx * sy)) * 1000) // "
+            "((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000 + "
+            "((((n * sxy - sx * sy) * (n * sxy - sx * sy)) * 1000) % "
+            "((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000 // "
+            "((n * sxx - sx * sx) * (n * syy - sy * sy)) "
+            "ELSE -(((((n * sxy - sx * sy) * (n * sxy - sx * sy)) * 1000) "
+            "// ((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000 + "
+            "((((n * sxy - sx * sy) * (n * sxy - sx * sy)) * 1000) % "
+            "((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000 // "
+            "((n * sxx - sx * sx) * (n * syy - sy * sy))) END) END "
             "AS BIGINT) AS assort_r2_signed_ppm FROM a"
         ),
         "session_gap_histogram": (

@@ -302,6 +302,7 @@ HEADLINE = [
     "credit_exposure",
     "tax_effective_rate",
     "metadata_consistency_audit",
+    "line_number_integrity",
 ]
 
 

@@ -705,8 +705,8 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQUARED correlation in ppm, sign(r)·r²·1e6 = (1e6·num·|num|) div
     (varx·vary), every term an exact integer: num = n·Σxy − Σx·Σy,
     varx/vary the matching variance terms, moments accumulated in
-    DECIMAL(38,0) and guarded (|num|, varx, vary ≤ 3.1e15 keeps
-    1e6·num² inside DECIMAL(38,0)/HUGEINT; the raw moments are
+    DECIMAL(38,0) and guarded (|num|, varx, vary ≤ 3.16e17 keeps every
+    two-step intermediate inside DECIMAL(38,0)/HUGEINT; the raw moments are
     additionally guarded into int64 before they're emitted).  The
     signed division truncates toward zero in BOTH engines (pinned by
     division_semantics_law); degenerate zero-variance graphs NULL out.
@@ -755,7 +755,14 @@ def degree_assortativity_from_rel(rel: DataFrame) -> DataFrame:
     num = f"({dec % 'n'} * sxy - sx * sy)"
     vx = f"({dec % 'n'} * sxx - sx * sx)"
     vy = f"({dec % 'n'} * syy - sy * sy)"
-    lim = "cast(3100000000000000 as decimal(38,0))"
+    # widened r13 guard (the first sf1 sweep fired the original 3.1e15
+    # bound on LEGITIMATE variance terms at 2.2e16): with the ppm
+    # landing through a two-step rational floor over N2 = num² and
+    # D = vx·vy, the true DECIMAL(38,0)/HUGEINT constraints are
+    # N2·1000 ≤ 1e38 and (N2·1000 % D)·1000 ≤ 1e38 — both satisfied
+    # while |num|, vx, vy ≤ 3.16e17 (D ≤ 1e35, N2 ≤ 1e35), two decades
+    # looser than the naive 1e6·num² form
+    lim = "cast(316000000000000000 as decimal(38,0))"
     agg = guard_int64(
         agg,
         F.expr(
@@ -763,10 +770,16 @@ def degree_assortativity_from_rel(rel: DataFrame) -> DataFrame:
         ),
         F.format_string(
             "degree_assortativity: |num|/var terms %s/%s/%s exceed the "
-            "DECIMAL(38,0) square domain (3.1e15) — shard the catalog "
+            "DECIMAL(38,0) square domain (3.16e17) — shard the catalog "
             "(docstring bound)",
             F.expr(f"abs({num})"), F.expr(vx), F.expr(vy),
         ),
+    )
+    n2 = f"({num} * {num})"
+    d = f"({vx} * {vy})"
+    ppm_mag = (
+        f"(({n2} * 1000) div {d}) * 1000 + "
+        f"((({n2} * 1000) % {d}) * 1000) div {d}"
     )
     return agg.select(
         F.col("n").cast("long").alias("n_edges"),
@@ -777,7 +790,7 @@ def degree_assortativity_from_rel(rel: DataFrame) -> DataFrame:
         F.col("syy").cast("long").alias("sum_ds2"),
         F.expr(
             f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
-            f"(cast(1000000 as decimal(38,0)) * {num} * abs({num})) "
-            f"div ({vx} * {vy}) END"
+            f"(CASE WHEN {num} >= 0 THEN {ppm_mag} "
+            f"ELSE -({ppm_mag}) END) END"
         ).cast("long").alias("assort_r2_signed_ppm"),
     )

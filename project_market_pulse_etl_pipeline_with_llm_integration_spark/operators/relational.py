@@ -3382,3 +3382,54 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("abs_diff_us"),
         )
     )
+
+
+def q_line_number_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-number density audit: per order status, how many orders'
+    l_linenumber sequences are NOT dense 1..n — the partial-load /
+    double-load screen for any ingest that appends line files (a gap
+    means lines were dropped; a duplicate means a file replayed; both
+    break every "lines per order" readout silently).  Dense means
+    min = 1 AND max = n AND distinct = n, so duplicates cannot mask a
+    gap (dup+gap keeps max = count but fails the distinct term).
+
+    Exactness: all counts exact; gapped_ppm is the wrap-safe two-step
+    floor per status.  Plan: one orderkey-keyed agg over (orderkey,
+    linenumber) pairs (count-distinct expands internally), one keyed
+    join to orders for the status, one <=|statuses|-key agg.  Output
+    O(|statuses|) rows."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("l_linenumber").alias("n_distinct"),
+        F.min("l_linenumber").alias("mn"),
+        F.max("l_linenumber").alias("mx"),
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    flagged = per_order.join(
+        od, per_order["l_orderkey"] == od["o_orderkey"]
+    ).withColumn(
+        "gapped",
+        (
+            (F.col("mn") != 1)
+            | (F.col("mx") != F.col("n_lines"))
+            | (F.col("n_distinct") != F.col("n_lines"))
+        ).cast("long"),
+    )
+    agg = flagged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("gapped").alias("n_gapped"),
+        F.max("n_lines").alias("max_lines"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_gapped").cast("long").alias("n_gapped"),
+        F.expr(_ppm2("n_gapped", "n_orders")).cast("long")
+        .alias("gapped_ppm"),
+        F.col("max_lines").cast("long").alias("max_lines"),
+    )

@@ -960,3 +960,35 @@ def test_dim_coverage_audit_hand_case(spark):
     assert (lp["n_dim_rows"], lp["n_referenced"]) == (2, 1)  # NULL ignored
     ls = out["lineitem->supplier"]
     assert ls["unreferenced_ppm"] == 0
+
+
+def test_line_number_integrity_hand_case(spark, tmp_path):
+    """Planted pathologies per order: dense 1..3 passes; a gap (1,3)
+    flags; a duplicate (1,1,2) flags even though max == count holds on
+    the distinct test; min != 1 (2,3) flags."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        q_line_number_integrity,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3),          # dense
+         (2, 1), (2, 3),                  # gap
+         (3, 1), (3, 2), (3, 2), (3, 4),  # dup+gap: count 4 == max 4,
+                                          # min 1 — ONLY the distinct
+                                          # term catches this one
+         (4, 2), (4, 3)],                 # min != 1
+        "l_orderkey long, l_linenumber long",
+    )
+    od = spark.createDataFrame(
+        [(1, "F"), (2, "F"), (3, "O"), (4, "O")],
+        "o_orderkey long, o_orderstatus string",
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    od.write.parquet(str(tmp_path / "orders.parquet"))
+    out = {r["o_orderstatus"]: r for r in
+           q_line_number_integrity(spark, str(tmp_path)).collect()}
+    assert (out["F"]["n_orders"], out["F"]["n_gapped"]) == (2, 1)
+    assert out["F"]["gapped_ppm"] == 500_000
+    assert (out["O"]["n_orders"], out["O"]["n_gapped"]) == (2, 2)
+    assert out["O"]["gapped_ppm"] == 1_000_000
+    assert out["F"]["max_lines"] == 3

@@ -88,7 +88,7 @@ TIER_A = [
     # meets the 100k single (user, day) key
     "interpurchase_time", "price_band_mix", "dau_mau_stickiness",
     "session_length_histogram", "degree_assortativity",
-    "credit_exposure", "tax_effective_rate",
+    "credit_exposure", "tax_effective_rate", "line_number_integrity",
 ]
 
 # documents-side audits exercised on the UNDOCTORED documents table the
