@@ -245,6 +245,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tax_effective_rate": market.q_tax_effective_rate,
         "metadata_consistency_audit": text.q_metadata_consistency_audit,
         "line_number_integrity": R.q_line_number_integrity,
+        "order_total_reconciliation": market.q_order_total_reconciliation,
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,
@@ -4685,6 +4686,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pm.month, n_active_days, sum_dau, mau, "
             "CAST((1000000 * sum_dau) // (n_active_days * mau) AS BIGINT) "
             "AS stickiness_ppm FROM pm JOIN mm ON pm.month = mm.month"
+        ),
+        "order_total_reconciliation": (
+            "WITH lc AS (SELECT l_orderkey, CAST(round(SUM("
+            "CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS "
+            "DECIMAL(20,6))) * 100, 0) AS BIGINT) AS line_cents "
+            "FROM lineitem GROUP BY 1), "
+            "j AS (SELECT o_orderstatus, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) - line_cents AS "
+            "delta, line_cents FROM orders LEFT JOIN lc "
+            "ON o_orderkey = l_orderkey), "
+            "a AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS "
+            "n_orders, "
+            "CAST(SUM(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_lineless, "
+            "CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_over, "
+            "CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_under, "
+            "CAST(SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_exact, "
+            "CAST(COALESCE(MAX(abs(delta)), 0) AS BIGINT) AS "
+            "max_abs_delta_cents FROM j GROUP BY 1) "
+            "SELECT o_orderstatus, n_orders, n_lineless, n_over, n_under, "
+            "n_exact, "
+            "CAST(((n_exact * 1000) // n_orders) * 1000 + "
+            "(((n_exact * 1000) % n_orders) * 1000) // n_orders "
+            "AS BIGINT) AS exact_ppm, max_abs_delta_cents FROM a"
         ),
         "line_number_integrity": (
             "WITH po AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS "

@@ -303,6 +303,7 @@ HEADLINE = [
     "tax_effective_rate",
     "metadata_consistency_audit",
     "line_number_integrity",
+    "order_total_reconciliation",
 ]
 
 

@@ -1820,3 +1820,75 @@ def tax_rate_from_state(state: DataFrame) -> DataFrame:
             + " END"
         ).cast("long").alias("tax_rate_ppm"),
     )
+
+
+def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: per order status, does
+    o_totalprice equal the TPC-H charge sum of the order's lines
+    (Σ extendedprice·(1−discount)·(1+tax))?  The books-balance audit
+    every finance-grade pipeline runs between a header table and its
+    detail table — direction matters (header OVER detail is missing
+    lines or double-counted headers; UNDER is replayed lines), so both
+    directions count separately, and lineless headers are their own
+    loud bucket rather than a silent join drop.  (On the driver's
+    synthetic corpus the header price is independent of the lines, so
+    this reports ~100% mismatch — the audit stating a true fact about
+    that data.)
+
+    Exactness: header cents floor once; line charges are exact 6-dp
+    DECIMAL products summed in DECIMAL and rounded to cents ONCE per
+    order; the delta and its max are exact integers; shares are the
+    wrap-safe two-step floor.
+
+    Plan: one orderkey-keyed sum agg over lineitem, one keyed LEFT
+    join from orders, one <=|statuses|-key agg.  Output
+    O(|statuses|) rows."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
+    lc = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            "l_orderkey",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(20,6)").alias("charge"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("charge") * 100, 0).cast("long")
+            .alias("line_cents")
+        )
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("header_cents"),
+    )
+    j = od.join(lc, od["o_orderkey"] == lc["l_orderkey"], "left")
+    delta = F.col("header_cents") - F.col("line_cents")
+    agg = j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("line_cents").isNull().cast("long")).alias("n_lineless"),
+        # when/otherwise, not a bare boolean cast: a lineless order's
+        # NULL delta must count as "not in this direction" (0), and a
+        # NULL boolean cast would poison the whole group's sum instead
+        F.sum(F.when(delta > 0, 1).otherwise(0)).alias("n_over"),
+        F.sum(F.when(delta < 0, 1).otherwise(0)).alias("n_under"),
+        F.sum(F.when(delta == 0, 1).otherwise(0)).alias("n_exact"),
+        F.coalesce(F.max(F.abs(delta)), F.lit(0)).cast("long")
+        .alias("max_abs_delta_cents"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_lineless").cast("long").alias("n_lineless"),
+        F.col("n_over").cast("long").alias("n_over"),
+        F.col("n_under").cast("long").alias("n_under"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.expr(_ppm2("n_exact", "n_orders")).cast("long")
+        .alias("exact_ppm"),
+        "max_abs_delta_cents",
+    )

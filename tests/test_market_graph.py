@@ -1534,3 +1534,32 @@ def test_tax_effective_rate_hand_case(spark, tmp_path):
     assert out["N1"]["tax_rate_ppm"] == 50_000
     assert (out["N2"]["base_cents"], out["N2"]["tax_cents"]) == (10000, 1000)
     assert out["N2"]["tax_rate_ppm"] == 100_000
+
+
+def test_order_total_reconciliation_hand_case(spark, tmp_path):
+    """Planted directions: an exact order (100·0.9·1.1 = 99.00), an
+    over-stated header (+1 cent), an under-stated one, and a lineless
+    header — each lands in its own counter; exact share floors over 4."""
+    od = spark.createDataFrame(
+        [(1, "F", 99.00), (2, "F", 99.01), (3, "F", 98.99),
+         (4, "O", 10.00)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [(k, 100.0, 0.1, 0.1) for k in (1, 2, 3)],
+        "l_orderkey long, l_extendedprice double, l_discount double, "
+        "l_tax double",
+    )
+    od.write.parquet(str(tmp_path / "orders.parquet"))
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["o_orderstatus"]: r for r in
+           market.q_order_total_reconciliation(spark, str(tmp_path))
+           .collect()}
+    f = out["F"]
+    assert (f["n_orders"], f["n_exact"], f["n_over"], f["n_under"],
+            f["n_lineless"]) == (3, 1, 1, 1, 0)
+    assert f["exact_ppm"] == 333_333
+    assert f["max_abs_delta_cents"] == 1
+    o = out["O"]
+    assert (o["n_orders"], o["n_lineless"], o["n_exact"]) == (1, 1, 0)
+    assert o["max_abs_delta_cents"] == 0

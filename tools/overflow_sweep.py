@@ -89,6 +89,7 @@ TIER_A = [
     "interpurchase_time", "price_band_mix", "dau_mau_stickiness",
     "session_length_histogram", "degree_assortativity",
     "credit_exposure", "tax_effective_rate", "line_number_integrity",
+    "order_total_reconciliation",
 ]
 
 # documents-side audits exercised on the UNDOCTORED documents table the
