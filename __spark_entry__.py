@@ -246,6 +246,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_consistency_audit": text.q_metadata_consistency_audit,
         "line_number_integrity": R.q_line_number_integrity,
         "order_total_reconciliation": market.q_order_total_reconciliation,
+        "knn_label_agreement": similarity.q_knn_label_agreement,
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,
@@ -4686,6 +4687,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pm.month, n_active_days, sum_dau, mau, "
             "CAST((1000000 * sum_dau) // (n_active_days * mau) AS BIGINT) "
             "AS stickiness_ppm FROM pm JOIN mm ON pm.month = mm.month"
+        ),
+        "knn_label_agreement": (
+            f"WITH e AS (SELECT vec_id, label, {_QV} AS qv "
+            "FROM embeddings), "
+            "z AS (SELECT a.vec_id AS a_id, a.label AS a_label, "
+            "b.vec_id AS b_id, b.label AS b_label, "
+            "unnest(a.qv) AS x, unnest(b.qv) AS y "
+            "FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id), "
+            "d AS (SELECT a_id, a_label, b_id, b_label, "
+            "CAST(sum(CAST(x - y AS BIGINT) * (x - y)) AS BIGINT) AS d2 "
+            "FROM z GROUP BY 1, 2, 3, 4), "
+            "nn AS (SELECT a_id, a_label, b_label AS nn_label, "
+            "row_number() OVER (PARTITION BY a_id ORDER BY d2, b_id) "
+            "AS rn FROM d QUALIFY rn = 1), "
+            "a AS (SELECT a_label AS label, CAST(COUNT(*) AS BIGINT) AS "
+            "n_vectors, CAST(SUM(CASE WHEN nn_label = a_label THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_agree FROM nn GROUP BY 1) "
+            "SELECT label, n_vectors, n_agree, "
+            "CAST(((n_agree * 1000) // n_vectors) * 1000 + "
+            "(((n_agree * 1000) % n_vectors) * 1000) // n_vectors "
+            "AS BIGINT) AS agreement_ppm FROM a"
         ),
         "order_total_reconciliation": (
             "WITH lc AS (SELECT l_orderkey, CAST(round(SUM("

@@ -304,6 +304,7 @@ HEADLINE = [
     "metadata_consistency_audit",
     "line_number_integrity",
     "order_total_reconciliation",
+    "knn_label_agreement",
 ]
 
 

@@ -2163,3 +2163,80 @@ def q_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("d2_micro2"),
         )
     )
+
+
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label agreement per label — the
+    labeling-quality audit BEFORE anyone trains on the labels: each
+    vector's nearest OTHER vector (exact int64 squared L2 over the
+    shared int8 quantization, deterministic (d2, vec_id) tie-break)
+    either agrees with its label or doesn't; a label whose agreement
+    ppm sits far below its peers is mislabeled, fragmented, or
+    overlapping (the per-pair view of what class_separation says at
+    centroid level).
+
+    Exactness: distances and the argmin are exact integers; the
+    nearest neighbor is unique by the (d2, vec_id) struct-min, so the
+    agreement bit is engine-exact; shares are wrap-safe two-step
+    floors.
+
+    Plan: brute-force n² pair scoring (one self-crossJoin with the
+    broadcast-sized side AQE picks) + ONE struct-min agg keyed by
+    vector, then a <=|labels|-key agg.  At 100 TB compose the SAME
+    scorer with the LSH/IVF candidate generators (the
+    semantic_decontaminate_lsh pattern) instead of the cross join —
+    the argmin and agreement logic are unchanged."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", quantize_embedding(F.col("embedding")).alias("qv")
+    )
+    # the probe side carries the n² scoring work; a single-file scan
+    # would run it SERIALLY under the broadcast nested-loop join
+    # (measured 34 s -> ~2 s at sf0.1 from this spread alone)
+    par = spark.sparkContext.defaultParallelism
+    a = spread_if_narrow(emb, par).select(
+        F.col("vec_id").alias("a_id"), F.col("label").alias("a_label"),
+        F.col("qv").alias("a_qv"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"),
+        F.col("qv").alias("b_qv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("a_qv", "b_qv", lambda x, y: (x - y).cast("long")
+                   * (x - y)),
+        F.lit(0).cast("long"), lambda s, x: s + x,
+    )
+    nn = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id", "a_label",
+            F.struct(
+                d2.alias("d2"), F.col("b_id").alias("nn_id"),
+                F.col("b_label").alias("nn_label"),
+            ).alias("cand"),
+        )
+        .groupBy("a_id", "a_label")
+        .agg(F.min("cand").alias("nn"))
+    )
+    agg = nn.groupBy("a_label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(
+            F.when(F.col("nn.nn_label") == F.col("a_label"), 1).otherwise(0)
+        ).alias("n_agree"),
+    )
+    return agg.select(
+        F.col("a_label").alias("label"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.expr(_ppm2("n_agree", "n_vectors")).cast("long")
+        .alias("agreement_ppm"),
+    )

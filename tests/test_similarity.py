@@ -921,3 +921,30 @@ def test_class_separation_hand_case(spark, tmp_path):
     r = rows[0]
     assert (r["label_a"], r["label_b"], r["n_a"], r["n_b"]) == (0, 1, 2, 1)
     assert r["d2_micro2"] == 750_000 ** 2 + 1_000_000 ** 2
+
+
+def test_knn_label_agreement_hand_case(spark, tmp_path):
+    """Two separated clusters with one planted intruder: the vector
+    labeled A sitting in the B cluster disagrees with its 1-NN, every
+    honest vector agrees — quantized distances keep the argmin unique."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        q_knn_label_agreement,
+    )
+
+    rows = [
+        (1, [1.00, 0.0], "A"),
+        (2, [0.99, 0.0], "A"),
+        (3, [-1.00, 0.0], "B"),
+        (4, [-0.99, 0.0], "B"),
+        (5, [-0.98, 0.0], "A"),   # intruder: lives in B's cluster
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["label"]: r for r in
+           q_knn_label_agreement(spark, str(tmp_path)).collect()}
+    assert (out["A"]["n_vectors"], out["A"]["n_agree"]) == (3, 2)
+    assert out["A"]["agreement_ppm"] == 666_666
+    assert (out["B"]["n_vectors"], out["B"]["n_agree"]) == (2, 2)
+    assert out["B"]["agreement_ppm"] == 1_000_000
