@@ -247,6 +247,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_number_integrity": R.q_line_number_integrity,
         "order_total_reconciliation": market.q_order_total_reconciliation,
         "knn_label_agreement": similarity.q_knn_label_agreement,
+        "abc_classification": market.q_abc_classification,
+        "single_source_risk": market.q_single_source_risk,
+        "freshness_audit": analytics.q_freshness_audit,
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,
@@ -4708,6 +4711,66 @@ def oracle_sql() -> dict[str, str]:
             "CAST(((n_agree * 1000) // n_vectors) * 1000 + "
             "(((n_agree * 1000) % n_vectors) * 1000) // n_vectors "
             "AS BIGINT) AS agreement_ppm FROM a"
+        ),
+        "abc_classification": (
+            "WITH pp AS (SELECT p_partkey, CAST(COALESCE(round(SUM("
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))"
+            ") * 100, 0), 0) AS BIGINT) AS rev_cents FROM part "
+            "LEFT JOIN lineitem ON p_partkey = l_partkey GROUP BY 1), "
+            "h AS (SELECT rev_cents, CAST(COUNT(*) AS BIGINT) AS "
+            "n_parts, CAST(SUM(rev_cents) AS BIGINT) AS mass "
+            "FROM pp GROUP BY 1), "
+            "p AS (SELECT rev_cents, n_parts, mass, "
+            "CAST(COALESCE(SUM(mass) OVER (ORDER BY rev_cents DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS pre FROM h), "
+            "t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tr FROM pp), "
+            "c AS (SELECT CASE WHEN ppm < 800000 THEN 'A' "
+            "WHEN ppm < 950000 THEN 'B' ELSE 'C' END AS abc_class, "
+            "n_parts, mass FROM (SELECT n_parts, mass, "
+            "CASE WHEN tr > 0 THEN ((pre * 1000) // tr) * 1000 + "
+            "(((pre * 1000) % tr) * 1000) // tr ELSE 1000000 END AS ppm "
+            "FROM p CROSS JOIN t)) "
+            "SELECT abc_class, CAST(SUM(n_parts) AS BIGINT) AS n_parts, "
+            "CAST(SUM(mass) AS BIGINT) AS revenue_cents, "
+            "CAST(CASE WHEN tr > 0 THEN "
+            "((SUM(mass) * 1000) // tr) * 1000 + "
+            "(((SUM(mass) * 1000) % tr) * 1000) // tr END AS BIGINT) "
+            "AS rev_share_ppm FROM c CROSS JOIN t GROUP BY abc_class, tr"
+        ),
+        "single_source_risk": (
+            "WITH cell AS (SELECT p_brand, l_suppkey, "
+            "CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS "
+            "DECIMAL(20,6))) * 100, 0) AS BIGINT) AS rev "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY 1, 2), "
+            "bt AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS "
+            "n_suppliers, CAST(SUM(rev) AS BIGINT) AS "
+            "brand_revenue_cents FROM cell GROUP BY 1), "
+            "top AS (SELECT p_brand, l_suppkey AS top_suppkey, "
+            "rev AS top_revenue_cents FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY p_brand ORDER BY rev DESC, l_suppkey) "
+            "AS rk FROM cell) WHERE rk = 1) "
+            "SELECT bt.p_brand, n_suppliers, top_suppkey, "
+            "top_revenue_cents, brand_revenue_cents, "
+            "CAST(CASE WHEN brand_revenue_cents > 0 THEN "
+            "((top_revenue_cents * 1000) // brand_revenue_cents) * 1000 "
+            "+ (((top_revenue_cents * 1000) % brand_revenue_cents) "
+            "* 1000) // brand_revenue_cents END AS BIGINT) AS "
+            "top_share_ppm FROM bt JOIN top ON bt.p_brand = top.p_brand"
+        ),
+        "freshness_audit": (
+            "WITH s AS (SELECT event_type, MAX(ts) AS last_ts, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events FROM events "
+            "GROUP BY 1), "
+            "w AS (SELECT MAX(last_ts) AS wm, CAST(SUM(n_events) AS "
+            "BIGINT) AS nt FROM s) "
+            "SELECT event_type, last_ts, "
+            "CAST((epoch_us(wm) - epoch_us(last_ts)) // 1000000 "
+            "AS BIGINT) AS staleness_s, n_events, "
+            "CAST(((n_events * 1000) // nt) * 1000 + "
+            "(((n_events * 1000) % nt) * 1000) // nt AS BIGINT) "
+            "AS event_share_ppm FROM s CROSS JOIN w"
         ),
         "order_total_reconciliation": (
             "WITH lc AS (SELECT l_orderkey, CAST(round(SUM("

@@ -305,6 +305,9 @@ HEADLINE = [
     "line_number_integrity",
     "order_total_reconciliation",
     "knn_label_agreement",
+    "abc_classification",
+    "single_source_risk",
+    "freshness_audit",
 ]
 
 

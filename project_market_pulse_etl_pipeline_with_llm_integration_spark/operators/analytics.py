@@ -4034,3 +4034,79 @@ def q_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_alias="n_sessions", count_share_alias="session_share_ppm",
         mass_alias="sum_dur_s", mass_share_alias="dur_share_ppm",
     )
+
+
+def freshness_state(events: DataFrame) -> DataFrame:
+    """Per-event-type (last_ts, n_events) ingest-freshness state — a
+    pure MAX x SUM monoid, so the staleness dashboard maintains
+    incrementally via merge_freshness_states without ever rescanning
+    history (streaming twin #14; replay==batch pinned in
+    tests/test_streaming.py)."""
+    return events.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def merge_freshness_states(prev: DataFrame, fresh: DataFrame) -> DataFrame:
+    """Fold a batch's freshness_state partial into the stored state:
+    full-outer on event_type, GREATEST of last-seen timestamps, sum of
+    counts (the max/sum sibling of relational.merge_agg_states)."""
+    cond = F.col("__a.event_type").eqNullSafe(F.col("__d.event_type"))
+    return (
+        prev.alias("__a")
+        .join(fresh.alias("__d"), cond, "full_outer")
+        .select(
+            F.coalesce(F.col("__a.event_type"), F.col("__d.event_type"))
+            .alias("event_type"),
+            F.greatest(
+                F.coalesce(F.col("__a.last_ts"), F.col("__d.last_ts")),
+                F.coalesce(F.col("__d.last_ts"), F.col("__a.last_ts")),
+            ).alias("last_ts"),
+            (
+                F.coalesce(F.col("__a.n_events"), F.lit(0))
+                + F.coalesce(F.col("__d.n_events"), F.lit(0))
+            ).alias("n_events"),
+        )
+    )
+
+
+def freshness_from_state(state: DataFrame) -> DataFrame:
+    """The q_freshness_audit readout from the per-type max/sum state
+    alone — the corpus watermark is itself a max over the state, so a
+    stored state table answers without any history rescan."""
+    state = state.localCheckpoint(eager=False)  # read twice: rows + max
+    wm = state.agg(
+        F.max("last_ts").alias("watermark_ts"),
+        F.sum("n_events").alias("n_total"),
+    )
+    return state.crossJoin(F.broadcast(wm)).select(
+        "event_type",
+        "last_ts",
+        F.expr(
+            "(unix_micros(cast(watermark_ts as timestamp)) - "
+            "unix_micros(cast(last_ts as timestamp))) div 1000000"
+        ).cast("long").alias("staleness_s"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr(_ppm2("n_events", "n_total")).cast("long")
+        .alias("event_share_ppm"),
+    )
+
+
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-freshness audit: per event type, the last event seen,
+    its staleness in whole seconds behind the corpus watermark (the
+    max timestamp across ALL types), the event count, and the exact
+    ppm share of traffic — the first dashboard an on-call opens when
+    a producer stalls (a type whose staleness grows while its share
+    is material is a stuck pipeline, not a quiet one).
+
+    Exactness: staleness is an integer microsecond difference floored
+    to whole seconds — no float time arithmetic; shares are the
+    wrap-safe two-step ppm floor.
+
+    Plan: one type-keyed (max, count) agg — map-side combine does
+    almost all the work; O(|types|) rows thereafter — a 1-row
+    broadcast watermark crossJoin, output O(|types|)."""
+    ev = read_events(spark, sf_dir)
+    return freshness_from_state(freshness_state(ev))

@@ -1892,3 +1892,186 @@ def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exact_ppm"),
         "max_abs_delta_cents",
     )
+
+
+def q_abc_classification(
+    spark: SparkSession, sf_dir: str, _lim: int = PPM2_LIMIT
+) -> DataFrame:
+    """ABC inventory classification: every part lands in class A, B,
+    or C by where its revenue-value group sits on the descending
+    cumulative-revenue curve (A starts before the 80% boundary, B
+    before 95%, C past it) — the assortment-rationalization readout
+    (Main.py's category lens has no part-rank view; this is the
+    standard ops extension).
+
+    Determinism contract: the class is assigned at the DISTINCT
+    REVENUE VALUE level, not per rank — every part with the same
+    lifetime revenue gets the same class (a per-part rank would need a
+    tie-break the oracle must renegotiate; the value-group boundary is
+    a pure function of the histogram).  A value group is class A when
+    the revenue STRICTLY ABOVE its value is under 80% of the total
+    (i.e. the group straddles or precedes the boundary), B under 95%,
+    else C.  Zero-revenue parts (no lineitems) have the entire total
+    above them and land in C.
+
+    Exactness: per-line base = extendedprice·(1−discount) accumulates
+    in DECIMAL(20,6) per part and rounds to cents ONCE; the strict
+    prefix and shares are long arithmetic through the wrap-safe
+    two-step ppm floor, with a guard_int64 on the total.
+
+    Plan: one partkey-keyed agg over lineitem, one keyed left join
+    from the part dim (revenue-less parts stay visible), one
+    O(distinct revenue values) histogram agg, the 1024-bucket
+    distributed strict prefix (analytics._bucketed_prefix — no global
+    single-task window), one <=3-key agg, 1-row broadcast total.
+    Output <=3 rows."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _bucketed_prefix,
+        _ppm2,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    per_part = (
+        li.select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(20,6)").alias("base"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("base") * 100, 0).cast("long").alias("rev"))
+    )
+    parts = (
+        part.select("p_partkey")
+        .join(per_part, F.col("p_partkey") == F.col("l_partkey"), "left")
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("rev"), F.lit(0)).alias("rev_cents"),
+        )
+    )
+    # distinct-value histogram: the prefix rides O(distinct revenues)
+    hist = parts.groupBy("rev_cents").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("rev_cents").alias("mass"),
+    )
+    # descending cumulative = strict prefix over the NEGATED value
+    pre = _bucketed_prefix(
+        hist.withColumn("neg", -F.col("rev_cents")), "neg", ["mass"]
+    )
+    tot = guard_int64(
+        parts.agg(F.sum("rev_cents").alias("tr")),
+        F.col("tr") <= F.lit(_lim),
+        F.format_string(
+            "abc_classification: total revenue %s cents exceeds the "
+            f"two-step ppm bound ({_lim}) — shard by period/region "
+            "first (docstring bound)",
+            F.col("tr"),
+        ),
+    )
+    classed = (
+        pre.crossJoin(F.broadcast(tot))
+        .select(
+            "rev_cents", "n_parts", "mass",
+            F.expr(
+                "CASE WHEN tr > 0 THEN "
+                + _ppm2("prefix_mass", "tr")
+                + " ELSE 1000000 END"
+            ).alias("above_ppm"),
+        )
+        .select(
+            F.when(F.col("above_ppm") < 800000, F.lit("A"))
+            .when(F.col("above_ppm") < 950000, F.lit("B"))
+            .otherwise(F.lit("C")).alias("abc_class"),
+            "n_parts", "mass",
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.sum("n_parts").cast("long").alias("n_parts"),
+            F.sum("mass").cast("long").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class", "n_parts", "revenue_cents",
+            F.expr(
+                "CASE WHEN tr > 0 THEN "
+                + _ppm2("revenue_cents", "tr")
+                + " END"
+            ).cast("long").alias("rev_share_ppm"),
+        )
+    )
+
+
+def q_single_source_risk(
+    spark: SparkSession, sf_dir: str, _lim: int = PPM2_LIMIT
+) -> DataFrame:
+    """Single-source supply risk by brand: each brand's supplier
+    count, its top supplier (by revenue, suppkey tie-break), and the
+    exact ppm share of brand revenue that the top supplier carries —
+    the procurement readout that flags a brand one supplier outage
+    away from stock-out (supply_concentration's Pareto is per-nation;
+    this is the per-brand argmax).
+
+    Exactness: per-line base in DECIMAL(20,6), per-(brand, supplier)
+    cents rounded once; shares are the two-step ppm floor with a
+    guard on each brand total.
+
+    Plan: one partkey-keyed join lineitem→part (part is a catalog dim
+    — AQE owns the broadcast pick), one (brand, suppkey)-keyed agg, a
+    brand-PARTITIONED rank window over the per-brand supplier list
+    (bounded groups — audit-safe), one <=|brands|-key agg, keyed
+    1:1 join of the two <=|brands|-row frames.  Output O(|brands|)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        _ppm2,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cell = (
+        li.select(
+            "l_partkey", "l_suppkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(20,6)").alias("base"),
+        )
+        .join(part.select("p_partkey", "p_brand"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.round(F.sum("base") * 100, 0).cast("long").alias("rev"))
+        .localCheckpoint(eager=False)  # read twice: totals + argmax
+    )
+    brand_tot = guard_int64(
+        cell.groupBy("p_brand").agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum("rev").alias("brand_revenue_cents"),
+        ),
+        F.col("brand_revenue_cents") <= F.lit(_lim),
+        F.format_string(
+            "single_source_risk: brand '%s' revenue %s cents exceeds "
+            f"the two-step ppm bound ({_lim}) — shard by period first "
+            "(docstring bound)",
+            F.col("p_brand"), F.col("brand_revenue_cents"),
+        ),
+    )
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("rev").desc(), F.col("l_suppkey").asc()
+    )
+    top = (
+        cell.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_brand",
+            F.col("l_suppkey").alias("top_suppkey"),
+            F.col("rev").alias("top_revenue_cents"),
+        )
+    )
+    return brand_tot.join(top, "p_brand").select(
+        "p_brand", "n_suppliers", "top_suppkey", "top_revenue_cents",
+        F.col("brand_revenue_cents").cast("long")
+        .alias("brand_revenue_cents"),
+        F.expr(
+            "CASE WHEN brand_revenue_cents > 0 THEN "
+            + _ppm2("top_revenue_cents", "brand_revenue_cents")
+            + " END"
+        ).cast("long").alias("top_share_ppm"),
+    )

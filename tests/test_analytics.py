@@ -1972,3 +1972,28 @@ def test_session_length_histogram_hand_case(spark, tmp_path):
     assert out[0]["dur_share_ppm"] == 0
     assert out[3]["dur_share_ppm"] == 90_909    # floor(1e6*10/110)
     assert out[6]["dur_share_ppm"] == 909_090   # floor(1e6*100/110)
+
+
+def test_freshness_audit_hand_case(spark, tmp_path):
+    """Hand watermark: type b's single event IS the watermark
+    (staleness 0); type a last fired 30s earlier; shares floor over
+    3 events (2/3 -> 666666 ppm)."""
+    from datetime import datetime
+
+    rows = [
+        (0, 1, "a", 1.0, datetime(2024, 1, 1, 0, 0, 0)),
+        (1, 1, "a", 1.0, datetime(2024, 1, 1, 0, 1, 30)),
+        (2, 2, "b", 1.0, datetime(2024, 1, 1, 0, 2, 0)),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["event_type"]: r for r in
+           analytics.q_freshness_audit(spark, str(tmp_path)).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["staleness_s"], a["n_events"]) == (30, 2)
+    assert a["event_share_ppm"] == 666_666
+    assert (b["staleness_s"], b["n_events"]) == (0, 1)
+    assert b["event_share_ppm"] == 333_333
+    assert b["last_ts"] == datetime(2024, 1, 1, 0, 2, 0)

@@ -1563,3 +1563,59 @@ def test_order_total_reconciliation_hand_case(spark, tmp_path):
     o = out["O"]
     assert (o["n_orders"], o["n_lineless"], o["n_exact"]) == (1, 1, 0)
     assert o["max_abs_delta_cents"] == 0
+
+
+def test_abc_classification_hand_case(spark, tmp_path):
+    """Value-group classes on a 100.00 total: the 80.00 part's group
+    has nothing above it (A), the 10.00 group starts exactly AT the
+    80% boundary (strictly-above test -> B), the tied 5.00 pair shares
+    one group at 90% above (B), and the revenue-less part sees the
+    whole total above it (C)."""
+    from pyspark.sql import functions as F
+
+    part = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (5,)], "p_partkey long"
+    )
+    li = spark.createDataFrame(
+        [(1, 80.0), (2, 10.0), (3, 5.0), (4, 5.0)],
+        "l_partkey long, l_extendedprice double",
+    ).withColumn("l_discount", F.lit(0.0))
+    part.write.parquet(str(tmp_path / "part.parquet"))
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["abc_class"]: r for r in
+           market.q_abc_classification(spark, str(tmp_path)).collect()}
+    assert set(out) == {"A", "B", "C"}
+    assert (out["A"]["n_parts"], out["A"]["revenue_cents"],
+            out["A"]["rev_share_ppm"]) == (1, 8000, 800_000)
+    assert (out["B"]["n_parts"], out["B"]["revenue_cents"],
+            out["B"]["rev_share_ppm"]) == (3, 2000, 200_000)
+    assert (out["C"]["n_parts"], out["C"]["revenue_cents"],
+            out["C"]["rev_share_ppm"]) == (1, 0, 0)
+
+
+def test_single_source_risk_hand_case(spark, tmp_path):
+    """Argmax with tie-break: brand B1's top supplier carries 6000 of
+    10000 cents (600000 ppm); brand B2's two suppliers tie at 500
+    cents and the LOWER suppkey wins."""
+    from pyspark.sql import functions as F
+
+    part = spark.createDataFrame(
+        [(1, "B1"), (2, "B1"), (3, "B2"), (4, "B2")],
+        "p_partkey long, p_brand string",
+    )
+    li = spark.createDataFrame(
+        [(1, 10, 60.0), (2, 20, 40.0), (3, 30, 5.0), (4, 20, 5.0)],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    ).withColumn("l_discount", F.lit(0.0))
+    part.write.parquet(str(tmp_path / "part.parquet"))
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["p_brand"]: r for r in
+           market.q_single_source_risk(spark, str(tmp_path)).collect()}
+    b1 = out["B1"]
+    assert (b1["n_suppliers"], b1["top_suppkey"],
+            b1["top_revenue_cents"], b1["brand_revenue_cents"]) == (
+        2, 10, 6000, 10000)
+    assert b1["top_share_ppm"] == 600_000
+    b2 = out["B2"]
+    assert (b2["n_suppliers"], b2["top_suppkey"],
+            b2["top_share_ppm"]) == (2, 20, 500_000)

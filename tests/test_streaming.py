@@ -779,52 +779,6 @@ def test_tenure_state_checkpoint_recovery(spark, tmp_path):
     assert mid_n < state.count()
 
 
-def test_streaming_user_activity_histogram_equals_batch(spark, tmp_path):
-    """The r11 engagement histogram is maintainable from the per-user
-    COUNT sum-monoid: replaying the log through merge_agg_states keyed
-    by user and reading the histogram from state alone equals the
-    one-shot batch query row-for-row."""
-    import os
-
-    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
-        q_user_activity_histogram,
-        user_activity_from_state,
-        user_activity_state,
-    )
-    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
-        merge_agg_states,
-    )
-
-    src = _events_dir(spark, tmp_path)
-    state_dir = str(tmp_path / "ua_state")
-
-    def merge_batch(batch_df, batch_id):
-        fresh = user_activity_state(batch_df)
-        if os.path.exists(state_dir):
-            prev = batch_df.sparkSession.read.parquet(state_dir)
-            merged = merge_agg_states(prev, fresh, ["user_id"])
-        else:
-            merged = fresh
-        tmp_out = state_dir + ".next"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
-        out_df = batch_df.sparkSession.read.parquet(tmp_out)
-        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
-
-    q = (
-        SE.read_events_stream(spark, src, max_files=1)
-        .writeStream.foreachBatch(merge_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(180)
-    state = spark.read.parquet(state_dir)
-    got = sorted(r.asDict().items() for r in
-                 user_activity_from_state(state).collect())
-    want = sorted(r.asDict().items() for r in
-                  q_user_activity_histogram(spark, SF_SMALL).collect())
-    assert got == want and got
-
-
 def test_streaming_weekday_hour_heatmap_equals_batch(spark, tmp_path):
     """The 7x24 heatmap is maintainable from the <=168-key COUNT
     sum-monoid: replaying the log through merge_agg_states keyed by
@@ -1502,4 +1456,53 @@ def test_streaming_tax_rate_equals_batch(spark, tmp_path):
                  tax_rate_from_state(state).collect())
     want = sorted(tuple(sorted(r.asDict().items())) for r in
                   q_tax_effective_rate(spark, SF_SMALL).collect())
+    assert got == want and got
+
+
+def test_streaming_freshness_audit_equals_batch(spark, tmp_path):
+    """Streaming twin #14: the ingest-freshness dashboard reads out of
+    a per-type MAX x SUM monoid — events replayed file-by-file, each
+    micro-batch's freshness_state partial folded via
+    merge_freshness_states (GREATEST of last-seen, sum of counts; one
+    type's events scattered across micro-batches by the staging
+    repartition, so correctness requires the cross-batch max fold);
+    the staleness table computed from state alone equals the one-shot
+    batch query row-for-row.  The corpus watermark is itself a max
+    over the state, so the readout needs no side input."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        freshness_from_state,
+        freshness_state,
+        merge_freshness_states,
+        q_freshness_audit,
+    )
+
+    src = _events_dir(spark, tmp_path)
+    state_dir = str(tmp_path / "fresh_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = freshness_state(batch_df)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_freshness_states(prev, fresh)
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        SE.read_events_stream(spark, src, max_files=1)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    state = spark.read.parquet(state_dir)
+    got = sorted(tuple(sorted(r.asDict().items())) for r in
+                 freshness_from_state(state).collect())
+    want = sorted(tuple(sorted(r.asDict().items())) for r in
+                  q_freshness_audit(spark, SF_SMALL).collect())
     assert got == want and got
