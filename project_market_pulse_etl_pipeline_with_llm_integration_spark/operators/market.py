@@ -777,6 +777,15 @@ def q_return_rate_by_brand(
             ).cast("long").alias("ret_cents"),
         )
     )
+    return _return_rate_close(cells, _lim)
+
+
+def _return_rate_close(cells: DataFrame, _lim: int) -> DataFrame:
+    """Shared readout tail of the return-rate table (guard + ppm
+    floors) — ONE home for the close so the batch query and the
+    streaming-state readout (twin #15) emit identical expressions;
+    factoring is plan-preserving for the batch path (same Column tree
+    in the same order, fingerprint unchanged)."""
     cells = guard_int64(
         cells,
         F.col("cents") <= F.lit(_lim),
@@ -801,6 +810,56 @@ def q_return_rate_by_brand(
         F.expr("CASE WHEN cents > 0 THEN " + _ppm2("ret_cents", "cents")
                + " END").cast("long").alias("revenue_return_ppm"),
     )
+
+
+def return_state(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand (n_lines, n_returned, DECIMAL revenue sums) — a pure
+    SUM-monoid over DECIMAL-exact addends, so the return-rate table
+    maintains incrementally via relational.merge_agg_states keyed by
+    p_brand (streaming twin #15; replay==batch pinned in
+    tests/test_streaming.py).  The cents rounding lives in the READOUT
+    (return_rate_from_state), never in the state, so merged state
+    rounds identically to the one-shot batch query.  NOTE: the batch
+    query q_return_rate_by_brand keeps its original single-agg plan
+    (it rounds inside the agg projection — value-identical because
+    both paths round the SAME full DECIMAL sum exactly once); the
+    state path is deliberately a separate construction so the benched
+    plan's fingerprint stays byte-stable."""
+    li = lineitem.select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").alias("ret"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(20,6)").alias("rev"),
+    )
+    pt = part.select("p_partkey", "p_brand")
+    return (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("ret").cast("long")).alias("n_returned"),
+            F.sum("rev").alias("rev_sum"),
+            F.sum(
+                F.when(F.col("ret"), F.col("rev"))
+                .otherwise(F.lit(0).cast("decimal(20,6)"))
+            ).alias("ret_rev_sum"),
+        )
+    )
+
+
+def return_rate_from_state(
+    state: DataFrame, _lim: int = PPM2_LIMIT
+) -> DataFrame:
+    """The q_return_rate_by_brand readout from the per-brand DECIMAL
+    state alone — rounds to cents once, then the shared close."""
+    cells = state.groupBy("p_brand").agg(
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("n_returned").alias("n_returned"),
+        F.round(F.sum("rev_sum") * 100, 0).cast("long").alias("cents"),
+        F.round(F.sum("ret_rev_sum") * 100, 0).cast("long")
+        .alias("ret_cents"),
+    )
+    return _return_rate_close(cells, _lim)
 
 
 def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:

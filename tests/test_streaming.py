@@ -1506,3 +1506,58 @@ def test_streaming_freshness_audit_equals_batch(spark, tmp_path):
     want = sorted(tuple(sorted(r.asDict().items())) for r in
                   q_freshness_audit(spark, SF_SMALL).collect())
     assert got == want and got
+
+
+def test_streaming_return_rate_equals_batch(spark, tmp_path):
+    """Streaming twin #15: the per-brand return-rate table reads out
+    of a DECIMAL sum-monoid state — lineitem replayed file-by-file
+    (stream-static part join per micro-batch), partials folded via
+    merge_agg_states keyed by p_brand.  The cents rounding lives in
+    the READOUT, so the merged state rounds identically to the
+    one-shot batch query — pinned row-for-row (the batch query keeps
+    its original single-agg plan; value identity holds because both
+    paths round the same full DECIMAL sum exactly once)."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        q_return_rate_by_brand,
+        return_rate_from_state,
+        return_state,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = str(tmp_path / "li_ret_src")
+    spark.read.parquet(SF_SMALL + "/lineitem.parquet").repartition(4) \
+        .write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    part = spark.read.parquet(SF_SMALL + "/part.parquet")
+    state_dir = str(tmp_path / "ret_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = return_state(batch_df, part)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["p_brand"])
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    state = spark.read.parquet(state_dir)
+    got = sorted(tuple(sorted(r.asDict().items())) for r in
+                 return_rate_from_state(state).collect())
+    want = sorted(tuple(sorted(r.asDict().items())) for r in
+                  q_return_rate_by_brand(spark, SF_SMALL).collect())
+    assert got == want and got

@@ -90,6 +90,10 @@ TIER_A = [
     "session_length_histogram", "degree_assortativity",
     "credit_exposure", "tax_effective_rate", "line_number_integrity",
     "order_total_reconciliation",
+    # r13 late additions: abc's descending-prefix ppm and the brand
+    # argmax share both floor over the refund-mirrored whale lineitem;
+    # freshness's watermark math meets the whale day + planted ts tie
+    "abc_classification", "single_source_risk", "freshness_audit",
 ]
 
 # documents-side audits exercised on the UNDOCTORED documents table the
