@@ -2007,6 +2007,7 @@ def q_abc_classification(
             "p_partkey",
             F.coalesce(F.col("rev"), F.lit(0)).alias("rev_cents"),
         )
+        .localCheckpoint(eager=False)  # read twice: histogram + total
     )
     # distinct-value histogram: the prefix rides O(distinct revenues)
     hist = parts.groupBy("rev_cents").agg(
