@@ -1373,6 +1373,49 @@ def q_supply_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "l_suppkey")
         .agg(F.round(F.sum("rev") * 100, 0).cast("long").alias("c"))
     )
+    return _supply_close(per_supp)
+
+
+def supply_state(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-(brand, supplier) DECIMAL revenue sums — a pure SUM-monoid,
+    so the HHI table maintains incrementally via
+    relational.merge_agg_states keyed by (p_brand, l_suppkey)
+    (streaming twin #16; replay==batch pinned in
+    tests/test_streaming.py).  Cents rounding is per CELL and lives in
+    the readout, so merged state rounds identically to a one-shot
+    pass; the HHI's quadratic Σc² is a function of the rounded cells,
+    making this the family's first non-linear readout over monoid
+    state.  The batch query keeps its fingerprinted plan (same
+    share-the-close construction as return_state, twin #15)."""
+    li = lineitem.select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(20,6)").alias("rev"),
+    ).filter(F.col("l_suppkey").isNotNull())
+    pt = part.select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum("rev").alias("rev_sum"))
+    )
+
+
+def supply_concentration_from_state(state: DataFrame) -> DataFrame:
+    """The q_supply_concentration readout from the per-(brand,
+    supplier) DECIMAL state alone — rounds each cell to cents once,
+    then the shared rollup close."""
+    per_supp = state.groupBy("p_brand", "l_suppkey").agg(
+        F.round(F.sum("rev_sum") * 100, 0).cast("long").alias("c")
+    )
+    return _supply_close(per_supp)
+
+
+def _supply_close(per_supp: DataFrame) -> DataFrame:
+    """Shared brand rollup + guard + ppm/HHI close over the
+    per-(brand, supplier) cents cells — ONE home so the batch query
+    and the state readout emit identical expressions (the factoring is
+    plan-preserving for the batch path: same Column tree, same
+    order)."""
     brands = per_supp.groupBy("p_brand").agg(
         F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
         F.sum("c").cast("long").alias("total_cents"),

@@ -1561,3 +1561,60 @@ def test_streaming_return_rate_equals_batch(spark, tmp_path):
     want = sorted(tuple(sorted(r.asDict().items())) for r in
                   q_return_rate_by_brand(spark, SF_SMALL).collect())
     assert got == want and got
+
+
+def test_streaming_supply_concentration_equals_batch(spark, tmp_path):
+    """Streaming twin #16: the per-brand supplier HHI reads out of the
+    per-(brand, supplier) DECIMAL sum-monoid — lineitem replayed
+    file-by-file (stream-static part join per micro-batch), partials
+    folded via merge_agg_states keyed by (p_brand, l_suppkey).  Cents
+    round per CELL in the readout, so merged state rounds identically
+    to the one-shot query; the HHI's quadratic sum-of-squares and the
+    max_by top-supplier argmax are plain functions of the rounded
+    cells — the family's first NON-LINEAR readout over monoid state
+    (every prior twin's readout was a histogram/ratio of the sums
+    themselves).  Pinned row-for-row against the batch query."""
+    import os
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        q_supply_concentration,
+        supply_concentration_from_state,
+        supply_state,
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.relational import (
+        merge_agg_states,
+    )
+
+    src = str(tmp_path / "li_hhi_src")
+    spark.read.parquet(SF_SMALL + "/lineitem.parquet").repartition(4) \
+        .write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    part = spark.read.parquet(SF_SMALL + "/part.parquet")
+    state_dir = str(tmp_path / "hhi_state")
+
+    def merge_batch(batch_df, batch_id):
+        fresh = supply_state(batch_df, part)
+        if os.path.exists(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_agg_states(prev, fresh, ["p_brand", "l_suppkey"])
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        out_df = batch_df.sparkSession.read.parquet(tmp_out)
+        out_df.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    state = spark.read.parquet(state_dir)
+    got = sorted(tuple(sorted(r.asDict().items())) for r in
+                 supply_concentration_from_state(state).collect())
+    want = sorted(tuple(sorted(r.asDict().items())) for r in
+                  q_supply_concentration(spark, SF_SMALL).collect())
+    assert got == want and got
