@@ -280,3 +280,76 @@ def test_pq_ops_empty(spark):
     adc = S.pq_adc_topk(emb)
     assert adc.count() == 0
     assert adc.columns == ["query_id", "vec_id", "adc_d2", "adc_rank"]
+
+
+def test_freshness_empty(spark):
+    """An empty event stream yields an empty freshness table (the
+    watermark max over empty state is NULL; no rows reach the ppm)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
+        freshness_from_state,
+        freshness_state,
+    )
+
+    out = freshness_from_state(freshness_state(_empty_events(spark)))
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "event_type", "last_ts", "staleness_s", "n_events",
+        "event_share_ppm",
+    }
+
+
+def test_supply_state_empty(spark):
+    """Empty lineitem -> empty per-(brand, supplier) state -> empty
+    HHI table with the full output schema."""
+    from pyspark.sql import types as T2
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        supply_concentration_from_state,
+        supply_state,
+    )
+
+    li = spark.createDataFrame(
+        [], T2.StructType([
+            T2.StructField("l_partkey", T2.LongType()),
+            T2.StructField("l_suppkey", T2.LongType()),
+            T2.StructField("l_extendedprice", T2.DoubleType()),
+            T2.StructField("l_discount", T2.DoubleType()),
+        ])
+    )
+    pt = spark.createDataFrame(
+        [(1, "B1")], "p_partkey long, p_brand string"
+    )
+    out = supply_concentration_from_state(supply_state(li, pt))
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "p_brand", "n_suppliers", "total_cents", "top_suppkey",
+        "top_cents", "top_share_ppm", "hhi_ppm",
+    }
+
+
+def test_return_state_empty(spark):
+    """Empty lineitem -> empty return-rate table, schema intact."""
+    from pyspark.sql import types as T2
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.market import (
+        return_rate_from_state,
+        return_state,
+    )
+
+    li = spark.createDataFrame(
+        [], T2.StructType([
+            T2.StructField("l_partkey", T2.LongType()),
+            T2.StructField("l_returnflag", T2.StringType()),
+            T2.StructField("l_extendedprice", T2.DoubleType()),
+            T2.StructField("l_discount", T2.DoubleType()),
+        ])
+    )
+    pt = spark.createDataFrame(
+        [(1, "B1")], "p_partkey long, p_brand string"
+    )
+    out = return_rate_from_state(return_state(li, pt))
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "p_brand", "n_lines", "n_returned", "cents", "ret_cents",
+        "line_return_ppm", "revenue_return_ppm",
+    }
