@@ -172,6 +172,48 @@ def q_enrich_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_enrich_dedup_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-cost dedup gateway over documents (operators/enrich.py
+    enrich_deduped): each DISTINCT payload is enriched once through
+    the full mapInPandas plumbing and the triple joins back to every
+    carrying row — the reference pays per ROW at <=5 rows/s
+    (Main.py:177-189, no memoization), so on a corpus with duplicate
+    articles the gateway is a direct API-cost win.  Readout per
+    source: row count, distinct payloads (the LLM bill), and the
+    sentiment distribution the joined-back triples produce — equality
+    with the per-row oracle proves the fan-out join loses nothing.
+    Payload here is the bare text (empty title), so the dedup unit is
+    the article body — the same unit the dedup family measures."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source",
+        F.lit("").alias("title"),
+        F.col("text").alias("content"),
+    )
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.enrich import (
+        enrich_deduped,
+    )
+
+    out = enrich_deduped(
+        docs,
+        rate_delay=0.0,
+        run_timestamp=_ENRICH_TS,
+        transport=_make_deterministic_transport(),
+        disabled=False,
+    )
+    return out.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("content").cast("long").alias("n_unique_texts"),
+        F.sum(F.when(F.col("sentiment_llm") == "Positive", 1).otherwise(0))
+        .cast("long").alias("n_positive"),
+        F.sum(F.when(F.col("sentiment_llm") == "Negative", 1).otherwise(0))
+        .cast("long").alias("n_negative"),
+        F.sum(F.when(F.col("sentiment_llm") == "Neutral", 1).otherwise(0))
+        .cast("long").alias("n_neutral"),
+    )
+
+
 def q_sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ROADMAP dashboard query (README.md:81: 'sentiment
     trends, category distributions') composed from the engine's own
@@ -250,6 +292,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abc_classification": market.q_abc_classification,
         "single_source_risk": market.q_single_source_risk,
         "freshness_audit": analytics.q_freshness_audit,
+        "enrich_dedup_gateway": q_enrich_dedup_gateway,
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,
@@ -4771,6 +4814,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(((n_events * 1000) // nt) * 1000 + "
             "(((n_events * 1000) % nt) * 1000) // nt AS BIGINT) "
             "AS event_share_ppm FROM s CROSS JOIN w"
+        ),
+        "enrich_dedup_gateway": (
+            # the deterministic transport's sentiment is a pure
+            # function of prompt length; with an EMPTY title the
+            # prompt is the 437-char scaffold + the text itself
+            "WITH e AS (SELECT source, text, "
+            "(437 + length(text)) % 3 AS m FROM documents) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts, "
+            "CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_positive, "
+            "CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_negative, "
+            "CAST(SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_neutral FROM e GROUP BY 1"
         ),
         "order_total_reconciliation": (
             "WITH lc AS (SELECT l_orderkey, CAST(round(SUM("

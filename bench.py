@@ -308,6 +308,7 @@ HEADLINE = [
     "abc_classification",
     "single_source_risk",
     "freshness_audit",
+    "enrich_dedup_gateway",
 ]
 
 

@@ -212,3 +212,81 @@ def enrich_to_parquet(
     except Exception as exc:
         print(f"Error in enrich stage: {exc}")
         return None
+
+
+def dedup_payloads(df: DataFrame) -> DataFrame:
+    """Distinct (title, content) payloads keyed by a SHA-256 digest —
+    the unit of LLM work for the dedup gateway.  A shuffle keyed on
+    the digest (not the full text), so at 100 TB only the digest and
+    one representative payload per key ride the exchange; title and
+    content are functions of the digest (collision-free by standard
+    SHA-256 assumption), so first() per key is deterministic."""
+    return (
+        df.select(
+            F.sha2(
+                F.concat_ws(
+                    "\x01",
+                    F.coalesce(F.col("title"), F.lit("")),
+                    F.coalesce(F.col("content"), F.lit("")),
+                ), 256,
+            ).alias("_payload_digest"),
+            "title", "content",
+        )
+        .groupBy("_payload_digest")
+        .agg(F.first("title").alias("title"), F.first("content").alias("content"))
+    )
+
+
+def enrich_deduped(
+    df: DataFrame,
+    rate_delay: float = 0.2,
+    run_timestamp: datetime | None = None,
+    parallelism: int | None = None,
+    transport: Transport | None = None,
+    disabled: bool | None = None,
+) -> DataFrame:
+    """LLM-cost dedup gateway: enrich each DISTINCT (title, content)
+    payload exactly once and join the triple back to every carrying
+    row — output row-for-row equal to ``enrich(df)`` whenever the
+    transport is a pure function of the prompt (pinned by test), at
+    one LLM call per unique payload instead of one per row.
+
+    The reference pays per ROW (Main.py:177-189 iterates the frame at
+    <=5 rows/s with no memoization); on a corpus with duplicate
+    articles — exactly what the dedup family measures — the gateway is
+    a direct API-cost and wall-clock win, and the rate limiter's
+    global budget now meters UNIQUE work.
+
+    Plan: one digest-keyed distinct (shuffle carries digest + one
+    payload per key), mapInPandas enrichment over the small distinct
+    side, one digest equi-join back (AQE broadcasts the enriched side
+    when distinct count is small — the common case that makes the
+    gateway worth it).  At 100 TB the alternative full-row enrichment
+    is not a join problem at all but a budget one: calls scale with
+    DISTINCT payloads, not rows."""
+    keyed = df.withColumn(
+        "_payload_digest",
+        F.sha2(
+            F.concat_ws(
+                "\x01",
+                F.coalesce(F.col("title"), F.lit("")),
+                F.coalesce(F.col("content"), F.lit("")),
+            ), 256,
+        ),
+    )
+    uniq = dedup_payloads(df)
+    enriched = enrich(
+        uniq,
+        rate_delay=rate_delay,
+        run_timestamp=run_timestamp,
+        parallelism=parallelism,
+        transport=transport,
+        disabled=disabled,
+    ).select(
+        "_payload_digest", "sentiment_llm", "category_llm",
+        "market_impact_summary", "etl_processing_time",
+    )
+    return keyed.join(enriched, "_payload_digest").select(
+        *df.columns, "sentiment_llm", "category_llm",
+        "market_impact_summary", "etl_processing_time",
+    )

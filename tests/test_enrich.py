@@ -120,3 +120,56 @@ def test_enrich_to_parquet_roundtrip(spark, news_jsonl, tmp_path, monkeypatch):
     back = spark.read.parquet(out)
     assert back.count() == 3  # exact-N sample honored
     assert set(CLEAN_COLUMNS + ENRICHED_EXTRA_COLUMNS) == set(back.columns)
+
+
+def _make_pure_transport():
+    # nested closure: cloudpickle ships it BY VALUE, so Python workers
+    # never need to import this test module
+    def transport(prompt: str) -> str:
+        import json as _json
+
+        return _json.dumps(
+            {"sentiment": ["Positive", "Negative", "Neutral"][len(prompt) % 3],
+             "category": "TECH", "summary": f"len {len(prompt)}"}
+        )
+
+    return transport
+
+
+def test_enrich_deduped_equals_enrich(spark):
+    """The dedup gateway is output-identical to plain row-at-a-time
+    enrichment under any pure-function transport, while enriching only
+    DISTINCT payloads (dedup_payloads count pinned: 4 rows -> 2
+    payloads -> 2 LLM units of work)."""
+    rows = [
+        (1, "t1", "same body"),
+        (2, "t1", "same body"),      # exact duplicate payload
+        (3, "t1", "same body"),      # triplicate
+        (4, "t2", "other body"),
+    ]
+    df = spark.createDataFrame(rows, "id long, title string, content string")
+    assert E.dedup_payloads(df).count() == 2
+    ts = datetime(2024, 1, 1)
+    kw = dict(rate_delay=0.0, run_timestamp=ts,
+              transport=_make_pure_transport(), disabled=False)
+    got = sorted(tuple(sorted(r.asDict().items())) for r in
+                 E.enrich_deduped(df, **kw).collect())
+    want = sorted(tuple(sorted(r.asDict().items())) for r in
+                  E.enrich(df, **kw).collect())
+    assert got == want and len(got) == 4
+    # duplicates carry IDENTICAL triples (one call's answer, fanned out)
+    by_id = {dict(t)["id"]: dict(t) for t in got}
+    assert by_id[1]["market_impact_summary"] == by_id[3]["market_impact_summary"]
+
+
+def test_enrich_deduped_null_payloads(spark):
+    """NULL title/content coalesce into the digest key instead of
+    vanishing: two all-NULL payload rows share one enrichment."""
+    rows = [(1, None, None), (2, None, None), (3, "t", "c")]
+    df = spark.createDataFrame(rows, "id long, title string, content string")
+    assert E.dedup_payloads(df).count() == 2
+    out = E.enrich_deduped(
+        df, rate_delay=0.0, run_timestamp=datetime(2024, 1, 1),
+        transport=_make_pure_transport(), disabled=False,
+    )
+    assert out.count() == 3
