@@ -290,3 +290,77 @@ def enrich_deduped(
         *df.columns, "sentiment_llm", "category_llm",
         "market_impact_summary", "etl_processing_time",
     )
+
+
+def enrich_with_cache(
+    df: DataFrame,
+    cache: DataFrame | None,
+    rate_delay: float = 0.2,
+    run_timestamp: datetime | None = None,
+    parallelism: int | None = None,
+    transport: Transport | None = None,
+    disabled: bool | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-RUN enrichment memoization: payloads whose digest already
+    sits in ``cache`` (digest -> triple, from prior runs) are answered
+    from the cache with ZERO transport calls; only cache misses reach
+    the LLM.  Returns ``(enriched_df, new_cache)`` where new_cache =
+    cache ∪ freshly-enriched triples — write it back after the run and
+    the next ingest pays only for never-seen content.
+
+    Completes the memoization story the dedup gateway starts: the
+    gateway collapses duplicates WITHIN a run, the cache collapses
+    them ACROSS runs (a daily news ingest re-sees most of yesterday's
+    wire copy; the reference re-pays per row per run, Main.py:177-189).
+    The zero-calls-on-full-hit contract is pinned by test with a
+    poisoned transport that raises on ANY invocation.
+
+    ``etl_processing_time`` is THIS run's stamp on every output row
+    (cache hits included) — the column records when the row was
+    processed, not when its triple was first computed.
+
+    Plan: digest-keyed distinct, broadcast-or-keyed anti-join against
+    the cache to isolate misses, mapInPandas over misses only, union
+    of hit + fresh triples, one digest equi-join back.  At 100 TB the
+    cache table is itself partitioned by digest — every join here is
+    digest-keyed, so co-partitioning holds end-to-end."""
+    triple_cols = ["sentiment_llm", "category_llm", "market_impact_summary"]
+    spark = df.sparkSession
+    if cache is None:
+        cache = spark.createDataFrame(
+            [], "_payload_digest string, sentiment_llm string, "
+            "category_llm string, market_impact_summary string"
+        )
+    cache = cache.select("_payload_digest", *triple_cols)
+    keyed = df.withColumn(
+        "_payload_digest",
+        F.sha2(
+            F.concat_ws(
+                "\x01",
+                F.coalesce(F.col("title"), F.lit("")),
+                F.coalesce(F.col("content"), F.lit("")),
+            ), 256,
+        ),
+    )
+    uniq = dedup_payloads(df).localCheckpoint(eager=False)  # hits + misses
+    hits = uniq.select("_payload_digest").join(cache, "_payload_digest")
+    misses = uniq.join(
+        cache.select("_payload_digest"), "_payload_digest", "left_anti"
+    )
+    fresh = enrich(
+        misses,
+        rate_delay=rate_delay,
+        run_timestamp=run_timestamp,
+        parallelism=parallelism,
+        transport=transport,
+        disabled=disabled,
+    ).select("_payload_digest", *triple_cols)
+    triples = hits.unionByName(fresh).localCheckpoint(eager=False)
+    run_ts = run_timestamp or datetime.now()
+    out = (
+        keyed.join(triples, "_payload_digest")
+        .select(*df.columns, *triple_cols)
+        .withColumn("etl_processing_time", F.lit(run_ts))
+    )
+    new_cache = cache.unionByName(triples).dropDuplicates(["_payload_digest"])
+    return out, new_cache

@@ -173,3 +173,78 @@ def test_enrich_deduped_null_payloads(spark):
         transport=_make_pure_transport(), disabled=False,
     )
     assert out.count() == 3
+
+
+def _make_poison_transport():
+    # proves zero LLM calls: ANY invocation raises in the worker and
+    # the sentinel machinery would surface ERROR_API rows
+    def transport(prompt: str) -> str:
+        raise AssertionError("transport invoked on a cache hit")
+
+    return transport
+
+
+def test_enrich_with_cache_zero_calls_on_full_hit(spark):
+    """Cross-run memoization contract: run 1 fills the cache; run 2
+    over the same corpus runs with a POISONED transport (raises on any
+    call) and still produces correct triples — proof that cache hits
+    never reach the LLM.  The run-2 timestamp stamps every row."""
+    rows = [(1, "t", "b1"), (2, "t", "b1"), (3, "t", "b2")]
+    df = spark.createDataFrame(rows, "id long, title string, content string")
+    ts1, ts2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    out1, cache1 = E.enrich_with_cache(
+        df, None, rate_delay=0.0, run_timestamp=ts1,
+        transport=_make_pure_transport(), disabled=False,
+    )
+    r1 = {r["id"]: r for r in out1.collect()}
+    cache1 = spark.createDataFrame(cache1.collect(), cache1.schema)  # persist
+    assert cache1.count() == 2  # unique payloads only
+    out2, cache2 = E.enrich_with_cache(
+        df, cache1, rate_delay=0.0, run_timestamp=ts2,
+        transport=_make_poison_transport(), disabled=False,
+    )
+    r2 = {r["id"]: r for r in out2.collect()}  # would raise if any call
+    assert len(r2) == 3
+    for i in (1, 2, 3):
+        assert r2[i]["sentiment_llm"] == r1[i]["sentiment_llm"]
+        assert r2[i]["market_impact_summary"] == r1[i]["market_impact_summary"]
+        assert r2[i]["etl_processing_time"] == ts2
+    assert cache2.count() == 2  # nothing new
+
+
+def test_enrich_with_cache_pays_only_for_new_content(spark):
+    """An incremental ingest with one never-seen payload enriches
+    exactly that payload: the transport accepts only the new body and
+    raises on anything else."""
+    df1 = spark.createDataFrame(
+        [(1, "t", "old body")], "id long, title string, content string"
+    )
+    _, cache = E.enrich_with_cache(
+        df1, None, rate_delay=0.0, run_timestamp=datetime(2024, 1, 1),
+        transport=_make_pure_transport(), disabled=False,
+    )
+    cache = df1.sparkSession.createDataFrame(cache.collect(), cache.schema)
+
+    def _make_picky():
+        def transport(prompt: str) -> str:
+            import json as _json
+
+            assert prompt.endswith("new body"), "cached payload re-enriched"
+            return _json.dumps(
+                {"sentiment": "Positive", "category": "TECH", "summary": "new"}
+            )
+
+        return transport
+
+    df2 = spark.createDataFrame(
+        [(1, "t", "old body"), (2, "t", "new body")],
+        "id long, title string, content string",
+    )
+    out2, cache2 = E.enrich_with_cache(
+        df2, cache, rate_delay=0.0, run_timestamp=datetime(2024, 1, 2),
+        transport=_make_picky(), disabled=False,
+    )
+    got = {r["id"]: r for r in out2.collect()}
+    assert got[2]["market_impact_summary"] == "new"
+    assert got[1]["sentiment_llm"] is not None
+    assert cache2.count() == 2
