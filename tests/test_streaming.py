@@ -1618,3 +1618,84 @@ def test_streaming_supply_concentration_equals_batch(spark, tmp_path):
     want = sorted(tuple(sorted(r.asDict().items())) for r in
                   q_supply_concentration(spark, SF_SMALL).collect())
     assert got == want and got
+
+
+def test_streaming_enrichment_cache_equals_batch(spark, tmp_path):
+    """Streaming enrichment with cross-batch LLM-spend memoization:
+    documents replayed file-by-file, each micro-batch enriched through
+    enrich_with_cache against a parquet cache table that persists
+    between batches — a payload seen in an earlier batch never reaches
+    the transport again (the batch-mode poisoned-transport pin covers
+    the zero-call contract; here the REPLAY pin covers state
+    persistence).  After the replay: the accumulated output equals the
+    one-shot batch enrichment row-for-row, and the cache holds exactly
+    the corpus's distinct payloads."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators import enrich as E
+
+    def make_transport():
+        def transport(prompt: str) -> str:
+            import json as _json
+
+            return _json.dumps(
+                {"sentiment": ["Positive", "Negative", "Neutral"][len(prompt) % 3],
+                 "category": "TECH", "summary": f"len {len(prompt)}"}
+            )
+
+        return transport
+
+    from datetime import datetime as _dt
+
+    ts = _dt(2024, 1, 1)
+    docs = (
+        spark.read.parquet(SF_SMALL + "/documents.parquet")
+        .select(
+            "doc_id",
+            F.lit("").alias("title"),
+            F.col("text").alias("content"),
+        )
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    cache_dir = str(tmp_path / "enr_cache")
+    out_dir = str(tmp_path / "enr_out")
+
+    def enrich_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        prev = s.read.parquet(cache_dir) if os.path.exists(cache_dir) else None
+        out, new_cache = E.enrich_with_cache(
+            batch_df, prev, rate_delay=0.0, run_timestamp=ts,
+            transport=make_transport(), disabled=False,
+        )
+        out.write.mode("append").parquet(out_dir)
+        tmp_out = cache_dir + ".next"
+        new_cache.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        s.read.parquet(tmp_out).coalesce(1) \
+            .write.mode("overwrite").parquet(cache_dir)
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(enrich_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    got = sorted(
+        tuple(sorted(r.asDict().items()))
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        tuple(sorted(r.asDict().items()))
+        for r in E.enrich(
+            docs, rate_delay=0.0, run_timestamp=ts,
+            transport=make_transport(), disabled=False,
+        ).collect()
+    )
+    assert got == want and got
+    n_unique = docs.select("content").distinct().count()
+    assert spark.read.parquet(cache_dir).count() == n_unique
