@@ -293,6 +293,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_source_risk": market.q_single_source_risk,
         "freshness_audit": analytics.q_freshness_audit,
         "enrich_dedup_gateway": q_enrich_dedup_gateway,
+        # NEW-IN-ROUND-13 (continuation): cross-lingual margin mining
+        "bitext_margin_mining": similarity.q_bitext_margin_mining,
         "division_semantics_law": analytics.q_division_semantics_law,
         "ab_arm_assign_law": analytics.q_ab_arm_assign_law,
         "poisson_weight_law": analytics.q_poisson_weight_law,
@@ -4829,6 +4831,40 @@ def oracle_sql() -> dict[str, str]:
             "AS n_negative, "
             "CAST(SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_neutral FROM e GROUP BY 1"
+        ),
+        "bitext_margin_mining": (
+            # difference-margin mining over the shared int8
+            # quantization: margin2k = sx + sy - 2k*d2, all int64
+            f"WITH e AS (SELECT vec_id, {_QV} AS qv FROM embeddings), "
+            "t AS (SELECT vec_id, lang, qv FROM e JOIN documents "
+            "ON vec_id = doc_id), "
+            "p0 AS (SELECT x.vec_id AS x_id, y.vec_id AS y_id, "
+            "y.lang AS y_lang, x.qv AS xq, y.qv AS yq FROM t x, t y "
+            "WHERE x.lang = 'en' AND y.lang <> 'en'), "
+            "p AS (SELECT x_id, y_id, y_lang, "
+            "CAST(SUM((CAST(a AS BIGINT) - b) * (CAST(a AS BIGINT) - b)) "
+            "AS BIGINT) AS d2 FROM (SELECT x_id, y_id, y_lang, "
+            "unnest(xq) AS a, unnest(yq) AS b FROM p0) GROUP BY 1, 2, 3), "
+            "sx AS (SELECT x_id, CAST(SUM(d2) AS BIGINT) AS sx FROM "
+            "(SELECT x_id, d2, row_number() OVER (PARTITION BY x_id "
+            "ORDER BY d2, y_id) AS rn FROM p) WHERE rn <= 4 "
+            "GROUP BY 1 HAVING COUNT(*) = 4), "
+            "sy AS (SELECT y_id, CAST(SUM(d2) AS BIGINT) AS sy FROM "
+            "(SELECT y_id, d2, row_number() OVER (PARTITION BY y_id "
+            "ORDER BY d2, x_id) AS rn FROM p) WHERE rn <= 4 "
+            "GROUP BY 1 HAVING COUNT(*) = 4), "
+            "sc AS (SELECT p.x_id, p.y_id, p.y_lang, p.d2, "
+            "sx.sx + sy.sy - 8 * p.d2 AS margin2k FROM p "
+            "JOIN sx USING (x_id) JOIN sy USING (y_id)), "
+            "best AS (SELECT *, row_number() OVER (PARTITION BY x_id "
+            "ORDER BY margin2k DESC, y_id) AS rn FROM sc), "
+            "top AS (SELECT x_id, y_id, y_lang, d2, margin2k FROM best "
+            "WHERE rn = 1 ORDER BY margin2k DESC, x_id LIMIT 20) "
+            "SELECT CAST(row_number() OVER (ORDER BY margin2k DESC, "
+            "x_id) AS BIGINT) AS pair_rank, CAST(x_id AS BIGINT) AS "
+            "x_id, CAST(y_id AS BIGINT) AS y_id, y_lang, "
+            "CAST(d2 AS BIGINT) AS d2, CAST(margin2k AS BIGINT) AS "
+            "margin2k FROM top"
         ),
         "order_total_reconciliation": (
             "WITH lc AS (SELECT l_orderkey, CAST(round(SUM("

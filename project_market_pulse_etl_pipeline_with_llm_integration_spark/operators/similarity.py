@@ -2240,3 +2240,118 @@ def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ppm2("n_agree", "n_vectors")).cast("long")
         .alias("agreement_ppm"),
     )
+
+
+def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining", DIFFERENCE-margin variant)
+    between the English documents and every non-English document, over
+    the shared int8 embedding quantization: a pair (x, y) is a mining
+    hit not when it is merely CLOSE but when it is closer than each
+    side's typical neighborhood — the margin correction that killed
+    the hubness false positives raw cosine mining suffers from.
+
+    Exact-integer contract: with k = 4, for each en vector x let sx =
+    sum of its k smallest squared-L2 distances into the non-en side
+    (ties broken by counterpart id), sy likewise for each non-en y
+    into the en side; the difference margin scaled by 2k is
+
+        margin2k(x, y) = sx + sy - 2k * d2(x, y)
+
+    — every term an int64 (max d2 = 64 * 254^2 ~ 4.1e6, so |margin2k|
+    <= 3.3e7, far inside the long domain), so the hashed surface
+    (pair_rank, ids, d2, margin2k) is engine-exact.  Sides with fewer
+    than k counterparts are excluded (never happens on the real
+    corpus; keeps tiny hand cases well-defined).
+
+    Plan: ONE skinny n_en x n_other pair relation (x_id, y_id, y_lang,
+    d2) — the cross join AQE broadcasts, probe side spread for
+    parallel scoring (the knn_label_agreement recipe) — lazily
+    checkpointed because THREE consumers reuse it: the per-x top-k
+    sum, the per-y top-k sum, and the final scoring join.  Both top-k
+    sums are one window + one agg; the joins back are
+    broadcast-sized (|X| and |Y| single rows per key).  At 100 TB the
+    pair generator swaps for the LSH/IVF candidate path
+    (semantic_decontaminate_lsh) with sx/sy from the candidate set —
+    margin algebra unchanged.  Reference anchor: Main.py has no
+    cross-lingual surface at all; this is part of the mandated
+    training-data-pipeline extension (SURVEY.md §6)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    K = 4
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("qv")
+    )
+    tagged = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "vec_id", "lang", "qv"
+    )
+    par = spark.sparkContext.defaultParallelism
+    x = spread_if_narrow(tagged.filter(F.col("lang") == "en"), par).select(
+        F.col("vec_id").alias("x_id"), F.col("qv").alias("x_qv")
+    )
+    y = tagged.filter(F.col("lang") != "en").select(
+        F.col("vec_id").alias("y_id"), F.col("lang").alias("y_lang"),
+        F.col("qv").alias("y_qv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "x_qv", "y_qv", lambda a, b: (a - b).cast("long") * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+    pairs = (
+        x.crossJoin(y)
+        .select("x_id", "y_id", "y_lang", d2.alias("d2"))
+        .localCheckpoint(eager=False)
+    )
+    wx = W.partitionBy("x_id").orderBy("d2", "y_id")
+    sx = (
+        pairs.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= K)
+        .groupBy("x_id")
+        .agg(F.sum("d2").alias("sx"), F.count("*").alias("cx"))
+        .filter(F.col("cx") == K)
+        .drop("cx")
+    )
+    wy = W.partitionBy("y_id").orderBy("d2", "x_id")
+    sy = (
+        pairs.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= K)
+        .groupBy("y_id")
+        .agg(F.sum("d2").alias("sy"), F.count("*").alias("cy"))
+        .filter(F.col("cy") == K)
+        .drop("cy")
+    )
+    scored = (
+        pairs.join(sx, "x_id")
+        .join(sy, "y_id")
+        .select(
+            "x_id", "y_id", "y_lang", "d2",
+            (F.col("sx") + F.col("sy") - F.lit(2 * K) * F.col("d2"))
+            .alias("margin2k"),
+        )
+    )
+    wbest = W.partitionBy("x_id").orderBy(
+        F.col("margin2k").desc(), "y_id"
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    top = best.orderBy(F.col("margin2k").desc(), "x_id").limit(20)
+    wr = W.orderBy(F.col("margin2k").desc(), "x_id")
+    return top.select(
+        F.row_number().over(wr).cast("long").alias("pair_rank"),
+        F.col("x_id").cast("long").alias("x_id"),
+        F.col("y_id").cast("long").alias("y_id"),
+        "y_lang",
+        F.col("d2").cast("long").alias("d2"),
+        F.col("margin2k").cast("long").alias("margin2k"),
+    )

@@ -1484,7 +1484,8 @@ def _bpe_rewrite(paired: DataFrame, winner: DataFrame) -> DataFrame:
 
 
 def bpe_apply_merges(
-    state: DataFrame, merges: DataFrame, n_merges: int = 3
+    state: DataFrame, merges: DataFrame, n_merges: int = 3,
+    strategy: str = "auto",
 ) -> DataFrame:
     """BPE ENCODING: apply a FIXED, ordered merge table (the artifact
     ``bpe_train_merges`` ships — columns merge_round, left_sym,
@@ -1495,28 +1496,69 @@ def bpe_apply_merges(
     the rules apply wherever their pair occurs, the real encode
     semantics.
 
-    Plan shape per round: the rule is a broadcast 1-row relation
-    (filter merge_round = r on the checkpointed merge table — never a
-    driver collect), then the shared gaps-and-islands rewrite: one
-    word-keyed window pass.  State stays |word types| x symbols;
-    ``localCheckpoint`` (lazy) pins each round, the bpe_train_merges /
-    pagerank fixed-loop discipline."""
+    Two physical strategies, pinned output-identical by test (the
+    dedup_jaccard auto precedent):
+
+    - ``"fold"`` (what ``"auto"`` picks): each word's symbols are
+      assembled into ONE array (a single word-keyed hash agg — the
+      only shuffle), then every rule is applied as a codegen'd
+      ``aggregate`` left-fold over that array: merge the incoming
+      symbol into the accumulator's tail when (tail, incoming) equals
+      the rule, else append.  A left-fold IS left-to-right greedy BPE
+      — after a merge the tail becomes the merged symbol, which can
+      only re-match as the rule's LEFT side if ``a + b == a``
+      (impossible, b nonempty), so overlapping pairs are skipped and
+      equal-symbol runs merge at even offsets exactly like the
+      relational rewrite.  No windows, no per-round shuffles: at a
+      100M-type vocabulary this is one exchange + scan-speed array
+      folds, vs n_merges rounds x four window sorts.
+    - ``"relational"``: the original per-round rewrite — the rule is
+      a broadcast 1-row relation (filter merge_round = r on the
+      checkpointed merge table), then the shared gaps-and-islands
+      window rewrite.  Kept as the cross-check reference; shares
+      ``_bpe_rewrite`` with the trainer, whose per-round argmax
+      genuinely needs the relational pair state.
+
+    Laziness: the rule table is collected driver-side up front —
+    O(n_merges) rows, the dedup.py 1-row-guard class — both to
+    validate it (a GAP round would silently annihilate every row in
+    the relational path; a duplicated round would duplicate them; a
+    SHORT table, rounds exactly 1..k < n_merges, is legitimate early
+    exhaustion) and to drive the fold rules.  This collect was always
+    here; ``strategy`` does not change the eagerness contract."""
     merges = merges.localCheckpoint(eager=False)  # rules re-read per round
-    # Validate the rule table BEFORE the rewrite loop: a GAP round
-    # would crossJoin the state against an EMPTY 1-row relation and
-    # silently annihilate every row; a duplicated round would duplicate
-    # them.  A SHORT table (rounds exactly 1..k, k < n_merges) is
-    # legitimate — training stops early when no pair is left to merge
-    # (every word already one symbol), and encoding then applies the k
-    # rules that exist.  O(n_merges) driver state — the dedup.py
-    # 1-row-guard class.
-    rounds = sorted(r.merge_round for r in
-                    merges.select("merge_round").collect())
+    rules = sorted(
+        (r.merge_round, r.left_sym, r.right_sym)
+        for r in merges.select(
+            "merge_round", "left_sym", "right_sym"
+        ).collect()
+    )
+    rounds = [r[0] for r in rules]
     if rounds != list(range(1, len(rounds) + 1)) or len(rounds) > n_merges:
         raise ValueError(
             f"merge table must carry exactly one rule per round 1..k "
             f"(k <= {n_merges}, short only by training exhaustion); "
             f"got rounds {rounds}"
+        )
+    if strategy not in ("auto", "fold", "relational"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "relational":
+        # groupBy word ALONE (freq recovered via first(): it is
+        # functionally dependent on the word type) so the output stays
+        # hash-partitioned on word — q_bpe_encode's n_syms regroup and
+        # the roundtrip law's decode regroup reuse this exchange.
+        arr = state.groupBy("word").agg(
+            F.first("freq").alias("freq"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda s: s["sym"],
+            ).alias("syms"),
+        )
+        col = F.col("syms")
+        for _rnd, a, b in rules:
+            col = _bpe_fold_rule(col, a, b)
+        return arr.select(
+            "word", "freq", F.posexplode(col).alias("pos", "sym")
         )
     w_word = Window.partitionBy("word").orderBy("pos")
     st = state
@@ -1527,6 +1569,26 @@ def bpe_apply_merges(
         paired = st.withColumn("nxt", F.lead("sym").over(w_word))
         st = _bpe_rewrite(paired, rule).localCheckpoint(eager=False)
     return st
+
+
+def _bpe_fold_rule(syms_col, a: str, b: str):
+    """One BPE rule (a, b) as a left-fold over a symbol array: if the
+    accumulator's tail is ``a`` and the incoming symbol is ``b``,
+    replace the tail with ``a || b``; else append.  ``try_element_at``
+    yields NULL on the empty accumulator (ANSI-safe), and NULL == a is
+    NULL, so the first symbol always appends."""
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                F.array(F.concat(F.lit(a), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1540,9 +1602,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Encoding happens at the word-TYPE level (a word's encoding depends
     only on the word), then joins back to the per-doc token stream —
     so the expensive rewrite runs over the vocabulary, never the
-    corpus, and the join key is the word string.  All longs; the
-    oracle unrolls the same 3 train rounds + the type-level symbol
-    count in SQL (the bpe_train twin extended to its final state)."""
+    corpus, and the join key is the word string.  The encode half runs
+    the fold strategy (one word-keyed exchange + codegen'd array
+    folds; see ``bpe_apply_merges``), and the n_syms regroup reuses
+    that exchange.  All longs; the oracle unrolls the same 3 train
+    rounds + the type-level symbol count in SQL (the bpe_train twin
+    extended to its final state)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     merges = bpe_train_merges(docs, n_merges=3)
     encoded = bpe_apply_merges(bpe_word_state(docs), merges, n_merges=3)

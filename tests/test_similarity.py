@@ -948,3 +948,58 @@ def test_knn_label_agreement_hand_case(spark, tmp_path):
     assert out["A"]["agreement_ppm"] == 666_666
     assert (out["B"]["n_vectors"], out["B"]["n_agree"]) == (2, 2)
     assert out["B"]["agreement_ppm"] == 1_000_000
+
+
+def test_bitext_margin_mining_python_replay(spark, tmp_path):
+    """Exact replay of the difference-margin mining pipeline in plain
+    Python over a crafted 6-en x 5-de corpus: same int8 quantization
+    (HALF_UP), same (d2, id) top-k tie-breaks, same margin2k algebra,
+    same (margin desc, x_id) global order — row-for-row equality."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        q_bitext_margin_mining,
+    )
+
+    en = {0: [1.0, 0.2], 1: [0.9, -0.4], 2: [0.31, 0.77],
+          3: [-0.6, 0.05], 4: [0.12, 0.12], 5: [-1.0, 0.9]}
+    de = {10: [0.98, 0.21], 11: [-0.59, 0.04], 12: [0.0, 0.0],
+          13: [0.3, 0.8], 14: [-0.95, 0.88]}
+    docs = [(i, "en") for i in en] + [(i, "de") for i in de]
+    spark.createDataFrame(
+        docs, "doc_id long, lang string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        [(i, v) for i, v in {**en, **de}.items()],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    def q8(vec):
+        return [int(Decimal(repr(max(min(float(x), 1.0), -1.0) * 127.0))
+                    .quantize(Decimal(1), ROUND_HALF_UP)) for x in vec]
+
+    qe = {i: q8(v) for i, v in en.items()}
+    qd = {i: q8(v) for i, v in de.items()}
+    d2 = {(x, y): sum((a - b) ** 2 for a, b in zip(qe[x], qd[y]))
+          for x in qe for y in qd}
+    K = 4
+    sx = {x: sum(sorted(((d2[(x, y)], y) for y in qd))[k][0]
+                 for k in range(K)) for x in qe}
+    sy = {y: sum(sorted(((d2[(x, y)], x) for x in qe))[k][0]
+                 for k in range(K)) for y in qd}
+    best = {}
+    for x in qe:
+        cands = sorted(
+            ((sx[x] + sy[y] - 2 * K * d2[(x, y)], y) for y in qd),
+            key=lambda t: (-t[0], t[1]),
+        )
+        m, y = cands[0]
+        best[x] = (m, y)
+    order = sorted(best, key=lambda x: (-best[x][0], x))
+    want = [
+        (rank + 1, x, best[x][1], "de", d2[(x, best[x][1])], best[x][0])
+        for rank, x in enumerate(order)
+    ]
+    got = [tuple(r) for r in
+           q_bitext_margin_mining(spark, str(tmp_path)).collect()]
+    assert got == want

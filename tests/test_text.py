@@ -1226,6 +1226,48 @@ def test_bpe_apply_fixed_rules_on_unseen_text(spark):
     assert got == {"aaaaa": ["aaaa", "a"], "baab": ["baa", "b"]}
 
 
+def test_bpe_apply_strategies_identical(spark):
+    """The fold strategy (single exchange + codegen'd array left-fold
+    per rule) and the relational strategy (per-round gaps-and-islands
+    window rewrite) produce the IDENTICAL symbol state — on the real
+    sf0.001 corpus under its own learned rules AND on the crafted
+    equal-run / chained-rule cases where left-to-right greedy
+    semantics bite (the dedup_jaccard three-way-identity precedent).
+    ``auto`` resolves to fold."""
+    from conftest import SF_SMALL
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_train_merges,
+        bpe_word_state,
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    merges = bpe_train_merges(docs, n_merges=3)
+    state = bpe_word_state(docs)
+    fold = rows(bpe_apply_merges(state, merges, 3, strategy="fold"))
+    rel = rows(bpe_apply_merges(state, merges, 3, strategy="relational"))
+    auto = rows(bpe_apply_merges(state, merges, 3))
+    assert fold == rel == auto and fold
+
+    crafted = spark.createDataFrame(
+        [(1, "aaaaa baab abbb")], "doc_id long, text string"
+    )
+    tricky = spark.createDataFrame(
+        # r1 equal-run, r2 merges r1's outputs, r3 left side is itself
+        # a merged symbol (ab) re-matching right after its own merge
+        [(1, "a", "a", 0), (2, "aa", "a", 0), (3, "a", "b", 0)],
+        "merge_round long, left_sym string, right_sym string, "
+        "pair_weight long",
+    )
+    st2 = bpe_word_state(crafted)
+    assert rows(bpe_apply_merges(st2, tricky, 3, strategy="fold")) == rows(
+        bpe_apply_merges(st2, tricky, 3, strategy="relational")
+    )
+
+
 def test_bpe_encode_and_roundtrip_law(spark):
     """q_bpe_encode bounds (n_tokens <= n_symbols <= n_chars per doc,
     with real compression somewhere) and the decode law (zero
