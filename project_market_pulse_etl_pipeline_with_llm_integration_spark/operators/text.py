@@ -1543,17 +1543,22 @@ def bpe_apply_merges(
     if strategy not in ("auto", "fold", "relational"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy != "relational":
-        # groupBy word ALONE (freq recovered via first(): it is
-        # functionally dependent on the word type) so the output stays
-        # hash-partitioned on word — q_bpe_encode's n_syms regroup and
-        # the roundtrip law's decode regroup reuse this exchange.
-        arr = state.groupBy("word").agg(
-            F.first("freq").alias("freq"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
-                lambda s: s["sym"],
-            ).alias("syms"),
-        )
+        if "syms" in state.columns:
+            # already array-shaped (bpe_word_types): no regroup at all
+            arr = state
+        else:
+            # groupBy word ALONE (freq recovered via first(): it is
+            # functionally dependent on the word type) so the output
+            # stays hash-partitioned on word — q_bpe_encode's n_syms
+            # regroup and the roundtrip law's decode regroup reuse
+            # this exchange.
+            arr = state.groupBy("word").agg(
+                F.first("freq").alias("freq"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                    lambda s: s["sym"],
+                ).alias("syms"),
+            )
         col = F.col("syms")
         for _rnd, a, b in rules:
             col = _bpe_fold_rule(col, a, b)
@@ -1569,6 +1574,26 @@ def bpe_apply_merges(
         paired = st.withColumn("nxt", F.lead("sym").over(w_word))
         st = _bpe_rewrite(paired, rule).localCheckpoint(eager=False)
     return st
+
+
+def bpe_word_types(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Array-shaped word-type state (word, freq, syms) — the fold
+    strategy's native input: one tokens-explode + one word groupBy,
+    initial symbols straight from ``split`` (no posexplode, no
+    position window, no regroup).  ``bpe_apply_merges`` consumes it
+    as-is; output stays hash-partitioned on word."""
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.filter(F.split("word", ""), lambda s: s != "").alias("syms"),
+        )
+    )
 
 
 def _bpe_fold_rule(syms_col, a: str, b: str):
@@ -1610,7 +1635,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     extended to its final state)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     merges = bpe_train_merges(docs, n_merges=3)
-    encoded = bpe_apply_merges(bpe_word_state(docs), merges, n_merges=3)
+    encoded = bpe_apply_merges(bpe_word_types(docs), merges, n_merges=3)
     per_word = encoded.groupBy("word").agg(
         F.count("*").cast("long").alias("n_syms")
     )
@@ -1641,7 +1666,7 @@ def q_bpe_roundtrip_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_syms_total strictly below total chars once any rule fired."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     merges = bpe_train_merges(docs, n_merges=3)
-    encoded = bpe_apply_merges(bpe_word_state(docs), merges, n_merges=3)
+    encoded = bpe_apply_merges(bpe_word_types(docs), merges, n_merges=3)
     per_word = encoded.groupBy("word").agg(
         F.count("*").cast("long").alias("n_syms"),
         F.array_join(

@@ -1244,13 +1244,18 @@ def test_bpe_apply_strategies_identical(spark):
     def rows(df):
         return sorted(map(tuple, df.collect()))
 
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        bpe_word_types,
+    )
+
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     merges = bpe_train_merges(docs, n_merges=3)
     state = bpe_word_state(docs)
     fold = rows(bpe_apply_merges(state, merges, 3, strategy="fold"))
     rel = rows(bpe_apply_merges(state, merges, 3, strategy="relational"))
     auto = rows(bpe_apply_merges(state, merges, 3))
-    assert fold == rel == auto and fold
+    typed = rows(bpe_apply_merges(bpe_word_types(docs), merges, 3))
+    assert fold == rel == auto == typed and fold
 
     crafted = spark.createDataFrame(
         [(1, "aaaaa baab abbb")], "doc_id long, text string"
