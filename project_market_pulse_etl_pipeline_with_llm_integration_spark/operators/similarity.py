@@ -2165,7 +2165,45 @@ def q_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Driver/broadcast ceiling for the BLAS exact-scoring path: 1M vectors
+# x 64 dims x 8 B (float64 working set) = 512 MiB per worker block plan
+# stays bounded by the internal sub-blocking; the COLLECTED int-list
+# matrix at this gate is ~64 MiB.  Past the gate the relational pair
+# plan takes over (and at genuinely 100 TB sizes the documented move is
+# an LSH/IVF candidate generator, not any all-pairs plan).
+_BLAS_MAX_SIDE = 1 << 20
+
+
+def _qmatrix(df, id_col: str, qv_col: str, *extra_cols: str):
+    """Collect (ids, int8-quantized matrix[, extra columns]) as numpy —
+    the gated driver-side half of the BLAS scoring path (the bloom
+    size-gate precedent, relational.py).  Caller must have applied the
+    ``_BLAS_MAX_SIDE`` gate."""
+    import numpy as np
+
+    pdf = df.select(id_col, qv_col, *extra_cols).toPandas()
+    ids = pdf[id_col].to_numpy(np.int64)
+    mat = np.array(pdf[qv_col].tolist(), dtype=np.float64)
+    extras = [pdf[c].to_numpy() for c in extra_cols]
+    return (ids, mat, *extras)
+
+
+def _d2_block(X, Y, y2):
+    """Exact squared-L2 block: x2 + y2 - 2 X·Yᵀ in float64.  Every
+    intermediate is an INTEGER exactly representable in float64 (|dot|
+    <= dim · 127² ~ 1e6 per term, partial sums << 2^53), and addition
+    of exactly-representable integers is exact regardless of BLAS
+    accumulation order — so the matmul path is bit-identical to the
+    JVM zip_with fold, just ~50x cheaper per pair."""
+    import numpy as np
+
+    x2 = (X * X).sum(axis=1)
+    return x2[:, None] + y2[None, :] - 2.0 * (X @ Y.T)
+
+
+def q_knn_label_agreement(
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+) -> DataFrame:
     """Leave-one-out 1-NN label agreement per label — the
     labeling-quality audit BEFORE anyone trains on the labels: each
     vector's nearest OTHER vector (exact int64 squared L2 over the
@@ -2180,16 +2218,30 @@ def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement bit is engine-exact; shares are wrap-safe two-step
     floors.
 
-    Plan: brute-force n² pair scoring (one self-crossJoin with the
-    broadcast-sized side AQE picks) + ONE struct-min agg keyed by
-    vector, then a <=|labels|-key agg.  At 100 TB compose the SAME
-    scorer with the LSH/IVF candidate generators (the
-    semantic_decontaminate_lsh pattern) instead of the cross join —
-    the argmin and agreement logic are unchanged."""
+    Two physical strategies, pinned row-identical by test:
+
+    - ``"blas"`` (what ``"auto"`` picks under the ``_BLAS_MAX_SIDE``
+      gate): the quantized matrix is collected once (gated — the
+      bloom size-gate precedent) and broadcast; an Arrow-batched
+      ``mapInPandas`` scores each vector block against it with
+      float64 matmuls that are exactly integer (see ``_d2_block``),
+      sub-blocked so no worker holds more than a ~128 MiB distance
+      tile.  The r13 sf1 sweep measured the pair plan at 58x/decade
+      (4.1 -> 241 s on the 4x-vector corpus) — the all-pairs JVM fold
+      is the one hot loop built-in Columns cannot express at matmul
+      speed, exactly the sanctioned Pandas-UDF escape hatch.
+    - ``"pairs"``: the original self-crossJoin + struct-min plan (the
+      probe side spread for parallel scoring; measured 34 -> ~2 s at
+      sf0.1 from the spread alone).  Remains the over-gate fallback.
+
+    At 100 TB compose the SAME scorer with the LSH/IVF candidate
+    generators (the semantic_decontaminate_lsh pattern) — the argmin
+    and agreement logic are unchanged.  ``auto`` runs one scalar
+    count at construction time (the dedup_jaccard auto-probe
+    eagerness contract)."""
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
         _ppm2,
     )
-
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
         spread_if_narrow,
     )
@@ -2197,40 +2249,94 @@ def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "label", quantize_embedding(F.col("embedding")).alias("qv")
     )
-    # the probe side carries the n² scoring work; a single-file scan
-    # would run it SERIALLY under the broadcast nested-loop join
-    # (measured 34 s -> ~2 s at sf0.1 from this spread alone)
-    par = spark.sparkContext.defaultParallelism
-    a = spread_if_narrow(emb, par).select(
-        F.col("vec_id").alias("a_id"), F.col("label").alias("a_label"),
-        F.col("qv").alias("a_qv"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"),
-        F.col("qv").alias("b_qv"),
-    )
-    d2 = F.aggregate(
-        F.zip_with("a_qv", "b_qv", lambda x, y: (x - y).cast("long")
-                   * (x - y)),
-        F.lit(0).cast("long"), lambda s, x: s + x,
-    )
-    nn = (
-        a.crossJoin(b)
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select(
-            "a_id", "a_label",
-            F.struct(
-                d2.alias("d2"), F.col("b_id").alias("nn_id"),
-                F.col("b_label").alias("nn_label"),
-            ).alias("cand"),
+    if strategy not in ("auto", "blas", "pairs"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = "blas" if emb.count() <= _BLAS_MAX_SIDE else "pairs"
+
+    ltype = emb.schema["label"].dataType.simpleString()
+    if strategy == "blas":
+        import numpy as np
+
+        ids, mat, labels = _qmatrix(emb, "vec_id", "qv", "label")
+        y2 = (mat * mat).sum(axis=1)
+        bc = spark.sparkContext.broadcast((ids, mat, y2, labels))
+
+        def score(batches):
+            import pandas as pd
+
+            b_ids, Y, b_y2, b_labels = bc.value
+            lookup = {int(v): i for i, v in enumerate(b_ids)}
+            maxi = np.iinfo(np.int64).max
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["qv"].tolist(), dtype=np.float64)
+                xi = pdf["vec_id"].to_numpy(np.int64)
+                out_lbl = []
+                keep = []
+                for lo in range(0, len(X), 512):
+                    hi = min(lo + 512, len(X))
+                    D = _d2_block(X[lo:hi], Y, b_y2)
+                    for r in range(hi - lo):
+                        j = lookup.get(int(xi[lo + r]))
+                        if j is not None:
+                            D[r, j] = np.inf
+                    dmin = D.min(axis=1)
+                    for r in range(hi - lo):
+                        if not np.isfinite(dmin[r]):
+                            continue  # n == 1: no OTHER vector exists
+                        cand = D[r] == dmin[r]
+                        nn_id = np.where(cand, b_ids, maxi).min()
+                        out_lbl.append(b_labels[lookup[int(nn_id)]])
+                        keep.append(lo + r)
+                yield pd.DataFrame({
+                    "a_id": xi[keep],
+                    "a_label": pdf["label"].to_numpy()[keep],
+                    "nn_label": np.array(out_lbl, dtype=object),
+                })
+
+        par = spark.sparkContext.defaultParallelism
+        nn = spread_if_narrow(emb, par).mapInPandas(
+            score,
+            schema=f"a_id long, a_label {ltype}, nn_label {ltype}",
         )
-        .groupBy("a_id", "a_label")
-        .agg(F.min("cand").alias("nn"))
-    )
+    else:
+        # the probe side carries the n² scoring work; a single-file
+        # scan would run it SERIALLY under the broadcast nested-loop
+        # join
+        par = spark.sparkContext.defaultParallelism
+        a = spread_if_narrow(emb, par).select(
+            F.col("vec_id").alias("a_id"), F.col("label").alias("a_label"),
+            F.col("qv").alias("a_qv"),
+        )
+        b = emb.select(
+            F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"),
+            F.col("qv").alias("b_qv"),
+        )
+        d2 = F.aggregate(
+            F.zip_with("a_qv", "b_qv", lambda x, y: (x - y).cast("long")
+                       * (x - y)),
+            F.lit(0).cast("long"), lambda s, x: s + x,
+        )
+        nn = (
+            a.crossJoin(b)
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select(
+                "a_id", "a_label",
+                F.struct(
+                    d2.alias("d2"), F.col("b_id").alias("nn_id"),
+                    F.col("b_label").alias("nn_label"),
+                ).alias("cand"),
+            )
+            .groupBy("a_id", "a_label")
+            .agg(F.min("cand").alias("nn"))
+            .select("a_id", "a_label", F.col("nn.nn_label").alias("nn_label"))
+        )
     agg = nn.groupBy("a_label").agg(
         F.count("*").alias("n_vectors"),
         F.sum(
-            F.when(F.col("nn.nn_label") == F.col("a_label"), 1).otherwise(0)
+            F.when(F.col("nn_label") == F.col("a_label"), 1).otherwise(0)
         ).alias("n_agree"),
     )
     return agg.select(
@@ -2242,7 +2348,107 @@ def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bitext_margin_blas(
+    spark: SparkSession, xdf: DataFrame, ydf: DataFrame, K: int
+) -> DataFrame:
+    """BLAS half of the margin miner: per-x best-margin candidates
+    (x_id, y_id, y_lang, d2, margin2k), row-identical to the
+    relational plan.  Pass 1 scores non-en blocks against the
+    broadcast en matrix for sy; pass 2 scores en blocks against the
+    broadcast non-en matrix + the collected sy vector (gated |Y|
+    longs — the bloom size-gate class) and emits each x's argmax
+    directly.  All margins are exactly-integer float64
+    (|margin2k| <= 2K · dim · 254² ~ 3.3e7 « 2^53)."""
+    import numpy as np
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    best_schema = (
+        "x_id long, y_id long, y_lang string, d2 long, margin2k long"
+    )
+    x_ids, X = _qmatrix(xdf, "x_id", "qv")
+    y_ids, Y, y_langs = _qmatrix(ydf, "y_id", "qv", "y_lang")
+    if len(x_ids) < K or len(y_ids) < K:
+        # the relational plan's cx == K / cy == K filters drop every
+        # row when either side cannot field K counterparts
+        return spark.createDataFrame([], best_schema)
+    x2 = (X * X).sum(axis=1)
+    y2 = (Y * Y).sum(axis=1)
+    par = spark.sparkContext.defaultParallelism
+
+    bc_x = spark.sparkContext.broadcast((X, x2))
+
+    def score_y(batches):
+        import pandas as pd
+
+        bX, bx2 = bc_x.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_sy = []
+            ids = pdf["y_id"].to_numpy(np.int64)
+            Yb = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            for lo in range(0, len(Yb), 512):
+                D = _d2_block(Yb[lo:lo + 512], bX, bx2)
+                out_sy.append(
+                    np.partition(D, K - 1, axis=1)[:, :K].sum(axis=1)
+                )
+            yield pd.DataFrame({
+                "y_id": ids,
+                "sy": np.concatenate(out_sy).astype(np.int64),
+            })
+
+    sy_pdf = (
+        spread_if_narrow(ydf, par)
+        .mapInPandas(score_y, schema="y_id long, sy long")
+        .toPandas()
+    )
+    sy_map = dict(zip(sy_pdf["y_id"], sy_pdf["sy"]))
+    sy_vec = np.array([sy_map[i] for i in y_ids], dtype=np.float64)
+
+    bc_y = spark.sparkContext.broadcast((Y, y2, y_ids, y_langs, sy_vec))
+
+    def score_x(batches):
+        import pandas as pd
+
+        bY, by2, b_yids, b_ylangs, b_sy = bc_y.value
+        maxi = np.iinfo(np.int64).max
+        lookup = {int(v): i for i, v in enumerate(b_yids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["x_id"].to_numpy(np.int64)
+            Xb = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            rows = {"x_id": [], "y_id": [], "y_lang": [], "d2": [],
+                    "margin2k": []}
+            for lo in range(0, len(Xb), 512):
+                hi = min(lo + 512, len(Xb))
+                D = _d2_block(Xb[lo:hi], bY, by2)
+                sx = np.partition(D, K - 1, axis=1)[:, :K].sum(axis=1)
+                M = sx[:, None] + b_sy[None, :] - (2 * K) * D
+                mbest = M.max(axis=1)
+                for r in range(hi - lo):
+                    yid = int(
+                        np.where(M[r] == mbest[r], b_yids, maxi).min()
+                    )
+                    j = lookup[yid]
+                    rows["x_id"].append(int(ids[lo + r]))
+                    rows["y_id"].append(yid)
+                    rows["y_lang"].append(b_ylangs[j])
+                    rows["d2"].append(int(D[r, j]))
+                    rows["margin2k"].append(int(M[r, j]))
+            yield pd.DataFrame(rows)
+
+    return spread_if_narrow(xdf, par).mapInPandas(
+        score_x, schema=best_schema
+    )
+
+
+def q_bitext_margin_mining(
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+) -> DataFrame:
     """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
     "Margin-based Parallel Corpus Mining", DIFFERENCE-margin variant)
     between the English documents and every non-English document, over
@@ -2264,18 +2470,33 @@ def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     than k counterparts are excluded (never happens on the real
     corpus; keeps tiny hand cases well-defined).
 
-    Plan: ONE skinny n_en x n_other pair relation (x_id, y_id, y_lang,
-    d2) — the cross join AQE broadcasts, probe side spread for
-    parallel scoring (the knn_label_agreement recipe) — lazily
-    checkpointed because THREE consumers reuse it: the per-x top-k
-    sum, the per-y top-k sum, and the final scoring join.  Both top-k
-    sums are one window + one agg; the joins back are
-    broadcast-sized (|X| and |Y| single rows per key).  At 100 TB the
-    pair generator swaps for the LSH/IVF candidate path
+    Two physical strategies, pinned row-identical by test:
+
+    - ``"blas"`` (what ``"auto"`` picks when both sides sit under the
+      ``_BLAS_MAX_SIDE`` gate): two Arrow-batched ``mapInPandas``
+      passes with the opposite side's quantized matrix broadcast —
+      pass 1 scores each non-en block against the en matrix for its
+      top-k sum sy; pass 2 scores each en block against the non-en
+      matrix for sx, adds the (gated, |Y| longs) collected sy vector,
+      and emits each x's best-margin pair directly.  All distances
+      are exactly-integer float64 matmuls (``_d2_block``); the sf1
+      sweep measured the relational pair plan at 11.9x/decade (13 ->
+      155 s on the 4x-vector corpus), the same all-pairs hot loop as
+      knn_label_agreement's 58x — the sanctioned Pandas-UDF escape.
+    - ``"relational"``: ONE skinny n_en x n_other pair relation
+      (x_id, y_id, y_lang, d2) — the cross join AQE broadcasts, probe
+      side spread — lazily checkpointed because THREE consumers reuse
+      it: the per-x top-k sum, the per-y top-k sum, and the final
+      scoring join.  Over-gate fallback and the cross-check
+      reference.
+
+    At 100 TB the pair generator swaps for the LSH/IVF candidate path
     (semantic_decontaminate_lsh) with sx/sy from the candidate set —
-    margin algebra unchanged.  Reference anchor: Main.py has no
-    cross-lingual surface at all; this is part of the mandated
-    training-data-pipeline extension (SURVEY.md §6)."""
+    margin algebra unchanged.  ``auto`` runs one two-row scalar agg at
+    construction (the dedup_jaccard auto-probe eagerness contract).
+    Reference anchor: Main.py has no cross-lingual surface at all;
+    this is part of the mandated training-data-pipeline extension
+    (SURVEY.md §6)."""
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
         spread_if_narrow,
     )
@@ -2290,61 +2511,80 @@ def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
         "vec_id", "lang", "qv"
     )
-    par = spark.sparkContext.defaultParallelism
-    x = spread_if_narrow(tagged.filter(F.col("lang") == "en"), par).select(
-        F.col("vec_id").alias("x_id"), F.col("qv").alias("x_qv")
+    xdf = tagged.filter(F.col("lang") == "en").select(
+        F.col("vec_id").alias("x_id"), "qv"
     )
-    y = tagged.filter(F.col("lang") != "en").select(
-        F.col("vec_id").alias("y_id"), F.col("lang").alias("y_lang"),
-        F.col("qv").alias("y_qv"),
+    ydf = tagged.filter(F.col("lang") != "en").select(
+        F.col("vec_id").alias("y_id"), F.col("lang").alias("y_lang"), "qv"
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            "x_qv", "y_qv", lambda a, b: (a - b).cast("long") * (a - b)
-        ),
-        F.lit(0).cast("long"),
-        lambda s, v: s + v,
-    )
-    pairs = (
-        x.crossJoin(y)
-        .select("x_id", "y_id", "y_lang", d2.alias("d2"))
-        .localCheckpoint(eager=False)
-    )
-    wx = W.partitionBy("x_id").orderBy("d2", "y_id")
-    sx = (
-        pairs.withColumn("rn", F.row_number().over(wx))
-        .filter(F.col("rn") <= K)
-        .groupBy("x_id")
-        .agg(F.sum("d2").alias("sx"), F.count("*").alias("cx"))
-        .filter(F.col("cx") == K)
-        .drop("cx")
-    )
-    wy = W.partitionBy("y_id").orderBy("d2", "x_id")
-    sy = (
-        pairs.withColumn("rn", F.row_number().over(wy))
-        .filter(F.col("rn") <= K)
-        .groupBy("y_id")
-        .agg(F.sum("d2").alias("sy"), F.count("*").alias("cy"))
-        .filter(F.col("cy") == K)
-        .drop("cy")
-    )
-    scored = (
-        pairs.join(sx, "x_id")
-        .join(sy, "y_id")
-        .select(
-            "x_id", "y_id", "y_lang", "d2",
-            (F.col("sx") + F.col("sy") - F.lit(2 * K) * F.col("d2"))
-            .alias("margin2k"),
+    if strategy not in ("auto", "blas", "relational"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        sides = dict(
+            tagged.groupBy((F.col("lang") == "en").alias("is_en"))
+            .count().collect()
         )
-    )
-    wbest = W.partitionBy("x_id").orderBy(
-        F.col("margin2k").desc(), "y_id"
-    )
-    best = (
-        scored.withColumn("rn", F.row_number().over(wbest))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+        strategy = (
+            "blas"
+            if max(sides.get(True, 0), sides.get(False, 0))
+            <= _BLAS_MAX_SIDE
+            else "relational"
+        )
+    if strategy == "blas":
+        best = _bitext_margin_blas(spark, xdf, ydf, K)
+    else:
+        par = spark.sparkContext.defaultParallelism
+        x = spread_if_narrow(xdf, par).select(
+            "x_id", F.col("qv").alias("x_qv")
+        )
+        y = ydf.select("y_id", "y_lang", F.col("qv").alias("y_qv"))
+        d2 = F.aggregate(
+            F.zip_with(
+                "x_qv", "y_qv", lambda a, b: (a - b).cast("long") * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+        pairs = (
+            x.crossJoin(y)
+            .select("x_id", "y_id", "y_lang", d2.alias("d2"))
+            .localCheckpoint(eager=False)
+        )
+        wx = W.partitionBy("x_id").orderBy("d2", "y_id")
+        sx = (
+            pairs.withColumn("rn", F.row_number().over(wx))
+            .filter(F.col("rn") <= K)
+            .groupBy("x_id")
+            .agg(F.sum("d2").alias("sx"), F.count("*").alias("cx"))
+            .filter(F.col("cx") == K)
+            .drop("cx")
+        )
+        wy = W.partitionBy("y_id").orderBy("d2", "x_id")
+        sy = (
+            pairs.withColumn("rn", F.row_number().over(wy))
+            .filter(F.col("rn") <= K)
+            .groupBy("y_id")
+            .agg(F.sum("d2").alias("sy"), F.count("*").alias("cy"))
+            .filter(F.col("cy") == K)
+            .drop("cy")
+        )
+        scored = (
+            pairs.join(sx, "x_id")
+            .join(sy, "y_id")
+            .select(
+                "x_id", "y_id", "y_lang", "d2",
+                (F.col("sx") + F.col("sy") - F.lit(2 * K) * F.col("d2"))
+                .alias("margin2k"),
+            )
+        )
+        wbest = W.partitionBy("x_id").orderBy(
+            F.col("margin2k").desc(), "y_id"
+        )
+        best = (
+            scored.withColumn("rn", F.row_number().over(wbest))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
     top = best.orderBy(F.col("margin2k").desc(), "x_id").limit(20)
     wr = W.orderBy(F.col("margin2k").desc(), "x_id")
     return top.select(
