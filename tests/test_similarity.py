@@ -1003,3 +1003,34 @@ def test_bitext_margin_mining_python_replay(spark, tmp_path):
     got = [tuple(r) for r in
            q_bitext_margin_mining(spark, str(tmp_path)).collect()]
     assert got == want
+
+
+def test_blas_strategies_identical_to_relational(spark):
+    """The Arrow/BLAS scoring paths are pinned ROW-IDENTICAL to the
+    relational pair plans on the real sf0.001 corpus — the float64
+    matmul distances are exactly integer (sums of integers < 2^53),
+    so this is equality, not tolerance.  auto resolves to blas under
+    the _BLAS_MAX_SIDE gate."""
+    from conftest import SF_SMALL
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        q_bitext_margin_mining,
+        q_knn_label_agreement,
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    knn_blas = rows(q_knn_label_agreement(spark, SF_SMALL, strategy="blas"))
+    knn_pairs = rows(q_knn_label_agreement(spark, SF_SMALL, strategy="pairs"))
+    knn_auto = rows(q_knn_label_agreement(spark, SF_SMALL))
+    assert knn_blas == knn_pairs == knn_auto and knn_blas
+
+    bt_blas = [tuple(r) for r in
+               q_bitext_margin_mining(spark, SF_SMALL, strategy="blas")
+               .collect()]
+    bt_rel = [tuple(r) for r in
+              q_bitext_margin_mining(spark, SF_SMALL, strategy="relational")
+              .collect()]
+    bt_auto = [tuple(r) for r in
+               q_bitext_margin_mining(spark, SF_SMALL).collect()]
+    assert bt_blas == bt_rel == bt_auto and bt_blas
