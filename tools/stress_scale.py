@@ -117,6 +117,12 @@ STRESS_QUERIES = [
     # explode, so auto must flip to indexed and stay linear in true
     # pairs).
     "first_touch_conversion", "enrich_flaky_contract",
+    # round-13 continuation additions: the two all-pairs embedding
+    # audits on their BLAS strategy (10x vectors = 100x pairs — the
+    # adversarial case for anything that still enumerated pairs; the
+    # sf1 sweep caught both relational plans super-linear and the
+    # BLAS auto-switch is what this standing set now regression-pins)
+    "knn_label_agreement", "bitext_margin_mining",
 ]
 
 
