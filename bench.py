@@ -309,6 +309,7 @@ HEADLINE = [
     "single_source_risk",
     "freshness_audit",
     "enrich_dedup_gateway",
+    "bitext_margin_mining",
 ]
 
 
