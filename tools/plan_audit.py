@@ -102,6 +102,8 @@ NOPART_WINDOW_OK = {
                                  "(_bucketed_prefix)",
     "funnel_arm_compare": "3-row funnel-stage frame (bounded by funnel "
                           "depth) for the previous-stage lag",
+    "abc_classification": "bucket-offset carry bounded at 1024 range "
+                          "buckets by construction (_bucketed_prefix)",
 }
 
 # Queries whose size(<expensive call>) Filter is an EXPLICIT semantic
