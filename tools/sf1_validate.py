@@ -75,6 +75,10 @@ VALIDATE_QUERIES = [
     "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_quantized",
     "hybrid_rrf", "pq_adc_topk", "embedding_near_dup", "kmeans_topics",
     "link_prediction_ra",
+    # r13-continuation's two scale fixes (the BLAS auto-switch),
+    # standing members so their sf1 readings re-pin every round —
+    # the recursive_cte/jaccard precedent
+    "knn_label_agreement", "bitext_margin_mining",
 ]
 
 
