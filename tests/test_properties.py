@@ -1225,3 +1225,74 @@ def test_trade_balance_equals_replay(spark, tmp_path_factory, lines):
             flow_n.get((a, b), 0), flow_n.get((b, a), 0), cab, cba, imb
         )
     assert got == want
+
+
+_syms = st.text(alphabet="ab", min_size=1, max_size=2)
+
+
+@_slow
+@given(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=10),
+             min_size=1, max_size=6),
+    st.lists(st.tuples(_syms, _syms), min_size=1, max_size=3),
+)
+def test_bpe_fold_rule_matches_greedy_reference(spark, raw_words, rules):
+    """The codegen'd array left-fold applies ANY rule sequence exactly
+    like sequential left-to-right greedy BPE — including equal-symbol
+    runs, chained rules over merged symbols, and rules that never
+    match.  Random words x random rule tables vs a plain-Python
+    reference."""
+    from pyspark.sql import functions as F
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        _bpe_fold_rule,
+    )
+
+    words = sorted(set(raw_words))
+
+    def greedy(word):
+        seq = list(word)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return seq
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    col = F.filter(F.split("word", ""), lambda s: s != "")
+    for a, b in rules:
+        col = _bpe_fold_rule(col, a, b)
+    got = {r.word: r.syms for r in df.select("word", col.alias("syms")).collect()}
+    assert got == {w: greedy(w) for w in words}
+
+
+@_slow
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=64))
+def test_d2_block_exactly_matches_int_arithmetic(seed, n, m, dim):
+    """The BLAS float64 d2 block is EXACTLY the int64 squared-L2 matrix
+    for any int8-range inputs — the exactness claim the strategy
+    identity rests on (every intermediate an integer << 2^53, and
+    integer f64 addition is exact under any accumulation order)."""
+    import numpy as np
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        _d2_block,
+    )
+
+    rng = np.random.default_rng(seed)
+    X = rng.integers(-127, 128, size=(n, dim)).astype(np.float64)
+    Y = rng.integers(-127, 128, size=(m, dim)).astype(np.float64)
+    got = _d2_block(X, Y, (Y * Y).sum(axis=1)).astype(np.int64)
+    xi = X.astype(np.int64)
+    yi = Y.astype(np.int64)
+    want = ((xi[:, None, :] - yi[None, :, :]) ** 2).sum(axis=2)
+    assert (got == want).all()
