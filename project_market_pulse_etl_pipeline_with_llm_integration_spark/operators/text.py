@@ -1350,7 +1350,8 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bpe_train_merges(
-    df: DataFrame, n_merges: int = 3, text_col: str = "text"
+    df: DataFrame, n_merges: int = 3, text_col: str = "text",
+    strategy: str = "auto",
 ) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. 2016), not just the
     counting step (``bpe_pair_counts``): run ``n_merges`` full merge
@@ -1369,15 +1370,71 @@ def bpe_train_merges(
     and symbols are strings, so the learned rules are hash-identical
     cross-engine; the oracle unrolls the same rounds in SQL.
 
-    Plan shape per round: one word-keyed window pass (lead + run ids)
-    and one pair-keyed hash agg; the winner joins back as a broadcast
-    1-row relation (never a driver collect).  State between rounds is
-    the (word, freq, pos, sym) relation — |distinct words| x avg word
-    length rows, independent of corpus row count; ``localCheckpoint``
-    (lazy) pins each round's output so plans stay bounded, the same
-    discipline as pagerank's fixed-point loop.  At 100 TB the word
-    table is the TYPE vocabulary (millions of rows, not billions), so
-    every round is cheap regardless of corpus size."""
+    Two physical strategies, pinned output-identical by test:
+
+    - ``"fold"`` (what ``"auto"`` picks): state is the array-shaped
+      word-type table (``bpe_word_types``, lazily checkpointed); each
+      round counts adjacent pairs via a zip-slice explode + ONE hash
+      agg, COLLECTS the 1-row argmax (the dedup.py 1-row-guard class —
+      scale-free driver state, one row per round, so training becomes
+      eager at construction like the jaccard auto probe), and rewrites
+      by stacking a ``_bpe_fold_rule`` column — no windows, no
+      per-round shuffle beyond the count agg, no checkpoint chain.
+      Early exhaustion (no pair left) stops the loop and returns the
+      legitimate SHORT table.
+    - ``"relational"``: the original fully-lazy loop — one word-keyed
+      window pass (lead + run ids) + one pair-keyed hash agg per
+      round; the winner joins back as a broadcast 1-row relation
+      (never a driver collect).  Kept as the laziness-preserving
+      cross-check reference; its state is the (word, freq, pos, sym)
+      relation with ``localCheckpoint`` pinning each round, the
+      pagerank fixed-loop discipline.
+
+    Either way the state is |distinct words| x avg word length,
+    independent of corpus row count: at 100 TB the word table is the
+    TYPE vocabulary (millions of rows, not billions), so every round
+    is cheap regardless of corpus size."""
+    if strategy not in ("auto", "fold", "relational"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "relational":
+        types = bpe_word_types(df, text_col).localCheckpoint(eager=False)
+        col = F.col("syms")
+        rules: list[tuple[int, str, str, int]] = []
+        for rnd in range(1, n_merges + 1):
+            win = (
+                types.select(
+                    "freq",
+                    F.explode(
+                        F.zip_with(
+                            F.slice(col, 1, F.size(col) - 1),
+                            F.slice(col, 2, F.size(col) - 1),
+                            lambda a, b: F.struct(
+                                a.alias("sym"), b.alias("nxt")
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .select(
+                    F.col("p.sym").alias("sym"),
+                    F.col("p.nxt").alias("nxt"),
+                    "freq",
+                )
+                .groupBy("sym", "nxt")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "sym", "nxt")
+                .limit(1)
+                .collect()
+            )
+            if not win:
+                break
+            r = win[0]
+            rules.append((rnd, r.sym, r.nxt, int(r.cnt)))
+            col = _bpe_fold_rule(col, r.sym, r.nxt)
+        return df.sparkSession.createDataFrame(
+            rules,
+            "merge_round long, left_sym string, right_sym string, "
+            "pair_weight long",
+        )
     state = bpe_word_state(df, text_col).localCheckpoint(eager=False)
     w_word = Window.partitionBy("word").orderBy("pos")
     learned = []

@@ -1514,3 +1514,28 @@ def test_metadata_consistency_audit_hand_case(spark, tmp_path):
     s2 = out["s2"]
     assert (s2["n_mismatch"], s2["mismatch_ppm"],
             s2["max_abs_delta"]) == (0, 0, 0)
+
+
+def test_bpe_train_strategies_identical(spark):
+    """Trainer fold strategy (zip-slice pair counts + 1-row argmax
+    collect + stacked fold rewrites) == the fully-lazy relational
+    loop, on the real corpus and on a partial-exhaustion case (one
+    mergeable pair, then nothing left -> identical SHORT table)."""
+    from conftest import SF_SMALL
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    fold = rows(bpe_train_merges(docs, n_merges=3, strategy="fold"))
+    rel = rows(bpe_train_merges(docs, n_merges=3, strategy="relational"))
+    auto = rows(bpe_train_merges(docs, n_merges=3))
+    assert fold == rel == auto and len(fold) == 3
+
+    short = spark.createDataFrame([(1, "aa b")], "doc_id long, text string")
+    sf_ = rows(bpe_train_merges(short, n_merges=3, strategy="fold"))
+    sr = rows(bpe_train_merges(short, n_merges=3, strategy="relational"))
+    assert sf_ == sr == [(1, "a", "a", 1)]
