@@ -1034,3 +1034,62 @@ def test_blas_strategies_identical_to_relational(spark):
     bt_auto = [tuple(r) for r in
                q_bitext_margin_mining(spark, SF_SMALL).collect()]
     assert bt_blas == bt_rel == bt_auto and bt_blas
+
+
+def test_bitext_margin_mining_randomized_replay(spark, tmp_path):
+    """The crafted replay, generalized: three seeded random corpora
+    (uneven side sizes, duplicate vectors to exercise d2 ties, 3-dim)
+    — Spark (BLAS auto path) vs the plain-Python margin replay,
+    row-for-row."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        q_bitext_margin_mining,
+    )
+
+    def q8(vec):
+        return [int(Decimal(repr(max(min(float(x), 1.0), -1.0) * 127.0))
+                    .quantize(Decimal(1), ROUND_HALF_UP)) for x in vec]
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n_en, n_de = rng.randint(5, 9), rng.randint(5, 9)
+        en = {i: [rng.uniform(-1.2, 1.2) for _ in range(3)]
+              for i in range(n_en)}
+        de = {100 + i: [rng.uniform(-1.2, 1.2) for _ in range(3)]
+              for i in range(n_de)}
+        # duplicates on both sides -> exact d2 ties the id tie-breaks
+        # must resolve identically in both engines
+        en[n_en] = list(en[0])
+        de[100 + n_de] = list(de[100])
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        docs = [(i, "en") for i in en] + [(i, "de") for i in de]
+        spark.createDataFrame(docs, "doc_id long, lang string") \
+            .write.parquet(str(d / "documents.parquet"))
+        spark.createDataFrame(
+            [(i, v) for i, v in {**en, **de}.items()],
+            "vec_id long, embedding array<float>",
+        ).write.parquet(str(d / "embeddings.parquet"))
+
+        qe = {i: q8(v) for i, v in en.items()}
+        qd = {i: q8(v) for i, v in de.items()}
+        d2 = {(x, y): sum((a - b) ** 2 for a, b in zip(qe[x], qd[y]))
+              for x in qe for y in qd}
+        K = 4
+        sx = {x: sum(sorted((d2[(x, y)], y) for y in qd)[k][0]
+                     for k in range(K)) for x in qe}
+        sy = {y: sum(sorted((d2[(x, y)], x) for x in qe)[k][0]
+                     for k in range(K)) for y in qd}
+        best = {}
+        for x in qe:
+            m, y = sorted(((sx[x] + sy[y] - 2 * K * d2[(x, y)], y)
+                           for y in qd), key=lambda t: (-t[0], t[1]))[0]
+            best[x] = (m, y)
+        order = sorted(best, key=lambda x: (-best[x][0], x))[:20]
+        want = [(r + 1, x, best[x][1], "de", d2[(x, best[x][1])],
+                 best[x][0]) for r, x in enumerate(order)]
+        got = [tuple(r) for r in
+               q_bitext_margin_mining(spark, str(d)).collect()]
+        assert got == want, seed
