@@ -14,11 +14,22 @@ coalescing makes over-provisioning cheap.
 from __future__ import annotations
 
 import os
+import weakref
 import zipfile
 
 from pyspark.sql import SparkSession
 
 _PKG_ZIP: str | None = None
+
+# Sessions already pinned by ensure_engine_confs.  The driver calls every
+# query through _wrap -> ensure_engine_confs, so a full bench run makes
+# ~1,000 invocations; re-setting three already-set confs and re-adding the
+# already-shipped package zip measured 4.4 ms/call (~4.5 s per full bench)
+# plus one WARN log line each (optimization r13, guide §1.2/§7.3 —
+# driver-side fixed overhead).  Runtime confs persist on the session and
+# addPyFile is per-SparkContext, so pinning once per session is exactly
+# equivalent; a WeakSet keeps dead sessions collectable.
+_PINNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -58,7 +69,12 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
       - UTC session timezone: window/date_trunc alignment must match the
         timezone-naive oracle engine
       - ANSI off: reference semantics are null-on-bad-cast
+
+    Idempotent and memoized per session object: the first call pins and
+    ships, later calls return immediately (see _PINNED above).
     """
+    if spark in _PINNED:
+        return spark
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
@@ -69,6 +85,7 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # non-settable in some deployments; plans degrade loudly
     _ship_package(spark)
+    _PINNED.add(spark)
     return spark
 
 
