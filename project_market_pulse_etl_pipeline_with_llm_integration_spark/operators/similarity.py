@@ -22,6 +22,8 @@ random-hyperplane LSH was chosen because it needs no training pass.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -54,7 +56,7 @@ def brute_force_topk(
         .crossJoin(F.broadcast(queries.select(F.col(query_id_col), F.col(query_vec_col))))
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn(
-            "cos_sim", F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
+            "cos_sim", F.round(cosine_similarity(vec_col, query_vec_col), 6)
         )
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -167,7 +169,7 @@ def lsh_topk(
         F.broadcast(q_bucketed), "bucket"
     ).filter(F.col(id_col) != F.col(query_id_col))
     scored = cands.withColumn(
-        "cos_sim", F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
+        "cos_sim", F.round(cosine_similarity(vec_col, query_vec_col), 6)
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return (
@@ -210,17 +212,27 @@ def embedding_near_dup_pairs(
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6))
+        .withColumn("cos_sim", F.round(cosine_similarity("vec_a", "vec_b"), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
 
 
-def quantize_embedding(vec_col: Column, clip: float = 1.0) -> Column:
+def quantize_embedding(vec_col: Column | str, clip: float = 1.0) -> Column:
     """Symmetric int8 quantization: clamp to [-clip, clip], scale to
     [-127, 127], round — 4x smaller than float32 (8x vs float64), the
     standard storage/transfer trade for 100 TB embedding tables.
-    Dequantize with ``x * clip / 127``.  Pure column algebra."""
+    Dequantize with ``x * clip / 127``.  Pure column algebra.
+
+    String-name calls hit an lru_cache (unresolved Column trees are
+    immutable and reusable — the r13 construction-cost note in
+    functions/columns.py)."""
+    if isinstance(vec_col, str):
+        return _quantize_embedding_cached(vec_col, clip)
+    return _quantize_embedding_build(vec_col, clip)
+
+
+def _quantize_embedding_build(vec_col: Column, clip: float) -> Column:
     return F.transform(
         vec_col,
         lambda x: F.round(
@@ -228,6 +240,11 @@ def quantize_embedding(vec_col: Column, clip: float = 1.0) -> Column:
             * (127.0 / clip)
         ).cast("int"),
     )
+
+
+@lru_cache(maxsize=64)
+def _quantize_embedding_cached(name: str, clip: float) -> Column:
+    return _quantize_embedding_build(F.col(name), clip)
 
 
 def dequantize_embedding(qvec_col: Column, clip: float = 1.0) -> Column:
@@ -245,7 +262,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector against itself-dequantized (should stay ~1).  Error bound:
     half a quantization step = clip/254 per component."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = quantize_embedding(F.col("embedding"))
+    q = quantize_embedding("embedding")
     deq = dequantize_embedding(q)
     err = F.zip_with(
         F.transform(F.col("embedding"), lambda x: x.cast("double")),
@@ -391,7 +408,7 @@ def ivf_topk(
     )
     cands = bucketed.join(F.broadcast(qd), "c").filter(F.col(id_col) != F.col(query_id_col))
     scored = cands.withColumn(
-        "cos_sim", F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6)
+        "cos_sim", F.round(cosine_similarity(vec_col, query_vec_col), 6)
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return (
@@ -808,7 +825,7 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires atomic columns, and a comma-joined exact-integer string
     is bijective with the array) plus its exact squared norm."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    proj = jl_project(quantize_embedding(F.col("embedding")), jl_sign_matrix())
+    proj = jl_project(quantize_embedding("embedding"), jl_sign_matrix())
     return emb.select("vec_id", proj.alias("proj")).select(
         "vec_id",
         F.concat_ws(",", F.col("proj").cast("array<string>")).alias("proj_csv"),
@@ -831,7 +848,7 @@ def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     sample = emb.filter(F.col("vec_id") % 29 == 0)
     qdf = sample.select(
-        "vec_id", quantize_embedding(F.col("embedding")).alias("q")
+        "vec_id", quantize_embedding("embedding").alias("q")
     ).localCheckpoint(eager=False)
     s = qdf.select(
         "vec_id", "q", jl_project(F.col("q"), jl_sign_matrix()).alias("y")
@@ -888,7 +905,7 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qemb = emb.select("vec_id", quantize_embedding(F.col("embedding")).alias("qv"))
+    qemb = emb.select("vec_id", quantize_embedding("embedding").alias("qv"))
     queries = (
         qemb.orderBy("vec_id")
         .limit(3)
@@ -947,12 +964,12 @@ def hard_negative_mining(
     unchanged."""
     qemb = emb.select(
         F.col(id_col), F.col(label_col),
-        quantize_embedding(F.col(vec_col)).alias("_qv"),
+        quantize_embedding(vec_col).alias("_qv"),
     )
     anc = anchors.select(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("_alabel"),
-        quantize_embedding(F.col(vec_col)).alias("_aqv"),
+        quantize_embedding(vec_col).alias("_aqv"),
     )
     sq = lambda c: F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x.cast("long") * x),
@@ -1015,7 +1032,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one narrow projection pass (no shuffle), one 2x256-cell
     agg."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    proj = jl_project(quantize_embedding(F.col("embedding")), jl_sign_matrix())
+    proj = jl_project(quantize_embedding("embedding"), jl_sign_matrix())
     bucket = F.aggregate(
         F.zip_with(
             F.slice(proj, 1, 8),
@@ -1255,16 +1272,31 @@ def semantic_decontaminate_lsh(
     )
 
 
-def _int_sq_l2(a: Column, b: Column) -> Column:
+def _int_sq_l2(a: Column | str, b: Column | str) -> Column:
     """Exact int64 squared L2 between two int-component arrays — the
     single shared distance kernel of the kcenter / kmeans / PQ family
     (any change here is an engine/oracle-parity change: the unrolled
-    SQL oracles replay this exact expression)."""
+    SQL oracles replay this exact expression).  String-name calls hit
+    an lru_cache (see functions/columns.py r13 construction note)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return _int_sq_l2_cached(a, b)
+    return _int_sq_l2_build(
+        F.col(a) if isinstance(a, str) else a,
+        F.col(b) if isinstance(b, str) else b,
+    )
+
+
+def _int_sq_l2_build(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x.cast("long") - y) * (x.cast("long") - y)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+@lru_cache(maxsize=64)
+def _int_sq_l2_cached(a: str, b: str) -> Column:
+    return _int_sq_l2_build(F.col(a), F.col(b))
 
 
 def kcenter_coreset(
@@ -1316,7 +1348,7 @@ def kcenter_coreset(
         raise ValueError("kcenter_coreset needs k >= 2")
     pts = emb.select(
         F.col(id_col).alias("pid"),
-        quantize_embedding(F.col(vec_col)).alias("qv"),
+        quantize_embedding(vec_col).alias("qv"),
     ).localCheckpoint(eager=False)
     d2 = _int_sq_l2
     seed = (
@@ -1327,7 +1359,7 @@ def kcenter_coreset(
     )
     state = (
         pts.crossJoin(F.broadcast(seed))
-        .select("pid", "qv", d2(F.col("qv"), F.col("cqv")).alias("min_d2"))
+        .select("pid", "qv", d2("qv", "cqv").alias("min_d2"))
         .localCheckpoint(eager=False)
     )
     picks = seed.select(
@@ -1358,7 +1390,7 @@ def kcenter_coreset(
             .select(
                 "pid",
                 "qv",
-                F.least(F.col("min_d2"), d2(F.col("qv"), F.col("cqv"))).alias(
+                F.least(F.col("min_d2"), d2("qv", "cqv")).alias(
                     "min_d2"
                 ),
             )
@@ -1396,7 +1428,7 @@ def _lloyd(pts: DataFrame, k: int, rounds: int):
     def assign(c: DataFrame) -> DataFrame:
         return (
             pts.crossJoin(F.broadcast(c))
-            .select("pid", "qv", "cid", d2(F.col("qv"), F.col("cv")).alias("dd"))
+            .select("pid", "qv", "cid", d2("qv", "cv").alias("dd"))
             .groupBy("pid")
             .agg(F.min(F.struct("dd", "cid")).alias("m"))
             .select("pid", F.col("m.cid").alias("cid"), F.col("m.dd").alias("d2"))
@@ -1462,7 +1494,7 @@ def kmeans_topics(
         raise ValueError("kmeans_topics needs k >= 1, rounds >= 1")
     pts = emb.select(
         F.col(id_col).alias("pid"),
-        quantize_embedding(F.col(vec_col)).alias("qv"),
+        quantize_embedding(vec_col).alias("qv"),
     ).localCheckpoint(eager=False)
     centers, final = _lloyd(pts, k, rounds)
     stats = final.groupBy("cid").agg(
@@ -1550,7 +1582,7 @@ def _pq_train(
     dim = 64 // m
     pts = emb.select(
         F.col(id_col).alias("pid"),
-        quantize_embedding(F.col(vec_col)).alias("qv_full"),
+        quantize_embedding(vec_col).alias("qv_full"),
     )
     sub_arr = F.array(*[
         F.struct(
@@ -1584,7 +1616,7 @@ def _pq_train(
     def assign(c: DataFrame) -> DataFrame:
         return (
             sub.join(F.broadcast(c), "s")
-            .select("pid", "s", "cid", d2(F.col("sv"), F.col("cv")).alias("dd"))
+            .select("pid", "s", "cid", d2("sv", "cv").alias("dd"))
             .groupBy("pid", "s")
             .agg(F.min(F.struct("dd", "cid")).alias("m"))
             .select(
@@ -1657,7 +1689,7 @@ def pq_adc_topk(
         "pid",
     ).select(F.col("pid").alias("query_id"), "s", F.col("sv").alias("qsv"))
     dt = qsub.join(centers, "s").select(
-        "query_id", "s", "cid", d2(F.col("qsv"), F.col("cv")).alias("dq")
+        "query_id", "s", "cid", d2("qsv", "cv").alias("dq")
     )
     adc = (
         final.select("pid", "s", "cid")
@@ -1729,7 +1761,7 @@ def mmr_rerank(
         raise ValueError("mmr_rerank needs 1 <= k <= n_candidates")
     pts = emb.select(
         F.col(id_col).alias("pid"),
-        quantize_embedding(F.col(vec_col)).alias("qv"),
+        quantize_embedding(vec_col).alias("qv"),
     )
     qrow = (
         pts.orderBy("pid")
@@ -1740,7 +1772,7 @@ def mmr_rerank(
     state = (
         pts.crossJoin(F.broadcast(qrow))
         .filter(F.col("pid") != F.col("qid"))
-        .select("pid", "qv", _int_sq_l2(F.col("qv"), F.col("qqv")).alias("dq"))
+        .select("pid", "qv", _int_sq_l2("qv", "qqv").alias("dq"))
         .orderBy("dq", "pid")
         .limit(n_candidates)
         .withColumn("min_ds", F.lit(_MMR_BIG).cast("long"))
@@ -1774,7 +1806,7 @@ def mmr_rerank(
                 "pid",
                 "qv",
                 "dq",
-                F.least(F.col("min_ds"), _int_sq_l2(F.col("qv"), F.col("cqv"))).alias(
+                F.least(F.col("min_ds"), _int_sq_l2("qv", "cqv")).alias(
                     "min_ds"
                 ),
             )
@@ -1807,7 +1839,7 @@ def embedding_dim_profile(
     per pos (same shape, documented trade)."""
     pts = emb.select(
         F.col(id_col).alias("pid"),
-        quantize_embedding(F.col(vec_col)).alias("qv"),
+        quantize_embedding(vec_col).alias("qv"),
     ).select("pid", F.posexplode("qv").alias("pos", "v"))
     stats = pts.groupBy("pos").agg(
         F.count("*").cast("long").alias("n"),
@@ -1861,7 +1893,7 @@ def embedding_outliers(emb: DataFrame, topk: int = 5) -> DataFrame:
     agg, then a per-label top-k window on WindowGroupLimit.  No
     all-pairs anything; the only shuffles are the two keyed aggs."""
     e = emb.select(
-        "vec_id", "label", quantize_embedding(F.col("embedding")).alias("qv")
+        "vec_id", "label", quantize_embedding("embedding").alias("qv")
     )
     ex = e.select(
         "vec_id", "label", F.posexplode("qv").alias("pos", "v")
@@ -1983,7 +2015,7 @@ def q_embedding_principal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the [-127, 127] grid, engine-exact."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qe = emb.select(
-        quantize_embedding(F.col("embedding")).alias("qv")
+        quantize_embedding("embedding").alias("qv")
     ).localCheckpoint(eager=False)  # loop-invariant: read every round
     v = power_iteration_direction(qe, rounds=PI_ROUNDS)
     return v.select(F.posexplode("v").alias("dim", "comp")).select(
@@ -2018,7 +2050,7 @@ def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     qe = emb.select(
         "vec_id",
-        quantize_embedding(F.col("embedding")).alias("qv"),
+        quantize_embedding("embedding").alias("qv"),
         h.alias("h"),
         (h % DH_PAIR_BUCKETS).alias("pb"),
     )
@@ -2066,7 +2098,7 @@ def q_vector_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n2 = F.aggregate(
-        quantize_embedding(F.col("embedding")),
+        quantize_embedding("embedding"),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x.cast("long") * x,
     )
@@ -2247,7 +2279,7 @@ def q_knn_label_agreement(
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "label", quantize_embedding(F.col("embedding")).alias("qv")
+        "vec_id", "label", quantize_embedding("embedding").alias("qv")
     )
     if strategy not in ("auto", "blas", "pairs"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -2506,7 +2538,7 @@ def q_bitext_margin_mining(
         "doc_id", "lang"
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", quantize_embedding(F.col("embedding")).alias("qv")
+        "vec_id", quantize_embedding("embedding").alias("qv")
     )
     tagged = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
         "vec_id", "lang", "qv"

@@ -79,11 +79,31 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),
+        # PySpark 4 call-site capture (dataFrameDebugging) wraps EVERY
+        # Column/DataFrame API call in 3-4 extra py4j round trips plus a
+        # Python stack walk, purely to decorate error messages with the
+        # Python call site.  Plan construction is a hot path here (~40%
+        # of bench wall at sf0.1 is driver-side construction); an
+        # in-process ON/OFF/ON A/B measured 15-35% construction savings
+        # per query with it off (optimization r13, guide §4 — minimize
+        # JVM<->Python crossings).  Purely driver-side: executed plans
+        # and results are identical.
+        ("spark.python.sql.dataFrameDebugging.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable in some deployments; plans degrade loudly
+    try:
+        # is_debugging_enabled() caches its answer module-globally on
+        # first Column call; a driver-provided session may have touched
+        # the API before we could set the conf, so sync the cache with
+        # the conf we just pinned.
+        import pyspark.errors.utils as _eu
+
+        _eu._enable_debugging_cache = False
+    except Exception:
+        pass  # private cache moved/renamed: the conf alone still governs
     _ship_package(spark)
     _PINNED.add(spark)
     return spark
@@ -141,6 +161,9 @@ def get_spark(
         # parquet reader rejects; read as long and convert explicitly
         # (sources.readers.read_events) — micro-precision afterwards.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # driver-side py4j/call-site-capture overhead off (see
+        # ensure_engine_confs); identical plans and results
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
