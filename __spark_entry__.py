@@ -41,6 +41,9 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.enri
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.session import (  # noqa: E402
     ensure_engine_confs,
 )
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (  # noqa: E402
+    cached_scan,
+)
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.streaming import (  # noqa: E402
     events as streaming_events,
 )
@@ -125,7 +128,7 @@ def q_enrich_flaky_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-for-row against the SQL replay."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("title"),
         F.col("text").alias("content"),
@@ -155,7 +158,7 @@ def q_enrich_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsing, and the literal timestamp stamp."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("title"),
         F.col("text").alias("content"),
@@ -186,7 +189,7 @@ def q_enrich_dedup_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
     the article body — the same unit the dedup family measures."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source",
         F.lit("").alias("title"),
         F.col("text").alias("content"),
@@ -227,7 +230,7 @@ def q_sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer div."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     enriched = q_enrich_offline(spark, sf_dir).select("doc_id", "sentiment_llm")
     joined = docs.select("doc_id", "source").join(enriched, "doc_id")
     per = joined.groupBy("source", "sentiment_llm").agg(F.count("*").alias("n_docs"))

@@ -24,6 +24,7 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.rela
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
     read_events,
 )
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import cached_scan
 
 
 def cohort_retention(
@@ -272,7 +273,7 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", token_count("text").alias("n_tokens")
     )
     band = (
@@ -475,7 +476,7 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one scan, one (bucket, source) count agg, share math on the
     tiny aggregate."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet").select(
         (F.expr("(doc_id div 20) % 2") == 0).alias("snap_a"), "source"
     )
     counts = docs.groupBy("source").agg(
@@ -608,7 +609,7 @@ def trimmed_stats(
 def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5/95 trimmed + winsorized n_chars statistics per document
     source."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return trimmed_stats(docs, "source", "n_chars", "doc_id")
 
 
@@ -981,7 +982,7 @@ def q_jackknife_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_ppm,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     bucketed = docs.select(
         (
             F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
@@ -1187,7 +1188,7 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_ppm,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     scored0 = docs.select(
         "source", "doc_id", quality_ppm("text").alias("q_ppm")
     ).localCheckpoint(eager=False)  # replicates + point estimate: ONE scan
@@ -1262,7 +1263,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical positive-operand path).  Plan: one groupBy over the
     QI columns, map-side combine, output bounded by |segments| ×
     |nations| × |bands| regardless of row count."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = cached_scan(spark, f"{sf_dir}/customer.parquet")
     return (
         customer_qi(cust)
         .groupBy("segment", "nationkey", "bal_band")
@@ -1301,7 +1302,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_ppm,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", quality_ppm("text").alias("q_ppm"),
         (
             F.conv(F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
@@ -1781,7 +1782,7 @@ def q_poisson_weight_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate, the total weight and the count of nonzero weights over
     the documents table.  Certifies the md5-ppb uniform + inverse-CDF
     threshold chain end-to-end with no downstream arithmetic; 32 rows."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     b = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep")
     w = poisson_weight(F.col("doc_id"), F.col("rep"))
     return (
@@ -1806,7 +1807,7 @@ def q_boot_rep_sums_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_ppm,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     scored = docs.select("source", "doc_id", quality_ppm("text").alias("q_ppm"))
     b = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep")
     scored = scored.select("source", "doc_id", "q_ppm", b)
@@ -1913,7 +1914,7 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one (source, lang) hash agg with map-side combine, then a
     per-cell hash + CASE chain — output bounded by |sources|·|langs|
     regardless of corpus size, nothing but the tiny release shuffles."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return (
         docs.groupBy("source", "lang")
         .agg(F.count("*").cast("long").alias("n"))
@@ -2398,7 +2399,7 @@ def benford_audit(amounts: DataFrame, amount_col: str = "cents") -> DataFrame:
 
 
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = cached_scan(spark, f"{sf_dir}/orders.parquet")
     return benford_audit(
         orders.select(
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
@@ -2737,9 +2738,9 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     QI-keyed agg with two count-distincts — output bounded by
     |segments|·|nations|·|bands|, never by order volume."""
     cust = customer_qi(
-        spark.read.parquet(f"{sf_dir}/customer.parquet"), keep_key=True
+        cached_scan(spark, f"{sf_dir}/customer.parquet"), keep_key=True
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = cached_scan(spark, f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderpriority").alias("sensitive"),
     )

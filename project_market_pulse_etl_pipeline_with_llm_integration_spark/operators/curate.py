@@ -35,6 +35,7 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.samp
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
     with_corpus_filter,
 )
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import cached_scan
 
 
 def curate_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -42,7 +43,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     callers (and the law row) can audit the funnel.  The benchmark
     split for decontamination reuses q_decontaminate's deterministic
     md5 split."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     cols = docs.columns
 
     admitted = with_corpus_filter(docs).filter(F.col("keep")).select(*cols)

@@ -42,6 +42,7 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.colu
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
     spread_if_narrow,
 )
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import cached_scan
 
 # ---------------------------------------------------------------------------
 # Degenerate-blocking guards (shared by the near-dup families)
@@ -118,7 +119,7 @@ def exact_dedup(
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return exact_dedup(
         df, num_partitions=spark.sparkContext.defaultParallelism
     ).select("fp", "keep_id", "dup_count")
@@ -469,7 +470,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-gram shingles: unigram token sets are degenerate on small-vocab
     # corpora (almost every pair matches); word trigrams measure actual
     # copied passages.
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return jaccard_pairs(
         df, n=3, threshold=0.6,
         num_partitions=spark.sparkContext.defaultParallelism,
@@ -593,7 +594,7 @@ def containment_pairs(
 
 
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return containment_pairs(
         df, n=3, threshold=0.8, num_partitions=spark.sparkContext.defaultParallelism
     )
@@ -812,7 +813,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: minhash pipeline -> connected components.
     Iterative -> no SQL oracle (rows-only check); correctness pinned by
     tests against a hand-built graph."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     pairs = minhash_dedup_pairs(
         df, threshold=0.6, num_partitions=spark.sparkContext.defaultParallelism
     )
@@ -836,7 +837,7 @@ def q_cluster_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three are structural: they hold at any sf for a correct
     implementation and each catches a distinct failure mode of the
     pointer-jumping loop."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     pairs = minhash_dedup_pairs(
         df, threshold=0.6, num_partitions=spark.sparkContext.defaultParallelism
     ).localCheckpoint(eager=False)
@@ -887,7 +888,7 @@ def dedup_corpus(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> Dat
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deduplicated documents table (minhash pairs -> clusters ->
     survivors only).  Iterative -> rows-only check."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     pairs = minhash_dedup_pairs(
         df, threshold=0.6, num_partitions=spark.sparkContext.defaultParallelism
     )
@@ -909,7 +910,7 @@ def q_corpus_survivor_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both booleans hold at any sf; idempotence is THE law a dedup pass
     must satisfy (a second pass that still finds dups means the first
     pass under-merged)."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
     pairs = minhash_dedup_pairs(df, threshold=0.6, num_partitions=par).localCheckpoint(
         eager=False
@@ -940,7 +941,7 @@ def q_corpus_survivor_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return minhash_dedup_pairs(
         df, threshold=0.6, num_partitions=spark.sparkContext.defaultParallelism
     )
@@ -964,7 +965,7 @@ def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything upstream is seeded and the corpus fixed, so both booleans
     are hard oracle-checkable constants."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
     exact = (
         jaccard_pairs(df, n=3, threshold=0.6, num_partitions=par,
@@ -1168,7 +1169,7 @@ def simhash_pairs(
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spread_if_narrow(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        cached_scan(spark, f"{sf_dir}/documents.parquet"),
         spark.sparkContext.defaultParallelism,
     )
     return simhash_pairs(df, max_distance=3)
@@ -1192,7 +1193,7 @@ def q_simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both booleans hold at any sf (the ann_recall pattern applied to
     simhash)."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     planted = df.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + _PLANT_ID_OFFSET).alias("doc_id"), "text"
     )
@@ -1280,7 +1281,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus/benchmark split via md5 hash-sampling (the
     same reproducible-membership trick as ``hash_sample``): docs whose
     md5(doc_id) < '20' (~1/8) play the benchmark, the rest the corpus."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     is_bench = F.md5(F.col("doc_id").cast("string")) < "20"
     return decontaminate(
         docs.filter(~is_bench),
@@ -1372,7 +1373,7 @@ def editdistance_pairs(
 def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs over documents (48-char prefixes,
     32-char length bands × first-token blocking, distance <= 12)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     # inplan guard: the degenerate-blocking cap still raises loudly but
     # rides the main job's exchange instead of costing a pre-scan job
     return editdistance_pairs(docs, max_block_size=20_000, guard_mode="inplan")
@@ -1468,7 +1469,7 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread_if_narrow(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        cached_scan(spark, f"{sf_dir}/documents.parquet"),
         spark.sparkContext.defaultParallelism,
     )
     return winnow_pairs(docs, min_shared=2, max_fp_df=10_000, guard_mode="inplan")
@@ -1513,7 +1514,7 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = leakage_safe_split(
         spread_if_narrow(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            cached_scan(spark, f"{sf_dir}/documents.parquet"),
             spark.sparkContext.defaultParallelism,
         )
     )
@@ -1650,7 +1651,7 @@ def incremental_dedup(
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup the deterministic 5% 'daily batch' (doc_id % 20 == 7)
     against the other 95% of the documents table."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     batch = docs.filter(F.col("doc_id") % 20 == 7)
     corpus = docs.filter(F.col("doc_id") % 20 != 7)
     return incremental_dedup(
@@ -1684,7 +1685,7 @@ def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_ppm,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
         tokens,
     )
@@ -1735,7 +1736,7 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed columns exact integers/booleans."""
     from pyspark.sql import Window
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = cached_scan(spark, f"{sf_dir}/customer.parquet")
     block = [
         F.col("c_nationkey"),
         F.col("c_mktsegment"),
@@ -1788,7 +1789,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     fam = docs.select(
         F.md5(F.array_join(F.slice(tokens("text"), 1, 16), " ")).alias("fp"), "source"
     ).distinct()
@@ -1870,7 +1871,7 @@ def stitch_overlap_pairs(
 def q_doc_stitch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All 3-token tail->head stitch candidates over the corpus, with
     the boundary gram in-row — hashed contract (a_id, b_id, gram)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     return stitch_overlap_pairs(docs, k=3)
@@ -1999,7 +2000,7 @@ def source_minhash_overlap(
 
 def q_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_if_narrow(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        cached_scan(spark, f"{sf_dir}/documents.parquet"),
         spark.sparkContext.defaultParallelism,
     )
     return source_minhash_overlap(docs, k=32, n=3)
@@ -2115,7 +2116,7 @@ def duplicated_ngram_coverage(
 
 def q_duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_if_narrow(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        cached_scan(spark, f"{sf_dir}/documents.parquet"),
         spark.sparkContext.defaultParallelism,
     )
     return duplicated_ngram_coverage(docs, window=5)
@@ -2154,7 +2155,7 @@ def dup_span_mask(
 
 def q_dup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_if_narrow(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        cached_scan(spark, f"{sf_dir}/documents.parquet"),
         spark.sparkContext.defaultParallelism,
     )
     return dup_span_mask(docs, window=5, min_span=5)
@@ -2200,4 +2201,4 @@ def corpus_manifest(docs: DataFrame) -> DataFrame:
 
 
 def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return corpus_manifest(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return corpus_manifest(cached_scan(spark, f"{sf_dir}/documents.parquet"))

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.guards import (
     guard_int64,
 )
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import cached_scan
 
 
 # Fixed-point scale: ranks are longs in units of 1e-9 "rank mass".
@@ -133,8 +134,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 nodes of the trade graph by 5-iteration fixed-point
     PageRank; hashed contract is (node, rank, pr_rank) — all longs."""
     edges = trade_edges(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"),
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        cached_scan(spark, f"{sf_dir}/orders.parquet"),
+        cached_scan(spark, f"{sf_dir}/lineitem.parquet"),
     ).localCheckpoint(eager=False)  # deg + ed + nodes all derive from it
     ranks = pagerank_fixed_point(edges, iters=5)
     top = ranks.orderBy(F.col("rank").desc(), "node").limit(20)
@@ -188,7 +189,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph sparse enough that wedges stay bounded at scale.  Output
     is three longs — everything exact."""
     edges = copurchase_edges(
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), min_support=2
+        cached_scan(spark, f"{sf_dir}/lineitem.parquet"), min_support=2
     ).localCheckpoint(eager=False)  # e1/e2/e3 + the node census
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -219,8 +220,8 @@ def q_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     the state stays one long per reached node.  Same fixed-iteration
     posture as pagerank: at 100 TB each round is a bounded keyed
     shuffle, and the hop histogram output is O(diameter) rows."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = cached_scan(spark, f"{sf_dir}/orders.parquet")
+    lineitem = cached_scan(spark, f"{sf_dir}/lineitem.parquet")
     edges = trade_edges(orders, lineitem).localCheckpoint(eager=False)
     src = orders.agg(F.min("o_custkey").alias("node")).withColumn(
         "hop", F.lit(0).cast("long")
@@ -327,8 +328,8 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs.  Cited parity: reference has no graph ops (Main.py is a
     pandas ETL); this is north-star extension surface."""
     edges = trade_edges(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"),
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        cached_scan(spark, f"{sf_dir}/orders.parquet"),
+        cached_scan(spark, f"{sf_dir}/lineitem.parquet"),
     ).localCheckpoint(eager=False)
     stats = None
     for i, e in enumerate(kcore_peel(edges, k=3, rounds=4), start=1):
@@ -344,8 +345,8 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community sizes after 3 label-propagation rounds on the trade
     graph — hashed contract is (community, n_members), all longs."""
     edges = trade_edges(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"),
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        cached_scan(spark, f"{sf_dir}/orders.parquet"),
+        cached_scan(spark, f"{sf_dir}/lineitem.parquet"),
     ).localCheckpoint(eager=False)
     return (
         label_propagation(edges, rounds=3)
@@ -405,7 +406,7 @@ def link_prediction_ra(edges: DataFrame, top_k: int = 50) -> DataFrame:
 def q_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 predicted co-purchase links on the part graph."""
     edges = copurchase_edges(
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), min_support=2
+        cached_scan(spark, f"{sf_dir}/lineitem.parquet"), min_support=2
     ).localCheckpoint(eager=False)  # adjacency (x2) + the anti-join side
     return link_prediction_ra(edges, top_k=50)
 
@@ -422,8 +423,8 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram) over the bidirectional edge list — output O(distinct
     degrees), no windows, no collects."""
     return degree_distribution_from_rel(trade_rel(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"),
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        cached_scan(spark, f"{sf_dir}/orders.parquet"),
+        cached_scan(spark, f"{sf_dir}/lineitem.parquet"),
     ))
 
 
@@ -489,19 +490,19 @@ def q_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     after that is arithmetic on the tiny matrix (lazily checkpointed:
     it feeds m, the within slice, and the endpoint rollup).  Output
     O(|nations|) rows, no windows, no collects."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_suppkey"
     )
-    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    ords = cached_scan(spark, f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey"
     )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = cached_scan(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", F.col("c_nationkey").cast("long").alias("cn")
     )
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    supp = cached_scan(spark, f"{sf_dir}/supplier.parquet").select(
         "s_suppkey", F.col("s_nationkey").cast("long").alias("sn")
     )
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+    nat = cached_scan(spark, f"{sf_dir}/nation.parquet").select(
         F.col("n_nationkey").cast("long").alias("natkey"),
         F.col("n_name").alias("nation"),
     )
@@ -610,21 +611,21 @@ def q_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_modularity down to ONE <=625-row (cn, sn) matrix with count
     and cents, then a mirrored self-join of the tiny matrix on
     (a < b).  Output O(|nations|²/2) rows, no windows."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_suppkey",
         (F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .cast("decimal(20,6)").alias("rev"),
     )
-    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    ords = cached_scan(spark, f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey"
     )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = cached_scan(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", F.col("c_nationkey").cast("long").alias("cn")
     )
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    supp = cached_scan(spark, f"{sf_dir}/supplier.parquet").select(
         "s_suppkey", F.col("s_nationkey").cast("long").alias("sn")
     )
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+    nat = cached_scan(spark, f"{sf_dir}/nation.parquet").select(
         F.col("n_nationkey").cast("long").alias("natkey"), "n_name"
     )
     mat = (
@@ -715,8 +716,8 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs joined back on their keys, one scalar agg — output exactly 1
     row; at 100 TB the wide ops are the distinct and the two keyed
     degree joins, all on two-long rows."""
-    ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ords = cached_scan(spark, f"{sf_dir}/orders.parquet")
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet")
     return degree_assortativity_from_rel(trade_rel(ords, li))
 
 

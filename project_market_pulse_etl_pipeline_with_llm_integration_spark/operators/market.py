@@ -22,6 +22,7 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.rela
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
     read_events,
 )
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import cached_scan
 
 
 def ohlc_bars(
@@ -121,7 +122,7 @@ def market_basket_pairs(
 
 
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return market_basket_pairs(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    return market_basket_pairs(cached_scan(spark, f"{sf_dir}/lineitem.parquet"))
 
 
 def attribution_last_touch(
@@ -202,7 +203,7 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; top-k is a distributed TakeOrdered."""
     from pyspark.sql import Window as W
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet")
     op = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
@@ -353,7 +354,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     it the ranked path — range-partitioned rank + ntile-from-rank
     arithmetic, no single-task global sort — with both methods pinned
     output-identical by test (the dense_id multi-method precedent)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = cached_scan(spark, f"{sf_dir}/orders.parquet")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
@@ -393,7 +394,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     At production scale the pair join takes market_basket's max_basket
     guard unchanged (the rule math is guard-independent); TPC-H
     baskets are <= 7 lines so the bench form omits it."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet")
     op = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
@@ -451,7 +452,7 @@ def q_discount_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket's cents by the grand total's cents, both exact longs.
     Plan: one scan, one tiny-key hash agg, one broadcast total —
     output O(discount steps)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet").select(
         F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
         "l_quantity",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
@@ -490,11 +491,11 @@ def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_concurrency bound).  Only boundary days are emitted; the
     carry stays correct across silent days because their nets are
     zero.  All exact integers."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = cached_scan(spark, f"{sf_dir}/orders.parquet").select(
         "o_orderkey", F.to_date("o_orderdate").alias("open_day")
     )
     close = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        cached_scan(spark, f"{sf_dir}/lineitem.parquet")
         .groupBy("l_orderkey")
         .agg(F.max(F.to_date("l_shipdate")).alias("close_day"))
     )
@@ -533,7 +534,7 @@ def q_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     GAP_BUCKETS literal.  Plan: one orderkey-keyed count agg, a 32-row
     broadcast range join, one <=32-key agg — no windows."""
     return order_size_from_state(
-        order_size_state(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+        order_size_state(cached_scan(spark, f"{sf_dir}/lineitem.parquet"))
     )
 
 
@@ -586,7 +587,7 @@ def q_revenue_concentration(
     Plan: one custkey-keyed sum agg, a 32-row broadcast range join,
     one <=32-key agg, a 32x32 broadcast triangle join — output <=32
     rows."""
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    od = cached_scan(spark, f"{sf_dir}/orders.parquet")
     return revenue_concentration_from_state(revenue_state(od), _lim)
 
 
@@ -692,8 +693,8 @@ def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (priority, lag) histogram agg, a priority-PARTITIONED
     cumulative window over O(distinct lags) rows (bounded groups —
     audit-safe), output O(|priorities|)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet")
+    od = cached_scan(spark, f"{sf_dir}/orders.parquet")
     last_ship = li.groupBy("l_orderkey").agg(
         F.max(F.to_date("l_shipdate")).alias("last_ship")
     )
@@ -755,13 +756,13 @@ def q_return_rate_by_brand(
 
     Plan: partkey-keyed join (brand is part-dim-sized; AQE broadcasts
     the dim side when it fits), one brand agg — output O(|brands|)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_partkey",
         (F.col("l_returnflag") == "R").alias("ret"),
         (F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .cast("decimal(20,6)").alias("rev"),
     )
-    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    pt = cached_scan(spark, f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_brand"
     )
     cells = (
@@ -891,7 +892,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     TPC-H sf1e5 — SCALE.md money table); the per-member div adds no
     headroom pressure."""
     return cohort_ltv_from_state(
-        cohort_ltv_state(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+        cohort_ltv_state(cached_scan(spark, f"{sf_dir}/orders.parquet"))
     )
 
 
@@ -974,16 +975,16 @@ def q_category_penetration(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: the only corpus-sized shuffles are the orderkey
     join and the (custkey, brand) distinct; 1e6·n_buyers holds to
     9.2e12 buyers per cell — beyond any customer population."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
     )
-    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    ords = cached_scan(spark, f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey"
     )
-    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    pt = cached_scan(spark, f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_brand"
     )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = cached_scan(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
     buyers = (
@@ -1040,7 +1041,7 @@ def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the part dim), then pure column arithmetic on the
     O(|brands|) frame.  Output O(|brands|) rows, no windows."""
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        cached_scan(spark, f"{sf_dir}/lineitem.parquet")
         .select(
             "l_partkey",
             F.round(F.col("l_discount") * 100).cast("long").alias("x"),
@@ -1051,7 +1052,7 @@ def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stratified_uplift r10 review lesson)
         .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     )
-    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    pt = cached_scan(spark, f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_brand"
     )
     agg = (
@@ -1122,7 +1123,7 @@ def q_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     od = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cached_scan(spark, f"{sf_dir}/orders.parquet")
         .select(
             "o_custkey",
             F.year("o_orderdate").cast("long").alias("yr"),
@@ -1214,7 +1215,7 @@ def q_seasonality_index(
     ONE (segment, month) hash agg, a broadcast O(segments) totals
     join.  Output <= 12·|segments| rows, no windows."""
     od = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cached_scan(spark, f"{sf_dir}/orders.parquet")
         .select(
             "o_custkey",
             F.month("o_orderdate").cast("long").alias("month"),
@@ -1223,7 +1224,7 @@ def q_seasonality_index(
         )
         .filter(F.col("cents").isNotNull())
     )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = cached_scan(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
     cells = (
@@ -1286,13 +1287,13 @@ def q_price_realization(
 
     Plan: brand+retail dim broadcast into the lineitem scan, ONE brand
     hash agg — output O(|brands|), no windows."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_partkey",
         F.col("l_quantity").cast("decimal(20,6)").alias("qty"),
         (F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .cast("decimal(20,6)").alias("rev"),
     )
-    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    pt = cached_scan(spark, f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_brand",
         F.col("p_retailprice").cast("decimal(20,6)").alias("retail"),
     )
@@ -1354,7 +1355,7 @@ def q_supply_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand rollup (max_by for the top supplier, decimal sums for the
     HHI terms).  Output O(|brands|), no windows."""
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        cached_scan(spark, f"{sf_dir}/lineitem.parquet")
         .select(
             "l_partkey", "l_suppkey",
             (F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -1365,7 +1366,7 @@ def q_supply_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ride the HHI under a phantom supplier — exclude explicitly
         .filter(F.col("l_suppkey").isNotNull())
     )
-    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    pt = cached_scan(spark, f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_brand"
     )
     per_supp = (
@@ -1473,10 +1474,10 @@ def q_basket_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         pow2_histogram,
     )
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
     )
-    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    pt = cached_scan(spark, f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_brand"
     )
     per_order = (
@@ -1568,7 +1569,7 @@ def q_revenue_growth(
     checkpointed — it feeds both sides of the month-offset self-join
     of the O(segments·months) frame).  No windows."""
     od = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cached_scan(spark, f"{sf_dir}/orders.parquet")
         .select(
             "o_custkey",
             F.date_trunc("month", F.col("o_orderdate")).alias("mth"),
@@ -1577,7 +1578,7 @@ def q_revenue_growth(
         )
         .filter(F.col("cents").isNotNull())
     )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = cached_scan(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
     cells = (
@@ -1652,7 +1653,7 @@ def q_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         pow2_histogram,
     )
 
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    od = cached_scan(spark, f"{sf_dir}/orders.parquet")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     gaps = (
         od.select("o_custkey", "o_orderdate", "o_orderkey")
@@ -1695,11 +1696,11 @@ def q_price_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.analytics import (
         _ppm2,
     )
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    part = cached_scan(spark, f"{sf_dir}/part.parquet").select(
         "p_partkey",
         F.floor(F.col("p_retailprice") / 10).cast("long").alias("band"),
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_partkey",
         (F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .cast("decimal(20,6)").alias("rev"),
@@ -1777,12 +1778,12 @@ def q_credit_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark_ = spark
-    cust = spark_.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = cached_scan(spark_, f"{sf_dir}/customer.parquet").select(
         "c_custkey",
         F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
     )
     od = (
-        spark_.read.parquet(f"{sf_dir}/orders.parquet")
+        cached_scan(spark_, f"{sf_dir}/orders.parquet")
         .select(
             "o_custkey",
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -1852,9 +1853,9 @@ def q_tax_effective_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one keyed join to the supplier dim (broadcast at catalog
     sizes, AQE owns the pick), a broadcast nation-name join, one
     <=25-key agg.  Output O(|nations|) rows."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet")
+    sup = cached_scan(spark, f"{sf_dir}/supplier.parquet")
+    nat = cached_scan(spark, f"{sf_dir}/nation.parquet")
     return tax_rate_from_state(tax_state(li, sup, nat))
 
 
@@ -1950,7 +1951,7 @@ def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lc = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        cached_scan(spark, f"{sf_dir}/lineitem.parquet")
         .select(
             "l_orderkey",
             (
@@ -1964,7 +1965,7 @@ def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("line_cents")
         )
     )
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    od = cached_scan(spark, f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("long")
         .alias("header_cents"),
@@ -2032,8 +2033,8 @@ def q_abc_classification(
         _ppm2,
     )
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet")
+    part = cached_scan(spark, f"{sf_dir}/part.parquet")
     per_part = (
         li.select(
             "l_partkey",
@@ -2129,8 +2130,8 @@ def q_single_source_risk(
         _ppm2,
     )
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet")
+    part = cached_scan(spark, f"{sf_dir}/part.parquet")
     cell = (
         li.select(
             "l_partkey", "l_suppkey",

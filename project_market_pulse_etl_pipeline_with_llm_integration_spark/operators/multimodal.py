@@ -17,6 +17,7 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import cached_scan
 
 FEATURE_DIM = 8
 
@@ -192,7 +193,7 @@ def resize_payload(
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize slice with an arithmetic oracle: stride and resized length
     are pure functions of payload size and the target."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     resized = resize_payload(with_binary_payload(df).select("doc_id", "payload"))
     return resized.select("doc_id", "stride", "resized_len")
 
@@ -200,7 +201,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling slice with an arithmetic oracle: frame counts and
     first/last frame byte lengths are pure functions of payload size."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     framed = sample_frames(with_binary_payload(df).select("doc_id", "payload"))
     first_len = F.when(
         F.col("n_frames") > 0, F.octet_length(F.element_at("frames", 1))
@@ -219,14 +220,14 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable slice of the multimodal pipeline: binary payload
     length + md5 (the metadata law an engine must preserve end-to-end)."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return with_binary_payload(df).select("doc_id", "payload_len", "payload_md5", "media_type")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full plumbing incl. the stubbed decode (rows-only check: the fake
     features are engine-defined, not SQL-expressible)."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     feats = extract_features(with_binary_payload(df).select("doc_id", "payload"))
     return feats.select(
         "doc_id",
@@ -253,7 +254,7 @@ def q_multimodal_shape_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     All four booleans are structural (hold at any sf); together they
     pin the Arrow plumbing's row alignment and the stub's declared
     output domain without hashing engine-defined float values."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     feats = extract_features(
         with_binary_payload(df).select("doc_id", "payload_len", "payload")
     )
@@ -303,7 +304,7 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     document bodies in the text family, never leave their partition.
     One hash agg with map-side combine; at 100 TB the shuffle is
     O(rows x 48 bytes) regardless of blob sizes."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return (
         with_binary_payload(docs)
         .groupBy("payload_md5")

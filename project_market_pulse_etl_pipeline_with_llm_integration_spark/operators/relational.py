@@ -23,10 +23,11 @@ from pyspark.sql import functions as F
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.ids import with_dense_id
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.sample import exact_sample
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.session import ensure_engine_confs
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import cached_scan
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return cached_scan(spark, f"{sf_dir}/{name}.parquet")
 
 
 def money_sum(expr: Column, scale: int = 2) -> Column:
@@ -1763,7 +1764,7 @@ def q_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return (
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
@@ -2618,7 +2619,7 @@ def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document HRW placement at N=8 and N=9 side by side, with the
     per-key movement flag.  Everything hashed is exact integers (md5
     weights, packed argmax) — no floats anywhere."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     a8 = rendezvous_assign(docs, "doc_id", 8, "shard8")
     a9 = rendezvous_assign(docs, "doc_id", 9, "shard9")
     return (
@@ -3112,7 +3113,7 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one scan feeding both projections (Spark reuses the
     exchange-free scan), zero shuffles — union is plan-level."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = cached_scan(spark, f"{sf_dir}/customer.parquet")
     v1 = cust.select(
         "c_custkey", "c_name", F.lit(1).cast("long").alias("gen")
     )
@@ -3211,11 +3212,11 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     key column, broadcast when dim-sized) plus a count — no row ever
     widens; NULL child keys count as orphans (they too vanish from
     inner joins).  Output: one row per audited relationship."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet")
+    orders = cached_scan(spark, f"{sf_dir}/orders.parquet")
+    cust = cached_scan(spark, f"{sf_dir}/customer.parquet")
+    part = cached_scan(spark, f"{sf_dir}/part.parquet")
+    supp = cached_scan(spark, f"{sf_dir}/supplier.parquet")
 
     def audit(name, child, ck, parent, pk):
         c = child.select(F.col(ck).alias("k"))
@@ -3260,19 +3261,19 @@ def q_dim_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side partial) + one key join against the dim — at 100 TB the
     distinct-key side is dim-sized after the agg, so AQE broadcasts
     it; output exactly 3 rows."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet")
+    od = cached_scan(spark, f"{sf_dir}/orders.parquet")
     rels = [
         ("orders->customer",
-         spark.read.parquet(f"{sf_dir}/customer.parquet")
+         cached_scan(spark, f"{sf_dir}/customer.parquet")
          .select(F.col("c_custkey").alias("k")),
          od.select(F.col("o_custkey").alias("fk"))),
         ("lineitem->part",
-         spark.read.parquet(f"{sf_dir}/part.parquet")
+         cached_scan(spark, f"{sf_dir}/part.parquet")
          .select(F.col("p_partkey").alias("k")),
          li.select(F.col("l_partkey").alias("fk"))),
         ("lineitem->supplier",
-         spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         cached_scan(spark, f"{sf_dir}/supplier.parquet")
          .select(F.col("s_suppkey").alias("k")),
          li.select(F.col("l_suppkey").alias("fk"))),
     ]

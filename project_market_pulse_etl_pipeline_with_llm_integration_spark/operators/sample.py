@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import cached_scan
 
 
 def exact_sample(df: DataFrame, n: int | None, seed: int = 42) -> DataFrame:
@@ -64,7 +65,7 @@ def stratified_sample(
 def q_stratified_sample(spark, sf_dir: str):
     """40 documents per language, deterministically chosen — the
     reproducible per-stratum quota draw."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return stratified_sample(docs, "lang", 40, "doc_id").select(
         "doc_id", "lang", "sample_rank"
     )
@@ -154,7 +155,7 @@ MIXTURE_TARGETS = {"src0": 400_000, "src1": 300_000, "src2": 200_000, "src3": 10
 
 def q_mixture_sample(spark, sf_dir: str):
     """Draw a ~120-doc corpus at a 40/30/20/10 source mixture."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return mixture_sample(docs, "source", "doc_id", MIXTURE_TARGETS, 120).select(
         "doc_id", "source", "lang", "n_chars"
     )
@@ -206,7 +207,7 @@ def q_token_budget_mixture(spark, sf_dir: str):
         token_count,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     docs = docs.withColumn("n_tokens", token_count("text").cast("long"))
     return token_budget_mixture(
         docs, "source", "doc_id", TOKEN_BUDGETS, F.col("n_tokens")
@@ -243,7 +244,7 @@ def dataset_split(
 def q_dataset_split(spark, sf_dir: str):
     """90/5/5 split of the documents table with per-split counts
     surfaced per source (the split-audit every run starts with)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return (
         dataset_split(docs, "doc_id")
         .groupBy("source", "split")
@@ -262,7 +263,7 @@ def q_sample_invariants(spark, sf_dir: str):
     booleans."""
     from pyspark.sql import functions as F
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = cached_scan(spark, f"{sf_dir}/orders.parquet")
     a = exact_sample(orders, 500, 42).select("o_orderkey")
     b = exact_sample(orders, 500, 42).select("o_orderkey")
     c = exact_sample(orders, 500, 43).select("o_orderkey")
@@ -285,7 +286,7 @@ def q_sample_invariants(spark, sf_dir: str):
 def q_weighted_sample(spark, sf_dir: str):
     """Length-proportional document sample: p(keep) = n_chars * 800ppm
     (a 48-char doc ~ 3.8%, a 553-char doc ~ 44%)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return weighted_sample(docs, "n_chars", "doc_id", 800).select(
         "doc_id", "lang", "n_chars"
     )
@@ -366,7 +367,7 @@ def q_temperature_mixture(spark, sf_dir: str):
         token_count,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     docs = docs.withColumn("n_tokens", token_count("text").cast("long"))
     return temperature_mixture(
         docs, "source", "doc_id", F.col("n_tokens"), 12_000
@@ -451,7 +452,7 @@ def q_stratified_kfold(spark, sf_dir: str):
     """Per-(source, fold) audit of the content-keyed 5-fold: counts
     plus the min/max fold population per source so balance is visible
     in-row — all-integer hashed contract."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     cell = (
         stratified_kfold(docs, k=5)
         .groupBy("source", "fold")
@@ -472,7 +473,7 @@ def q_stratified_kfold(spark, sf_dir: str):
 def q_leakage_safe_split(spark, sf_dir: str):
     """Per-(source, split) audit counts of the 90/5/5 content-keyed
     split — all-integer hashed contract."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return (
         leakage_safe_split(docs)
         .groupBy("source", "split")
@@ -492,7 +493,7 @@ def q_split_leakage_law(spark, sf_dir: str):
         norm_text,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     fp = F.md5(norm_text("text")).alias("fp")
 
     safe = leakage_safe_split(docs).select(fp, "split")
@@ -600,7 +601,7 @@ def epoch_shuffle(
 
 def q_epoch_shuffle(spark, sf_dir: str) -> DataFrame:
     """3-epoch, 8-shard shuffle plan over the documents table."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return epoch_shuffle(docs, n_epochs=3, n_shards=8)
 
 
@@ -697,5 +698,5 @@ def mixture_waterfill(
 
 def q_mixture_waterfill(spark, sf_dir: str) -> DataFrame:
     """40%-of-supply token budget water-filled across sources."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return mixture_waterfill(docs, budget_ratio_ppm=400_000)

@@ -37,6 +37,7 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.reader
 from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.guards import (
     guard_int64,
 )
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import cached_scan
 
 
 def brute_force_topk(
@@ -261,7 +262,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction error and the quantized-vs-exact cosine of each
     vector against itself-dequantized (should stay ~1).  Error bound:
     half a quantization step = clip/254 per component."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     q = quantize_embedding("embedding")
     deq = dequantize_embedding(q)
     err = F.zip_with(
@@ -423,7 +424,7 @@ def ivf_topk(
 def _query_vectors(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """First n embeddings (by vec_id) double as search queries, so the
     operator is self-contained on the driver's tables."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     return (
         emb.orderBy("vec_id")
         .limit(n)
@@ -432,7 +433,7 @@ def _query_vectors(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     return brute_force_topk(emb, _query_vectors(spark, sf_dir, 3), k=10)
 
 
@@ -453,8 +454,8 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_topk,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     sparse = bm25_topk(docs, BM25_QUERY_TERMS, topk=50).select(
         F.col("doc_id"), F.col("bm_rank").alias("sparse_rank")
     )
@@ -479,7 +480,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus-derived plane count (planes_for): 2k vectors / target 128
     # -> 4 planes / 16 buckets at sf0.01, 8 planes / 256 buckets at
     # sf0.1 — per-bucket candidate work stays ~constant across sf.
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     return lsh_topk(
         emb, _query_vectors(spark, sf_dir, 3), k=10, n_planes=None,
         target_bucket_size=128,
@@ -493,7 +494,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (8 cells, 2 Lloyd iters): each iteration plants k*dim centroid
     # literals into a fresh plan, and codegen/analysis of those trees —
     # not the data — dominates at test scale.
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     return ivf_topk(
         emb, _query_vectors(spark, sf_dir, 3), k=10, n_centroids=8, nprobe=3, iters=2
     )
@@ -511,7 +512,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact under any aggregation tree and the final division is a
     single deterministic double op (the money_sum trick, embedding
     flavor)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     quantized = F.transform(
         F.col("embedding"), lambda x: F.floor(x.cast("double") * 1e6).cast("long")
     )
@@ -569,7 +570,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.51 at sf0.01), so the "near-dup" bar is data-calibrated; the
     # bucket count is corpus-derived like q_ann_lsh.
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     return embedding_near_dup_pairs(
         emb, threshold=0.35, n_planes=None, target_bucket_size=128,
         n_items_hint=parquet_num_rows(f"{sf_dir}/embeddings.parquet"),
@@ -587,7 +588,7 @@ def q_embedding_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_clusters,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     pairs = embedding_near_dup_pairs(
         emb, threshold=0.35, n_planes=None, target_bucket_size=128,
         n_items_hint=parquet_num_rows(f"{sf_dir}/embeddings.parquet"),
@@ -614,7 +615,7 @@ def q_embedding_corpus_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_clusters,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     kw = dict(
         threshold=0.35,
         n_planes=planes_for(parquet_num_rows(f"{sf_dir}/embeddings.parquet"), 128),
@@ -668,7 +669,7 @@ def q_embedding_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both booleans hold at any sf; marginal threshold-level pairs are
     best-effort by design (single-bucket LSH) and are NOT gated here —
     duplicates are what a near-dup pass must never miss."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
     planted = emb.filter(F.col("vec_id") % 4 == 0).select(
@@ -712,7 +713,7 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the label attachment is two equi-joins on id — at 100 TB
     both sides hash-partition on the id, and the anchor side reuses the
     scan.  No RNG state, no driver sampling."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "label"
     )
     n = emb.agg(F.count("*").alias("n_corpus"))
@@ -824,7 +825,7 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer vector (CSV-serialized — the harness's canonicalizer
     requires atomic columns, and a comma-joined exact-integer string
     is bijective with the array) plus its exact squared norm."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     proj = jl_project(quantize_embedding("embedding"), jl_sign_matrix())
     return emb.select("vec_id", proj.alias("proj")).select(
         "vec_id",
@@ -845,7 +846,7 @@ def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers: the audit is fully oracle-hashable, no statistical band
     needed.  The pair join is over the sample only (|S|^2/2 rows for a
     bounded |S|), never the corpus."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     sample = emb.filter(F.col("vec_id") % 29 == 0)
     qdf = sample.select(
         "vec_id", quantize_embedding("embedding").alias("q")
@@ -904,7 +905,7 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     and spilled."""
     from pyspark.sql import Window as W
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     qemb = emb.select("vec_id", quantize_embedding("embedding").alias("qv"))
     queries = (
         qemb.orderBy("vec_id")
@@ -1009,7 +1010,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 hard negatives (different-label nearest neighbors) for a
     deterministic 8-anchor slice (vec_id % 97 == 0 capped to the 8
     smallest ids — fixed budget at any sf)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     anchors = emb.filter(F.col("vec_id") % 97 == 0).orderBy("vec_id").limit(8)
     return hard_negative_mining(emb, anchors, top_k=5)
 
@@ -1031,7 +1032,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     components x ±1 matrix), so cell assignment is engine-identical.
     Plan: one narrow projection pass (no shuffle), one 2x256-cell
     agg."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     proj = jl_project(quantize_embedding("embedding"), jl_sign_matrix())
     bucket = F.aggregate(
         F.zip_with(
@@ -1159,7 +1160,7 @@ def semantic_decontaminate(
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic decontamination of the embedding corpus against a
     deterministic benchmark slice (vec_id % 17 == 0, ~6%)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     benchmark = emb.filter(F.col("vec_id") % 17 == 0)
     corpus = emb.filter(F.col("vec_id") % 17 != 0)
     return semantic_decontaminate(corpus, benchmark, threshold=0.35)
@@ -1402,7 +1403,7 @@ def kcenter_coreset(
 
 def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-center greedy coreset over the embeddings table."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     return kcenter_coreset(emb, k=8)
 
 
@@ -1515,7 +1516,7 @@ def kmeans_topics(
 
 def q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-cluster, 3-round integer Lloyd's over the embeddings table."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     return kmeans_topics(emb, k=4, rounds=3)
 
 
@@ -1650,7 +1651,7 @@ def _pq_train(
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8x8 product quantization of the embeddings table, 4 codewords
     per subspace, one Lloyd round."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     return pq_encode(emb, m=8, k=4, rounds=1)
 
 
@@ -1711,7 +1712,7 @@ def pq_adc_topk(
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-10 for the 3 smallest vec_ids over the 8x8/4-codeword
     PQ encoding."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     return pq_adc_topk(emb, n_queries=3, topk=10, m=8, k=4, rounds=1)
 
 
@@ -1817,7 +1818,7 @@ def mmr_rerank(
 
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR re-rank: 6 diverse picks from the query's top-20 page."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     return mmr_rerank(emb, k=6, n_candidates=20)
 
 
@@ -1867,7 +1868,7 @@ def embedding_dim_profile(
 
 
 def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     return embedding_dim_profile(emb)
 
 
@@ -1937,7 +1938,7 @@ def embedding_outliers(emb: DataFrame, topk: int = 5) -> DataFrame:
 
 
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     return embedding_outliers(emb)
 
 
@@ -2013,7 +2014,7 @@ def q_embedding_principal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(dim, comp) of the corpus's top principal direction after
     PI_ROUNDS integer power-iteration rounds — 64 rows, components on
     the [-127, 127] grid, engine-exact."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     qe = emb.select(
         quantize_embedding("embedding").alias("qv")
     ).localCheckpoint(eager=False)  # loop-invariant: read every round
@@ -2043,7 +2044,7 @@ def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram join is the fixed 32-row broadcast.  Plan: one bucket-
     PARTITIONED lead window (audit-safe), one zip_with fold, one
     broadcast range join, one <=32-key agg."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     h = F.conv(
         F.substring(F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":dh"))), 1, 15),
         16, 10,
@@ -2096,7 +2097,7 @@ def q_vector_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         pow2_histogram,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     n2 = F.aggregate(
         quantize_embedding("embedding"),
         F.lit(0).cast("long"),
@@ -2142,7 +2143,7 @@ def q_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2e9)² = 2.6e20 exceeds int64 only past max|x| ~ 38 on this grid;
     the driver's unit-scale embeddings sit 6 orders inside, and the
     per-dim diff is guarded below."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet")
     ex = emb.select(
         F.col("label").cast("long").alias("lbl"),
         F.posexplode(
@@ -2278,7 +2279,7 @@ def q_knn_label_agreement(
         spread_if_narrow,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "label", quantize_embedding("embedding").alias("qv")
     )
     if strategy not in ("auto", "blas", "pairs"):
@@ -2534,10 +2535,10 @@ def q_bitext_margin_mining(
     )
 
     K = 4
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang"
     )
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = cached_scan(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", quantize_embedding("embedding").alias("qv")
     )
     tagged = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(

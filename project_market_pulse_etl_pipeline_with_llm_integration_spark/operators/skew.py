@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import cached_scan
 
 _SALT = "__mp_salt"
 
@@ -104,7 +105,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = read_events(spark, sf_dir).select("event_id", "user_id")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = cached_scan(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
     out = salted_join(events, cust, "user_id", "c_custkey", salt_buckets=8)
@@ -141,7 +142,7 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports = []
     for table, key in (("orders", "o_custkey"), ("lineitem", "l_orderkey"),
                        ("lineitem", "l_partkey")):
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(key)
+        df = cached_scan(spark, f"{sf_dir}/{table}.parquet").select(key)
         counts = df.groupBy(key).agg(F.count("*").alias("c"))
         n = counts.agg(
             F.sum("c").alias("n_rows"),

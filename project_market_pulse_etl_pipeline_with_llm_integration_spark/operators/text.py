@@ -23,6 +23,7 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.guar
     PPM2_LIMIT,
     guard_int64,
 )
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import cached_scan
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Real pipelines plug in fastText/CLD3 via a Pandas UDF; the heuristic
@@ -502,41 +503,41 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 # -- queries() entries -------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return with_text_stats(df).select(
         "doc_id", "n_tokens", "n_chars_calc", "n_distinct_tokens", "distinct_ratio"
     )
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return with_quality_score(df).select("doc_id", "quality_score")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return with_lang_id(df).select("doc_id", "hits_en", "hits_es", "hits_fr", "hits_de", "pred_lang")
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return with_fingerprint(df).select("doc_id", "fingerprint")
 
 
 def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return with_lang_id_ngram(df).select(
         "doc_id", "tri_en", "tri_es", "tri_fr", "tri_de", "pred_lang_ngram"
     )
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return with_token_counts(df).select("doc_id", "ws_tokens", "bpe_tokens")
 
 
 def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return with_quality_signals(df).select(
         "doc_id", "punct_ratio", "stop_ratio", "quality_full"
     )
@@ -552,7 +553,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     df = spread_if_narrow(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        cached_scan(spark, f"{sf_dir}/documents.parquet"),
         spark.sparkContext.defaultParallelism,
     )
     return with_winnow_fingerprint(df).select("doc_id", "n_fingerprints", "winnow_digest")
@@ -653,7 +654,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract is rank + exact integers only (bm_rank, tf_sum, df_min,
     dl); the floor-scaled float score stays out of the hashed columns —
     see bm25_topk's docstring for the cross-engine ulp rationale."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return bm25_topk(docs, BM25_QUERY_TERMS).select(
         "doc_id", "bm_rank", "tf_sum", "df_min", "dl"
     )
@@ -670,7 +671,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix is capped at 10 so no term's row exceeds a bounded size —
     full posting lists at 100 TB belong in per-term files, not a single
     row."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     pairs = docs.select(
         F.col("doc_id"), F.explode(F.array_distinct(tokens("text"))).alias("token")
     ).filter(F.col("token") != "")  # blank docs tokenize to [''] on both engines
@@ -693,7 +694,7 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency), hash-agg counts, top-25 with a total-order tiebreak.
     The explode→agg is one shuffle of skinny (gram) rows; top-k is
     TakeOrdered, never a global sort."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return (
         docs.select(F.explode(_positional_shingles("text", 3)).alias("gram"))
         .groupBy("gram")
@@ -709,7 +710,7 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts with.  The oracle recomputes the bucket with independent
     integer arithmetic, so the gate cross-checks Spark's width_bucket
     against first principles."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     n_tok = token_count("text")
     bucket = F.width_bucket(
         n_tok.cast("double"), F.lit(0.0), F.lit(128.0), F.lit(16)
@@ -735,7 +736,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     token, tf, df, term_rank), all exact.  Plan shape: one explode→agg
     for tf, a distinct→agg for df (both skinny shuffles), broadcast of
     the scalar N, window top-k per doc."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     toks = docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = (
@@ -774,7 +775,7 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the corpus_filter).  One scan + one hash agg over the (label,
     prediction) pairs; the oracle recomputes the full marker heuristic
     independently, so the gate pins classifier AND audit."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return (
         with_lang_id(docs)
         .groupBy("lang", "pred_lang")
@@ -794,7 +795,7 @@ def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_text,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     n_tok = token_count("text")
     blank = (F.trim(F.col("text")) == "").cast("long")
     per_src = docs.groupBy("source").agg(
@@ -837,7 +838,7 @@ def q_perplexity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine ULP and orders but is never hashed.  Plan shape: one
     explode, a count window keyed by token (one shuffle), a per-doc
     hash agg, TakeOrdered top-50, windows over the 50 kept rows."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     toks = docs.select(
         "doc_id", F.explode(tokens("text")).alias("token")
     ).filter(F.col("token") != "")
@@ -884,7 +885,7 @@ def q_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest is md5 of the position-ordered token join.  Plan shape:
     posexplode -> one window over (doc, pos) -> one groupBy (doc,
     chunk): two shuffles keyed by doc id, bodies never move."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return cdc_chunks(docs)
 
 
@@ -927,7 +928,7 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed agg; the posting sample is capped at 5 ids per digest
     (min-sorted) so no row grows with corpus size — the inverted_index
     prefix rule applied to passages."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     chunks = cdc_chunks(docs)
     return (
         chunks.groupBy("chunk_digest")
@@ -957,7 +958,7 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     join.  Coverage is an exact-integer running sum divided once by the
     exact total — deterministic double on any engine (SCALE.md rule:
     rational, no transcendental)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     toks = docs.select(F.explode(tokens("text")).alias("token")).filter(
         F.col("token") != ""
     )
@@ -978,26 +979,26 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return with_pii_scrub(df).select(
         "doc_id", "n_emails", "n_phones", "n_longnums", "scrubbed"
     )
 
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return with_corpus_filter(df).select("doc_id", "keep", "admit_reason")
 
 
 def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return chunk_documents(df).select(
         "doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens"
     )
 
 
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return with_repetition_signals(df).select(
         "doc_id", "n_tokens", "top_token_share_1e6", "dup_bigram_share_1e6"
     )
@@ -1043,7 +1044,7 @@ def sequence_pack(
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into ~256-token training sequences per source."""
     return sequence_pack(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), 256
+        cached_scan(spark, f"{sf_dir}/documents.parquet"), 256
     )
 
 
@@ -1082,7 +1083,7 @@ def bpe_pair_counts(
 
 
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bpe_pair_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return bpe_pair_counts(cached_scan(spark, f"{sf_dir}/documents.parquet"))
 
 
 def q_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,7 +1103,7 @@ def q_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one token count agg, top-100 TakeOrdered, then a 100-row
     regression — driver-light, corpus-scan-heavy, exactly one shuffle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     freqs = (
         docs.filter(F.trim("text") != "")
         .select(F.explode(tokens("text")).alias("token"))
@@ -1149,7 +1150,7 @@ def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     context windows are array slices of the already-held token array —
     no joins, no windows, no second scan.  Output is exact strings +
     integer positions."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     t = tokens("text")
     hits = (
         docs.filter(F.trim("text") != "")
@@ -1192,7 +1193,7 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     10k-100k entries, still broadcast territory), then re-agg per doc
     with ids ordered by position via sort_array on (pos, id) structs —
     the shuffle carries (doc, pos, id) longs, never text."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     vocab = q_vocab_build(spark, sf_dir).select("token", "vocab_rank")
     pos_tok = (
         docs.filter(F.trim("text") != "")
@@ -1239,7 +1240,7 @@ def q_prefix_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared token count, and the integer-ppm share of corpus documents
     living under it.  One narrow fingerprint pass + one count agg; the
     md5 fingerprint is the shuffle key, bodies never move."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     t = tokens("text")
     pfx = F.md5(F.array_join(F.slice(t, 1, 16), " "))
     n_pfx_tokens = F.least(token_count("text"), F.lit(16))
@@ -1336,7 +1337,7 @@ def with_quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen-linear-classifier quality inference over the corpus;
     hashed surface is all exact integers + the derived label."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return with_quality_classifier(docs).select(
         "doc_id",
         "n_tok",
@@ -1690,7 +1691,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     that exchange.  All longs; the oracle unrolls the same 3 train
     rounds + the type-level symbol count in SQL (the bpe_train twin
     extended to its final state)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     merges = bpe_train_merges(docs, n_merges=3)
     encoded = bpe_apply_merges(bpe_word_types(docs), merges, n_merges=3)
     per_word = encoded.groupBy("word").agg(
@@ -1721,7 +1722,7 @@ def q_bpe_roundtrip_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the consumed/lag rewrite never drops, duplicates or
     reorders a symbol.  Also pins the aggregate merge effect:
     n_syms_total strictly below total chars once any rule fired."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     merges = bpe_train_merges(docs, n_merges=3)
     encoded = bpe_apply_merges(bpe_word_types(docs), merges, n_merges=3)
     per_word = encoded.groupBy("word").agg(
@@ -1748,7 +1749,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the corpus's first 3 BPE merges; hashed surface is the
     merge table (round, left, right, exact weighted count)."""
     return bpe_train_merges(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), n_merges=3
+        cached_scan(spark, f"{sf_dir}/documents.parquet"), n_merges=3
     )
 
 
@@ -1770,7 +1771,7 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     immediately, broadcast df/avgdl, distributed TakeOrdered top-k) —
     chunking multiplies row count ~n_tokens/24 but the post-filter
     posting table is still |terms| · chunk-df rows, never the corpus."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     chunks = chunk_documents(docs).select(
         (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx")).alias(
             "chunk_id"
@@ -1867,7 +1868,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers (ds_rank, n_tok) — the floored-transcendental score
     orders but is never hashed (SCALE.md determinism rule; bm25_topk /
     perplexity_rank precedent).  Ties break on doc_id."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     scored = dsir_scores(docs, F.col("lang") != "en")
     top = scored.orderBy(F.col("dsir_1e6").desc(), F.col("doc_id")).limit(50)
     rank_w = Window.orderBy(F.col("dsir_1e6").desc(), F.col("doc_id"))
@@ -1943,7 +1944,7 @@ def pmi_pairs(
 
 
 def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     return pmi_pairs(docs)
 
 
@@ -1965,7 +1966,7 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     after every index/scorer change; it composes bm25_topk (rank
     contract) with a one-scan relevance labeling, and the whole
     evaluation is two broadcast-size frames joined on doc_id."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     ranking = bm25_topk(docs, BM25_QUERY_TERMS).select("doc_id", "bm_rank")
     rel = (
         docs.select(
@@ -2050,7 +2051,7 @@ def q_quality_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     count ride the same sort), zero joins.  At 100 TB swap the exact
     rank for approx-quantile cut points per source (the rfm_segments
     posture) — the admission semantics are unchanged."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     scored = docs.select("doc_id", "source", quality_ppm("text").alias("q_ppm"))
     w = Window.partitionBy("source").orderBy("q_ppm", "doc_id")
     wn = Window.partitionBy("source")
@@ -2085,7 +2086,7 @@ def q_vocab_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast decode join, one per-doc reassembly agg with
     position-pinned ordering, digest compare — the shuffle carries
     (doc, pos, id) longs and short tokens, never full text."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     vocab = q_vocab_build(spark, sf_dir).select("token", "vocab_rank")
     pos_tok = docs.filter(F.trim("text") != "").select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
@@ -2303,7 +2304,7 @@ def q_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 documents by Kneser-Ney bigram NLL — the high-perplexity
     slice a KN-smoothed quality gate would drop first.  Hashed
     contract: rank + exact longs (sum_nll_1e6, n_bigrams)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     per_doc = kn_bigram_scores(docs)
     top = per_doc.orderBy(F.col("avg_nll").desc(), "doc_id").limit(50)
     rank_w = Window.orderBy(F.col("avg_nll").desc(), "doc_id")
@@ -2337,7 +2338,7 @@ def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v,w)-keyed agg joined back on the key; unigram counts and the
     scalar total ride as in perplexity_rank.  The doc-keyed sum is the
     only corpus-wide shuffle beyond the count joins."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     # c_vw == 1 backoff: the pair always exists in the corpus it was
     # counted from, so true backoff never fires self-scored; backing
     # off singleton bigrams is the standard leave-one-out correction.
@@ -2367,7 +2368,7 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract needs a total order), one agg — at 100 TB swap the window
     for approx-quantile margin cut points (the rfm_segments posture):
     the diagram is statistically identical and the sort disappears."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     scored = with_quality_classifier(docs).select(
         "doc_id", "clf_margin", (F.col("lang") == "en").alias("is_en")
     )
@@ -2404,7 +2405,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan, one hash agg with map-side combine; output is bounded by
     |sources| x |langs|.  At 100 TB this is the cheapest query in the
     curation suite — no shuffle beyond the group keys."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     n_tok = token_count(F.col("text"))
     agg = (
         docs.groupBy("source", "lang")
@@ -2452,7 +2453,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import spread_if_narrow
 
     docs = spread_if_narrow(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        cached_scan(spark, f"{sf_dir}/documents.parquet"),
         spark.sparkContext.defaultParallelism,
     ).filter(F.trim(F.col("text")) != "")
     grams = F.array_distinct(_positional_shingles("text", 3))
@@ -2496,7 +2497,7 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     over DISTINCT margins per source (already aggregated), bounded by
     the integer margin range, not the row count; sources with only one
     class are excluded (AUC undefined), mirrored in the oracle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     scored = with_quality_classifier(docs).select(
         "source",
         "clf_margin",
@@ -2644,7 +2645,7 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-bigram-index phrase search over the corpus for the
     fixed query batch; oracle = the naive contains() scan, so the hash
     match proves the index prefilter lossless."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", "text"
     )
     return phrase_search(docs, PHRASE_SEARCH_QUERIES)
@@ -2739,7 +2740,7 @@ def char_entropy_profile(docs: DataFrame, min_nats_1e6: int = 2_000_000) -> Data
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy profile + 2-nat keep gate over the corpus —
     hashed contract is all exact integers plus the gate boolean."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     return char_entropy_profile(docs)
@@ -2816,7 +2817,7 @@ def dictionary_tag(docs: DataFrame) -> DataFrame:
 
 
 def q_dictionary_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dictionary_tag(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return dictionary_tag(cached_scan(spark, f"{sf_dir}/documents.parquet"))
 
 
 # Integer NDCG discount table: NDCG_W[i-1] = floor(1e6 / log2(i + 1))
@@ -2850,7 +2851,7 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-scan relevance labeling — the 20-row ranking side broadcasts,
     the relevance side stays a filtered scan (id column only); the
     NDCG arithmetic is a two-literal-array lookup."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     ranking = bm25_topk(docs, BM25_QUERY_TERMS, topk=20).select("doc_id", "bm_rank")
     rel = (
         docs.select(
@@ -2915,7 +2916,7 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     move ssq to DECIMAL(38,0) — same shape, and the oracle moves with
     it (DuckDB raises on BIGINT overflow rather than wrapping, so an
     overflow is loud before it is wrong)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     per = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
     return (
         per.groupBy("source")
@@ -3000,7 +3001,7 @@ def vocab_growth(docs: DataFrame) -> DataFrame:
 
 
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return vocab_growth(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return vocab_growth(cached_scan(spark, f"{sf_dir}/documents.parquet"))
 
 
 # Stopword/delimiter list for RAKE phrase splitting (Rose et al. 2010) —
@@ -3033,7 +3034,7 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, phrase-island), word, and phrase text; top-30 is TakeOrdered.
     Word bodies shuffle once as short phrase strings — no all-pairs,
     no global sort."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     tk = (
         docs.filter(F.trim("text") != "")
         .select("doc_id", F.posexplode(tokens("text")).alias("pos", "word"))
@@ -3094,7 +3095,7 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: per-doc regexp counts ride the scan projection (one pass,
     whole-stage codegen), one hash agg by source — output O(|sources|)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     # trim != '' already guarantees >= 1 whitespace token, so no w > 0
     # filter — a size(...) filter would re-evaluate the token split
     # (the Generate-companion audit class)
@@ -3152,7 +3153,7 @@ def q_distinctive_terms(
     joined back (term-keyed shuffle), per-source top-5 via a window
     PARTITIONED by source (bounded groups — audit-safe); the guard is
     an assert-projection in the scoring select, zero extra jobs."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     st = (
         docs.filter(F.trim("text") != "")
         .select("source", F.explode(tokens("text")).alias("term"))
@@ -3252,7 +3253,7 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the counter build (explode x4 of (row, bucket) ints — 4 tiny longs
     per token, grouped into <= 4096 counters); estimates join the
     broadcast counter table; top-20 is TakeOrdered."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     terms = (
         docs.filter(F.trim("text") != "")
         .select(F.explode(tokens("text")).alias("term"))
@@ -3327,7 +3328,7 @@ def q_term_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         pow2_histogram,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     tf = (
         docs.filter(F.trim("text") != "")
         .select(F.explode(tokens("text")).alias("term"))
@@ -3355,7 +3356,7 @@ def q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: counts + two exact ppm floors.  Plan: one token explode
     + (source, term) agg (the distinctive_terms scan shape), one
     per-source rollup — output O(|sources|), no windows."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     st = (
         docs.filter(F.trim("text") != "")
         .select("source", F.explode(tokens("text")).alias("term"))
@@ -3405,7 +3406,7 @@ def q_metadata_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ppm2,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     mism = (
         F.col("n_chars").isNotNull()
         & (F.col("n_chars") != F.length("text"))

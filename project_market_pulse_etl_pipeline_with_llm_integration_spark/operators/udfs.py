@@ -11,6 +11,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import cached_scan
 
 
 def zscore_per_group(
@@ -35,7 +36,7 @@ def zscore_per_group(
 
 
 def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    c = cached_scan(spark, f"{sf_dir}/customer.parquet").select(
         F.col("c_mktsegment"), F.col("c_custkey").alias("id"), F.col("c_acctbal")
     )
     return zscore_per_group(c, "c_mktsegment", "c_acctbal")
@@ -52,7 +53,7 @@ def _weighted_mean(price: pd.Series, qty: pd.Series) -> float:
 def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted mean price per return flag via a grouped-agg
     pandas UDF (the Python-UDAF surface)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag").agg(
         F.round(_weighted_mean("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
     )
@@ -73,7 +74,7 @@ def q_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     most 6 decimal digits, so round-to-6 never sits on a tie boundary —
     rounding to 2 would split engines on .005 products (Spark rounds
     the shortest-decimal rendering, DuckDB the raw binary double)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = cached_scan(spark, f"{sf_dir}/lineitem.parquet")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -94,7 +95,7 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield partkey, w
 
     spark.udtf.register("split_type_words", SplitTypeWords)
-    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part_udtf")
+    cached_scan(spark, f"{sf_dir}/part.parquet").createOrReplaceTempView("part_udtf")
     return spark.sql(
         "SELECT s.p_partkey, s.word FROM part_udtf, "
         "LATERAL split_type_words(p_partkey, p_type) s"
@@ -120,7 +121,7 @@ def q_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = int(name.split("#")[1])
         return 98 - (n * 100) % 97
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = cached_scan(spark, f"{sf_dir}/customer.parquet")
     return cust.select(
         "c_custkey",
         F.expr("CAST(substring(c_name, 10, 50) AS BIGINT)").alias("numeric_id"),

@@ -16,6 +16,7 @@ layer supports (the reference used s3fs for the same purpose,
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,6 +41,47 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# ---------------------------------------------------------------------------
+# Scan-plan cache for immutable inputs (optimization r13, guide §1.2/§7.3)
+#
+# ``spark.read.parquet(path)`` measured ~90 ms per call at sf0.1: the
+# reader lists the path and reads parquet footers to resolve the schema,
+# on the DRIVER, every time — and the bench constructs every query from
+# scratch on every timed rep, so the same static tables pay that footer
+# walk ~1,300 times per full run.  A DataFrame is an immutable logical
+# plan, so one resolved scan per (session, path) can be handed out
+# repeatedly — exactly what a catalog-backed deployment gets from the
+# metastore (schema + file manifest resolved once, not per query).
+#
+# Contract: ONLY for immutable inputs (the engine's source tables).  No
+# row data is cached — every execution still scans parquet; this is
+# metadata (schema + file listing) reuse, the same class of caching
+# Spark itself does in its FileStatusCache.  Surfaces that read
+# just-written user output (CLI enrich stage) keep spark.read.parquet.
+# ---------------------------------------------------------------------------
+_SCAN_CACHE: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
+def cached_scan(spark: SparkSession, path: str) -> DataFrame:
+    """One resolved parquet scan per (session, path) — see block comment."""
+    per_session = _SCAN_CACHE.get(spark)
+    if per_session is None:
+        per_session = _SCAN_CACHE.setdefault(spark, {})
+    df = per_session.get(path)
+    if df is None:
+        df = per_session[path] = spark.read.parquet(path)
+    return df
+
+
+# Planned-scan partition counts, keyed by the DataFrame OBJECT (the
+# cached_scan above makes repeat lookups hit the same object).  The
+# ``df.rdd.getNumPartitions()`` probe in spread_if_narrow runs a full
+# physical planning pass (~50 ms); for a cached scan it cannot change.
+_NPARTS: "WeakKeyDictionary[DataFrame, int]" = WeakKeyDictionary()
+
+
 def spread_if_narrow(df: DataFrame, target: int, min_parts: int = 4) -> DataFrame:
     """Repartition to ``target`` ONLY when the scan is effectively
     SERIAL (< ``min_parts`` partitions — the single-row-group
@@ -52,8 +94,13 @@ def spread_if_narrow(df: DataFrame, target: int, min_parts: int = 4) -> DataFram
     32-file 10x stress layout passes through unchanged (4.0 s — an
     unconditional repartition adds the shuffle for zero parallelism
     gain).  The partition count comes from the planned RDD lineage —
-    no job runs."""
-    if df.rdd.getNumPartitions() < min(min_parts, target):
+    no job runs (and the count is memoized per DataFrame object — the
+    probe is a ~50 ms planning pass that cannot change for a given
+    plan, and cached_scan hands out the same object per path)."""
+    n = _NPARTS.get(df)
+    if n is None:
+        n = _NPARTS[df] = df.rdd.getNumPartitions()
+    if n < min(min_parts, target):
         return df.repartition(target)
     return df
 
