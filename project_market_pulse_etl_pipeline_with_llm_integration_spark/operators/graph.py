@@ -240,6 +240,18 @@ def q_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy("hop").agg(F.count("*").alias("n_nodes"))
 
 
+# Packed-argmax radix for label_propagation's adoption agg: labels are
+# trade-graph node ids — customers positive, suppliers NEGATIVE
+# (trade_rel offsets them to the negative range) — so the low-36-bit
+# field stores (2^35 - 1 - label) for |label| < 2^35 (3.4e10 ids per
+# side) and vote counts occupy the bits above (c <= 2^27 - 1 per
+# (node, label) per round); both bounds enforced by a loud in-plan
+# guard.  See the adoption step below.
+_LP_PACK_BITS = 36
+_LP_PACK = 1 << _LP_PACK_BITS
+_LP_HALF = 1 << 35
+
+
 def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) with a
     DETERMINISTIC tie-break: every node starts labelled with its own
@@ -274,10 +286,35 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .groupBy("node", "label")
             .agg(F.count("*").alias("c"))
         )
+        # Packed argmax (optimization r13, guide §5 hash-vs-sort agg):
+        # max(struct(c, -label)) carries a struct agg buffer, which
+        # HashAggregate cannot hold — every round's adoption agg fell
+        # back to SortAggregate (sort the whole per-node vote table,
+        # twice per round with the partial/final split).  For
+        # |label| < 2^35 and c <= 2^27 - 1, lexicographic (c, -label)
+        # order equals numeric order of c·2^36 + (2^35 - 1 - label) in
+        # one long (both bounds checked by the loud in-plan guard —
+        # silent wrap would corrupt adoption).
+        votes = guard_int64(
+            votes,
+            (F.abs(F.col("label")) < F.lit(_LP_HALF))
+            & (F.col("c") <= F.lit((2 ** 63 - 1 - (_LP_PACK - 1)) // _LP_PACK)),
+            "label_propagation: packed-argmax bound exceeded "
+            "(|label| >= 2^35 or vote count > 2^27-1)",
+        )
         labels = (
-            votes.groupBy("node")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("w"))
-            .select("node", (-F.col("w.nl")).alias("label"))
+            votes.select(
+                "node",
+                (F.col("c") * F.lit(_LP_PACK)
+                 + (F.lit(_LP_HALF - 1) - F.col("label"))).alias("p"),
+            )
+            .groupBy("node")
+            .agg(F.max("p").alias("p"))
+            .select(
+                "node",
+                (F.lit(_LP_HALF - 1)
+                 - F.col("p").bitwiseAND(_LP_PACK - 1)).alias("label"),
+            )
         )
     return labels
 

@@ -1273,6 +1273,17 @@ def semantic_decontaminate_lsh(
     )
 
 
+# Packed-argmin radix for the Lloyd/PQ assignment aggregations: cluster
+# ids occupy the low 20 bits, squared distances the bits above (dd <=
+# dim·254² < 2^23 over int8-quantized components, so dd·2^20 + cid <
+# 2^43 — comfortable int64 headroom).  Lexicographic (dd, cid) order
+# equals numeric order of the packed long, which turns the argmin agg
+# from a struct-buffered SortAggregate into a plain long-min
+# HashAggregate (optimization r13).
+_ARGMIN_PACK_BITS = 20
+_ARGMIN_PACK = 1 << _ARGMIN_PACK_BITS
+
+
 def _int_sq_l2(a: Column | str, b: Column | str) -> Column:
     """Exact int64 squared L2 between two int-component arrays — the
     single shared distance kernel of the kcenter / kmeans / PQ family
@@ -1414,6 +1425,8 @@ def _lloyd(pts: DataFrame, k: int, rounds: int):
     the exactness recipe — (d2, cid) struct argmin, +127-shifted
     positive-operand floor means, empty-cluster carry — is documented
     on kmeans_topics."""
+    if k > _ARGMIN_PACK:
+        raise ValueError(f"_lloyd: k must be <= {_ARGMIN_PACK}")
     d2 = _int_sq_l2
     w0 = W.orderBy("pid")
     centers = (
@@ -1427,12 +1440,29 @@ def _lloyd(pts: DataFrame, k: int, rounds: int):
     )
 
     def assign(c: DataFrame) -> DataFrame:
+        # Packed argmin (optimization r13, guide §5 hash-vs-sort agg):
+        # min(struct(dd, cid)) carries a STRUCT agg buffer, which
+        # HashAggregate cannot hold — the assignment agg fell back to
+        # SortAggregate (sort all n·k candidate rows every round).
+        # dd <= dim·254² < 2^23 (int8-quantized components) and
+        # cid < k <= 2^20 (checked above), so lexicographic (dd, cid)
+        # order IS numeric order of dd·2^20 + cid in one long; min()
+        # over the packed long hash-aggregates and decodes to the same
+        # (cid, d2) exactly.
         return (
             pts.crossJoin(F.broadcast(c))
-            .select("pid", "qv", "cid", d2("qv", "cv").alias("dd"))
+            .select(
+                "pid",
+                "qv",
+                (d2("qv", "cv") * _ARGMIN_PACK + F.col("cid")).alias("p"),
+            )
             .groupBy("pid")
-            .agg(F.min(F.struct("dd", "cid")).alias("m"))
-            .select("pid", F.col("m.cid").alias("cid"), F.col("m.dd").alias("d2"))
+            .agg(F.min("p").alias("p"))
+            .select(
+                "pid",
+                F.col("p").bitwiseAND(_ARGMIN_PACK - 1).alias("cid"),
+                F.shiftright("p", _ARGMIN_PACK_BITS).alias("d2"),
+            )
         )
 
     for _ in range(rounds):
@@ -1580,6 +1610,8 @@ def _pq_train(
     (codes + recon error) and pq_adc_topk (ADC retrieval)."""
     if 64 % m != 0:
         raise ValueError("pq_encode: m must divide the 64-dim layout")
+    if k > _ARGMIN_PACK:
+        raise ValueError(f"_pq_train: k must be <= {_ARGMIN_PACK}")
     dim = 64 // m
     pts = emb.select(
         F.col(id_col).alias("pid"),
@@ -1615,13 +1647,21 @@ def _pq_train(
     )
 
     def assign(c: DataFrame) -> DataFrame:
+        # packed argmin — same rationale and bounds as the _lloyd
+        # assignment (struct-min forced SortAggregate; dd·2^20 + cid is
+        # order-isomorphic and hash-aggregable)
         return (
             sub.join(F.broadcast(c), "s")
-            .select("pid", "s", "cid", d2("sv", "cv").alias("dd"))
-            .groupBy("pid", "s")
-            .agg(F.min(F.struct("dd", "cid")).alias("m"))
             .select(
-                "pid", "s", F.col("m.cid").alias("cid"), F.col("m.dd").alias("d2")
+                "pid", "s",
+                (d2("sv", "cv") * _ARGMIN_PACK + F.col("cid")).alias("p"),
+            )
+            .groupBy("pid", "s")
+            .agg(F.min("p").alias("p"))
+            .select(
+                "pid", "s",
+                F.col("p").bitwiseAND(_ARGMIN_PACK - 1).alias("cid"),
+                F.shiftright("p", _ARGMIN_PACK_BITS).alias("d2"),
             )
         )
 
