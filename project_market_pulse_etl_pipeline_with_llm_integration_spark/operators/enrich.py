@@ -216,24 +216,31 @@ def enrich_to_parquet(
 
 def dedup_payloads(df: DataFrame) -> DataFrame:
     """Distinct (title, content) payloads keyed by a SHA-256 digest —
-    the unit of LLM work for the dedup gateway.  A shuffle keyed on
-    the digest (not the full text), so at 100 TB only the digest and
-    one representative payload per key ride the exchange; title and
-    content are functions of the digest (collision-free by standard
-    SHA-256 assumption), so first() per key is deterministic."""
+    the unit of LLM work for the dedup gateway.
+
+    Optimization r13 (guide §5 hash-vs-sort agg): the former
+    digest-keyed ``groupBy(digest).agg(first(title), first(content))``
+    carried STRING agg buffers, demoting the dedup to SortAggregate
+    (sort every payload row twice).  Grouping by the NULL-normalized
+    payload itself keeps strings in the GROUPING KEY (hash-aggregable)
+    and computes the digest once per UNIQUE payload after the dedup
+    instead of once per row.  The coalesce('') normalization is what
+    the digest already applied, so the digest↔payload mapping is
+    unchanged and exactly one row per digest survives — it also makes
+    the representative deterministic (the old first() could pick a
+    NULL or '' title arbitrarily, which feed different prompts)."""
     return (
         df.select(
+            F.coalesce(F.col("title"), F.lit("")).alias("title"),
+            F.coalesce(F.col("content"), F.lit("")).alias("content"),
+        )
+        .distinct()
+        .select(
             F.sha2(
-                F.concat_ws(
-                    "\x01",
-                    F.coalesce(F.col("title"), F.lit("")),
-                    F.coalesce(F.col("content"), F.lit("")),
-                ), 256,
+                F.concat_ws("\x01", F.col("title"), F.col("content")), 256
             ).alias("_payload_digest"),
             "title", "content",
         )
-        .groupBy("_payload_digest")
-        .agg(F.first("title").alias("title"), F.first("content").alias("content"))
     )
 
 

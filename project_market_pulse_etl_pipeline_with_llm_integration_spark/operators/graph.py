@@ -117,9 +117,17 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 5) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
+        # optimization r13 (guide §2.1 remove shuffles): the node set is
+        # loop-invariant (ranks_0 = nodes; each round left-joins back to
+        # the same set), so preserve zero-inflow nodes by joining the
+        # CHECKPOINTED nodes leaf instead of ranks.select("node").
+        # With ranks referenced twice per round the lineage doubled
+        # every iteration (2^iters copies of the base plan — the
+        # executed trace showed 31 Exchanges, only 8 reused); with it
+        # referenced once the plan is linear in iters and every round's
+        # join+agg executes exactly once.
         ranks = (
-            ranks.select("node")
-            .join(contrib, "node", "left")
+            nodes.join(contrib, "node", "left")
             .select(
                 "node",
                 (F.lit(PR_TELEPORT) + F.coalesce("inflow", F.lit(0)))
@@ -236,6 +244,14 @@ def q_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionAll(nxt)
             .groupBy("node")
             .agg(F.min("hop").alias("hop"))
+            # optimization r13 (guide §2.1): dist is inherently
+            # referenced TWICE per round (nxt's join input + the union
+            # arm), so without a per-round pin the lineage doubles
+            # every round — 2^4 copies of the base plan, 61 executed
+            # Exchanges with only 10 AQE-reused.  The lazy checkpoint
+            # bounds each round to one join + one min-agg executed
+            # exactly once (~16 Exchanges total).
+            .localCheckpoint(eager=False)
         )
     return dist.groupBy("hop").agg(F.count("*").alias("n_nodes"))
 

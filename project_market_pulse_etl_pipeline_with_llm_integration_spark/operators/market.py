@@ -1411,24 +1411,56 @@ def supply_concentration_from_state(state: DataFrame) -> DataFrame:
     return _supply_close(per_supp)
 
 
+_TOPSUPP_BASE = 10_000_000_000  # suppkey < 1e10, loudly guarded below
+
+
 def _supply_close(per_supp: DataFrame) -> DataFrame:
     """Shared brand rollup + guard + ppm/HHI close over the
     per-(brand, supplier) cents cells — ONE home so the batch query
     and the state readout emit identical expressions (the factoring is
     plan-preserving for the batch path: same Column tree, same
-    order)."""
+    order).
+
+    Top-supplier argmax (optimization r13, guide §5 hash-vs-sort agg):
+    ``max_by(suppkey, struct(c, -suppkey))`` carries a struct extremum
+    buffer, which HashAggregate cannot hold — the whole brand rollup
+    (including the decimal HHI sums riding it) fell back to
+    SortAggregate, sorting every (brand, supplier) cell twice.  c can
+    reach the 3e15-cent HHI bound (too big for an int64 radix next to
+    a 1e10 suppkey field), so the pack uses DECIMAL(38,0) — a mutable
+    fixed-width agg buffer: pack = c·1e10 + (1e10-1-suppkey) is
+    order-isomorphic to lexicographic (c, -suppkey) for
+    0 <= suppkey < 1e10 and c >= 0 (both loudly guarded), max() over
+    it hash-aggregates, and the decode is exact decimal arithmetic."""
+    per_supp = guard_int64(
+        per_supp,
+        (F.col("l_suppkey") >= 0)
+        & (F.col("l_suppkey") < F.lit(_TOPSUPP_BASE))
+        & (F.col("c") >= 0),
+        "supply_concentration: top-supplier pack bound exceeded "
+        "(suppkey outside [0, 1e10) or negative cents cell)",
+    )
+    pack = (
+        F.col("c").cast("decimal(20,0)")
+        * F.lit(_TOPSUPP_BASE).cast("decimal(11,0)")
+        + (F.lit(_TOPSUPP_BASE - 1) - F.col("l_suppkey")).cast("decimal(11,0)")
+    )
     brands = per_supp.groupBy("p_brand").agg(
         F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
         F.sum("c").cast("long").alias("total_cents"),
         # deterministic top supplier: max cents, ties -> min suppkey
-        F.max_by(
-            F.col("l_suppkey"), F.struct(F.col("c"), -F.col("l_suppkey"))
-        ).cast("long").alias("top_suppkey"),
+        F.max(pack).alias("top_pack"),
         F.max("c").cast("long").alias("top_cents"),
         F.sum(
             F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
         ).alias("sum_c2"),
-    )
+    ).withColumn(
+        "top_suppkey",
+        (
+            F.lit(_TOPSUPP_BASE - 1)
+            - F.col("top_pack") % F.lit(_TOPSUPP_BASE).cast("decimal(11,0)")
+        ).cast("long"),
+    ).drop("top_pack")
     brands = guard_int64(
         brands,
         F.col("total_cents") <= F.lit(HHI_C_LIMIT),

@@ -2421,10 +2421,21 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, min, max, all rendered as strings so one schema covers every
     column type.
 
-    Plan: a SINGLE aggregate computes all 5 columns' metrics (count,
-    count_distinct x5, min/max x5) and the per-column rows are unpacked
-    driver-free with inline() over a literal struct array — one scan,
-    one Expand for the multi-distinct, output O(columns).  At 100 TB
+    Plan (optimization r13, guide §2.2 shuffle fewer bytes): the plain
+    metrics (count, null counts, min/max x5) ride ONE ungrouped agg —
+    grouping keys are empty, so even the string-buffered SortAggregate
+    needs no Sort — and each count_distinct runs as its OWN single-
+    column branch (hash-dedup the column, then count: all-HashAggregate
+    both phases).  The former single-aggregate form planned the classic
+    multi-distinct Expand (6 projections = 6x the input rows) whose
+    16-wide agg carried string min/max buffers, demoting BOTH agg
+    phases to SortAggregate over two full sorts of 6n rows (plan
+    before: 2 Sorts of 900k x 16 at sf0.1; at 100 TB that is sorting
+    6x the table twice to profile it).  The split branches read the
+    same total bytes (parquet column pruning: each distinct branch
+    scans exactly one column), sort nothing, and join as six 1-row
+    broadcasts.  The per-column rows are unpacked driver-free with
+    inline() over a literal struct array; output O(columns).  At 100 TB
     swap count_distinct for approx_count_distinct per column (the HLL
     entry documents the bound); the profile shape is unchanged.  Values
     are stringified via date/long-safe casts only (no raw double
@@ -2435,11 +2446,14 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}"),
-            F.count_distinct(F.col(c)).alias(f"dist_{c}"),
             F.min(F.col(c)).cast("string").alias(f"min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"max_{c}"),
         ]
     wide = o.agg(*aggs)
+    for c in cols:
+        wide = wide.crossJoin(
+            F.broadcast(o.agg(F.count_distinct(F.col(c)).alias(f"dist_{c}")))
+        )
     rows = F.array(
         *[
             F.struct(
