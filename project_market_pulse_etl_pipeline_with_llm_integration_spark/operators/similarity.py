@@ -1449,6 +1449,13 @@ def _lloyd(pts: DataFrame, k: int, rounds: int):
         # order IS numeric order of dd·2^20 + cid in one long; min()
         # over the packed long hash-aggregates and decodes to the same
         # (cid, d2) exactly.
+        # qv rides the GROUPING KEY (it is functionally dependent on
+        # pid), so the update step below needs no join back to pts —
+        # one exchange + join per round removed (optimization r13,
+        # guide §2.1).  Array grouping keys hash-aggregate (verified:
+        # plan shows HashAggregate, not Sort/ObjectHash), and map-side
+        # combine still collapses the k candidates per pid before the
+        # shuffle, so the exchange carries n rows either way.
         return (
             pts.crossJoin(F.broadcast(c))
             .select(
@@ -1456,10 +1463,11 @@ def _lloyd(pts: DataFrame, k: int, rounds: int):
                 "qv",
                 (d2("qv", "cv") * _ARGMIN_PACK + F.col("cid")).alias("p"),
             )
-            .groupBy("pid")
+            .groupBy("pid", "qv")
             .agg(F.min("p").alias("p"))
             .select(
                 "pid",
+                "qv",
                 F.col("p").bitwiseAND(_ARGMIN_PACK - 1).alias("cid"),
                 F.shiftright("p", _ARGMIN_PACK_BITS).alias("d2"),
             )
@@ -1468,8 +1476,7 @@ def _lloyd(pts: DataFrame, k: int, rounds: int):
     for _ in range(rounds):
         asg = assign(centers)
         upd = (
-            asg.join(pts, "pid")
-            .select("cid", F.posexplode("qv").alias("pos", "x"))
+            asg.select("cid", F.posexplode("qv").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.expr("(sum(x + 127) div count(*)) - 127").alias("v"))
             .groupBy("cid")
@@ -1650,16 +1657,18 @@ def _pq_train(
         # packed argmin — same rationale and bounds as the _lloyd
         # assignment (struct-min forced SortAggregate; dd·2^20 + cid is
         # order-isomorphic and hash-aggregable)
+        # sv rides the grouping key — same join-back elimination as the
+        # _lloyd assignment above
         return (
             sub.join(F.broadcast(c), "s")
             .select(
-                "pid", "s",
+                "pid", "s", "sv",
                 (d2("sv", "cv") * _ARGMIN_PACK + F.col("cid")).alias("p"),
             )
-            .groupBy("pid", "s")
+            .groupBy("pid", "s", "sv")
             .agg(F.min("p").alias("p"))
             .select(
-                "pid", "s",
+                "pid", "s", "sv",
                 F.col("p").bitwiseAND(_ARGMIN_PACK - 1).alias("cid"),
                 F.shiftright("p", _ARGMIN_PACK_BITS).alias("d2"),
             )
@@ -1668,8 +1677,7 @@ def _pq_train(
     for _ in range(rounds):
         asg = assign(centers)
         upd = (
-            asg.join(sub, ["pid", "s"])
-            .select("s", "cid", F.posexplode("sv").alias("pos", "x"))
+            asg.select("s", "cid", F.posexplode("sv").alias("pos", "x"))
             .groupBy("s", "cid", "pos")
             .agg(F.expr("(sum(x + 127) div count(*)) - 127").alias("v"))
             .groupBy("s", "cid")
