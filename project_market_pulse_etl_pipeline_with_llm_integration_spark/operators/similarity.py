@@ -1070,12 +1070,175 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Semantic decontamination (embedding-space benchmark overlap)
 # ---------------------------------------------------------------------------
 
+# Benchmark-side row gate for the BLAS strategy of
+# semantic_decontaminate: the broadcast matrix is RAW float64 (not the
+# int8 _BLAS_MAX_SIDE class), so the gate is 8x tighter — 2^17 rows x
+# 64 dims x 8 B = 64 MiB, the same broadcast budget.  Benchmarks are
+# 10^3-10^5 items by contract; past the gate the relational plan (and
+# past broadcast viability the LSH escalation) take over.
+_SEM_BLAS_MAX_BENCH = 1 << 17
+
+
+def _semantic_blas(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """BLAS half of semantic_decontaminate — row-identical to the
+    relational plan (pinned by test + the shared oracle).
+
+    Exactness argument (this family's raw-DOUBLE variant of the
+    _d2_block integer argument): the relational plan's dot product and
+    norms are sequential zip_with/aggregate folds —
+    (((0 + x₁y₁) + x₂y₂) + …) in float64.  The numpy kernel below
+    accumulates dimension-by-dimension over the whole block
+    (``acc += X[:, i:i+1] * B[:, i]``), which performs the IDENTICAL
+    sequence of IEEE-754 multiplies and adds per pair — never np.dot /
+    BLAS, whose pairwise/blocked summation would differ in the last
+    ulp.  sqrt and division are correctly-rounded single operations on
+    both engines.  The 6-dp HALF_UP rounding stays IN SPARK for the
+    max (round is monotone, so round(max of raw) == max of rounded);
+    the threshold count handles the rounding boundary with a ±2e-6
+    band checked per-element by exact decimal HALF_UP — outside the
+    band the raw comparison is provably equivalent.
+
+    NULL semantics match the relational plan: a NULL/NaN element or a
+    length-mismatched vector poisons its pairs to NaN (the fold's NULL),
+    a zero-norm denominator is masked to NaN (the nullif guard), NaN
+    pairs are ignored by the max and never counted as hits; an
+    all-NaN row yields (NULL, 0, false)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    spark = corpus.sparkSession
+    brows = benchmark.select(F.col(vec_col).alias("_bv")).collect()
+    nb = len(brows)
+    dim = len(brows[0]["_bv"]) if nb and brows[0]["_bv"] is not None else 0
+
+    B = np.full((nb, dim), np.nan)
+    for j, r in enumerate(brows):
+        v = r["_bv"]
+        if v is not None and len(v) == dim:
+            B[j] = np.array(
+                [np.nan if x is None else x for x in v], dtype=np.float64
+            )
+    bn_acc = np.zeros(nb)
+    for i in range(dim):
+        bn_acc = bn_acc + B[:, i] * B[:, i]
+    bn = np.sqrt(bn_acc)
+    bc = spark.sparkContext.broadcast((B, bn, dim))
+    thr = float(threshold)
+
+    def score(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        bB, bbn, bdim = bc.value
+        nb_ = bB.shape[0]
+        q6 = Decimal("0.000001")
+
+        def round6_ge(c: float) -> bool:
+            # Spark's Round(double, 6) goes through Java
+            # BigDecimal.valueOf, i.e. the SHORTEST decimal repr of the
+            # double (Double.toString), not its exact binary expansion —
+            # Decimal(repr(c)) replicates exactly that
+            return float(
+                Decimal(repr(c)).quantize(q6, rounding=ROUND_HALF_UP)
+            ) >= thr
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col]
+            m = len(pdf)
+            X = np.full((m, bdim if bdim else 1), np.nan)
+            if bdim:
+                for r, v in enumerate(pdf[vec_col]):
+                    if v is not None and len(v) == bdim:
+                        X[r] = np.array(
+                            [np.nan if x is None else x for x in v],
+                            dtype=np.float64,
+                        )
+            if nb_ == 0 or bdim == 0:
+                yield pd.DataFrame(
+                    {id_col: ids, "_mr": [None] * m, "_h": [0] * m}
+                )
+                continue
+            # sequential-over-dims accumulation == the zip_with fold
+            D = np.zeros((m, nb_))
+            cn_acc = np.zeros(m)
+            for i in range(bdim):
+                D = D + X[:, i : i + 1] * bB[:, i]
+                cn_acc = cn_acc + X[:, i] * X[:, i]
+            cn = np.sqrt(cn_acc)
+            denom = cn[:, None] * bbn[None, :]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                C = np.where(denom != 0.0, D / denom, np.nan)
+            valid = ~np.isnan(C)
+            # raw max (rounded later in Spark: round is monotone)
+            any_valid = valid.any(axis=1)
+            mr = np.where(any_valid, np.nanmax(np.where(valid, C, -np.inf), axis=1), np.nan)
+            # threshold count on ROUNDED cosines: band-exact
+            definite = valid & (C >= thr + 2e-6)
+            band = valid & (C > thr - 2e-6) & (C < thr + 2e-6)
+            hits = definite.sum(axis=1).astype(np.int64)
+            for r in np.nonzero(band.any(axis=1))[0]:
+                hits[r] += sum(
+                    1 for c in C[r][band[r]] if round6_ge(float(c))
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "_mr": [None if not av else float(v)
+                            for av, v in zip(any_valid, mr)],
+                    "_h": hits,
+                }
+            )
+
+    id_field = corpus.select(id_col).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("_mr", T.DoubleType()),
+            T.StructField("_h", T.LongType()),
+        ]
+    )
+    par = spark.sparkContext.defaultParallelism
+    scored = spread_if_narrow(
+        corpus.select(id_col, vec_col), par
+    ).mapInPandas(score, schema=out_schema)
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("_mr").alias("_mr"), F.sum("_h").cast("long").alias("n_benchmark_hits"))
+        .select(
+            id_col,
+            F.round(F.col("_mr"), 6).alias("max_benchmark_cos"),
+            "n_benchmark_hits",
+        )
+        .select(
+            id_col,
+            "max_benchmark_cos",
+            "n_benchmark_hits",
+            F.coalesce(
+                F.col("max_benchmark_cos") >= threshold, F.lit(False)
+            ).alias("contaminated"),
+        )
+    )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: per corpus vector,
     the max cosine against ANY benchmark vector plus the count of
@@ -1097,7 +1260,35 @@ def semantic_decontaminate(
     are O(|corpus| x |benchmark| x dim) — embarrassingly parallel, no
     corpus-wide shuffle of vectors.  For 10^6+ benchmark items, prune
     candidates with the LSH bucket join first (``lsh_topk``) and run
-    this exact scorer on survivors."""
+    this exact scorer on survivors.
+
+    Two physical strategies, pinned row-identical by test
+    (optimization r13, guide §4 — the interpreted zip_with/aggregate
+    fold is the per-pair CPU bottleneck):
+
+    - ``"blas"`` (what ``"auto"`` picks when the benchmark fits the
+      ``_SEM_BLAS_MAX_BENCH`` float64 broadcast gate): one Arrow-
+      batched ``mapInPandas`` pass over the corpus with the benchmark
+      matrix broadcast — see ``_semantic_blas`` for the bit-identity
+      argument (sequential-over-dims accumulation reproduces the fold
+      order; rounding stays in Spark / exact-decimal at the boundary).
+    - ``"relational"``: the broadcast-join + HOF-fold plan below — the
+      over-gate fallback and the cross-check reference.
+
+    ``auto`` runs one benchmark-side count at construction (the
+    dedup_jaccard / bitext auto-probe eagerness contract: DataFrame
+    construction triggers a bounded Spark job)."""
+    if strategy not in ("auto", "blas", "relational"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = (
+            "blas"
+            if benchmark.count() <= _SEM_BLAS_MAX_BENCH
+            else "relational"
+        )
+    if strategy == "blas":
+        return _semantic_blas(corpus, benchmark, threshold, id_col, vec_col)
+
     def _norm(c: Column) -> Column:
         return F.sqrt(
             F.aggregate(

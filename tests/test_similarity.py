@@ -1093,3 +1093,52 @@ def test_bitext_margin_mining_randomized_replay(spark, tmp_path):
         got = [tuple(r) for r in
                q_bitext_margin_mining(spark, str(d)).collect()]
         assert got == want, seed
+
+
+def test_semantic_decontaminate_strategy_identity(spark):
+    """The BLAS strategy (optimization r13) is pinned ROW-IDENTICAL to
+    the relational reference plan — raw doubles included — on a corpus
+    with planted near-duplicates, zero-norm vectors, NULL vectors, and
+    a threshold that lands pairs on the 6-dp rounding boundary."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [1.0, 2.0, 3.0, 4.000001]),   # near-dup of the benchmark item
+        (3, [0.0, 0.0, 0.0, 0.0]),        # zero norm
+        (4, None),                         # NULL vector
+        (5, [-1.0, -2.0, -3.0, -4.0]),    # exact negative
+        (6, [4.0, 3.0, 2.0, 1.0]),
+    ]
+    bench = [
+        (100, [1.0, 2.0, 3.0, 4.0]),
+        (101, [0.0, 0.0, 0.0, 0.0]),      # zero-norm benchmark item
+        (102, [2.0, -1.0, 0.5, 0.25]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bdf = spark.createDataFrame(bench, "vec_id long, embedding array<double>")
+    for t in (0.0, 0.35, 0.5, 1.0):
+        rel = sorted(
+            tuple(r) for r in semantic_decontaminate(
+                corpus, bdf, threshold=t, strategy="relational"
+            ).collect()
+        )
+        blas = sorted(
+            tuple(r) for r in semantic_decontaminate(
+                corpus, bdf, threshold=t, strategy="blas"
+            ).collect()
+        )
+        assert rel == blas, f"strategy outputs diverge at threshold {t}"
+    # auto resolves to one of the pinned strategies and stays identical
+    auto = sorted(
+        tuple(r)
+        for r in semantic_decontaminate(corpus, bdf, threshold=0.5).collect()
+    )
+    rel = sorted(
+        tuple(r) for r in semantic_decontaminate(
+            corpus, bdf, threshold=0.5, strategy="relational"
+        ).collect()
+    )
+    assert auto == rel
