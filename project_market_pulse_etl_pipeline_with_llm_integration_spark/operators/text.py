@@ -2651,7 +2651,70 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(docs, PHRASE_SEARCH_QUERIES)
 
 
-def char_entropy_profile(docs: DataFrame, min_nats_1e6: int = 2_000_000) -> DataFrame:
+def _char_entropy_arrow(docs: DataFrame, min_nats_1e6: int) -> DataFrame:
+    """Arrow half of char_entropy_profile — row-identical to the fold
+    plan (pinned by test + the shared oracle).
+
+    Exactness: every output is a pure integer function of the per-char
+    COUNTS (Counter(text) == the array_sort+run fold), and the only
+    float step is floor(ln(x)·1e6) for x <= 10⁶ — which the committed
+    float_boundary_audit measured to sit HUNDREDS of ulps clear of
+    every floor boundary in that domain, so the <=1-ulp spread between
+    Java Math.log, C libm and DuckDB ln can never flip a floor (the
+    same argument the DuckDB oracle already rests on).  The
+    trim-nonempty filter stays IN SPARK so its exact single-space trim
+    semantics are untouched."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    min_nats = int(min_nats_1e6)
+
+    def profile(batches):
+        def ln6(x: int) -> int:
+            return math.floor(math.log(x) * 1000000.0)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": pdf["doc_id"], "n_chars": [],
+                   "distinct_chars": [], "sum_nlogn_1e6": [],
+                   "ln_n_1e6": [], "entropy_keep": []}
+            for text in pdf["text"]:
+                counts = Counter(text)
+                n = len(text)
+                s = sum(nc * ln6(nc) for nc in counts.values() if nc > 1)
+                ln_n = ln6(n)
+                out["n_chars"].append(n)
+                out["distinct_chars"].append(len(counts))
+                out["sum_nlogn_1e6"].append(s)
+                out["ln_n_1e6"].append(ln_n)
+                out["entropy_keep"].append(n * ln_n - s >= min_nats * n)
+            yield pd.DataFrame(out)
+
+    id_field = docs.select("doc_id").schema.fields[0]
+    schema = T.StructType([
+        id_field,
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("distinct_chars", T.LongType()),
+        T.StructField("sum_nlogn_1e6", T.LongType()),
+        T.StructField("ln_n_1e6", T.LongType()),
+        T.StructField("entropy_keep", T.BooleanType()),
+    ])
+    return (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", "text")
+        .mapInPandas(profile, schema=schema)
+    )
+
+
+def char_entropy_profile(
+    docs: DataFrame,
+    min_nats_1e6: int = 2_000_000,
+    strategy: str = "auto",
+) -> DataFrame:
     """Per-document character-distribution Shannon entropy — the
     C4/Gopher-family junk gate that catches what length and stopword
     ratios miss (base64 blobs, key-mash, single-char floods all have
@@ -2675,7 +2738,23 @@ def char_entropy_profile(docs: DataFrame, min_nats_1e6: int = 2_000_000) -> Data
     fold per row), the cheapest possible shape for a 100 TB quality
     pass.  Contract: single-byte/ASCII-range text (length() counts
     chars; the synthetic corpus qualifies); sorting unicode graphemes
-    needs a normalizer first."""
+    needs a normalizer first.
+
+    Two physical strategies, pinned row-identical by test
+    (optimization r13, guide §4 — the per-char interpreted
+    array_sort + struct fold is the CPU bottleneck; counting chars in
+    an Arrow batch is the same integers ~5x cheaper):
+
+    - ``"arrow"`` (the ``"auto"`` pick — the operator is a pure map at
+      any scale, no size gate needed): one mapInPandas pass,
+      Counter-based; see ``_char_entropy_arrow`` for the bit-identity
+      argument.
+    - ``"fold"``: the scan-local column-algebra plan below — the
+      zero-Python reference and cross-check."""
+    if strategy not in ("auto", "arrow", "fold"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy in ("auto", "arrow"):
+        return _char_entropy_arrow(docs, min_nats_1e6)
     chars = F.array_sort(F.split(F.col("text"), ""))
 
     def term(nc):

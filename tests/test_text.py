@@ -1539,3 +1539,32 @@ def test_bpe_train_strategies_identical(spark):
     sf_ = rows(bpe_train_merges(short, n_merges=3, strategy="fold"))
     sr = rows(bpe_train_merges(short, n_merges=3, strategy="relational"))
     assert sf_ == sr == [(1, "a", "a", 1)]
+
+
+def test_char_entropy_strategy_identity(spark):
+    """The Arrow strategy (optimization r13) is pinned ROW-IDENTICAL to
+    the fold reference plan — repeated chars, single-char floods,
+    whitespace-only (filtered), empty and NULL texts, and a doc long
+    enough to exercise the n·ln(n) terms."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        char_entropy_profile,
+    )
+
+    rows = [
+        (1, "abcabcabc"),
+        (2, "aaaaaaaaaa"),
+        (3, "   "),           # trim-empty: filtered by both plans
+        (4, ""),
+        (5, None),
+        (6, "the quick brown fox jumps over the lazy dog " * 50),
+        (7, "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fold = sorted(
+        tuple(r) for r in char_entropy_profile(docs, strategy="fold").collect()
+    )
+    arrow = sorted(
+        tuple(r) for r in char_entropy_profile(docs, strategy="arrow").collect()
+    )
+    assert fold == arrow
+    assert char_entropy_profile(docs).count() == len(fold)  # auto == arrow
