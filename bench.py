@@ -626,13 +626,39 @@ def main() -> int:
             # run reaching here (different sf / update flag) would
             # clobber the committed file down to its few queries and
             # silently disarm the drift gate for the rest (review r11)
+            #
+            # Adjudicated bistable alternates SURVIVE the rewrite
+            # (optimization r13: the first UPDATE run silently dropped
+            # every alt_fps/alt_skeletons pair, and the very next full
+            # run re-flagged degree_assortativity's build-side flip —
+            # an adjudication is evidence about the QUERY's AQE
+            # near-tie, not about one baseline file).  An alternate is
+            # carried forward only while the accepted set still
+            # contains the newly captured shape; a genuinely new plan
+            # starts from a clean slate.
+            plans = {}
+            for n, sk in exec_plans.items():
+                entry = {"fp": fps[n], "skeleton": sk}
+                # same-sf only: cross-sf skeletons are not comparable
+                prev = (baseline["plans"].get(n)
+                        if baseline is not None and baseline.get("sf") == sf
+                        else None)
+                if prev is not None:
+                    accepted = {prev["fp"]: prev["skeleton"],
+                                **prev.get("alt_skeletons", {})}
+                    if fps[n] in accepted:
+                        alts = [f for f in ([prev["fp"]]
+                                            + prev.get("alt_fps", []))
+                                if f != fps[n] and f in accepted]
+                        if alts:
+                            entry["alt_fps"] = alts
+                            entry["alt_skeletons"] = {
+                                f: accepted[f] for f in alts
+                            }
+                plans[n] = entry
             with open(bpath, "w") as fh:
-                json.dump(
-                    {"sf": sf,
-                     "plans": {n: {"fp": fps[n], "skeleton": sk}
-                               for n, sk in exec_plans.items()}},
-                    fh, indent=1, sort_keys=True,
-                )
+                json.dump({"sf": sf, "plans": plans},
+                          fh, indent=1, sort_keys=True)
                 fh.write("\n")
             print(f"exec-plan baseline written: {bpath} "
                   f"({len(exec_plans)} heavy queries)")
