@@ -258,6 +258,16 @@ def enrich_deduped(
     transport is a pure function of the prompt (pinned by test), at
     one LLM call per unique payload instead of one per row.
 
+    CONTRACT (ADVICE r13): NULL payload fields are normalized to ''
+    BEFORE the LLM call — the digest already coalesces NULL and '' to
+    one key, so a NULL-titled group's representative prompt reads
+    "Title: " where row-level ``enrich(df)`` would render "Title:
+    None".  Row-for-row equality with ``enrich(df)`` therefore holds
+    for non-NULL payloads (all declared surfaces) and for any
+    transport insensitive to that rendering; callers that need the
+    literal "None" rendering must coalesce before calling ``enrich``
+    themselves.
+
     The reference pays per ROW (Main.py:177-189 iterates the frame at
     <=5 rows/s with no memoization); on a corpus with duplicate
     articles — exactly what the dedup family measures — the gateway is

@@ -1085,9 +1085,18 @@ def _semantic_blas(
     threshold: float,
     id_col: str,
     vec_col: str,
-) -> DataFrame:
+) -> DataFrame | None:
     """BLAS half of semantic_decontaminate — row-identical to the
     relational plan (pinned by test + the shared oracle).
+
+    Returns ``None`` when the benchmark's non-null vectors carry MIXED
+    lengths (ADVICE r14): the relational fold scores each pair by its
+    own pair-wise length agreement, which a single (nb x dim) matrix
+    cannot reproduce — the caller falls back to the relational plan,
+    keeping the pinned row-identity trivially true.  The matrix
+    dimension comes from the (unique) non-null vector length, NOT from
+    the first row: a NULL first benchmark vector used to zero the dim
+    and silently report the whole corpus uncontaminated.
 
     Exactness argument (this family's raw-DOUBLE variant of the
     _d2_block integer argument): the relational plan's dot product and
@@ -1120,7 +1129,10 @@ def _semantic_blas(
     spark = corpus.sparkSession
     brows = benchmark.select(F.col(vec_col).alias("_bv")).collect()
     nb = len(brows)
-    dim = len(brows[0]["_bv"]) if nb and brows[0]["_bv"] is not None else 0
+    lens = {len(r["_bv"]) for r in brows if r["_bv"] is not None}
+    if len(lens) > 1:
+        return None  # mixed-length benchmark: pair-wise dims — relational
+    dim = lens.pop() if lens else 0
 
     B = np.full((nb, dim), np.nan)
     for j, r in enumerate(brows):
@@ -1287,7 +1299,13 @@ def semantic_decontaminate(
             else "relational"
         )
     if strategy == "blas":
-        return _semantic_blas(corpus, benchmark, threshold, id_col, vec_col)
+        blas = _semantic_blas(corpus, benchmark, threshold, id_col, vec_col)
+        if blas is not None:
+            return blas
+        # Mixed-length benchmark vectors (ADVICE r14): the single-matrix
+        # kernel cannot reproduce pair-wise length agreement — fall
+        # through to the relational plan, which scores those pairs
+        # exactly (and is what the row-identity pin compares against).
 
     def _norm(c: Column) -> Column:
         return F.sqrt(
@@ -1320,13 +1338,24 @@ def semantic_decontaminate(
     # of the n-gram decontaminate sibling.  nullif guards zero-norm
     # vectors: a 0/0 pair yields NULL (ignored by max, not counted as
     # a hit) rather than NaN/inf feeding max().
+    # nanvl masks NaN cosines (a NaN ELEMENT in either vector) to NULL:
+    # Spark SQL orders NaN above every double, so an unmasked NaN would
+    # win F.max and count as a >= threshold hit, while the BLAS kernel
+    # ignores NaN pairs — the docstring's "both engines ignore NaN"
+    # contract was only half true before this (ADVICE r14).  NULL and
+    # zero-norm pairs pass through nanvl unchanged (NULL is not NaN).
     scored = (
         corpus.select(F.col(id_col), F.col(vec_col),
                       _norm(F.col(vec_col)).alias("_cn"))
         .join(F.broadcast(bench), F.lit(True), "left")
         .withColumn(
             "_cos",
-            F.round(dot / F.nullif(F.col("_cn") * F.col("_bn"), F.lit(0.0)), 6),
+            F.nanvl(
+                F.round(
+                    dot / F.nullif(F.col("_cn") * F.col("_bn"), F.lit(0.0)), 6
+                ),
+                F.lit(None).cast("double"),
+            ),
         )
     )
     return (

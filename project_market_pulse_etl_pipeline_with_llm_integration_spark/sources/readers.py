@@ -65,7 +65,15 @@ _SCAN_CACHE: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
 
 
 def cached_scan(spark: SparkSession, path: str) -> DataFrame:
-    """One resolved parquet scan per (session, path) — see block comment."""
+    """One resolved parquet scan per (session, path) — see block comment.
+
+    IMMUTABLE-INPUT CONTRACT (ADVICE r13): nothing here watches the
+    path for changes — a caller that rewrites or appends to a cached
+    path mid-session would silently keep the stale file manifest (and
+    the downstream ``_NPARTS`` memo compounds it).  Every call site
+    must point at a static source table; writers that re-read their
+    own output use ``spark.read.parquet`` directly or call
+    ``invalidate_scan(path)`` after the write."""
     per_session = _SCAN_CACHE.get(spark)
     if per_session is None:
         per_session = _SCAN_CACHE.setdefault(spark, {})
@@ -73,6 +81,17 @@ def cached_scan(spark: SparkSession, path: str) -> DataFrame:
     if df is None:
         df = per_session[path] = spark.read.parquet(path)
     return df
+
+
+def invalidate_scan(path: str, spark: SparkSession | None = None) -> None:
+    """Drop ``path`` from the scan-plan cache (one session, or all) —
+    the escape hatch for fixtures/writers that regenerate an input
+    mid-session (the cached manifest would otherwise go stale)."""
+    sessions = [spark] if spark is not None else list(_SCAN_CACHE)
+    for s in sessions:
+        per_session = _SCAN_CACHE.get(s)
+        if per_session is not None:
+            per_session.pop(path, None)
 
 
 # Planned-scan partition counts, keyed by the DataFrame OBJECT (the

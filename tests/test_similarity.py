@@ -1111,26 +1111,54 @@ def test_semantic_decontaminate_strategy_identity(spark):
         (4, None),                         # NULL vector
         (5, [-1.0, -2.0, -3.0, -4.0]),    # exact negative
         (6, [4.0, 3.0, 2.0, 1.0]),
+        (7, [1.0, float("nan"), 3.0, 4.0]),  # NaN element (ADVICE r14)
     ]
     bench = [
         (100, [1.0, 2.0, 3.0, 4.0]),
         (101, [0.0, 0.0, 0.0, 0.0]),      # zero-norm benchmark item
         (102, [2.0, -1.0, 0.5, 0.25]),
     ]
+    # NULL-FIRST benchmark variant (ADVICE r14): dim inference must not
+    # key off row 0 — a NULL first vector used to zero the matrix dim
+    # and report the whole corpus uncontaminated.
+    bench_nullfirst = [(99, None)] + bench
     corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for bench_rows in (bench, bench_nullfirst):
+        bdf = spark.createDataFrame(
+            bench_rows, "vec_id long, embedding array<double>"
+        )
+        for t in (0.0, 0.35, 0.5, 1.0):
+            rel = sorted(
+                tuple(r) for r in semantic_decontaminate(
+                    corpus, bdf, threshold=t, strategy="relational"
+                ).collect()
+            )
+            blas = sorted(
+                tuple(r) for r in semantic_decontaminate(
+                    corpus, bdf, threshold=t, strategy="blas"
+                ).collect()
+            )
+            assert rel == blas, f"strategy outputs diverge at threshold {t}"
+            # the NULL-first gate bug reported zero contamination;
+            # near-dup row 2 must stay contaminated at every t <= ~1
+            assert any(r[0] == 2 and r[3] for r in blas)
     bdf = spark.createDataFrame(bench, "vec_id long, embedding array<double>")
-    for t in (0.0, 0.35, 0.5, 1.0):
-        rel = sorted(
-            tuple(r) for r in semantic_decontaminate(
-                corpus, bdf, threshold=t, strategy="relational"
-            ).collect()
-        )
-        blas = sorted(
-            tuple(r) for r in semantic_decontaminate(
-                corpus, bdf, threshold=t, strategy="blas"
-            ).collect()
-        )
-        assert rel == blas, f"strategy outputs diverge at threshold {t}"
+    # MIXED-LENGTH benchmark (ADVICE r14): blas falls back to the
+    # relational plan — outputs stay identical by construction
+    bmixed = spark.createDataFrame(
+        bench + [(103, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    rel = sorted(
+        tuple(r) for r in semantic_decontaminate(
+            corpus, bmixed, threshold=0.35, strategy="relational"
+        ).collect()
+    )
+    blas = sorted(
+        tuple(r) for r in semantic_decontaminate(
+            corpus, bmixed, threshold=0.35, strategy="blas"
+        ).collect()
+    )
+    assert rel == blas
     # auto resolves to one of the pinned strategies and stays identical
     auto = sorted(
         tuple(r)

@@ -27,11 +27,27 @@ from project_market_pulse_etl_pipeline_with_llm_integration_spark.session import
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # Both '--reps=3' and '--reps 3' (ADVICE r13: the two-token form
+    # crashed on split and leaked the value into the query-name list).
+    argv = list(sys.argv[1:])
     reps = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--reps"):
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--reps":
+            if i + 1 >= len(argv):
+                raise SystemExit("--reps needs a value")
+            reps = int(argv[i + 1])
+            i += 2
+            continue
+        if a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown option {a!r}")
+        else:
+            args.append(a)
+        i += 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="construct-profile")
     queries = entrymod.queries()
