@@ -1393,6 +1393,7 @@ def winnow_pairs(
     max_fp_df: int | None = None,
     guard_mode: str = "precheck",
     num_partitions: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Near-copy pairs (a<b, n_shared) by shared WINNOW fingerprints
     (Schleimer et al. SIGMOD'03 — the MOSS plagiarism-detection
@@ -1424,16 +1425,30 @@ def winnow_pairs(
     minhash band join."""
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
         winnow_fp_rows,
+        winnow_fp_set_rows_arrow,
     )
 
+    if strategy not in ("auto", "arrow", "relational"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     if num_partitions:
         df = spread_if_narrow(df, num_partitions)
     docs = df.filter(F.trim(F.col(text_col)) != "")
-    fps = (
-        winnow_fp_rows(docs, text_col, n, w, id_col)
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # Two pinned-identical fingerprint streams (optimization r14, guide
+    # §4): "arrow" (the "auto" pick — pure map, per-doc set deduped in
+    # Python, so the global distinct is free) and "relational" (the
+    # explode + window plan, kept as the cross-check reference).  The
+    # checkpoint stays either way: fps is referenced twice (a/b sides)
+    # and an unpinned double reference doubles the plan per side.
+    if strategy in ("auto", "arrow"):
+        fps = winnow_fp_set_rows_arrow(
+            docs, text_col, n, w, id_col
+        ).localCheckpoint(eager=False)
+    else:
+        fps = (
+            winnow_fp_rows(docs, text_col, n, w, id_col)
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     _advice = (
         "a fingerprint's posting list exceeds the cap — near-universal "
         "boilerplate windows; raise w, pre-strip boilerplate, or cap "

@@ -11,6 +11,9 @@ oracle replicates it exactly (see ``__spark_entry__.oracle_sql``).
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -215,9 +218,181 @@ def _positional_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Arrow-strategy support (optimization r14, guide §4): a bit-exact
+# Python replica of the ``tokens()`` column helper, for mapInPandas
+# kernels that must reproduce relational token streams EXACTLY.
+#
+# tokens(c) == F.split(F.trim(c), r"\s+"), whose Spark semantics are:
+#   - F.trim strips the ASCII SPACE character (0x20) ONLY (UTF8String
+#     .trim; tabs/newlines survive)            -> str.strip(" ")
+#   - Java regex \s without UNICODE flags is exactly [ \t\n\x0B\f\r]
+#     (no \x85, no Unicode spaces)             -> the explicit class
+#   - F.split passes limit=-1 to Java split, so LEADING and TRAILING
+#     empty tokens are KEPT ("\ta" -> ["", "a"]) -> re.split keeps both
+# Pinned by test_winnow_arrow_tokens_exactness against the live Spark
+# expression on adversarial strings (tabs, \x0B, NBSP, trailing ws).
+# ---------------------------------------------------------------------------
+_JAVA_WS_RUN = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _py_tokens(text: str) -> list[str]:
+    """Python replica of ``tokens(col)`` — see block comment above."""
+    return _JAVA_WS_RUN.split(text.strip(" "))
+
+
+def _py_winnow_fp_set(text: str | None, n: int, w: int) -> list[str]:
+    """Sorted DISTINCT winnow fingerprints of one document — the Python
+    replica of ``winnow_fp_rows``'s per-doc selection, consumed set-wise
+    by both consumers (``with_winnow_fingerprint`` collect_set +
+    ``dedup.winnow_pairs`` distinct).
+
+    Replicates, step for step: positional word n-grams
+    (concat_ws(" ", slice(toks, i+1, n)) for i in 0..max(T-n, 0) —
+    " ".join over a Python slice is identical on non-null tokens), md5
+    hex per gram (hashlib.md5 == Spark md5 on the UTF-8 bytes), window
+    min over hex strings (ASCII, so Python str min == UTF8String binary
+    min) at positions 0..max(|grams|-w, 0).  NULL text behaves exactly
+    like EMPTY text (measured against the live plan): tokens(NULL) is
+    NULL, but the shingle transform maps each position through
+    concat_ws(" ", slice(NULL, ...)), and concat_ws skips NULL args and
+    returns '' — so the gram array is [''] (md5('') fingerprint), never
+    NULL, and winnow_fp_rows' coalesce-'' sentinel arm is dead code."""
+    if text is None:
+        text = ""
+    toks = _py_tokens(text)
+    t = len(toks)
+    grams = [" ".join(toks[i : i + n]) for i in range(max(t - n, 0) + 1)]
+    hs = [hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams]
+    gt = len(hs)
+    return sorted({min(hs[i : i + w]) for i in range(max(gt - w, 0) + 1)})
+
+
+def _winnow_id_guard(where: str, id_col: str):
+    """In-kernel contract check factory for the Arrow winnow strategies:
+    ``id_col`` must be non-null and unique.  The map input is
+    hash-REPARTITIONED by id (see callers), so every copy of an id
+    lands in ONE partition and a partition-local seen-set detects
+    every duplicate — the Arrow equivalent of the relational plan's
+    windowed count assert, raising the same message.  Returns a
+    per-task closure: call it on each batch's id Series."""
+    msg = (
+        f"{where}: id_col '{id_col}' must be non-null and unique "
+        "— fingerprints are per-document; dedup or re-key the input"
+    )
+
+    def make():
+        seen: set = set()
+
+        def check(ids) -> None:
+            if ids.isna().any():
+                raise ValueError(msg)
+            for v in ids:
+                if v in seen:
+                    raise ValueError(msg)
+                seen.add(v)
+
+        return check
+
+    return make
+
+
+def _winnow_fingerprint_rows_arrow(
+    df: DataFrame, text_col: str, n: int, w: int, id_col: str,
+) -> DataFrame:
+    """Arrow half of ``with_winnow_fingerprint``: per-document
+    (id, n_fingerprints, winnow_digest) in ONE mapInPandas pass over
+    hash(id)-partitioned (id, text) — no explode, no window, no
+    per-gram shuffle.  The repartition is the contract-enforcement
+    colocator (``_winnow_id_guard``) and is strictly SMALLER than the
+    shuffle it replaces: the relational plan exchanges the per-gram
+    (id, pos, 32-char md5) rows — ~an order of magnitude more bytes
+    than the text itself — while this exchanges the text once
+    (CollapseRepartition folds it over any caller-side spread
+    repartition, so single-file local layouts pay ONE exchange total).
+    Row-identical to the relational fps subplan (pinned by test +
+    shared oracle): every step is exact string/integer work — see
+    ``_py_winnow_fp_set`` and the ``_py_tokens`` audit."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    guard = _winnow_id_guard("with_winnow_fingerprint", id_col)
+
+    def fp_profile(batches):
+        check = guard()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            check(pdf[id_col])
+            nfp, dig = [], []
+            for text in pdf[text_col]:
+                fps = _py_winnow_fp_set(text, n, w)
+                nfp.append(len(fps))
+                dig.append(hashlib.md5(",".join(fps).encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_fingerprints": nfp,
+                 "winnow_digest": dig}
+            )
+
+    id_field = df.select(id_col).schema.fields[0]
+    schema = T.StructType([
+        id_field,
+        T.StructField("n_fingerprints", T.LongType()),
+        T.StructField("winnow_digest", T.StringType()),
+    ])
+    return (
+        df.select(id_col, text_col)
+        .repartition(F.col(id_col))
+        .mapInPandas(fp_profile, schema=schema)
+    )
+
+
+def winnow_fp_set_rows_arrow(
+    df: DataFrame, text_col: str, n: int, w: int, id_col: str,
+) -> DataFrame:
+    """Arrow sibling of ``winnow_fp_rows(...).distinct()``: one
+    (_wid, _fp) row per (document, DISTINCT selected fingerprint), in a
+    single mapInPandas pass over hash(id)-partitioned (id, text) — no
+    explode, no window, and the global ``.distinct()`` is free because
+    the per-doc sets are deduped in Python and ids are unique (the
+    colocating repartition + in-kernel guard — see
+    ``_winnow_fingerprint_rows_arrow`` for why the exchange is strictly
+    smaller than the per-gram shuffle it replaces).  Row-identical to
+    the relational stream (pinned by test): see ``_py_winnow_fp_set``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    guard = _winnow_id_guard("winnow_pairs", id_col)
+
+    def emit(batches):
+        check = guard()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            check(pdf[id_col])
+            ids, fs = [], []
+            for v, text in zip(pdf[id_col], pdf[text_col]):
+                for fp in _py_winnow_fp_set(text, n, w):
+                    ids.append(v)
+                    fs.append(fp)
+            if ids:
+                yield pd.DataFrame({"_wid": ids, "_fp": fs})
+
+    id_type = df.select(id_col).schema.fields[0].dataType
+    schema = T.StructType([
+        T.StructField("_wid", id_type),
+        T.StructField("_fp", T.StringType()),
+    ])
+    return (
+        df.select(id_col, text_col)
+        .repartition(F.col(id_col))
+        .mapInPandas(emit, schema=schema)
+    )
+
+
 def with_winnow_fingerprint(
     df: DataFrame, text_col: str = "text", n: int = 3, w: int = 4,
-    id_col: str = "doc_id",
+    id_col: str = "doc_id", strategy: str = "auto",
 ) -> DataFrame:
     """Rolling-hash document fingerprint by winnowing (Schleimer et al.,
     SIGMOD'03): hash every positional word n-gram, keep the minimum of
@@ -230,28 +405,44 @@ def with_winnow_fingerprint(
     Hashes are md5 hex strings (window min = lexicographic min) so the
     DuckDB oracle reproduces the selection bit-for-bit.
 
-    Plan shape — explode -> window-frame min -> collect_set, NOT nested
-    array lambdas: higher-order functions evaluate interpreted (outside
-    whole-stage codegen) with no common-subexpression elimination, so
-    the original nested-``transform`` form re-evaluated the entire
-    gram->md5 pipeline at every reference — measured ~40x slower at
-    sf0.01 and super-linear with doc length.  Here each gram is hashed
-    EXACTLY once; the sliding-window min is a rows-between frame over
-    (doc, pos); the per-doc set rides the same hash partitioning the
-    window already paid for (one skinny (id, pos, hash) shuffle, then
-    an exchange-reusing groupBy; bodies never shuffle — consumers that
-    keep only (id, fingerprint) columns prune the join's text side
-    entirely)."""
-    fps = (
-        winnow_fp_rows(df, text_col, n, w, id_col)
-        .groupBy("_wid")
-        .agg(F.collect_set("_fp").alias("_fps"))
-        .select(
-            F.col("_wid").alias(id_col),
-            F.size("_fps").cast("long").alias("n_fingerprints"),
-            F.md5(F.array_join(F.sort_array("_fps"), ",")).alias("winnow_digest"),
+    Two physical strategies, pinned row-identical by test
+    (optimization r14, guide §4 — the interpreted shingle HOF + the
+    per-doc window shuffle are the cost):
+
+    - ``"arrow"`` (the ``"auto"`` pick — a pure map at any scale, no
+      size gate needed): one mapInPandas pass computes each document's
+      fingerprint set in Python (md5 via hashlib is the identical
+      digest; see ``_py_winnow_fp_set`` for the step-by-step identity
+      argument); the uniqueness contract rides a broadcast 1-row
+      assert branch instead of the windowed count.
+    - ``"relational"``: explode -> window-frame min -> collect_set,
+      NOT nested array lambdas: higher-order functions evaluate
+      interpreted (outside whole-stage codegen) with no
+      common-subexpression elimination, so the original
+      nested-``transform`` form re-evaluated the entire gram->md5
+      pipeline at every reference — measured ~40x slower at sf0.01 and
+      super-linear with doc length.  Here each gram is hashed EXACTLY
+      once; the sliding-window min is a rows-between frame over
+      (doc, pos); the per-doc set rides the same hash partitioning the
+      window already paid for (one skinny (id, pos, hash) shuffle,
+      then an exchange-reusing groupBy; bodies never shuffle —
+      consumers that keep only (id, fingerprint) columns prune the
+      join's text side entirely)."""
+    if strategy not in ("auto", "arrow", "relational"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy in ("auto", "arrow"):
+        fps = _winnow_fingerprint_rows_arrow(df, text_col, n, w, id_col)
+    else:
+        fps = (
+            winnow_fp_rows(df, text_col, n, w, id_col)
+            .groupBy("_wid")
+            .agg(F.collect_set("_fp").alias("_fps"))
+            .select(
+                F.col("_wid").alias(id_col),
+                F.size("_fps").cast("long").alias("n_fingerprints"),
+                F.md5(F.array_join(F.sort_array("_fps"), ",")).alias("winnow_digest"),
+            )
         )
-    )
     # The null-id assert must live on the LEFT side: the equi-join is
     # null-intolerant, so Catalyst pushes isnotnull(id) into the fps
     # branch and would prune a null-id row there BEFORE the in-plan

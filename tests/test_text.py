@@ -836,6 +836,79 @@ def test_inferred_size_filter_detector(spark):
         )
 
 
+def test_winnow_arrow_tokens_exactness(spark):
+    """The Arrow winnow strategies rest on ``_py_tokens`` being a
+    bit-exact replica of the ``tokens()`` column expression (Spark
+    trim strips 0x20 only; Java \\s is the 5-char ASCII class; split
+    limit=-1 keeps leading/trailing empty tokens).  Pinned against the
+    LIVE expression on the adversarial set."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.functions.columns import (
+        tokens,
+    )
+
+    cases = [
+        "alpha beta gamma",
+        "  leading",
+        "trailing\t",            # trim keeps the tab -> trailing empty token
+        "\ta",                    # leading empty token
+        "one  two\nthree\x0bfour\ffive\rsix",
+        "",
+        " ",
+        "solo",
+        "a b c d",           # NBSP is NOT a separator in either engine
+        "x\r\ny",
+        "café naïve résumé",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, text string"
+    )
+    got = {r["i"]: r["t"] for r in df.select(
+        "i", tokens("text").alias("t")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == text._py_tokens(c), repr(c)
+
+
+_WINNOW_ADVERSARIAL = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+    (3, "the quick brown fox jumps over alpha beta gamma delta"),
+    (4, "  leading and trailing  "),
+    (5, "tabs\there\tand\nnewlines mixed in a longer body of words"),
+    (6, "short doc"),
+    (7, "solo"),
+    (8, ""),
+    (9, None),
+    (10, "a b c d e f g h"),   # NBSP inside a token
+    (11, "x " * 40),                # repeated bigram, trailing space
+]
+
+
+def test_winnow_fingerprint_strategy_identity(spark):
+    """The Arrow strategy (optimization r14) is pinned ROW-IDENTICAL to
+    the relational plan on the adversarial corpus (dups, blanks, NULL
+    text, kept empty tokens, NBSP) — digests, counts, and carried
+    columns all equal."""
+    df = spark.createDataFrame(
+        _WINNOW_ADVERSARIAL, "doc_id long, text string"
+    )
+    rel = sorted(
+        tuple(r) for r in text.with_winnow_fingerprint(
+            df, strategy="relational"
+        ).collect()
+    )
+    arr = sorted(
+        tuple(r) for r in text.with_winnow_fingerprint(
+            df, strategy="arrow"
+        ).collect()
+    )
+    assert rel == arr
+    # auto resolves to arrow and stays identical
+    auto = sorted(
+        tuple(r) for r in text.with_winnow_fingerprint(df).collect()
+    )
+    assert auto == rel
+
+
 def test_winnow_rejects_duplicate_ids(spark):
     """The sliding window is keyed by id, so duplicate ids would
     interleave gram streams into corrupt fingerprints — the in-plan
