@@ -2740,6 +2740,7 @@ def phrase_search(
     phrases: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Batch phrase search via an inverted word-bigram index with
     verification — the positional-index query plan (Manning et al.,
@@ -2781,29 +2782,45 @@ def phrase_search(
         pat_rows.extend((p, g, len(grams)) for g in grams)
     pat = spark.createDataFrame(pat_rows, "phrase string, gram string, k int")
     all_grams = sorted({g for _, g, _ in pat_rows})
-    # Queried-gram postings: array projected BELOW the explode (Generate
-    # re-evaluation lesson, SCALE.md round 6); empty intersections emit
-    # no rows, so most docs die inside the scan stage.
-    pruned = F.array_intersect(
-        F.array_distinct(_positional_shingles(text_col, 2)),
-        F.array(*[F.lit(g) for g in all_grams]),
-    )
-    # The checkpoint is a pushdown barrier, not just a share point:
-    # InferFiltersFromGenerate adds size(_g) > 0 below the explode and
-    # Catalyst would push it into the scan, re-running the whole
-    # gram-extraction pipeline a second time per row (round-6 lesson,
-    # SCALE.md).  Behind the barrier the inferred filter evaluates on
-    # the materialized tiny array instead.
+    if strategy not in ("auto", "arrow", "relational"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    arrow = strategy in ("auto", "arrow")
     from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
         spread_if_narrow,
     )
 
-    postings = (
-        spread_if_narrow(docs, spark.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("_id"), pruned.alias("_g"))
-        .localCheckpoint(eager=False)
-        .select("_id", F.explode("_g").alias("gram"))
-    )
+    spread = spread_if_narrow(docs, spark.sparkContext.defaultParallelism)
+    if arrow:
+        # Arrow postings (optimization r14, guide §4): one mapInPandas
+        # pass emits (id, gram) for each DISTINCT doc bigram that hits
+        # the query-gram set — the interpreted shingle transform +
+        # array_intersect + explode (and its checkpoint pushdown
+        # barrier, obsolete without a Generate) all collapse into
+        # native Python set probes.  Row-identical: same tokenization
+        # (_py_tokens audit), same distinct-gram set semantics, and
+        # the consumer is an order-insensitive count agg.
+        postings = _phrase_postings_arrow(
+            spread, frozenset(all_grams), id_col, text_col
+        )
+    else:
+        # Queried-gram postings: array projected BELOW the explode
+        # (Generate re-evaluation lesson, SCALE.md round 6); empty
+        # intersections emit no rows, so most docs die inside the scan
+        # stage.  The checkpoint is a pushdown barrier, not just a
+        # share point: InferFiltersFromGenerate adds size(_g) > 0
+        # below the explode and Catalyst would push it into the scan,
+        # re-running the whole gram-extraction pipeline a second time
+        # per row (round-6 lesson, SCALE.md).  Behind the barrier the
+        # inferred filter evaluates on the materialized tiny array.
+        pruned = F.array_intersect(
+            F.array_distinct(_positional_shingles(text_col, 2)),
+            F.array(*[F.lit(g) for g in all_grams]),
+        )
+        postings = (
+            spread.select(F.col(id_col).alias("_id"), pruned.alias("_g"))
+            .localCheckpoint(eager=False)
+            .select("_id", F.explode("_g").alias("gram"))
+        )
     cand = (
         postings.join(F.broadcast(pat), "gram")
         .groupBy("phrase", "_id")
@@ -2812,6 +2829,14 @@ def phrase_search(
         .select("phrase", "_id")
     )
     carry = [c for c in docs.columns if c != text_col]
+    if arrow:
+        # Arrow verification: the relational CASE expression evaluates
+        # split(trim(text)) THREE times per candidate row (interpreted
+        # HOFs have no common-subexpression elimination); the Python
+        # kernel tokenizes once and counts token-subsequence starts
+        # with the same overlap semantics and the same n_hits > 0
+        # filter.  Exact: integer counts over the audited tokenization.
+        return _phrase_verify_arrow(docs, cand, carry, id_col, text_col)
     # Token-subsequence verification: count positions i with
     # toks[i..i+m-1] == phrase tokens.  sequence() descends when
     # stop < start, so the short-doc case is guarded explicitly.
@@ -2830,6 +2855,95 @@ def phrase_search(
         .where(F.col("n_hits") > 0)
         .select("phrase", *carry, "n_hits")
     )
+
+
+def _phrase_postings_arrow(
+    spread_docs: DataFrame, qgrams: frozenset, id_col: str, text_col: str,
+) -> DataFrame:
+    """(_id, gram) rows for every DISTINCT document bigram that appears
+    in the query-gram set — the Arrow half of phrase_search's postings
+    prefilter.  A doc's gram enumeration replicates
+    ``_positional_shingles(text_col, 2)`` over the audited tokenizer;
+    set-probe + per-doc seen-set reproduce array_distinct ∩ literal
+    exactly (the consumer aggregates counts, so emission order is
+    immaterial).  NULL text emits nothing on both engines (its only
+    shingle is '', and every query gram contains a space)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def emit(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, gs = [], []
+            for v, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = _py_tokens(text)
+                t = len(toks)
+                seen = set()
+                for i in range(max(t - 2, 0) + 1):
+                    g = " ".join(toks[i : i + 2])
+                    if g in qgrams and g not in seen:
+                        seen.add(g)
+                        ids.append(v)
+                        gs.append(g)
+            if ids:
+                yield pd.DataFrame({"_id": ids, "gram": gs})
+
+    id_type = spread_docs.select(id_col).schema.fields[0].dataType
+    schema = T.StructType([
+        T.StructField("_id", id_type),
+        T.StructField("gram", T.StringType()),
+    ])
+    return spread_docs.select(id_col, text_col).mapInPandas(emit, schema=schema)
+
+
+def _phrase_verify_arrow(
+    docs: DataFrame, cand: DataFrame, carry: list[str],
+    id_col: str, text_col: str,
+) -> DataFrame:
+    """Token-subsequence verification of the (broadcast) candidate set
+    in one mapInPandas pass: n_hits = number of start positions where
+    the document's token run equals the phrase's single-space-split
+    tokens (overlaps included), rows with n_hits == 0 dropped — the
+    exact integer semantics of the relational CASE/filter expression
+    (split(phrase, ' ') keeps empty tokens in both engines; a NULL
+    text yields 0 on both: size(split(trim(NULL))) is -1 < m)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    joined = docs.join(F.broadcast(cand), F.col(id_col) == F.col("_id"))
+    src = joined.select("phrase", *carry, text_col)
+    schema = T.StructType(
+        [T.StructField("phrase", T.StringType())]
+        + [docs.schema[c] for c in carry]
+        + [T.StructField("n_hits", T.LongType())]
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep, hits = [], []
+            for i, (ph, text) in enumerate(zip(pdf["phrase"], pdf[text_col])):
+                pts = ph.split(" ")
+                m = len(pts)
+                n = 0
+                if text is not None:
+                    toks = _py_tokens(text)
+                    for j in range(len(toks) - m + 1):
+                        if toks[j : j + m] == pts:
+                            n += 1
+                if n > 0:
+                    keep.append(i)
+                    hits.append(n)
+            if keep:
+                out = pdf.iloc[keep][["phrase", *carry]].copy()
+                out["n_hits"] = hits
+                yield out
+
+    return src.mapInPandas(verify, schema=schema)
 
 
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3285,7 +3399,86 @@ RAKE_STOPWORDS = [
 ]
 
 
-def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rake_members_arrow(docs: DataFrame) -> DataFrame:
+    """Arrow half of ``rake_keywords``'s candidate-phrase membership
+    table: (doc_id, grp, w, plen, phrase) — one row per (document,
+    island member) — in ONE mapInPandas pass, replacing the posexplode
+    + per-doc row_number window + collect_list groupBy + join (four
+    operators, two of them shuffles of per-token rows).
+
+    Row-identity argument (pinned by test + shared oracle): the
+    LOWERCASING stays IN SPARK (lower(text) before the map), so the
+    kernel never case-converts — lowering the whole text first equals
+    lowering per token because Unicode case mapping maps no character
+    to or from the five Java \\s separators (token boundaries are
+    unchanged) and the one context-sensitive rule (Greek final sigma)
+    keys on the neighboring CASED characters, which whitespace is not.
+    Tokens + positions replicate posexplode(tokens(text)) via the
+    audited ``_py_tokens``; empty-token and stopword filters are exact
+    string membership; the island id grp = pos - rank is the same
+    integer; plen/phrase are per-island count and document-order
+    join — all exact."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.sources.readers import (
+        spread_if_narrow,
+    )
+
+    spark = docs.sparkSession
+    stop = frozenset(RAKE_STOPWORDS)
+    src = spread_if_narrow(
+        docs.filter(F.trim("text") != "").select(
+            "doc_id", F.lower(F.col("text")).alias("_lt")
+        ),
+        spark.sparkContext.defaultParallelism,
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dids, grps, ws, plens, phrases = [], [], [], [], []
+            for did, lt in zip(pdf["doc_id"], pdf["_lt"]):
+                kept = [
+                    (pos, wd)
+                    for pos, wd in enumerate(_py_tokens(lt))
+                    if wd != "" and wd not in stop
+                ]
+                i = 0
+                while i < len(kept):
+                    j = i
+                    while j + 1 < len(kept) and kept[j + 1][0] == kept[j][0] + 1:
+                        j += 1
+                    island = kept[i : j + 1]
+                    plen = len(island)
+                    phrase = " ".join(wd for _, wd in island)
+                    grp = island[0][0] - (i + 1)  # pos - row_number
+                    for _, wd in island:
+                        dids.append(did)
+                        grps.append(grp)
+                        ws.append(wd)
+                        plens.append(plen)
+                        phrases.append(phrase)
+                    i = j + 1
+            if dids:
+                yield pd.DataFrame(
+                    {"doc_id": dids, "grp": grps, "w": ws,
+                     "plen": plens, "phrase": phrases}
+                )
+
+    id_field = docs.select("doc_id").schema.fields[0]
+    schema = T.StructType([
+        id_field,
+        T.StructField("grp", T.IntegerType()),
+        T.StructField("w", T.StringType()),
+        T.StructField("plen", T.LongType()),
+        T.StructField("phrase", T.StringType()),
+    ])
+    return src.mapInPandas(emit, schema=schema)
+
+
+def rake_keywords(docs: DataFrame, strategy: str = "auto") -> DataFrame:
     """RAKE keyword extraction (Rose et al. 2010) over the corpus:
     candidate phrases are maximal stopword-free token runs; each word
     scores deg/freq where freq counts its phrase occurrences and deg
@@ -3299,32 +3492,40 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     link_prediction_ra recipe), so ranking and the (score desc, phrase)
     tie-break are engine-exact.
 
-    Plan: one posexplode, a per-doc window for the gaps-and-islands
-    phrase id (keyed by doc — never global), then hash aggs keyed by
-    (doc, phrase-island), word, and phrase text; top-30 is TakeOrdered.
-    Word bodies shuffle once as short phrase strings — no all-pairs,
-    no global sort."""
-    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
-    tk = (
-        docs.filter(F.trim("text") != "")
-        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "word"))
-        .filter(F.col("word") != "")
-        .select("doc_id", "pos", F.lower("word").alias("w"))
-    )
-    ns = tk.filter(~F.col("w").isin(RAKE_STOPWORDS))
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    isl = ns.withColumn("grp", F.col("pos") - F.row_number().over(w_doc))
-    ph = isl.groupBy("doc_id", "grp").agg(
-        F.count("*").alias("plen"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda s: s["w"],
-            ),
-            " ",
-        ).alias("phrase"),
-    )
-    mem = isl.join(ph, ["doc_id", "grp"]).select("doc_id", "grp", "w", "plen", "phrase")
+    Two pinned-identical strategies for the membership table
+    (optimization r14, guide §4): "arrow" (the "auto" pick — one
+    mapInPandas pass, see ``_rake_members_arrow``) and "relational"
+    (posexplode + per-doc window + collect_list groupBy + join — the
+    cross-check reference).  Downstream either way: hash aggs keyed by
+    word and phrase text; top-30 is TakeOrdered.  Word bodies shuffle
+    once as short phrase strings — no all-pairs, no global sort."""
+    if strategy not in ("auto", "arrow", "relational"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy in ("auto", "arrow"):
+        mem = _rake_members_arrow(docs)
+    else:
+        tk = (
+            docs.filter(F.trim("text") != "")
+            .select("doc_id", F.posexplode(tokens("text")).alias("pos", "word"))
+            .filter(F.col("word") != "")
+            .select("doc_id", "pos", F.lower("word").alias("w"))
+        )
+        ns = tk.filter(~F.col("w").isin(RAKE_STOPWORDS))
+        w_doc = Window.partitionBy("doc_id").orderBy("pos")
+        isl = ns.withColumn("grp", F.col("pos") - F.row_number().over(w_doc))
+        ph = isl.groupBy("doc_id", "grp").agg(
+            F.count("*").alias("plen"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        mem = isl.join(ph, ["doc_id", "grp"]).select(
+            "doc_id", "grp", "w", "plen", "phrase"
+        )
     mem = mem.localCheckpoint(eager=False)  # word stats + phrase scores
     sc = (
         mem.groupBy("w")
@@ -3346,6 +3547,11 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phrase", "n_occur", "score_ppm",
         F.row_number().over(w).cast("long").alias("kw_rank"),
     ).orderBy("kw_rank")
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus — see ``rake_keywords``."""
+    return rake_keywords(cached_scan(spark, f"{sf_dir}/documents.parquet"))
 
 
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:

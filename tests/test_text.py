@@ -1041,9 +1041,7 @@ def test_phrase_search_lossless_and_counts(spark):
         ],
         ["doc_id", "text", "source"],
     )
-    out = T.phrase_search(docs, ["a b c", "q r", "a b a", "q r"])
-    got = {(r.phrase, r.doc_id): r.n_hits for r in out.collect()}
-    assert got == {
+    want = {
         ("a b c", 1): 1,
         ("a b c", 3): 2,
         ("a b c", 4): 3,
@@ -1051,8 +1049,56 @@ def test_phrase_search_lossless_and_counts(spark):
         ("q r", 6): 1,
         ("a b a", 9): 2,
     }
+    # both physical strategies (optimization r14) are pinned to the
+    # same token-boundary-exact semantics, full-output-identical
+    for strat in ("auto", "arrow", "relational"):
+        out = T.phrase_search(
+            docs, ["a b c", "q r", "a b a", "q r"], strategy=strat
+        )
+        got = {(r.phrase, r.doc_id): r.n_hits for r in out.collect()}
+        assert got == want, strat
+    rel = sorted(tuple(r) for r in T.phrase_search(
+        docs, ["a b c", "q r", "a b a"], strategy="relational").collect())
+    arr = sorted(tuple(r) for r in T.phrase_search(
+        docs, ["a b c", "q r", "a b a"], strategy="arrow").collect())
+    assert rel == arr
     with _pytest.raises(ValueError):
         T.phrase_search(docs, ["single"])
+
+
+def test_rake_keywords_strategy_identity(spark):
+    """The Arrow membership table (optimization r14) is pinned
+    ROW-IDENTICAL to the relational posexplode+window plan through the
+    full RAKE scoring pipeline — phrases, occurrence counts, ppm
+    scores, ranks — on an adversarial corpus: stopword boundaries,
+    leading/trailing/ragged whitespace, repeated phrases, single-word
+    docs, blanks, punctuation-glued tokens, uppercase (the
+    lower-before-map identity), and a Greek final-sigma case (the one
+    context-sensitive lowercase mapping)."""
+    from project_market_pulse_etl_pipeline_with_llm_integration_spark.operators.text import (
+        rake_keywords,
+    )
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "quick brown fox and lazy dog in the yard"),
+        (3, "  Deep learning models for market data  "),
+        (4, "deep learning\tmodels\nfor market data"),
+        (5, "a an and are as at"),          # all stopwords
+        (6, "solo"),
+        (7, ""),
+        (8, "market-data pipelines, with punctuation."),
+        (9, "QUICK BROWN FOX"),
+        (10, "ΦΩΣ ΚΑΛΟ market data"),       # final-sigma lowering
+        (11, "the of to " + "repeat phrase " * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rel = [tuple(r) for r in rake_keywords(docs, strategy="relational").collect()]
+    arr = [tuple(r) for r in rake_keywords(docs, strategy="arrow").collect()]
+    assert rel == arr
+    auto = [tuple(r) for r in rake_keywords(docs).collect()]
+    assert auto == rel
+    assert len(rel) > 0 and rel[0][3] == 1  # kw_rank starts at 1
 
 
 def test_kn_bigram_scores_hand_computed(spark):
